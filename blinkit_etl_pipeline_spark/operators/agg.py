@@ -1,0 +1,146 @@
+"""Aggregate builders: the written (A1-A3) and implied (IA1-IA5) curated
+tables (SURVEY.md §2.5-2.6).
+
+All are plain ``groupBy().agg(...)`` — Spark performs partial (map-side)
++ final hash aggregation automatically, so low-cardinality group keys
+(category, area, channel) collapse before the shuffle.
+
+Alias discipline: every computed column is aliased here AND identically
+in the oracle SQL (plans/), because the driver's comparator sorts
+columns by name before hashing. Rounding at the aggregate edge (the
+reference SQL's own ROUND convention) absorbs float-summation-order
+differences between Spark and DuckDB; int-derived measures are exact and
+left unrounded. Integer sums are cast to BIGINT on both sides (DuckDB
+sums ints into HUGEINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def area_feedback_metrics(enriched: DataFrame) -> DataFrame:
+    """A1-A3: per-area feedback rollup (reference 03:132-140).
+
+    ``satisfaction_rate`` is stored as a **fraction** (not ×100): the
+    consuming SQL multiplies by 100 itself, fixing the reference's
+    double-×100 bug (SURVEY.md §2.13.2).
+    """
+    pos = F.sum(F.when(F.col("sentiment_normalized") == "Positive", 1).otherwise(0))
+    neg = F.sum(F.when(F.col("sentiment_normalized") == "Negative", 1).otherwise(0))
+    total = F.count("feedback_id")
+    return (
+        enriched.groupBy("area")
+        .agg(
+            total.alias("total_feedback"),
+            F.avg("rating").alias("avg_rating"),
+            pos.cast("bigint").alias("positive_count"),
+            neg.cast("bigint").alias("negative_count"),
+            F.avg("sentiment_score").alias("avg_sentiment_score"),
+        )
+        .withColumn(
+            "satisfaction_rate", F.col("positive_count") / F.col("total_feedback")
+        )
+    )
+
+
+def revenue_by_category(sales_fact: DataFrame) -> DataFrame:
+    """IA1: curated_revenue_by_category (consumed by customer_metrics.sql)."""
+    return (
+        sales_fact.groupBy("category")
+        .agg(
+            F.countDistinct("order_id").alias("total_orders"),
+            F.countDistinct("customer_id").alias("unique_customers"),
+            F.round(F.sum("line_total"), 2).alias("total_revenue"),
+            F.round(F.sum("profit_margin"), 2).alias("total_profit"),
+            F.round(F.sum("line_total") / F.countDistinct("order_id"), 2).alias(
+                "avg_order_value"
+            ),
+        )
+    )
+
+
+def campaign_performance_summary(kpis: DataFrame) -> DataFrame:
+    """IA2: curated_campaign_performance_summary (campaign_roi.sql:4-13).
+
+    ``overall_roi = (Σrevenue − Σspend)/Σspend × 100`` over raw sums;
+    ``avg_*`` are means of the per-day KPIs (reference 04:57-95).
+    """
+    sum_spend = F.sum("spend")
+    sum_rev = F.sum("revenue_generated")
+    return (
+        kpis.groupBy("campaign_id", "campaign_name", "channel")
+        .agg(
+            F.round(sum_spend, 2).alias("total_spend"),
+            F.round(sum_rev, 2).alias("total_revenue"),
+            F.sum("conversions").cast("bigint").alias("total_conversions"),
+            F.round(F.avg("ctr"), 4).alias("avg_ctr"),
+            F.round(F.avg("conversion_rate"), 4).alias("avg_conversion_rate"),
+            F.round(F.avg("roas_calculated"), 4).alias("avg_roas"),
+            F.round(
+                F.when(sum_spend > 0, (sum_rev - sum_spend) / sum_spend * 100).otherwise(
+                    0.0
+                ),
+                2,
+            ).alias("overall_roi"),
+        )
+    )
+
+
+def delivery_partner_performance(orders: DataFrame) -> DataFrame:
+    """IA3: curated_delivery_partner_performance (delivery_partner.sql:4-14).
+
+    The reference never wrote this pipeline (script 02 is a byte-copy of
+    01 — SURVEY.md §2.13.1); semantics are reconstructed from the
+    consuming SQL. Conditional count via sum(is_delayed) (A2 pattern).
+    """
+    total = F.count("*")
+    delayed = F.sum("is_delayed")
+    return orders.groupBy("delivery_partner_id").agg(
+        total.alias("total_deliveries"),
+        delayed.cast("bigint").alias("delayed_deliveries"),
+        F.round(delayed / total * 100, 2).alias("delay_percentage"),
+        F.round(F.avg("delivery_time_hours"), 2).alias("avg_delivery_time"),
+        F.round(F.avg("distance_km"), 2).alias("avg_distance"),
+    )
+
+
+def category_inventory_impact(recon: DataFrame) -> DataFrame:
+    """IA4: curated_category_inventory_impact over discrepant rows
+    (inventory_and_revenue.sql:4-12; filter has_discrepancy==1, 05:85)."""
+    return (
+        recon.filter(F.col("has_discrepancy") == 1)
+        .groupBy("category")
+        .agg(
+            F.round(F.sum("financial_impact"), 2).alias("total_impact"),
+            F.countDistinct("product_id").alias("affected_products"),
+            F.round(F.avg("stock_variance"), 4).alias("avg_stock_variance"),
+            F.round(F.avg("damaged_variance"), 4).alias("avg_damaged_variance"),
+        )
+    )
+
+
+SEVERITY_FROM_RANK = (
+    "CASE max_severity_rank WHEN 4 THEN 'Critical' WHEN 3 THEN 'High' "
+    "WHEN 2 THEN 'Medium' WHEN 1 THEN 'Low' ELSE 'None' END"
+)
+
+
+def product_inventory_discrepancies(recon: DataFrame) -> DataFrame:
+    """IA5: curated_product_inventory_discrepancies
+    (inventory_discrepancies.sql:2-14). ``max_severity`` decodes the
+    explicit ordinal rank — no lexicographic accident (SURVEY.md §7.4.3)."""
+    return (
+        recon.filter(F.col("has_discrepancy") == 1)
+        .groupBy("product_id", "product_name", "category")
+        .agg(
+            F.count("*").alias("discrepancy_occurrences"),
+            F.sum("stock_variance").cast("bigint").alias("total_stock_variance"),
+            F.sum("damaged_variance").cast("bigint").alias("total_damaged_variance"),
+            F.round(F.sum("financial_impact"), 2).alias("total_impact"),
+            F.max("severity_rank").alias("max_severity_rank"),
+        )
+        .withColumn("max_severity", F.expr(SEVERITY_FROM_RANK))
+        .drop("max_severity_rank")
+    )

@@ -1,0 +1,48 @@
+"""SparkSession factory.
+
+Scale-oriented defaults (designed for a multi-executor cluster, tested on
+local[N]):
+
+- AQE on (runtime partition coalescing + skew-join splitting) — the
+  reference's full-outer inventory join on ``(product_id, date)`` is the
+  documented skew risk (SURVEY.md §4.4).
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster AQE coalescing makes the static number mostly irrelevant.
+- Session timezone pinned to UTC so timestamp semantics match the
+  DuckDB oracle (naive-UTC parquet timestamps).
+- Arrow enabled for the (rare) Pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_session(app_name: str = "blinkit_etl_pipeline_spark") -> SparkSession:
+    """Build (or reuse) the engine SparkSession."""
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # testdata events.parquet stores ts as TIMESTAMP(NANOS); Spark has
+        # no nanos timestamp — read as long, convert in sources/testdata.py.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if not os.environ.get("SPARK_MASTER") and "SPARK_CONNECT_MODE_ENABLED" not in os.environ:
+        builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
