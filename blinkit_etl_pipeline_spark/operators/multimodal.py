@@ -1,0 +1,155 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+North-star surface (BASELINE.json): treat image/audio/video as
+``binary`` columns with a typed metadata struct; decode / feature-
+extract / resize / frame-sample run as Arrow-batched Pandas functions
+over ``mapInPandas`` so each executor processes columnar batches without
+per-row Python overhead.
+
+The container has no image/audio codecs, so the *decode* step is a
+deterministic stand-in (payload digest + byte stats) and the real-codec
+entry points raise ``NotImplementedError`` with a clear marker. The
+Spark-side plumbing — schema, batch iteration, partitioning, UDF
+signatures — is real and tested; swapping in PIL/ffmpeg later only
+replaces the body of ``_decode_payload``.
+
+Because the stand-in features are pure functions of the payload bytes,
+``media_features`` still has a value-exact DuckDB oracle (md5/byte-length
+of the same synthesized payloads) — the plumbing is verified end-to-end,
+not just "it returns rows".
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload_md5", StringType()),
+        StructField("payload_bytes", LongType()),
+        StructField("first_byte", IntegerType()),
+        StructField("byte_sum_mod", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media table from documents: payload = utf-8 text.
+
+    Stand-in for a real binary source (S3 blobs, tar shards). Metadata
+    derives from doc_id so every engine agrees on it.
+    """
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in MEDIA_TYPES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        (F.col("doc_id") % 64 * 16 + 256).cast("int").alias("width"),
+        (F.col("doc_id") % 32 * 16 + 256).cast("int").alias("height"),
+        (F.col("doc_id") % 300 * 1000).cast("int").alias("duration_ms"),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """Real image decode — requires PIL/opencv, absent in this container."""
+    raise NotImplementedError(
+        "STUB: image decode needs PIL/opencv (not installed); "
+        "media_features uses the deterministic byte-stat stand-in instead"
+    )
+
+
+def decode_audio(payload: bytes) -> object:
+    """Real audio decode — requires soundfile/ffmpeg, absent here."""
+    raise NotImplementedError("STUB: audio decode needs soundfile/ffmpeg")
+
+
+def sample_frames(payload: bytes, every_ms: int = 1000) -> list[bytes]:
+    """Real video frame sampling — requires ffmpeg, absent here."""
+    raise NotImplementedError("STUB: frame sampling needs ffmpeg")
+
+
+def _decode_payload(payload: bytes) -> dict:
+    """Deterministic stand-in decode: digest + byte statistics."""
+    return {
+        "payload_md5": hashlib.md5(payload).hexdigest(),
+        "payload_bytes": len(payload),
+        "first_byte": payload[0] if payload else -1,
+        "byte_sum_mod": sum(payload) % 1_000_003,
+    }
+
+
+def media_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas``: each executor receives columnar pandas batches; the
+    decode runs batch-at-a-time (vectorizable once a real codec is in).
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(_decode_payload)
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload_md5": feats.map(lambda d: d["payload_md5"]),
+                    "payload_bytes": feats.map(lambda d: d["payload_bytes"]),
+                    "first_byte": feats.map(lambda d: d["first_byte"]),
+                    "byte_sum_mod": feats.map(lambda d: d["byte_sum_mod"]),
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                }
+            )
+            yield out
+
+    return media.mapInPandas(extract, schema=FEATURES_SCHEMA)
+
+
+def resize_plan(media: DataFrame, max_side: int = 512) -> DataFrame:
+    """Resize planning (pure metadata math — no decode needed):
+    target dimensions preserving aspect ratio, capped at ``max_side``."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_side) / F.greatest(F.col("width"), F.col("height")).cast("double"),
+    )
+    return media.select(
+        "media_id",
+        "media_type",
+        "width",
+        "height",
+        F.floor(F.col("width") * scale).cast("int").alias("target_width"),
+        F.floor(F.col("height") * scale).cast("int").alias("target_height"),
+        F.round(scale, 6).alias("scale"),
+    )

@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (north-star surface).
+
+Two tiers, mirroring how ANN is deployed at scale:
+
+- **Brute-force cosine top-k** — the exact baseline. The (small) query
+  set is broadcast; the corpus side streams through one scan with the
+  dot product evaluated as a Catalyst higher-order function
+  (``aggregate(zip_with(...))``) — JVM-side, no Python, no UDF. Top-k
+  per query via window ``row_number`` (AQE handles the skewless, tiny
+  post-filter shuffle).
+- **LSH-bucketed variant** — the scale path: sign-bit buckets over the
+  first ``nbits`` dimensions partition the corpus; each query only
+  compares within its bucket, turning the cross join into an equi-join
+  whose shuffle is O(corpus), not O(corpus × queries). Recall is
+  approximate by construction (documented), determinism is exact, so it
+  still has a value-exact DuckDB oracle.
+
+Precision discipline: elements are cast to DOUBLE before multiplying,
+accumulation is the left-fold both engines use, and the similarity is
+ROUNDed to 6 before any threshold/rank decision so boundary behavior is
+engine-identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a Catalyst fold (double)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def sign_bucket(vec: Column, nbits: int) -> Column:
+    """Sign-LSH bucket id from the first ``nbits`` dimensions (0..2^nbits-1).
+
+    Hyperplanes are the coordinate axes — deterministic, engine-agnostic,
+    and a reasonable partitioner for roughly isotropic embeddings.
+    """
+    bucket = F.lit(0)
+    for i in range(nbits):
+        bucket = bucket + F.when(
+            F.element_at(vec, i + 1) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def brute_force_topk(
+    emb: DataFrame, query_ids: Sequence[int], k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cosine_sim, rank). Self-matches are
+    excluded; ties broken by neighbor_id so ranks are deterministic.
+    """
+    queries = (
+        emb.filter(F.col("vec_id").isin(*[int(q) for q in query_ids]))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    sims = (
+        F.broadcast(queries)
+        .crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_topk(
+    emb: DataFrame, query_ids: Sequence[int], k: int = 5, nbits: int = 4
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign bucket."""
+    bucketed = emb.select(
+        "vec_id", "embedding", sign_bucket(F.col("embedding"), nbits).alias("bucket")
+    )
+    queries = bucketed.filter(
+        F.col("vec_id").isin(*[int(q) for q in query_ids])
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        "bucket",
+    )
+    sims = (
+        F.broadcast(queries)
+        .join(
+            bucketed.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding"),
+                F.col("bucket"),
+            ),
+            "bucket",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame, threshold: float, nbits: int = 0
+) -> DataFrame:
+    """Embedding near-dup pairs: ROUND(cosine,6) ≥ threshold, a < b.
+
+    ``nbits=0`` compares all pairs (exact, O(n²) — the correctness
+    baseline); ``nbits>0`` restricts to same sign-bucket pairs (the
+    scale path; same trade-off as :func:`lsh_topk`).
+    """
+    left = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        *( [sign_bucket(F.col("embedding"), nbits).alias("bucket")] if nbits else [] ),
+    )
+    right = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        *( [sign_bucket(F.col("embedding"), nbits).alias("bucket")] if nbits else [] ),
+    )
+    joined = (
+        left.join(right, "bucket") if nbits else left.crossJoin(right)
+    ).filter(F.col("vec_a") < F.col("vec_b"))
+    return (
+        joined.select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

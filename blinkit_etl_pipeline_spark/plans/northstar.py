@@ -1,0 +1,474 @@
+"""North-star query plans: dedup, similarity search, text analysis,
+event windows, multimodal plumbing (BASELINE.json extensions).
+
+Parity discipline is the same as plans/parity.py — every query pairs an
+idiomatic-Spark implementation with DuckDB oracle SQL — but here the
+*signature math itself* (MinHash, SimHash, fingerprints) is built on the
+cross-engine ``h32`` hash (functions/text.py), so even the approximate
+algorithms are value-exact reproducible: Spark spells it
+``conv(substr(md5(x),1,8),16,10)``, the oracle spells it
+``('0x' || substr(md5(x),1,8))::BIGINT``.
+
+Float discipline: similarities/ratios are ROUNDed to 6 *before* any
+threshold or rank decision, on both engines, so boundary behavior is
+identical; integer measures are CAST BIGINT on the oracle side (DuckDB
+sums into HUGEINT, which pandas renders as float).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import dedup, events, multimodal, vector
+from ..sources.testdata import register_base
+
+# Tuned at sf0.01: 25 doc pairs have 2-gram Jaccard ≥ 0.35 (planted
+# near-dups reach 0.99); max pairwise cosine is ~0.51, 990 pairs ≥ 0.3.
+NGRAM_N = 2
+JACCARD_THRESHOLD = 0.35
+COSINE_THRESHOLD = 0.3
+ANN_K = 5
+ANN_NBITS = 4
+ANN_QUERY_IDS = tuple(range(16))
+
+# ----------------------------------------------------------------------
+# Spark-side table access
+# ----------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return register_base(spark, sf_dir)["events"]
+
+
+# ----------------------------------------------------------------------
+# Dedup
+# ----------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=NGRAM_N, threshold=JACCARD_THRESHOLD
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), n=NGRAM_N, threshold=JACCARD_THRESHOLD
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_distance=3)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vector.cosine_neardup_pairs(
+        _emb(spark, sf_dir), threshold=COSINE_THRESHOLD, nbits=ANN_NBITS
+    )
+
+
+# ----------------------------------------------------------------------
+# Similarity search
+# ----------------------------------------------------------------------
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vector.brute_force_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vector.lsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K, nbits=ANN_NBITS)
+
+
+# ----------------------------------------------------------------------
+# Text analysis
+# ----------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    cols = T.quality_columns(F.col("text"), toks)
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[c.alias(name) for name, c in cols.items()],
+        T.token_count_bpe_ish(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    cols = T.langid_columns(F.col("text"), T.tokens(F.col("text")))
+    return docs.select("doc_id", "lang", *[c.alias(n) for n, c in cols.items()])
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        T.fingerprint(toks).alias("fingerprint"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Event analytics
+# ----------------------------------------------------------------------
+
+
+def q_events_json_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.json_kv_rollup(_events(spark, sf_dir))
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.tumbling_rollup(_events(spark, sf_dir))
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.sliding_rollup(_events(spark, sf_dir))
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events.sessionize(_events(spark, sf_dir))
+
+
+# ----------------------------------------------------------------------
+# Multimodal
+# ----------------------------------------------------------------------
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.media_features(multimodal.synthesize_media(_docs(spark, sf_dir)))
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.resize_plan(multimodal.synthesize_media(_docs(spark, sf_dir)))
+
+
+# ----------------------------------------------------------------------
+# Oracle SQL (DuckDB dialect; documents/embeddings/events are
+# pre-registered views over the same parquet)
+# ----------------------------------------------------------------------
+
+_H = "('0x' || substr(md5({x}),1,8))::BIGINT"
+
+_TOKS = (
+    "toks AS (SELECT doc_id, lang, text,"
+    " list_filter(string_split(text, ' '), t -> t != '') AS tk FROM documents)"
+)
+
+
+def _sh_cte(n: int) -> str:
+    return (
+        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+        f"range(1, greatest(len(tk) - {n - 1}, 0) + 1),"
+        f" i -> array_to_string(tk[i:i+{n - 1}], ' ')))) AS shingle FROM toks)"
+    )
+
+
+_JACC = """sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS set_size FROM sh GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS intersection
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jacc AS (
+  SELECT doc_a, doc_b, intersection, sa.set_size AS size_a, sb.set_size AS size_b,
+    ROUND(intersection / CAST(sa.set_size + sb.set_size - intersection AS DOUBLE), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON inter.doc_a = sa.doc_id
+  JOIN sizes sb ON inter.doc_b = sb.doc_id
+)"""
+
+
+def _minhash_sig_exprs() -> str:
+    parts = []
+    for i in range(dedup.NUM_MINHASHES):
+        a, c = 2 * i + 1, 101 * i + 12289
+        parts.append(
+            f"min((sh32 * {a} + {c}) % {dedup.MINHASH_PRIME}) AS sig{i}"
+        )
+    return ", ".join(parts)
+
+
+def _minhash_band_selects() -> str:
+    rows = dedup.NUM_MINHASHES // dedup.MINHASH_BANDS
+    selects = []
+    for bi in range(dedup.MINHASH_BANDS):
+        key = " || '_' || ".join(
+            f"CAST(sig{bi * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        selects.append(f"SELECT doc_id, {bi} AS band, {key} AS key FROM sigs")
+    return " UNION ALL ".join(selects)
+
+
+_MINHASH_CTES = f"""h AS (
+  SELECT doc_id, {_H.format(x='shingle')} AS sh32 FROM sh
+),
+sigs AS (
+  SELECT doc_id, {_minhash_sig_exprs()} FROM h GROUP BY doc_id
+),
+bands AS ({_minhash_band_selects()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)"""
+
+_SIMHASH_CTES = f"""t AS (
+  SELECT doc_id, {_H.format(x='tok')} AS t32
+  FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+),
+bs AS (
+  SELECT doc_id, bit, SUM(((t32 >> bit) % 2) * 2 - 1) AS s
+  FROM t CROSS JOIN (SELECT unnest(range(0, {dedup.SIMHASH_BITS})) AS bit)
+  GROUP BY doc_id, bit
+),
+sigs AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bs GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * 8)) % 256 AS key
+  FROM sigs CROSS JOIN (SELECT unnest(range(0, {dedup.SIMHASH_BANDS})) AS band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS simhash_a,
+                  b.doc_id AS doc_b, b.simhash AS simhash_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)"""
+
+_EMB = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+
+_COS = (
+    "ROUND(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+def _bucket_expr(v: str, nbits: int) -> str:
+    terms = " + ".join(
+        f"CASE WHEN {v}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END" for i in range(nbits)
+    )
+    return f"CAST({terms} AS INT)"
+
+
+_STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS) + "]"
+
+
+def _marker_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in T.LANG_MARKERS[lang]) + "]"
+
+
+ORACLES: dict[str, str] = {
+    "ns_dedup_exact": """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+  CAST(count(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY md5(text)""",
+    "ns_dedup_ngram_jaccard": f"""WITH {_TOKS},
+{_sh_cte(NGRAM_N)},
+{_JACC}
+SELECT doc_a, doc_b, intersection, size_a, size_b, jaccard
+FROM jacc WHERE jaccard >= {JACCARD_THRESHOLD}""",
+    "ns_dedup_minhash_lsh": f"""WITH {_TOKS},
+{_sh_cte(NGRAM_N)},
+{_MINHASH_CTES},
+{_JACC}
+SELECT c.doc_a, c.doc_b, j.jaccard
+FROM cand c JOIN jacc j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+WHERE j.jaccard >= {JACCARD_THRESHOLD}""",
+    "ns_dedup_simhash": f"""WITH {_TOKS},
+{_SIMHASH_CTES}
+SELECT doc_a, doc_b, simhash_a, simhash_b,
+  CAST(bit_count(xor(simhash_a, simhash_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(simhash_a, simhash_b)) <= 3""",
+    "ns_dedup_embedding": f"""WITH {_EMB},
+b AS (SELECT vec_id, v, {_bucket_expr('v', ANN_NBITS)} AS bucket FROM e),
+pairs AS (
+  SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b,
+    {_COS.format(a='a.v', b='bb.v')} AS cosine_sim
+  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+)
+SELECT vec_a, vec_b, cosine_sim FROM pairs WHERE cosine_sim >= {COSINE_THRESHOLD}""",
+    "ns_ann_cosine_topk": f"""WITH {_EMB},
+q AS (SELECT vec_id, v FROM e WHERE vec_id < {len(ANN_QUERY_IDS)}),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    {_COS.format(a='q.v', b='c.v')} AS cosine_sim
+  FROM q CROSS JOIN e c WHERE c.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS "rank"
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine_sim, "rank" FROM ranked WHERE "rank" <= {ANN_K}""",
+    "ns_ann_lsh_topk": f"""WITH {_EMB},
+b AS (SELECT vec_id, v, {_bucket_expr('v', ANN_NBITS)} AS bucket FROM e),
+q AS (SELECT vec_id, v, bucket FROM b WHERE vec_id < {len(ANN_QUERY_IDS)}),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    {_COS.format(a='q.v', b='c.v')} AS cosine_sim
+  FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS "rank"
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine_sim, "rank" FROM ranked WHERE "rank" <= {ANN_K}""",
+    "ns_text_stats": f"""WITH {_TOKS}
+SELECT doc_id, lang,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(tk) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens,
+  ROUND(len(list_distinct(tk)) / CAST(greatest(len(tk), 1) AS DOUBLE), 6) AS distinct_ratio,
+  ROUND(len(list_filter(tk, t -> list_contains({_STOPWORDS_SQL}, t)))
+    / CAST(greatest(len(tk), 1) AS DOUBLE), 6) AS stopword_ratio,
+  ROUND(length(regexp_replace(text, '[^a-z0-9]', '', 'g'))
+    / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS alnum_ratio,
+  ROUND((length(text) - (len(tk) - 1)) / CAST(greatest(len(tk), 1) AS DOUBLE), 6) AS avg_token_len,
+  ROUND(least(len(tk) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+    + (len(list_distinct(tk)) / CAST(greatest(len(tk), 1) AS DOUBLE)) * CAST(0.5 AS DOUBLE), 6)
+    AS quality_score,
+  CAST(COALESCE(list_aggregate(list_transform(tk,
+      w -> CAST(ceil(length(w) / CAST(8 AS DOUBLE)) AS BIGINT)), 'sum'), 0)
+    + len(list_filter(tk, w -> regexp_matches(w, '[0-9]'))) AS BIGINT) AS bpe_tokens
+FROM toks""",
+    "ns_text_langid": f"""WITH {_TOKS},
+scored AS (
+  SELECT doc_id, lang,
+    CAST(len(list_filter(tk, t -> list_contains({_marker_sql('en')}, t))) AS BIGINT) AS score_en,
+    CAST(len(list_filter(tk, t -> list_contains({_marker_sql('fr')}, t))) AS BIGINT) AS score_fr,
+    CAST(len(list_filter(tk, t -> list_contains({_marker_sql('de')}, t))) AS BIGINT) AS score_de,
+    CAST(len(list_filter(tk, t -> list_contains({_marker_sql('es')}, t))) AS BIGINT) AS score_es,
+    len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) > 0 AS has_cjk
+  FROM toks
+)
+SELECT doc_id, lang, score_en, score_fr, score_de, score_es,
+  CASE WHEN has_cjk THEN 'zh'
+       WHEN greatest(score_en, score_fr, score_de, score_es) = 0 THEN 'und'
+       WHEN score_en = greatest(score_en, score_fr, score_de, score_es) THEN 'en'
+       WHEN score_fr = greatest(score_en, score_fr, score_de, score_es) THEN 'fr'
+       WHEN score_de = greatest(score_en, score_fr, score_de, score_es) THEN 'de'
+       ELSE 'es' END AS predicted_lang
+FROM scored""",
+    "ns_text_fingerprint": f"""WITH {_TOKS}
+SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(list_aggregate(list_transform(range(1, len(tk) + 1),
+    p -> (({_H.format(x='tk[p]')}) % {T.FINGERPRINT_MOD}) * (((p - 1) % 64) + 1)),
+    'sum'), 0) AS BIGINT) AS fingerprint
+FROM toks""",
+    "ns_events_json_kv": """SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(SUM(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+  ROUND(AVG(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k,
+  ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY event_type""",
+    "ns_events_hourly": """SELECT
+  date_trunc('hour', ts) AS window_start,
+  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+  event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  ROUND(SUM(value), 2) AS sum_value,
+  ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY 1, 2, 3""",
+    "ns_events_sliding": """WITH g AS (
+  SELECT e.*,
+    make_timestamp(((epoch_us(ts) // 1800000000) * 1800000000) - (o.j * 1800000000)) AS window_start
+  FROM events e CROSS JOIN (SELECT unnest(range(0, 2)) AS j) o
+)
+SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+  CAST(count(*) AS BIGINT) AS n_events,
+  ROUND(SUM(value), 2) AS sum_value
+FROM g GROUP BY 1, 2""",
+    "ns_events_sessionize": """WITH ordered AS (
+  SELECT event_id, user_id, ts, value,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+sess AS (
+  SELECT *, SUM(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+  CAST(count(*) AS BIGINT) AS n_events,
+  min(ts) AS session_start, max(ts) AS session_end,
+  ROUND(SUM(value), 2) AS sum_value,
+  CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+FROM sess GROUP BY user_id, session_seq""",
+    "ns_media_features": f"""SELECT doc_id AS media_id,
+  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+  md5(text) AS payload_md5,
+  CAST(strlen(text) AS BIGINT) AS payload_bytes,
+  CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+  CAST(list_aggregate(list_transform(range(1, strlen(text) + 1),
+    i -> ascii(substr(text, i, 1))), 'sum') % {1_000_003} AS BIGINT) AS byte_sum_mod,
+  CAST(doc_id % 64 * 16 + 256 AS INT) AS width,
+  CAST(doc_id % 32 * 16 + 256 AS INT) AS height
+FROM documents""",
+    "ns_media_resize": """WITH m AS (
+  SELECT doc_id AS media_id,
+    (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+    CAST(doc_id % 64 * 16 + 256 AS INT) AS width,
+    CAST(doc_id % 32 * 16 + 256 AS INT) AS height
+  FROM documents
+),
+s AS (
+  SELECT *, least(CAST(1 AS DOUBLE),
+    CAST(512 AS DOUBLE) / CAST(greatest(width, height) AS DOUBLE)) AS raw_scale
+  FROM m
+)
+SELECT media_id, media_type, width, height,
+  CAST(floor(width * raw_scale) AS INT) AS target_width,
+  CAST(floor(height * raw_scale) AS INT) AS target_height,
+  ROUND(raw_scale, 6) AS scale
+FROM s""",
+}
+
+QUERIES = {
+    "ns_dedup_exact": q_dedup_exact,
+    "ns_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "ns_dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "ns_dedup_simhash": q_dedup_simhash,
+    "ns_dedup_embedding": q_dedup_embedding,
+    "ns_ann_cosine_topk": q_ann_cosine_topk,
+    "ns_ann_lsh_topk": q_ann_lsh_topk,
+    "ns_text_stats": q_text_stats,
+    "ns_text_langid": q_text_langid,
+    "ns_text_fingerprint": q_text_fingerprint,
+    "ns_events_json_kv": q_events_json_kv,
+    "ns_events_hourly": q_events_hourly,
+    "ns_events_sliding": q_events_sliding,
+    "ns_events_sessionize": q_events_sessionize,
+    "ns_media_features": q_media_features,
+    "ns_media_resize": q_media_resize,
+}

@@ -135,7 +135,7 @@ MAPPING: dict[str, str] = {
 }
 
 
-def register_base(spark: SparkSession, sf_dir: str) -> None:
+def register_base(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register the driver parquet tables as Spark temp views.
 
     ``events.ts`` is physically TIMESTAMP(NANOS) which Spark cannot read
@@ -147,11 +147,14 @@ def register_base(spark: SparkSession, sf_dir: str) -> None:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # non-settable on some builds; session.py sets it at build time
+    out: dict[str, DataFrame] = {}
     for name in BASE_TABLES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
 
 
 def register_blinkit(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
