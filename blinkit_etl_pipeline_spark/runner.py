@@ -1,0 +1,240 @@
+"""Orchestration runner: the reference's control plane, in-process.
+
+Reproduces the Lambda orchestrator's contract (SURVEY.md §2.12, C1-C5;
+reference ``lambda/blinkit-etl-orchestrator.py``):
+
+- **C1 routing** (lambda:45-53): filename substring → job set;
+  unrecognized file → ALL jobs (the reference's intentional catch-all).
+- **C2 sequential execution with per-job status** (lambda:55-81): here a
+  plain function call per job — no polling, failures are caught and
+  recorded, later jobs still run.
+- **C3 partial-failure semantics** (lambda:36-39): overall status is
+  ``ok`` / ``partial`` / ``failed``; catalog refresh happens if ≥1 job
+  succeeded.
+- **C4 catalog refresh** (lambda:83-97): the Glue-crawler equivalent is
+  ``createOrReplaceTempView`` over each written curated table — instant,
+  no inference pass.
+- **C5 job bracket** (01:21-22,108): no-op in plain Spark.
+
+Each job writes its medallion zones (processed/ partitioned by date
+parts, curated/ unpartitioned — sources/sinks.py) under ``out_dir``,
+mirroring the reference's S3 bucket layout.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark import StorageLevel
+
+from .operators import agg, derive
+from .pipelines import (
+    customer_feedback,
+    delivery_performance,
+    inventory_recon,
+    marketing_roi,
+    sales_revenue,
+)
+from .sources import readers, sinks
+from .sources.testdata import register_blinkit
+
+JOB_SALES = "sales-revenue-etl"
+JOB_DELIVERY = "delivery-performance-etl"
+JOB_FEEDBACK = "customer-feedback-etl"
+JOB_MARKETING = "marketing-roi-etl"
+JOB_INVENTORY = "inventory-reconciliation-etl"
+
+ALL_JOBS = (JOB_SALES, JOB_DELIVERY, JOB_FEEDBACK, JOB_MARKETING, JOB_INVENTORY)
+
+# lambda:45-53 — substring routing; order/product → sales AND delivery
+# (the reference runs both because 02 consumed the same inputs).
+ROUTING: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("order", (JOB_SALES, JOB_DELIVERY)),
+    ("product", (JOB_SALES, JOB_DELIVERY)),
+    ("feedback", (JOB_FEEDBACK,)),
+    ("marketing", (JOB_MARKETING,)),
+    ("inventory", (JOB_INVENTORY,)),
+)
+
+
+@dataclass
+class RunnerConfig:
+    sf_dir: str
+    out_dir: str
+
+
+@dataclass
+class RunReport:
+    statuses: dict[str, str] = field(default_factory=dict)
+    errors: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def overall(self) -> str:
+        vals = set(self.statuses.values())
+        if vals <= {"succeeded"}:
+            return "ok"
+        return "partial" if "succeeded" in vals else "failed"
+
+
+def determine_jobs_to_run(filename: str) -> list[str]:
+    """C1: filename → job list (deduplicated, routing order preserved).
+
+    Unrecognized names return ALL jobs — reference lambda:52's
+    deliberate catch-all.
+    """
+    low = filename.lower()
+    out: list[str] = []
+    for needle, jobs in ROUTING:
+        if needle in low:
+            out.extend(j for j in jobs if j not in out)
+    return out or list(ALL_JOBS)
+
+
+def _curated_view(spark: SparkSession, df_path: str, view: str) -> None:
+    """C4: register a written curated table for analyst SQL."""
+    spark.read.parquet(df_path).createOrReplaceTempView(view)
+
+
+def run_sales_revenue(spark: SparkSession, conf: RunnerConfig) -> None:
+    t = register_blinkit(spark, conf.sf_dir)
+    fact = sales_revenue.sales_fact(t["b_orders"], t["b_order_items"], t["b_products"])
+    # dual sink: persist at the fan-out so processed+curated share one compute
+    fact.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        sinks.write_partitioned(fact, f"{conf.out_dir}/processed/sales_transactions")
+        curated = agg.revenue_by_category(fact)
+        path = f"{conf.out_dir}/curated/revenue_by_category"
+        sinks.write_curated(curated, path)
+        _curated_view(spark, path, "curated_revenue_by_category")
+    finally:
+        fact.unpersist()
+
+
+def run_delivery_performance(spark: SparkSession, conf: RunnerConfig) -> None:
+    t = register_blinkit(spark, conf.sf_dir)
+    curated = delivery_performance.partner_performance(t["b_orders"])
+    path = f"{conf.out_dir}/curated/delivery_partner_performance"
+    sinks.write_curated(curated, path)
+    _curated_view(spark, path, "curated_delivery_partner_performance")
+
+
+def run_customer_feedback(spark: SparkSession, conf: RunnerConfig) -> None:
+    t = register_blinkit(spark, conf.sf_dir)
+    enriched = customer_feedback.enriched_feedback(
+        t["b_feedback"], t["b_customers"], t["b_orders"], readers.rating_icons(spark)
+    )
+    enriched.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        sinks.write_partitioned(
+            enriched, f"{conf.out_dir}/processed/customer_feedback",
+            partition_cols=("year", "month"),
+        )
+        curated = agg.area_feedback_metrics(enriched)
+        path = f"{conf.out_dir}/curated/area_feedback_metrics"
+        sinks.write_curated(curated, path)
+        _curated_view(spark, path, "curated_area_feedback_metrics")
+    finally:
+        enriched.unpersist()
+
+
+def run_marketing_roi(spark: SparkSession, conf: RunnerConfig) -> None:
+    t = register_blinkit(spark, conf.sf_dir)
+    kpis = marketing_roi.marketing_kpis(t["b_marketing"])
+    kpis.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        sinks.write_partitioned(
+            kpis, f"{conf.out_dir}/processed/marketing_performance",
+            partition_cols=("year", "month"),
+        )
+        curated = agg.campaign_performance_summary(kpis)
+        path = f"{conf.out_dir}/curated/campaign_performance_summary"
+        sinks.write_curated(curated, path)
+        _curated_view(spark, path, "curated_campaign_performance_summary")
+    finally:
+        kpis.unpersist()
+
+
+def run_inventory_recon(spark: SparkSession, conf: RunnerConfig) -> None:
+    t = register_blinkit(spark, conf.sf_dir)
+    recon = inventory_recon.reconcile(
+        t["b_inventory_old"], t["b_inventory_new"], t["b_products"]
+    )
+    recon.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # reference 05:108-110: partition cols derived from `date` at write
+        sinks.write_partitioned(
+            derive.with_date_parts(recon, "date", day=False),
+            f"{conf.out_dir}/processed/inventory_reconciliation",
+            partition_cols=("year", "month"),
+        )
+        impact = agg.category_inventory_impact(recon)
+        p1 = f"{conf.out_dir}/curated/category_inventory_impact"
+        sinks.write_curated(impact, p1)
+        _curated_view(spark, p1, "curated_category_inventory_impact")
+        discrepancies = agg.product_inventory_discrepancies(recon)
+        p2 = f"{conf.out_dir}/curated/product_inventory_discrepancies"
+        sinks.write_curated(discrepancies, p2)
+        _curated_view(spark, p2, "curated_product_inventory_discrepancies")
+    finally:
+        recon.unpersist()
+
+
+JOBS: dict[str, Callable[[SparkSession, RunnerConfig], None]] = {
+    JOB_SALES: run_sales_revenue,
+    JOB_DELIVERY: run_delivery_performance,
+    JOB_FEEDBACK: run_customer_feedback,
+    JOB_MARKETING: run_marketing_roi,
+    JOB_INVENTORY: run_inventory_recon,
+}
+
+
+def run_jobs_sequential(
+    spark: SparkSession, conf: RunnerConfig, jobs: list[str]
+) -> RunReport:
+    """C2+C3: run jobs in order, recording per-job status; a failure
+    does not stop later jobs (the reference collects statuses the same
+    way before deciding the HTTP code)."""
+    report = RunReport()
+    for job in jobs:
+        try:
+            JOBS[job](spark, conf)
+            report.statuses[job] = "succeeded"
+        except Exception as exc:  # noqa: BLE001 — status contract
+            report.statuses[job] = "failed"
+            report.errors[job] = f"{type(exc).__name__}: {exc}"
+    return report
+
+
+def handle_new_file(
+    spark: SparkSession, conf: RunnerConfig, filename: str
+) -> RunReport:
+    """Entry point A (SURVEY.md §3.1): one new raw file → routed jobs."""
+    return run_jobs_sequential(spark, conf, determine_jobs_to_run(filename))
+
+
+ANALYTIC_QUERIES = (
+    "customer_metrics",
+    "customer_satisfaction",
+    "campaign_roi",
+    "delivery_partner",
+    "inventory_and_revenue",
+    "inventory_discrepancies",
+)
+
+
+def run_analytics(spark: SparkSession) -> dict[str, DataFrame]:
+    """Entry point C: the six analyst queries over registered curated
+    views (requires the corresponding jobs to have run)."""
+    from .plans import parity
+
+    sql_texts = {
+        "customer_metrics": parity.CUSTOMER_METRICS_SQL,
+        "customer_satisfaction": parity.CUSTOMER_SATISFACTION_SQL,
+        "campaign_roi": parity.CAMPAIGN_ROI_SQL,
+        "delivery_partner": parity.DELIVERY_PARTNER_SQL,
+        "inventory_and_revenue": parity.INVENTORY_AND_REVENUE_SQL,
+        "inventory_discrepancies": parity.INVENTORY_DISCREPANCIES_SQL,
+    }
+    return {name: spark.sql(text) for name, text in sql_texts.items()}
