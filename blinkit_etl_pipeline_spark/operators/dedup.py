@@ -159,7 +159,12 @@ def minhash_lsh_pairs(
     that, and the exact-Jaccard verify makes the final answer precise:
     candidates = LSH, verdict = exact).
     """
-    sigs = minhash_signatures(docs, n)
+    # One shingle index feeds signatures, candidate verification, and set
+    # sizes — persist it so the tokenize+shingle explode runs once, not 3×.
+    idx = shingle_index(docs, n).persist()
+    sigs = idx.select("doc_id", h32(F.col("shingle")).alias("sh32")).groupBy(
+        "doc_id"
+    ).agg(*_minhash_agg_cols())
     rows_per_band = NUM_MINHASHES // MINHASH_BANDS
     bands = sigs.select(
         "doc_id",
@@ -192,11 +197,38 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, n=n, threshold=0.0).select(
-        "doc_a", "doc_b", "jaccard"
+    # Verify candidates only: exact Jaccard computed per candidate pair
+    # (the candidate set is small, so these joins broadcast), NOT the
+    # all-pairs shingle self-join — at scale that is the whole point of
+    # LSH; computing full Jaccard to verify would negate it.
+    sizes = idx.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    inter = (
+        candidates.join(idx.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(idx.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("intersection"))
     )
     return (
-        candidates.join(exact, ["doc_a", "doc_b"])
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "set_size", "size_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "set_size", "size_b"
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("intersection")
+                / (F.col("size_a") + F.col("size_b") - F.col("intersection")),
+                6,
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

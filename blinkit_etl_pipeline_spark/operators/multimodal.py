@@ -110,29 +110,38 @@ def _decode_payload(payload: bytes) -> dict:
     }
 
 
-def media_features(media: DataFrame) -> DataFrame:
+def media_features(media: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
     ``mapInPandas``: each executor receives columnar pandas batches; the
     decode runs batch-at-a-time (vectorizable once a real codec is in).
+
+    Python stages only parallelize across partitions. At 100 TB the
+    scan is already wide (one partition per ~128 MB split) so no
+    repartition is needed; pass ``min_partitions`` only when feeding a
+    narrow source (e.g. one small file) whose decode cost justifies the
+    shuffle + extra Python workers.
     """
+    if min_partitions is not None:
+        media = media.repartition(min_partitions)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["payload"].map(_decode_payload)
-            out = pd.DataFrame(
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
-                    "payload_md5": feats.map(lambda d: d["payload_md5"]),
-                    "payload_bytes": feats.map(lambda d: d["payload_bytes"]),
-                    "first_byte": feats.map(lambda d: d["first_byte"]),
-                    "byte_sum_mod": feats.map(lambda d: d["byte_sum_mod"]),
+                    "payload_md5": [
+                        hashlib.md5(p).hexdigest() for p in payloads
+                    ],
+                    "payload_bytes": [len(p) for p in payloads],
+                    "first_byte": [p[0] if len(p) else -1 for p in payloads],
+                    "byte_sum_mod": [sum(p) % 1_000_003 for p in payloads],
                     "width": pdf["width"],
                     "height": pdf["height"],
                 }
             )
-            yield out
 
     return media.mapInPandas(extract, schema=FEATURES_SCHEMA)
 

@@ -135,6 +135,14 @@ MAPPING: dict[str, str] = {
 }
 
 
+# Registration memo: view setup is pure (same parquet → same views), but
+# each spark.read.parquet costs a driver-side footer read (~0.5 s) and
+# re-analyzing 8 mapping views adds more — a fixed multi-second tax PER
+# QUERY if not cached. Keyed by (session id, sf_dir); invalidated
+# implicitly when a new session is built.
+_REGISTRY_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
 def register_base(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register the driver parquet tables as Spark temp views.
 
@@ -143,6 +151,9 @@ def register_base(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     a long we convert to a micros timestamp (UTC session). DuckDB reads
     the same column as TIMESTAMP_NS and truncates to micros identically.
     """
+    key = (id(spark), f"base::{sf_dir}")
+    if key in _REGISTRY_CACHE:
+        return _REGISTRY_CACHE[key]
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
@@ -154,6 +165,7 @@ def register_base(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df.createOrReplaceTempView(name)
         out[name] = df
+    _REGISTRY_CACHE[key] = out
     return out
 
 
@@ -163,12 +175,16 @@ def register_blinkit(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     The mapping is lazy (plain Catalyst views) — filters/projections on
     the Blinkit views push straight down to the parquet scans.
     """
+    key = (id(spark), f"blinkit::{sf_dir}")
+    if key in _REGISTRY_CACHE:
+        return _REGISTRY_CACHE[key]
     register_base(spark, sf_dir)
     out: dict[str, DataFrame] = {}
     for name, sql in MAPPING.items():
         df = spark.sql(sql)
         df.createOrReplaceTempView(name)
         out[name] = df
+    _REGISTRY_CACHE[key] = out
     return out
 
 
