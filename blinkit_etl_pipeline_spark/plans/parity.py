@@ -17,6 +17,7 @@ oracle that DuckDB runs over the same parquet. Parity discipline:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import agg
 from ..pipelines import (
@@ -473,6 +474,75 @@ def q_inventory_and_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(INVENTORY_AND_REVENUE_SQL)
 
 
+def q_top_products_per_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 window surface: per-category product revenue ranking, top-3.
+
+    row_number is made deterministic with a product_id tiebreak;
+    rank/dense_rank use the semantic order alone so revenue ties share
+    a rank.
+    """
+    from ..operators import window as W
+
+    rev = (
+        _sales_fact_df(spark, sf_dir)
+        .groupBy("category", "product_id", "product_name")
+        .agg(F.round(F.sum("line_total"), 2).alias("product_revenue"))
+    )
+    ranked = W.with_ranks(
+        rev,
+        ["category"],
+        [F.col("product_revenue").desc()],
+        [F.col("product_id").asc()],
+    )
+    return ranked.filter(F.col("row_num") <= 3)
+
+
+def q_customer_order_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op surface (§2.8 note): semi/anti joins + union, per segment."""
+    t = register_blinkit(spark, sf_dir)
+    cust, ords = t["b_customers"], t["b_orders"]
+    with_orders = cust.join(ords, "customer_id", "left_semi").withColumn(
+        "presence", F.lit("with_orders")
+    )
+    without = cust.join(ords, "customer_id", "left_anti").withColumn(
+        "presence", F.lit("without_orders")
+    )
+    return (
+        with_orders.unionByName(without)
+        .groupBy("customer_segment", "presence")
+        .agg(F.countDistinct("customer_id").alias("n_customers"))
+    )
+
+
+TOP_PRODUCTS_CTE = """prod_rev AS (
+  SELECT category, product_id, product_name,
+    ROUND(SUM(line_total), 2) AS product_revenue
+  FROM sales_fact GROUP BY category, product_id, product_name
+)"""
+
+TOP_PRODUCTS_SQL = """SELECT * FROM (
+  SELECT *,
+    CAST(row_number() OVER (PARTITION BY category
+      ORDER BY product_revenue DESC, product_id ASC) AS INT) AS row_num,
+    CAST(rank() OVER (PARTITION BY category
+      ORDER BY product_revenue DESC) AS INT) AS rnk,
+    CAST(dense_rank() OVER (PARTITION BY category
+      ORDER BY product_revenue DESC) AS INT) AS dense_rnk
+  FROM prod_rev
+) WHERE row_num <= 3"""
+
+CUSTOMER_PRESENCE_SQL = """SELECT customer_segment, presence,
+  COUNT(DISTINCT customer_id) AS n_customers
+FROM (
+  SELECT c.*, 'with_orders' AS presence FROM b_customers c
+  WHERE EXISTS (SELECT 1 FROM b_orders o WHERE o.customer_id = c.customer_id)
+  UNION ALL
+  SELECT c.*, 'without_orders' AS presence FROM b_customers c
+  WHERE NOT EXISTS (SELECT 1 FROM b_orders o WHERE o.customer_id = c.customer_id)
+)
+GROUP BY customer_segment, presence"""
+
+
 # ----------------------------------------------------------------------
 # Oracle SQL assembly.
 # ----------------------------------------------------------------------
@@ -562,6 +632,12 @@ ORACLES: dict[str, str] = {
         ),
         INVENTORY_AND_REVENUE_SQL,
     ),
+    "top_products_per_category": _oracle(
+        _SALES_MAPS, (SALES_FACT_CTE, TOP_PRODUCTS_CTE), TOP_PRODUCTS_SQL
+    ),
+    "customer_order_presence": _oracle(
+        ("b_customers", "b_orders"), (), CUSTOMER_PRESENCE_SQL
+    ),
 }
 
 QUERIES = {
@@ -581,4 +657,6 @@ QUERIES = {
     "product_inventory_discrepancies": q_product_inventory_discrepancies,
     "inventory_discrepancies": q_inventory_discrepancies,
     "inventory_and_revenue": q_inventory_and_revenue,
+    "top_products_per_category": q_top_products_per_category,
+    "customer_order_presence": q_customer_order_presence,
 }
