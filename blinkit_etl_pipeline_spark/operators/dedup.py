@@ -97,7 +97,9 @@ def ngram_jaccard_pairs(
     Rounded to 6 before the threshold compare on BOTH engines so the
     boundary decision is identical.
     """
-    idx = shingle_index(docs, n, max_shingle_df)
+    # three consumers (sizes + both join sides) — persist so the
+    # tokenize+shingle explode runs once
+    idx = shingle_index(docs, n, max_shingle_df).persist()
     sizes = idx.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     a, b = idx.alias("a"), idx.alias("b")
     inter = (
@@ -132,7 +134,7 @@ def _minhash_agg_cols() -> list:
     return cols
 
 
-def minhash_signatures(docs: DataFrame, n: int = 2) -> DataFrame:
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     """16-permutation MinHash signature per doc, single aggregation pass.
 
     Permutation family: ``h_i(x) = ((2i+1)·h32(x) + 101i + 12289) mod P``
@@ -150,7 +152,7 @@ def minhash_signatures(docs: DataFrame, n: int = 2) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, n: int = 2, threshold: float = 0.35
+    docs: DataFrame, n: int = 3, threshold: float = 0.35
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified by exact Jaccard.
 
@@ -268,7 +270,9 @@ def simhash_pairs(docs: DataFrame, max_distance: int = 3) -> DataFrame:
     bits matches exactly on ≥1 band, so candidates come from an
     equi-join, then ``bit_count(xor)`` verifies. O(docs×4) shuffle.
     """
-    sigs = simhash_signatures(docs)
+    # both self-join sides read the signatures — persist so the
+    # tokenize + 32-bit-sum aggregation runs once, not twice
+    sigs = simhash_signatures(docs).persist()
     band_bits = SIMHASH_BITS // SIMHASH_BANDS
     bands = sigs.select(
         "doc_id",

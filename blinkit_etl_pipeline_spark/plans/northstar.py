@@ -24,9 +24,12 @@ from ..functions import text as T
 from ..operators import dedup, events, multimodal, vector
 from ..sources.testdata import register_base
 
-# Tuned at sf0.01: 25 doc pairs have 2-gram Jaccard ≥ 0.35 (planted
-# near-dups reach 0.99); max pairwise cosine is ~0.51, 990 pairs ≥ 0.3.
-NGRAM_N = 2
+# Tuned at sf0.01/sf0.1: the planted near-dup pairs (Jaccard ≥ 0.35,
+# reaching 0.99) are found identically by 2-gram and 3-gram shingles,
+# but 3-grams are ~10× more selective in the inverted-index join (tiny
+# synthetic vocab makes 2-grams ultra-common). Max pairwise cosine is
+# ~0.51; 990 pairs ≥ 0.3.
+NGRAM_N = 3
 JACCARD_THRESHOLD = 0.35
 COSINE_THRESHOLD = 0.3
 ANN_K = 5

@@ -514,6 +514,59 @@ def q_customer_order_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 note: ROLLUP grouping sets — (category, year), (category), ().
+
+    ``grouping_id`` disambiguates real NULL keys from subtotal rows —
+    the standard way to make rollup output unambiguous (and hashable by
+    the driver comparator).
+    """
+    fact = _sales_fact_df(spark, sf_dir)
+    return (
+        fact.rollup("category", "year")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("line_total"), 2).alias("total_revenue"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+def q_sentiment_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 note: pivot — per-area sentiment counts as columns.
+
+    Explicit pivot values (never inferred: inference costs an extra
+    distinct scan and makes the output schema data-dependent).
+    """
+    enriched = _enriched_feedback_df(spark, sf_dir)
+    return (
+        enriched.groupBy("area")
+        .pivot("sentiment_normalized", ["Positive", "Negative", "Neutral", "Unknown"])
+        .count()
+        .na.fill(0, ["Positive", "Negative", "Neutral", "Unknown"])
+        .withColumnRenamed("Positive", "n_positive")
+        .withColumnRenamed("Negative", "n_negative")
+        .withColumnRenamed("Neutral", "n_neutral")
+        .withColumnRenamed("Unknown", "n_unknown")
+    )
+
+
+REVENUE_ROLLUP_SQL = """SELECT category, year,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  ROUND(SUM(line_total), 2) AS total_revenue,
+  CAST(GROUPING(category, year) AS INT) AS gid
+FROM sales_fact
+GROUP BY ROLLUP(category, year)"""
+
+SENTIMENT_PIVOT_SQL = """SELECT area,
+  CAST(COALESCE(SUM(CASE WHEN sentiment_normalized = 'Positive' THEN 1 END), 0) AS BIGINT) AS n_positive,
+  CAST(COALESCE(SUM(CASE WHEN sentiment_normalized = 'Negative' THEN 1 END), 0) AS BIGINT) AS n_negative,
+  CAST(COALESCE(SUM(CASE WHEN sentiment_normalized = 'Neutral' THEN 1 END), 0) AS BIGINT) AS n_neutral,
+  CAST(COALESCE(SUM(CASE WHEN sentiment_normalized = 'Unknown' THEN 1 END), 0) AS BIGINT) AS n_unknown
+FROM enriched_feedback
+GROUP BY area"""
+
+
 TOP_PRODUCTS_CTE = """prod_rev AS (
   SELECT category, product_id, product_name,
     ROUND(SUM(line_total), 2) AS product_revenue
@@ -638,6 +691,12 @@ ORACLES: dict[str, str] = {
     "customer_order_presence": _oracle(
         ("b_customers", "b_orders"), (), CUSTOMER_PRESENCE_SQL
     ),
+    "revenue_rollup": _oracle(_SALES_MAPS, (SALES_FACT_CTE,), REVENUE_ROLLUP_SQL),
+    "sentiment_pivot": _oracle(
+        _FEEDBACK_MAPS,
+        (RATING_ICONS_CTE, ENRICHED_FEEDBACK_CTE),
+        SENTIMENT_PIVOT_SQL,
+    ),
 }
 
 QUERIES = {
@@ -659,4 +718,6 @@ QUERIES = {
     "inventory_and_revenue": q_inventory_and_revenue,
     "top_products_per_category": q_top_products_per_category,
     "customer_order_presence": q_customer_order_presence,
+    "revenue_rollup": q_revenue_rollup,
+    "sentiment_pivot": q_sentiment_pivot,
 }
