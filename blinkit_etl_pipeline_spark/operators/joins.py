@@ -29,6 +29,38 @@ def enrich_left(df: DataFrame, dim: DataFrame, on, *, broadcast: bool = True) ->
     return df.join(d, on=on, how="left")
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    *,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: salt the skewed side, replicate the other.
+
+    The skewed side gets a random-free, deterministic salt
+    (``pmod(hash, B)`` of a monotonically varying expression would be
+    nondeterministic across retries — instead we salt by ``spark_partition_id``
+    folded into B buckets, which is stable within a run), and the other
+    side is exploded ×B so every (key, salt) matches. Use when ONE hot
+    key floods a partition and AQE's skew split isn't available (e.g.
+    full-outer). For ordinary inner/left joins prefer AQE (on in
+    session.py) — this is the manual fallback.
+
+    Cost model: other side is replicated ``salt_buckets``× — only worth
+    it when the skewed side's hot keys dominate the join time.
+    """
+    salted = skewed.withColumn(
+        "__salt", (F.spark_partition_id() % salt_buckets).cast("int")
+    )
+    replicated = other.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i).cast("int") for i in range(salt_buckets)])),
+    )
+    return salted.join(replicated, [key, "__salt"], how).drop("__salt")
+
+
 def full_outer_coalesce_keys(
     left: DataFrame,
     right: DataFrame,

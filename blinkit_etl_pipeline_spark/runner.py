@@ -37,7 +37,7 @@ from .pipelines import (
     marketing_roi,
     sales_revenue,
 )
-from .sources import readers, sinks
+from .sources import metrics, readers, sinks
 from .sources.testdata import register_blinkit
 
 JOB_SALES = "sales-revenue-etl"
@@ -69,6 +69,9 @@ class RunnerConfig:
 class RunReport:
     statuses: dict[str, str] = field(default_factory=dict)
     errors: dict[str, str] = field(default_factory=dict)
+    # rows written per job's processed output, measured via Observation
+    # during the sink write (S8 semantics at zero extra scans)
+    row_counts: dict[str, int] = field(default_factory=dict)
 
     @property
     def overall(self) -> str:
@@ -97,9 +100,10 @@ def _curated_view(spark: SparkSession, df_path: str, view: str) -> None:
     spark.read.parquet(df_path).createOrReplaceTempView(view)
 
 
-def run_sales_revenue(spark: SparkSession, conf: RunnerConfig) -> None:
+def run_sales_revenue(spark: SparkSession, conf: RunnerConfig) -> int | None:
     t = register_blinkit(spark, conf.sf_dir)
     fact = sales_revenue.sales_fact(t["b_orders"], t["b_order_items"], t["b_products"])
+    fact, obs = metrics.with_row_count(fact, "sales_fact_rows")
     # dual sink: persist at the fan-out so processed+curated share one compute
     fact.persist(StorageLevel.MEMORY_AND_DISK)
     try:
@@ -108,6 +112,7 @@ def run_sales_revenue(spark: SparkSession, conf: RunnerConfig) -> None:
         path = f"{conf.out_dir}/curated/revenue_by_category"
         sinks.write_curated(curated, path)
         _curated_view(spark, path, "curated_revenue_by_category")
+        return metrics.get_count(obs)
     finally:
         fact.unpersist()
 
@@ -181,7 +186,7 @@ def run_inventory_recon(spark: SparkSession, conf: RunnerConfig) -> None:
         recon.unpersist()
 
 
-JOBS: dict[str, Callable[[SparkSession, RunnerConfig], None]] = {
+JOBS: dict[str, Callable[[SparkSession, RunnerConfig], int | None]] = {
     JOB_SALES: run_sales_revenue,
     JOB_DELIVERY: run_delivery_performance,
     JOB_FEEDBACK: run_customer_feedback,
@@ -199,8 +204,10 @@ def run_jobs_sequential(
     report = RunReport()
     for job in jobs:
         try:
-            JOBS[job](spark, conf)
+            rows = JOBS[job](spark, conf)
             report.statuses[job] = "succeeded"
+            if rows is not None:
+                report.row_counts[job] = rows
         except Exception as exc:  # noqa: BLE001 — status contract
             report.statuses[job] = "failed"
             report.errors[job] = f"{type(exc).__name__}: {exc}"

@@ -40,6 +40,11 @@ def get_session(app_name: str = "blinkit_etl_pipeline_spark") -> SparkSession:
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # catalog state (bucketed tables, derby metastore) out of the repo
+        .config("spark.sql.warehouse.dir", "/tmp/blinkit-spark-warehouse")
+        .config(
+            "spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/blinkit-derby"
+        )
     )
     if not os.environ.get("SPARK_MASTER") and "SPARK_CONNECT_MODE_ENABLED" not in os.environ:
         builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
