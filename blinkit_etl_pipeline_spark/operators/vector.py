@@ -128,6 +128,94 @@ def lsh_topk(
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest
+    centroid by cosine (ties → lowest centroid_id).
+
+    ``centroids`` is any small table (centroid_id, cvec) — in production
+    an offline k-means codebook; it is broadcast, so assignment is one
+    scan of the corpus with no shuffle of embeddings.
+    """
+    scored = (
+        emb.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "embedding",
+            "centroid_id",
+            F.round(cosine(F.col("embedding"), F.col("cvec")), 6).alias("csim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: probe the query's ``nprobe`` nearest
+    centroid lists only.
+
+    Deterministic codebook: centroids are the first ``num_centroids``
+    corpus vectors (stand-in for an offline k-means codebook — the
+    *engine* op is codebook-agnostic). The inverted lists make the
+    search shuffle O(corpus) once for assignment, then each query scans
+    ~``nprobe/num_centroids`` of the corpus instead of all of it.
+    """
+    centroids = (
+        emb.filter(F.col("vec_id") < num_centroids)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec"))
+    )
+    assigned = ivf_assign(emb, centroids)
+
+    queries = emb.filter(F.col("vec_id").isin(*[int(q) for q in query_ids])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    # per-query probe list: nprobe nearest centroids
+    qscored = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "qvec",
+            "centroid_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("csim"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qscored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "qvec", "centroid_id")
+    )
+
+    sims = (
+        F.broadcast(probes)
+        .join(assigned, "centroid_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def cosine_neardup_pairs(
     emb: DataFrame, threshold: float, nbits: int = 0
 ) -> DataFrame:

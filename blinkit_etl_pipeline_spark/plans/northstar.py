@@ -35,6 +35,8 @@ COSINE_THRESHOLD = 0.3
 ANN_K = 5
 ANN_NBITS = 4
 ANN_QUERY_IDS = tuple(range(16))
+IVF_CENTROIDS = 8
+IVF_NPROBE = 2
 
 # ----------------------------------------------------------------------
 # Spark-side table access
@@ -95,6 +97,16 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vector.lsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K, nbits=ANN_NBITS)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vector.ivf_topk(
+        _emb(spark, sf_dir),
+        ANN_QUERY_IDS,
+        k=ANN_K,
+        num_centroids=IVF_CENTROIDS,
+        nprobe=IVF_NPROBE,
+    )
 
 
 # ----------------------------------------------------------------------
@@ -340,6 +352,37 @@ ranked AS (
   FROM sims
 )
 SELECT query_id, neighbor_id, cosine_sim, "rank" FROM ranked WHERE "rank" <= {ANN_K}""",
+    "ns_ann_ivf_topk": f"""WITH {_EMB},
+c AS (SELECT vec_id AS centroid_id, v AS cvec FROM e WHERE vec_id < {IVF_CENTROIDS}),
+assigned AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_COS.format(a='e.v', b='c.cvec')} DESC, c.centroid_id ASC) AS rn
+    FROM e CROSS JOIN c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {len(ANN_QUERY_IDS)}),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, c.centroid_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {_COS.format(a='q.qv', b='c.cvec')} DESC, c.centroid_id ASC) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= {IVF_NPROBE}
+),
+sims AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+    {_COS.format(a='p.qv', b='a.v')} AS cosine_sim
+  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+  WHERE a.vec_id != p.query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS "rank"
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine_sim, "rank" FROM ranked WHERE "rank" <= {ANN_K}""",
     "ns_text_stats": f"""WITH {_TOKS}
 SELECT doc_id, lang,
   CAST(length(text) AS BIGINT) AS n_chars,
@@ -465,6 +508,7 @@ QUERIES = {
     "ns_dedup_embedding": q_dedup_embedding,
     "ns_ann_cosine_topk": q_ann_cosine_topk,
     "ns_ann_lsh_topk": q_ann_lsh_topk,
+    "ns_ann_ivf_topk": q_ann_ivf_topk,
     "ns_text_stats": q_text_stats,
     "ns_text_langid": q_text_langid,
     "ns_text_fingerprint": q_text_fingerprint,

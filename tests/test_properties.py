@@ -1,0 +1,100 @@
+"""Property-based checks (hypothesis) for operator invariants that SQL
+oracles can't express: determinism, result-equivalence, partitioning of
+events into sessions."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from blinkit_etl_pipeline_spark.functions import text as TX
+from blinkit_etl_pipeline_spark.operators import clean, events, joins
+
+_SETTINGS = dict(max_examples=8, deadline=None)
+
+kv_rows = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(-100, 100)), min_size=1, max_size=40
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=kv_rows)
+def test_dedup_is_deterministic_min_under_tiebreak(spark, rows):
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        (r.k, r.v)
+        for r in clean.dedup(df, ["k"], tiebreak=["v"]).collect()
+    }
+    want = {}
+    for k, v in rows:
+        want[k] = min(want.get(k, v), v)
+    assert got == set(want.items())
+
+
+@settings(**_SETTINGS)
+@given(
+    left=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 9)), max_size=30),
+    right=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 9)), max_size=30),
+)
+def test_salted_join_equals_plain_join(spark, left, right):
+    ldf = spark.createDataFrame(left, ["key", "a"]) if left else spark.createDataFrame([], "key int, a int")
+    rdf = spark.createDataFrame(right, ["key", "b"]) if right else spark.createDataFrame([], "key int, b int")
+    plain = sorted(map(tuple, ldf.join(rdf, "key").collect()))
+    salted = sorted(
+        map(tuple, joins.salted_join(ldf, rdf, "key", salt_buckets=3).collect())
+    )
+    assert plain == salted
+
+
+@settings(**_SETTINGS)
+@given(
+    gaps_min=st.lists(st.integers(0, 120), min_size=1, max_size=25),
+)
+def test_sessionize_partitions_events_with_gap_invariant(spark, gaps_min):
+    """Sessions must (1) cover every event exactly once, (2) contain no
+    internal gap > 30 min, (3) be separated by gaps > 30 min."""
+    t0 = dt.datetime(2024, 1, 1)
+    ts_list, cur = [], t0
+    for g in gaps_min:
+        cur = cur + dt.timedelta(minutes=g)
+        ts_list.append(cur)
+    rows = [(i, 1, ts_list[i], 1.0) for i in range(len(ts_list))]
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    sessions = events.sessionize(df, gap_minutes=30).collect()
+
+    # (1) every event in exactly one session
+    assert sum(s.n_events for s in sessions) == len(rows)
+    spans = sorted((s.session_start, s.session_end) for s in sessions)
+    # (3) consecutive sessions separated by > 30 min
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert (s2 - e1).total_seconds() > 30 * 60
+    # (2) no session longer than its events allow: recompute by scan
+    py_sessions = 1
+    for prev, cur_ts in zip(ts_list, ts_list[1:]):
+        if (cur_ts - prev).total_seconds() > 30 * 60:
+            py_sessions += 1
+    assert len(sessions) == py_sessions
+
+
+@settings(**_SETTINGS)
+@given(
+    words=st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=5), max_size=12),
+    n=st.integers(1, 4),
+)
+def test_shingle_count_property(spark, words, n):
+    text_val = " ".join(words)
+    df = spark.createDataFrame([(text_val,)], ["text"])
+    out = df.select(
+        F.size(TX.shingles(TX.tokens(F.col("text")), n)).alias("n_shingles"),
+        F.size(TX.tokens(F.col("text"))).alias("n_tokens"),
+    ).collect()[0]
+    assert out.n_shingles == max(0, out.n_tokens - n + 1)
