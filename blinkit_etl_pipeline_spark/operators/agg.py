@@ -46,18 +46,33 @@ def area_feedback_metrics(enriched: DataFrame) -> DataFrame:
 
 
 def revenue_by_category(sales_fact: DataFrame) -> DataFrame:
-    """IA1: curated_revenue_by_category (consumed by customer_metrics.sql)."""
-    return (
-        sales_fact.groupBy("category")
-        .agg(
-            F.countDistinct("order_id").alias("total_orders"),
-            F.countDistinct("customer_id").alias("unique_customers"),
-            F.round(F.sum("line_total"), 2).alias("total_revenue"),
-            F.round(F.sum("profit_margin"), 2).alias("total_profit"),
-            F.round(F.sum("line_total") / F.countDistinct("order_id"), 2).alias(
-                "avg_order_value"
-            ),
-        )
+    """IA1: curated_revenue_by_category (consumed by customer_metrics.sql).
+
+    Distinct-free plan: two ``countDistinct``s in one agg make Catalyst
+    Expand the fact 3× before the shuffle — the dominant shuffle cost of
+    this query at scale. ``order_id`` functionally determines
+    ``customer_id`` (the fact joins items to exactly one order row), so
+    the same measures fall out of a cascade of plain hash aggregates —
+    (category, customer_id, order_id) → (category, customer_id) →
+    (category) — each with map-side partial aggregation and nothing
+    Expanded. Values are identical to the countDistinct spelling (the
+    oracle keeps COUNT(DISTINCT ...)).
+    """
+    per_order = sales_fact.groupBy("category", "customer_id", "order_id").agg(
+        F.sum("line_total").alias("_lt"),
+        F.sum("profit_margin").alias("_pm"),
+    )
+    per_customer = per_order.groupBy("category", "customer_id").agg(
+        F.count("*").alias("_n_orders"),
+        F.sum("_lt").alias("_lt"),
+        F.sum("_pm").alias("_pm"),
+    )
+    return per_customer.groupBy("category").agg(
+        F.sum("_n_orders").alias("total_orders"),
+        F.count("*").alias("unique_customers"),
+        F.round(F.sum("_lt"), 2).alias("total_revenue"),
+        F.round(F.sum("_pm"), 2).alias("total_profit"),
+        F.round(F.sum("_lt") / F.sum("_n_orders"), 2).alias("avg_order_value"),
     )
 
 
@@ -108,16 +123,29 @@ def delivery_partner_performance(orders: DataFrame) -> DataFrame:
 
 def category_inventory_impact(recon: DataFrame) -> DataFrame:
     """IA4: curated_category_inventory_impact over discrepant rows
-    (inventory_and_revenue.sql:4-12; filter has_discrepancy==1, 05:85)."""
-    return (
+    (inventory_and_revenue.sql:4-12; filter has_discrepancy==1, 05:85).
+
+    Distinct-free plan: ``countDistinct(product_id)`` beside plain aggs
+    Expands the input 2×; regrouping through (category, product_id)
+    gives the same values with two ordinary hash aggs (both partial
+    map-side). AVG is reconstructed as Σ/n — same long-sum / long-count
+    double division Spark's Average performs, so values are identical.
+    """
+    per_product = (
         recon.filter(F.col("has_discrepancy") == 1)
-        .groupBy("category")
+        .groupBy("category", "product_id")
         .agg(
-            F.round(F.sum("financial_impact"), 2).alias("total_impact"),
-            F.countDistinct("product_id").alias("affected_products"),
-            F.round(F.avg("stock_variance"), 4).alias("avg_stock_variance"),
-            F.round(F.avg("damaged_variance"), 4).alias("avg_damaged_variance"),
+            F.sum("financial_impact").alias("_fi"),
+            F.sum("stock_variance").alias("_sv"),
+            F.sum("damaged_variance").alias("_dv"),
+            F.count("*").alias("_n"),
         )
+    )
+    return per_product.groupBy("category").agg(
+        F.round(F.sum("_fi"), 2).alias("total_impact"),
+        F.count("*").alias("affected_products"),
+        F.round(F.sum("_sv") / F.sum("_n"), 4).alias("avg_stock_variance"),
+        F.round(F.sum("_dv") / F.sum("_n"), 4).alias("avg_damaged_variance"),
     )
 
 

@@ -128,30 +128,34 @@ def lsh_topk(
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+def ivf_assign(emb: DataFrame, codebook: Sequence[tuple[int, Sequence[float]]]) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest
     centroid by cosine (ties → lowest centroid_id).
 
-    ``centroids`` is any small table (centroid_id, cvec) — in production
-    an offline k-means codebook; it is broadcast, so assignment is one
-    scan of the corpus with no shuffle of embeddings.
+    ``codebook`` is a driver-side list of (centroid_id, vector) — in
+    production an offline k-means artifact, always tiny (bounded by the
+    centroid count, never corpus size). Centroids are embedded as
+    literal arrays, so assignment is a pure map-side expression: one
+    corpus scan, **zero shuffle** (the earlier crossJoin+window argmax
+    shuffled the corpus ×num_centroids with the embedding duplicated on
+    every row). Argmax via ``array_max`` over (csim, −centroid_id)
+    structs — lexicographic struct order makes ties pick the lowest id.
     """
-    scored = (
-        emb.crossJoin(F.broadcast(centroids))
-        .select(
-            "vec_id",
-            "embedding",
-            "centroid_id",
-            F.round(cosine(F.col("embedding"), F.col("cvec")), 6).alias("csim"),
-        )
+    cands = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine(F.col("embedding"), F.array(*[F.lit(float(x)) for x in vec])),
+                    6,
+                ).alias("csim"),
+                F.lit(-int(cid)).alias("neg_id"),
+            )
+            for cid, vec in codebook
+        ]
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("csim").desc(), F.col("centroid_id").asc()
-    )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "embedding", "centroid_id")
+    best = F.array_max(cands)
+    return emb.select(
+        "vec_id", "embedding", (-best["neg_id"]).cast("int").alias("centroid_id")
     )
 
 
@@ -167,15 +171,21 @@ def ivf_topk(
 
     Deterministic codebook: centroids are the first ``num_centroids``
     corpus vectors (stand-in for an offline k-means codebook — the
-    *engine* op is codebook-agnostic). The inverted lists make the
-    search shuffle O(corpus) once for assignment, then each query scans
-    ~``nprobe/num_centroids`` of the corpus instead of all of it.
+    *engine* op is codebook-agnostic). List assignment is a shuffle-free
+    map over the corpus (literal codebook, :func:`ivf_assign`); each
+    query then scans ~``nprobe/num_centroids`` of the corpus instead of
+    all of it, and the only shuffle in the whole plan is the final
+    per-query top-k window (rank-limit pushed partial by
+    ``WindowGroupLimit``).
     """
     centroids = (
         emb.filter(F.col("vec_id") < num_centroids)
         .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec"))
     )
-    assigned = ivf_assign(emb, centroids)
+    codebook = sorted(
+        (int(r["centroid_id"]), list(r["cvec"])) for r in centroids.collect()
+    )
+    assigned = ivf_assign(emb, codebook)
 
     queries = emb.filter(F.col("vec_id").isin(*[int(q) for q in query_ids])).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
