@@ -74,9 +74,18 @@ def main() -> None:
     names = [n for n in HEADLINE if n in queries]
     names += sorted(n for n in queries if n not in names)
 
-    # best-of-2 per query: the first pass absorbs per-plan codegen and
-    # any host-level noise; the min is the reproducible steady-state
-    # number (results are never cached between runs — only JIT persists)
+    # Full untimed warm pass first: per-plan analysis + whole-stage
+    # codegen + JIT C2 compilation take 2-3 executions to reach steady
+    # state, and back-to-back best-of-N alone doesn't absorb that (the
+    # background compiler is still busy during run 2). One pass over the
+    # whole surface lets every plan compile while others execute.
+    # Results are never cached between runs — only JIT + file listings
+    # persist, exactly what a warm long-running cluster would hold.
+    for name in names:
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    # best-of-2 per query at steady state: the min shields against
+    # host-level noise (co-tenant CPU spikes), not against cold plans.
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
