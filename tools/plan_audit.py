@@ -1,0 +1,148 @@
+"""Physical-plan audit over the full query surface → PLANS.md.
+
+For every registered query, capture the formatted physical plan and
+summarize the scale-relevant facts the DataFrame API can't hide:
+
+- ``exchanges``: shuffle boundaries (Exchange hashpartitioning / range).
+  Every one is a full network repartition of its input at cluster scale.
+- ``bhj`` / ``smj``: broadcast-hash vs sort-merge join counts — a BHJ is
+  shuffle-free on the big side; an SMJ shuffles both sides.
+- ``pushed``: parquet scans whose PushedFilters is non-empty (predicate
+  reached the reader).
+- ``wscg``: whole-stage-codegen spans — JVM-compiled pipeline segments;
+  Python row boundaries would break these.
+
+Run: ``python tools/plan_audit.py``  (writes PLANS.md at repo root)
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from blinkit_etl_pipeline_spark.plans import all_queries  # noqa: E402
+from blinkit_etl_pipeline_spark.session import get_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+# Hand-written scale notes for the queries whose plan shape is a design
+# decision (not just whatever Catalyst picked).
+NOTES = {
+    "sales_fact": "3-table fact build; part/orders dims broadcast, lineitem never shuffles",
+    "revenue_by_category": "distinct-free cascade: 3 hash aggs, no Expand, all partial map-side",
+    "customer_metrics": "IA1 + analytic SQL in one plan; single agg chain",
+    "enriched_feedback": "all three enrich joins broadcast; zero shuffles before agg",
+    "inventory_reconciliation": "full-outer SMJ on (product_id,date) — broadcast illegal; AQE skew-split armed",
+    "category_inventory_impact": "distinct-free regroup through (category,product_id)",
+    "product_inventory_discrepancies": "ordinal severity max via max(struct(rank,label))",
+    "inventory_discrepancies": "top-k plans as TakeOrderedAndProject (no global sort)",
+    "top_products_per_category": "rank filter plans as WindowGroupLimit (partial top-k pre-shuffle)",
+    "ns_dedup_exact": "shuffle carries md5+doc_id only, never document bodies",
+    "ns_dedup_minhash_lsh": "candidates from band equi-join O(docs x bands); verify is candidate-proportional",
+    "ns_dedup_simhash": "pigeonhole bands -> equi-join; bit_count(xor) verify",
+    "ns_dedup_ngram_jaccard": "inverted-index join; stop-shingle DF cap bounds the quadratic tail",
+    "ns_dedup_embedding": "sign-LSH buckets -> equi-join; cosine verify on candidates only",
+    "ns_ann_cosine_topk": "brute baseline: corpus scanned once per query batch, no corpus self-join",
+    "ns_ann_lsh_topk": "bucket probe: corpus filtered to matching LSH buckets pre-score",
+    "ns_ann_ivf_topk": "literal-codebook assign = zero-shuffle map; probe scans nprobe/num_centroids of corpus",
+    "ns_media_features": "single Arrow-batched mapInPandas stage; schema fixed, no driver collect",
+    "ns_events_sessionize": "single shuffle on user_id; session bounds via lag window",
+}
+
+
+def main() -> None:
+    spark = get_session("plan-audit")
+    queries = all_queries()
+    rows = []
+    for name in sorted(queries):
+        df = queries[name](spark, SF_DIR)
+        # execute first: the AQE-final plan (isFinalPlan=true) carries the
+        # runtime decisions — coalesced exchanges, promoted broadcasts,
+        # codegen ids — which are what a cluster actually runs
+        df.collect()
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        body = p.split("== Physical Plan ==")[-1]
+        # AQE-final explain prints the Final Plan tree (nodes 1..K), then an
+        # Initial Plan tree (nodes K+1..), then detail blocks for ALL nodes.
+        # Keep only detail blocks of final-plan nodes to avoid double count.
+        # the set of nodes the cluster actually runs = the Final Plan tree
+        # (initial-plan nodes appear in the same detail list; shared
+        # subtrees even reuse numbers, so membership — not a cutoff — is
+        # the only correct filter). Non-AQE plans have no markers: take all.
+        mfin = re.search(r"== Final Plan ==([\s\S]*?)(?:== Initial Plan ==|\Z)", body)
+        tree = mfin.group(1) if mfin else re.split(r"^\(\d+\) ", body, maxsplit=1, flags=re.M)[0]
+        keep = {int(x) for x in re.findall(r"\((\d+)\)", tree)}
+        heads = list(re.finditer(r"^\((\d+)\) ([^\n\[]+?)(?: \[codegen id : (\d+)\])?$",
+                                 body, re.M))
+        n_exch = n_bhj = n_smj = n_scan = n_pushed = n_expand = n_python = 0
+        wscg_ids = set()
+        for i, m in enumerate(heads):
+            num, node = int(m.group(1)), m.group(2).strip()
+            if num not in keep:
+                continue
+            if m.group(3):
+                wscg_ids.add(m.group(3))
+            block = body[m.end(): heads[i + 1].start()] if i + 1 < len(heads) else body[m.end():]
+            if node == "Exchange":
+                n_exch += 1
+            elif node.startswith("BroadcastHashJoin"):
+                n_bhj += 1
+            elif node.startswith("SortMergeJoin"):
+                n_smj += 1
+            elif node.startswith("Scan parquet"):
+                n_scan += 1
+                if re.search(r"PushedFilters: \[[^\]]", block):
+                    n_pushed += 1
+            elif node == "Expand":
+                n_expand += 1
+            elif node.split()[0] in {"BatchEvalPython", "ArrowEvalPython",
+                                     "MapInPandas", "FlatMapGroupsInPandas"}:
+                n_python += 1
+        n_wscg = len(wscg_ids)
+        rows.append(
+            (name, n_exch, n_bhj, n_smj, f"{n_pushed}/{n_scan}", n_wscg,
+             n_expand, n_python, NOTES.get(name, ""))
+        )
+    out = [
+        "# PLANS — physical-plan audit of the full query surface",
+        "",
+        f"Generated by `python tools/plan_audit.py` at `{SF_DIR}` "
+        "(plan shapes are data-independent; AQE may further coalesce at runtime).",
+        "",
+        "Columns: **exch** = shuffle boundaries (Exchange); **bhj/smj** =",
+        "broadcast-hash vs sort-merge joins; **pushed** = parquet scans with",
+        "non-empty PushedFilters / total scans; **wscg** = whole-stage-codegen",
+        "spans; **expand** = Expand nodes (countDistinct multiplier — kept at 0",
+        "on the hot aggregates by the distinct-free cascades); **py** = Python",
+        "eval stages (Arrow mapInPandas only, multimodal surface).",
+        "",
+        "| query | exch | bhj | smj | pushed | wscg | expand | py | scale note |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        out.append("| " + " | ".join(str(x) for x in r) + " |")
+    out += [
+        "",
+        "Reading guide: a 1000-executor run distributes each Exchange as a",
+        "full shuffle of that stage's output; the counts above are the",
+        "number of such barriers per query, after broadcast elimination.",
+        "Queries with `py > 0` are the deliberate Arrow-batched multimodal",
+        "stages; everything else runs entirely inside the JVM.",
+        "",
+    ]
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print(f"PLANS.md written ({len(rows)} queries)")
+
+
+if __name__ == "__main__":
+    main()
