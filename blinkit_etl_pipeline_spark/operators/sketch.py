@@ -1,0 +1,225 @@
+"""Approximate-aggregate sketches, cross-engine deterministic.
+
+At 100 TB, exact ``COUNT(DISTINCT)`` and exact percentiles are the two
+aggregates whose shuffle cost explodes (full key shuffle / global sort).
+The standard scale answers are sketches — HyperLogLog and histogram /
+t-digest — but Spark's built-ins (``approx_count_distinct``,
+``percentile_approx``) are engine-private: no other engine reproduces
+their merge order, so they can't be value-checked by the DuckDB oracle.
+
+These implementations rebuild the sketches from **explicit expressions
+on the cross-engine h32 hash** (functions/text.py), so Spark and DuckDB
+compute bit-identical registers and therefore identical estimates:
+
+- :func:`hll_distinct` — HyperLogLog with p=9 (512 registers):
+  ``bucket = h32 >> 23``, ``rank = 24 - bitlength(h32 & (2^23-1))``.
+  Register maxes are a plain (group, bucket) hash aggregate — partial
+  map-side, shuffle carries ≤ 512 rows per group, never the values.
+  The harmonic sum is a sum of dyadic rationals ≥ 2^-24 over ≤ 512
+  terms, which double arithmetic represents *exactly*, so the estimate
+  is addition-order-independent — safe to hash-compare across engines.
+- :func:`histogram_quantiles` — fixed-bin (256) equi-width histogram
+  per group with linear interpolation inside the target bin. Two
+  aggregates + one ≤256-row window per group; no global sort at any
+  scale. Bin selection is integer cumulative-count arithmetic.
+
+Reference parity note: the reference has no approximate aggregates
+(SURVEY.md §2.6 "not present" row); this is north-star scale surface.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import h32
+
+HLL_P = 9
+HLL_M = 1 << HLL_P  # 512 registers
+HLL_REM_BITS = 32 - HLL_P  # 23
+HLL_REM_MOD = 1 << HLL_REM_BITS
+# standard alpha_m for m >= 128; spelled as the same literal expression
+# in the oracle SQL so both engines evaluate the identical double
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+QUANTILE_BINS = 256
+
+
+def hll_registers(df: DataFrame, group_cols: Sequence[str], value_col: str) -> DataFrame:
+    """(group, bucket) -> max rank — the HLL register table."""
+    h = h32(F.col(value_col).cast("string"))
+    bucket = F.floor(h / F.lit(float(HLL_REM_MOD))).cast("int")
+    w = (h % HLL_REM_MOD).cast("long")
+    rank = (
+        F.when(w == 0, F.lit(HLL_REM_BITS + 1))
+        .otherwise(F.lit(HLL_REM_BITS + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rank").alias("m_rank"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: Sequence[str], value_col: str
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate of ``value_col``.
+
+    Output: group cols + ``hll_buckets_used`` + ``hll_estimate``
+    (rounded to 2). Includes the standard linear-counting small-range
+    correction (raw estimate ≤ 2.5m with empty registers present).
+    """
+    regs = hll_registers(df, group_cols, value_col)
+    per_group = regs.groupBy(*group_cols).agg(
+        F.count("*").cast("bigint").alias("hll_buckets_used"),
+        F.sum(F.pow(F.lit(0.5), F.col("m_rank"))).alias("_hsum"),
+    )
+    m = F.lit(float(HLL_M))
+    zeros = m - F.col("hll_buckets_used")
+    harmonic = F.col("_hsum") + zeros  # empty registers contribute 2^0 = 1
+    raw = F.lit(HLL_ALPHA) * m * m / harmonic
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0), m * F.log(m / zeros)
+    ).otherwise(raw)
+    return per_group.select(
+        *group_cols,
+        "hll_buckets_used",
+        F.round(est, 2).alias("hll_estimate"),
+    )
+
+
+def hll_distinct_sql(
+    table: str, group_cols: Sequence[str], value_col: str
+) -> str:
+    """DuckDB oracle for :func:`hll_distinct` — same registers, same math."""
+    g = ", ".join(group_cols)
+    return f"""
+WITH regs AS (
+  SELECT {g}, bucket, MAX(rank) AS m_rank FROM (
+    SELECT {g},
+      CAST(floor(h / {float(HLL_REM_MOD)}) AS INT) AS bucket,
+      CAST(CASE WHEN h % {HLL_REM_MOD} = 0 THEN {HLL_REM_BITS + 1}
+           ELSE {HLL_REM_BITS + 1} - length(bin(h % {HLL_REM_MOD})) END AS INT) AS rank
+    FROM (
+      SELECT {g},
+        ('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM {table}
+    )
+  ) GROUP BY {g}, bucket
+), per_group AS (
+  SELECT {g},
+    CAST(COUNT(*) AS BIGINT) AS hll_buckets_used,
+    SUM(pow(0.5, m_rank)) AS hsum
+  FROM regs GROUP BY {g}
+)
+SELECT {g}, hll_buckets_used,
+  ROUND(CASE WHEN (0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0
+                  / (hsum + ({HLL_M}.0 - hll_buckets_used)) <= 2.5 * {HLL_M}.0
+              AND {HLL_M}.0 - hll_buckets_used > 0
+         THEN {HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M}.0 - hll_buckets_used))
+         ELSE (0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0
+                  / (hsum + ({HLL_M}.0 - hll_buckets_used)) END, 2) AS hll_estimate
+FROM per_group
+""".strip()
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    quantiles: Sequence[float] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Per-group approximate quantiles via a fixed 256-bin histogram.
+
+    Output: group cols + ``q`` + ``quantile_estimate`` (rounded to 4).
+    Estimate = left bin edge + linear interpolation by the position of
+    the target count inside the bin — deterministic integer cumulative
+    arithmetic; the only doubles are the exact min/max and one division.
+    """
+    stats = df.groupBy(*group_cols).agg(
+        F.min(value_col).alias("_lo"),
+        F.max(value_col).alias("_hi"),
+        F.count(value_col).cast("bigint").alias("_n"),
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(QUANTILE_BINS))
+    binned = (
+        df.join(F.broadcast(stats), list(group_cols))
+        .withColumn(
+            "bin",
+            F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.floor((F.col(value_col) - F.col("_lo")) / width),
+                    F.lit(QUANTILE_BINS - 1),
+                )
+            ).cast("int"),
+        )
+        .groupBy(*group_cols, "bin")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("bin")
+    cum = binned.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "prev_cum", F.col("cum") - F.col("cnt")
+    )
+    qdf = F.broadcast(
+        cum.sparkSession.createDataFrame(
+            [(float(q),) for q in quantiles], "q double"
+        )
+    )
+    hit = (
+        cum.join(F.broadcast(stats), list(group_cols))
+        .crossJoin(qdf)
+        .withColumn("target", F.ceil(F.col("q") * F.col("_n")).cast("bigint"))
+        .filter((F.col("cum") >= F.col("target")) & (F.col("prev_cum") < F.col("target")))
+    )
+    est = F.col("_lo") + ((F.col("_hi") - F.col("_lo")) / F.lit(float(QUANTILE_BINS))) * (
+        F.col("bin")
+        + (F.col("target") - F.col("prev_cum")) / F.col("cnt")
+    )
+    return hit.select(
+        *group_cols,
+        "q",
+        F.round(est, 4).alias("quantile_estimate"),
+    )
+
+
+def histogram_quantiles_sql(
+    table: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    quantiles: Sequence[float] = (0.5, 0.95, 0.99),
+) -> str:
+    """DuckDB oracle for :func:`histogram_quantiles`."""
+    g = ", ".join(group_cols)
+    qvals = ", ".join(f"({float(q)})" for q in quantiles)
+    b = QUANTILE_BINS
+    return f"""
+WITH stats AS (
+  SELECT {g}, MIN({value_col}) AS lo, MAX({value_col}) AS hi,
+         CAST(COUNT({value_col}) AS BIGINT) AS n
+  FROM {table} GROUP BY {g}
+), binned AS (
+  SELECT t.{g}, CAST(CASE WHEN s.hi = s.lo THEN 0 ELSE
+      least(floor(({value_col} - s.lo) / ((s.hi - s.lo) / {b}.0)), {b - 1})
+    END AS INT) AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM {table} t JOIN stats s USING ({g})
+  GROUP BY t.{g}, 2
+), cum AS (
+  SELECT {g}, bin, cnt,
+    SUM(cnt) OVER (PARTITION BY {g} ORDER BY bin) AS cum,
+    SUM(cnt) OVER (PARTITION BY {g} ORDER BY bin) - cnt AS prev_cum
+  FROM binned
+)
+SELECT c.{g}, q.q,
+  ROUND(s.lo + ((s.hi - s.lo) / {b}.0) *
+        (c.bin + (CAST(ceil(q.q * s.n) AS BIGINT) - c.prev_cum) * 1.0 / c.cnt),
+        4) AS quantile_estimate
+FROM cum c
+JOIN stats s USING ({g})
+CROSS JOIN (VALUES {qvals}) AS q(q)
+WHERE c.cum >= CAST(ceil(q.q * s.n) AS BIGINT)
+  AND c.prev_cum < CAST(ceil(q.q * s.n) AS BIGINT)
+""".strip()

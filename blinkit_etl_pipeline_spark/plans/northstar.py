@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..operators import dedup, events, multimodal, vector
+from ..operators import dedup, events, multimodal, sketch, vector
 from ..sources.testdata import register_base
 
 # Tuned at sf0.01/sf0.1: the planted near-dup pairs (Jaccard ≥ 0.35,
@@ -139,6 +139,23 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).cast("bigint").alias("n_tokens"),
         T.fingerprint(toks).alias("fingerprint"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Approximate-aggregate sketches (scale path for COUNT DISTINCT / quantiles)
+# ----------------------------------------------------------------------
+
+
+def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimate via deterministic HLL."""
+    return sketch.hll_distinct(_events(spark, sf_dir), ["event_type"], "user_id")
+
+
+def q_sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p50/p95/p99 of value via 256-bin histogram."""
+    return sketch.histogram_quantiles(
+        _events(spark, sf_dir), ["event_type"], "value"
     )
 
 
@@ -518,4 +535,13 @@ QUERIES = {
     "ns_events_sessionize": q_events_sessionize,
     "ns_media_features": q_media_features,
     "ns_media_resize": q_media_resize,
+    "ns_sketch_hll_users": q_sketch_hll_users,
+    "ns_sketch_value_quantiles": q_sketch_value_quantiles,
 }
+
+ORACLES["ns_sketch_hll_users"] = sketch.hll_distinct_sql(
+    "events", ["event_type"], "user_id"
+)
+ORACLES["ns_sketch_value_quantiles"] = sketch.histogram_quantiles_sql(
+    "events", ["event_type"], "value"
+)

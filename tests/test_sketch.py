@@ -1,0 +1,75 @@
+"""Sketch accuracy: oracle parity says both engines agree; these tests
+say the agreed answer is actually a good estimate of the true value."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blinkit_etl_pipeline_spark.operators import sketch
+
+from conftest import SF_SMOKE
+
+
+def _events(spark):
+    from blinkit_etl_pipeline_spark.sources.testdata import register_base
+
+    return register_base(spark, SF_SMOKE)["events"]
+
+
+def test_hll_estimate_within_5pct_of_exact(spark):
+    ev = _events(spark)
+    est = {
+        r["event_type"]: r["hll_estimate"]
+        for r in sketch.hll_distinct(ev, ["event_type"], "user_id").collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) / n < 0.05, (k, est[k], n)
+
+
+def test_hll_merge_property(spark):
+    """Registers of a union = element-wise max of the parts' registers —
+    the property that makes HLL distributable (partial agg merges)."""
+    ev = _events(spark)
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    whole = sketch.hll_registers(ev, ["event_type"], "user_id")
+    merged = (
+        sketch.hll_registers(half_a, ["event_type"], "user_id")
+        .unionByName(sketch.hll_registers(half_b, ["event_type"], "user_id"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("m_rank").alias("m_rank"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_histogram_quantiles_bracket_truth(spark):
+    """Each estimate must sit within one bin width of the exact quantile."""
+    ev = _events(spark)
+    rows = sketch.histogram_quantiles(ev, ["event_type"], "value").collect()
+    stats = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    exact = {
+        (r["event_type"], q): ev.filter(F.col("event_type") == r["event_type"])
+        .approxQuantile("value", [q], 0.0)[0]
+        for r in stats.values()
+        for q in (0.5, 0.95, 0.99)
+    }
+    assert len(rows) == len(exact)
+    for r in rows:
+        s = stats[r["event_type"]]
+        width = (s["hi"] - s["lo"]) / sketch.QUANTILE_BINS
+        truth = exact[(r["event_type"], r["q"])]
+        assert abs(r["quantile_estimate"] - truth) <= width + 1e-9, (
+            r["event_type"], r["q"], r["quantile_estimate"], truth, width,
+        )
