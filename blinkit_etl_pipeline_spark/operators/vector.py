@@ -159,32 +159,93 @@ def ivf_assign(emb: DataFrame, codebook: Sequence[tuple[int, Sequence[float]]]) 
     )
 
 
+def kmeans_codebook(
+    emb: DataFrame, k: int = 8, iters: int = 5
+) -> list[tuple[int, list[float]]]:
+    """Distributed spherical k-means (Lloyd's) → IVF codebook.
+
+    Init = the ``k`` lowest-vec_id corpus vectors (deterministic). Each
+    iteration: (1) assignment is the zero-shuffle literal-codebook map
+    of :func:`ivf_assign`; (2) the centroid update is
+    ``posexplode(embedding)`` → ``groupBy(centroid_id, pos)`` sum/count
+    — partial aggregation collapses each task to ≤ k×dim rows before
+    the exchange, so the shuffle never carries the corpus; (3) the
+    driver pulls k×dim partial sums (tiny) and renormalizes to unit
+    length (cosine ⇒ spherical k-means). Empty clusters keep their
+    previous centroid. Driver-side state is O(k×dim) — codebook only,
+    never data.
+    """
+    init = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    codebook = [(i, [float(x) for x in r["embedding"]]) for i, r in enumerate(init)]
+    for _ in range(iters):
+        assigned = ivf_assign(emb, codebook)
+        sums = (
+            assigned.select(
+                "centroid_id", F.posexplode(F.col("embedding")).alias("pos", "val")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.sum(F.col("val").cast("double")).alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        acc: dict[int, dict[int, tuple[float, int]]] = {}
+        for r in sums:
+            acc.setdefault(r["centroid_id"], {})[r["pos"]] = (r["s"], r["n"])
+        new_codebook = []
+        for cid, vec in codebook:
+            dims = acc.get(cid)
+            if not dims:
+                new_codebook.append((cid, vec))  # empty cluster: keep prior
+                continue
+            mean = [dims[p][0] / dims[p][1] for p in range(len(vec))]
+            nrm = sum(x * x for x in mean) ** 0.5
+            new_codebook.append((cid, [x / nrm for x in mean] if nrm > 0 else vec))
+        codebook = new_codebook
+    return codebook
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: Sequence[int],
     k: int = 5,
     num_centroids: int = 8,
     nprobe: int = 2,
+    codebook: Sequence[tuple[int, Sequence[float]]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the query's ``nprobe`` nearest
     centroid lists only.
 
-    Deterministic codebook: centroids are the first ``num_centroids``
-    corpus vectors (stand-in for an offline k-means codebook — the
-    *engine* op is codebook-agnostic). List assignment is a shuffle-free
-    map over the corpus (literal codebook, :func:`ivf_assign`); each
-    query then scans ~``nprobe/num_centroids`` of the corpus instead of
-    all of it, and the only shuffle in the whole plan is the final
+    ``codebook`` defaults to the first ``num_centroids`` corpus vectors
+    — fully deterministic, which is what the DuckDB oracle reproduces;
+    pass :func:`kmeans_codebook` output for a trained codebook (same
+    plan, better list balance). List assignment is a shuffle-free map
+    over the corpus (literal codebook, :func:`ivf_assign`); each query
+    then scans ~``nprobe/num_centroids`` of the corpus instead of all
+    of it, and the only shuffle in the whole plan is the final
     per-query top-k window (rank-limit pushed partial by
     ``WindowGroupLimit``).
     """
-    centroids = (
-        emb.filter(F.col("vec_id") < num_centroids)
-        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec"))
-    )
-    codebook = sorted(
-        (int(r["centroid_id"]), list(r["cvec"])) for r in centroids.collect()
-    )
+    if codebook is None:
+        centroids = (
+            emb.filter(F.col("vec_id") < num_centroids)
+            .select(
+                F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").alias("cvec"),
+            )
+        )
+        codebook = sorted(
+            (int(r["centroid_id"]), list(r["cvec"])) for r in centroids.collect()
+        )
+    else:
+        spark = emb.sparkSession
+        centroids = spark.createDataFrame(
+            [(int(cid), [float(x) for x in vec]) for cid, vec in codebook],
+            "centroid_id int, cvec array<double>",
+        )
     assigned = ivf_assign(emb, codebook)
 
     queries = emb.filter(F.col("vec_id").isin(*[int(q) for q in query_ids])).select(
