@@ -104,3 +104,51 @@ def test_streaming_session_window_plan(spark, tmp_path):
     out = spark.table("stream_sessions")
     assert out.count() > 0
     assert out.filter(F.col("session_end") < F.col("session_start")).count() == 0
+
+
+def test_stateful_running_totals_accumulate(spark, tmp_path):
+    """applyInPandasWithState: totals accumulate across micro-batches and
+    the final emission per user equals the batch aggregate."""
+    from blinkit_etl_pipeline_spark.streaming import stateful
+
+    ev = _events_batch(spark).filter(F.col("user_id") < 50)
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    drops = _write_split(spark, ev, str(tmp_path / "staging"), 3)
+    schema = spark.read.parquet(drops[0]).schema
+    import glob as _g
+    import shutil as _sh
+
+    for tag, d in enumerate(drops):
+        for i, f in enumerate(sorted(_g.glob(f"{d}/part-*.parquet"))):
+            _sh.copy(f, str(raw / f"d{tag}_{i}.parquet"))
+
+    stream = file_source.stream_files(
+        spark, str(raw), schema, fmt="parquet", max_files_per_trigger=1
+    )
+    out = stateful.running_user_totals(stream)
+    file_source.stream_to_memory(
+        out, "running_totals", str(tmp_path / "ckpt"), output_mode="append"
+    )
+    got = spark.sql("SELECT * FROM running_totals").collect()
+    assert got, "no emissions"
+    # multiple micro-batches actually happened (maxFilesPerTrigger=1)
+    assert max(r["batches_seen"] for r in got) > 1
+    final = {}
+    for r in got:
+        cur = final.get(r["user_id"])
+        if cur is None or r["batches_seen"] > cur["batches_seen"]:
+            final[r["user_id"]] = r
+    expect = {
+        r["user_id"]: r
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        )
+        .collect()
+    }
+    assert set(final) == set(expect)
+    for uid, r in final.items():
+        assert r["n_events"] == expect[uid]["n"], uid
+        assert abs(r["sum_value"] - (expect[uid]["s"] or 0.0)) < 0.05, uid
