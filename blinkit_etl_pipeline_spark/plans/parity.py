@@ -514,6 +514,42 @@ def q_customer_order_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 note: CUBE grouping sets — all 4 subsets of (category, year)."""
+    fact = _sales_fact_df(spark, sf_dir)
+    return fact.cube("category", "year").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("line_total"), 2).alias("total_revenue"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+def q_delay_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op surface beyond semi/anti: INTERSECT (distinct) and
+    EXCEPT ALL (multiset) over delayed vs on-time order customers.
+
+    ``exceptAll`` keeps multiplicity — a customer with 3 delayed and 1
+    on-time order contributes 2 ``delayed_excess`` rows before the
+    regroup — semantics a join can't express without explicit counting.
+    """
+    t = register_blinkit(spark, sf_dir)
+    orders = t["b_orders"]
+    delayed = orders.filter(F.col("is_delayed") == 1).select("customer_id")
+    ontime = orders.filter(F.col("is_delayed") == 0).select("customer_id")
+    both = delayed.intersect(ontime).select(
+        "customer_id",
+        F.lit("in_both").alias("kind"),
+        F.lit(1).cast("bigint").alias("n"),
+    )
+    excess = (
+        delayed.exceptAll(ontime)
+        .groupBy("customer_id")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select("customer_id", F.lit("delayed_excess").alias("kind"), "n")
+    )
+    return both.unionByName(excess)
+
+
 def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 note: ROLLUP grouping sets — (category, year), (category), ().
 
@@ -594,6 +630,25 @@ FROM (
   WHERE NOT EXISTS (SELECT 1 FROM b_orders o WHERE o.customer_id = c.customer_id)
 )
 GROUP BY customer_segment, presence"""
+
+REVENUE_CUBE_SQL = """SELECT category, year,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  ROUND(SUM(line_total), 2) AS total_revenue,
+  CAST(GROUPING(category, year) AS INT) AS gid
+FROM sales_fact
+GROUP BY CUBE(category, year)"""
+
+DELAY_SETOPS_CTES = (
+    "delayed AS (SELECT customer_id FROM b_orders WHERE is_delayed = 1)",
+    "ontime AS (SELECT customer_id FROM b_orders WHERE is_delayed = 0)",
+)
+
+DELAY_SETOPS_SQL = """SELECT customer_id, 'in_both' AS kind, CAST(1 AS BIGINT) AS n
+FROM (SELECT customer_id FROM delayed INTERSECT SELECT customer_id FROM ontime)
+UNION ALL
+SELECT customer_id, 'delayed_excess' AS kind, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT customer_id FROM delayed EXCEPT ALL SELECT customer_id FROM ontime)
+GROUP BY customer_id"""
 
 
 # ----------------------------------------------------------------------
@@ -692,6 +747,8 @@ ORACLES: dict[str, str] = {
         ("b_customers", "b_orders"), (), CUSTOMER_PRESENCE_SQL
     ),
     "revenue_rollup": _oracle(_SALES_MAPS, (SALES_FACT_CTE,), REVENUE_ROLLUP_SQL),
+    "revenue_cube": _oracle(_SALES_MAPS, (SALES_FACT_CTE,), REVENUE_CUBE_SQL),
+    "delay_setops": _oracle(("b_orders",), DELAY_SETOPS_CTES, DELAY_SETOPS_SQL),
     "sentiment_pivot": _oracle(
         _FEEDBACK_MAPS,
         (RATING_ICONS_CTE, ENRICHED_FEEDBACK_CTE),
@@ -719,5 +776,7 @@ QUERIES = {
     "top_products_per_category": q_top_products_per_category,
     "customer_order_presence": q_customer_order_presence,
     "revenue_rollup": q_revenue_rollup,
+    "revenue_cube": q_revenue_cube,
+    "delay_setops": q_delay_setops,
     "sentiment_pivot": q_sentiment_pivot,
 }

@@ -63,7 +63,8 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()  # don't leak a straggler query into the session
     return q
 
 
@@ -85,5 +86,6 @@ def stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()  # don't leak a straggler query into the session
     return q

@@ -32,46 +32,60 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "n bigint, s double, batches bigint"
 
 
-def _update_totals(
-    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Fold this micro-batch's rows for one user into running totals."""
-    if state.hasTimedOut:
-        # idle-key eviction: emit nothing, drop the state
-        state.remove()
-        return
-    n, s, batches = state.get if state.exists else (0, 0.0, 0)
-    for pdf in pdfs:
-        n += int(len(pdf))
-        s += float(pdf["value"].sum())
-    batches += 1
-    state.update((n, s, batches))
-    state.setTimeoutDuration(30 * 60 * 1000)  # 30 min idle eviction
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "n_events": [n],
-            "sum_value": [round(s, 2)],
-            "batches_seen": [batches],
-        }
-    )
-
-
-def running_user_totals(events_stream: DataFrame) -> DataFrame:
+def running_user_totals(
+    events_stream: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """Per-user running (count, sum(value)) across micro-batches.
 
     Emits one row per user per micro-batch in which the user appears,
     carrying the cumulative totals so far — the streaming analogue of a
     continuously-updated user profile table.
+
+    ``idle_timeout_ms`` arms processing-time idle-key eviction — for
+    **continuously-running** queries only. A drain-and-stop
+    (``Trigger.AvailableNow``) query must leave it off: with a
+    processing-time timeout armed, Spark keeps the query alive to fire
+    pending timeouts, so the "drain then terminate" run never
+    terminates on its own (measured: 300 s wait-out vs 10 s drain).
     """
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle-key eviction: emit nothing, drop the state
+            state.remove()
+            return
+        n, s, batches = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += int(len(pdf))
+            s += float(pdf["value"].sum())
+        batches += 1
+        state.update((n, s, batches))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [round(s, 2)],
+                "batches_seen": [batches],
+            }
+        )
+
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         events_stream.select("user_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _update_totals,
+            update,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=timeout_conf,
         )
     )
