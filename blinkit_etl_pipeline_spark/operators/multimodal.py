@@ -146,6 +146,36 @@ def media_features(media: DataFrame, min_partitions: int | None = None) -> DataF
     return media.mapInPandas(extract, schema=FEATURES_SCHEMA)
 
 
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video payloads: one row per sampled frame
+    timestamp (``0, every_ms, 2·every_ms, … < duration_ms``).
+
+    Pure metadata math — ``explode(sequence(...))`` fans each video out
+    to its frame list JVM-side; the actual frame *decode* at each
+    timestamp is the ``sample_frames`` codec stub. This is the shape a
+    real pipeline keeps at scale: plan rows first (cheap, prunable,
+    joinable against dedup/similarity filters), decode only what
+    survives.
+    """
+    video = media.filter(
+        (F.col("media_type") == "video") & (F.col("duration_ms") > 0)
+    )
+    idx = F.sequence(
+        F.lit(0),
+        F.floor((F.col("duration_ms") - 1) / F.lit(every_ms)).cast("int"),
+    )
+    return video.select(
+        "media_id",
+        "duration_ms",
+        F.explode(idx).alias("frame_index"),
+    ).select(
+        "media_id",
+        "duration_ms",
+        F.col("frame_index").cast("int").alias("frame_index"),
+        (F.col("frame_index") * every_ms).cast("bigint").alias("frame_ts_ms"),
+    )
+
+
 def resize_plan(media: DataFrame, max_side: int = 512) -> DataFrame:
     """Resize planning (pure metadata math — no decode needed):
     target dimensions preserving aspect ratio, capped at ``max_side``."""

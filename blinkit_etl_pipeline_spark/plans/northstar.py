@@ -193,6 +193,12 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_plan(multimodal.synthesize_media(_docs(spark, sf_dir)))
 
 
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.frame_sample_plan(
+        multimodal.synthesize_media(_docs(spark, sf_dir)), every_ms=1000
+    )
+
+
 # ----------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect; documents/embeddings/events are
 # pre-registered views over the same parquet)
@@ -535,9 +541,22 @@ QUERIES = {
     "ns_events_sessionize": q_events_sessionize,
     "ns_media_features": q_media_features,
     "ns_media_resize": q_media_resize,
+    "ns_media_frame_sample": q_media_frame_sample,
     "ns_sketch_hll_users": q_sketch_hll_users,
     "ns_sketch_value_quantiles": q_sketch_value_quantiles,
 }
+
+ORACLES["ns_media_frame_sample"] = """WITH m AS (
+  SELECT doc_id AS media_id,
+    (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+    CAST(doc_id % 300 * 1000 AS INT) AS duration_ms
+  FROM documents
+)
+SELECT media_id, duration_ms,
+  CAST(f.i AS INT) AS frame_index,
+  CAST(f.i * 1000 AS BIGINT) AS frame_ts_ms
+FROM m, LATERAL (SELECT unnest(range(0, CAST(floor((duration_ms - 1) / 1000) AS BIGINT) + 1)) AS i) f
+WHERE media_type = 'video' AND duration_ms > 0"""
 
 ORACLES["ns_sketch_hll_users"] = sketch.hll_distinct_sql(
     "events", ["event_type"], "user_id"
