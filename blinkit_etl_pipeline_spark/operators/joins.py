@@ -93,3 +93,67 @@ def full_outer_coalesce_keys(
             if c not in keys:
                 cols.append(F.col(f"{alias}.{c}").alias(f"{alias}_{c}"))
     return joined.select(*cols)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row of the same
+    key with ``right_ts <= left_ts`` (left rows with no match keep
+    nulls).
+
+    Spark has no native as-of join; the naive spelling is an inequality
+    join that plans as a per-key cross product. This is the scale-safe
+    **union-merge** composition instead: tag both sides, union on
+    (key, ts), and let ``last(value, ignorenulls=True)`` over an
+    ordered, unbounded-preceding window carry the most recent right
+    values forward onto each left row. ONE shuffle on the key columns,
+    no cross product, no range explosion — cost is a sort-merge within
+    key partitions regardless of time-range overlap.
+
+    At equal timestamps the right row sorts first (kind 0 < 1), i.e.
+    the match is inclusive. Rows on the right must be unique per
+    (key, right_ts) for determinism — pre-aggregate if they are not.
+    """
+    on = list(on)
+    rv = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
+    ).alias("__rv")
+    r = right.select(
+        *on, F.col(right_ts).alias("__ts"), F.lit(0).alias("__kind"), rv
+    )
+    left_cols = [c for c in left.columns]
+    l = left.select(
+        *left_cols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__kind"),
+        F.lit(None).cast(r.schema["__rv"].dataType).alias("__rv"),
+    )
+    merged = r.select(
+        *[
+            F.col(c) if c in on else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+        ],
+        "__ts",
+        "__kind",
+        "__rv",
+    ).unionByName(l)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__kind").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn("__match", F.last("__rv", ignorenulls=True).over(w))
+    out = carried.filter(F.col("__kind") == 1).select(
+        *left_cols,
+        F.col("__match.__rts").alias(f"asof_{right_ts}"),
+        *[F.col(f"__match.{c}").alias(f"asof_{c}") for c in right_cols],
+    )
+    return out

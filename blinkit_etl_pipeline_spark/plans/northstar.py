@@ -180,6 +180,42 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.sessionize(_events(spark, sf_dir))
 
 
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (joins.asof_join): each purchase event picks up the
+    user's most recent click at-or-before it — last-touch attribution.
+
+    Same-ts clicks are pre-collapsed to max event_id so both engines'
+    tie behavior is identical; the oracle uses DuckDB's *native*
+    ASOF LEFT JOIN, cross-checking our union-merge composition against
+    an independent first-class implementation.
+    """
+    from ..operators import joins
+
+    ev = _events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = joins.asof_join(
+        purchases, clicks, ["user_id"], "ts", "ts", ["click_event_id"]
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.round("value", 2).alias("purchase_value"),
+        F.col("asof_click_event_id").alias("click_event_id"),
+        F.col("asof_ts").alias("click_ts"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_ts")))
+        .cast("bigint")
+        .alias("us_since_click"),
+    )
+
+
 # ----------------------------------------------------------------------
 # Multimodal
 # ----------------------------------------------------------------------
@@ -539,12 +575,27 @@ QUERIES = {
     "ns_events_hourly": q_events_hourly,
     "ns_events_sliding": q_events_sliding,
     "ns_events_sessionize": q_events_sessionize,
+    "ns_asof_attribution": q_asof_attribution,
     "ns_media_features": q_media_features,
     "ns_media_resize": q_media_resize,
     "ns_media_frame_sample": q_media_frame_sample,
     "ns_sketch_hll_users": q_sketch_hll_users,
     "ns_sketch_value_quantiles": q_sketch_value_quantiles,
 }
+
+ORACLES["ns_asof_attribution"] = """WITH clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id AS purchase_event_id, p.user_id, p.ts AS purchase_ts,
+  ROUND(p.value, 2) AS purchase_value,
+  c.click_event_id, c.ts AS click_ts,
+  CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS us_since_click
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts"""
 
 ORACLES["ns_media_frame_sample"] = """WITH m AS (
   SELECT doc_id AS media_id,

@@ -57,3 +57,24 @@ def test_ivf_topk_accepts_trained_codebook(spark):
         assert all(r["query_id"] != r["neighbor_id"] for r in rs)
         sims = [r["cosine_sim"] for r in sorted(rs, key=lambda r: r["rank"])]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive match, latest-prior selection, and no-match nulls."""
+    from blinkit_etl_pipeline_spark.operators.joins import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c")], "k int, t int, tag string"
+    )
+    left = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 25), (2, 14), (3, 99)], "k int, t int"
+    )
+    out = {
+        (r["k"], r["t"]): (r["asof_t"], r["asof_tag"])
+        for r in asof_join(left, right, ["k"], "t", "t", ["tag"]).collect()
+    }
+    assert out[(1, 5)] == (None, None)        # before any right row
+    assert out[(1, 10)] == (10, "a")          # equal ts matches (inclusive)
+    assert out[(1, 25)] == (20, "b")          # latest prior, not first
+    assert out[(2, 14)] == (None, None)       # right row is later
+    assert out[(3, 99)] == (None, None)       # key absent from right
