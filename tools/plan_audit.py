@@ -50,6 +50,7 @@ NOTES = {
     "ns_ann_cosine_topk": "brute baseline: corpus scanned once per query batch, no corpus self-join",
     "ns_ann_lsh_topk": "bucket probe: corpus filtered to matching LSH buckets pre-score",
     "ns_ann_ivf_topk": "literal-codebook assign = zero-shuffle map; probe scans nprobe/num_centroids of corpus",
+    "ns_asof_attribution": "as-of via union-merge: one key shuffle, no range cross-product; both scans filter-pushed",
     "ns_media_features": "single Arrow-batched mapInPandas stage; schema fixed, no driver collect",
     "ns_events_sessionize": "single shuffle on user_id; session bounds via lag window",
 }
