@@ -157,3 +157,54 @@ def asof_join(
         *[F.col(f"__match.{c}").alias(f"asof_{c}") for c in right_cols],
     )
     return out
+
+
+def windowed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    window_us: int,
+) -> DataFrame:
+    """Range join: pairs where ``left_ts - window_us < right_ts <= left_ts``
+    for equal keys — e.g. "events within the preceding hour".
+
+    Spark plans a raw inequality join as a broadcast-nested-loop (or a
+    per-key cross product) — O(n·m) compares. This bucketizes instead:
+    right rows land in ``floor(ts / window_us)`` buckets; any window of
+    width ``window_us`` ending at ``left_ts`` only overlaps the left
+    row's own bucket and the one before, so each left row is exploded to
+    those TWO buckets and the join becomes an equi-join on
+    (key, bucket) with the exact range predicate as a cheap post-filter.
+    Shuffle is O(left×2 + right) rows, compare count is
+    candidates-within-±window, never all pairs.
+
+    Returns the matched pairs: all left columns plus the right columns
+    renamed ``r_<name>``.
+    """
+    on = list(on)
+    w = int(window_us)
+    r_bucket = F.floor(F.unix_micros(F.col(right_ts)) / F.lit(w))
+    r = right.select(
+        *[F.col(c).alias(c) for c in on],
+        r_bucket.alias("__bucket"),
+        *[
+            F.col(c).alias(f"r_{c}")
+            for c in right.columns
+            if c not in on
+        ],
+    )
+    l_bucket = F.floor(F.unix_micros(F.col(left_ts)) / F.lit(w))
+    l = left.withColumn(
+        "__bucket", F.explode(F.array(l_bucket - 1, l_bucket))
+    )
+    lo = F.unix_micros(F.col(left_ts)) - F.lit(w)
+    return (
+        l.join(r, on + ["__bucket"])
+        .filter(
+            (F.unix_micros(F.col(f"r_{right_ts}")) > lo)
+            & (F.col(f"r_{right_ts}") <= F.col(left_ts))
+        )
+        .drop("__bucket")
+    )

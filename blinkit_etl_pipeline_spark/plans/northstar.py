@@ -221,6 +221,36 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 
 
+def q_range_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (joins.windowed_range_join): clicks within the hour
+    preceding each purchase — sliding-window attribution counts.
+
+    The bucketized rewrite keeps it an equi-join; the oracle states the
+    raw inequality join, so the rewrite's correctness is value-checked.
+    """
+    from ..operators import joins
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    pairs = joins.windowed_range_join(
+        purchases, clicks, ["user_id"], "ts", "ts", 3_600_000_000
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count("*").cast("bigint").alias("clicks_1h"),
+        F.max("r_ts").alias("last_click_ts"),
+    )
+    return purchases.join(counts, "event_id", "left").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.coalesce(F.col("clicks_1h"), F.lit(0).cast("bigint")).alias("clicks_1h"),
+        "last_click_ts",
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_features(multimodal.synthesize_media(_docs(spark, sf_dir)))
 
@@ -576,6 +606,7 @@ QUERIES = {
     "ns_events_sliding": q_events_sliding,
     "ns_events_sessionize": q_events_sessionize,
     "ns_asof_attribution": q_asof_attribution,
+    "ns_range_click_window": q_range_click_window,
     "ns_media_features": q_media_features,
     "ns_media_resize": q_media_resize,
     "ns_media_frame_sample": q_media_frame_sample,
@@ -596,6 +627,24 @@ SELECT p.event_id AS purchase_event_id, p.user_id, p.ts AS purchase_ts,
   CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS us_since_click
 FROM purchases p
 ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts"""
+
+ORACLES["ns_range_click_window"] = """WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+),
+pairs AS (
+  SELECT p.event_id, CAST(count(*) AS BIGINT) AS clicks_1h,
+         max(c.ts) AS last_click_ts
+  FROM purchases p JOIN clicks c
+    ON c.user_id = p.user_id AND c.ts <= p.ts
+   AND epoch_us(c.ts) > epoch_us(p.ts) - 3600000000
+  GROUP BY p.event_id
+)
+SELECT p.event_id AS purchase_event_id, p.user_id, p.ts AS purchase_ts,
+  CAST(COALESCE(x.clicks_1h, 0) AS BIGINT) AS clicks_1h, x.last_click_ts
+FROM purchases p LEFT JOIN pairs x ON p.event_id = x.event_id"""
 
 ORACLES["ns_media_frame_sample"] = """WITH m AS (
   SELECT doc_id AS media_id,
