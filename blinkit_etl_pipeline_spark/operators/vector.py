@@ -23,10 +23,30 @@ engine-identical.
 
 from __future__ import annotations
 
+import random
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: Seed for the random-projection LSH hyperplane matrix. A literal so
+#: Spark and the DuckDB oracle generate the *same* matrix — determinism
+#: lives in the seed, not in coordinate-axis hyperplanes.
+RP_SEED = 20260813
+
+
+def rp_hyperplanes(dim: int, nbits: int, seed: int = RP_SEED) -> list[list[float]]:
+    """Seeded Rademacher (±1) random-projection hyperplanes.
+
+    ``nbits`` hyperplanes of ``dim`` coefficients each. Rademacher signs
+    make the projection a chain of exact float add/subtract (no rounding
+    from coefficient multiply), so Spark and DuckDB agree bit-for-bit
+    when both evaluate the sum left-to-right over double-cast elements.
+    """
+    rng = random.Random(seed)
+    return [
+        [rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(nbits)
+    ]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -46,17 +66,43 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def sign_bucket(vec: Column, nbits: int) -> Column:
-    """Sign-LSH bucket id from the first ``nbits`` dimensions (0..2^nbits-1).
+def axis_sign_bucket(vec: Column, nbits: int) -> Column:
+    """Legacy sign-LSH bucket: signs of the first ``nbits`` dimensions.
 
-    Hyperplanes are the coordinate axes — deterministic, engine-agnostic,
-    and a reasonable partitioner for roughly isotropic embeddings.
+    Kept only as the baseline for recall comparisons — on real
+    (anisotropic, correlated-leading-dims) embeddings the first few
+    coordinates carry little discriminating signal, so bucket balance
+    and recall are poor. Use :func:`sign_bucket` (seeded random
+    projections over *all* dimensions) instead.
     """
     bucket = F.lit(0)
     for i in range(nbits):
         bucket = bucket + F.when(
             F.element_at(vec, i + 1) > 0, F.lit(1 << i)
         ).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def sign_bucket(
+    vec: Column, nbits: int, dim: int, seed: int = RP_SEED
+) -> Column:
+    """Sign-LSH bucket id (0..2^nbits-1) from seeded random projections.
+
+    Bit *j* is the sign of ``⟨vec, H_j⟩`` where ``H_j`` is a Rademacher
+    hyperplane from :func:`rp_hyperplanes` — every dimension contributes,
+    so bucket balance survives embeddings whose leading coordinates are
+    correlated or near-constant. The projection is a strict
+    left-to-right add/subtract chain over double-cast elements, which
+    the DuckDB oracle replays with identical float semantics.
+    """
+    planes = rp_hyperplanes(dim, nbits, seed)
+    bucket = F.lit(0)
+    for j, plane in enumerate(planes):
+        proj: Column = F.lit(0.0)
+        for i, c in enumerate(plane):
+            elem = F.element_at(vec, i + 1).cast("double")
+            proj = proj + elem if c > 0 else proj - elem
+        bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket.cast("int")
 
 
@@ -92,12 +138,22 @@ def brute_force_topk(
 
 
 def lsh_topk(
-    emb: DataFrame, query_ids: Sequence[int], k: int = 5, nbits: int = 4
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    nbits: int = 4,
+    dim: int = 64,
+    bucket_expr: Column | None = None,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's sign bucket."""
-    bucketed = emb.select(
-        "vec_id", "embedding", sign_bucket(F.col("embedding"), nbits).alias("bucket")
-    )
+    """Approximate top-k: candidates restricted to the query's sign bucket.
+
+    ``bucket_expr`` overrides the default random-projection bucketer
+    (used by recall comparisons to pit :func:`axis_sign_bucket` against
+    :func:`sign_bucket` on the same corpus).
+    """
+    if bucket_expr is None:
+        bucket_expr = sign_bucket(F.col("embedding"), nbits, dim)
+    bucketed = emb.select("vec_id", "embedding", bucket_expr.alias("bucket"))
     queries = bucketed.filter(
         F.col("vec_id").isin(*[int(q) for q in query_ids])
     ).select(
@@ -288,7 +344,7 @@ def ivf_topk(
 
 
 def cosine_neardup_pairs(
-    emb: DataFrame, threshold: float, nbits: int = 0
+    emb: DataFrame, threshold: float, nbits: int = 0, dim: int = 64
 ) -> DataFrame:
     """Embedding near-dup pairs: ROUND(cosine,6) ≥ threshold, a < b.
 
@@ -299,12 +355,20 @@ def cosine_neardup_pairs(
     left = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
-        *( [sign_bucket(F.col("embedding"), nbits).alias("bucket")] if nbits else [] ),
+        *(
+            [sign_bucket(F.col("embedding"), nbits, dim).alias("bucket")]
+            if nbits
+            else []
+        ),
     )
     right = emb.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
-        *( [sign_bucket(F.col("embedding"), nbits).alias("bucket")] if nbits else [] ),
+        *(
+            [sign_bucket(F.col("embedding"), nbits, dim).alias("bucket")]
+            if nbits
+            else []
+        ),
     )
     joined = (
         left.join(right, "bucket") if nbits else left.crossJoin(right)

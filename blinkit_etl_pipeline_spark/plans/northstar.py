@@ -370,11 +370,20 @@ _COS = (
 )
 
 
-def _bucket_expr(v: str, nbits: int) -> str:
-    terms = " + ".join(
-        f"CASE WHEN {v}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END" for i in range(nbits)
-    )
-    return f"CAST({terms} AS INT)"
+def _bucket_expr(v: str, nbits: int, dim: int = 64) -> str:
+    """DuckDB replay of vector.sign_bucket: same seeded Rademacher
+    hyperplanes, same left-to-right add/subtract chain over DOUBLE
+    elements, so the float result (and the >0 sign decision) is
+    bit-identical to Spark's."""
+    planes = vector.rp_hyperplanes(dim, nbits)
+    bit_terms = []
+    for j, plane in enumerate(planes):
+        proj = "CAST(0.0 AS DOUBLE)" + "".join(
+            (f" + {v}[{i + 1}]" if c > 0 else f" - {v}[{i + 1}]")
+            for i, c in enumerate(plane)
+        )
+        bit_terms.append(f"CASE WHEN ({proj}) > 0 THEN {1 << j} ELSE 0 END")
+    return f"CAST({' + '.join(bit_terms)} AS INT)"
 
 
 _STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS) + "]"

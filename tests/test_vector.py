@@ -59,6 +59,77 @@ def test_ivf_topk_accepts_trained_codebook(spark):
         assert sims == sorted(sims, reverse=True)
 
 
+def _anisotropic_corpus(spark, n=200, dim=16, nclusters=8, lead_dims=4):
+    """Embeddings whose leading dims are ~0 noise; signal lives in the
+    tail dims — the shape that defeats coordinate-axis LSH."""
+    import random as _random
+
+    rng = _random.Random(7)
+    centers = [
+        [rng.gauss(0, 1) for _ in range(dim - lead_dims)] for _ in range(nclusters)
+    ]
+    rows = []
+    for i in range(n):
+        c = centers[i % nclusters]
+        lead = [rng.gauss(0, 1e-3) for _ in range(lead_dims)]
+        tail = [x + rng.gauss(0, 0.15) for x in c]
+        rows.append((i, [float(v) for v in lead + tail]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>"), dim
+
+
+def _recall_at_k(approx_rows, truth_rows):
+    truth = {}
+    for r in truth_rows:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    found = {}
+    for r in approx_rows:
+        found.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    per_q = [
+        len(found.get(q, set()) & t) / len(t) for q, t in truth.items() if t
+    ]
+    return sum(per_q) / len(per_q)
+
+
+def test_rp_lsh_beats_axis_lsh_on_anisotropic_vectors(spark):
+    """Seeded random-projection hyperplanes must recover the recall that
+    coordinate-axis buckets lose when leading dims carry no signal."""
+    emb, dim = _anisotropic_corpus(spark)
+    emb = emb.persist()
+    qids = list(range(16))
+    k, nbits = 5, 3
+    truth = vector.brute_force_topk(emb, qids, k=k).collect()
+    rp = vector.lsh_topk(emb, qids, k=k, nbits=nbits, dim=dim).collect()
+    axis = vector.lsh_topk(
+        emb,
+        qids,
+        k=k,
+        nbits=nbits,
+        bucket_expr=vector.axis_sign_bucket(F.col("embedding"), nbits),
+    ).collect()
+    recall_rp = _recall_at_k(rp, truth)
+    recall_axis = _recall_at_k(axis, truth)
+    assert recall_rp >= 0.6, recall_rp
+    assert recall_rp > recall_axis + 0.1, (recall_rp, recall_axis)
+    emb.unpersist()
+
+
+def test_rp_buckets_are_balanced_on_anisotropic_vectors(spark):
+    """Axis buckets collapse to noise on correlated-leading-dim data;
+    RP buckets must spread the corpus (max share bounded)."""
+    emb, dim = _anisotropic_corpus(spark)
+    nbits = 3
+    rp_counts = (
+        emb.select(vector.sign_bucket(F.col("embedding"), nbits, dim).alias("b"))
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in rp_counts)
+    max_share = max(r["count"] for r in rp_counts) / total
+    # 8 clusters over 8 buckets: no bucket should swallow the corpus
+    assert max_share <= 0.5, max_share
+
+
 def test_asof_join_semantics(spark):
     """Inclusive match, latest-prior selection, and no-match nulls."""
     from blinkit_etl_pipeline_spark.operators.joins import asof_join
