@@ -236,6 +236,93 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Transitive closure of near-dup pairs → survivor groups.
+
+    Near-dup operators emit *pairs*; production dedup needs the
+    transitive groups ("A~B, B~C ⇒ {A,B,C} keep one"). This is
+    iterative min-label propagation with path halving — the
+    small-star-family trick that contracts label chains so convergence
+    is O(log n) rounds, not O(longest path):
+
+    each round (all pure DataFrame ops — shuffles on node/label keys):
+      1. ``label(v) ← min(label(v), min over neighbors label(u))``
+      2. path halving: ``label(v) ← label(label(v))``
+    until no label changes. The driver holds ONE scalar per round (the
+    changed-count used for the convergence test) — never node or edge
+    data, so the operator scales with the cluster, not the driver.
+
+    Returns (node, label) where label = min node id of the component.
+    Only nodes that appear in some edge are returned (singletons are
+    trivially their own survivors).
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("u").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).persist()
+    for _ in range(max_iters):
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("u", "node")
+        )
+        relabeled = labels.join(nbr, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        ptr = relabeled.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
+        halved = (
+            relabeled.join(ptr, relabeled["label"] == ptr["pnode"], "left")
+            .select(
+                "node", F.coalesce(F.col("plabel"), F.col("label")).alias("label")
+            )
+            .persist()
+        )
+        changed = (
+            halved.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = halved
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_groups(
+    docs_pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """Survivor groups from near-dup pairs: (doc_id, group_id,
+    group_size), group_id = min doc_id of the transitive component."""
+    labels = connected_components(docs_pairs, src, dst)
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("group_size")
+    )
+    return labels.join(sizes, "label").select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("label").cast("bigint").alias("group_id"),
+        "group_size",
+    )
+
+
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """32-bit SimHash per doc from token-occurrence hashes.
 

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..operators import dedup, events, multimodal, sketch, vector
+from ..operators import dedup, events, multimodal, quality, sketch, vector
 from ..sources.testdata import register_base
 
 # Tuned at sf0.01/sf0.1: the planted near-dup pairs (Jaccard ≥ 0.35,
@@ -34,6 +34,8 @@ JACCARD_THRESHOLD = 0.35
 COSINE_THRESHOLD = 0.3
 ANN_K = 5
 ANN_NBITS = 4
+ANN_NTABLES = 8
+EMB_DIM = 64
 ANN_QUERY_IDS = tuple(range(16))
 IVF_CENTROIDS = 8
 IVF_NPROBE = 2
@@ -80,6 +82,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_distance=3)
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive survivor groups over the MinHash-LSH pair graph
+    (connected components via min-label propagation + path halving),
+    oracle-checked against a DuckDB recursive-CTE closure."""
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), n=NGRAM_N, threshold=JACCARD_THRESHOLD
+    )
+    return dedup.dedup_groups(pairs)
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vector.cosine_neardup_pairs(
         _emb(spark, sf_dir), threshold=COSINE_THRESHOLD, nbits=ANN_NBITS
@@ -106,6 +118,55 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=ANN_K,
         num_centroids=IVF_CENTROIDS,
         nprobe=IVF_NPROBE,
+    )
+
+
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k probing the *trained* codebook (plans/codebook.py) —
+    the demonstrated production path: offline spherical k-means
+    artifact shipped as literals, zero-shuffle map-side assignment."""
+    from .codebook import TRAINED_IVF_CODEBOOK
+
+    return vector.ivf_topk(
+        _emb(spark, sf_dir),
+        ANN_QUERY_IDS,
+        k=ANN_K,
+        nprobe=IVF_NPROBE,
+        codebook=TRAINED_IVF_CODEBOOK,
+    )
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of every approximate ANN path vs the exact brute-force
+    baseline — the quality gauge the approximate operators ship with.
+    Long format: one row per (method, query_id)."""
+    emb = _emb(spark, sf_dir)
+    truth = vector.brute_force_topk(emb, ANN_QUERY_IDS, k=ANN_K)
+    lsh = vector.lsh_topk(emb, ANN_QUERY_IDS, k=ANN_K, nbits=ANN_NBITS)
+    ivf = vector.ivf_topk(
+        emb, ANN_QUERY_IDS, k=ANN_K, num_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE
+    )
+    return quality.topk_recall(truth, lsh, ANN_K, "lsh").unionByName(
+        quality.topk_recall(truth, ivf, ANN_K, "ivf")
+    )
+
+
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of the bucketed near-dup candidate generators vs
+    their exact all-pairs ground truths (MinHash-LSH vs full n-gram
+    Jaccard; sign-bucketed embedding pairs vs exact cosine pairs)."""
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    truth_j = dedup.ngram_jaccard_pairs(docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD)
+    found_m = dedup.minhash_lsh_pairs(docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD)
+    truth_e = vector.cosine_neardup_pairs(emb, threshold=COSINE_THRESHOLD, nbits=0)
+    found_e = vector.cosine_neardup_pairs(
+        emb, threshold=COSINE_THRESHOLD, nbits=ANN_NBITS
+    )
+    return quality.pair_recall(
+        truth_j, found_m, ("doc_a", "doc_b"), "minhash_lsh"
+    ).unionByName(
+        quality.pair_recall(truth_e, found_e, ("vec_a", "vec_b"), "embedding_lsh")
     )
 
 
@@ -370,12 +431,15 @@ _COS = (
 )
 
 
-def _bucket_expr(v: str, nbits: int, dim: int = 64) -> str:
+def _bucket_expr(
+    v: str, nbits: int, dim: int = EMB_DIM, planes=None
+) -> str:
     """DuckDB replay of vector.sign_bucket: same seeded Rademacher
     hyperplanes, same left-to-right add/subtract chain over DOUBLE
     elements, so the float result (and the >0 sign decision) is
     bit-identical to Spark's."""
-    planes = vector.rp_hyperplanes(dim, nbits)
+    if planes is None:
+        planes = vector.rp_hyperplanes(dim, nbits)
     bit_terms = []
     for j, plane in enumerate(planes):
         proj = "CAST(0.0 AS DOUBLE)" + "".join(
@@ -384,6 +448,23 @@ def _bucket_expr(v: str, nbits: int, dim: int = 64) -> str:
         )
         bit_terms.append(f"CASE WHEN ({proj}) > 0 THEN {1 << j} ELSE 0 END")
     return f"CAST({' + '.join(bit_terms)} AS INT)"
+
+
+def _mb_cte(
+    nbits: int = ANN_NBITS, ntables: int = ANN_NTABLES, dim: int = EMB_DIM
+) -> str:
+    """Multi-table bucket CTE ``mb(vec_id, v, t, bucket)`` — DuckDB
+    replay of vector.multi_table_buckets (shared seeded matrix, table
+    *t* = planes [t·nbits, (t+1)·nbits))."""
+    planes = vector.rp_hyperplanes(dim, nbits * ntables)
+    selects = [
+        "SELECT vec_id, v, {t} AS t, {b} AS bucket FROM e".format(
+            t=t,
+            b=_bucket_expr("v", nbits, dim, planes=planes[t * nbits : (t + 1) * nbits]),
+        )
+        for t in range(ntables)
+    ]
+    return "mb AS (" + " UNION ALL ".join(selects) + ")"
 
 
 _STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS) + "]"
@@ -416,11 +497,13 @@ SELECT doc_a, doc_b, simhash_a, simhash_b,
 FROM cand
 WHERE bit_count(xor(simhash_a, simhash_b)) <= 3""",
     "ns_dedup_embedding": f"""WITH {_EMB},
-b AS (SELECT vec_id, v, {_bucket_expr('v', ANN_NBITS)} AS bucket FROM e),
+{_mb_cte()},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM mb a JOIN mb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
 pairs AS (
-  SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b,
-    {_COS.format(a='a.v', b='bb.v')} AS cosine_sim
-  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+  SELECT vec_a, vec_b, {_COS.format(a='ea.v', b='eb.v')} AS cosine_sim
+  FROM cand JOIN e ea ON ea.vec_id = cand.vec_a JOIN e eb ON eb.vec_id = cand.vec_b
 )
 SELECT vec_a, vec_b, cosine_sim FROM pairs WHERE cosine_sim >= {COSINE_THRESHOLD}""",
     "ns_ann_cosine_topk": f"""WITH {_EMB},
@@ -437,12 +520,15 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cosine_sim, "rank" FROM ranked WHERE "rank" <= {ANN_K}""",
     "ns_ann_lsh_topk": f"""WITH {_EMB},
-b AS (SELECT vec_id, v, {_bucket_expr('v', ANN_NBITS)} AS bucket FROM e),
-q AS (SELECT vec_id, v, bucket FROM b WHERE vec_id < {len(ANN_QUERY_IDS)}),
+{_mb_cte()},
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM mb q JOIN mb c ON q.t = c.t AND q.bucket = c.bucket AND c.vec_id != q.vec_id
+  WHERE q.vec_id < {len(ANN_QUERY_IDS)}),
 sims AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-    {_COS.format(a='q.v', b='c.v')} AS cosine_sim
-  FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+  SELECT query_id, neighbor_id, {_COS.format(a='qe.v', b='ce.v')} AS cosine_sim
+  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+            JOIN e ce ON ce.vec_id = cand.neighbor_id
 ),
 ranked AS (
   SELECT *, CAST(row_number() OVER (
@@ -598,15 +684,184 @@ SELECT media_id, media_type, width, height,
 FROM s""",
 }
 
+def _codebook_values_sql() -> str:
+    """Literal VALUES table for the trained codebook — DuckDB shares
+    the exact round-6 doubles Spark's ivf_assign embeds as literals."""
+    from .codebook import TRAINED_IVF_CODEBOOK
+
+    rows = ", ".join(
+        f"({cid}, [{', '.join(repr(float(x)) for x in vec)}]::DOUBLE[])"
+        for cid, vec in TRAINED_IVF_CODEBOOK
+    )
+    return f"(SELECT * FROM (VALUES {rows}) AS t(centroid_id, cvec))"
+
+
+ORACLES["ns_ann_ivf_trained"] = f"""WITH {_EMB},
+c AS (SELECT centroid_id, cvec FROM {_codebook_values_sql()}),
+assigned AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_COS.format(a='e.v', b='c.cvec')} DESC, c.centroid_id ASC) AS rn
+    FROM e CROSS JOIN c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {len(ANN_QUERY_IDS)}),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, c.centroid_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {_COS.format(a='q.qv', b='c.cvec')} DESC, c.centroid_id ASC) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= {IVF_NPROBE}
+),
+sims AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+    {_COS.format(a='p.qv', b='a.v')} AS cosine_sim
+  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+  WHERE a.vec_id != p.query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS "rank"
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine_sim, "rank" FROM ranked WHERE "rank" <= {ANN_K}"""
+
+_RANKED = (
+    "SELECT query_id, neighbor_id FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn FROM {src}) "
+    "WHERE rn <= {k}"
+)
+
+ORACLES["ns_ann_recall"] = f"""WITH {_EMB},
+{_mb_cte()},
+q AS (SELECT vec_id, v FROM e WHERE vec_id < {len(ANN_QUERY_IDS)}),
+bf_sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    {_COS.format(a='q.v', b='c.v')} AS cosine_sim
+  FROM q CROSS JOIN e c WHERE c.vec_id != q.vec_id),
+bf AS ({_RANKED.format(src='bf_sims', k=ANN_K)}),
+lcand AS (
+  SELECT DISTINCT mq.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM mb mq JOIN mb c ON mq.t = c.t AND mq.bucket = c.bucket AND c.vec_id != mq.vec_id
+  WHERE mq.vec_id < {len(ANN_QUERY_IDS)}),
+lsh_sims AS (
+  SELECT query_id, neighbor_id, {_COS.format(a='qe.v', b='ce.v')} AS cosine_sim
+  FROM lcand JOIN e qe ON qe.vec_id = lcand.query_id
+             JOIN e ce ON ce.vec_id = lcand.neighbor_id),
+lsh AS ({_RANKED.format(src='lsh_sims', k=ANN_K)}),
+cb AS (SELECT vec_id AS centroid_id, v AS cvec FROM e WHERE vec_id < {IVF_CENTROIDS}),
+assigned AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.v, cb.centroid_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_COS.format(a='e.v', b='cb.cvec')} DESC, cb.centroid_id ASC) AS rn
+    FROM e CROSS JOIN cb) WHERE rn = 1),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, cb.centroid_id,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY {_COS.format(a='q.v', b='cb.cvec')} DESC, cb.centroid_id ASC) AS rn
+    FROM q CROSS JOIN cb) WHERE rn <= {IVF_NPROBE}),
+ivf_sims AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+    {_COS.format(a='p.qv', b='a.v')} AS cosine_sim
+  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+  WHERE a.vec_id != p.query_id),
+ivf AS ({_RANKED.format(src='ivf_sims', k=ANN_K)}),
+qs AS (SELECT DISTINCT query_id FROM bf),
+lsh_hits AS (SELECT query_id, CAST(count(*) AS BIGINT) AS hits
+  FROM bf JOIN lsh USING (query_id, neighbor_id) GROUP BY query_id),
+ivf_hits AS (SELECT query_id, CAST(count(*) AS BIGINT) AS hits
+  FROM bf JOIN ivf USING (query_id, neighbor_id) GROUP BY query_id)
+SELECT 'lsh' AS method, qs.query_id,
+  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+  ROUND(COALESCE(h.hits, 0) / CAST({ANN_K} AS DOUBLE), 6) AS recall_at_k
+FROM qs LEFT JOIN lsh_hits h USING (query_id)
+UNION ALL
+SELECT 'ivf' AS method, qs.query_id,
+  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+  ROUND(COALESCE(h.hits, 0) / CAST({ANN_K} AS DOUBLE), 6) AS recall_at_k
+FROM qs LEFT JOIN ivf_hits h USING (query_id)"""
+
+ORACLES["ns_dedup_groups"] = f"""WITH RECURSIVE {_TOKS},
+{_sh_cte(NGRAM_N)},
+{_MINHASH_CTES},
+{_JACC},
+pairs AS (
+  SELECT c.doc_a, c.doc_b FROM cand c
+  JOIN jacc j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+  WHERE j.jaccard >= {JACCARD_THRESHOLD}),
+gedges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+gnodes AS (SELECT DISTINCT u AS node FROM gedges),
+reach(node, r) AS (
+  SELECT node, node FROM gnodes
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN gedges e ON e.u = reach.node
+),
+comp AS (SELECT node, min(r) AS group_id FROM reach GROUP BY node),
+gsizes AS (SELECT group_id, CAST(count(*) AS BIGINT) AS group_size
+  FROM comp GROUP BY group_id)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(comp.group_id AS BIGINT) AS group_id,
+  group_size
+FROM comp JOIN gsizes ON comp.group_id = gsizes.group_id"""
+
+ORACLES["ns_dedup_recall"] = f"""WITH {_TOKS},
+{_sh_cte(NGRAM_N)},
+{_MINHASH_CTES},
+{_JACC},
+truth_j AS (SELECT doc_a, doc_b FROM jacc WHERE jaccard >= {JACCARD_THRESHOLD}),
+found_m AS (SELECT c.doc_a, c.doc_b FROM cand c
+  JOIN jacc j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+  WHERE j.jaccard >= {JACCARD_THRESHOLD}),
+{_EMB},
+{_mb_cte()},
+truth_e AS (
+  SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b
+  FROM e a JOIN e bb ON a.vec_id < bb.vec_id
+  WHERE {_COS.format(a='a.v', b='bb.v')} >= {COSINE_THRESHOLD}),
+ecand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM mb a JOIN mb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+found_e AS (
+  SELECT vec_a, vec_b
+  FROM ecand JOIN e ea ON ea.vec_id = ecand.vec_a
+             JOIN e eb ON eb.vec_id = ecand.vec_b
+  WHERE {_COS.format(a='ea.v', b='eb.v')} >= {COSINE_THRESHOLD}),
+counts AS (
+  SELECT 'minhash_lsh' AS method,
+    (SELECT CAST(count(*) AS BIGINT) FROM truth_j) AS n_true,
+    (SELECT CAST(count(*) AS BIGINT) FROM found_m) AS n_found,
+    (SELECT CAST(count(*) AS BIGINT) FROM truth_j t
+      JOIN found_m f ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b) AS n_hits
+  UNION ALL
+  SELECT 'embedding_lsh',
+    (SELECT CAST(count(*) AS BIGINT) FROM truth_e),
+    (SELECT CAST(count(*) AS BIGINT) FROM found_e),
+    (SELECT CAST(count(*) AS BIGINT) FROM truth_e t
+      JOIN found_e f ON t.vec_a = f.vec_a AND t.vec_b = f.vec_b)
+)
+SELECT method, n_true, n_found, n_hits,
+  ROUND(n_hits / CAST(greatest(n_true, 1) AS DOUBLE), 6) AS recall,
+  ROUND(n_hits / CAST(greatest(n_found, 1) AS DOUBLE), 6) AS "precision"
+FROM counts"""
+
 QUERIES = {
     "ns_dedup_exact": q_dedup_exact,
     "ns_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "ns_dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "ns_dedup_groups": q_dedup_groups,
     "ns_dedup_simhash": q_dedup_simhash,
     "ns_dedup_embedding": q_dedup_embedding,
     "ns_ann_cosine_topk": q_ann_cosine_topk,
     "ns_ann_lsh_topk": q_ann_lsh_topk,
     "ns_ann_ivf_topk": q_ann_ivf_topk,
+    "ns_ann_ivf_trained": q_ann_ivf_trained,
+    "ns_ann_recall": q_ann_recall,
+    "ns_dedup_recall": q_dedup_recall,
     "ns_text_stats": q_text_stats,
     "ns_text_langid": q_text_langid,
     "ns_text_fingerprint": q_text_fingerprint,

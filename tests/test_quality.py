@@ -1,0 +1,72 @@
+"""Approximation-quality gates: recall floors, survivor groups,
+trained-codebook provenance."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blinkit_etl_pipeline_spark.operators import dedup
+from blinkit_etl_pipeline_spark.plans.northstar import q_ann_recall, q_dedup_recall
+
+from conftest import SF_SMOKE
+
+
+def test_ann_recall_floors(spark):
+    """Deploying an approximate ANN path means knowing its recall; the
+    measured values are deterministic (seeded planes, fixed data), so
+    assert floors under the measured 0.69 (lsh) / 0.76 (ivf)."""
+    rows = (
+        q_ann_recall(spark, SF_SMOKE)
+        .groupBy("method")
+        .agg(F.avg("recall_at_k").alias("r"))
+        .collect()
+    )
+    recall = {r["method"]: r["r"] for r in rows}
+    assert set(recall) == {"lsh", "ivf"}
+    assert recall["lsh"] >= 0.5, recall
+    assert recall["ivf"] >= 0.5, recall
+
+
+def test_dedup_recall_floors(spark):
+    rows = q_dedup_recall(spark, SF_SMOKE).collect()
+    by_method = {r["method"]: r for r in rows}
+    # MinHash banding at 16 perms surfaces every planted near-dup pair
+    assert by_method["minhash_lsh"]["recall"] >= 0.95
+    assert by_method["embedding_lsh"]["recall"] >= 0.5
+    # both verify candidates exactly, so precision is exact by design
+    assert by_method["minhash_lsh"]["precision"] == 1.0
+    assert by_method["embedding_lsh"]["precision"] == 1.0
+
+
+def test_connected_components_small_graph(spark):
+    """Path graph + separate component: labels = component min; path
+    halving converges well under the iteration cap."""
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11), (21, 20)],
+        "doc_a bigint, doc_b bigint",
+    )
+    got = {
+        r["doc_id"]: (r["group_id"], r["group_size"])
+        for r in dedup.dedup_groups(edges).collect()
+    }
+    assert got == {
+        1: (1, 5), 2: (1, 5), 3: (1, 5), 4: (1, 5), 5: (1, 5),
+        10: (10, 2), 11: (10, 2),
+        20: (20, 2), 21: (20, 2),
+    }
+
+
+def test_trained_codebook_matches_retraining(spark):
+    """The shipped literal codebook is exactly what the deterministic
+    trainer reproduces on its training slice (provenance check)."""
+    from blinkit_etl_pipeline_spark.operators.vector import kmeans_codebook
+    from blinkit_etl_pipeline_spark.plans.codebook import (
+        TRAIN_ITERS,
+        TRAIN_K,
+        TRAIN_SF_DIR,
+        TRAINED_IVF_CODEBOOK,
+    )
+
+    emb = spark.read.parquet(f"{TRAIN_SF_DIR}/embeddings.parquet")
+    retrained = kmeans_codebook(emb, k=TRAIN_K, iters=TRAIN_ITERS)
+    assert retrained == TRAINED_IVF_CODEBOOK

@@ -37,7 +37,8 @@ def test_kmeans_improves_assignment_quality(spark):
     assert len(trained) == K
     for _, vec in trained:
         nrm = sum(x * x for x in vec) ** 0.5
-        assert abs(nrm - 1.0) < 1e-9  # spherical: unit centroids
+        # unit centroids up to the round-6 determinism contract
+        assert abs(nrm - 1.0) < 1e-5
     before = _mean_assigned_cosine(emb, init)
     after = _mean_assigned_cosine(emb, trained)
     assert after >= before - 1e-9, (before, after)
@@ -98,7 +99,14 @@ def test_rp_lsh_beats_axis_lsh_on_anisotropic_vectors(spark):
     qids = list(range(16))
     k, nbits = 5, 3
     truth = vector.brute_force_topk(emb, qids, k=k).collect()
-    rp = vector.lsh_topk(emb, qids, k=k, nbits=nbits, dim=dim).collect()
+    # single-table vs single-table: isolate the hyperplane choice
+    rp = vector.lsh_topk(
+        emb,
+        qids,
+        k=k,
+        nbits=nbits,
+        bucket_expr=vector.sign_bucket(F.col("embedding"), nbits, dim),
+    ).collect()
     axis = vector.lsh_topk(
         emb,
         qids,
