@@ -6,29 +6,32 @@ extract / resize / frame-sample run as Arrow-batched Pandas functions
 over ``mapInPandas`` so each executor processes columnar batches without
 per-row Python overhead.
 
-The container has no image/audio codecs, so the *decode* step is a
-deterministic stand-in (payload digest + byte stats) and the real-codec
-entry points raise ``NotImplementedError`` with a clear marker. The
-Spark-side plumbing — schema, batch iteration, partitioning, UDF
-signatures — is real and tested; swapping in PIL/ffmpeg later only
-replaces the body of ``_decode_payload``.
+Image rows carry REAL image payloads: valid binary PPM (P6) files,
+synthesized JVM-side, and :func:`decode_ppm` is a real pure-stdlib
+decoder (header tokenizer with comment handling + raster slicing) that
+runs inside the ``mapInPandas`` stage to produce pixel statistics
+(per-channel means, parsed dimensions). Formats that need external
+codecs (JPEG/PNG via PIL, audio/video via ffmpeg) remain
+``NotImplementedError`` stubs — the decode *pipeline* is exercised end
+to end on PPM; swapping in PIL later only adds a format branch.
 
-Because the stand-in features are pure functions of the payload bytes,
-``media_features`` still has a value-exact DuckDB oracle (md5/byte-length
-of the same synthesized payloads) — the plumbing is verified end-to-end,
-not just "it returns rows".
+Because the PPM pixels follow a closed-form generator, ``media_features``
+has a value-exact DuckDB oracle: the oracle derives byte checksums and
+channel means from the formula while Spark derives them by actually
+parsing the bytes — an independent cross-check of the decoder, not an
+echo of it.
 """
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -53,40 +56,118 @@ FEATURES_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
         StructField("media_type", StringType()),
-        StructField("payload_md5", StringType()),
         StructField("payload_bytes", LongType()),
         StructField("first_byte", IntegerType()),
         StructField("byte_sum_mod", LongType()),
+        StructField("byte_weighted_mod", LongType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
+        StructField("parsed_width", IntegerType()),
+        StructField("parsed_height", IntegerType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
     ]
 )
 
+CHECKSUM_MOD = 1_000_003
+
+# image payload generator: pixel byte i of media m = (m*7 + i*13) % 256
+PIX_A, PIX_B = 7, 13
+
+
+def _img_w(doc_id: Column) -> Column:
+    return (doc_id % 16 + 8).cast("int")
+
+
+def _img_h(doc_id: Column) -> Column:
+    return (doc_id % 12 + 8).cast("int")
+
 
 def synthesize_media(docs: DataFrame) -> DataFrame:
-    """Deterministic media table from documents: payload = utf-8 text.
+    """Deterministic media table from documents.
 
-    Stand-in for a real binary source (S3 blobs, tar shards). Metadata
-    derives from doc_id so every engine agrees on it.
+    Image rows (doc_id % 3 == 0) get REAL binary PPM (P6) payloads,
+    built entirely JVM-side: header string + a generated raster hex
+    string folded through ``unhex`` — no UDF, no driver loop. Audio /
+    video rows keep utf-8 text bytes (their codecs are stubbed anyway).
+    Metadata width/height matches the actual PPM dimensions for images
+    (small rasters keep the synthetic corpus cheap); the legacy formula
+    stays for non-image rows so resize planning has varied shapes.
     """
+    mid = F.col("doc_id")
+    media_type = F.element_at(
+        F.array(*[F.lit(t) for t in MEDIA_TYPES]), (mid % 3 + 1).cast("int")
+    )
+    w, h = _img_w(mid), _img_h(mid)
+    header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n")
+    )
+    n_pix_bytes = (w * h * 3).cast("bigint")
+    pix_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("bigint"), n_pix_bytes - 1),
+            lambda i: F.lpad(
+                F.hex((mid * PIX_A + i * PIX_B) % 256), 2, "0"
+            ),
+        ),
+        "",
+    )
+    ppm = F.unhex(F.concat(F.hex(F.encode(header, "utf-8")), pix_hex))
+    is_image = media_type == "image"
     return docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.element_at(
-            F.array(*[F.lit(t) for t in MEDIA_TYPES]),
-            (F.col("doc_id") % 3 + 1).cast("int"),
-        ).alias("media_type"),
-        F.encode("text", "utf-8").alias("payload"),
-        (F.col("doc_id") % 64 * 16 + 256).cast("int").alias("width"),
-        (F.col("doc_id") % 32 * 16 + 256).cast("int").alias("height"),
-        (F.col("doc_id") % 300 * 1000).cast("int").alias("duration_ms"),
+        mid.alias("media_id"),
+        media_type.alias("media_type"),
+        F.when(is_image, ppm).otherwise(F.encode("text", "utf-8")).alias("payload"),
+        F.when(is_image, w)
+        .otherwise((mid % 64 * 16 + 256).cast("int"))
+        .alias("width"),
+        F.when(is_image, h)
+        .otherwise((mid % 32 * 16 + 256).cast("int"))
+        .alias("height"),
+        (mid % 300 * 1000).cast("int").alias("duration_ms"),
     )
 
 
-def decode_image(payload: bytes) -> object:
-    """Real image decode — requires PIL/opencv, absent in this container."""
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Pure-stdlib binary PPM (P6) decoder → (width, height, raster).
+
+    A real parser, not a fixed-offset slice: tokenizes the header
+    (magic, width, height, maxval) across arbitrary whitespace and
+    ``#`` comments per the netpbm spec, then takes exactly
+    ``3·width·height`` raster bytes after the single post-maxval
+    whitespace byte.
+    """
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    raster = payload[pos : pos + 3 * width * height]
+    if len(raster) != 3 * width * height:
+        raise ValueError("truncated PPM raster")
+    return width, height, raster
+
+
+def decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Image decode: PPM handled natively; other formats need PIL."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
     raise NotImplementedError(
-        "STUB: image decode needs PIL/opencv (not installed); "
-        "media_features uses the deterministic byte-stat stand-in instead"
+        "STUB: non-PPM image decode needs PIL/opencv (not installed)"
     )
 
 
@@ -100,21 +181,26 @@ def sample_frames(payload: bytes, every_ms: int = 1000) -> list[bytes]:
     raise NotImplementedError("STUB: frame sampling needs ffmpeg")
 
 
-def _decode_payload(payload: bytes) -> dict:
-    """Deterministic stand-in decode: digest + byte statistics."""
-    return {
-        "payload_md5": hashlib.md5(payload).hexdigest(),
-        "payload_bytes": len(payload),
-        "first_byte": payload[0] if payload else -1,
-        "byte_sum_mod": sum(payload) % 1_000_003,
-    }
+def _byte_stats(payload: bytes) -> tuple[int, int, int, int]:
+    """(n_bytes, first_byte, sum mod, position-weighted sum mod) — the
+    weighted term makes the checksum order-sensitive, so a decoder that
+    shuffled bytes could not pass the oracle."""
+    return (
+        len(payload),
+        payload[0] if payload else -1,
+        sum(payload) % CHECKSUM_MOD,
+        sum(v * (i + 1) for i, v in enumerate(payload)) % CHECKSUM_MOD,
+    )
 
 
 def media_features(media: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    ``mapInPandas``: each executor receives columnar pandas batches; the
-    decode runs batch-at-a-time (vectorizable once a real codec is in).
+    ``mapInPandas``: each executor receives columnar pandas batches.
+    Image payloads go through the REAL :func:`decode_ppm` parse —
+    parsed dimensions and per-channel pixel means are computed from the
+    decoded raster; non-image payloads report byte statistics only
+    (their codecs are stubbed).
 
     Python stages only parallelize across partitions. At 100 TB the
     scan is already wide (one partition per ~128 MB split) so no
@@ -127,23 +213,50 @@ def media_features(media: DataFrame, min_partitions: int | None = None) -> DataF
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "media_type": pdf["media_type"],
-                    "payload_md5": [
-                        hashlib.md5(p).hexdigest() for p in payloads
-                    ],
-                    "payload_bytes": [len(p) for p in payloads],
-                    "first_byte": [p[0] if len(p) else -1 for p in payloads],
-                    "byte_sum_mod": [sum(p) % 1_000_003 for p in payloads],
-                    "width": pdf["width"],
-                    "height": pdf["height"],
-                }
-            )
+            out = {
+                "media_id": [], "media_type": [], "payload_bytes": [],
+                "first_byte": [], "byte_sum_mod": [], "byte_weighted_mod": [],
+                "width": [], "height": [], "parsed_width": [],
+                "parsed_height": [], "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for mid, mtype, payload, w, h in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"],
+                pdf["width"], pdf["height"],
+            ):
+                n, first, s_mod, w_mod = _byte_stats(payload)
+                out["media_id"].append(mid)
+                out["media_type"].append(mtype)
+                out["payload_bytes"].append(n)
+                out["first_byte"].append(first)
+                out["byte_sum_mod"].append(s_mod)
+                out["byte_weighted_mod"].append(w_mod)
+                out["width"].append(w)
+                out["height"].append(h)
+                if mtype == "image":
+                    pw, ph, raster = decode_image(bytes(payload))
+                    npx = pw * ph
+                    out["parsed_width"].append(pw)
+                    out["parsed_height"].append(ph)
+                    # raw int-sum/npx doubles; rounding happens JVM-side
+                    # below (Python round() is banker's — wrong tie rule)
+                    out["mean_r"].append(sum(raster[0::3]) / npx)
+                    out["mean_g"].append(sum(raster[1::3]) / npx)
+                    out["mean_b"].append(sum(raster[2::3]) / npx)
+                else:
+                    out["parsed_width"].append(None)
+                    out["parsed_height"].append(None)
+                    out["mean_r"].append(None)
+                    out["mean_g"].append(None)
+                    out["mean_b"].append(None)
+            yield pd.DataFrame(out)
 
-    return media.mapInPandas(extract, schema=FEATURES_SCHEMA)
+    feats = media.mapInPandas(extract, schema=FEATURES_SCHEMA)
+    return feats.select(
+        *[c for c in feats.columns if c not in ("mean_r", "mean_g", "mean_b")],
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

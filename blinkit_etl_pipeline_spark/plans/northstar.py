@@ -655,21 +655,78 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
   ROUND(SUM(value), 2) AS sum_value,
   CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
 FROM sess GROUP BY user_id, session_seq""",
-    "ns_media_features": f"""SELECT doc_id AS media_id,
-  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
-  md5(text) AS payload_md5,
-  CAST(strlen(text) AS BIGINT) AS payload_bytes,
-  CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
-  CAST(list_aggregate(list_transform(range(1, strlen(text) + 1),
-    i -> ascii(substr(text, i, 1))), 'sum') % {1_000_003} AS BIGINT) AS byte_sum_mod,
-  CAST(doc_id % 64 * 16 + 256 AS INT) AS width,
-  CAST(doc_id % 32 * 16 + 256 AS INT) AS height
-FROM documents""",
+    # Images are real PPM payloads; the oracle derives every statistic
+    # from the generative formula (header ascii + pixel closed form)
+    # while Spark derives them by actually parsing the bytes — an
+    # independent cross-check of decode_ppm, not an echo of it.
+    "ns_media_features": f"""WITH mbase AS (
+  SELECT doc_id AS media_id,
+    (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+    text,
+    CAST(doc_id % 16 + 8 AS INT) AS iw,
+    CAST(doc_id % 12 + 8 AS INT) AS ih,
+    CAST(doc_id % 64 * 16 + 256 AS INT) AS lw,
+    CAST(doc_id % 32 * 16 + 256 AS INT) AS lh
+  FROM documents
+),
+img AS (
+  SELECT media_id, media_type, iw AS width, ih AS height,
+    'P6' || chr(10) || iw || ' ' || ih || chr(10) || '255' || chr(10) AS header,
+    iw * ih * 3 AS npb
+  FROM mbase WHERE media_type = 'image'
+),
+imgf AS (
+  SELECT media_id, media_type,
+    CAST(length(header) + npb AS BIGINT) AS payload_bytes,
+    CAST(ascii(substr(header, 1, 1)) AS INT) AS first_byte,
+    CAST((list_sum(list_transform(range(1, length(header) + 1),
+        i -> ascii(substr(header, i, 1))))
+      + list_sum(list_transform(range(0, npb),
+        i -> (media_id * {multimodal.PIX_A} + i * {multimodal.PIX_B}) % 256)))
+      % {multimodal.CHECKSUM_MOD} AS BIGINT) AS byte_sum_mod,
+    CAST((list_sum(list_transform(range(1, length(header) + 1),
+        i -> ascii(substr(header, i, 1)) * i))
+      + list_sum(list_transform(range(0, npb),
+        i -> ((media_id * {multimodal.PIX_A} + i * {multimodal.PIX_B}) % 256)
+             * (length(header) + i + 1))))
+      % {multimodal.CHECKSUM_MOD} AS BIGINT) AS byte_weighted_mod,
+    width, height,
+    width AS parsed_width, height AS parsed_height,
+    ROUND(list_sum(list_transform(range(0, width * height),
+      p -> (media_id * {multimodal.PIX_A} + (p * 3) * {multimodal.PIX_B}) % 256))
+      / CAST(width * height AS DOUBLE), 6) AS mean_r,
+    ROUND(list_sum(list_transform(range(0, width * height),
+      p -> (media_id * {multimodal.PIX_A} + (p * 3 + 1) * {multimodal.PIX_B}) % 256))
+      / CAST(width * height AS DOUBLE), 6) AS mean_g,
+    ROUND(list_sum(list_transform(range(0, width * height),
+      p -> (media_id * {multimodal.PIX_A} + (p * 3 + 2) * {multimodal.PIX_B}) % 256))
+      / CAST(width * height AS DOUBLE), 6) AS mean_b
+  FROM img
+),
+txtf AS (
+  SELECT media_id, media_type,
+    CAST(strlen(text) AS BIGINT) AS payload_bytes,
+    CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+    CAST(list_sum(list_transform(range(1, strlen(text) + 1),
+      i -> ascii(substr(text, i, 1)))) % {multimodal.CHECKSUM_MOD} AS BIGINT)
+      AS byte_sum_mod,
+    CAST(list_sum(list_transform(range(1, strlen(text) + 1),
+      i -> ascii(substr(text, i, 1)) * i)) % {multimodal.CHECKSUM_MOD} AS BIGINT)
+      AS byte_weighted_mod,
+    lw AS width, lh AS height,
+    CAST(NULL AS INT) AS parsed_width, CAST(NULL AS INT) AS parsed_height,
+    CAST(NULL AS DOUBLE) AS mean_r, CAST(NULL AS DOUBLE) AS mean_g,
+    CAST(NULL AS DOUBLE) AS mean_b
+  FROM mbase WHERE media_type != 'image'
+)
+SELECT * FROM imgf UNION ALL SELECT * FROM txtf""",
     "ns_media_resize": """WITH m AS (
   SELECT doc_id AS media_id,
     (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
-    CAST(doc_id % 64 * 16 + 256 AS INT) AS width,
-    CAST(doc_id % 32 * 16 + 256 AS INT) AS height
+    CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 16 + 8 AS INT)
+         ELSE CAST(doc_id % 64 * 16 + 256 AS INT) END AS width,
+    CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 12 + 8 AS INT)
+         ELSE CAST(doc_id % 32 * 16 + 256 AS INT) END AS height
   FROM documents
 ),
 s AS (
