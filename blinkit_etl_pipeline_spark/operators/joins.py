@@ -36,6 +36,7 @@ def salted_join(
     *,
     salt_buckets: int = 16,
     how: str = "inner",
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """Skew-mitigating equi-join: salt the skewed side, replicate the other.
 
@@ -44,21 +45,59 @@ def salted_join(
     nondeterministic across retries — instead we salt by ``spark_partition_id``
     folded into B buckets, which is stable within a run), and the other
     side is exploded ×B so every (key, salt) matches. Use when ONE hot
-    key floods a partition and AQE's skew split isn't available (e.g.
-    full-outer). For ordinary inner/left joins prefer AQE (on in
-    session.py) — this is the manual fallback.
+    key floods a partition and AQE's skew split isn't available. For
+    ordinary inner/left joins prefer AQE (on in session.py) — this is
+    the manual fallback.
 
-    Cost model: other side is replicated ``salt_buckets``× — only worth
-    it when the skewed side's hot keys dominate the join time.
+    ``hot_threshold`` enables the production two-phase spelling: only
+    keys whose skewed-side frequency exceeds the threshold are salted.
+    Cold keys take the plain join — zero replication — and hot keys
+    (collected to the driver as literals; bounded by definition, a key
+    is "hot" only if it repeats > threshold times, so there can be at
+    most rows/threshold of them) take the salted path; the two halves
+    union. ``isin`` literals let both scans push the hot/cold split
+    down to the source. With no hot keys the plan IS the plain join —
+    no explode node at all. Two-phase supports ``inner`` and ``left``
+    (the skewed side is the left); an outer other-side would see its
+    unmatched rows once per branch.
+
+    Cost model (unconditional mode): other side is replicated
+    ``salt_buckets``× — only worth it when hot keys dominate join time.
     """
-    salted = skewed.withColumn(
-        "__salt", (F.spark_partition_id() % salt_buckets).cast("int")
+
+    def _salt(sk: DataFrame, ot: DataFrame) -> DataFrame:
+        salted = sk.withColumn(
+            "__salt", (F.spark_partition_id() % salt_buckets).cast("int")
+        )
+        replicated = ot.withColumn(
+            "__salt",
+            F.explode(F.array(*[F.lit(i).cast("int") for i in range(salt_buckets)])),
+        )
+        return salted.join(replicated, [key, "__salt"], how).drop("__salt")
+
+    if hot_threshold is None:
+        return _salt(skewed, other)
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"two-phase salted join supports inner/left, got {how!r}")
+    hot_rows = (
+        skewed.groupBy(key)
+        .agg(F.count("*").alias("__freq"))
+        .filter(F.col("__freq") > hot_threshold)
+        .select(key)
+        .collect()
     )
-    replicated = other.withColumn(
-        "__salt",
-        F.explode(F.array(*[F.lit(i).cast("int") for i in range(salt_buckets)])),
+    hot_keys = [r[key] for r in hot_rows]
+    if not hot_keys:
+        return skewed.join(other, key, how)
+    cold = skewed.filter(~F.col(key).isin(hot_keys)).join(
+        other.filter(~F.col(key).isin(hot_keys)), key, how
     )
-    return salted.join(replicated, [key, "__salt"], how).drop("__salt")
+    hot = _salt(
+        skewed.filter(F.col(key).isin(hot_keys)),
+        other.filter(F.col(key).isin(hot_keys)),
+    )
+    return cold.unionByName(hot)
 
 
 def full_outer_coalesce_keys(
@@ -93,6 +132,63 @@ def full_outer_coalesce_keys(
             if c not in keys:
                 cols.append(F.col(f"{alias}.{c}").alias(f"{alias}_{c}"))
     return joined.select(*cols)
+
+
+def full_outer_via_union(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    *,
+    left_alias: str = "old",
+    right_alias: str = "new",
+) -> DataFrame:
+    """Skew-hardened spelling of :func:`full_outer_coalesce_keys`.
+
+    AQE's skew-join optimizer cannot split a FULL OUTER sort-merge join
+    (splitting either side would duplicate that side's unmatched-null
+    rows), so a hot key in the reconciliation join is stuck in one task.
+    Decompose instead::
+
+        full_outer(L, R) = (L LEFT OUTER R)  ∪  (R LEFT ANTI L + null L-cols)
+
+    Both branches ARE splittable (left-outer splits its left/stream
+    side, left-anti its left side), so AQE skew handling re-engages;
+    with equi-keys and no nulls in key columns the union is exactly the
+    full outer result, in the same output shape as
+    :func:`full_outer_coalesce_keys` (coalesced keys + ``{alias}_{col}``
+    columns). Cost: R is read twice (the probe and the anti pass) —
+    exchange reuse usually collapses the second scan's shuffle.
+    """
+    l = left.alias(left_alias)
+    r = right.alias(right_alias)
+    cond = None
+    for k in keys:
+        c = F.col(f"{left_alias}.{k}") == F.col(f"{right_alias}.{k}")
+        cond = c if cond is None else (cond & c)
+
+    matched_cols = [
+        F.coalesce(F.col(f"{left_alias}.{k}"), F.col(f"{right_alias}.{k}")).alias(k)
+        for k in keys
+    ]
+    for side, alias in ((left, left_alias), (right, right_alias)):
+        for c in side.columns:
+            if c not in keys:
+                matched_cols.append(F.col(f"{alias}.{c}").alias(f"{alias}_{c}"))
+    left_part = l.join(r, cond, "left_outer").select(*matched_cols)
+
+    anti_cols = [F.col(k) for k in keys]
+    for c in left.columns:
+        if c not in keys:
+            anti_cols.append(
+                F.lit(None).cast(left.schema[c].dataType).alias(f"{left_alias}_{c}")
+            )
+    for c in right.columns:
+        if c not in keys:
+            anti_cols.append(F.col(c).alias(f"{right_alias}_{c}"))
+    right_only = right.join(left.select(*keys), list(keys), "left_anti").select(
+        *anti_cols
+    )
+    return left_part.unionByName(right_only)
 
 
 def asof_join(

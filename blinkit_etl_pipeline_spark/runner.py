@@ -107,7 +107,13 @@ def run_sales_revenue(spark: SparkSession, conf: RunnerConfig) -> int | None:
     # dual sink: persist at the fan-out so processed+curated share one compute
     fact.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        sinks.write_partitioned(fact, f"{conf.out_dir}/processed/sales_transactions")
+        # sort by product_id: analytic reads filter/join on product &
+        # category, so clustered row groups prune on min/max stats
+        sinks.write_partitioned(
+            fact,
+            f"{conf.out_dir}/processed/sales_transactions",
+            sort_cols=("product_id",),
+        )
         curated = agg.revenue_by_category(fact)
         path = f"{conf.out_dir}/curated/revenue_by_category"
         sinks.write_curated(curated, path)
@@ -135,6 +141,7 @@ def run_customer_feedback(spark: SparkSession, conf: RunnerConfig) -> None:
         sinks.write_partitioned(
             enriched, f"{conf.out_dir}/processed/customer_feedback",
             partition_cols=("year", "month"),
+            sort_cols=("area",),
         )
         curated = agg.area_feedback_metrics(enriched)
         path = f"{conf.out_dir}/curated/area_feedback_metrics"
@@ -152,6 +159,7 @@ def run_marketing_roi(spark: SparkSession, conf: RunnerConfig) -> None:
         sinks.write_partitioned(
             kpis, f"{conf.out_dir}/processed/marketing_performance",
             partition_cols=("year", "month"),
+            sort_cols=("campaign_id",),
         )
         curated = agg.campaign_performance_summary(kpis)
         path = f"{conf.out_dir}/curated/campaign_performance_summary"
@@ -173,6 +181,7 @@ def run_inventory_recon(spark: SparkSession, conf: RunnerConfig) -> None:
             derive.with_date_parts(recon, "date", day=False),
             f"{conf.out_dir}/processed/inventory_reconciliation",
             partition_cols=("year", "month"),
+            sort_cols=("product_id",),
         )
         impact = agg.category_inventory_impact(recon)
         p1 = f"{conf.out_dir}/curated/category_inventory_impact"

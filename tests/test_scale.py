@@ -79,3 +79,105 @@ def test_observation_counts_without_extra_scan(spark):
     df, obs = metrics.with_row_count(t["b_order_items"], "items_rows")
     df.write.format("noop").mode("overwrite").save()  # the one action
     assert metrics.get_count(obs) == t["b_order_items"].count()
+
+
+def test_two_phase_salted_join_matches_and_skips_cold_replication(spark):
+    """Guarded salting: identical results to a plain join; with no hot
+    keys the plan IS the plain join (zero replication — no explode)."""
+    t = register_blinkit(spark, SF_SMOKE)
+    items = t["b_order_items"].select("order_id", "product_id", "quantity")
+    orders = t["b_orders"].select("order_id", "customer_id")
+    # plant a hot key: replicate one order's items 200x
+    one = items.limit(1)
+    hot_items = items.unionAll(
+        one.crossJoin(spark.range(200).select(F.lit(1).alias("__x"))).drop("__x")
+    )
+
+    plain = hot_items.join(orders, "order_id")
+    guarded = joins.salted_join(
+        hot_items, orders, "order_id", salt_buckets=4, hot_threshold=100
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, guarded.collect())
+    )
+    # the hot branch (and only it) replicates
+    assert "Generate explode" in _physical_plan(guarded)
+
+    # threshold nobody crosses -> plain join, no explode anywhere
+    cold_only = joins.salted_join(
+        items, orders, "order_id", salt_buckets=4, hot_threshold=10_000_000
+    )
+    plan = _physical_plan(cold_only)
+    assert "Generate explode" not in plan, plan
+    assert cold_only.count() == items.join(orders, "order_id").count()
+
+
+def _recon_frames(spark, hot_rows=0):
+    """Inventory-like frames keyed (product_id, date); optionally plant
+    a hot product_id on both sides (left side replicated hot_rows x)."""
+    # (product_id, date) unique by construction — no dropDuplicates, so
+    # the join plans its own exchanges (an aggregate's reused partitioning
+    # would put HashAggregate between shuffle and join, and AQE's skew
+    # matcher only fires on SMJ(Sort(Shuffle), Sort(Shuffle)) directly)
+    left = spark.range(5000).select(
+        F.concat(F.lit("p"), (F.col("id") % 900).cast("string")).alias("product_id"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") / 900).cast("int")).alias("date"),
+        (F.col("id") * 3 % 100).cast("int").alias("stock_received"),
+    )
+    right = spark.range(5000).select(
+        F.concat(F.lit("p"), ((F.col("id") + 300) % 1100).cast("string")).alias("product_id"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") / 1100).cast("int")).alias("date"),
+        (F.col("id") * 7 % 100).cast("int").alias("stock_remaining"),
+    )
+    if hot_rows:
+        hot = spark.range(hot_rows).select(
+            F.lit("hotkey").alias("product_id"),
+            F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 2).cast("int")).alias("date"),
+            (F.col("id") % 100).cast("int").alias("stock_received"),
+        )
+        left = left.unionByName(hot)
+    return left, right
+
+
+def test_full_outer_via_union_matches_full_outer(spark):
+    left, right = _recon_frames(spark)
+    a = joins.full_outer_coalesce_keys(left, right, ["product_id", "date"])
+    b = joins.full_outer_via_union(left, right, ["product_id", "date"])
+    assert sorted(a.columns) == sorted(b.columns)
+    cols = sorted(a.columns)
+    none_safe = lambda row: tuple((v is None, v) for v in row)
+    ra = sorted(map(tuple, a.select(*cols).collect()), key=none_safe)
+    rb = sorted(map(tuple, b.select(*cols).collect()), key=none_safe)
+    assert ra == rb
+
+
+def test_full_outer_via_union_reengages_aqe_skew_split(spark):
+    """A planted hot key in the reconciliation shape triggers AQE's
+    skew-split on the decomposed join (impossible for plain FULL OUTER,
+    which AQE cannot split)."""
+    left, right = _recon_frames(spark, hot_rows=300_000)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        out = joins.full_outer_via_union(left, right, ["product_id", "date"])
+        # collect() (not count()/noop-write — those build their OWN query
+        # execution) so AQE finalizes this DataFrame's plan
+        n = len(out.collect())
+        plan = _physical_plan(out)
+        assert "skew=true" in plan, plan[:4000]
+        # values still correct under the skew split
+        expect = joins.full_outer_coalesce_keys(left, right, ["product_id", "date"])
+        assert n == expect.count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

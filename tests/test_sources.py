@@ -1,11 +1,15 @@
 """Source surface: CSV explicit-schema reads (S1), provenance (S2),
-filename demux (S3), literal dim (S4)."""
+filename demux (S3), literal dim (S4); sink hygiene (S5)."""
 
 from __future__ import annotations
 
+import glob as _glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from blinkit_etl_pipeline_spark.sources import readers
+from blinkit_etl_pipeline_spark.sources import readers, sinks
 
 
 def _write_inventory_csvs(tmp_path):
@@ -52,3 +56,34 @@ def test_literal_dimension(spark):
     dim = readers.rating_icons(spark)
     rows = {r.rating: r.rating_icon for r in dim.collect()}
     assert rows[1] == "⭐" and rows[5] == "⭐" * 5 and len(rows) == 5
+
+
+def test_sink_bounds_file_size_and_sorts_row_groups(spark, tmp_path):
+    """maxRecordsPerFile caps every output file; sortWithinPartitions
+    clusters the sort key so parquet min/max stats become selective."""
+    n = 10_000
+    df = spark.range(n).select(
+        (F.col("id") % 2 + 2020).cast("int").alias("year"),
+        # pseudo-shuffled key: unsorted on input, sorted at the sink
+        ((F.col("id") * 2654435761) % 997).cast("int").alias("k"),
+        F.col("id").alias("payload"),
+    )
+    path = str(tmp_path / "sink")
+    sinks.write_partitioned(
+        df,
+        path,
+        partition_cols=("year",),
+        max_records_per_file=1000,
+        sort_cols=("k",),
+    )
+    files = _glob.glob(f"{path}/year=*/*.parquet")
+    # 5000 rows per partition / 1000-cap => >= 5 files each, none above cap
+    assert len(files) >= 10
+    total = 0
+    for f in files:
+        t = pq.read_table(f, columns=["k"])
+        assert t.num_rows <= 1000, f
+        total += t.num_rows
+        ks = t.column("k").to_pylist()
+        assert ks == sorted(ks), f"unsorted row group in {f}"
+    assert total == n
