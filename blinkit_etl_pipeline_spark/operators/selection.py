@@ -1,0 +1,98 @@
+"""Dataset selection for training-data pipelines: deterministic
+stratified sampling and train/val/test splitting (north-star surface).
+
+Both operators are **pure map-side filters/projections** — no shuffle,
+no sampling state, no driver round-trip — so they scale embarrassingly:
+each row's fate is a function of its own id. Determinism comes from the
+cross-engine ``h32`` hash (functions/text.py): the same row is kept and
+lands in the same split on every run, on every engine, regardless of
+partitioning — unlike ``DataFrame.sample`` (seed × partition-layout
+dependent) or ``rand()`` (nondeterministic under retries).
+
+Why hash-gating is the production spelling at 100 TB:
+- re-runs are idempotent (retried tasks select identical rows);
+- the sample composes with incremental data (new rows don't reshuffle
+  old rows' membership);
+- train/test splits stay leak-free across pipeline versions (a doc can
+  never migrate between splits unless the salt changes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import h32
+
+#: hash-gate resolution: rates are quantized to 1e-6.
+GATE_MOD = 1_000_000
+
+
+def _gate(id_col: Column, salt: str) -> Column:
+    """Uniform [0, GATE_MOD) bucket from a row id — h32 of the salted id."""
+    return h32(F.concat(id_col.cast("string"), F.lit(":" + salt))) % GATE_MOD
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Keep a per-stratum fraction of rows, deterministically.
+
+    ``rates`` maps stratum value → keep-fraction (e.g. downsample the
+    dominant language, keep all of a rare one — the standard move when
+    mixing a training corpus). Strata absent from ``rates`` use
+    ``default_rate``. A row survives iff
+    ``h32(id:salt) % 1e6 < rate(stratum) * 1e6``.
+    """
+    rate_col: Column = F.lit(int(default_rate * GATE_MOD))
+    for value, rate in sorted(rates.items()):
+        rate_col = (
+            F.when(F.col(strata_col) == value, F.lit(int(rate * GATE_MOD)))
+            .otherwise(rate_col)
+        )
+    return df.filter(_gate(F.col(id_col), salt) < rate_col)
+
+
+def hash_split(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    weights: Sequence[float] = (0.8, 0.1, 0.1),
+    labels: Sequence[str] = ("train", "val", "test"),
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one split by stable hash bucket.
+
+    Cumulative-weight thresholds over ``h32(id:salt) % 1e6`` — each row
+    gets exactly one label, fractions converge to ``weights`` in
+    expectation, and membership is a pure function of the id (leak-free
+    across runs and engines).
+    """
+    if len(weights) != len(labels):
+        raise ValueError("weights and labels must align")
+    total = sum(weights)
+    gate = _gate(F.col(id_col), salt)
+    expr: Column | None = None
+    acc = 0.0
+    # build thresholds low→high; the final label is the otherwise-branch
+    for w, label in zip(weights[:-1], labels[:-1]):
+        acc += w / total
+        cond = gate < int(acc * GATE_MOD)
+        expr = (
+            F.when(cond, F.lit(label))
+            if expr is None
+            else expr.when(cond, F.lit(label))
+        )
+    expr = (
+        F.lit(labels[-1]) if expr is None else expr.otherwise(F.lit(labels[-1]))
+    )
+    return df.withColumn(split_col, expr)

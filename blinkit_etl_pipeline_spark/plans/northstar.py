@@ -21,7 +21,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..operators import dedup, events, multimodal, quality, sketch, vector
+from ..operators import (
+    dedup,
+    events,
+    multimodal,
+    quality,
+    selection,
+    sketch,
+    vector,
+)
 from ..sources.testdata import register_base
 
 # Tuned at sf0.01/sf0.1: the planted near-dup pairs (Jaccard ≥ 0.35,
@@ -200,6 +208,66 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).cast("bigint").alias("n_tokens"),
         T.fingerprint(toks).alias("fingerprint"),
+    )
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: top-word share + duplicate
+    n-gram fractions, all array-HOF map-side (zero shuffle)."""
+    docs = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    cols = T.repetition_columns(toks)
+    return docs.select("doc_id", "lang", *[c.alias(n) for n, c in cols.items()])
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking over a deterministically PII-laced text (the synthetic
+    corpus has no PII, so each doc is suffixed with a derived email /
+    E.164 phone / IPv4 before scrubbing — the scrub itself is the op
+    under test, a pure regexp_replace chain)."""
+    docs = _docs(spark, sf_dir)
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1555"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        T.pii_redaction_count(pii_text).alias("n_redactions"),
+        T.scrub_pii(pii_text).alias("scrubbed_text"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Dataset selection: stratified sampling, train/val/test split
+# ----------------------------------------------------------------------
+
+#: Per-language keep-rates: downsample the dominant en, keep the rare
+#: langs whole — the standard corpus-mixing move. es exercises the
+#: default-rate path.
+STRATA_RATES = {"en": 0.3, "zh": 0.5, "de": 1.0, "fr": 1.0}
+STRATA_DEFAULT_RATE = 0.2
+SPLIT_WEIGHTS = (0.8, 0.1, 0.1)
+SPLIT_LABELS = ("train", "val", "test")
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return selection.stratified_sample(
+        docs, "lang", STRATA_RATES, default_rate=STRATA_DEFAULT_RATE
+    )
+
+
+def q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return selection.hash_split(
+        docs, weights=SPLIT_WEIGHTS, labels=SPLIT_LABELS
     )
 
 
@@ -922,6 +990,10 @@ QUERIES = {
     "ns_text_stats": q_text_stats,
     "ns_text_langid": q_text_langid,
     "ns_text_fingerprint": q_text_fingerprint,
+    "ns_text_repetition": q_text_repetition,
+    "ns_pii_scrub": q_pii_scrub,
+    "ns_sample_stratified": q_sample_stratified,
+    "ns_split_hash": q_split_hash,
     "ns_events_json_kv": q_events_json_kv,
     "ns_events_hourly": q_events_hourly,
     "ns_events_sliding": q_events_sliding,
@@ -985,3 +1057,92 @@ ORACLES["ns_sketch_hll_users"] = sketch.hll_distinct_sql(
 ORACLES["ns_sketch_value_quantiles"] = sketch.histogram_quantiles_sql(
     "events", ["event_type"], "value"
 )
+
+# --- repetition / PII / selection oracles -----------------------------
+
+ORACLES["ns_text_repetition"] = f"""WITH {_TOKS},
+bg AS (SELECT doc_id, list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+  i -> array_to_string(tk[i:i+1], ' ')) AS g FROM toks),
+tg AS (SELECT doc_id, list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+  i -> array_to_string(tk[i:i+2], ' ')) AS g FROM toks),
+tw AS (
+  SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_count FROM (
+    SELECT doc_id, w, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(tk) AS w FROM toks)
+    GROUP BY doc_id, w
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id, t.lang,
+  CAST(len(t.tk) AS BIGINT) AS n_tokens,
+  CASE WHEN len(t.tk) > 0
+    THEN ROUND(tw.top_count / CAST(greatest(len(t.tk), 1) AS DOUBLE), 6)
+    ELSE 0.0 END AS top_word_frac,
+  CASE WHEN len(bg.g) > 0
+    THEN ROUND((len(bg.g) - len(list_distinct(bg.g))) / CAST(len(bg.g) AS DOUBLE), 6)
+    ELSE 0.0 END AS dup_bigram_frac,
+  CASE WHEN len(tg.g) > 0
+    THEN ROUND((len(tg.g) - len(list_distinct(tg.g))) / CAST(len(tg.g) AS DOUBLE), 6)
+    ELSE 0.0 END AS dup_trigram_frac
+FROM toks t
+JOIN bg ON bg.doc_id = t.doc_id
+JOIN tg ON tg.doc_id = t.doc_id
+LEFT JOIN tw ON tw.doc_id = t.doc_id"""
+
+_PII_EMAIL, _PII_PHONE, _PII_IP = (p for p, _ in T.PII_PATTERNS)
+_PII_BASE = """base AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+      || '@mail.example.com or +1555'
+      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+  FROM documents
+)"""
+
+ORACLES["ns_pii_scrub"] = f"""WITH {_PII_BASE},
+c1 AS (SELECT doc_id, len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n1,
+  regexp_replace(t, '{_PII_EMAIL}', '<X>', 'g') AS t FROM base),
+c2 AS (SELECT doc_id, n1, len(regexp_extract_all(t, '{_PII_PHONE}')) AS n2,
+  regexp_replace(t, '{_PII_PHONE}', '<X>', 'g') AS t FROM c1),
+c3 AS (SELECT doc_id, n1, n2,
+  len(regexp_extract_all(t, '{_PII_IP}')) AS n3 FROM c2),
+scr AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+  t, '{_PII_EMAIL}', '<EMAIL>', 'g'), '{_PII_PHONE}', '<PHONE>', 'g'),
+  '{_PII_IP}', '<IP>', 'g') AS scrubbed_text FROM base)
+SELECT c3.doc_id, CAST(n1 + n2 + n3 AS BIGINT) AS n_redactions, s.scrubbed_text
+FROM c3 JOIN scr s ON s.doc_id = c3.doc_id"""
+
+
+def _strata_case_sql() -> str:
+    from ..operators.selection import GATE_MOD
+
+    arms = " ".join(
+        f"WHEN '{v}' THEN {int(r * GATE_MOD)}"
+        for v, r in sorted(STRATA_RATES.items())
+    )
+    return f"CASE lang {arms} ELSE {int(STRATA_DEFAULT_RATE * GATE_MOD)} END"
+
+
+def _split_case_sql() -> str:
+    # thresholds computed with the SAME float arithmetic as hash_split
+    from ..operators.selection import GATE_MOD
+
+    total = sum(SPLIT_WEIGHTS)
+    acc, arms = 0.0, []
+    for w, label in zip(SPLIT_WEIGHTS[:-1], SPLIT_LABELS[:-1]):
+        acc += w / total
+        arms.append(f"WHEN g < {int(acc * GATE_MOD)} THEN '{label}'")
+    return f"CASE {' '.join(arms)} ELSE '{SPLIT_LABELS[-1]}' END"
+
+
+ORACLES["ns_sample_stratified"] = f"""SELECT doc_id, lang, source
+FROM documents
+WHERE {_H.format(x="CAST(doc_id AS VARCHAR) || ':strat'")} % 1000000
+  < {_strata_case_sql()}"""
+
+ORACLES["ns_split_hash"] = f"""SELECT doc_id, lang, {_split_case_sql()} AS split
+FROM (
+  SELECT doc_id, lang,
+    {_H.format(x="CAST(doc_id AS VARCHAR) || ':split'")} % 1000000 AS g
+  FROM documents
+)"""

@@ -40,6 +40,13 @@ def get_session(app_name: str = "blinkit_etl_pipeline_spark") -> SparkSession:
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local[N] runs everything in the driver JVM, whose default 1g
+        # heap OOMs under 32 concurrent tasks + broadcast builds well
+        # before the box's RAM is used; on a real cluster the
+        # submitter's --driver-memory/--executor-memory win instead
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
         # catalog state (bucketed tables, derby metastore) out of the repo
         .config("spark.sql.warehouse.dir", "/tmp/blinkit-spark-warehouse")
         .config(

@@ -1,0 +1,85 @@
+"""Dataset selection (stratified sample, hash split) and the text
+repetition/PII functions behind the ns_text_repetition / ns_pii_scrub /
+ns_sample_stratified / ns_split_hash queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from blinkit_etl_pipeline_spark.functions import text as T
+from blinkit_etl_pipeline_spark.operators import selection
+
+
+def _docs(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("fr"), F.lit("zh")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    docs = _docs(spark)
+    rates = {"en": 0.5, "fr": 1.0}  # zh falls to default 0.0
+    out = selection.stratified_sample(docs, "lang", rates, default_rate=0.0)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    per = {r["lang"]: r["n"] for r in
+           docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert "zh" not in counts  # default rate 0 drops the stratum
+    assert counts["fr"] == per["fr"]  # rate 1.0 keeps everything
+    frac_en = counts["en"] / per["en"]
+    assert 0.4 < frac_en < 0.6  # hash-gate approximates the rate
+    # determinism: same rows on re-run
+    again = selection.stratified_sample(docs, "lang", rates, default_rate=0.0)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_hash_split_partitions_every_row_once(spark):
+    docs = _docs(spark)
+    out = selection.hash_split(docs)
+    assert out.count() == docs.count()  # no row lost or duplicated
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] / 2000 > 0.7  # ~0.8
+    # membership is a pure function of the id: stable across runs
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {r.doc_id: r.split for r in selection.hash_split(docs).collect()}
+    assert a == b
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            Row(s="mail me at jo.doe+x@example.co.uk today"),
+            Row(s="call +4915712345678 or visit 192.168.1.254 now"),
+            Row(s="no pii here at all"),
+        ]
+    )
+    out = df.select(
+        T.scrub_pii(F.col("s")).alias("t"),
+        T.pii_redaction_count(F.col("s")).alias("n"),
+    ).collect()
+    assert out[0].t == "mail me at <EMAIL> today" and out[0].n == 1
+    assert out[1].t == "call <PHONE> or visit <IP> now" and out[1].n == 2
+    assert out[2].t == "no pii here at all" and out[2].n == 0
+
+
+def test_repetition_columns_hand_computed(spark):
+    df = spark.createDataFrame([Row(s="a a a b"), Row(s="x y")])
+    cols = T.repetition_columns(T.tokens(F.col("s")))
+    out = df.select(*[c.alias(n) for n, c in cols.items()]).collect()
+    r = out[0]
+    # tokens [a a a b]: top word a = 3/4; bigrams [a a, a a, a b] -> 1 dup of 3
+    assert r.n_tokens == 4 and r.top_word_frac == 0.75
+    assert r.dup_bigram_frac == round(1 / 3, 6)
+    # trigrams [a a a, a a b] -> no dups
+    assert r.dup_trigram_frac == 0.0
+    r = out[1]  # too short for trigrams: defined 0, not null
+    assert r.n_tokens == 2 and r.dup_bigram_frac == 0.0 and r.dup_trigram_frac == 0.0

@@ -1,0 +1,124 @@
+"""Scale-up replicator for the driver testdata (scaling-curve evidence).
+
+Reads ``$SRC`` (default /root/testdata/sf0.1) and writes an ``×N``
+replicated copy to ``$DST`` preserving referential integrity: every
+replica ``r`` shifts each surrogate key family by ``r × (max_key + 1)``
+consistently across all tables that share it (orderkey in orders ∧
+lineitem, custkey in customer ∧ orders, partkey in part ∧ lineitem,
+suppkey in supplier ∧ lineitem). Dims (region, nation) are copied
+verbatim.
+
+Content columns that feed *similarity* operators are perturbed per
+replica so the scaled corpus behaves like genuinely larger data rather
+than 10 exact copies (10 identical corpora would inflate near-dup
+candidate PAIRS quadratically — an artifact of the replication, not of
+scale):
+
+- ``documents.text``: replica-dependent character substitution
+  (``e`` → ``e<r>``) rewrites nearly every shingle, so each replica is
+  a distinct corpus with the SAME internal near-dup structure → pair
+  counts scale linearly, as they would at true sf1.0.
+- ``embeddings.embedding``: dim-0 shifted by ``3·r`` — far past the
+  near-dup cosine threshold across replicas, preserving it within.
+
+Usage::
+
+    SRC=/root/testdata/sf0.1 DST=/tmp/sfscale/sf1.0 FACTOR=10 \
+        python tools/scale_testdata.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blinkit_etl_pipeline_spark.session import get_session
+
+#: key families → (table, column) members that must shift together.
+KEY_FAMILIES: dict[str, list[tuple[str, str]]] = {
+    "orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    "custkey": [("customer", "c_custkey"), ("orders", "o_custkey")],
+    "partkey": [("part", "p_partkey"), ("lineitem", "l_partkey")],
+    "suppkey": [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")],
+    "eventid": [("events", "event_id")],
+    "userid": [("events", "user_id")],
+    "docid": [("documents", "doc_id")],
+    "vecid": [("embeddings", "vec_id")],
+}
+
+COPY_TABLES = ("region", "nation")
+SCALE_TABLES = (
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _strides(spark: SparkSession, src: str) -> dict[tuple[str, str], int]:
+    """max_key + 1 per (table, column), computed once from the source."""
+    strides: dict[tuple[str, str], int] = {}
+    for fam, members in KEY_FAMILIES.items():
+        # one stride per family: the max over every member column, so a
+        # shifted fk can never collide with an unshifted pk
+        fam_max = 0
+        for table, col in members:
+            df = spark.read.parquet(f"{src}/{table}.parquet")
+            fam_max = max(fam_max, df.agg(F.max(col)).first()[0])
+        for table, col in members:
+            strides[(table, col)] = int(fam_max) + 1
+    return strides
+
+
+def _replica(df: DataFrame, table: str, r: int,
+             strides: dict[tuple[str, str], int]) -> DataFrame:
+    for (t, col), stride in strides.items():
+        if t == table:
+            df = df.withColumn(col, F.col(col) + F.lit(r * stride))
+    if table == "documents" and r > 0:
+        df = df.withColumn(
+            "text", F.regexp_replace("text", "e", f"e{r}")
+        ).withColumn("n_chars", F.length("text"))
+    if table == "embeddings" and r > 0:
+        df = df.withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == 0, x + F.lit(float(3 * r))).otherwise(x),
+            ),
+        )
+    return df
+
+
+def main() -> None:
+    src = os.environ.get("SRC", "/root/testdata/sf0.1")
+    dst = os.environ.get("DST", "/tmp/sfscale/sf1.0")
+    factor = int(os.environ.get("FACTOR", "10"))
+    spark = get_session(app_name="scale-testdata")
+    strides = _strides(spark, src)
+    for table in COPY_TABLES:
+        spark.read.parquet(f"{src}/{table}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{dst}/{table}.parquet")
+    for table in SCALE_TABLES:
+        base = spark.read.parquet(f"{src}/{table}.parquet")
+        out = None
+        for r in range(factor):
+            rep = _replica(base, table, r, strides)
+            out = rep if out is None else out.unionByName(rep)
+        out.write.mode("overwrite").parquet(f"{dst}/{table}.parquet")
+        print(f"{table}: x{factor} -> {dst}/{table}.parquet", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
