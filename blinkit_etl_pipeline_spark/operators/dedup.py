@@ -260,16 +260,35 @@ def connected_components(
     Returns (node, label) where label = min node id of the component.
     Only nodes that appear in some edge are returned (singletons are
     trivially their own survivors).
+
+    Iteration hygiene (this loop runs inside one driver process):
+
+    - Every per-round frame is cut with ``localCheckpoint`` — without it
+      the logical plan grows by four joins per round and Catalyst
+      re-analyzes the whole history each iteration (O(rounds²) planning),
+      and the returned frame would silently depend on caches the loop
+      has already released. The result is a plan-free leaf the caller
+      can use (and the engine can GC) like any other DataFrame.
+    - Labels are monotonically non-increasing, so the convergence test
+      is exact; the old label rides along in the round's frame, making
+      the changed-count a filter on already-materialized data instead
+      of an extra self-join.
+    - Exhausting ``max_iters`` without a fixpoint raises — returning
+      half-propagated labels would silently split components downstream.
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     labels = (
-        sym.select(F.col("u").alias("node")).distinct().withColumn("label", F.col("node"))
-    ).persist()
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    converged = False
     for _ in range(max_iters):
         nbr = (
             sym.join(labels.withColumnRenamed("node", "v"), "v")
@@ -277,11 +296,16 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("u", "node")
         )
-        relabeled = labels.join(nbr, "node", "left").select(
-            "node",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-            ).alias("label"),
+        relabeled = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.col("label").alias("old_label"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
         )
         ptr = relabeled.select(
             F.col("node").alias("pnode"), F.col("label").alias("plabel")
@@ -289,21 +313,23 @@ def connected_components(
         halved = (
             relabeled.join(ptr, relabeled["label"] == ptr["pnode"], "left")
             .select(
-                "node", F.coalesce(F.col("plabel"), F.col("label")).alias("label")
+                "node",
+                "old_label",
+                F.coalesce(F.col("plabel"), F.col("label")).alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
-        changed = (
-            halved.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = halved
+        changed = halved.filter(F.col("label") != F.col("old_label")).count()
+        labels = halved.select("node", "label")
         if changed == 0:
+            converged = True
             break
-    sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} "
+            "iterations — raise max_iters (labels would be wrong: one "
+            "component could surface as several survivor groups)"
+        )
     return labels
 
 

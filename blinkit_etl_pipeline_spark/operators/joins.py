@@ -87,12 +87,15 @@ def salted_join(
         .select(key)
         .collect()
     )
-    hot_keys = [r[key] for r in hot_rows]
+    # NULL keys never match an equi-join, so salting them is pointless —
+    # and ``~isin`` evaluates to NULL (dropped) for NULL-key rows, which
+    # would silently lose them from a left join. Route NULLs to the cold
+    # branch explicitly and keep None out of the isin literal list.
+    hot_keys = [r[key] for r in hot_rows if r[key] is not None]
     if not hot_keys:
         return skewed.join(other, key, how)
-    cold = skewed.filter(~F.col(key).isin(hot_keys)).join(
-        other.filter(~F.col(key).isin(hot_keys)), key, how
-    )
+    not_hot = F.col(key).isNull() | ~F.col(key).isin(hot_keys)
+    cold = skewed.filter(not_hot).join(other.filter(not_hot), key, how)
     hot = _salt(
         skewed.filter(F.col(key).isin(hot_keys)),
         other.filter(F.col(key).isin(hot_keys)),

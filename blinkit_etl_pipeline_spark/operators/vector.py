@@ -1,33 +1,48 @@
 """Similarity search over embedding columns (north-star surface).
 
-Two tiers, mirroring how ANN is deployed at scale:
+Three tiers, mirroring how ANN is deployed at scale:
 
-- **Brute-force cosine top-k** — the exact baseline. The (small) query
-  set is broadcast; the corpus side streams through one scan with the
-  dot product evaluated as a Catalyst higher-order function
-  (``aggregate(zip_with(...))``) — JVM-side, no Python, no UDF. Top-k
-  per query via window ``row_number`` (AQE handles the skewless, tiny
-  post-filter shuffle).
-- **LSH-bucketed variant** — the scale path: sign-bit buckets over the
-  first ``nbits`` dimensions partition the corpus; each query only
-  compares within its bucket, turning the cross join into an equi-join
-  whose shuffle is O(corpus), not O(corpus × queries). Recall is
-  approximate by construction (documented), determinism is exact, so it
-  still has a value-exact DuckDB oracle.
+- **Brute-force cosine top-k** — the exact baseline for a small query
+  set. Queries are broadcast; the corpus streams through one scan with
+  a JVM-side integer dot product. No Python in the plan.
+- **Exact all-pairs** (`cosine_neardup_pairs(nbits=0)`) — the O(n²)
+  correctness baseline, executed as *blocked* matrix products: the
+  corpus is packed into chunks, chunk pairs cross-join (B² tiny rows),
+  and an Arrow-batched ``mapInPandas`` computes each block with one
+  BLAS matmul. Fully distributed — no driver collect — and ~100×
+  faster than an interpreted per-pair fold.
+- **LSH / IVF** — the scale paths: sign-bucket (multi-table
+  OR-amplified) and inverted-file probing restrict comparisons to
+  bucket/list-mates, turning the cross product into equi-joins and
+  ``applyInPandas`` per-bucket blocks.
 
-Precision discipline: elements are cast to DOUBLE before multiplying,
-accumulation is the left-fold both engines use, and the similarity is
-ROUNDed to 6 before any threshold/rank decision so boundary behavior is
-engine-identical.
+Exactness model (the reason this is fast AND oracle-checkable):
+embedding elements are quantized once to integers
+(``q = round(x · 2^20)``, away-from-zero ties — Spark ``round``,
+DuckDB ``round`` and the Python helper all agree). Every dot product
+is then a sum of integer terms bounded by ``dim · 2^46 < 2^53``, so it
+is **exactly representable in float64 no matter the summation order**
+— a JVM ``aggregate`` fold, a numpy/BLAS matmul, and DuckDB's
+``list_dot_product`` all produce the *same* number. Cosine is the
+deterministic IEEE expression ``dot / (sqrt(qq_a) · sqrt(qq_b))``;
+thresholds and ranks compare the UNROUNDED value (identical across
+engines), and ``round(…, 6)`` is applied only to the displayed column.
+Quantization error is ≤ 2^-20 per element (≈1e-5 on the cosine of
+unit-ish vectors) — documented, deterministic, and symmetric across
+all code paths, so recall measurements stay apples-to-apples.
 """
 
 from __future__ import annotations
 
+import math
 import random
-from collections.abc import Sequence
+from collections.abc import Iterable, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: Quantization scale (power of two: ``x * QSCALE`` never rounds).
+QSCALE = 1 << 20
 
 #: Seed for the random-projection LSH hyperplane matrix. A literal so
 #: Spark and the DuckDB oracle generate the *same* matrix — determinism
@@ -35,22 +50,56 @@ from pyspark.sql import functions as F
 RP_SEED = 20260813
 
 
-def rp_hyperplanes(dim: int, nbits: int, seed: int = RP_SEED) -> list[list[float]]:
-    """Seeded Rademacher (±1) random-projection hyperplanes.
+# ----------------------------------------------------------------------
+# Quantization + dot-product primitives
+# ----------------------------------------------------------------------
 
-    ``nbits`` hyperplanes of ``dim`` coefficients each. Rademacher signs
-    make the projection a chain of exact float add/subtract (no rounding
-    from coefficient multiply), so Spark and DuckDB agree bit-for-bit
-    when both evaluate the sum left-to-right over double-cast elements.
+
+def quantize(vec: Column) -> Column:
+    """``array<long>`` of ``round(x · 2^20)`` (ties away from zero)."""
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * QSCALE, 0).cast("long")
+    )
+
+
+def pyquantize(x: float) -> int:
+    """Driver-side quantizer — same ties-away-from-zero as Spark/DuckDB
+    ``round`` (Python's built-in rounds half-even, which would disagree)."""
+    scaled = float(x) * QSCALE  # exact: power-of-two scale
+    return int(math.floor(abs(scaled) + 0.5)) * (1 if scaled >= 0 else -1)
+
+
+def qdot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ over quantized arrays — exact integer arithmetic."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def qcos(dot: Column, qq_a: Column, qq_b: Column) -> Column:
+    """Deterministic IEEE cosine from exact integer dots (UNROUNDED)."""
+    return dot.cast("double") / (
+        F.sqrt(qq_a.cast("double")) * F.sqrt(qq_b.cast("double"))
+    )
+
+
+def with_q(emb: DataFrame, vec: str = "embedding") -> DataFrame:
+    """(vec_id, qvec, qq): quantized vector + its exact self-dot.
+
+    One map-side pass; every downstream dot product reuses ``qq`` so a
+    pair costs ONE fold/matmul cell instead of three.
     """
-    rng = random.Random(seed)
-    return [
-        [rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(nbits)
-    ]
+    q = emb.withColumn("qvec", quantize(F.col(vec)))
+    return q.select("vec_id", "qvec", qdot(F.col("qvec"), F.col("qvec")).alias("qq"))
+
+
+# Legacy float helpers (tests / diagnostics; not on the query path).
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ as a Catalyst fold (double)."""
+    """Σ aᵢ·bᵢ as a Catalyst fold (double) — float-space legacy helper."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -64,6 +113,37 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+# ----------------------------------------------------------------------
+# Hyperplanes / buckets
+# ----------------------------------------------------------------------
+
+
+def rp_hyperplanes(dim: int, nbits: int, seed: int = RP_SEED) -> list[list[float]]:
+    """Seeded Rademacher (±1) random-projection hyperplanes.
+
+    ``nbits`` hyperplanes of ``dim`` coefficients each. With quantized
+    vectors the projection ``Σ ±qᵢ`` is an exact integer, so the sign
+    decision is engine-independent by construction.
+    """
+    rng = random.Random(seed)
+    return [
+        [rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(nbits)
+    ]
+
+
+def _guard_dim(vec: Column, dim: int, bucket: Column) -> Column:
+    """Fail loudly on a dim mismatch instead of silently mis-bucketing
+    (``zip_with`` would pad with NULLs and send every row to bucket 0)."""
+    return F.when(F.size(vec) == dim, bucket).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"sign_bucket: expected dim={dim}, got "),
+                F.size(vec).cast("string"),
+            )
+        )
+    )
 
 
 def axis_sign_bucket(vec: Column, nbits: int) -> Column:
@@ -90,27 +170,17 @@ def sign_bucket(
     seed: int = RP_SEED,
     planes: Sequence[Sequence[float]] | None = None,
 ) -> Column:
-    """Sign-LSH bucket id (0..2^nbits-1) from seeded random projections.
+    """Sign-LSH bucket id (0..2^nbits-1) from seeded random projections
+    (JVM Column form; the production multi-table path computes the same
+    buckets from quantized vectors in one BLAS pass — see
+    :func:`bucket_frame`).
 
     Bit *j* is the sign of ``⟨vec, H_j⟩`` where ``H_j`` is a Rademacher
     hyperplane from :func:`rp_hyperplanes` — every dimension contributes,
     so bucket balance survives embeddings whose leading coordinates are
-    correlated or near-constant. The projection is a strict
-    left-to-right add/subtract chain over double-cast elements, which
-    the DuckDB oracle replays with identical float semantics.
-
-    ``planes`` overrides the hyperplanes (multi-table callers slice one
-    shared :func:`rp_hyperplanes` matrix so table *t* gets its own
-    planes from the same seed).
-
-    Each projection is ``aggregate(zip_with(vec, plane, *), 0.0, +)``
-    against a *literal* coefficient array — the array constant-folds to
-    one Literal, keeping the expression tree ~15 nodes per bit (an
-    unrolled 64-term add chain per bit makes Catalyst analysis and
-    codegen blow up at ntables×nbits scale). The fold is still a strict
-    left-to-right double sum, and ±1 coefficients multiply exactly, so
-    the result is bit-identical to the oracle's explicit ``+v[i]/-v[i]``
-    chain.
+    correlated or near-constant. Raises at runtime if the array length
+    does not match ``dim`` (ADVICE r2: silent NULL-padding sent every
+    vector to bucket 0).
     """
     if planes is None:
         planes = rp_hyperplanes(dim, nbits, seed)
@@ -119,7 +189,78 @@ def sign_bucket(
         lit_plane = F.array(*[F.lit(float(c)) for c in plane])
         proj = dot(vec, lit_plane)
         bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket.cast("int")
+    return _guard_dim(vec, dim, bucket.cast("int"))
+
+
+def _np_stack(series, dim: int | None = None):
+    """(n, dim) float64 matrix from an Arrow list column; loud on ragged
+    or mis-sized rows (ADVICE r2 dim-guard, Python side). ``dim=None``
+    only checks rectangularity (kernels that don't consume a planes
+    matrix infer the width from the data)."""
+    import numpy as np
+
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in series])
+    if mat.ndim != 2 or (dim is not None and mat.shape[1] != dim):
+        raise ValueError(
+            f"embedding dim mismatch: expected {dim}, got shape {mat.shape}"
+        )
+    return mat
+
+
+def _planes_matrix(nbits: int, ntables: int, dim: int, seed: int = RP_SEED):
+    import numpy as np
+
+    planes = rp_hyperplanes(dim, nbits * ntables, seed)
+    return np.array(planes, dtype=np.float64).T  # dim × (nbits·ntables)
+
+
+def bucket_frame(
+    q: DataFrame, nbits: int, ntables: int, dim: int, seed: int = RP_SEED
+) -> DataFrame:
+    """(vec_id, qvec, qq, t, bucket) — one row per vector per hash table.
+
+    All ``ntables × nbits`` sign projections for a batch are ONE BLAS
+    matmul (``M @ P`` with ±1 planes: exact integers ≤ 2^27), done in an
+    Arrow-batched ``mapInPandas``. All tables slice one shared seeded
+    matrix: table *t* uses planes ``[t·nbits, (t+1)·nbits)``.
+    """
+    import pandas as pd
+
+    def gen(batches):
+        import numpy as np
+
+        P = _planes_matrix(nbits, ntables, dim, seed)
+        weights = np.array([1 << j for j in range(nbits)], dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = _np_stack(pdf["qvec"], dim)
+            S = M @ P  # exact integer projections
+            bits = S > 0
+            out = []
+            for t in range(ntables):
+                buckets = bits[:, t * nbits : (t + 1) * nbits] @ weights
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "qvec": pdf["qvec"],
+                            "qq": pdf["qq"].to_numpy(),
+                            "t": t,
+                            "bucket": buckets.astype("int32"),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return q.mapInPandas(
+        gen, schema="vec_id long, qvec array<long>, qq long, t int, bucket int"
+    )
+
+
+# ----------------------------------------------------------------------
+# Brute-force / exact baselines
+# ----------------------------------------------------------------------
 
 
 def brute_force_topk(
@@ -128,51 +269,184 @@ def brute_force_topk(
     """Exact cosine top-k neighbors for each query vector.
 
     Returns (query_id, neighbor_id, cosine_sim, rank). Self-matches are
-    excluded; ties broken by neighbor_id so ranks are deterministic.
+    excluded; rank orders by the UNROUNDED cosine (engine-exact), ties
+    broken by neighbor_id. The (small) query side is broadcast; the
+    corpus streams through one scan with one integer fold per pair —
+    JVM-only plan.
     """
-    queries = (
-        emb.filter(F.col("vec_id").isin(*[int(q) for q in query_ids]))
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    q = with_q(emb)
+    queries = q.filter(F.col("vec_id").isin(*[int(i) for i in query_ids])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qq").alias("q_qq"),
     )
     sims = (
         F.broadcast(queries)
-        .crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"))
+        .crossJoin(
+            q.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("qvec").alias("n_qvec"),
+                F.col("qq").alias("n_qq"),
+            )
+        )
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cosine_sim"),
+            qcos(
+                qdot(F.col("q_qvec"), F.col("n_qvec")), F.col("q_qq"), F.col("n_qq")
+            ).alias("cos_raw"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
     )
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine_sim"),
+            "rank",
+        )
     )
 
 
-def multi_table_buckets(
-    vec: Column, nbits: int, ntables: int, dim: int, seed: int = RP_SEED
-) -> Column:
-    """Array of (t, bucket) structs — one sign bucket per hash table.
+def exact_cosine_pairs(
+    emb: DataFrame,
+    threshold: float,
+    dim: int = 64,
+    num_chunks: int | None = None,
+    chunk_rows: int = 512,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold — blocked-BLAS all-pairs.
 
-    All tables slice one shared seeded matrix: table *t* uses planes
-    ``[t·nbits, (t+1)·nbits)``, so ``ntables=1`` reproduces the
-    single-table :func:`sign_bucket` exactly.
+    The corpus is hashed into chunks; ``collect_list``-packed chunk rows
+    cross-join on ``chunk_a ≤ chunk_b`` (B² tiny rows — each task gets a
+    block, no driver collect), and one ``mapInPandas`` matmul scores
+    each block. O(n²) work is inherent to the *operator* (it is the
+    exact baseline the LSH path is measured against); this spelling
+    makes each unit of that work a BLAS cell instead of an interpreted
+    fold. Returns (vec_a, vec_b, cosine_sim) with vec_a < vec_b.
     """
-    all_planes = rp_hyperplanes(dim, nbits * ntables, seed)
-    return F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                sign_bucket(
-                    vec, nbits, dim, planes=all_planes[t * nbits : (t + 1) * nbits]
-                ).alias("bucket"),
+    import pandas as pd
+
+    q = with_q(emb)
+    if num_chunks is None:
+        n = q.count()
+        num_chunks = max(4, -(-n // chunk_rows))
+    packs = (
+        q.withColumn(
+            "ck", F.pmod(F.xxhash64("vec_id"), F.lit(num_chunks)).cast("int")
+        )
+        .groupBy("ck")
+        .agg(F.collect_list(F.struct("vec_id", "qq", "qvec")).alias("pack"))
+    )
+    blocks = (
+        packs.alias("a")
+        .join(packs.alias("b"), F.col("a.ck") <= F.col("b.ck"))
+        .select(
+            F.col("a.ck").alias("ck_a"),
+            F.col("b.ck").alias("ck_b"),
+            F.col("a.pack").alias("pack_a"),
+            F.col("b.pack").alias("pack_b"),
+        )
+        # one block per task: B² blocks spread over the cluster
+        .repartition(num_chunks * 2)
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                pa, pb = row["pack_a"], row["pack_b"]
+                ids_a = np.array([r["vec_id"] for r in pa], dtype=np.int64)
+                ids_b = np.array([r["vec_id"] for r in pb], dtype=np.int64)
+                qq_a = np.array([r["qq"] for r in pa], dtype=np.float64)
+                qq_b = np.array([r["qq"] for r in pb], dtype=np.float64)
+                M_a = _np_stack([r["qvec"] for r in pa], dim)
+                M_b = _np_stack([r["qvec"] for r in pb], dim)
+                dots = M_a @ M_b.T  # exact: |terms| ≤ dim·2^46 < 2^53
+                cos = dots / (
+                    np.sqrt(qq_a)[:, None] * np.sqrt(qq_b)[None, :]
+                )  # same IEEE sequence as qcos / the oracle
+                ia, ib = np.nonzero(cos >= threshold)
+                if row["ck_a"] == row["ck_b"]:
+                    keep = ids_a[ia] < ids_b[ib]
+                    ia, ib = ia[keep], ib[keep]
+                sel_a, sel_b = ids_a[ia], ids_b[ib]
+                lo = np.minimum(sel_a, sel_b)
+                hi = np.maximum(sel_a, sel_b)
+                yield pd.DataFrame(
+                    {"vec_a": lo, "vec_b": hi, "cos_raw": cos[ia, ib]}
+                )
+
+    pairs = blocks.mapInPandas(gen, schema="vec_a long, vec_b long, cos_raw double")
+    return pairs.select(
+        "vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine_sim")
+    )
+
+
+# ----------------------------------------------------------------------
+# LSH paths
+# ----------------------------------------------------------------------
+
+
+def _bucket_pair_fn(threshold: float, dim: int):
+    """applyInPandas kernel: score all i<j pairs within one (t, bucket)."""
+    import pandas as pd
+
+    def fn(pdf):
+        import numpy as np
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_raw": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos_raw": "float64"}
             )
-            for t in range(ntables)
-        ]
+        ids = pdf["vec_id"].to_numpy()
+        qq = pdf["qq"].to_numpy(dtype="float64")
+        M = _np_stack(pdf["qvec"])
+        cos = (M @ M.T) / (np.sqrt(qq)[:, None] * np.sqrt(qq)[None, :])
+        ia, ib = np.nonzero(cos >= threshold)
+        keep = ids[ia] < ids[ib]
+        ia, ib = ia[keep], ib[keep]
+        return pd.DataFrame(
+            {"vec_a": ids[ia], "vec_b": ids[ib], "cos_raw": cos[ia, ib]}
+        )
+
+    return fn
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    nbits: int = 0,
+    dim: int = 64,
+    ntables: int = 8,
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold, vec_a < vec_b.
+
+    ``nbits=0`` compares all pairs (exact — delegates to the blocked-BLAS
+    :func:`exact_cosine_pairs`); ``nbits>0`` restricts to pairs colliding
+    in ≥1 of ``ntables`` sign-LSH tables (the scale path; same
+    OR-amplification trade-off as :func:`lsh_topk`). Bucket-mates are
+    scored per (t, bucket) group in one BLAS block each; a pair
+    colliding in several tables scores identically everywhere (exact
+    integer dots), so the cross-table dedup is value-stable.
+    """
+    if not nbits:
+        return exact_cosine_pairs(emb, threshold, dim=dim)
+    q = with_q(emb)
+    buckets = bucket_frame(q, nbits, ntables, dim)
+    pairs = buckets.groupBy("t", "bucket").applyInPandas(
+        _bucket_pair_fn(threshold, dim),
+        schema="vec_a long, vec_b long, cos_raw double",
+    )
+    return pairs.dropDuplicates(["vec_a", "vec_b"]).select(
+        "vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine_sim")
     )
 
 
@@ -191,85 +465,125 @@ def lsh_topk(
     clustered embeddings; the standard production remedy is ``ntables``
     independent tables whose candidate sets union (a pair is a candidate
     if it collides in ANY table). Cost: the corpus is exploded ×ntables
-    into (t, bucket) keys — shuffle O(corpus × ntables) — and candidates
-    are deduped before the cosine verify, so each surviving pair is
-    scored once. Measured on the synthetic corpus: recall@5 goes
-    0.10 (L=1) → 0.65 (L=8) while scanning ~39% of the corpus per query.
+    into (t, bucket) keys — shuffle O(corpus × ntables) — and each
+    (t, bucket) group scores its query×member block in one BLAS matmul;
+    cross-table duplicates score identically (exact integer dots) so
+    the dedup is value-stable.
 
-    ``bucket_expr`` overrides the bucketer with a single-table variant
-    (recall comparisons pit :func:`axis_sign_bucket` against RP planes).
+    ``bucket_expr`` overrides the bucketer with a single-table JVM
+    variant (recall comparisons pit :func:`axis_sign_bucket` against RP
+    planes).
     """
+    import pandas as pd
+
+    qids = frozenset(int(i) for i in query_ids)
+    q = with_q(emb)
     if bucket_expr is not None:
-        tb = F.array(F.struct(F.lit(0).alias("t"), bucket_expr.alias("bucket")))
-    else:
-        tb = multi_table_buckets(F.col("embedding"), nbits, ntables, dim)
-    bucketed = emb.select(
-        "vec_id", "embedding", F.explode(tb).alias("tb")
-    ).select("vec_id", "embedding", "tb.t", "tb.bucket")
-    queries = bucketed.filter(
-        F.col("vec_id").isin(*[int(q) for q in query_ids])
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qvec"),
-        "t",
-        "bucket",
-    )
-    candidates = (
-        F.broadcast(queries)
-        .join(
-            bucketed.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("embedding"),
-                "t",
-                "bucket",
-            ),
-            ["t", "bucket"],
+        bucketed = (
+            emb.withColumn("bucket", bucket_expr)
+            .select("vec_id", "bucket")
+            .join(q, "vec_id")
+            .select("vec_id", "qvec", "qq", F.lit(0).alias("t"), "bucket")
         )
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        # same ids ⇒ same vectors, so which collision survives is
-        # value-irrelevant; dedup BEFORE the cosine so each pair is
-        # scored once however many tables it collides in
+    else:
+        bucketed = bucket_frame(q, nbits, ntables, dim)
+
+    def fn(pdf):
+        import numpy as np
+
+        qmask = pdf["vec_id"].isin(qids).to_numpy()
+        if not qmask.any() or len(pdf) < 2:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cos_raw": []}
+            ).astype(
+                {"query_id": "int64", "neighbor_id": "int64", "cos_raw": "float64"}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        qq = pdf["qq"].to_numpy(dtype="float64")
+        M = _np_stack(pdf["qvec"])
+        Q = M[qmask]
+        cos = (Q @ M.T) / (
+            np.sqrt(qq[qmask])[:, None] * np.sqrt(qq)[None, :]
+        )
+        qid = ids[qmask]
+        ia, ib = np.nonzero(qid[:, None] != ids[None, :])
+        return pd.DataFrame(
+            {"query_id": qid[ia], "neighbor_id": ids[ib], "cos_raw": cos[ia, ib]}
+        )
+
+    cands = (
+        bucketed.groupBy("t", "bucket")
+        .applyInPandas(fn, schema="query_id long, neighbor_id long, cos_raw double")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    sims = candidates.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cosine_sim"),
-    )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
     )
-    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )
 
 
-def ivf_assign(emb: DataFrame, codebook: Sequence[tuple[int, Sequence[float]]]) -> DataFrame:
+# ----------------------------------------------------------------------
+# IVF
+# ----------------------------------------------------------------------
+
+
+def _qcodebook(codebook: Sequence[tuple[int, Sequence[float]]]):
+    """Quantized (ids, C matrix, qq) numpy triple from a float codebook,
+    sorted by centroid_id ascending (argmax tie → lowest id)."""
+    import numpy as np
+
+    cb = sorted((int(cid), [pyquantize(x) for x in vec]) for cid, vec in codebook)
+    ids = np.array([cid for cid, _ in cb], dtype=np.int64)
+    C = np.array([vec for _, vec in cb], dtype=np.float64)
+    qq = (C * C).sum(axis=1)
+    return ids, C, qq
+
+
+def ivf_assign(
+    emb: DataFrame, codebook: Sequence[tuple[int, Sequence[float]]], dim: int = 64
+) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest
     centroid by cosine (ties → lowest centroid_id).
 
     ``codebook`` is a driver-side list of (centroid_id, vector) — in
     production an offline k-means artifact, always tiny (bounded by the
-    centroid count, never corpus size). Centroids are embedded as
-    literal arrays, so assignment is a pure map-side expression: one
-    corpus scan, **zero shuffle** (the earlier crossJoin+window argmax
-    shuffled the corpus ×num_centroids with the embedding duplicated on
-    every row). Argmax via ``array_max`` over (csim, −centroid_id)
-    structs — lexicographic struct order makes ties pick the lowest id.
+    centroid count, never corpus size). Assignment is an Arrow-batched
+    map over the corpus: one scan, **zero shuffle**, one ``M @ Cᵀ``
+    BLAS product per batch. Cosines are the exact quantized-integer
+    form, so the argmax is engine-deterministic (DuckDB replays it with
+    the same integers).
+
+    Returns (vec_id, qvec, qq, centroid_id).
     """
-    cands = F.array(
-        *[
-            F.struct(
-                F.round(
-                    cosine(F.col("embedding"), F.array(*[F.lit(float(x)) for x in vec])),
-                    6,
-                ).alias("csim"),
-                F.lit(-int(cid)).alias("neg_id"),
-            )
-            for cid, vec in codebook
-        ]
-    )
-    best = F.array_max(cands)
-    return emb.select(
-        "vec_id", "embedding", (-best["neg_id"]).cast("int").alias("centroid_id")
+    ids_C = sorted((int(cid), [float(x) for x in vec]) for cid, vec in codebook)
+
+    def gen(batches):
+        import numpy as np
+
+        cids, C, cqq = _qcodebook(ids_C)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = _np_stack(pdf["qvec"], C.shape[1])
+            qq = pdf["qq"].to_numpy(dtype="float64")
+            cos = (M @ C.T) / (np.sqrt(qq)[:, None] * np.sqrt(cqq)[None, :])
+            best = cids[np.argmax(cos, axis=1)]  # first max → lowest cid
+            out = pdf[["vec_id", "qvec", "qq"]].copy()
+            out["centroid_id"] = best.astype("int32")
+            yield out
+
+    q = emb if "qvec" in emb.columns else with_q(emb)
+    return q.mapInPandas(
+        gen, schema="vec_id long, qvec array<long>, qq long, centroid_id int"
     )
 
 
@@ -279,8 +593,8 @@ def kmeans_codebook(
     """Distributed spherical k-means (Lloyd's) → IVF codebook.
 
     Init = the ``k`` lowest-vec_id corpus vectors (deterministic). Each
-    iteration: (1) assignment is the zero-shuffle literal-codebook map
-    of :func:`ivf_assign`; (2) the centroid update is
+    iteration: (1) assignment is the zero-shuffle Arrow map of
+    :func:`ivf_assign`; (2) the centroid update is
     ``posexplode(embedding)`` → ``groupBy(centroid_id, pos)`` sum/count
     — partial aggregation collapses each task to ≤ k×dim rows before
     the exchange, so the shuffle never carries the corpus; (3) the
@@ -296,15 +610,13 @@ def kmeans_codebook(
     trained codebook a stable artifact (reproducible literals the
     DuckDB oracle can share).
     """
-    init = (
-        emb.orderBy("vec_id")
-        .limit(k)
-        .select("vec_id", "embedding")
-        .collect()
-    )
+    init = emb.orderBy("vec_id").limit(k).select("vec_id", "embedding").collect()
     codebook = [(i, [float(x) for x in r["embedding"]]) for i, r in enumerate(init)]
+    dim = len(codebook[0][1])
     for _ in range(iters):
-        assigned = ivf_assign(emb, codebook)
+        assigned = ivf_assign(emb, codebook, dim=dim).join(
+            emb.select("vec_id", "embedding"), "vec_id"
+        )
         sums = (
             assigned.select(
                 "centroid_id", F.posexplode(F.col("embedding")).alias("pos", "val")
@@ -338,6 +650,7 @@ def ivf_topk(
     num_centroids: int = 8,
     nprobe: int = 2,
     codebook: Sequence[tuple[int, Sequence[float]]] | None = None,
+    dim: int = 64,
 ) -> DataFrame:
     """IVF approximate top-k: probe the query's ``nprobe`` nearest
     centroid lists only.
@@ -345,44 +658,52 @@ def ivf_topk(
     ``codebook`` defaults to the first ``num_centroids`` corpus vectors
     — fully deterministic, which is what the DuckDB oracle reproduces;
     pass :func:`kmeans_codebook` output for a trained codebook (same
-    plan, better list balance). List assignment is a shuffle-free map
-    over the corpus (literal codebook, :func:`ivf_assign`); each query
-    then scans ~``nprobe/num_centroids`` of the corpus instead of all
-    of it, and the only shuffle in the whole plan is the final
-    per-query top-k window (rank-limit pushed partial by
-    ``WindowGroupLimit``).
+    plan, better list balance). List assignment is a shuffle-free Arrow
+    map over the corpus (:func:`ivf_assign`); each query then scans
+    ~``nprobe/num_centroids`` of the corpus instead of all of it, and
+    the only shuffle in the whole plan is the final per-query top-k
+    window (rank-limit pushed partial by ``WindowGroupLimit``).
     """
+    spark = emb.sparkSession
     if codebook is None:
-        centroids = (
+        centroids_rows = (
             emb.filter(F.col("vec_id") < num_centroids)
-            .select(
-                F.col("vec_id").alias("centroid_id"),
-                F.col("embedding").alias("cvec"),
-            )
+            .select("vec_id", "embedding")
+            .collect()
         )
         codebook = sorted(
-            (int(r["centroid_id"]), list(r["cvec"])) for r in centroids.collect()
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in centroids_rows
         )
-    else:
-        spark = emb.sparkSession
-        centroids = spark.createDataFrame(
-            [(int(cid), [float(x) for x in vec]) for cid, vec in codebook],
-            "centroid_id int, cvec array<double>",
-        )
-    assigned = ivf_assign(emb, codebook)
-
-    queries = emb.filter(F.col("vec_id").isin(*[int(q) for q in query_ids])).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    qcids, qC, qcqq = _qcodebook(codebook)
+    centroids = spark.createDataFrame(
+        [
+            (int(cid), [int(x) for x in vec], int(qq))
+            for cid, vec, qq in zip(qcids, qC.astype("int64"), qcqq)
+        ],
+        "centroid_id int, c_qvec array<long>, c_qq long",
     )
-    # per-query probe list: nprobe nearest centroids
+
+    q = with_q(emb)
+    assigned = ivf_assign(q, codebook, dim=dim)
+
+    queries = q.filter(F.col("vec_id").isin(*[int(i) for i in query_ids])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qq").alias("q_qq"),
+    )
+    # per-query probe list: nprobe nearest centroids (tiny JVM cross join)
     qscored = (
         F.broadcast(queries)
         .crossJoin(F.broadcast(centroids))
         .select(
             "query_id",
-            "qvec",
+            "q_qvec",
+            "q_qq",
             "centroid_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("csim"),
+            qcos(
+                qdot(F.col("q_qvec"), F.col("c_qvec")), F.col("q_qq"), F.col("c_qq")
+            ).alias("csim"),
         )
     )
     wq = Window.partitionBy("query_id").orderBy(
@@ -391,7 +712,7 @@ def ivf_topk(
     probes = (
         qscored.withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "qvec", "centroid_id")
+        .select("query_id", "q_qvec", "q_qq", "centroid_id")
     )
 
     sims = (
@@ -401,65 +722,21 @@ def ivf_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cosine_sim"),
+            qcos(
+                qdot(F.col("q_qvec"), F.col("qvec")), F.col("q_qq"), F.col("qq")
+            ).alias("cos_raw"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
     )
-    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
-
-
-def cosine_neardup_pairs(
-    emb: DataFrame,
-    threshold: float,
-    nbits: int = 0,
-    dim: int = 64,
-    ntables: int = 8,
-) -> DataFrame:
-    """Embedding near-dup pairs: ROUND(cosine,6) ≥ threshold, a < b.
-
-    ``nbits=0`` compares all pairs (exact, O(n²) — the correctness
-    baseline); ``nbits>0`` restricts to pairs colliding in ≥1 of
-    ``ntables`` sign-LSH tables (the scale path; same OR-amplification
-    trade-off as :func:`lsh_topk` — candidates are deduped across
-    tables before the cosine verify).
-    """
-    if not nbits:
-        left = emb.select(
-            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
-        )
-        right = emb.select(
-            F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
-        )
-        joined = left.crossJoin(right).filter(F.col("vec_a") < F.col("vec_b"))
-    else:
-        tb = multi_table_buckets(F.col("embedding"), nbits, ntables, dim)
-        bucketed = emb.select(
-            "vec_id", "embedding", F.explode(tb).alias("tb")
-        ).select("vec_id", "embedding", "tb.t", "tb.bucket")
-        left = bucketed.select(
-            F.col("vec_id").alias("vec_a"),
-            F.col("embedding").alias("emb_a"),
-            "t",
-            "bucket",
-        )
-        right = bucketed.select(
-            F.col("vec_id").alias("vec_b"),
-            F.col("embedding").alias("emb_b"),
-            "t",
-            "bucket",
-        )
-        joined = (
-            left.join(right, ["t", "bucket"])
-            .filter(F.col("vec_a") < F.col("vec_b"))
-            .dropDuplicates(["vec_a", "vec_b"])
-        )
     return (
-        joined.select(
-            "vec_a",
-            "vec_b",
-            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine_sim"),
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine_sim"),
+            "rank",
         )
-        .filter(F.col("cosine_sim") >= threshold)
     )

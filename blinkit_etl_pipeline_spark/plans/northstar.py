@@ -491,44 +491,51 @@ cand AS (
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 )"""
 
-_EMB = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+# Quantized-embedding CTE: ``q = round(x · 2^20)`` (ties away from
+# zero — Spark round, DuckDB round, and vector.pyquantize all agree;
+# verified cross-engine). Every dot product over qv is a sum of integer
+# terms < 2^53, hence EXACT in float64 regardless of summation order —
+# the property that lets Spark score pairs with BLAS matmuls while this
+# oracle replays them value-identically with list_dot_product.
+_EMB = f"""eq AS (SELECT vec_id,
+  list_transform(embedding, x -> round(x::DOUBLE * {vector.QSCALE})) AS qv
+  FROM embeddings),
+e AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS qq FROM eq)"""
 
-_COS = (
-    "ROUND(list_dot_product({a}, {b}) / "
-    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
-)
+# UNROUNDED cosine from exact integer dots — deterministic IEEE ops, so
+# thresholds and ranks compare it directly; ROUND(…,6) only at display.
+_COSR = "(list_dot_product({a}, {b}) / (sqrt({qa}) * sqrt({qb})))"
 
 
 def _bucket_expr(
     v: str, nbits: int, dim: int = EMB_DIM, planes=None
 ) -> str:
-    """DuckDB replay of vector.sign_bucket: same seeded Rademacher
-    hyperplanes, same left-to-right add/subtract chain over DOUBLE
-    elements, so the float result (and the >0 sign decision) is
-    bit-identical to Spark's."""
+    """DuckDB replay of the quantized sign-LSH bucket: the projection
+    ``⟨qv, ±1 plane⟩`` is an exact integer, so the >0 sign decision is
+    engine-independent by construction (no float-order pinning needed)."""
     if planes is None:
         planes = vector.rp_hyperplanes(dim, nbits)
     bit_terms = []
     for j, plane in enumerate(planes):
-        proj = "CAST(0.0 AS DOUBLE)" + "".join(
-            (f" + {v}[{i + 1}]" if c > 0 else f" - {v}[{i + 1}]")
-            for i, c in enumerate(plane)
+        plist = "[" + ", ".join("1.0" if c > 0 else "-1.0" for c in plane) + "]"
+        bit_terms.append(
+            f"CASE WHEN list_dot_product({v}, {plist}::DOUBLE[]) > 0"
+            f" THEN {1 << j} ELSE 0 END"
         )
-        bit_terms.append(f"CASE WHEN ({proj}) > 0 THEN {1 << j} ELSE 0 END")
     return f"CAST({' + '.join(bit_terms)} AS INT)"
 
 
 def _mb_cte(
     nbits: int = ANN_NBITS, ntables: int = ANN_NTABLES, dim: int = EMB_DIM
 ) -> str:
-    """Multi-table bucket CTE ``mb(vec_id, v, t, bucket)`` — DuckDB
-    replay of vector.multi_table_buckets (shared seeded matrix, table
-    *t* = planes [t·nbits, (t+1)·nbits))."""
+    """Multi-table bucket CTE ``mb(vec_id, qv, qq, t, bucket)`` — DuckDB
+    replay of vector.bucket_frame (shared seeded matrix, table *t* =
+    planes [t·nbits, (t+1)·nbits))."""
     planes = vector.rp_hyperplanes(dim, nbits * ntables)
     selects = [
-        "SELECT vec_id, v, {t} AS t, {b} AS bucket FROM e".format(
+        "SELECT vec_id, qv, qq, {t} AS t, {b} AS bucket FROM e".format(
             t=t,
-            b=_bucket_expr("v", nbits, dim, planes=planes[t * nbits : (t + 1) * nbits]),
+            b=_bucket_expr("qv", nbits, dim, planes=planes[t * nbits : (t + 1) * nbits]),
         )
         for t in range(ntables)
     ]
@@ -570,23 +577,26 @@ cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM mb a JOIN mb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
 pairs AS (
-  SELECT vec_a, vec_b, {_COS.format(a='ea.v', b='eb.v')} AS cosine_sim
+  SELECT vec_a, vec_b,
+    {_COSR.format(a='ea.qv', b='eb.qv', qa='ea.qq', qb='eb.qq')} AS cos_raw
   FROM cand JOIN e ea ON ea.vec_id = cand.vec_a JOIN e eb ON eb.vec_id = cand.vec_b
 )
-SELECT vec_a, vec_b, cosine_sim FROM pairs WHERE cosine_sim >= {COSINE_THRESHOLD}""",
+SELECT vec_a, vec_b, ROUND(cos_raw, 6) AS cosine_sim
+FROM pairs WHERE cos_raw >= {COSINE_THRESHOLD}""",
     "ns_ann_cosine_topk": f"""WITH {_EMB},
-q AS (SELECT vec_id, v FROM e WHERE vec_id < {len(ANN_QUERY_IDS)}),
+q AS (SELECT vec_id, qv, qq FROM e WHERE vec_id < {len(ANN_QUERY_IDS)}),
 sims AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-    {_COS.format(a='q.v', b='c.v')} AS cosine_sim
+    {_COSR.format(a='q.qv', b='c.qv', qa='q.qq', qb='c.qq')} AS cos_raw
   FROM q CROSS JOIN e c WHERE c.vec_id != q.vec_id
 ),
 ranked AS (
   SELECT *, CAST(row_number() OVER (
-    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS "rank"
+    PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS INT) AS "rank"
   FROM sims
 )
-SELECT query_id, neighbor_id, cosine_sim, "rank" FROM ranked WHERE "rank" <= {ANN_K}""",
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine_sim, "rank"
+FROM ranked WHERE "rank" <= {ANN_K}""",
     "ns_ann_lsh_topk": f"""WITH {_EMB},
 {_mb_cte()},
 cand AS (
@@ -594,47 +604,54 @@ cand AS (
   FROM mb q JOIN mb c ON q.t = c.t AND q.bucket = c.bucket AND c.vec_id != q.vec_id
   WHERE q.vec_id < {len(ANN_QUERY_IDS)}),
 sims AS (
-  SELECT query_id, neighbor_id, {_COS.format(a='qe.v', b='ce.v')} AS cosine_sim
+  SELECT query_id, neighbor_id,
+    {_COSR.format(a='qe.qv', b='ce.qv', qa='qe.qq', qb='ce.qq')} AS cos_raw
   FROM cand JOIN e qe ON qe.vec_id = cand.query_id
             JOIN e ce ON ce.vec_id = cand.neighbor_id
 ),
 ranked AS (
   SELECT *, CAST(row_number() OVER (
-    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS "rank"
+    PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS INT) AS "rank"
   FROM sims
 )
-SELECT query_id, neighbor_id, cosine_sim, "rank" FROM ranked WHERE "rank" <= {ANN_K}""",
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine_sim, "rank"
+FROM ranked WHERE "rank" <= {ANN_K}""",
     "ns_ann_ivf_topk": f"""WITH {_EMB},
-c AS (SELECT vec_id AS centroid_id, v AS cvec FROM e WHERE vec_id < {IVF_CENTROIDS}),
+c AS (SELECT vec_id AS centroid_id, qv AS cvec, qq AS cqq
+  FROM e WHERE vec_id < {IVF_CENTROIDS}),
 assigned AS (
-  SELECT vec_id, v, centroid_id FROM (
-    SELECT e.vec_id, e.v, c.centroid_id,
+  SELECT vec_id, qv, qq, centroid_id FROM (
+    SELECT e.vec_id, e.qv, e.qq, c.centroid_id,
       row_number() OVER (PARTITION BY e.vec_id
-        ORDER BY {_COS.format(a='e.v', b='c.cvec')} DESC, c.centroid_id ASC) AS rn
+        ORDER BY {_COSR.format(a='e.qv', b='c.cvec', qa='e.qq', qb='c.cqq')} DESC,
+        c.centroid_id ASC) AS rn
     FROM e CROSS JOIN c
   ) WHERE rn = 1
 ),
-q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {len(ANN_QUERY_IDS)}),
+q AS (SELECT vec_id AS query_id, qv AS qvec, qq AS qqq
+  FROM e WHERE vec_id < {len(ANN_QUERY_IDS)}),
 probes AS (
-  SELECT query_id, qv, centroid_id FROM (
-    SELECT q.query_id, q.qv, c.centroid_id,
+  SELECT query_id, qvec, qqq, centroid_id FROM (
+    SELECT q.query_id, q.qvec, q.qqq, c.centroid_id,
       row_number() OVER (PARTITION BY q.query_id
-        ORDER BY {_COS.format(a='q.qv', b='c.cvec')} DESC, c.centroid_id ASC) AS rn
+        ORDER BY {_COSR.format(a='q.qvec', b='c.cvec', qa='q.qqq', qb='c.cqq')} DESC,
+        c.centroid_id ASC) AS rn
     FROM q CROSS JOIN c
   ) WHERE rn <= {IVF_NPROBE}
 ),
 sims AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
-    {_COS.format(a='p.qv', b='a.v')} AS cosine_sim
+    {_COSR.format(a='p.qvec', b='a.qv', qa='p.qqq', qb='a.qq')} AS cos_raw
   FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
   WHERE a.vec_id != p.query_id
 ),
 ranked AS (
   SELECT *, CAST(row_number() OVER (
-    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS "rank"
+    PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS INT) AS "rank"
   FROM sims
 )
-SELECT query_id, neighbor_id, cosine_sim, "rank" FROM ranked WHERE "rank" <= {ANN_K}""",
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine_sim, "rank"
+FROM ranked WHERE "rank" <= {ANN_K}""",
     "ns_text_stats": f"""WITH {_TOKS}
 SELECT doc_id, lang,
   CAST(length(text) AS BIGINT) AS n_chars,
@@ -810,62 +827,70 @@ FROM s""",
 }
 
 def _codebook_values_sql() -> str:
-    """Literal VALUES table for the trained codebook — DuckDB shares
-    the exact round-6 doubles Spark's ivf_assign embeds as literals."""
+    """Literal VALUES table for the trained codebook — quantized with
+    vector.pyquantize, i.e. the exact integers Spark's ivf_assign uses."""
     from .codebook import TRAINED_IVF_CODEBOOK
 
     rows = ", ".join(
-        f"({cid}, [{', '.join(repr(float(x)) for x in vec)}]::DOUBLE[])"
+        "({cid}, [{vals}]::DOUBLE[])".format(
+            cid=cid,
+            vals=", ".join(str(vector.pyquantize(x)) for x in vec),
+        )
         for cid, vec in TRAINED_IVF_CODEBOOK
     )
     return f"(SELECT * FROM (VALUES {rows}) AS t(centroid_id, cvec))"
 
 
 ORACLES["ns_ann_ivf_trained"] = f"""WITH {_EMB},
-c AS (SELECT centroid_id, cvec FROM {_codebook_values_sql()}),
+c AS (SELECT centroid_id, cvec, list_dot_product(cvec, cvec) AS cqq
+  FROM {_codebook_values_sql()}),
 assigned AS (
-  SELECT vec_id, v, centroid_id FROM (
-    SELECT e.vec_id, e.v, c.centroid_id,
+  SELECT vec_id, qv, qq, centroid_id FROM (
+    SELECT e.vec_id, e.qv, e.qq, c.centroid_id,
       row_number() OVER (PARTITION BY e.vec_id
-        ORDER BY {_COS.format(a='e.v', b='c.cvec')} DESC, c.centroid_id ASC) AS rn
+        ORDER BY {_COSR.format(a='e.qv', b='c.cvec', qa='e.qq', qb='c.cqq')} DESC,
+        c.centroid_id ASC) AS rn
     FROM e CROSS JOIN c
   ) WHERE rn = 1
 ),
-q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {len(ANN_QUERY_IDS)}),
+q AS (SELECT vec_id AS query_id, qv AS qvec, qq AS qqq
+  FROM e WHERE vec_id < {len(ANN_QUERY_IDS)}),
 probes AS (
-  SELECT query_id, qv, centroid_id FROM (
-    SELECT q.query_id, q.qv, c.centroid_id,
+  SELECT query_id, qvec, qqq, centroid_id FROM (
+    SELECT q.query_id, q.qvec, q.qqq, c.centroid_id,
       row_number() OVER (PARTITION BY q.query_id
-        ORDER BY {_COS.format(a='q.qv', b='c.cvec')} DESC, c.centroid_id ASC) AS rn
+        ORDER BY {_COSR.format(a='q.qvec', b='c.cvec', qa='q.qqq', qb='c.cqq')} DESC,
+        c.centroid_id ASC) AS rn
     FROM q CROSS JOIN c
   ) WHERE rn <= {IVF_NPROBE}
 ),
 sims AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
-    {_COS.format(a='p.qv', b='a.v')} AS cosine_sim
+    {_COSR.format(a='p.qvec', b='a.qv', qa='p.qqq', qb='a.qq')} AS cos_raw
   FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
   WHERE a.vec_id != p.query_id
 ),
 ranked AS (
   SELECT *, CAST(row_number() OVER (
-    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS "rank"
+    PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS INT) AS "rank"
   FROM sims
 )
-SELECT query_id, neighbor_id, cosine_sim, "rank" FROM ranked WHERE "rank" <= {ANN_K}"""
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine_sim, "rank"
+FROM ranked WHERE "rank" <= {ANN_K}"""
 
 _RANKED = (
     "SELECT query_id, neighbor_id FROM ("
     "SELECT *, row_number() OVER (PARTITION BY query_id "
-    "ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn FROM {src}) "
+    "ORDER BY cos_raw DESC, neighbor_id ASC) AS rn FROM {src}) "
     "WHERE rn <= {k}"
 )
 
 ORACLES["ns_ann_recall"] = f"""WITH {_EMB},
 {_mb_cte()},
-q AS (SELECT vec_id, v FROM e WHERE vec_id < {len(ANN_QUERY_IDS)}),
+q AS (SELECT vec_id, qv, qq FROM e WHERE vec_id < {len(ANN_QUERY_IDS)}),
 bf_sims AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-    {_COS.format(a='q.v', b='c.v')} AS cosine_sim
+    {_COSR.format(a='q.qv', b='c.qv', qa='q.qq', qb='c.qq')} AS cos_raw
   FROM q CROSS JOIN e c WHERE c.vec_id != q.vec_id),
 bf AS ({_RANKED.format(src='bf_sims', k=ANN_K)}),
 lcand AS (
@@ -873,26 +898,30 @@ lcand AS (
   FROM mb mq JOIN mb c ON mq.t = c.t AND mq.bucket = c.bucket AND c.vec_id != mq.vec_id
   WHERE mq.vec_id < {len(ANN_QUERY_IDS)}),
 lsh_sims AS (
-  SELECT query_id, neighbor_id, {_COS.format(a='qe.v', b='ce.v')} AS cosine_sim
+  SELECT query_id, neighbor_id,
+    {_COSR.format(a='qe.qv', b='ce.qv', qa='qe.qq', qb='ce.qq')} AS cos_raw
   FROM lcand JOIN e qe ON qe.vec_id = lcand.query_id
              JOIN e ce ON ce.vec_id = lcand.neighbor_id),
 lsh AS ({_RANKED.format(src='lsh_sims', k=ANN_K)}),
-cb AS (SELECT vec_id AS centroid_id, v AS cvec FROM e WHERE vec_id < {IVF_CENTROIDS}),
+cb AS (SELECT vec_id AS centroid_id, qv AS cvec, qq AS cqq
+  FROM e WHERE vec_id < {IVF_CENTROIDS}),
 assigned AS (
-  SELECT vec_id, v, centroid_id FROM (
-    SELECT e.vec_id, e.v, cb.centroid_id,
+  SELECT vec_id, qv, qq, centroid_id FROM (
+    SELECT e.vec_id, e.qv, e.qq, cb.centroid_id,
       row_number() OVER (PARTITION BY e.vec_id
-        ORDER BY {_COS.format(a='e.v', b='cb.cvec')} DESC, cb.centroid_id ASC) AS rn
+        ORDER BY {_COSR.format(a='e.qv', b='cb.cvec', qa='e.qq', qb='cb.cqq')} DESC,
+        cb.centroid_id ASC) AS rn
     FROM e CROSS JOIN cb) WHERE rn = 1),
 probes AS (
-  SELECT query_id, qv, centroid_id FROM (
-    SELECT q.vec_id AS query_id, q.v AS qv, cb.centroid_id,
+  SELECT query_id, qvec, qqq, centroid_id FROM (
+    SELECT q.vec_id AS query_id, q.qv AS qvec, q.qq AS qqq, cb.centroid_id,
       row_number() OVER (PARTITION BY q.vec_id
-        ORDER BY {_COS.format(a='q.v', b='cb.cvec')} DESC, cb.centroid_id ASC) AS rn
+        ORDER BY {_COSR.format(a='q.qv', b='cb.cvec', qa='q.qq', qb='cb.cqq')} DESC,
+        cb.centroid_id ASC) AS rn
     FROM q CROSS JOIN cb) WHERE rn <= {IVF_NPROBE}),
 ivf_sims AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
-    {_COS.format(a='p.qv', b='a.v')} AS cosine_sim
+    {_COSR.format(a='p.qvec', b='a.qv', qa='p.qqq', qb='a.qq')} AS cos_raw
   FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
   WHERE a.vec_id != p.query_id),
 ivf AS ({_RANKED.format(src='ivf_sims', k=ANN_K)}),
@@ -947,7 +976,8 @@ found_m AS (SELECT c.doc_a, c.doc_b FROM cand c
 truth_e AS (
   SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b
   FROM e a JOIN e bb ON a.vec_id < bb.vec_id
-  WHERE {_COS.format(a='a.v', b='bb.v')} >= {COSINE_THRESHOLD}),
+  WHERE {_COSR.format(a='a.qv', b='bb.qv', qa='a.qq', qb='bb.qq')}
+    >= {COSINE_THRESHOLD}),
 ecand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM mb a JOIN mb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
@@ -955,7 +985,8 @@ found_e AS (
   SELECT vec_a, vec_b
   FROM ecand JOIN e ea ON ea.vec_id = ecand.vec_a
              JOIN e eb ON eb.vec_id = ecand.vec_b
-  WHERE {_COS.format(a='ea.v', b='eb.v')} >= {COSINE_THRESHOLD}),
+  WHERE {_COSR.format(a='ea.qv', b='eb.qv', qa='ea.qq', qb='eb.qq')}
+    >= {COSINE_THRESHOLD}),
 counts AS (
   SELECT 'minhash_lsh' AS method,
     (SELECT CAST(count(*) AS BIGINT) FROM truth_j) AS n_true,

@@ -17,7 +17,11 @@ def _emb(spark):
 
 def _mean_assigned_cosine(emb, codebook):
     """Mean cosine of each vector to its assigned centroid (CASE chain)."""
-    assigned = vector.ivf_assign(emb, codebook)
+    # ivf_assign returns the quantized frame; join raw vectors back for
+    # the float-space quality metric
+    assigned = vector.ivf_assign(emb, codebook).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
     sim = None
     for cid, vec in codebook:
         c = vector.cosine(F.col("embedding"), F.array(*[F.lit(float(x)) for x in vec]))

@@ -73,7 +73,8 @@ def _strides(spark: SparkSession, src: str) -> dict[tuple[str, str], int]:
         fam_max = 0
         for table, col in members:
             df = spark.read.parquet(f"{src}/{table}.parquet")
-            fam_max = max(fam_max, df.agg(F.max(col)).first()[0])
+            # max(col) is NULL for an empty source table — treat as 0
+            fam_max = max(fam_max, df.agg(F.max(col)).first()[0] or 0)
         for table, col in members:
             strides[(table, col)] = int(fam_max) + 1
     return strides
