@@ -95,6 +95,11 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # operators persist intermediates (shingle indexes etc.) for
+        # their own plan; dropping them between queries keeps 50+
+        # measurements independent instead of letting accumulated cache
+        # blocks raise GC pressure on everything after them
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

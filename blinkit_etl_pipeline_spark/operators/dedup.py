@@ -89,6 +89,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    idx: DataFrame | None = None,
 ) -> DataFrame:
     """All doc pairs with word-n-gram Jaccard ≥ threshold.
 
@@ -96,10 +97,15 @@ def ngram_jaccard_pairs(
     computed on the capped shingle sets: |A∩B| / (|A|+|B|−|A∩B|).
     Rounded to 6 before the threshold compare on BOTH engines so the
     boundary decision is identical.
+
+    ``idx`` injects a prebuilt (persisted) shingle index so callers
+    running several shingle-based operators over the same corpus (e.g.
+    the recall gauges) tokenize once, not once per operator.
     """
-    # three consumers (sizes + both join sides) — persist so the
-    # tokenize+shingle explode runs once
-    idx = shingle_index(docs, n, max_shingle_df).persist()
+    if idx is None:
+        # three consumers (sizes + both join sides) — persist so the
+        # tokenize+shingle explode runs once
+        idx = shingle_index(docs, n, max_shingle_df).persist()
     sizes = idx.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     a, b = idx.alias("a"), idx.alias("b")
     inter = (
@@ -152,7 +158,8 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.35
+    docs: DataFrame, n: int = 3, threshold: float = 0.35,
+    idx: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified by exact Jaccard.
 
@@ -160,10 +167,14 @@ def minhash_lsh_pairs(
     signature agreement; with 16 perms this surfaces pairs well below
     that, and the exact-Jaccard verify makes the final answer precise:
     candidates = LSH, verdict = exact).
+
+    ``idx`` injects a prebuilt (persisted) shingle index (see
+    :func:`ngram_jaccard_pairs`).
     """
-    # One shingle index feeds signatures, candidate verification, and set
-    # sizes — persist it so the tokenize+shingle explode runs once, not 3×.
-    idx = shingle_index(docs, n).persist()
+    if idx is None:
+        # One shingle index feeds signatures, candidate verification, and
+        # set sizes — persist so the tokenize+shingle explode runs once.
+        idx = shingle_index(docs, n).persist()
     sigs = idx.select("doc_id", h32(F.col("shingle")).alias("sh32")).groupBy(
         "doc_id"
     ).agg(*_minhash_agg_cols())

@@ -165,8 +165,15 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard; sign-bucketed embedding pairs vs exact cosine pairs)."""
     docs = _docs(spark, sf_dir)
     emb = _emb(spark, sf_dir)
-    truth_j = dedup.ngram_jaccard_pairs(docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD)
-    found_m = dedup.minhash_lsh_pairs(docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD)
+    # one shingle index feeds both the exact truth and the LSH path —
+    # tokenize+shingle+explode runs once, not twice
+    idx = dedup.shingle_index(docs, NGRAM_N).persist()
+    truth_j = dedup.ngram_jaccard_pairs(
+        docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD, idx=idx
+    )
+    found_m = dedup.minhash_lsh_pairs(
+        docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD, idx=idx
+    )
     truth_e = vector.cosine_neardup_pairs(emb, threshold=COSINE_THRESHOLD, nbits=0)
     found_e = vector.cosine_neardup_pairs(
         emb, threshold=COSINE_THRESHOLD, nbits=ANN_NBITS
@@ -213,11 +220,8 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters: top-word share + duplicate
-    n-gram fractions, all array-HOF map-side (zero shuffle)."""
-    docs = _docs(spark, sf_dir)
-    toks = T.tokens(F.col("text"))
-    cols = T.repetition_columns(toks)
-    return docs.select("doc_id", "lang", *[c.alias(n) for n, c in cols.items()])
+    n-gram fractions, staged map-side projections (zero shuffle)."""
+    return T.repetition_frame(_docs(spark, sf_dir))
 
 
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -146,10 +146,14 @@ _REGISTRY_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
 def register_base(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register the driver parquet tables as Spark temp views.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS) which Spark cannot read
-    natively; with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as
-    a long we convert to a micros timestamp (UTC session). DuckDB reads
-    the same column as TIMESTAMP_NS and truncates to micros identically.
+    ``events.ts`` has shipped as either TIMESTAMP(NANOS) (older driver
+    testdata: Spark can't read it natively — with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long we
+    convert to a micros timestamp) or plain ``timestamp[us]`` without a
+    UTC flag (current testdata: Spark reads TIMESTAMP_NTZ). Both are
+    normalized to the session-TZ (UTC) TIMESTAMP type so downstream
+    ``unix_micros``/window math type-checks; the values are identical
+    either way, and DuckDB reads the same column as naive-UTC micros.
     """
     key = (id(spark), f"base::{sf_dir}")
     if key in _REGISTRY_CACHE:
@@ -161,8 +165,12 @@ def register_base(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     out: dict[str, DataFrame] = {}
     for name in BASE_TABLES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if name == "events":
+            ts_type = dict(df.dtypes).get("ts")
+            if ts_type == "bigint":  # TIMESTAMP(NANOS) read via nanosAsLong
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif ts_type == "timestamp_ntz":  # timestamp[us], no UTC flag
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         df.createOrReplaceTempView(name)
         out[name] = df
     _REGISTRY_CACHE[key] = out

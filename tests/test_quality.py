@@ -70,3 +70,20 @@ def test_trained_codebook_matches_retraining(spark):
     emb = spark.read.parquet(f"{TRAIN_SF_DIR}/embeddings.parquet")
     retrained = kmeans_codebook(emb, k=TRAIN_K, iters=TRAIN_ITERS)
     assert retrained == TRAINED_IVF_CODEBOOK
+
+
+def test_connected_components_raises_when_iteration_cap_hit(spark):
+    """ADVICE r2: exhausting max_iters must raise, not silently return
+    half-propagated labels (which would split components downstream)."""
+    import pytest
+
+    from blinkit_etl_pipeline_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a bigint, doc_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=1)
+    # and with room to converge the same graph labels as one component
+    labels = connected_components(chain, max_iters=25)
+    assert set(r["label"] for r in labels.collect()) == {0}

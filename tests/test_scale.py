@@ -181,3 +181,26 @@ def test_full_outer_via_union_reengages_aqe_skew_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_two_phase_salted_join_preserves_null_keys_on_left(spark):
+    """ADVICE r2: NULL-key left rows must survive the hot/cold split —
+    ``~isin`` alone evaluates NULL and silently drops them."""
+    left = spark.createDataFrame(
+        [("k1", 1)] * 50 + [(None, 2), (None, 3), ("k2", 4)],
+        "key string, v int",
+    )
+    right = spark.createDataFrame(
+        [("k1", "a"), ("k2", "b"), (None, "never-matches")], "key string, tag string"
+    )
+    plain = left.join(right, "key", "left")
+    guarded = joins.salted_join(
+        left, right, "key", salt_buckets=4, how="left", hot_threshold=10
+    )
+    nullsafe = lambda rows: sorted(  # noqa: E731 — None-tolerant row sort
+        map(tuple, rows), key=lambda t: tuple((x is None, x) for x in t)
+    )
+    assert nullsafe(plain.collect()) == nullsafe(guarded.collect())
+    # the NULL-key rows specifically are present with NULL right columns
+    nulls = [r for r in guarded.collect() if r["key"] is None]
+    assert len(nulls) == 2 and all(r["tag"] is None for r in nulls)

@@ -72,9 +72,9 @@ def test_scrub_pii_masks_and_counts(spark):
 
 
 def test_repetition_columns_hand_computed(spark):
-    df = spark.createDataFrame([Row(s="a a a b"), Row(s="x y")])
-    cols = T.repetition_columns(T.tokens(F.col("s")))
-    out = df.select(*[c.alias(n) for n, c in cols.items()]).collect()
+    df = spark.createDataFrame([Row(doc_id=0, s="a a a b"), Row(doc_id=1, s="x y")])
+    rows = T.repetition_frame(df, text="s", keep=()).collect()
+    out = sorted(rows, key=lambda r: r.doc_id)
     r = out[0]
     # tokens [a a a b]: top word a = 3/4; bigrams [a a, a a, a b] -> 1 dup of 3
     assert r.n_tokens == 4 and r.top_word_frac == 0.75

@@ -161,3 +161,34 @@ def test_asof_join_semantics(spark):
     assert out[(1, 25)] == (20, "b")          # latest prior, not first
     assert out[(2, 14)] == (None, None)       # right row is later
     assert out[(3, 99)] == (None, None)       # key absent from right
+
+
+def test_quantization_parity_across_engines(spark):
+    """Spark round, DuckDB round, and pyquantize must agree on exact
+    half-way values (ties away from zero), both signs — the foundation
+    of the exact-integer dot-product contract."""
+    import duckdb
+    import numpy as np
+
+    Q = vector.QSCALE
+    vals = [1.5 / Q, -1.5 / Q, 2.5 / Q, -2.5 / Q, 0.3, -0.3, 0.123457]
+    f32 = [float(np.float32(v)) for v in vals]
+    srow = (
+        spark.createDataFrame([(f32,)], "embedding array<float>")
+        .select(vector.quantize(F.col("embedding")).alias("q"))
+        .collect()[0]["q"]
+    )
+    drow = duckdb.sql(
+        f"SELECT list_transform({f32}::DOUBLE[], x -> round(x * {Q}))"
+    ).fetchone()[0]
+    prow = [vector.pyquantize(v) for v in f32]
+    assert srow == [int(x) for x in drow] == prow
+
+
+def test_sign_bucket_dim_mismatch_raises(spark):
+    """ADVICE r2: a dim mismatch must fail loudly, not bucket-0 everything."""
+    import pytest
+
+    df = spark.createDataFrame([(0, [1.0, 2.0])], "vec_id bigint, embedding array<float>")
+    with pytest.raises(Exception, match="expected dim=8"):
+        df.select(vector.sign_bucket(F.col("embedding"), 2, 8).alias("b")).collect()

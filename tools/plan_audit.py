@@ -46,10 +46,10 @@ NOTES = {
     "ns_dedup_minhash_lsh": "candidates from band equi-join O(docs x bands); verify is candidate-proportional",
     "ns_dedup_simhash": "pigeonhole bands -> equi-join; bit_count(xor) verify",
     "ns_dedup_ngram_jaccard": "inverted-index join; stop-shingle DF cap bounds the quadratic tail",
-    "ns_dedup_embedding": "sign-LSH buckets -> equi-join; cosine verify on candidates only",
-    "ns_ann_cosine_topk": "brute baseline: corpus scanned once per query batch, no corpus self-join",
-    "ns_ann_lsh_topk": "bucket probe: corpus filtered to matching LSH buckets pre-score",
-    "ns_ann_ivf_topk": "literal-codebook assign = zero-shuffle map; probe scans nprobe/num_centroids of corpus",
+    "ns_dedup_embedding": "quantized sign-LSH: one bucket shuffle, per-bucket BLAS block scoring (Arrow)",
+    "ns_ann_cosine_topk": "brute baseline: JVM-only, corpus scanned once, one integer fold per pair",
+    "ns_ann_lsh_topk": "multi-table buckets via one Arrow matmul; per-bucket BLAS scoring, dedup after",
+    "ns_ann_ivf_topk": "codebook assign = zero-shuffle Arrow matmul; probe scans nprobe/num_centroids of corpus",
     "ns_asof_attribution": "as-of via union-merge: one key shuffle, no range cross-product; both scans filter-pushed",
     "ns_media_features": "single Arrow-batched mapInPandas stage; schema fixed, no driver collect",
     "ns_events_sessionize": "single shuffle on user_id; session bounds via lag window",
@@ -123,7 +123,11 @@ def main() -> None:
         "non-empty PushedFilters / total scans; **wscg** = whole-stage-codegen",
         "spans; **expand** = Expand nodes (countDistinct multiplier — kept at 0",
         "on the hot aggregates by the distinct-free cascades); **py** = Python",
-        "eval stages (Arrow mapInPandas only, multimodal surface).",
+        "eval stages — Arrow-batched only, confined to the two surfaces",
+        "where Python beats the JVM: multimodal decode and vector BLAS",
+        "block kernels (mapInPandas/applyInPandas matmuls). The",
+        "relational, text, dedup-signature, and streaming paths are",
+        "entirely JVM whole-stage-codegen.",
         "",
         "| query | exch | bhj | smj | pushed | wscg | expand | py | scale note |",
         "|---|---|---|---|---|---|---|---|---|",
@@ -135,8 +139,9 @@ def main() -> None:
         "Reading guide: a 1000-executor run distributes each Exchange as a",
         "full shuffle of that stage's output; the counts above are the",
         "number of such barriers per query, after broadcast elimination.",
-        "Queries with `py > 0` are the deliberate Arrow-batched multimodal",
-        "stages; everything else runs entirely inside the JVM.",
+        "Queries with `py > 0` are the deliberate Arrow-batched stages",
+        "(multimodal decode + vector BLAS kernels); everything else runs",
+        "entirely inside the JVM.",
         "",
     ]
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
