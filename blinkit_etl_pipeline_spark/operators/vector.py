@@ -217,12 +217,21 @@ def _planes_matrix(nbits: int, ntables: int, dim: int, seed: int = RP_SEED):
 def bucket_frame(
     q: DataFrame, nbits: int, ntables: int, dim: int, seed: int = RP_SEED
 ) -> DataFrame:
-    """(vec_id, qvec, qq, t, bucket) — one row per vector per hash table.
+    """(vec_id, qvec, qq, t, bucket, all_buckets) — one row per vector
+    per hash table.
 
     All ``ntables × nbits`` sign projections for a batch are ONE BLAS
     matmul (``M @ P`` with ±1 planes: exact integers ≤ 2^27), done in an
     Arrow-batched ``mapInPandas``. All tables slice one shared seeded
     matrix: table *t* uses planes ``[t·nbits, (t+1)·nbits)``.
+
+    ``all_buckets`` carries the vector's bucket in EVERY table so the
+    per-bucket pair kernels can apply **first-collision ownership**: a
+    pair is emitted only by the lowest table where it collides — exact
+    local dedup, locally decidable. Without it, a pair colliding in k
+    tables is emitted k× and a global ``dropDuplicates`` must shuffle
+    the duplicated candidate stream, which on collision-degenerate data
+    (many near-parallel vectors) is ntables× the true pair volume.
     """
     import pandas as pd
 
@@ -237,9 +246,16 @@ def bucket_frame(
             M = _np_stack(pdf["qvec"], dim)
             S = M @ P  # exact integer projections
             bits = S > 0
+            B = np.stack(
+                [
+                    bits[:, t * nbits : (t + 1) * nbits] @ weights
+                    for t in range(ntables)
+                ],
+                axis=1,
+            ).astype("int32")  # n × ntables
+            all_b = list(B)
             out = []
             for t in range(ntables):
-                buckets = bits[:, t * nbits : (t + 1) * nbits] @ weights
                 out.append(
                     pd.DataFrame(
                         {
@@ -247,15 +263,32 @@ def bucket_frame(
                             "qvec": pdf["qvec"],
                             "qq": pdf["qq"].to_numpy(),
                             "t": t,
-                            "bucket": buckets.astype("int32"),
+                            "bucket": B[:, t],
+                            "all_buckets": all_b,
                         }
                     )
                 )
             yield pd.concat(out, ignore_index=True)
 
     return q.mapInPandas(
-        gen, schema="vec_id long, qvec array<long>, qq long, t int, bucket int"
+        gen,
+        schema=(
+            "vec_id long, qvec array<long>, qq long, t int, bucket int,"
+            " all_buckets array<int>"
+        ),
     )
+
+
+def _ownership_mask(pdf, ia, ib):
+    """First-collision ownership: keep pair (ia, ib) in this group's
+    table t only if no table t' < t also has them colliding."""
+    import numpy as np
+
+    t = int(pdf["t"].iloc[0])
+    if t == 0 or len(ia) == 0:
+        return np.ones(len(ia), dtype=bool)
+    ab = np.stack(pdf["all_buckets"].to_numpy())[:, :t]
+    return ~(ab[ia] == ab[ib]).any(axis=1)
 
 
 # ----------------------------------------------------------------------
@@ -394,28 +427,60 @@ def exact_cosine_pairs(
 # ----------------------------------------------------------------------
 
 
+#: Max cells per in-kernel cosine block (×8 B ≈ 32 MB) — bounds kernel
+#: memory even when a degenerate bucket holds a huge member list.
+_BLOCK_CELLS = 4_194_304
+
+
 def _bucket_pair_fn(threshold: float, dim: int):
-    """applyInPandas kernel: score all i<j pairs within one (t, bucket)."""
+    """applyInPandas kernel: score all i<j pairs within one (t, bucket).
+
+    Row-tiled: the cosine matrix is computed in blocks of
+    ``_BLOCK_CELLS / n`` rows, so memory stays bounded no matter how
+    large the bucket (LSH buckets degenerate to O(corpus) members on
+    near-parallel data — the kernel must survive that, not assume
+    balance)."""
     import pandas as pd
 
     def fn(pdf):
         import numpy as np
 
         n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_raw": []}).astype(
-                {"vec_a": "int64", "vec_b": "int64", "cos_raw": "float64"}
-            )
-        ids = pdf["vec_id"].to_numpy()
-        qq = pdf["qq"].to_numpy(dtype="float64")
-        M = _np_stack(pdf["qvec"])
-        cos = (M @ M.T) / (np.sqrt(qq)[:, None] * np.sqrt(qq)[None, :])
-        ia, ib = np.nonzero(cos >= threshold)
-        keep = ids[ia] < ids[ib]
-        ia, ib = ia[keep], ib[keep]
-        return pd.DataFrame(
-            {"vec_a": ids[ia], "vec_b": ids[ib], "cos_raw": cos[ia, ib]}
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos_raw": []}).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cos_raw": "float64"}
         )
+        if n < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        sq = np.sqrt(pdf["qq"].to_numpy(dtype="float64"))
+        M = _np_stack(pdf["qvec"])
+        t = int(pdf["t"].iloc[0])
+        ab = (
+            np.stack(pdf["all_buckets"].to_numpy())[:, :t] if t > 0 else None
+        )
+        rows = max(1, _BLOCK_CELLS // n)
+        outs = []
+        for b0 in range(0, n, rows):
+            b1 = min(n, b0 + rows)
+            cos = (M[b0:b1] @ M.T) / (sq[b0:b1, None] * sq[None, :])
+            la, ib = np.nonzero(cos >= threshold)
+            ga = la + b0
+            keep = ids[ga] < ids[ib]
+            la, ga, ib = la[keep], ga[keep], ib[keep]
+            if ab is not None and len(ga):
+                own = ~(ab[ga] == ab[ib]).any(axis=1)  # first-collision
+                la, ga, ib = la[own], ga[own], ib[own]
+            if len(ga):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": ids[ga],
+                            "vec_b": ids[ib],
+                            "cos_raw": cos[la, ib],
+                        }
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
     return fn
 
@@ -433,9 +498,12 @@ def cosine_neardup_pairs(
     :func:`exact_cosine_pairs`); ``nbits>0`` restricts to pairs colliding
     in ≥1 of ``ntables`` sign-LSH tables (the scale path; same
     OR-amplification trade-off as :func:`lsh_topk`). Bucket-mates are
-    scored per (t, bucket) group in one BLAS block each; a pair
-    colliding in several tables scores identically everywhere (exact
-    integer dots), so the cross-table dedup is value-stable.
+    scored per (t, bucket) group in one BLAS block each; cross-table
+    duplicates are eliminated IN the kernel by first-collision
+    ownership (each pair emitted only by the lowest colliding table),
+    so no global dedup shuffle exists — output volume is exactly the
+    unique qualifying pair set even when collision-degenerate data
+    puts whole replicas into one bucket of every table.
     """
     if not nbits:
         return exact_cosine_pairs(emb, threshold, dim=dim)
@@ -445,7 +513,7 @@ def cosine_neardup_pairs(
         _bucket_pair_fn(threshold, dim),
         schema="vec_a long, vec_b long, cos_raw double",
     )
-    return pairs.dropDuplicates(["vec_a", "vec_b"]).select(
+    return pairs.select(
         "vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine_sim")
     )
 
@@ -483,7 +551,14 @@ def lsh_topk(
             emb.withColumn("bucket", bucket_expr)
             .select("vec_id", "bucket")
             .join(q, "vec_id")
-            .select("vec_id", "qvec", "qq", F.lit(0).alias("t"), "bucket")
+            .select(
+                "vec_id",
+                "qvec",
+                "qq",
+                F.lit(0).alias("t"),
+                "bucket",
+                F.array(F.col("bucket")).alias("all_buckets"),
+            )
         )
     else:
         bucketed = bucket_frame(q, nbits, ntables, dim)
@@ -506,15 +581,18 @@ def lsh_topk(
             np.sqrt(qq[qmask])[:, None] * np.sqrt(qq)[None, :]
         )
         qid = ids[qmask]
+        qpos = np.nonzero(qmask)[0]
         ia, ib = np.nonzero(qid[:, None] != ids[None, :])
+        # first-collision ownership on (query row, neighbor row) — same
+        # exact local dedup as the near-dup kernel
+        own = _ownership_mask(pdf, qpos[ia], ib)
+        ia, ib = ia[own], ib[own]
         return pd.DataFrame(
             {"query_id": qid[ia], "neighbor_id": ids[ib], "cos_raw": cos[ia, ib]}
         )
 
-    cands = (
-        bucketed.groupBy("t", "bucket")
-        .applyInPandas(fn, schema="query_id long, neighbor_id long, cos_raw double")
-        .dropDuplicates(["query_id", "neighbor_id"])
+    cands = bucketed.groupBy("t", "bucket").applyInPandas(
+        fn, schema="query_id long, neighbor_id long, cos_raw double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id").asc()
