@@ -261,6 +261,51 @@ SPLIT_WEIGHTS = (0.8, 0.1, 0.1)
 SPLIT_LABELS = ("train", "val", "test")
 
 
+#: Curation-pipeline gates (ns_pipeline_curation).
+CURATION_MIN_QUALITY = 0.55
+CURATION_MIN_TOKENS = 20
+
+
+def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation pipeline as ONE Catalyst plan —
+    the composed operation this engine exists for:
+
+    quality-score + language-ID (map-side) → quality/langid gates →
+    exact-dedup survivors (deterministic min-doc_id per md5) →
+    per-language stratified downsample → leak-free train/val/test split.
+
+    Every stage is an operator that also ships standalone; composing
+    them stays one job with exactly one shuffle (the dedup window) —
+    filters fuse into the scan, the sample and split gates are
+    map-side hash filters, and Catalyst prunes everything the final
+    projection doesn't need.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    q = T.quality_columns(F.col("text"), toks)
+    lid = T.langid_columns(F.col("text"), toks)
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        q["n_tokens"].alias("n_tokens"),
+        q["quality_score"].alias("quality_score"),
+        lid["predicted_lang"].alias("predicted_lang"),
+    )
+    kept = scored.filter(
+        (F.col("quality_score") >= CURATION_MIN_QUALITY)
+        & (F.col("n_tokens") >= CURATION_MIN_TOKENS)
+        & (F.col("predicted_lang") != "und")
+    )
+    survivors = dedup.exact_dedup(kept)
+    sampled = selection.stratified_sample(
+        survivors, "predicted_lang", STRATA_RATES, default_rate=STRATA_DEFAULT_RATE
+    )
+    return selection.hash_split(sampled).select(
+        "doc_id", "lang", "predicted_lang", "n_tokens", "quality_score", "split"
+    )
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
     return selection.stratified_sample(
@@ -1027,6 +1072,7 @@ QUERIES = {
     "ns_text_fingerprint": q_text_fingerprint,
     "ns_text_repetition": q_text_repetition,
     "ns_pii_scrub": q_pii_scrub,
+    "ns_pipeline_curation": q_pipeline_curation,
     "ns_sample_stratified": q_sample_stratified,
     "ns_split_hash": q_split_hash,
     "ns_events_json_kv": q_events_json_kv,
@@ -1148,14 +1194,14 @@ SELECT c3.doc_id, CAST(n1 + n2 + n3 AS BIGINT) AS n_redactions, s.scrubbed_text
 FROM c3 JOIN scr s ON s.doc_id = c3.doc_id"""
 
 
-def _strata_case_sql() -> str:
+def _strata_case_sql(col: str = "lang") -> str:
     from ..operators.selection import GATE_MOD
 
     arms = " ".join(
         f"WHEN '{v}' THEN {int(r * GATE_MOD)}"
         for v, r in sorted(STRATA_RATES.items())
     )
-    return f"CASE lang {arms} ELSE {int(STRATA_DEFAULT_RATE * GATE_MOD)} END"
+    return f"CASE {col} {arms} ELSE {int(STRATA_DEFAULT_RATE * GATE_MOD)} END"
 
 
 def _split_case_sql() -> str:
@@ -1169,6 +1215,61 @@ def _split_case_sql() -> str:
         arms.append(f"WHEN g < {int(acc * GATE_MOD)} THEN '{label}'")
     return f"CASE {' '.join(arms)} ELSE '{SPLIT_LABELS[-1]}' END"
 
+
+
+_LANGID_SCORED = f"""scored AS (
+  SELECT doc_id, lang, text, tk,
+    CAST(len(tk) AS BIGINT) AS n_tokens,
+    ROUND(least(len(tk) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+      + (len(list_distinct(tk)) / CAST(greatest(len(tk), 1) AS DOUBLE)) * CAST(0.5 AS DOUBLE), 6)
+      AS quality_score,
+    CAST(len(list_filter(tk, t -> list_contains({_marker_sql('en')}, t))) AS BIGINT) AS score_en,
+    CAST(len(list_filter(tk, t -> list_contains({_marker_sql('fr')}, t))) AS BIGINT) AS score_fr,
+    CAST(len(list_filter(tk, t -> list_contains({_marker_sql('de')}, t))) AS BIGINT) AS score_de,
+    CAST(len(list_filter(tk, t -> list_contains({_marker_sql('es')}, t))) AS BIGINT) AS score_es,
+    len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) > 0 AS has_cjk
+  FROM toks
+),
+langed AS (
+  SELECT *, CASE WHEN has_cjk THEN 'zh'
+       WHEN greatest(score_en, score_fr, score_de, score_es) = 0 THEN 'und'
+       WHEN score_en = greatest(score_en, score_fr, score_de, score_es) THEN 'en'
+       WHEN score_fr = greatest(score_en, score_fr, score_de, score_es) THEN 'fr'
+       WHEN score_de = greatest(score_en, score_fr, score_de, score_es) THEN 'de'
+       ELSE 'es' END AS predicted_lang
+  FROM scored
+)"""
+
+
+def _curation_oracle() -> str:
+    from ..operators.selection import GATE_MOD
+
+    gate_strat = _H.format(x="CAST(doc_id AS VARCHAR) || ':strat'")
+    gate_split = _H.format(x="CAST(doc_id AS VARCHAR) || ':split'")
+    return f"""WITH {_TOKS},
+{_LANGID_SCORED},
+kept AS (
+  SELECT * FROM langed
+  WHERE quality_score >= {CURATION_MIN_QUALITY}
+    AND n_tokens >= {CURATION_MIN_TOKENS}
+    AND predicted_lang != 'und'
+),
+surv AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+),
+sampled AS (
+  SELECT * FROM surv
+  WHERE {gate_strat} % {GATE_MOD} < {_strata_case_sql('predicted_lang')}
+)
+SELECT doc_id, lang, predicted_lang, n_tokens, quality_score,
+  {_split_case_sql()} AS split
+FROM (SELECT *, {gate_split} % {GATE_MOD} AS g FROM sampled)"""
+
+
+ORACLES["ns_pipeline_curation"] = _curation_oracle()
 
 ORACLES["ns_sample_stratified"] = f"""SELECT doc_id, lang, source
 FROM documents

@@ -53,7 +53,11 @@ NOTES = {
     "ns_asof_attribution": "as-of via union-merge: one key shuffle, no range cross-product; both scans filter-pushed",
     "ns_media_features": "single Arrow-batched mapInPandas stage; schema fixed, no driver collect",
     "ns_events_sessionize": "single shuffle on user_id; session bounds via lag window",
+    "ns_pipeline_curation": "5-stage curation pipeline fused to ONE plan; gates map-side, single shuffle (dedup window)",
 }
+
+
+APPEND_MARKER = "## Scaling evidence"
 
 
 def main() -> None:
@@ -145,8 +149,15 @@ def main() -> None:
         "",
     ]
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "PLANS.md"), "w") as f:
-        f.write("\n".join(out))
+    out_path = os.path.join(root, "PLANS.md")
+    tail = ""
+    if os.path.exists(out_path):
+        prev = open(out_path).read()
+        if APPEND_MARKER in prev:
+            # hand-maintained sections (scaling runs) survive regeneration
+            tail = "\n" + prev[prev.index(APPEND_MARKER):]
+    with open(out_path, "w") as f:
+        f.write("\n".join(out) + tail)
     print(f"PLANS.md written ({len(rows)} queries)")
 
 
