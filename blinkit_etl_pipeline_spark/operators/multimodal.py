@@ -10,10 +10,13 @@ Image rows carry REAL image payloads: valid binary PPM (P6) files,
 synthesized JVM-side, and :func:`decode_ppm` is a real pure-stdlib
 decoder (header tokenizer with comment handling + raster slicing) that
 runs inside the ``mapInPandas`` stage to produce pixel statistics
-(per-channel means, parsed dimensions). Formats that need external
-codecs (JPEG/PNG via PIL, audio/video via ffmpeg) remain
-``NotImplementedError`` stubs — the decode *pipeline* is exercised end
-to end on PPM; swapping in PIL later only adds a format branch.
+(per-channel means, parsed dimensions). Audio rows carry REAL mono
+8-bit PCM WAV payloads and :func:`decode_wav` is a real chunk-walking
+RIFF parser producing sample statistics (rate, count, mean amplitude).
+Formats that need external codecs (JPEG/PNG via PIL, compressed audio
+and video via ffmpeg) remain ``NotImplementedError`` stubs — the
+decode *pipeline* is exercised end to end on PPM + WAV; swapping in
+PIL/ffmpeg later only adds format branches.
 
 Because the PPM pixels follow a closed-form generator, ``media_features``
 has a value-exact DuckDB oracle: the oracle derives byte checksums and
@@ -41,6 +44,25 @@ from pyspark.sql.types import (
 
 MEDIA_TYPES = ("image", "audio", "video")
 
+#: audio synthesis constants: mono 8-bit PCM, fixed geometry so the
+#: 44-byte canonical RIFF/WAVE header is ONE shared literal across
+#: Spark, the decoder tests, and the DuckDB oracle.
+AUDIO_SAMPLE_RATE = 8000
+AUDIO_N_SAMPLES = 2048
+
+
+def wav_header(n_samples: int = AUDIO_N_SAMPLES,
+               rate: int = AUDIO_SAMPLE_RATE) -> bytes:
+    """Canonical 44-byte RIFF/WAVE header for mono 8-bit PCM."""
+    import struct
+
+    data_size = n_samples  # 1 byte/sample, mono
+    return (
+        b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate, 1, 8)
+        + b"data" + struct.pack("<I", data_size)
+    )
+
 MEDIA_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -67,6 +89,9 @@ FEATURES_SCHEMA = StructType(
         StructField("mean_r", DoubleType()),
         StructField("mean_g", DoubleType()),
         StructField("mean_b", DoubleType()),
+        StructField("parsed_sample_rate", IntegerType()),
+        StructField("parsed_n_samples", LongType()),
+        StructField("mean_amplitude", DoubleType()),
     ]
 )
 
@@ -87,13 +112,13 @@ def _img_h(doc_id: Column) -> Column:
 def synthesize_media(docs: DataFrame) -> DataFrame:
     """Deterministic media table from documents.
 
-    Image rows (doc_id % 3 == 0) get REAL binary PPM (P6) payloads,
-    built entirely JVM-side: header string + a generated raster hex
-    string folded through ``unhex`` — no UDF, no driver loop. Audio /
-    video rows keep utf-8 text bytes (their codecs are stubbed anyway).
-    Metadata width/height matches the actual PPM dimensions for images
-    (small rasters keep the synthetic corpus cheap); the legacy formula
-    stays for non-image rows so resize planning has varied shapes.
+    Image rows (doc_id % 3 == 0) get REAL binary PPM (P6) payloads and
+    audio rows (doc_id % 3 == 1) REAL mono 8-bit PCM WAV payloads, both
+    built entirely JVM-side: header + generated sample/raster hex folded
+    through ``unhex`` — no UDF, no driver loop. Video rows keep utf-8
+    text bytes (their codec is stubbed). Metadata width/height matches
+    the actual PPM dimensions for images; the legacy formula stays for
+    non-image rows so resize planning has varied shapes.
     """
     mid = F.col("doc_id")
     media_type = F.element_at(
@@ -104,21 +129,35 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
         F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n")
     )
     n_pix_bytes = (w * h * 3).cast("bigint")
-    pix_hex = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0).cast("bigint"), n_pix_bytes - 1),
-            lambda i: F.lpad(
-                F.hex((mid * PIX_A + i * PIX_B) % 256), 2, "0"
+
+    def _gen_hex(n_bytes: Column) -> Column:
+        """Hex string of ``n_bytes`` generator bytes ((mid·A + i·B) % 256)."""
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(0).cast("bigint"), n_bytes - 1),
+                lambda i: F.lpad(F.hex((mid * PIX_A + i * PIX_B) % 256), 2, "0"),
             ),
-        ),
-        "",
+            "",
+        )
+
+    ppm = F.unhex(F.concat(F.hex(F.encode(header, "utf-8")), _gen_hex(n_pix_bytes)))
+    # audio rows carry REAL mono 8-bit PCM WAV: shared literal header +
+    # generator sample bytes — decode_wav walks the RIFF chunks for real
+    wav = F.unhex(
+        F.concat(
+            F.lit(wav_header().hex().upper()),
+            _gen_hex(F.lit(AUDIO_N_SAMPLES).cast("bigint")),
+        )
     )
-    ppm = F.unhex(F.concat(F.hex(F.encode(header, "utf-8")), pix_hex))
     is_image = media_type == "image"
+    is_audio = media_type == "audio"
     return docs.select(
         mid.alias("media_id"),
         media_type.alias("media_type"),
-        F.when(is_image, ppm).otherwise(F.encode("text", "utf-8")).alias("payload"),
+        F.when(is_image, ppm)
+        .when(is_audio, wav)
+        .otherwise(F.encode("text", "utf-8"))
+        .alias("payload"),
         F.when(is_image, w)
         .otherwise((mid % 64 * 16 + 256).cast("int"))
         .alias("width"),
@@ -171,9 +210,51 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     )
 
 
-def decode_audio(payload: bytes) -> object:
-    """Real audio decode — requires soundfile/ffmpeg, absent here."""
-    raise NotImplementedError("STUB: audio decode needs soundfile/ffmpeg")
+def decode_wav(payload: bytes) -> tuple[int, int, bytes]:
+    """Pure-stdlib WAV (RIFF) decoder → (sample_rate, n_samples, pcm).
+
+    A real chunk-walking parser, not a fixed-offset slice: validates the
+    RIFF/WAVE container, iterates chunks honoring the spec's word
+    alignment (odd-sized chunks pad one byte), reads the ``fmt `` block
+    and requires uncompressed mono 8-bit PCM, then returns the ``data``
+    payload. Unknown chunks (LIST, cue, …) are skipped, as a real
+    decoder must.
+    """
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _byte_rate, _align, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if (audio_format, channels, bits) != (1, 1, 8):
+        raise ValueError(
+            f"only mono 8-bit PCM supported, got fmt={audio_format} "
+            f"ch={channels} bits={bits}"
+        )
+    return rate, len(data), data
+
+
+def decode_audio(payload: bytes) -> tuple[int, int, bytes]:
+    """Audio decode: WAV/PCM handled natively; compressed formats
+    (mp3/ogg/flac) would need soundfile/ffmpeg."""
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    raise NotImplementedError(
+        "STUB: compressed audio decode needs soundfile/ffmpeg (not installed)"
+    )
 
 
 def sample_frames(payload: bytes, every_ms: int = 1000) -> list[bytes]:
@@ -218,6 +299,8 @@ def media_features(media: DataFrame, min_partitions: int | None = None) -> DataF
                 "first_byte": [], "byte_sum_mod": [], "byte_weighted_mod": [],
                 "width": [], "height": [], "parsed_width": [],
                 "parsed_height": [], "mean_r": [], "mean_g": [], "mean_b": [],
+                "parsed_sample_rate": [], "parsed_n_samples": [],
+                "mean_amplitude": [],
             }
             for mid, mtype, payload, w, h in zip(
                 pdf["media_id"], pdf["media_type"], pdf["payload"],
@@ -232,8 +315,13 @@ def media_features(media: DataFrame, min_partitions: int | None = None) -> DataF
                 out["byte_weighted_mod"].append(w_mod)
                 out["width"].append(w)
                 out["height"].append(h)
+                img = aud = None
                 if mtype == "image":
-                    pw, ph, raster = decode_image(bytes(payload))
+                    img = decode_image(bytes(payload))
+                elif mtype == "audio":
+                    aud = decode_audio(bytes(payload))
+                if img is not None:
+                    pw, ph, raster = img
                     npx = pw * ph
                     out["parsed_width"].append(pw)
                     out["parsed_height"].append(ph)
@@ -248,14 +336,28 @@ def media_features(media: DataFrame, min_partitions: int | None = None) -> DataF
                     out["mean_r"].append(None)
                     out["mean_g"].append(None)
                     out["mean_b"].append(None)
+                if aud is not None:
+                    rate, nsamp, pcm = aud
+                    out["parsed_sample_rate"].append(rate)
+                    out["parsed_n_samples"].append(nsamp)
+                    out["mean_amplitude"].append(sum(pcm) / max(nsamp, 1))
+                else:
+                    out["parsed_sample_rate"].append(None)
+                    out["parsed_n_samples"].append(None)
+                    out["mean_amplitude"].append(None)
             yield pd.DataFrame(out)
 
     feats = media.mapInPandas(extract, schema=FEATURES_SCHEMA)
     return feats.select(
-        *[c for c in feats.columns if c not in ("mean_r", "mean_g", "mean_b")],
+        *[
+            c
+            for c in feats.columns
+            if c not in ("mean_r", "mean_g", "mean_b", "mean_amplitude")
+        ],
         F.round("mean_r", 6).alias("mean_r"),
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
+        F.round("mean_amplitude", 6).alias("mean_amplitude"),
     )
 
 

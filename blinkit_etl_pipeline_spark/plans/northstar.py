@@ -591,6 +591,16 @@ def _mb_cte(
     return "mb AS (" + " UNION ALL ".join(selects) + ")"
 
 
+
+# WAV header checksum constants (shared literal header — see
+# operators/multimodal.wav_header): contributions to the byte checksums
+# precomputed here so the oracle's SQL stays closed-form.
+_WAV_HDR = multimodal.wav_header()
+_WAV_HLEN = len(_WAV_HDR)
+_WAV_FIRST = _WAV_HDR[0]
+_WAV_HSUM = sum(_WAV_HDR)
+_WAV_HW = sum(b * (j + 1) for j, b in enumerate(_WAV_HDR))
+
 _STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS) + "]"
 
 
@@ -834,10 +844,39 @@ imgf AS (
       / CAST(width * height AS DOUBLE), 6) AS mean_g,
     ROUND(list_sum(list_transform(range(0, width * height),
       p -> (media_id * {multimodal.PIX_A} + (p * 3 + 2) * {multimodal.PIX_B}) % 256))
-      / CAST(width * height AS DOUBLE), 6) AS mean_b
+      / CAST(width * height AS DOUBLE), 6) AS mean_b,
+    CAST(NULL AS INT) AS parsed_sample_rate,
+    CAST(NULL AS BIGINT) AS parsed_n_samples,
+    CAST(NULL AS DOUBLE) AS mean_amplitude
   FROM img
 ),
-txtf AS (
+audf AS (
+  -- WAV payload = the 44-byte canonical header (a shared constant:
+  -- checksum contributions precomputed in Python) + generator samples.
+  -- Spark decodes the actual RIFF bytes; this derives the same stats
+  -- from the closed form — independent cross-check of decode_wav.
+  SELECT media_id, media_type,
+    CAST({_WAV_HLEN} + {multimodal.AUDIO_N_SAMPLES} AS BIGINT) AS payload_bytes,
+    CAST({_WAV_FIRST} AS INT) AS first_byte,
+    CAST(({_WAV_HSUM} + list_sum(list_transform(range(0, {multimodal.AUDIO_N_SAMPLES}),
+        i -> (media_id * {multimodal.PIX_A} + i * {multimodal.PIX_B}) % 256)))
+      % {multimodal.CHECKSUM_MOD} AS BIGINT) AS byte_sum_mod,
+    CAST(({_WAV_HW} + list_sum(list_transform(range(0, {multimodal.AUDIO_N_SAMPLES}),
+        i -> ((media_id * {multimodal.PIX_A} + i * {multimodal.PIX_B}) % 256)
+             * ({_WAV_HLEN} + i + 1))))
+      % {multimodal.CHECKSUM_MOD} AS BIGINT) AS byte_weighted_mod,
+    lw AS width, lh AS height,
+    CAST(NULL AS INT) AS parsed_width, CAST(NULL AS INT) AS parsed_height,
+    CAST(NULL AS DOUBLE) AS mean_r, CAST(NULL AS DOUBLE) AS mean_g,
+    CAST(NULL AS DOUBLE) AS mean_b,
+    CAST({multimodal.AUDIO_SAMPLE_RATE} AS INT) AS parsed_sample_rate,
+    CAST({multimodal.AUDIO_N_SAMPLES} AS BIGINT) AS parsed_n_samples,
+    ROUND(list_sum(list_transform(range(0, {multimodal.AUDIO_N_SAMPLES}),
+      i -> (media_id * {multimodal.PIX_A} + i * {multimodal.PIX_B}) % 256))
+      / CAST({multimodal.AUDIO_N_SAMPLES} AS DOUBLE), 6) AS mean_amplitude
+  FROM mbase WHERE media_type = 'audio'
+),
+vidf AS (
   SELECT media_id, media_type,
     CAST(strlen(text) AS BIGINT) AS payload_bytes,
     CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
@@ -850,10 +889,13 @@ txtf AS (
     lw AS width, lh AS height,
     CAST(NULL AS INT) AS parsed_width, CAST(NULL AS INT) AS parsed_height,
     CAST(NULL AS DOUBLE) AS mean_r, CAST(NULL AS DOUBLE) AS mean_g,
-    CAST(NULL AS DOUBLE) AS mean_b
-  FROM mbase WHERE media_type != 'image'
+    CAST(NULL AS DOUBLE) AS mean_b,
+    CAST(NULL AS INT) AS parsed_sample_rate,
+    CAST(NULL AS BIGINT) AS parsed_n_samples,
+    CAST(NULL AS DOUBLE) AS mean_amplitude
+  FROM mbase WHERE media_type = 'video'
 )
-SELECT * FROM imgf UNION ALL SELECT * FROM txtf""",
+SELECT * FROM imgf UNION ALL SELECT * FROM audf UNION ALL SELECT * FROM vidf""",
     "ns_media_resize": """WITH m AS (
   SELECT doc_id AS media_id,
     (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,

@@ -58,3 +58,59 @@ def test_synthesized_ppm_roundtrips_through_decoder(spark):
                 / npx
             )
             assert abs(r[col] - expect) < 1e-6, (mid, col)
+
+
+def test_decode_wav_parses_real_riff_structure():
+    """Chunk-walking: unknown chunks skipped, odd sizes word-aligned,
+    fmt validated, data extracted."""
+    import struct
+
+    pcm = bytes(range(100))
+    # non-canonical layout: a LIST chunk (odd-sized, padded) before fmt
+    payload = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + 5 + 1 + 8 + 16 + 8 + len(pcm)) + b"WAVE"
+        + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad byte
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    rate, n, data = multimodal.decode_wav(payload)
+    assert (rate, n, data) == (8000, 100, pcm)
+
+
+def test_decode_wav_rejects_bad_payloads():
+    import struct
+
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"RIFX....WAVE")  # wrong container magic
+    stereo = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 16000, 2, 8)
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(stereo)  # stereo unsupported
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"ID3\x04...")  # mp3 needs ffmpeg
+
+
+def test_synthesized_wav_roundtrips_through_decoder(spark):
+    """JVM-side WAV builder and the Python RIFF parser must agree:
+    parsed rate/count == constants, mean amplitude == formula."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(60)
+    media = multimodal.synthesize_media(docs)
+    rows = (
+        multimodal.media_features(media)
+        .filter(F.col("media_type") == "audio")
+        .collect()
+    )
+    assert rows
+    n = multimodal.AUDIO_N_SAMPLES
+    for r in rows:
+        assert r["parsed_sample_rate"] == multimodal.AUDIO_SAMPLE_RATE
+        assert r["parsed_n_samples"] == n
+        mid = r["media_id"]
+        expect = (
+            sum((mid * multimodal.PIX_A + i * multimodal.PIX_B) % 256 for i in range(n))
+            / n
+        )
+        assert abs(r["mean_amplitude"] - expect) < 1e-6, mid
