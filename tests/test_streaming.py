@@ -152,3 +152,62 @@ def test_stateful_running_totals_accumulate(spark, tmp_path):
     for uid, r in final.items():
         assert r["n_events"] == expect[uid]["n"], uid
         assert abs(r["sum_value"] - (expect[uid]["s"] or 0.0)) < 0.05, uid
+
+
+def test_streaming_dedup_by_key_survives_redelivery(spark, tmp_path):
+    """The same file landing twice (at-least-once delivery) must not
+    duplicate rows: streamed dedup output == batch distinct-by-key."""
+    from blinkit_etl_pipeline_spark.streaming import dedup as sdedup
+
+    ev = _events_batch(spark).filter(F.col("event_id") % 7 == 0)
+    raw = tmp_path / "raw_dup"
+    raw.mkdir()
+    staging = str(tmp_path / "stage_dup")
+    ev.coalesce(1).write.parquet(staging)
+    src = sorted(glob.glob(f"{staging}/part-*.parquet"))[0]
+    # deliver the SAME data twice under different names
+    shutil.copy(src, str(raw / "delivery_a.parquet"))
+    shutil.copy(src, str(raw / "delivery_b.parquet"))
+
+    schema = spark.read.parquet(staging).schema
+    stream = file_source.stream_files(spark, str(raw), schema, fmt="parquet")
+    deduped = sdedup.dedup_by_key(stream, keys=("event_id",))
+    file_source.stream_to_memory(
+        deduped, "stream_dedup_key", str(tmp_path / "ckpt_dup"), output_mode="append"
+    )
+    got = spark.table("stream_dedup_key")
+    assert got.count() == ev.count()  # every row exactly once
+    assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_streaming_dedup_by_content_matches_batch_exact_dedup(spark, tmp_path):
+    """Content-hash streaming dedup emits one survivor per distinct
+    payload — the streaming arm of batch exact_dedup_groups."""
+    from blinkit_etl_pipeline_spark.streaming import dedup as sdedup
+
+    ev = (
+        _events_batch(spark)
+        .filter(F.col("event_id") % 11 == 0)
+        # synthesize a low-cardinality payload so content-dups exist
+        .withColumn("payload", F.concat(F.lit("doc-"), (F.col("event_id") % 5).cast("string")))
+    )
+    raw = tmp_path / "raw_content"
+    raw.mkdir()
+    staging = str(tmp_path / "stage_content")
+    ev.coalesce(1).write.parquet(staging)
+    for i, f in enumerate(sorted(glob.glob(f"{staging}/part-*.parquet"))):
+        shutil.copy(f, str(raw / f"d{i}.parquet"))
+
+    schema = spark.read.parquet(staging).schema
+    stream = file_source.stream_files(spark, str(raw), schema, fmt="parquet")
+    deduped = sdedup.dedup_by_content(stream, "payload")
+    file_source.stream_to_memory(
+        deduped, "stream_dedup_content", str(tmp_path / "ckpt_content"),
+        output_mode="append",
+    )
+    got = spark.table("stream_dedup_content")
+    # exactly one survivor per distinct payload, payload set preserved
+    assert got.count() == ev.select("payload").distinct().count()
+    assert {r["payload"] for r in got.select("payload").collect()} == {
+        r["payload"] for r in ev.select("payload").distinct().collect()
+    }
