@@ -192,3 +192,53 @@ def test_sign_bucket_dim_mismatch_raises(spark):
     df = spark.createDataFrame([(0, [1.0, 2.0])], "vec_id bigint, embedding array<float>")
     with pytest.raises(Exception, match="expected dim=8"):
         df.select(vector.sign_bucket(F.col("embedding"), 2, 8).alias("b")).collect()
+
+
+def test_bucketed_pairs_ownership_equals_global_dedup(spark):
+    """First-collision ownership must emit exactly the unique colliding
+    pair set — verified against an independent Python reference that
+    computes buckets from the same planes and dedups globally."""
+    import numpy as np
+
+    rng = __import__("random").Random(99)
+    dim, n, nbits, ntables, threshold = 16, 120, 3, 4, 0.2
+    rows = [
+        (i, [float(rng.gauss(0, 1)) for _ in range(dim)]) for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in vector.cosine_neardup_pairs(
+            emb, threshold, nbits=nbits, dim=dim, ntables=ntables
+        ).collect()
+    }
+
+    # reference: quantize, bucket per table, collide-in-ANY-table, dedup,
+    # then exact cosine threshold — all in plain numpy
+    planes = np.array(
+        vector.rp_hyperplanes(dim, nbits * ntables), dtype=np.float64
+    ).T
+    Q = np.array(
+        [[vector.pyquantize(np.float32(x)) for x in v] for _, v in rows],
+        dtype=np.float64,
+    )
+    S = Q @ planes
+    weights = np.array([1 << j for j in range(nbits)])
+    cand = set()
+    for t in range(ntables):
+        buckets = (S[:, t * nbits : (t + 1) * nbits] > 0) @ weights
+        by_bucket = {}
+        for i, b in enumerate(buckets):
+            by_bucket.setdefault(b, []).append(i)
+        for members in by_bucket.values():
+            for ai in range(len(members)):
+                for bi in range(ai + 1, len(members)):
+                    cand.add((members[ai], members[bi]))
+    qq = (Q * Q).sum(axis=1)
+    want = set()
+    for a, b in cand:
+        cos = (Q[a] @ Q[b]) / (np.sqrt(qq[a]) * np.sqrt(qq[b]))
+        if cos >= threshold:
+            want.add((a, b))
+    assert got == want, (len(got), len(want))
