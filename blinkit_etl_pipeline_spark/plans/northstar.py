@@ -144,6 +144,33 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_ann_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-list balance of the trained IVF codebook — the
+    operational stat that decides whether a codebook ships: a skewed
+    list means one probe scans most of the corpus (worst-case latency)
+    while empty lists waste centroids. One zero-shuffle assignment pass
+    + an 8-group aggregate."""
+    from pyspark.sql import Window
+
+    from .codebook import TRAINED_IVF_CODEBOOK
+
+    emb = _emb(spark, sf_dir)
+    assigned = vector.ivf_assign(vector.with_q(emb), TRAINED_IVF_CODEBOOK)
+    counts = assigned.groupBy("centroid_id").agg(
+        F.count("*").cast("bigint").alias("n_vectors")
+    )
+    return counts.select(
+        "centroid_id",
+        "n_vectors",
+        F.round(
+            F.col("n_vectors")
+            / F.sum("n_vectors").over(Window.partitionBy()).cast("double"),
+            6,
+        ).alias("share"),
+    )
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of every approximate ANN path vs the exact brute-force
     baseline — the quality gauge the approximate operators ship with.
@@ -969,6 +996,27 @@ ranked AS (
 SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine_sim, "rank"
 FROM ranked WHERE "rank" <= {ANN_K}"""
 
+
+ORACLES["ns_ann_ivf_balance"] = f"""WITH {_EMB},
+c AS (SELECT centroid_id, cvec, list_dot_product(cvec, cvec) AS cqq
+  FROM {_codebook_values_sql()}),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_COSR.format(a='e.qv', b='c.cvec', qa='e.qq', qb='c.cqq')} DESC,
+        c.centroid_id ASC) AS rn
+    FROM e CROSS JOIN c
+  ) WHERE rn = 1
+),
+counts AS (
+  SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vectors
+  FROM assigned GROUP BY centroid_id
+)
+SELECT centroid_id, n_vectors,
+  ROUND(n_vectors / CAST(SUM(n_vectors) OVER () AS DOUBLE), 6) AS share
+FROM counts"""
+
 _RANKED = (
     "SELECT query_id, neighbor_id FROM ("
     "SELECT *, row_number() OVER (PARTITION BY query_id "
@@ -1107,6 +1155,7 @@ QUERIES = {
     "ns_ann_lsh_topk": q_ann_lsh_topk,
     "ns_ann_ivf_topk": q_ann_ivf_topk,
     "ns_ann_ivf_trained": q_ann_ivf_trained,
+    "ns_ann_ivf_balance": q_ann_ivf_balance,
     "ns_ann_recall": q_ann_recall,
     "ns_dedup_recall": q_dedup_recall,
     "ns_text_stats": q_text_stats,

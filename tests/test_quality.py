@@ -87,3 +87,14 @@ def test_connected_components_raises_when_iteration_cap_hit(spark):
     # and with room to converge the same graph labels as one component
     labels = connected_components(chain, max_iters=25)
     assert set(r["label"] for r in labels.collect()) == {0}
+
+
+def test_trained_ivf_list_balance(spark):
+    """The codebook ships only if its inverted lists are balanced: a
+    dominant list would make one probe scan most of the corpus."""
+    from blinkit_etl_pipeline_spark.plans.northstar import q_ann_ivf_balance
+
+    rows = q_ann_ivf_balance(spark, SF_SMOKE).collect()
+    assert len(rows) == 8
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    assert max(r["share"] for r in rows) <= 0.3, rows  # ideal = 0.125
