@@ -13,10 +13,30 @@ comparator lines up with the oracle's ``date_trunc`` arithmetic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SESSION_GAP_MINUTES = 30
+
+
+def value_cents() -> Column:
+    """``value`` as exact integer cents.
+
+    The source doubles are 2-decimal currency; ``round(value·100)``
+    recovers the exact decimal, and integer sums are associative — so
+    aggregated money is ORDER-INDEPENDENT and bit-identical on every
+    engine. Summing the raw doubles instead is a rounding lottery:
+    partial-aggregation order shifts the sum by ulps, and decimal
+    averages land exactly ON round-half boundaries (e.g. 1236.27/24 =
+    51.51125), so a ulp decides which way ROUND(…,4) falls — observed
+    as real sf0.1 oracle mismatches before this change.
+    """
+    return F.round(F.col("value") * 100, 0).cast("long")
+
+
+def money(cents_sum: Column, scale: float = 100.0) -> Column:
+    """Exact cents sum → display dollars (one deterministic division)."""
+    return cents_sum.cast("double") / F.lit(scale)
 
 
 def with_json_props(events: DataFrame) -> DataFrame:
@@ -35,7 +55,7 @@ def json_kv_rollup(events: DataFrame) -> DataFrame:
             F.count("*").alias("n_events"),
             F.sum("prop_k").cast("bigint").alias("sum_k"),
             F.round(F.avg("prop_k"), 4).alias("avg_k"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(money(F.sum(value_cents())), 2).alias("sum_value"),
         )
     )
 
@@ -46,16 +66,26 @@ def tumbling_rollup(events: DataFrame, width: str = "1 hour") -> DataFrame:
         events.groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.sum(value_cents()).alias("__cents"),
         )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             "event_type",
             "n_events",
-            "sum_value",
-            "avg_value",
+            F.round(money(F.col("__cents")), 2).alias("sum_value"),
+            # round-half-up(S/(100n), 4) in EXACT integer arithmetic:
+            # the decimal average of cents frequently lands exactly on a
+            # 4-decimal half boundary (e.g. 1236.27/24 = 51.51125), and
+            # engines disagree on rounding that double (Spark rounds the
+            # exact binary expansion, DuckDB scales in floats). Integer
+            # div is tie-exact on both; values are non-negative money.
+            (
+                F.expr(
+                    "(2 * __cents * 100 + n_events) div (2 * n_events)"
+                ).cast("double")
+                / F.lit(10000.0)
+            ).alias("avg_value"),
         )
     )
 
@@ -68,7 +98,7 @@ def sliding_rollup(
         events.groupBy(F.window("ts", width, slide).alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(money(F.sum(value_cents())), 2).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -106,7 +136,7 @@ def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> Dat
             F.count("*").alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(money(F.sum(value_cents())), 2).alias("sum_value"),
             (
                 F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
             ).alias("duration_us"),

@@ -784,15 +784,16 @@ FROM toks""",
   CAST(count(*) AS BIGINT) AS n_events,
   CAST(SUM(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
   ROUND(AVG(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k,
-  ROUND(SUM(value), 2) AS sum_value
+  ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_value
 FROM events GROUP BY event_type""",
     "ns_events_hourly": """SELECT
   date_trunc('hour', ts) AS window_start,
   date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
   event_type,
   CAST(count(*) AS BIGINT) AS n_events,
-  ROUND(SUM(value), 2) AS sum_value,
-  ROUND(AVG(value), 4) AS avg_value
+  ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_value,
+  CAST((2 * SUM(CAST(round(value * 100) AS BIGINT)) * 100 + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0
+    AS avg_value
 FROM events GROUP BY 1, 2, 3""",
     "ns_events_sliding": """WITH g AS (
   SELECT e.*,
@@ -801,7 +802,7 @@ FROM events GROUP BY 1, 2, 3""",
 )
 SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
   CAST(count(*) AS BIGINT) AS n_events,
-  ROUND(SUM(value), 2) AS sum_value
+  ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_value
 FROM g GROUP BY 1, 2""",
     "ns_events_sessionize": """WITH ordered AS (
   SELECT event_id, user_id, ts, value,
@@ -823,7 +824,7 @@ sess AS (
 SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
   CAST(count(*) AS BIGINT) AS n_events,
   min(ts) AS session_start, max(ts) AS session_end,
-  ROUND(SUM(value), 2) AS sum_value,
+  ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_value,
   CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
 FROM sess GROUP BY user_id, session_seq""",
     # Images are real PPM payloads; the oracle derives every statistic

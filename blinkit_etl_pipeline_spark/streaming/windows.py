@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.events import money, value_cents
+
 DEFAULT_WATERMARK = "2 hours"
 
 
@@ -31,16 +33,21 @@ def streaming_tumbling_rollup(
         .groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.sum(value_cents()).alias("__cents"),
         )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             "event_type",
             "n_events",
-            "sum_value",
-            "avg_value",
+            F.round(money(F.col("__cents")), 2).alias("sum_value"),
+            # tie-exact integer half-up rounding — see events.tumbling_rollup
+            (
+                F.expr(
+                    "(2 * __cents * 100 + n_events) div (2 * n_events)"
+                ).cast("double")
+                / F.lit(10000.0)
+            ).alias("avg_value"),
         )
     )
 
@@ -61,7 +68,7 @@ def streaming_session_windows(
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(money(F.sum(value_cents())), 2).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("session_start"),
