@@ -54,9 +54,17 @@ def json_kv_rollup(events: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.sum("prop_k").cast("bigint").alias("sum_k"),
-            F.round(F.avg("prop_k"), 4).alias("avg_k"),
             F.round(money(F.sum(value_cents())), 2).alias("sum_value"),
         )
+        # integer half-up at 4 decimals (tie-exact — see tumbling_rollup)
+        .withColumn(
+            "avg_k",
+            F.expr("(2 * sum_k * 10000 + n_events) div (2 * n_events)").cast(
+                "double"
+            )
+            / F.lit(10000.0),
+        )
+        .select("event_type", "n_events", "sum_k", "avg_k", "sum_value")
     )
 
 

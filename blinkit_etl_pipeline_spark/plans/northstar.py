@@ -783,7 +783,8 @@ FROM toks""",
     "ns_events_json_kv": """SELECT event_type,
   CAST(count(*) AS BIGINT) AS n_events,
   CAST(SUM(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
-  ROUND(AVG(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k,
+  CAST((2 * SUM(json_extract_string(props, '$.k')::BIGINT) * 10000 + count(*))
+    // (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_k,
   ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_value
 FROM events GROUP BY event_type""",
     "ns_events_hourly": """SELECT
