@@ -136,6 +136,86 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    idx: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT Jaccard pairs via prefix filtering (PPJoin-family).
+
+    Same answer set as :func:`ngram_jaccard_pairs`, asymptotically fewer
+    candidates. Order all shingles by global document frequency
+    (rarest first, shingle as tie-break); each document keeps only its
+    first ``|A| − ceil(t·|A|) + 1`` shingles as its *prefix*. Pigeonhole
+    guarantee: if ``J(A,B) ≥ t`` then ``|A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|)``,
+    but shingles outside A's prefix number only ``ceil(t·|A|) − 1 <
+    t·|A|`` — so the intersection cannot fit in the suffixes alone and
+    the pair MUST share a prefix shingle. Candidate generation joins
+    prefixes only (the rarest shingles, so bucket sizes are small by
+    construction); the exact intersection count is then computed for
+    candidates alone.
+
+    Scale shape vs the plain inverted-index join: the quadratic term
+    ``Σ_s df(s)²`` runs over prefix frequencies only — common shingles
+    (the df² blowup) sit at the END of the global order and fall out of
+    most prefixes. Costs two extra small shuffles (df counts + the
+    per-doc rank) and a candidate-proportional verify.
+    """
+    if idx is None:
+        idx = shingle_index(docs, n).persist()
+    sizes = idx.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    dfreq = idx.groupBy("shingle").agg(F.count("*").alias("__df"))
+    w = Window.partitionBy("doc_id").orderBy("__df", "shingle")
+    ranked = (
+        idx.join(dfreq, "shingle")
+        .withColumn("__rn", F.row_number().over(w))
+        .join(sizes, "doc_id")
+    )
+    prefix = ranked.filter(
+        F.col("__rn")
+        <= F.col("set_size") - F.ceil(F.col("set_size") * threshold) + 1
+    ).select("doc_id", "shingle")
+    ph = prefix.select("doc_id", F.xxhash64("shingle").alias("sh"))
+    a, b = ph.alias("a"), ph.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    hidx = idx.select("doc_id", F.xxhash64("shingle").alias("sh"))
+    inter = (
+        candidates.join(hidx.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(hidx.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("intersection"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "set_size", "size_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "set_size", "size_b"
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("intersection")
+                / (F.col("size_a") + F.col("size_b") - F.col("intersection")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "intersection", "size_a", "size_b", "jaccard")
+    )
+
+
 def _minhash_agg_cols() -> list:
     """The 16 per-document MIN aggregates over hashed shingles."""
     cols = []

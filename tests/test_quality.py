@@ -98,3 +98,24 @@ def test_trained_ivf_list_balance(spark):
     assert len(rows) == 8
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
     assert max(r["share"] for r in rows) <= 0.3, rows  # ideal = 0.125
+
+
+def test_prefix_jaccard_equals_plain_jaccard(spark):
+    """Prefix filtering is an EXACT candidate filter (pigeonhole bound):
+    at several thresholds the pair set must equal the plain
+    inverted-index join's, not approximate it."""
+    from blinkit_etl_pipeline_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    for t in (0.5, 0.8, 0.95):
+        plain = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=t).collect()
+        }
+        pref = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dedup.ngram_jaccard_pairs_prefix(
+                docs, n=3, threshold=t
+            ).collect()
+        }
+        assert pref == plain, (t, len(pref), len(plain))
