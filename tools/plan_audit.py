@@ -46,6 +46,7 @@ NOTES = {
     "ns_dedup_minhash_lsh": "candidates from band equi-join O(docs x bands); verify is candidate-proportional",
     "ns_dedup_simhash": "pigeonhole bands -> equi-join; bit_count(xor) verify",
     "ns_dedup_ngram_jaccard": "inverted-index join; stop-shingle DF cap bounds the quadratic tail",
+    "ns_dedup_jaccard_prefix": "PPJoin prefix filter: candidates from rarest-shingle prefixes only; exact verify on candidates",
     "ns_dedup_embedding": "quantized sign-LSH: one bucket shuffle, per-bucket BLAS block scoring (Arrow)",
     "ns_ann_cosine_topk": "brute baseline: JVM-only, corpus scanned once, one integer fold per pair",
     "ns_ann_lsh_topk": "multi-table buckets via one Arrow matmul; per-bucket BLAS scoring, dedup after",
