@@ -269,6 +269,41 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.repetition_frame(_docs(spark, sf_dir))
 
 
+VOCAB_TOP_K = 200
+
+
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary builder: top-K tokens by frequency with corpus
+    share — the first step of tokenizer training. One explode + one
+    partial-aggregated groupBy (the shuffle carries (token, count)
+    partials, never documents); the top-K is a TakeOrderedAndProject,
+    not a global sort. ``share`` is the exact integer quotient
+    count/total emitted UNROUNDED — identical float64 on every engine,
+    no rounding-tie surface.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("t"))
+    # top-K FIRST (plans as TakeOrderedAndProject — per-partition heaps,
+    # no global sort); the rank window then runs over K rows only, so
+    # the single-partition window never sees the full vocabulary
+    top = (
+        counts.orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(VOCAB_TOP_K)
+        .crossJoin(F.broadcast(total))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank",
+        "token",
+        F.col("n").cast("bigint").alias("n_occurrences"),
+        (F.col("n").cast("double") / F.col("t").cast("double")).alias("share"),
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII masking over a deterministically PII-laced text (the synthetic
     corpus has no PII, so each doc is suffixed with a derived email /
@@ -1189,6 +1224,7 @@ QUERIES = {
     "ns_text_langid": q_text_langid,
     "ns_text_fingerprint": q_text_fingerprint,
     "ns_text_repetition": q_text_repetition,
+    "ns_text_vocab": q_text_vocab,
     "ns_pii_scrub": q_pii_scrub,
     "ns_pipeline_curation": q_pipeline_curation,
     "ns_sample_stratified": q_sample_stratified,
@@ -1386,6 +1422,20 @@ SELECT doc_id, lang, predicted_lang, n_tokens, quality_score,
   {_split_case_sql()} AS split
 FROM (SELECT *, {gate_split} % {GATE_MOD} AS g FROM sampled)"""
 
+
+
+ORACLES["ns_text_vocab"] = f"""WITH {_TOKS},
+tok AS (SELECT unnest(tk) AS token FROM toks),
+counts AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts),
+ranked AS (
+  SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INT) AS "rank"
+  FROM counts
+)
+SELECT "rank", token, n AS n_occurrences,
+  CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS share
+FROM ranked CROSS JOIN tot
+WHERE "rank" <= {VOCAB_TOP_K}"""
 
 ORACLES["ns_pipeline_curation"] = _curation_oracle()
 
