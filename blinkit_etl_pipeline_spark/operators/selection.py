@@ -96,3 +96,27 @@ def hash_split(
         F.lit(labels[-1]) if expr is None else expr.otherwise(F.lit(labels[-1]))
     )
     return df.withColumn(split_col, expr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+    scale: float = 1.0,
+) -> DataFrame:
+    """Keep each row with probability ``scale · weight`` (weight ∈ [0,1]),
+    deterministically: ``h32(id:salt) % 1e6 < weight · scale · 1e6``.
+
+    The corpus-curation form of importance sampling — e.g. keep
+    probability proportional to a quality score, so high-quality
+    documents dominate the mix without a hard cutoff. Same idempotency
+    and leak-freedom properties as :func:`stratified_sample` (a row's
+    fate is a pure function of its id), and still a map-side filter:
+    the weight column rides the row, so no shuffle, no driver state.
+    """
+    gate = _gate(F.col(id_col), salt).cast("double")
+    return df.filter(
+        gate < F.col(weight_col) * F.lit(float(scale) * GATE_MOD)
+    )

@@ -393,6 +393,20 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling: keep probability equals the
+    document's quality score — the soft-curation alternative to a hard
+    quality cutoff. Fully map-side (score + hash gate fuse into the
+    scan)."""
+    docs = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    q = T.quality_columns(F.col("text"), toks)
+    scored = docs.select(
+        "doc_id", "lang", q["quality_score"].alias("quality_score")
+    )
+    return selection.weighted_sample(scored, "quality_score")
+
+
 def q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
     return selection.hash_split(
@@ -420,6 +434,38 @@ def q_sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 # Event analytics
 # ----------------------------------------------------------------------
+
+
+#: Decontamination n-gram width: long enough that a collision means
+#: copied text, not shared phrasing (13 is the common public choice;
+#: the synthetic docs cap at ~100 tokens, so 8 keeps the check dense).
+DECONTAM_NGRAM = 8
+
+
+def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: which TRAIN documents share verbatim
+    n-grams with TEST documents? The standard pre-training hygiene step
+    — a test doc whose n-grams leak into train inflates eval scores.
+    Composes the engine's own split (leak-free hash split) with the
+    shingle inverted index: candidates come from an n-gram equi-join
+    (never a train×test cross product), counts are shared-distinct-
+    n-gram counts per (train, test) pair.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    split = selection.hash_split(docs, weights=SPLIT_WEIGHTS, labels=SPLIT_LABELS)
+    train = split.filter(F.col("split") == "train")
+    test = split.filter(F.col("split") == "test")
+    itr = dedup.shingle_index(train, DECONTAM_NGRAM).select(
+        F.col("doc_id").alias("train_doc_id"), "shingle"
+    )
+    ite = dedup.shingle_index(test, DECONTAM_NGRAM).select(
+        F.col("doc_id").alias("test_doc_id"), "shingle"
+    )
+    return (
+        itr.join(ite, "shingle")
+        .groupBy("train_doc_id", "test_doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared_ngrams"))
+    )
 
 
 def q_events_json_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1228,7 +1274,9 @@ QUERIES = {
     "ns_pii_scrub": q_pii_scrub,
     "ns_pipeline_curation": q_pipeline_curation,
     "ns_sample_stratified": q_sample_stratified,
+    "ns_sample_quality_weighted": q_sample_quality_weighted,
     "ns_split_hash": q_split_hash,
+    "ns_decontam_overlap": q_decontam_overlap,
     "ns_events_json_kv": q_events_json_kv,
     "ns_events_hourly": q_events_hourly,
     "ns_events_sliding": q_events_sliding,
@@ -1436,6 +1484,45 @@ SELECT "rank", token, n AS n_occurrences,
   CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS share
 FROM ranked CROSS JOIN tot
 WHERE "rank" <= {VOCAB_TOP_K}"""
+
+
+ORACLES["ns_sample_quality_weighted"] = f"""WITH {_TOKS},
+scored AS (
+  SELECT doc_id, lang,
+    ROUND(least(len(tk) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+      + (len(list_distinct(tk)) / CAST(greatest(len(tk), 1) AS DOUBLE)) * CAST(0.5 AS DOUBLE), 6)
+      AS quality_score
+  FROM toks
+)
+SELECT doc_id, lang, quality_score
+FROM scored
+WHERE CAST({_H.format(x="CAST(doc_id AS VARCHAR) || ':wsample'")} % 1000000 AS DOUBLE)
+  < quality_score * 1000000.0"""
+
+
+def _decontam_oracle() -> str:
+    from ..operators.selection import GATE_MOD
+
+    n = DECONTAM_NGRAM
+    gate = _H.format(x="CAST(doc_id AS VARCHAR) || ':split'")
+    sh = (
+        f"unnest(list_distinct(list_transform("
+        f"range(1, greatest(len(tk) - {n - 1}, 0) + 1),"
+        f" i -> array_to_string(tk[i:i+{n - 1}], ' ')))) AS shingle"
+    )
+    return f"""WITH {_TOKS},
+sp AS (
+  SELECT doc_id, tk, {_split_case_sql()} AS split
+  FROM (SELECT doc_id, tk, {gate} % {GATE_MOD} AS g FROM toks)
+),
+strain AS (SELECT doc_id AS train_doc_id, {sh} FROM sp WHERE split = 'train'),
+stest AS (SELECT doc_id AS test_doc_id, {sh} FROM sp WHERE split = 'test')
+SELECT train_doc_id, test_doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+FROM strain JOIN stest USING (shingle)
+GROUP BY train_doc_id, test_doc_id"""
+
+
+ORACLES["ns_decontam_overlap"] = _decontam_oracle()
 
 ORACLES["ns_pipeline_curation"] = _curation_oracle()
 
