@@ -28,6 +28,8 @@ the D3 north-star extension.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -65,6 +67,59 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+@dataclass(frozen=True)
+class ShingleIndex:
+    """A prebuilt shingle inverted index plus the parameters it was built
+    with, so consumers can verify compatibility instead of silently
+    computing wrong Jaccard values from an index built with a different
+    ``n`` or document-frequency cap (ADVICE r3)."""
+
+    df: DataFrame
+    n: int
+    max_shingle_df: int | None = None
+
+
+def build_shingle_index(
+    docs: DataFrame, n: int, max_shingle_df: int | None = None
+) -> ShingleIndex:
+    """Persisted :class:`ShingleIndex` for sharing across operators."""
+    return ShingleIndex(
+        shingle_index(docs, n, max_shingle_df).persist(), n, max_shingle_df
+    )
+
+
+def _resolve_idx(
+    idx: DataFrame | ShingleIndex | None,
+    docs: DataFrame,
+    n: int,
+    max_shingle_df: int | None,
+    caller: str,
+) -> DataFrame:
+    """Shared idx-injection contract for the shingle-based pair operators.
+
+    - ``None``: build (and persist) the index here.
+    - :class:`ShingleIndex`: assert its (n, max_shingle_df) match the
+      caller's arguments — a mismatched index yields silently wrong
+      Jaccard values, so this raises instead.
+    - raw ``DataFrame``: trusted as-is. Contract: it MUST be
+      ``shingle_index(docs, n)`` with the same ``n`` and cap the caller
+      passes (prefer :func:`build_shingle_index`, which carries the
+      metadata and gets checked).
+    """
+    if idx is None:
+        return shingle_index(docs, n, max_shingle_df).persist()
+    if isinstance(idx, ShingleIndex):
+        if idx.n != n or idx.max_shingle_df != max_shingle_df:
+            raise ValueError(
+                f"{caller}: injected ShingleIndex was built with "
+                f"(n={idx.n}, max_shingle_df={idx.max_shingle_df}) but the "
+                f"call requests (n={n}, max_shingle_df={max_shingle_df}) — "
+                "Jaccard values would be silently wrong"
+            )
+        return idx.df
+    return idx
+
+
 def shingle_index(docs: DataFrame, n: int, max_shingle_df: int | None = None) -> DataFrame:
     """Inverted index (doc_id, shingle), distinct per doc.
 
@@ -89,7 +144,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
-    idx: DataFrame | None = None,
+    idx: DataFrame | ShingleIndex | None = None,
 ) -> DataFrame:
     """All doc pairs with word-n-gram Jaccard ≥ threshold.
 
@@ -100,12 +155,14 @@ def ngram_jaccard_pairs(
 
     ``idx`` injects a prebuilt (persisted) shingle index so callers
     running several shingle-based operators over the same corpus (e.g.
-    the recall gauges) tokenize once, not once per operator.
+    the recall gauges) tokenize once, not once per operator. Pass a
+    :class:`ShingleIndex` (from :func:`build_shingle_index`) to get the
+    (n, max_shingle_df) compatibility check; a raw DataFrame is trusted
+    and MUST have been built with the same parameters.
     """
-    if idx is None:
-        # three consumers (sizes + both join sides) — persist so the
-        # tokenize+shingle explode runs once
-        idx = shingle_index(docs, n, max_shingle_df).persist()
+    # three consumers (sizes + both join sides) — _resolve_idx persists
+    # a locally-built index so the tokenize+shingle explode runs once
+    idx = _resolve_idx(idx, docs, n, max_shingle_df, "ngram_jaccard_pairs")
     sizes = idx.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     # the co-occurrence self-join keys on xxhash64(shingle): an 8-byte
     # long instead of a ~20-byte string — smaller shuffle, cheaper
@@ -140,7 +197,7 @@ def ngram_jaccard_pairs_prefix(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
-    idx: DataFrame | None = None,
+    idx: DataFrame | ShingleIndex | None = None,
 ) -> DataFrame:
     """EXACT Jaccard pairs via prefix filtering (PPJoin-family).
 
@@ -162,8 +219,7 @@ def ngram_jaccard_pairs_prefix(
     most prefixes. Costs two extra small shuffles (df counts + the
     per-doc rank) and a candidate-proportional verify.
     """
-    if idx is None:
-        idx = shingle_index(docs, n).persist()
+    idx = _resolve_idx(idx, docs, n, None, "ngram_jaccard_pairs_prefix")
     sizes = idx.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     dfreq = idx.groupBy("shingle").agg(F.count("*").alias("__df"))
     w = Window.partitionBy("doc_id").orderBy("__df", "shingle")
@@ -172,9 +228,19 @@ def ngram_jaccard_pairs_prefix(
         .withColumn("__rn", F.row_number().over(w))
         .join(sizes, "doc_id")
     )
+    # Pigeonhole bound in EXACT integer arithmetic (ADVICE r3): float
+    # ``ceil(set_size * t)`` over-rounds when the double product lands an
+    # ulp above the exact rational (t=0.55, |A|=100 → ceil gives 56, the
+    # exact bound is 55), shortening the prefix and silently DROPPING
+    # true pairs. Quantize t to parts-per-million, minus one ppm because
+    # the final filter compares round(J, 6) ≥ t — a pair with true J as
+    # low as t − 5e-7 still passes it, so the prefix must be sized for
+    # that slightly-lower effective threshold. A ppm-longer prefix only
+    # adds candidates (the exact verify keeps the answer set identical).
+    t_ppm = int(round(threshold * 1_000_000)) - 1
+    required = F.expr(f"(set_size * {t_ppm} + 999999) div 1000000")
     prefix = ranked.filter(
-        F.col("__rn")
-        <= F.col("set_size") - F.ceil(F.col("set_size") * threshold) + 1
+        F.col("__rn") <= F.col("set_size") - required + 1
     ).select("doc_id", "shingle")
     ph = prefix.select("doc_id", F.xxhash64("shingle").alias("sh"))
     a, b = ph.alias("a"), ph.alias("b")
@@ -246,7 +312,7 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
 
 def minhash_lsh_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.35,
-    idx: DataFrame | None = None,
+    idx: DataFrame | ShingleIndex | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified by exact Jaccard.
 
@@ -256,12 +322,12 @@ def minhash_lsh_pairs(
     candidates = LSH, verdict = exact).
 
     ``idx`` injects a prebuilt (persisted) shingle index (see
-    :func:`ngram_jaccard_pairs`).
+    :func:`ngram_jaccard_pairs` for the compatibility contract).
     """
-    if idx is None:
-        # One shingle index feeds signatures, candidate verification, and
-        # set sizes — persist so the tokenize+shingle explode runs once.
-        idx = shingle_index(docs, n).persist()
+    # One shingle index feeds signatures, candidate verification, and
+    # set sizes — a locally-built one is persisted so the
+    # tokenize+shingle explode runs once.
+    idx = _resolve_idx(idx, docs, n, None, "minhash_lsh_pairs")
     sigs = idx.select("doc_id", h32(F.col("shingle")).alias("sh32")).groupBy(
         "doc_id"
     ).agg(*_minhash_agg_cols())

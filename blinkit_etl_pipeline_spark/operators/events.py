@@ -53,15 +53,27 @@ def json_kv_rollup(events: DataFrame) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
+            # denominator = non-NULL k count, matching F.avg semantics
+            # (malformed-JSON rows don't dilute the average — ADVICE r3)
+            F.count("prop_k").alias("__n_k"),
             F.sum("prop_k").cast("bigint").alias("sum_k"),
             F.round(money(F.sum(value_cents())), 2).alias("sum_value"),
         )
-        # integer half-up at 4 decimals (tie-exact — see tumbling_rollup)
+        # integer half-up at 4 decimals (tie-exact — see tumbling_rollup).
+        # Sign-aware: the floor identity (2S·10^4+n) div (2n) holds for
+        # S ≥ 0 only, and Spark `div` truncates while DuckDB `//` floors
+        # (they differ on negatives) — so divide on |S| and reapply the
+        # sign; both engines agree on non-negative operands (ADVICE r3).
         .withColumn(
             "avg_k",
-            F.expr("(2 * sum_k * 10000 + n_events) div (2 * n_events)").cast(
-                "double"
-            )
+            F.when(
+                F.col("__n_k") > 0,
+                F.expr(
+                    "CASE WHEN sum_k < 0 THEN"
+                    " -((2 * (-sum_k) * 10000 + __n_k) div (2 * __n_k))"
+                    " ELSE (2 * sum_k * 10000 + __n_k) div (2 * __n_k) END"
+                ),
+            ).cast("double")
             / F.lit(10000.0),
         )
         .select("event_type", "n_events", "sum_k", "avg_k", "sum_value")

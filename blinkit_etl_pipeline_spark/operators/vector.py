@@ -44,6 +44,13 @@ from pyspark.sql import functions as F
 #: Quantization scale (power of two: ``x * QSCALE`` never rounds).
 QSCALE = 1 << 20
 
+#: Largest quantized magnitude the exactness contract tolerates: dot
+#: terms are bounded by dim·QMAX² = dim·2^46, which stays below 2^53
+#: for dim < 128 — beyond it, float64 sums become order-dependent and
+#: the cross-engine bit-exactness guarantee silently breaks. Guarded
+#: loudly (ADVICE r3), like the dim mismatch: |x| ≤ 8 per element.
+QMAX = 1 << 23
+
 #: Seed for the random-projection LSH hyperplane matrix. A literal so
 #: Spark and the DuckDB oracle generate the *same* matrix — determinism
 #: lives in the seed, not in coordinate-axis hyperplanes.
@@ -56,9 +63,27 @@ RP_SEED = 20260813
 
 
 def quantize(vec: Column) -> Column:
-    """``array<long>`` of ``round(x · 2^20)`` (ties away from zero)."""
-    return F.transform(
+    """``array<long>`` of ``round(x · 2^20)`` (ties away from zero).
+
+    Raises at runtime when any ``|q|`` exceeds :data:`QMAX` — an
+    out-of-range element would silently void the order-independent
+    exact-sum contract (BLAS matmul ≠ JVM fold ≠ DuckDB) instead of
+    failing loudly (ADVICE r3).
+    """
+    q = F.transform(
         vec, lambda x: F.round(x.cast("double") * QSCALE, 0).cast("long")
+    )
+    mx = F.array_max(F.transform(q, lambda x: F.abs(x)))
+    return F.when(mx.isNull() | (mx <= F.lit(QMAX)), q).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "quantize: |element| exceeds the exactness budget "
+                    f"(max |q| {QMAX} = 2^23, i.e. |x| ≤ 8); got |q| = "
+                ),
+                mx.cast("string"),
+            )
+        )
     )
 
 
@@ -66,7 +91,12 @@ def pyquantize(x: float) -> int:
     """Driver-side quantizer — same ties-away-from-zero as Spark/DuckDB
     ``round`` (Python's built-in rounds half-even, which would disagree)."""
     scaled = float(x) * QSCALE  # exact: power-of-two scale
-    return int(math.floor(abs(scaled) + 0.5)) * (1 if scaled >= 0 else -1)
+    q = int(math.floor(abs(scaled) + 0.5)) * (1 if scaled >= 0 else -1)
+    if abs(q) > QMAX:
+        raise ValueError(
+            f"pyquantize: |{x}| exceeds the exactness budget (|x| ≤ 8)"
+        )
+    return q
 
 
 def qdot(a: Column, b: Column) -> Column:
@@ -196,13 +226,23 @@ def _np_stack(series, dim: int | None = None):
     """(n, dim) float64 matrix from an Arrow list column; loud on ragged
     or mis-sized rows (ADVICE r2 dim-guard, Python side). ``dim=None``
     only checks rectangularity (kernels that don't consume a planes
-    matrix infer the width from the data)."""
+    matrix infer the width from the data).
+
+    Also enforces the :data:`QMAX` magnitude budget (ADVICE r3): these
+    matrices feed BLAS matmuls whose exactness rests on every term
+    staying integer-representable in float64.
+    """
     import numpy as np
 
     mat = np.array([np.asarray(v, dtype=np.float64) for v in series])
     if mat.ndim != 2 or (dim is not None and mat.shape[1] != dim):
         raise ValueError(
             f"embedding dim mismatch: expected {dim}, got shape {mat.shape}"
+        )
+    if mat.size and np.abs(mat).max() > QMAX:
+        raise ValueError(
+            "quantized magnitude exceeds the exactness budget "
+            f"(max |q| {QMAX} = 2^23); BLAS sums would no longer be exact"
         )
     return mat
 

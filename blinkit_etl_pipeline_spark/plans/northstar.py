@@ -211,8 +211,9 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     emb = _emb(spark, sf_dir)
     # one shingle index feeds both the exact truth and the LSH path —
-    # tokenize+shingle+explode runs once, not twice
-    idx = dedup.shingle_index(docs, NGRAM_N).persist()
+    # tokenize+shingle+explode runs once, not twice; ShingleIndex carries
+    # its (n, cap) so the consumers verify compatibility (ADVICE r3)
+    idx = dedup.build_shingle_index(docs, NGRAM_N)
     truth_j = dedup.ngram_jaccard_pairs(
         docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD, idx=idx
     )
@@ -879,13 +880,19 @@ SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
     p -> (({_H.format(x='tk[p]')}) % {T.FINGERPRINT_MOD}) * (((p - 1) % 64) + 1)),
     'sum'), 0) AS BIGINT) AS fingerprint
 FROM toks""",
-    "ns_events_json_kv": """SELECT event_type,
+    "ns_events_json_kv": """WITH ev AS (
+  SELECT event_type, value, json_extract_string(props, '$.k')::BIGINT AS k
+  FROM events
+)
+SELECT event_type,
   CAST(count(*) AS BIGINT) AS n_events,
-  CAST(SUM(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
-  CAST((2 * SUM(json_extract_string(props, '$.k')::BIGINT) * 10000 + count(*))
-    // (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_k,
+  CAST(SUM(k) AS BIGINT) AS sum_k,
+  CAST(CASE WHEN count(k) = 0 THEN NULL
+    WHEN SUM(k) < 0 THEN -((2 * (-SUM(k)) * 10000 + count(k)) // (2 * count(k)))
+    ELSE (2 * SUM(k) * 10000 + count(k)) // (2 * count(k)) END
+    AS DOUBLE) / 10000.0 AS avg_k,
   ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_value
-FROM events GROUP BY event_type""",
+FROM ev GROUP BY event_type""",
     "ns_events_hourly": """SELECT
   date_trunc('hour', ts) AS window_start,
   date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,

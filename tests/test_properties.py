@@ -98,3 +98,35 @@ def test_shingle_count_property(spark, words, n):
         F.size(TX.tokens(F.col("text"))).alias("n_tokens"),
     ).collect()[0]
     assert out.n_shingles == max(0, out.n_tokens - n + 1)
+
+
+def test_json_kv_avg_k_null_and_negative(spark):
+    """ADVICE r3: avg_k averages over NON-NULL k values (malformed JSON
+    rows don't dilute), and rounding is half-away-from-zero for negative
+    sums too (Spark `div` truncates / DuckDB `//` floors — the operator
+    divides on |S| so both engines agree)."""
+    rows = [
+        # event_type "m": ks = [3, None, -10] → avg over 2 non-null = -3.5
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 1, "m", 1.0, '{"k": 3}'),
+        (2, dt.datetime(2024, 1, 1, 0, 1, 0), 1, "m", 1.0, "not json"),
+        (3, dt.datetime(2024, 1, 1, 0, 2, 0), 1, "m", 1.0, '{"k": -10}'),
+        # event_type "z": no parseable k at all → avg_k NULL
+        (4, dt.datetime(2024, 1, 1, 0, 3, 0), 1, "z", 1.0, "{}"),
+        # event_type "n": negative tie at the 4th decimal:
+        # sum=-3, n=2 → -1.5 → half AWAY from zero → -1.5 (scale 1)
+        # at 4 decimals: -15000/10000
+        (5, dt.datetime(2024, 1, 1, 0, 4, 0), 1, "n", 1.0, '{"k": -1}'),
+        (6, dt.datetime(2024, 1, 1, 0, 5, 0), 1, "n", 1.0, '{"k": -2}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        r["event_type"]: (r["n_events"], r["sum_k"], r["avg_k"])
+        for r in events.json_kv_rollup(df).collect()
+    }
+    assert got["m"] == (3, -7, -3.5)
+    assert got["z"][2] is None
+    assert got["n"] == (2, -3, -1.5)

@@ -119,3 +119,53 @@ def test_prefix_jaccard_equals_plain_jaccard(spark):
             ).collect()
         }
         assert pref == plain, (t, len(pref), len(plain))
+
+
+def test_prefix_bound_exact_integer_at_055(spark):
+    """ADVICE r3: float ceil(100·0.55) = 56 (the double product sits one
+    ulp above 55), which shortened the prefix by one and could drop true
+    pairs. Adversarial corpus: |A| = 100 shingles of which the 45
+    non-shared ones are globally rarest (they fill the buggy 45-long
+    prefix completely), |B| = 55 shingles all shared with A, J = 55/100
+    = 0.55 exactly. The float bound misses the pair; the exact integer
+    bound must find it."""
+    shared = " ".join(f"c{i:02d}" for i in range(57))  # 55 trigrams
+    uniq = " ".join(f"a{i:02d}" for i in range(45))  # 43 pure + 2 bridge
+    docs = spark.createDataFrame(
+        [(1, uniq + " " + shared), (2, shared)], "doc_id bigint, text string"
+    )
+    plain = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.55).collect()
+    }
+    pref = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs_prefix(
+            docs, n=3, threshold=0.55
+        ).collect()
+    }
+    assert plain == {(1, 2, 0.55)}  # the corpus is the boundary case
+    assert pref == plain
+
+
+def test_shingle_index_compat_guard(spark):
+    """ADVICE r3: a ShingleIndex built with different (n, cap) must be
+    rejected loudly — consuming it silently yields wrong Jaccard."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id bigint, text string"
+    )
+    idx3 = dedup.build_shingle_index(docs, n=3)
+    # compatible: runs
+    dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5, idx=idx3).collect()
+    with pytest.raises(ValueError, match="silently wrong"):
+        dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.5, idx=idx3)
+    with pytest.raises(ValueError, match="silently wrong"):
+        dedup.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.5, max_shingle_df=5, idx=idx3
+        )
+    with pytest.raises(ValueError, match="silently wrong"):
+        dedup.minhash_lsh_pairs(docs, n=2, threshold=0.5, idx=idx3)
+    with pytest.raises(ValueError, match="silently wrong"):
+        dedup.ngram_jaccard_pairs_prefix(docs, n=2, threshold=0.5, idx=idx3)

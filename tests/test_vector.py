@@ -242,3 +242,29 @@ def test_bucketed_pairs_ownership_equals_global_dedup(spark):
         if cos >= threshold:
             want.add((a, b))
     assert got == want, (len(got), len(want))
+
+
+def test_quantize_magnitude_guard(spark):
+    """ADVICE r3: out-of-budget elements (|x| > 8 → |q| > 2^23) must
+    fail loudly — they'd silently break the order-independent exact-sum
+    contract that makes BLAS == JVM fold == DuckDB."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    ok = spark.createDataFrame(
+        [(1, [7.9, -7.9, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    ok.select(vector.quantize(F.col("embedding")).alias("q")).collect()
+
+    bad = spark.createDataFrame(
+        [(1, [0.5, 9.1, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="exactness budget"):
+        bad.select(vector.quantize(F.col("embedding")).alias("q")).collect()
+
+    with pytest.raises(ValueError, match="exactness budget"):
+        vector.pyquantize(9.1)
+
+    with pytest.raises(ValueError, match="exactness budget"):
+        vector._np_stack([np.array([1.0, float(vector.QMAX) * 2])])
