@@ -557,7 +557,40 @@ def q_range_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return multimodal.media_features(multimodal.synthesize_media(_docs(spark, sf_dir)))
+    # Repartition BEFORE synthesis: the local documents table is ONE
+    # parquet split, and a repartition placed after the payload
+    # projection would leave the JVM-heavy container build in the
+    # single scan task (observed: the whole query serialized behind it).
+    # Shuffling the raw docs first costs one small exchange and lets
+    # both synthesis and the Python decode use every core. At 100 TB
+    # the scan is already wide and no repartition is needed at all.
+    return multimodal.media_features(
+        multimodal.synthesize_media(
+            _docs(spark, sf_dir).repartition(
+                spark.sparkContext.defaultParallelism
+            )
+        )
+    )
+
+
+def q_media_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG decode correctness, end to end: JVM-synthesized VALID PNG
+    containers (stored-deflate zlib, real CRC32/adler32, None/Sub/Up
+    scanline filters) → pure-stdlib decode (chunk walk + CRC verify +
+    inflate + unfilter) → raster statistics. The oracle derives the
+    same statistics from the closed-form pixel generator, so a wrong
+    byte anywhere in container construction OR decoding hash-fails."""
+    # repartition BEFORE synthesis: the container build (per-byte hex +
+    # adler folds) is the JVM-heavy stage, and the source is one narrow
+    # parquet split locally — spread it across all cores. Only doc_id
+    # shuffles (the payload doesn't exist yet).
+    return multimodal.png_pixel_stats(
+        multimodal.synthesize_png_media(
+            _docs(spark, sf_dir)
+            .select("doc_id")
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+    )
 
 
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1031,6 +1064,30 @@ vidf AS (
   FROM mbase WHERE media_type = 'video'
 )
 SELECT * FROM imgf UNION ALL SELECT * FROM audf UNION ALL SELECT * FROM vidf""",
+    "ns_media_png": f"""WITH m AS (
+  SELECT doc_id AS media_id,
+    CAST(doc_id % 16 + 8 AS INT) AS parsed_width,
+    CAST(doc_id % 12 + 8 AS INT) AS parsed_height
+  FROM documents
+)
+SELECT media_id, parsed_width, parsed_height,
+  CAST(list_sum(list_transform(range(0, parsed_width * parsed_height * 3),
+    i -> (media_id * {multimodal.PIX_A} + i * {multimodal.PIX_B}) % 256))
+    % {multimodal.CHECKSUM_MOD} AS BIGINT) AS raster_sum_mod,
+  CAST(list_sum(list_transform(range(0, parsed_width * parsed_height * 3),
+    i -> ((media_id * {multimodal.PIX_A} + i * {multimodal.PIX_B}) % 256)
+         * (i + 1)))
+    % {multimodal.CHECKSUM_MOD} AS BIGINT) AS raster_weighted_mod,
+  ROUND(list_sum(list_transform(range(0, parsed_width * parsed_height),
+    p -> (media_id * {multimodal.PIX_A} + (p * 3) * {multimodal.PIX_B}) % 256))
+    / CAST(parsed_width * parsed_height AS DOUBLE), 6) AS mean_r,
+  ROUND(list_sum(list_transform(range(0, parsed_width * parsed_height),
+    p -> (media_id * {multimodal.PIX_A} + (p * 3 + 1) * {multimodal.PIX_B}) % 256))
+    / CAST(parsed_width * parsed_height AS DOUBLE), 6) AS mean_g,
+  ROUND(list_sum(list_transform(range(0, parsed_width * parsed_height),
+    p -> (media_id * {multimodal.PIX_A} + (p * 3 + 2) * {multimodal.PIX_B}) % 256))
+    / CAST(parsed_width * parsed_height AS DOUBLE), 6) AS mean_b
+FROM m""",
     "ns_media_resize": """WITH m AS (
   SELECT doc_id AS media_id,
     (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
@@ -1291,6 +1348,7 @@ QUERIES = {
     "ns_asof_attribution": q_asof_attribution,
     "ns_range_click_window": q_range_click_window,
     "ns_media_features": q_media_features,
+    "ns_media_png": q_media_png,
     "ns_media_resize": q_media_resize,
     "ns_media_frame_sample": q_media_frame_sample,
     "ns_sketch_hll_users": q_sketch_hll_users,
