@@ -858,3 +858,131 @@ def ivf_topk(
             "rank",
         )
     )
+
+
+def ivf_recall_curve(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    num_centroids: int = 8,
+    nprobes: Sequence[int] = (1, 2, 4, 8),
+    dim: int = 64,
+) -> DataFrame:
+    """Recall@k vs fraction-of-corpus-scanned across an ``nprobe`` sweep
+    — the operating-point evidence an IVF deployment actually needs: a
+    100 TB rollout picks nprobe from this curve (measured recall per
+    unit of scan cost), not from a single point.
+
+    Returns one row per nprobe: ``(nprobe, avg_recall, scan_fraction)``
+    where ``avg_recall`` is mean recall@k against the exact brute-force
+    top-k and ``scan_fraction`` is the fraction of (query, candidate)
+    pairs actually scored vs the brute-force corpus scan
+    (``Σ probed-list sizes − |queries|`` over ``|queries|·(N−1)`` — each
+    query's own list is always probe #1 by the shared tie-break, so its
+    self-match is the only excluded candidate).
+
+    Shared work is computed ONCE across the sweep: one coarse
+    assignment of the corpus (zero-shuffle Arrow map), one probe
+    ranking at ``max(nprobes)``, one brute-force truth; each sweep
+    point filters the probe ranking instead of re-assigning. Everything
+    aggregates to |nprobes| rows — nothing corpus-sized reaches the
+    driver.
+    """
+    spark = emb.sparkSession
+    nq = len(query_ids)
+    codebook = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < num_centroids)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qcids, qC, qcqq = _qcodebook(codebook)
+    centroids = spark.createDataFrame(
+        [
+            (int(cid), [int(x) for x in vec], int(qq))
+            for cid, vec, qq in zip(qcids, qC.astype("int64"), qcqq)
+        ],
+        "centroid_id int, c_qvec array<long>, c_qq long",
+    )
+    q = with_q(emb)
+    assigned = ivf_assign(q, codebook, dim=dim).persist()
+    lsizes = assigned.groupBy("centroid_id").agg(
+        F.count("*").alias("n_in_list")
+    )
+    n_corpus = emb.agg(F.count("*").alias("n_corpus"))
+    truth = (
+        brute_force_topk(emb, query_ids, k=k)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+
+    queries = q.filter(F.col("vec_id").isin(*[int(i) for i in query_ids])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qq").alias("q_qq"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id").asc()
+    )
+    probes_all = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id", "q_qvec", "q_qq", "centroid_id",
+            qcos(
+                qdot(F.col("q_qvec"), F.col("c_qvec")),
+                F.col("q_qq"), F.col("c_qq"),
+            ).alias("csim"),
+        )
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= max(nprobes))
+        .select("query_id", "q_qvec", "q_qq", "centroid_id", "__rn")
+        .persist()
+    )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    points = []
+    for np_ in nprobes:
+        probes = probes_all.filter(F.col("__rn") <= np_)
+        topk = (
+            F.broadcast(probes)
+            .join(assigned, "centroid_id")
+            .filter(F.col("query_id") != F.col("vec_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                qcos(
+                    qdot(F.col("q_qvec"), F.col("qvec")),
+                    F.col("q_qq"), F.col("qq"),
+                ).alias("cos_raw"),
+            )
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= k)
+        )
+        hits = truth.join(topk, ["query_id", "neighbor_id"]).agg(
+            F.count("*").alias("hits_total")
+        )
+        scanned = probes.join(lsizes, "centroid_id").agg(
+            F.sum("n_in_list").alias("scanned_total")
+        )
+        points.append(
+            hits.crossJoin(scanned)
+            .crossJoin(n_corpus)
+            .select(
+                F.lit(np_).cast("int").alias("nprobe"),
+                F.round(
+                    F.col("hits_total") / F.lit(nq * k).cast("double"), 6
+                ).alias("avg_recall"),
+                F.round(
+                    (F.col("scanned_total") - nq)
+                    / (F.lit(nq).cast("double") * (F.col("n_corpus") - 1)),
+                    6,
+                ).alias("scan_fraction"),
+            )
+        )
+    out = points[0]
+    for p in points[1:]:
+        out = out.unionByName(p)
+    return out

@@ -169,3 +169,22 @@ def test_shingle_index_compat_guard(spark):
         dedup.minhash_lsh_pairs(docs, n=2, threshold=0.5, idx=idx3)
     with pytest.raises(ValueError, match="silently wrong"):
         dedup.ngram_jaccard_pairs_prefix(docs, n=2, threshold=0.5, idx=idx3)
+
+
+def test_ivf_recall_curve_monotone(spark):
+    """The operating curve must be coherent: more probes ⇒ recall and
+    scan cost both non-decreasing, reaching recall 1.0 when every list
+    is probed (nprobe = num_centroids ⇒ the scan IS brute force)."""
+    from blinkit_etl_pipeline_spark.plans.northstar import q_ann_ivf_curve
+
+    rows = sorted(
+        q_ann_ivf_curve(spark, SF_SMOKE).collect(), key=lambda r: r["nprobe"]
+    )
+    assert [r["nprobe"] for r in rows] == [1, 2, 4, 8]
+    recalls = [r["avg_recall"] for r in rows]
+    scans = [r["scan_fraction"] for r in rows]
+    assert recalls == sorted(recalls), recalls
+    assert scans == sorted(scans), scans
+    assert recalls[-1] == 1.0, recalls  # all lists probed = exact
+    assert abs(scans[-1] - 1.0) < 1e-6, scans
+    assert scans[0] < 0.5, scans  # probing 1 of 8 lists must scan far less
