@@ -82,8 +82,12 @@ def test_observation_counts_without_extra_scan(spark):
 
 
 def test_two_phase_salted_join_matches_and_skips_cold_replication(spark):
-    """Guarded salting: identical results to a plain join; with no hot
-    keys the plan IS the plain join (zero replication — no explode)."""
+    """Guarded salting: identical results to a plain join; the hot/cold
+    split is a broadcast semi/anti partition (r4 spelling — the hot-key
+    set never touches the driver), so only the hot branch replicates
+    and the cold branch joins plain. The explode branch always exists
+    in the plan but executes on zero rows when no key crosses the
+    threshold."""
     t = register_blinkit(spark, SF_SMOKE)
     items = t["b_order_items"].select("order_id", "product_id", "quantity")
     orders = t["b_orders"].select("order_id", "customer_id")
@@ -100,15 +104,18 @@ def test_two_phase_salted_join_matches_and_skips_cold_replication(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, guarded.collect())
     )
-    # the hot branch (and only it) replicates
-    assert "Generate explode" in _physical_plan(guarded)
+    plan = _physical_plan(guarded)
+    # the hot branch replicates; the split is semi/anti, not isin literals
+    assert "Generate explode" in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert " IN (" not in plan, plan[:2000]
 
-    # threshold nobody crosses -> plain join, no explode anywhere
+    # threshold nobody crosses -> identical to the plain join (the hot
+    # semi branch selects zero rows; correctness of this case is also
+    # property-tested across thresholds in test_properties.py)
     cold_only = joins.salted_join(
         items, orders, "order_id", salt_buckets=4, hot_threshold=10_000_000
     )
-    plan = _physical_plan(cold_only)
-    assert "Generate explode" not in plan, plan
     assert cold_only.count() == items.join(orders, "order_id").count()
 
 
