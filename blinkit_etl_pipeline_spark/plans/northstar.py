@@ -361,6 +361,47 @@ CURATION_MIN_QUALITY = 0.55
 CURATION_MIN_TOKENS = 20
 
 
+def curation_gated(docs: DataFrame) -> DataFrame:
+    """The STATELESS prefix of the curation pipeline: map-side scoring
+    (quality + language-ID) followed by the quality/langid gates. Pure
+    row-local expressions, so it applies verbatim to a streaming
+    DataFrame — the streaming curation test composes exactly this
+    function ahead of the watermarked streaming dedup."""
+    toks = T.tokens(F.col("text"))
+    q = T.quality_columns(F.col("text"), toks)
+    lid = T.langid_columns(F.col("text"), toks)
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        q["n_tokens"].alias("n_tokens"),
+        q["quality_score"].alias("quality_score"),
+        lid["predicted_lang"].alias("predicted_lang"),
+    )
+    return scored.filter(
+        (F.col("quality_score") >= CURATION_MIN_QUALITY)
+        & (F.col("n_tokens") >= CURATION_MIN_TOKENS)
+        & (F.col("predicted_lang") != "und")
+    )
+
+
+def curation_select(sampled: DataFrame) -> DataFrame:
+    """The SUFFIX shared by the batch and streaming spellings:
+    per-language stratified downsample → leak-free hash split → final
+    projection. Deterministic map-side hash gates — stateless, so it
+    too applies verbatim to a stream."""
+    return selection.hash_split(
+        selection.stratified_sample(
+            sampled,
+            "predicted_lang",
+            STRATA_RATES,
+            default_rate=STRATA_DEFAULT_RATE,
+        )
+    ).select(
+        "doc_id", "lang", "predicted_lang", "n_tokens", "quality_score", "split"
+    )
+
+
 def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data curation pipeline as ONE Catalyst plan —
     the composed operation this engine exists for:
@@ -373,31 +414,13 @@ def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     them stays one job with exactly one shuffle (the dedup window) —
     filters fuse into the scan, the sample and split gates are
     map-side hash filters, and Catalyst prunes everything the final
-    projection doesn't need.
+    projection doesn't need. The stateless stages (`curation_gated`,
+    `curation_select`) are shared with the incremental spelling, whose
+    batch-parity is pinned by
+    tests/test_streaming.py::test_streaming_curation_matches_batch.
     """
-    docs = _docs(spark, sf_dir)
-    toks = T.tokens(F.col("text"))
-    q = T.quality_columns(F.col("text"), toks)
-    lid = T.langid_columns(F.col("text"), toks)
-    scored = docs.select(
-        "doc_id",
-        "lang",
-        "text",
-        q["n_tokens"].alias("n_tokens"),
-        q["quality_score"].alias("quality_score"),
-        lid["predicted_lang"].alias("predicted_lang"),
-    )
-    kept = scored.filter(
-        (F.col("quality_score") >= CURATION_MIN_QUALITY)
-        & (F.col("n_tokens") >= CURATION_MIN_TOKENS)
-        & (F.col("predicted_lang") != "und")
-    )
-    survivors = dedup.exact_dedup(kept)
-    sampled = selection.stratified_sample(
-        survivors, "predicted_lang", STRATA_RATES, default_rate=STRATA_DEFAULT_RATE
-    )
-    return selection.hash_split(sampled).select(
-        "doc_id", "lang", "predicted_lang", "n_tokens", "quality_score", "split"
+    return curation_select(
+        dedup.exact_dedup(curation_gated(_docs(spark, sf_dir)))
     )
 
 
