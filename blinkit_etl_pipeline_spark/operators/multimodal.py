@@ -15,12 +15,15 @@ runs inside the ``mapInPandas`` stage to produce pixel statistics
 RIFF parser producing sample statistics (rate, count, mean amplitude).
 :func:`decode_png` is a real pure-stdlib PNG decoder (chunk walk with
 CRC verification, zlib inflate, per-scanline unfilter incl. Paeth) fed
-by :func:`synthesize_png_media`'s JVM-built valid containers. The only
-remaining stubs are genuinely environment-limited: JPEG (needs PIL),
-compressed audio (mp3/ogg need ffmpeg/soundfile), and video frame
-decode (ffmpeg) — the decode *pipeline* is exercised end to end on
-PPM + PNG + WAV; swapping in PIL/ffmpeg later only adds format
-branches.
+by :func:`synthesize_png_media`'s JVM-built valid containers.
+Baseline-sequential JPEG is a full native codec too
+(``functions/jpeg.py``: forward/inverse DCT, two-pass optimized
+Huffman, restart markers, 4:4:4/4:2:0 color), exercised end to end by
+:func:`jpeg_roundtrip_stats`. The only remaining stubs are genuinely
+environment-limited: exotic image formats (TIFF/WebP/progressive JPEG
+need PIL), compressed audio (mp3/ogg need ffmpeg/soundfile), and
+general video frame decode (ffmpeg) — the decode *pipeline* is
+exercised end to end on PPM + PNG + JPEG + WAV.
 
 Because the PPM pixels follow a closed-form generator, ``media_features``
 has a value-exact DuckDB oracle: the oracle derives byte checksums and
@@ -338,6 +341,98 @@ def png_pixel_stats(png_media: DataFrame) -> DataFrame:
     )
 
 
+#: restart interval used by the oracle-checked JPEG query — restarts
+#: are the segment-parallel-decode hook, so the checked path exercises
+#: the resync logic, not just plain scans
+JPEG_RESTART_MCUS = 2
+
+
+def jpeg_roundtrip_stats(docs: DataFrame) -> DataFrame:
+    """Baseline-JPEG correctness, end to end with a value-exact oracle.
+
+    Per document: build a grayscale image whose 8×8 blocks are each
+    constant (block ``b`` of media ``m`` has value ``(m·7 + b·13) %
+    256``), encode it as a real baseline sequential JFIF JPEG
+    (two-pass optimized Huffman, all-ones quantization, restart markers
+    every :data:`JPEG_RESTART_MCUS` MCUs), then entropy-decode the
+    container with :func:`..functions.jpeg.decode_jpeg` and report
+    statistics over the DECODED raster.
+
+    For flat blocks under an all-ones table the DCT roundtrip is
+    bit-exact (only the DC coefficient survives, recovered within a
+    ~1e-12 float error ≪ the 0.5 rounding radius), so DuckDB can derive
+    the same statistics from the closed-form generator while Spark
+    derives them by actually Huffman-decoding, dequantizing and
+    IDCT-ing the bytes. A wrong bit anywhere in marker layout, Huffman
+    table construction, entropy coding, restart resync, zigzag or the
+    transforms hash-fails the query.
+
+    Arrow-batched ``mapInPandas``; one Python stage holds both codec
+    halves (unlike PNG, a JPEG entropy stream is not expressible as a
+    Catalyst byte formula), so the independent check is the closed-form
+    oracle plus the corruption/golden-payload unit tests in
+    ``tests/test_jpeg.py``.
+    """
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.jpeg import decode_jpeg, encode_jpeg
+
+        ones = np.ones((8, 8), dtype=np.int64)
+        for pdf in batches:
+            out = {
+                "media_id": [], "parsed_width": [], "parsed_height": [],
+                "raster_sum_mod": [], "raster_weighted_mod": [],
+                "mean_luma": [],
+            }
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                bw, bh = mid % 4 + 2, mid % 3 + 2
+                blocks = (
+                    mid * PIX_A
+                    + np.arange(bh * bw, dtype=np.int64).reshape(bh, bw)
+                    * PIX_B
+                ) % 256
+                img = np.kron(
+                    blocks, np.ones((8, 8), dtype=np.int64)
+                ).astype(np.uint8)
+                payload = encode_jpeg(
+                    img, quant=ones, restart_interval_mcus=JPEG_RESTART_MCUS
+                )
+                if len(payload) >= img.nbytes:
+                    raise ValueError("JPEG did not compress a flat-block image")
+                pw, ph, nc, raster = decode_jpeg(payload)
+                if nc != 1:
+                    raise ValueError("grayscale roundtrip changed components")
+                arr = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+                out["media_id"].append(mid)
+                out["parsed_width"].append(pw)
+                out["parsed_height"].append(ph)
+                out["raster_sum_mod"].append(int(arr.sum()) % CHECKSUM_MOD)
+                out["raster_weighted_mod"].append(
+                    int(
+                        (arr * np.arange(1, arr.size + 1, dtype=np.int64)).sum()
+                    )
+                    % CHECKSUM_MOD
+                )
+                out["mean_luma"].append(int(arr.sum()) / (pw * ph))
+            yield pd.DataFrame(out)
+
+    feats = docs.select(F.col("doc_id").alias("media_id")).mapInPandas(
+        work,
+        schema=(
+            "media_id long, parsed_width int, parsed_height int,"
+            " raster_sum_mod long, raster_weighted_mod long, mean_luma double"
+        ),
+    )
+    return feats.select(
+        "media_id", "parsed_width", "parsed_height",
+        "raster_sum_mod", "raster_weighted_mod",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
 def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
     """Pure-stdlib binary PPM (P6) decoder → (width, height, raster).
 
@@ -483,14 +578,26 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
 
 
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
-    """Image decode: PPM and PNG handled natively (pure stdlib); JPEG
-    and friends need PIL."""
+    """Image decode: PPM, PNG and baseline JPEG handled natively (pure
+    stdlib + numpy); exotic formats (TIFF/WebP/progressive JPEG) would
+    need PIL."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from ..functions.jpeg import decode_jpeg
+
+        w, h, nc, raster = decode_jpeg(payload)
+        if nc == 1:  # grayscale → replicate to the RGB interface
+            import numpy as np
+
+            gray = np.frombuffer(raster, dtype=np.uint8)
+            raster = np.repeat(gray, 3).tobytes()
+        return w, h, raster
     raise NotImplementedError(
-        "STUB: JPEG/other image decode needs PIL/opencv (not installed)"
+        "STUB: TIFF/WebP/progressive-JPEG decode needs PIL/opencv "
+        "(not installed); PPM, PNG and baseline JPEG decode natively"
     )
 
 

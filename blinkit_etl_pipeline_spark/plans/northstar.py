@@ -630,6 +630,22 @@ def q_media_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG codec correctness, end to end: per document a
+    flat-8×8-block grayscale image is encoded as a REAL baseline
+    sequential JFIF container (forward DCT, all-ones quantization,
+    two-pass optimized Huffman, restart markers) and then entropy-
+    decoded back; the reported statistics come from the DECODED raster.
+    Flat blocks + unit quantization make the roundtrip bit-exact, so
+    the oracle derives the same statistics from the closed-form pixel
+    generator — a wrong bit in any codec stage hash-fails."""
+    return multimodal.jpeg_roundtrip_stats(
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_plan(multimodal.synthesize_media(_docs(spark, sf_dir)))
 
@@ -1125,6 +1141,34 @@ SELECT media_id, parsed_width, parsed_height,
     p -> (media_id * {multimodal.PIX_A} + (p * 3 + 2) * {multimodal.PIX_B}) % 256))
     / CAST(parsed_width * parsed_height AS DOUBLE), 6) AS mean_b
 FROM m""",
+    # Decoded-pixel statistics from the closed-form generator: pixel p
+    # (row-major) lies in block ((p//w)//8)·(w//8) + (p%w)//8, and the
+    # flat-block + unit-quant roundtrip is bit-exact (see
+    # multimodal.jpeg_roundtrip_stats), so these ARE the decoded bytes.
+    "ns_media_jpeg": f"""WITH m AS (
+  SELECT doc_id AS media_id,
+    CAST((doc_id % 4 + 2) * 8 AS INT) AS parsed_width,
+    CAST((doc_id % 3 + 2) * 8 AS INT) AS parsed_height
+  FROM documents
+)
+SELECT media_id, parsed_width, parsed_height,
+  CAST(list_sum(list_transform(range(0, parsed_width * parsed_height),
+    p -> (media_id * {multimodal.PIX_A}
+          + (((p // parsed_width) // 8) * (parsed_width // 8)
+             + (p % parsed_width) // 8) * {multimodal.PIX_B}) % 256))
+    % {multimodal.CHECKSUM_MOD} AS BIGINT) AS raster_sum_mod,
+  CAST(list_sum(list_transform(range(0, parsed_width * parsed_height),
+    p -> ((media_id * {multimodal.PIX_A}
+           + (((p // parsed_width) // 8) * (parsed_width // 8)
+              + (p % parsed_width) // 8) * {multimodal.PIX_B}) % 256)
+         * (p + 1)))
+    % {multimodal.CHECKSUM_MOD} AS BIGINT) AS raster_weighted_mod,
+  ROUND(list_sum(list_transform(range(0, parsed_width * parsed_height),
+    p -> (media_id * {multimodal.PIX_A}
+          + (((p // parsed_width) // 8) * (parsed_width // 8)
+             + (p % parsed_width) // 8) * {multimodal.PIX_B}) % 256))
+    / CAST(parsed_width * parsed_height AS DOUBLE), 6) AS mean_luma
+FROM m""",
     "ns_media_resize": """WITH m AS (
   SELECT doc_id AS media_id,
     (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
@@ -1450,6 +1494,7 @@ QUERIES = {
     "ns_range_click_window": q_range_click_window,
     "ns_media_features": q_media_features,
     "ns_media_png": q_media_png,
+    "ns_media_jpeg": q_media_jpeg,
     "ns_media_resize": q_media_resize,
     "ns_media_frame_sample": q_media_frame_sample,
     "ns_sketch_hll_users": q_sketch_hll_users,
