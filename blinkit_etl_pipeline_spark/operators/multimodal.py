@@ -649,8 +649,106 @@ def decode_audio(payload: bytes) -> tuple[int, int, bytes]:
 
 
 def sample_frames(payload: bytes, every_ms: int = 1000) -> list[bytes]:
-    """Real video frame sampling — requires ffmpeg, absent here."""
-    raise NotImplementedError("STUB: frame sampling needs ffmpeg")
+    """Video frame sampling: MJPEG/AVI handled natively (container
+    parse + per-frame baseline-JPEG decode, only the sampled frames
+    are decoded); general codecs (H.264/VP9/…) would need ffmpeg."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from ..functions.video import sample_frames_mjpeg
+
+        return [raster for _fi, _ts, _w, _h, raster in
+                sample_frames_mjpeg(payload, every_ms)]
+    raise NotImplementedError(
+        "STUB: non-MJPEG frame decode needs ffmpeg (not installed)"
+    )
+
+
+#: MJPEG synthesis geometry for the oracle-checked video query: 16×16
+#: frames (2×2 blocks of 8×8), 4 fps, frame count varies per doc
+VIDEO_FRAME_W = 16
+VIDEO_FRAME_H = 16
+VIDEO_US_PER_FRAME = 250_000
+VIDEO_FRAME_COEF = 31  # frame index term in the pixel generator
+
+
+def mjpeg_frame_stats(docs: DataFrame, every_ms: int = 500) -> DataFrame:
+    """MJPEG video sampling correctness, end to end with an exact oracle.
+
+    Per document: build a tiny MJPEG/AVI video (``doc_id % 3 + 2``
+    frames at 4 fps; frame ``f``'s 8×8 block ``b`` is the constant
+    ``(mid·7 + f·31 + b·13) % 256``), then **sample** it at
+    ``every_ms`` — container metadata parse, frame selection by
+    timestamp, baseline-JPEG decode of only the selected frames — and
+    report per-sampled-frame raster statistics. Flat blocks + unit
+    quantization make each frame's decode bit-exact
+    (see :func:`jpeg_roundtrip_stats`), so DuckDB derives the same
+    statistics from the closed-form generator.
+
+    One Arrow-batched Python stage holds synthesis + both codec halves;
+    independence comes from the closed-form oracle plus the container/
+    codec unit tests (``tests/test_jpeg.py``, ``tests/test_multimodal.py``).
+    """
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.video import encode_mjpeg_avi, sample_frames_mjpeg
+
+        ones = np.ones((8, 8), dtype=np.int64)
+        bw, bh = VIDEO_FRAME_W // 8, VIDEO_FRAME_H // 8
+        for pdf in batches:
+            out = {
+                "media_id": [], "frame_index": [], "frame_ts_ms": [],
+                "n_frames": [], "frame_sum_mod": [], "mean_luma": [],
+            }
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n_frames = mid % 3 + 2
+                frames = []
+                for f in range(n_frames):
+                    blocks = (
+                        mid * PIX_A
+                        + f * VIDEO_FRAME_COEF
+                        + np.arange(bh * bw, dtype=np.int64).reshape(bh, bw)
+                        * PIX_B
+                    ) % 256
+                    frames.append(
+                        np.kron(
+                            blocks, np.ones((8, 8), dtype=np.int64)
+                        ).astype(np.uint8)
+                    )
+                payload = encode_mjpeg_avi(
+                    frames, VIDEO_US_PER_FRAME, quant=ones
+                )
+                for fi, ts, w, h, raster in sample_frames_mjpeg(
+                    payload, every_ms
+                ):
+                    arr = np.frombuffer(raster, dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    if arr.size != w * h:
+                        raise ValueError("sampled frame size mismatch")
+                    out["media_id"].append(mid)
+                    out["frame_index"].append(fi)
+                    out["frame_ts_ms"].append(int(ts))
+                    out["n_frames"].append(n_frames)
+                    out["frame_sum_mod"].append(
+                        int(arr.sum()) % CHECKSUM_MOD
+                    )
+                    out["mean_luma"].append(int(arr.sum()) / (w * h))
+            yield pd.DataFrame(out)
+
+    feats = docs.select(F.col("doc_id").alias("media_id")).mapInPandas(
+        work,
+        schema=(
+            "media_id long, frame_index int, frame_ts_ms int,"
+            " n_frames int, frame_sum_mod long, mean_luma double"
+        ),
+    )
+    return feats.select(
+        "media_id", "frame_index", "frame_ts_ms", "n_frames",
+        "frame_sum_mod",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
 
 
 def _byte_stats(payload: bytes) -> tuple[int, int, int, int]:

@@ -646,6 +646,22 @@ def q_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG/AVI frame sampling, end to end: per document a tiny
+    MJPEG video (flat-block frames, unit quantization) is encoded into
+    a real RIFF/AVI container, then *sampled* — container metadata
+    parse, timestamp→frame-index planning, baseline-JPEG decode of
+    only the selected frames — and per-sampled-frame statistics come
+    from the DECODED rasters, which the oracle reproduces from the
+    closed-form generator."""
+    return multimodal.mjpeg_frame_stats(
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism),
+        every_ms=500,
+    )
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_plan(multimodal.synthesize_media(_docs(spark, sf_dir)))
 
@@ -1169,6 +1185,36 @@ SELECT media_id, parsed_width, parsed_height,
              + (p % parsed_width) // 8) * {multimodal.PIX_B}) % 256))
     / CAST(parsed_width * parsed_height AS DOUBLE), 6) AS mean_luma
 FROM m""",
+    # Sampled-frame statistics from the closed-form generator: sampling
+    # at 500 ms over 250 ms/frame video selects frame ts//250; each
+    # decoded 16×16 frame is 4 flat 8×8 blocks (64 px each) whose
+    # values follow (mid·7 + f·31 + b·13) % 256 bit-exactly (unit-quant
+    # flat-block JPEG — see multimodal.mjpeg_frame_stats).
+    "ns_media_video_frames": f"""WITH m AS (
+  SELECT doc_id AS media_id, CAST(doc_id % 3 + 2 AS INT) AS n_frames
+  FROM documents
+),
+s AS (
+  SELECT media_id, n_frames, unnest(range(0, n_frames * 250, 500)) AS ts
+  FROM m
+),
+f AS (
+  SELECT media_id, n_frames, CAST(ts AS INT) AS frame_ts_ms,
+         CAST(ts // 250 AS INT) AS frame_index
+  FROM s
+),
+g AS (
+  SELECT *, list_sum(list_transform(range(0, 4),
+    b -> (media_id * {multimodal.PIX_A}
+          + frame_index * {multimodal.VIDEO_FRAME_COEF}
+          + b * {multimodal.PIX_B}) % 256)) AS block_sum
+  FROM f
+)
+SELECT media_id, frame_index, frame_ts_ms, n_frames,
+  CAST((64 * block_sum) % {multimodal.CHECKSUM_MOD} AS BIGINT)
+    AS frame_sum_mod,
+  ROUND(block_sum / CAST(4 AS DOUBLE), 6) AS mean_luma
+FROM g""",
     "ns_media_resize": """WITH m AS (
   SELECT doc_id AS media_id,
     (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
@@ -1495,6 +1541,7 @@ QUERIES = {
     "ns_media_features": q_media_features,
     "ns_media_png": q_media_png,
     "ns_media_jpeg": q_media_jpeg,
+    "ns_media_video_frames": q_media_video_frames,
     "ns_media_resize": q_media_resize,
     "ns_media_frame_sample": q_media_frame_sample,
     "ns_sketch_hll_users": q_sketch_hll_users,

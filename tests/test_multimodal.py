@@ -212,3 +212,83 @@ def test_synthesized_png_is_valid_and_exact(spark):
             for i in range(3 * w * h)
         )
         assert raster == expect, mid
+
+
+# ----------------------------------------------------------------------
+# MJPEG / AVI container
+# ----------------------------------------------------------------------
+
+
+def test_avi_container_roundtrips_and_validates():
+    import numpy as np
+
+    from blinkit_etl_pipeline_spark.functions.video import (
+        encode_mjpeg_avi,
+        parse_avi,
+        sample_frames_mjpeg,
+    )
+
+    ones = np.ones((8, 8), dtype=np.int64)
+    rng = np.random.RandomState(11)
+    flat = [
+        np.kron(
+            rng.randint(0, 256, size=(2, 3)), np.ones((8, 8), dtype=np.int64)
+        ).astype(np.uint8)
+        for _ in range(5)
+    ]
+    payload = encode_mjpeg_avi(flat, us_per_frame=200_000, quant=ones)
+    meta = parse_avi(payload)
+    assert (meta["width"], meta["height"]) == (24, 16)
+    assert meta["n_frames"] == 5 and meta["us_per_frame"] == 200_000
+    # every stored frame is an independently decodable, exact JPEG
+    from blinkit_etl_pipeline_spark.functions.jpeg import decode_jpeg
+
+    for f, p in zip(flat, meta["frames"]):
+        w, h, nc, raster = decode_jpeg(p)
+        assert (w, h, nc) == (24, 16, 1)
+        assert np.frombuffer(raster, dtype=np.uint8).reshape(16, 24).tolist() == f.tolist()
+    # 5 frames × 200 ms = 1000 ms; 300 ms sampling → ts 0/300/600/900
+    picks = sample_frames_mjpeg(payload, every_ms=300)
+    assert [fi for fi, *_ in picks] == [0, 1, 3, 4]
+    assert [ts for _fi, ts, *_ in picks] == [0, 300, 600, 900]
+    for fi, _ts, w, h, raster in picks:
+        assert np.frombuffer(raster, dtype=np.uint8).reshape(16, 24).tolist() == flat[fi].tolist()
+
+
+def test_avi_parser_rejects_bad_payloads():
+    import numpy as np
+    import pytest as _pytest
+
+    from blinkit_etl_pipeline_spark.functions.video import (
+        encode_mjpeg_avi,
+        parse_avi,
+    )
+
+    frame = np.zeros((8, 8), dtype=np.uint8)
+    payload = encode_mjpeg_avi([frame, frame], us_per_frame=100_000)
+    with _pytest.raises(ValueError):
+        parse_avi(b"RIFX" + payload[4:])
+    # corrupt the declared frame count in avih (offset: find 'avih')
+    i = payload.index(b"avih") + 8 + 16  # dwTotalFrames field
+    bad = payload[:i] + (99).to_bytes(4, "little") + payload[i + 4 :]
+    with _pytest.raises(ValueError):
+        parse_avi(bad)
+
+
+def test_sample_frames_routes_avi_and_stubs_other_codecs():
+    import numpy as np
+    import pytest as _pytest
+
+    from blinkit_etl_pipeline_spark.functions.video import encode_mjpeg_avi
+
+    frame = np.full((8, 8), 77, dtype=np.uint8)
+    payload = encode_mjpeg_avi(
+        [frame], us_per_frame=1_000_000,
+        quant=np.ones((8, 8), dtype=np.int64),
+    )
+    # one 1000 ms frame sampled at 500 ms → picked at ts 0 and ts 500
+    rasters = multimodal.sample_frames(payload, every_ms=500)
+    assert len(rasters) == 2
+    assert set(rasters[0]) == {77} and rasters[0] == rasters[1]
+    with _pytest.raises(NotImplementedError):
+        multimodal.sample_frames(b"\x00\x00\x00\x20ftypisom", every_ms=500)
