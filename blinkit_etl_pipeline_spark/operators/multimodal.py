@@ -638,13 +638,113 @@ def decode_wav(payload: bytes) -> tuple[int, int, bytes]:
     return rate, len(data), data
 
 
+def _wav_format_tag(payload: bytes) -> int:
+    """Peek the fmt tag of a RIFF/WAVE payload (cheap chunk walk)."""
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if cid == b"fmt ":
+            return int.from_bytes(payload[pos + 8 : pos + 10], "little")
+        pos += 8 + size + (size % 2)
+    raise ValueError("missing fmt chunk")
+
+
 def decode_audio(payload: bytes) -> tuple[int, int, bytes]:
-    """Audio decode: WAV/PCM handled natively; compressed formats
-    (mp3/ogg/flac) would need soundfile/ffmpeg."""
-    if payload[:4] == b"RIFF":
+    """Audio decode: PCM WAV and IMA ADPCM (compressed, 4:1) handled
+    natively; perceptual codecs (mp3/ogg/opus) would need soundfile/
+    ffmpeg. ADPCM returns int16 little-endian sample bytes (16-bit
+    decoded width), PCM8 returns the raw unsigned bytes."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from ..functions.adpcm import WAVE_FORMAT_IMA_ADPCM
+
+        if _wav_format_tag(payload) == WAVE_FORMAT_IMA_ADPCM:
+            from ..functions.adpcm import decode_ima_adpcm_wav
+
+            rate, n, samples = decode_ima_adpcm_wav(payload)
+            return rate, n, samples.tobytes()
         return decode_wav(payload)
     raise NotImplementedError(
-        "STUB: compressed audio decode needs soundfile/ffmpeg (not installed)"
+        "STUB: perceptual audio decode (mp3/ogg/opus) needs soundfile/"
+        "ffmpeg (not installed); PCM and IMA ADPCM decode natively"
+    )
+
+
+#: ADPCM synthesis geometry for the oracle-checked audio query: 12-byte
+#: blocks → 17 samples each; sample values constant within each block
+ADPCM_BLOCK_ALIGN = 12
+ADPCM_SAMPLES_PER_BLOCK = 1 + (ADPCM_BLOCK_ALIGN - 4) * 2
+ADPCM_VALUE_SCALE = 64  # lifts the 0..255 generator into 16-bit range
+
+
+def adpcm_roundtrip_stats(docs: DataFrame) -> DataFrame:
+    """Compressed-audio correctness, end to end with an exact oracle.
+
+    Per document: build a mono int16 signal that is constant within
+    each ADPCM block (block ``b`` of media ``m`` holds
+    ``((m·7 + b·13) % 256) · 64``), encode it as a real IMA ADPCM WAV
+    (4-bit adaptive-step nibbles), then decode the bitstream back and
+    report statistics over the DECODED samples. Block-constant signals
+    with initial step index 0 roundtrip bit-exactly (see
+    ``functions/adpcm.py``), so DuckDB derives the same statistics from
+    the closed-form generator while Spark derives them by actually
+    unpacking nibbles and integrating the predictor.
+    """
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.adpcm import (
+            decode_ima_adpcm_wav,
+            encode_ima_adpcm_wav,
+        )
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "parsed_rate": [], "n_samples": [],
+                "sample_sum_mod": [], "sample_weighted_mod": [],
+                "mean_amplitude": [],
+            }
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n_blocks = mid % 3 + 3
+                vals = (
+                    (mid * PIX_A + np.arange(n_blocks, dtype=np.int64) * PIX_B)
+                    % 256
+                ) * ADPCM_VALUE_SCALE
+                samples = np.repeat(vals, ADPCM_SAMPLES_PER_BLOCK).astype(
+                    np.int16
+                )
+                payload = encode_ima_adpcm_wav(
+                    samples, AUDIO_SAMPLE_RATE, block_align=ADPCM_BLOCK_ALIGN
+                )
+                rate, n, dec = decode_ima_adpcm_wav(payload)
+                arr = dec.astype(np.int64)
+                out["media_id"].append(mid)
+                out["parsed_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["sample_sum_mod"].append(int(arr.sum()) % CHECKSUM_MOD)
+                out["sample_weighted_mod"].append(
+                    int(
+                        (arr * np.arange(1, arr.size + 1, dtype=np.int64)).sum()
+                    )
+                    % CHECKSUM_MOD
+                )
+                out["mean_amplitude"].append(int(arr.sum()) / max(n, 1))
+            yield pd.DataFrame(out)
+
+    feats = docs.select(F.col("doc_id").alias("media_id")).mapInPandas(
+        work,
+        schema=(
+            "media_id long, parsed_rate int, n_samples long,"
+            " sample_sum_mod long, sample_weighted_mod long,"
+            " mean_amplitude double"
+        ),
+    )
+    return feats.select(
+        "media_id", "parsed_rate", "n_samples",
+        "sample_sum_mod", "sample_weighted_mod",
+        F.round("mean_amplitude", 6).alias("mean_amplitude"),
     )
 
 

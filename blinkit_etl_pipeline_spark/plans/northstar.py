@@ -662,6 +662,19 @@ def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMA ADPCM compressed-audio roundtrip: per document a block-
+    constant int16 signal is encoded as a real 4-bit adaptive-step
+    ADPCM WAV and decoded back; statistics come from the DECODED
+    samples, which the oracle reproduces from the closed-form generator
+    (block-constant signals roundtrip bit-exactly)."""
+    return multimodal.adpcm_roundtrip_stats(
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_plan(multimodal.synthesize_media(_docs(spark, sf_dir)))
 
@@ -1215,6 +1228,36 @@ SELECT media_id, frame_index, frame_ts_ms, n_frames,
     AS frame_sum_mod,
   ROUND(block_sum / CAST(4 AS DOUBLE), 6) AS mean_luma
 FROM g""",
+    # Decoded-sample statistics from the closed-form generator: each
+    # 12-byte ADPCM block decodes to 17 identical samples
+    # ((mid·7 + b·13) % 256)·64 (block-constant + step-index-0 start is
+    # bit-exact — see functions/adpcm.py). Position-weighted sum over
+    # block b spans global positions b·17+1 … b·17+17, whose weight sum
+    # is 289·b + 153.
+    "ns_media_adpcm": f"""WITH m AS (
+  SELECT doc_id AS media_id, CAST(doc_id % 3 + 3 AS INT) AS n_blocks
+  FROM documents
+),
+g AS (
+  SELECT media_id, n_blocks,
+    list_transform(range(0, n_blocks),
+      b -> ((media_id * {multimodal.PIX_A} + b * {multimodal.PIX_B}) % 256)
+           * {multimodal.ADPCM_VALUE_SCALE}) AS vals
+  FROM m
+)
+SELECT media_id,
+  {multimodal.AUDIO_SAMPLE_RATE} AS parsed_rate,
+  CAST(n_blocks * {multimodal.ADPCM_SAMPLES_PER_BLOCK} AS BIGINT)
+    AS n_samples,
+  CAST((list_sum(vals) * {multimodal.ADPCM_SAMPLES_PER_BLOCK})
+    % {multimodal.CHECKSUM_MOD} AS BIGINT) AS sample_sum_mod,
+  CAST(list_sum(list_transform(range(0, n_blocks),
+    b -> vals[b + 1] * (289 * b + 153)))
+    % {multimodal.CHECKSUM_MOD} AS BIGINT) AS sample_weighted_mod,
+  ROUND((list_sum(vals) * {multimodal.ADPCM_SAMPLES_PER_BLOCK})
+    / CAST(n_blocks * {multimodal.ADPCM_SAMPLES_PER_BLOCK} AS DOUBLE), 6)
+    AS mean_amplitude
+FROM g""",
     "ns_media_resize": """WITH m AS (
   SELECT doc_id AS media_id,
     (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
@@ -1542,6 +1585,7 @@ QUERIES = {
     "ns_media_png": q_media_png,
     "ns_media_jpeg": q_media_jpeg,
     "ns_media_video_frames": q_media_video_frames,
+    "ns_media_adpcm": q_media_adpcm,
     "ns_media_resize": q_media_resize,
     "ns_media_frame_sample": q_media_frame_sample,
     "ns_sketch_hll_users": q_sketch_hll_users,

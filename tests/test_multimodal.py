@@ -192,8 +192,12 @@ def test_decode_png_rejects_corruption():
         multimodal.decode_png(bytes(payload))
     with pytest.raises(ValueError, match="signature"):
         multimodal.decode_png(b"\x89PNX" + bytes(12))
-    with pytest.raises(NotImplementedError):
+    # JPEG magic now routes to the native decoder, which must fail
+    # loudly on a garbage body; truly exotic formats stay stubbed
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"II*\x00 fake tiff")
 
 
 def test_synthesized_png_is_valid_and_exact(spark):
@@ -292,3 +296,95 @@ def test_sample_frames_routes_avi_and_stubs_other_codecs():
     assert set(rasters[0]) == {77} and rasters[0] == rasters[1]
     with _pytest.raises(NotImplementedError):
         multimodal.sample_frames(b"\x00\x00\x00\x20ftypisom", every_ms=500)
+
+
+# ----------------------------------------------------------------------
+# IMA ADPCM compressed audio
+# ----------------------------------------------------------------------
+
+
+def test_adpcm_block_constant_roundtrip_is_bit_exact():
+    import numpy as np
+
+    from blinkit_etl_pipeline_spark.functions.adpcm import (
+        decode_ima_adpcm_wav,
+        encode_ima_adpcm_wav,
+    )
+
+    spb = multimodal.ADPCM_SAMPLES_PER_BLOCK
+    vals = np.array([100, -5000, 16320, 0, -32768], dtype=np.int16)
+    sig = np.repeat(vals, spb)
+    payload = encode_ima_adpcm_wav(
+        sig, 8000, block_align=multimodal.ADPCM_BLOCK_ALIGN
+    )
+    rate, n, dec = decode_ima_adpcm_wav(payload)
+    assert (rate, n) == (8000, len(sig))
+    assert (dec == sig).all()
+    # genuinely compressed: 4-bit nibbles + headers ≪ 16-bit PCM
+    assert len(payload) < sig.nbytes
+
+
+def test_adpcm_tracks_a_sine_within_adaptive_step_error():
+    import numpy as np
+
+    from blinkit_etl_pipeline_spark.functions.adpcm import (
+        decode_ima_adpcm_wav,
+        encode_ima_adpcm_wav,
+    )
+
+    t = np.arange(4000)
+    sig = (8000 * np.sin(t / 25)).astype(np.int16)
+    payload = encode_ima_adpcm_wav(sig, 16000)
+    rate, n, dec = decode_ima_adpcm_wav(payload)
+    assert (rate, n) == (16000, 4000)
+    err = np.abs(dec.astype(int) - sig.astype(int))
+    # steady-state tracking: small mean error; transients bounded by
+    # the max step size
+    assert err.mean() < 100 and err.max() < 33000
+    assert len(payload) < 0.3 * sig.nbytes  # ~4:1 with block headers
+
+
+def test_adpcm_decoder_validates_and_trims_via_fact():
+    import numpy as np
+    import pytest as _pytest
+
+    from blinkit_etl_pipeline_spark.functions.adpcm import (
+        decode_ima_adpcm_wav,
+        encode_ima_adpcm_wav,
+    )
+
+    sig = (300 * np.sin(np.arange(100) / 3)).astype(np.int16)
+    payload = encode_ima_adpcm_wav(sig, 8000, block_align=16)
+    rate, n, dec = decode_ima_adpcm_wav(payload)
+    assert n == 100 and len(dec) == 100  # padding trimmed via fact
+    with _pytest.raises(ValueError):
+        decode_ima_adpcm_wav(b"RIFX" + payload[4:])
+    # truncated data chunk: no longer a whole number of blocks
+    i = payload.index(b"data")
+    bad = payload[: i + 4] + (7).to_bytes(4, "little") + payload[i + 8 : i + 15]
+    with _pytest.raises(ValueError):
+        decode_ima_adpcm_wav(bad)
+
+
+def test_decode_audio_routes_pcm_and_adpcm():
+    import numpy as np
+    import pytest as _pytest
+
+    from blinkit_etl_pipeline_spark.functions.adpcm import (
+        encode_ima_adpcm_wav,
+    )
+
+    sig = np.repeat(
+        np.array([1000], dtype=np.int16), multimodal.ADPCM_SAMPLES_PER_BLOCK
+    )
+    payload = encode_ima_adpcm_wav(
+        sig, 8000, block_align=multimodal.ADPCM_BLOCK_ALIGN
+    )
+    rate, n, raw = multimodal.decode_audio(payload)
+    assert (rate, n) == (8000, len(sig))
+    assert np.frombuffer(raw, dtype=np.int16).tolist() == sig.tolist()
+    # PCM8 still routes through the PCM decoder
+    pcm = multimodal.wav_header(4) + bytes((1, 2, 3, 4))
+    assert multimodal.decode_audio(pcm) == (8000, 4, bytes((1, 2, 3, 4)))
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"ID3\x04...mp3ish")
