@@ -285,3 +285,111 @@ def pii_redaction_count(text: Column) -> Column:
         # chain, so overlapping patterns are not double-counted
         scrubbed = F.regexp_replace(scrubbed, pattern, "<X>")
     return count
+
+
+# ----------------------------------------------------------------------
+# Gopher-style quality rules
+# ----------------------------------------------------------------------
+
+#: Rule thresholds after Rae et al. 2021 ("Scaling Language Models",
+#: Gopher, Appendix A quality heuristics), expressed as exact rational
+#: bounds so both engines compare INTEGERS (cross-multiplied), never
+#: floats: word count ∈ [50, 100000], mean word length ∈ [3, 10],
+#: symbol-to-word ≤ 1/10, bullet-line ≤ 9/10, ellipsis-line ≤ 3/10,
+#: alpha-word ≥ 4/5, ≥ 2 distinct required stopwords present.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3
+GOPHER_MAX_MEAN_WORD_LEN = 10
+#: The paper requires ≥2 distinct words from a small English
+#: function-word list ("the", "be", "to", "of", …). We keep the rule
+#: but draw the list from this module's STOPWORDS so the gate is
+#: non-degenerate on any corpus these operators already score —
+#: swapping the tuple back to the paper's list is a one-line change.
+GOPHER_REQUIRED_STOPWORDS = STOPWORDS
+GOPHER_MIN_REQUIRED_STOPWORDS = 2
+
+#: symbols counted by the symbol-to-word rule ('#', '…', '...')
+_SYMBOL_PATTERN = r"#|\.\.\.|…"
+_BULLET_PATTERN = r"^\s*[-*•]"
+_ELLIPSIS_END_PATTERN = r"(\.\.\.|…)\s*$"
+_ALPHA_PATTERN = r"[a-zA-Z]"
+
+
+def gopher_columns(text: Column, toks: Column) -> dict[str, Column]:
+    """Gopher-style document quality rules as pure Catalyst columns.
+
+    Returns the measured ratios (ROUNDed to 6 at the edge for display)
+    plus one boolean per rule and the conjunction ``gopher_pass``.
+    Every rule compares integers (cross-multiplied rational bounds), so
+    the booleans are bit-identical across Spark and the DuckDB oracle —
+    no float-threshold edge cases.
+
+    Line-based rules split on ``\\n``; a single-line document has one
+    line, so bullet/ellipsis rules degrade gracefully.
+    """
+    n_words = F.size(toks).cast("bigint")
+    safe_words = F.greatest(n_words, F.lit(1))
+    sum_word_len = F.aggregate(
+        F.transform(toks, F.length),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    n_symbols = F.regexp_count(text, F.lit(_SYMBOL_PATTERN)).cast("bigint")
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("bigint")
+    n_bullet = F.size(
+        F.filter(lines, lambda l: l.rlike(_BULLET_PATTERN))
+    ).cast("bigint")
+    n_ellipsis = F.size(
+        F.filter(lines, lambda l: l.rlike(_ELLIPSIS_END_PATTERN))
+    ).cast("bigint")
+    n_alpha = F.size(
+        F.filter(toks, lambda t: t.rlike(_ALPHA_PATTERN))
+    ).cast("bigint")
+    n_req_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS]),
+            lambda s: F.array_contains(toks, s),
+        )
+    ).cast("bigint")
+
+    r_word_count = (n_words >= GOPHER_MIN_WORDS) & (
+        n_words <= GOPHER_MAX_WORDS
+    )
+    # 3 ≤ sum/n ≤ 10  ⇔  3n ≤ sum AND sum ≤ 10n (integers)
+    r_mean_word_len = (
+        sum_word_len >= GOPHER_MIN_MEAN_WORD_LEN * n_words
+    ) & (sum_word_len <= GOPHER_MAX_MEAN_WORD_LEN * n_words)
+    r_symbol_ratio = n_symbols * 10 <= n_words  # ≤ 1/10
+    r_bullet_lines = n_bullet * 10 <= n_lines * 9  # ≤ 9/10
+    r_ellipsis_lines = n_ellipsis * 10 <= n_lines * 3  # ≤ 3/10
+    r_alpha_words = n_alpha * 5 >= n_words * 4  # ≥ 4/5
+    r_stopwords = n_req_stop >= GOPHER_MIN_REQUIRED_STOPWORDS
+
+    gopher_pass = (
+        r_word_count
+        & r_mean_word_len
+        & r_symbol_ratio
+        & r_bullet_lines
+        & r_ellipsis_lines
+        & r_alpha_words
+        & r_stopwords
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": F.round(sum_word_len / safe_words, 6),
+        "symbol_word_ratio": F.round(n_symbols / safe_words, 6),
+        "bullet_line_frac": F.round(n_bullet / n_lines, 6),
+        "ellipsis_line_frac": F.round(n_ellipsis / n_lines, 6),
+        "alpha_word_frac": F.round(n_alpha / safe_words, 6),
+        "n_required_stopwords": n_req_stop,
+        "r_word_count": r_word_count,
+        "r_mean_word_len": r_mean_word_len,
+        "r_symbol_ratio": r_symbol_ratio,
+        "r_bullet_lines": r_bullet_lines,
+        "r_ellipsis_lines": r_ellipsis_lines,
+        "r_alpha_words": r_alpha_words,
+        "r_stopwords": r_stopwords,
+        "gopher_pass": gopher_pass,
+    }

@@ -284,6 +284,18 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.repetition_frame(_docs(spark, sf_dir))
 
 
+def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher-style quality rule set (word count, mean word
+    length, symbol/bullet/ellipsis ratios, alpha-word fraction,
+    required stopwords) with per-rule booleans and the conjunction.
+    Every rule compares integers (cross-multiplied rational
+    thresholds), so booleans are bit-identical across engines. Pure
+    Catalyst, map-side, zero shuffle — the 100 TB gate shape."""
+    docs = _docs(spark, sf_dir)
+    cols = T.gopher_columns(F.col("text"), T.tokens(F.col("text")))
+    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
 VOCAB_TOP_K = 200
 
 
@@ -844,6 +856,9 @@ _WAV_HSUM = sum(_WAV_HDR)
 _WAV_HW = sum(b * (j + 1) for j, b in enumerate(_WAV_HDR))
 
 _STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS) + "]"
+_GOPHER_STOPWORDS_SQL = (
+    "[" + ", ".join(f"'{w}'" for w in T.GOPHER_REQUIRED_STOPWORDS) + "]"
+)
 
 
 def _marker_sql(lang: str) -> str:
@@ -989,6 +1004,55 @@ SELECT doc_id, lang, score_en, score_fr, score_de, score_es,
        WHEN score_de = greatest(score_en, score_fr, score_de, score_es) THEN 'de'
        ELSE 'es' END AS predicted_lang
 FROM scored""",
+    # Gopher rules: same integer numerators/denominators as Spark's
+    # gopher_columns; booleans via the same cross-multiplied integer
+    # comparisons, so no float-threshold edge exists between engines.
+    "ns_text_gopher": f"""WITH {_TOKS},
+g AS (
+  SELECT doc_id,
+    CAST(len(tk) AS BIGINT) AS n_words,
+    CAST(greatest(len(tk), 1) AS BIGINT) AS safe_words,
+    CAST(COALESCE(list_sum(list_transform(tk, t -> length(t))), 0)
+      AS BIGINT) AS sum_word_len,
+    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS BIGINT)
+      AS n_symbols,
+    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(string_split(text, chr(10)),
+      l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT) AS n_bullet,
+    CAST(len(list_filter(string_split(text, chr(10)),
+      l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS BIGINT) AS n_ellipsis,
+    CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-zA-Z]')))
+      AS BIGINT) AS n_alpha,
+    CAST(len(list_filter({_GOPHER_STOPWORDS_SQL},
+      s -> list_contains(tk, s))) AS BIGINT) AS n_req_stop
+  FROM toks
+)
+SELECT doc_id, n_words,
+  ROUND(sum_word_len / CAST(safe_words AS DOUBLE), 6) AS mean_word_len,
+  ROUND(n_symbols / CAST(safe_words AS DOUBLE), 6) AS symbol_word_ratio,
+  ROUND(n_bullet / CAST(n_lines AS DOUBLE), 6) AS bullet_line_frac,
+  ROUND(n_ellipsis / CAST(n_lines AS DOUBLE), 6) AS ellipsis_line_frac,
+  ROUND(n_alpha / CAST(safe_words AS DOUBLE), 6) AS alpha_word_frac,
+  n_req_stop AS n_required_stopwords,
+  (n_words >= {T.GOPHER_MIN_WORDS} AND n_words <= {T.GOPHER_MAX_WORDS})
+    AS r_word_count,
+  (sum_word_len >= {T.GOPHER_MIN_MEAN_WORD_LEN} * n_words
+   AND sum_word_len <= {T.GOPHER_MAX_MEAN_WORD_LEN} * n_words)
+    AS r_mean_word_len,
+  (n_symbols * 10 <= n_words) AS r_symbol_ratio,
+  (n_bullet * 10 <= n_lines * 9) AS r_bullet_lines,
+  (n_ellipsis * 10 <= n_lines * 3) AS r_ellipsis_lines,
+  (n_alpha * 5 >= n_words * 4) AS r_alpha_words,
+  (n_req_stop >= {T.GOPHER_MIN_REQUIRED_STOPWORDS}) AS r_stopwords,
+  ((n_words >= {T.GOPHER_MIN_WORDS} AND n_words <= {T.GOPHER_MAX_WORDS})
+   AND (sum_word_len >= {T.GOPHER_MIN_MEAN_WORD_LEN} * n_words
+        AND sum_word_len <= {T.GOPHER_MAX_MEAN_WORD_LEN} * n_words)
+   AND n_symbols * 10 <= n_words
+   AND n_bullet * 10 <= n_lines * 9
+   AND n_ellipsis * 10 <= n_lines * 3
+   AND n_alpha * 5 >= n_words * 4
+   AND n_req_stop >= {T.GOPHER_MIN_REQUIRED_STOPWORDS}) AS gopher_pass
+FROM g""",
     "ns_text_fingerprint": f"""WITH {_TOKS}
 SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
   CAST(COALESCE(list_aggregate(list_transform(range(1, len(tk) + 1),
@@ -1566,6 +1630,7 @@ QUERIES = {
     "ns_dedup_recall": q_dedup_recall,
     "ns_text_stats": q_text_stats,
     "ns_text_langid": q_text_langid,
+    "ns_text_gopher": q_text_gopher,
     "ns_text_fingerprint": q_text_fingerprint,
     "ns_text_repetition": q_text_repetition,
     "ns_text_vocab": q_text_vocab,

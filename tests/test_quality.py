@@ -188,3 +188,71 @@ def test_ivf_recall_curve_monotone(spark):
     assert recalls[-1] == 1.0, recalls  # all lists probed = exact
     assert abs(scans[-1] - 1.0) < 1e-6, scans
     assert scans[0] < 0.5, scans  # probing 1 of 8 lists must scan far less
+
+
+# ----------------------------------------------------------------------
+# Gopher-style quality rules (crafted strings: the synthetic corpus is
+# single-line and symbol-free, so the line/symbol rules are pinned here)
+# ----------------------------------------------------------------------
+
+
+def test_gopher_rules_fire_on_crafted_documents(spark):
+    from pyspark.sql import functions as F
+
+    from blinkit_etl_pipeline_spark.functions import text as T
+
+    good_body = ("the be to of and that have with " + "word " * 50).strip()
+    cases = [
+        # (doc_id, text, failing_rule or None)
+        (0, good_body, None),
+        (1, "the be short text", "r_word_count"),  # < 50 words
+        (2, ("a b c d e f g h " * 8 + "the be").strip(), "r_mean_word_len"),
+        (3, good_body + " " + "# " * 8, "r_symbol_ratio"),
+        (4, "\n".join(["- bullet item " + good_body] * 10), "r_bullet_lines"),
+        (5, "\n".join([good_body + " trailing..."] * 10), "r_ellipsis_lines"),
+        (6, ("the be to of " + "42 17 99 1 2 3 " * 12).strip(), "r_alpha_words"),
+        (7, ("the " + "word " * 60).strip(), "r_stopwords"),  # 1 < 2 required
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], "doc_id bigint, text string"
+    )
+    cols = T.gopher_columns(F.col("text"), T.tokens(F.col("text")))
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *[c.alias(n) for n, c in cols.items()]
+        ).collect()
+    }
+    rule_names = [
+        "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words", "r_stopwords",
+    ]
+    for doc_id, _text, failing in cases:
+        r = rows[doc_id]
+        if failing is None:
+            assert r["gopher_pass"], r
+            assert all(r[n] for n in rule_names), r
+        else:
+            assert not r[failing], (doc_id, failing, r)
+            assert not r["gopher_pass"], (doc_id, r)
+
+
+def test_gopher_thresholds_are_integer_exact_at_the_boundary(spark):
+    """A document sitting exactly ON a rational threshold must pass —
+    cross-multiplied integer comparisons have no float fuzz."""
+    from pyspark.sql import functions as F
+
+    from blinkit_etl_pipeline_spark.functions import text as T
+
+    # exactly 50 words, mean word length exactly 3.0 (all 3-char words),
+    # exactly 1 symbol per 10 words, exactly 1/5 non-alpha words
+    body = ("the and two " * 16).strip() + " of " + "5 " * 9  # 50+10 mix
+    words = body.split()
+    n = len(words)
+    n_alpha = sum(1 for w in words if any(c.isalpha() for c in w))
+    df = spark.createDataFrame([(0, body)], "doc_id bigint, text string")
+    cols = T.gopher_columns(F.col("text"), T.tokens(F.col("text")))
+    r = df.select(*[c.alias(name) for name, c in cols.items()]).collect()[0]
+    assert r["n_words"] == n
+    # boundary check the alpha rule against the exact rational
+    assert r["r_alpha_words"] == (n_alpha * 5 >= n * 4)
