@@ -993,3 +993,75 @@ def ivf_recall_curve(
     for p in points[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ----------------------------------------------------------------------
+# Semantic deduplication (SemDeDup-style: cluster, then dedup within)
+# ----------------------------------------------------------------------
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    codebook: Sequence[tuple[int, Sequence[float]]],
+    threshold: float,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embeddings with a trained
+    codebook, then mark near-duplicates WITHIN each cluster by pairwise
+    cosine, keeping the lowest vec_id of every duplicate relation (the
+    repo's deterministic first-owner policy, replacing the paper's
+    random representative so the result is engine-reproducible).
+
+    Scale shape: assignment is the zero-shuffle map-side
+    :func:`ivf_assign`; the only shuffle is the groupBy(centroid_id),
+    and the quadratic pairwise step is confined within a cluster —
+    SemDeDup's own premise is that ``k`` scales with corpus size so
+    cluster sizes stay bounded (n/k vectors ⇒ (n/k)² work per cluster,
+    embarrassingly parallel across clusters). Cosines use the exact
+    quantized-integer dots, so keep/drop decisions are bit-identical in
+    the DuckDB oracle.
+
+    Returns (vec_id, centroid_id, max_lower_sim, is_kept): a vector is
+    dropped iff some LOWER-id vector in its cluster has cosine ≥
+    ``threshold``; ``max_lower_sim`` is NULL for each cluster's lowest
+    id (no lower neighbor exists).
+    """
+    assigned = ivf_assign(emb if "qvec" in emb.columns else with_q(emb), codebook)
+
+    def per_cluster(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        M = _np_stack(pdf["qvec"])
+        qq = pdf["qq"].to_numpy(dtype="float64")
+        # same FP spelling as the oracle: dot / (sqrt(qa) * sqrt(qb))
+        cos = (M @ M.T) / (np.sqrt(qq)[:, None] * np.sqrt(qq)[None, :])
+        # strict lower triangle only — np.where (not np.tril) so the
+        # excluded entries are -inf, never a spurious 0.0
+        mask = np.tril(np.ones_like(cos, dtype=bool), k=-1)
+        masked = np.where(mask, cos, -np.inf)
+        has_lower = np.arange(len(pdf)) > 0
+        max_lower = np.where(has_lower, masked.max(axis=1), np.nan)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "centroid_id": pdf["centroid_id"],
+                "max_lower_sim": max_lower,
+                "is_kept": ~(max_lower >= threshold),  # NaN → kept
+            }
+        )
+
+    out = assigned.groupBy("centroid_id").applyInPandas(
+        per_cluster,
+        schema=(
+            "vec_id long, centroid_id int, max_lower_sim double,"
+            " is_kept boolean"
+        ),
+    )
+    return out.select(
+        "vec_id",
+        "centroid_id",
+        F.round("max_lower_sim", 6).alias("max_lower_sim"),
+        "is_kept",
+    )

@@ -125,6 +125,19 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: zero-shuffle assignment to the
+    trained codebook, then within-cluster pairwise cosine with a
+    deterministic lowest-id-wins keep policy. The oracle replays
+    cluster assignment and the keep decision from the same quantized
+    integers (codebook shipped as literals)."""
+    from .codebook import TRAINED_IVF_CODEBOOK
+
+    return vector.semantic_dedup(
+        _emb(spark, sf_dir), TRAINED_IVF_CODEBOOK, threshold=COSINE_THRESHOLD
+    )
+
+
 # ----------------------------------------------------------------------
 # Similarity search
 # ----------------------------------------------------------------------
@@ -1395,6 +1408,35 @@ ranked AS (
 SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine_sim, "rank"
 FROM ranked WHERE "rank" <= {ANN_K}"""
 
+# SemDeDup keep/drop replay: same trained-codebook assignment as the
+# IVF oracle, then per vector the max cosine to any LOWER-id vector in
+# its cluster; kept iff that max is NULL (cluster minimum) or < t.
+ORACLES["ns_dedup_semantic"] = f"""WITH {_EMB},
+c AS (SELECT centroid_id, cvec, list_dot_product(cvec, cvec) AS cqq
+  FROM {_codebook_values_sql()}),
+assigned AS (
+  SELECT vec_id, qv, qq, centroid_id FROM (
+    SELECT e.vec_id, e.qv, e.qq, c.centroid_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_COSR.format(a='e.qv', b='c.cvec', qa='e.qq', qb='c.cqq')} DESC,
+        c.centroid_id ASC) AS rn
+    FROM e CROSS JOIN c
+  ) WHERE rn = 1
+),
+sims AS (
+  SELECT a.vec_id,
+    max({_COSR.format(a='a.qv', b='b.qv', qa='a.qq', qb='b.qq')})
+      AS max_lower_sim
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+  GROUP BY a.vec_id
+)
+SELECT a.vec_id, a.centroid_id,
+  ROUND(s.max_lower_sim, 6) AS max_lower_sim,
+  (s.max_lower_sim IS NULL OR s.max_lower_sim < {COSINE_THRESHOLD})
+    AS is_kept
+FROM assigned a LEFT JOIN sims s ON a.vec_id = s.vec_id"""
+
 
 ORACLES["ns_dedup_jaccard_prefix"] = f"""WITH {_TOKS},
 {_sh_cte(NGRAM_N)},
@@ -1624,6 +1666,7 @@ QUERIES = {
     "ns_ann_lsh_topk": q_ann_lsh_topk,
     "ns_ann_ivf_topk": q_ann_ivf_topk,
     "ns_ann_ivf_trained": q_ann_ivf_trained,
+    "ns_dedup_semantic": q_dedup_semantic,
     "ns_ann_ivf_balance": q_ann_ivf_balance,
     "ns_ann_recall": q_ann_recall,
     "ns_ann_ivf_curve": q_ann_ivf_curve,

@@ -268,3 +268,37 @@ def test_quantize_magnitude_guard(spark):
 
     with pytest.raises(ValueError, match="exactness budget"):
         vector._np_stack([np.array([1.0, float(vector.QMAX) * 2])])
+
+
+def test_semantic_dedup_policy_and_cluster_blindness(spark):
+    """Lowest-id-wins within a cluster; near-duplicates that straddle a
+    cluster boundary are BOTH kept (the documented SemDeDup
+    approximation)."""
+    from blinkit_etl_pipeline_spark.operators import vector
+
+    dim = 4
+    ex = [1.0, 0.0, 0.0, 0.0]
+    ey = [0.0, 1.0, 0.0, 0.0]
+    codebook = [(0, ex), (1, ey)]
+    rows = [
+        (0, [1.0, 0.1, 0.0, 0.0]),   # cluster 0, kept (lowest id)
+        (1, [1.0, 0.11, 0.0, 0.0]),  # cluster 0, ~identical to 0 → drop
+        (2, [0.1, 1.0, 0.0, 0.0]),   # cluster 1: near-dup of 0/1 in
+                                     # DIRECTION? no — near ey, kept
+        (3, [0.0, 1.0, 0.05, 0.0]),  # cluster 1, ~identical to 2 → drop
+        (4, [-1.0, 0.6, 0.0, 0.0]),  # cluster 1 (closer to ey), alone-ish
+    ]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in rows], "vec_id long, embedding array<double>"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in vector.semantic_dedup(emb, codebook, threshold=0.9).collect()
+    }
+    assert out[0]["is_kept"] and out[0]["max_lower_sim"] is None
+    assert not out[1]["is_kept"] and out[1]["max_lower_sim"] > 0.99
+    assert out[2]["is_kept"]  # lowest id of cluster 1
+    assert not out[3]["is_kept"]
+    assert out[4]["is_kept"] and out[4]["max_lower_sim"] < 0.9
+    assert out[0]["centroid_id"] == out[1]["centroid_id"] == 0
+    assert out[2]["centroid_id"] == out[3]["centroid_id"] == 1
