@@ -211,3 +211,83 @@ def test_two_phase_salted_join_preserves_null_keys_on_left(spark):
     # the NULL-key rows specifically are present with NULL right columns
     nulls = [r for r in guarded.collect() if r["key"] is None]
     assert len(nulls) == 2 and all(r["tag"] is None for r in nulls)
+
+
+def test_range_clustered_layout_is_skippable(spark, tmp_path):
+    """write_range_clustered must produce files with DISJOINT ranges
+    and sorted row groups, so a range predicate touches a small
+    fraction of row groups (footer-stat evidence, not vibes)."""
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    path = str(tmp_path / "ev_clustered")
+    sinks.write_range_clustered(
+        ev, path, ["event_id"], num_files=4, rowgroup_bytes=64 * 1024
+    )
+
+    stats = sinks.rowgroup_stats(path, "event_id")
+    assert len({s["file"] for s in stats}) == 4
+    # row groups, ordered by (file, row_group), form non-overlapping
+    # ascending intervals: every group's min exceeds the previous max
+    ordered = sorted(stats, key=lambda s: (s["min"], s["max"]))
+    by_pos = sorted(stats, key=lambda s: (s["file"], s["row_group"]))
+    assert ordered == by_pos
+    for prev, cur in zip(ordered, ordered[1:]):
+        assert cur["min"] > prev["max"], (prev, cur)
+
+    # a mid-range predicate overlaps few groups in the clustered layout
+    lo = ordered[len(ordered) // 2]["min"]
+    hi = ordered[len(ordered) // 2]["max"]
+    touched = sum(
+        1 for s in stats if not (s["max"] < lo or s["min"] > hi)
+    )
+    assert touched <= max(1, len(stats) // 4), (touched, len(stats))
+
+    # and the clustered copy is lossless + the scan pushes the filter
+    back = spark.read.parquet(path)
+    q = back.filter((F.col("event_id") >= lo) & (F.col("event_id") <= hi))
+    assert "PushedFilters: [IsNotNull(event_id), GreaterThanOrEqual(event_id," in _physical_plan(q)
+    expect = ev.filter(
+        (F.col("event_id") >= lo) & (F.col("event_id") <= hi)
+    ).count()
+    assert q.count() == expect
+    assert back.count() == ev.count()
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Spark's runtime row-level bloom filter must inject on the fact
+    side of a selective shuffle join (the 100 TB decontamination/
+    enrichment shape: scan-side rows that can't match never shuffle).
+    Asserts the injected aggregate + probe AND result equality."""
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    dim = (
+        spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = ev.join(dim, "user_id")
+        plan = _physical_plan(joined)
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan
+        n_bloom = joined.count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    plain = ev.join(dim, "user_id")
+    assert "might_contain" not in _physical_plan(plain)
+    assert n_bloom == plain.count()
