@@ -295,3 +295,59 @@ def test_streaming_curation_matches_batch(spark, tmp_path):
     )
     assert got == want
     assert len(got) > 5, "degenerate corpus: curation gated everything out"
+
+
+def test_stream_stream_interval_join_matches_batch_range_join(spark, tmp_path):
+    """Stream-stream interval join (purchases ⋈ clicks within the
+    preceding hour) must produce EXACTLY the batch bucketized range
+    join's pair set over the same data, delivered as three file drops
+    per side. Watermark is set beyond the data span so no pair is
+    droppable — lateness semantics are exercised separately by the
+    windowed-aggregate tests."""
+    from blinkit_etl_pipeline_spark.operators import joins as batch_joins
+    from blinkit_etl_pipeline_spark.streaming import joins as sjoins
+
+    ev = _events_batch(spark)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+
+    p_dir, c_dir = tmp_path / "p_raw", tmp_path / "c_raw"
+    _write_split(spark, purchases, str(p_dir))
+    _write_split(spark, clicks, str(c_dir))
+    schema = purchases.schema
+    p_stream = file_source.stream_files(
+        spark, f"{p_dir}/*", schema, fmt="parquet", max_files_per_trigger=1
+    )
+    c_stream = file_source.stream_files(
+        spark, f"{c_dir}/*", schema, fmt="parquet", max_files_per_trigger=1
+    )
+    joined = sjoins.purchases_with_preceding_clicks(
+        p_stream, c_stream, window="1 hour", watermark="3650 days"
+    )
+    file_source.stream_to_memory(
+        joined, "stream_pairs", str(tmp_path / "ckpt_ssj"),
+        output_mode="append",
+    )
+    got = sorted(
+        map(tuple, spark.table("stream_pairs").collect())
+    )
+
+    batch_pairs = batch_joins.windowed_range_join(
+        purchases.withColumnRenamed("event_id", "purchase_event_id"),
+        clicks.select("user_id", "ts"),
+        ["user_id"],
+        "ts",
+        "ts",
+        3_600_000_000,
+    ).select(
+        "purchase_event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("r_ts").alias("click_ts"),
+    )
+    expect = sorted(map(tuple, batch_pairs.collect()))
+    assert got == expect and len(got) > 0
