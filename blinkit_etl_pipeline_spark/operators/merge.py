@@ -1,0 +1,132 @@
+"""MERGE / upsert: CDC-style table maintenance without a table format.
+
+The reference's pipeline is append-only (its sinks are
+``mode("overwrite")`` full rewrites — `code-files/etl-scripts/
+01_sales_etl.py:96-101`); a production curated layer needs keyed
+upserts. Delta/Iceberg/Hudi provide MERGE INTO natively; this module is
+the plain-parquet spelling of the same copy-on-write strategy,
+Spark-first:
+
+- :func:`merge_upsert` — the DataFrame-level relation: matched target
+  rows are replaced by their update row (or deleted when the update
+  carries a delete flag), unmatched update rows are inserted. One
+  left-anti join + one union. When the CDC batch is small (the normal
+  case) the anti join broadcasts, so the TARGET NEVER SHUFFLES — the
+  property that makes this viable against a 100 TB fact table.
+- :func:`merge_into_partitioned` — the file-level copy-on-write loop:
+  compute the partitions the update batch touches, read ONLY those,
+  merge, and rewrite ONLY those via dynamic partition overwrite.
+  Untouched partitions are never read or written, so merge cost scales
+  with the touched slice, not the table.
+
+Determinism: with ``version_col`` the newest update per key wins
+(ties → deterministic via ``clean.dedup``'s ordering); without it the
+caller owns key-uniqueness of the batch — duplicate keys flow into the
+insert union verbatim (visible, not silently dropped), so pass
+``version_col`` whenever the CDC source can redeliver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    *,
+    delete_col: str | None = None,
+    version_col: str | None = None,
+) -> DataFrame:
+    """SQL MERGE semantics over DataFrames (see module docstring).
+
+    ``updates`` must carry the target's schema plus optionally
+    ``delete_col`` (boolean: true ⇒ delete the matched key) and
+    ``version_col`` (latest-wins dedup within the batch).
+    """
+    keys = list(keys)
+    if version_col is not None:
+        # latest-wins within the batch: highest version per key survives
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(version_col).desc_nulls_last()
+        )
+        updates = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if version_col not in target.columns:
+            updates = updates.drop(version_col)
+    expected = set(target.columns) | ({delete_col} if delete_col else set())
+    got = set(updates.columns)
+    if got != expected:
+        raise ValueError(
+            f"updates schema mismatch: expected {sorted(expected)}, "
+            f"got {sorted(got)}"
+        )
+    live = updates
+    if delete_col is not None:
+        live = updates.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    # matched target rows (updates AND deletes) leave; the anti join
+    # broadcasts whenever the update batch is under the threshold, so
+    # the target side stays un-shuffled
+    kept = target.join(
+        F.broadcast(updates.select(*keys).distinct()), keys, "left_anti"
+    )
+    return kept.unionByName(live)
+
+
+def merge_into_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    partition_cols: Sequence[str],
+    *,
+    delete_col: str | None = None,
+    version_col: str | None = None,
+) -> list[tuple]:
+    """Copy-on-write MERGE into a hive-partitioned parquet table.
+
+    Reads only the partitions present in ``updates``, merges, and
+    rewrites only those via ``partitionOverwriteMode=dynamic``. The
+    touched-partition list is collected to the driver — bounded by the
+    CDC batch's partition spread (never table size) by construction.
+    Returns the touched partition tuples for observability.
+
+    A MERGE whose updates span every partition degrades to a full
+    rewrite, as it must; the win is the common case (today's partition
+    plus a late-data straggler or two).
+    """
+    partition_cols = list(partition_cols)
+    touched = [
+        tuple(r) for r in updates.select(*partition_cols).distinct().collect()
+    ]
+    if not touched:
+        return []
+    pred = F.lit(False)
+    for combo in touched:
+        clause = F.lit(True)
+        for c, v in zip(partition_cols, combo):
+            clause = clause & (F.col(c) == F.lit(v))
+        pred = pred | clause
+    base = spark.read.parquet(path).filter(pred)
+    merged = merge_upsert(
+        base, updates, keys, delete_col=delete_col, version_col=version_col
+    )
+    # break lineage from the path being overwritten (Spark refuses a
+    # write that reads from its own destination)
+    merged = merged.localCheckpoint(eager=True)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+    return touched

@@ -66,6 +66,53 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return register_base(spark, sf_dir)["events"]
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE relation (operators/merge.py): a customer snapshot
+    merged with an order-derived update batch — replacements, keyed
+    deletes (cust % 37) and inserts (shifted keys) in one pass.
+    Balances use the exact integer-cents sum so both engines agree to
+    the bit; the update batch is key-unique by construction (groupBy),
+    so no version column is needed here (latest-wins is unit-tested).
+    The target side never shuffles: the anti join broadcasts the
+    update keys."""
+    from ..operators import merge
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    target = cust.select(
+        F.col("c_custkey").alias("cust_id"),
+        F.round("c_acctbal", 2).alias("balance"),
+        F.lit("base").alias("src"),
+    )
+    u0 = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("cust_id"))
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                ).cast("double")
+                / 100
+            ).alias("balance")
+        )
+    )
+    upd = u0.select(
+        "cust_id",
+        "balance",
+        F.lit("upd").alias("src"),
+        (F.col("cust_id") % 37 == 0).alias("is_delete"),
+    )
+    ins = u0.filter(F.col("cust_id") % 5 == 0).select(
+        (F.col("cust_id") + 10_000_000).alias("cust_id"),
+        "balance",
+        F.lit("upd").alias("src"),
+        F.lit(False).alias("is_delete"),
+    )
+    return merge.merge_upsert(
+        target, upd.unionByName(ins), ["cust_id"], delete_col="is_delete"
+    )
+
+
 # ----------------------------------------------------------------------
 # Dedup
 # ----------------------------------------------------------------------
@@ -1408,6 +1455,32 @@ ranked AS (
 SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine_sim, "rank"
 FROM ranked WHERE "rank" <= {ANN_K}"""
 
+# MERGE relation replay: anti-join survivors ∪ live updates, balances
+# via the exact integer-cents sum (same spelling both engines).
+ORACLES["ns_merge_upsert"] = """WITH t AS (
+  SELECT c_custkey AS cust_id, ROUND(c_acctbal, 2) AS balance,
+         'base' AS src
+  FROM customer
+),
+u0 AS (
+  SELECT o_custkey AS cust_id,
+    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+      AS balance
+  FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+),
+u AS (
+  SELECT cust_id, balance, 'upd' AS src, (cust_id % 37 = 0) AS is_delete
+  FROM u0
+  UNION ALL
+  SELECT cust_id + 10000000, balance, 'upd', FALSE
+  FROM u0 WHERE cust_id % 5 = 0
+),
+kept AS (
+  SELECT t.* FROM t ANTI JOIN u ON t.cust_id = u.cust_id
+),
+live AS (SELECT cust_id, balance, src FROM u WHERE NOT is_delete)
+SELECT * FROM kept UNION ALL SELECT * FROM live"""
+
 # SemDeDup keep/drop replay: same trained-codebook assignment as the
 # IVF oracle, then per vector the max cosine to any LOWER-id vector in
 # its cluster; kept iff that max is NULL (cluster minimum) or < t.
@@ -1667,6 +1740,7 @@ QUERIES = {
     "ns_ann_ivf_topk": q_ann_ivf_topk,
     "ns_ann_ivf_trained": q_ann_ivf_trained,
     "ns_dedup_semantic": q_dedup_semantic,
+    "ns_merge_upsert": q_merge_upsert,
     "ns_ann_ivf_balance": q_ann_ivf_balance,
     "ns_ann_recall": q_ann_recall,
     "ns_ann_ivf_curve": q_ann_ivf_curve,

@@ -1,0 +1,107 @@
+"""MERGE/upsert: relation semantics, latest-wins versions, and the
+file-level copy-on-write partitioned merge."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from blinkit_etl_pipeline_spark.operators import merge
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_merge_upsert_update_insert_delete(spark):
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+    )
+    updates = spark.createDataFrame(
+        [
+            (2, "B", False),   # update
+            (3, None, True),   # delete
+            (4, "d", False),   # insert
+        ],
+        "k bigint, v string, is_delete boolean",
+    )
+    out = merge.merge_upsert(target, updates, ["k"], delete_col="is_delete")
+    assert _rows(out) == [(1, "a"), (2, "B"), (4, "d")]
+
+
+def test_merge_upsert_latest_version_wins(spark):
+    target = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    updates = spark.createDataFrame(
+        [(1, "old", 10), (1, "new", 20), (2, "x", 5)],
+        "k bigint, v string, ver int",
+    )
+    out = merge.merge_upsert(target, updates, ["k"], version_col="ver")
+    assert _rows(out) == [(1, "new"), (2, "x")]
+
+
+def test_merge_upsert_rejects_schema_drift(spark):
+    target = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    bad = spark.createDataFrame([(1, "a", 1.0)], "k bigint, v string, extra double")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge.merge_upsert(target, bad, ["k"])
+
+
+def test_merge_upsert_broadcasts_update_keys(spark):
+    """The target side must not shuffle: the anti join broadcasts."""
+    target = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    updates = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(99).cast("bigint").alias("v")
+    )
+    out = merge.merge_upsert(target, updates, ["k"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Exchange hashpartitioning" not in plan, plan[:3000]
+
+
+def test_merge_into_partitioned_rewrites_only_touched_partitions(
+    spark, tmp_path
+):
+    path = str(tmp_path / "cow_table")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", i % 3) for i in range(30)],
+        "k bigint, v string, part int",
+    )
+    base.repartition("part").write.partitionBy("part").parquet(path)
+    before = {
+        p: sorted(
+            (os.path.basename(f), os.path.getmtime(f))
+            for f in glob.glob(f"{path}/part={p}/*.parquet")
+        )
+        for p in (0, 1, 2)
+    }
+
+    updates = spark.createDataFrame(
+        [(3, "V3", 0, False), (900, "new", 0, False), (6, None, 0, True)],
+        "k bigint, v string, part int, is_delete boolean",
+    )
+    touched = merge.merge_into_partitioned(
+        spark, path, updates, ["k"], ["part"], delete_col="is_delete"
+    )
+    assert touched == [(0,)]
+
+    after = {
+        p: sorted(
+            (os.path.basename(f), os.path.getmtime(f))
+            for f in glob.glob(f"{path}/part={p}/*.parquet")
+        )
+        for p in (0, 1, 2)
+    }
+    assert after[1] == before[1] and after[2] == before[2]  # untouched
+    assert after[0] != before[0]  # rewritten
+
+    got = _rows(spark.read.parquet(path).select("k", "v", "part"))
+    expect = sorted(
+        [(i, f"v{i}", i % 3) for i in range(30) if i not in (3, 6)]
+        + [(3, "V3", 0), (900, "new", 0)]
+    )
+    assert got == expect
