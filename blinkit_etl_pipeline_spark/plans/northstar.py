@@ -66,6 +66,18 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return register_base(spark, sf_dir)["events"]
 
 
+def q_profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile of events.user_id (operators/profile.py):
+    top-20 heaviest keys with share and uniformity ratio — the
+    diagnostic that picks between plain, salted and AQE-split joins.
+    Plans as partial-agg groupBy + TakeOrderedAndProject."""
+    from ..operators import profile
+
+    return profile.key_skew_profile(
+        _events(spark, sf_dir).select("user_id"), ["user_id"], top_n=20
+    )
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC MERGE relation (operators/merge.py): a customer snapshot
     merged with an order-derived update batch — replacements, keyed
@@ -1455,6 +1467,22 @@ ranked AS (
 SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine_sim, "rank"
 FROM ranked WHERE "rank" <= {ANN_K}"""
 
+ORACLES["ns_profile_key_skew"] = """WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS key_count
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT CAST(SUM(key_count) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM c
+)
+SELECT user_id, key_count,
+  ROUND(key_count / CAST(total AS DOUBLE), 6) AS share,
+  ROUND((key_count * n_keys) / CAST(total AS DOUBLE), 6) AS skew_ratio
+FROM c, s
+ORDER BY key_count DESC, user_id ASC
+LIMIT 20"""
+
 # MERGE relation replay: anti-join survivors ∪ live updates, balances
 # via the exact integer-cents sum (same spelling both engines).
 ORACLES["ns_merge_upsert"] = """WITH t AS (
@@ -1741,6 +1769,7 @@ QUERIES = {
     "ns_ann_ivf_trained": q_ann_ivf_trained,
     "ns_dedup_semantic": q_dedup_semantic,
     "ns_merge_upsert": q_merge_upsert,
+    "ns_profile_key_skew": q_profile_key_skew,
     "ns_ann_ivf_balance": q_ann_ivf_balance,
     "ns_ann_recall": q_ann_recall,
     "ns_ann_ivf_curve": q_ann_ivf_curve,

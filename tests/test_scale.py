@@ -291,3 +291,20 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
     plain = ev.join(dim, "user_id")
     assert "might_contain" not in _physical_plan(plain)
     assert n_bloom == plain.count()
+
+
+def test_key_skew_profile_plans_topn_and_flags_planted_hot_key(spark):
+    from blinkit_etl_pipeline_spark.operators import profile
+
+    base = spark.range(1000).select((F.col("id") % 100).alias("k"))
+    hot = spark.range(400).select(F.lit(7).cast("bigint").alias("k"))
+    df = base.unionByName(hot)
+    prof = profile.key_skew_profile(df, ["k"], top_n=5)
+    plan = _physical_plan(prof)
+    assert "TakeOrderedAndProject" in plan  # top-N, not a global sort
+    rows = prof.collect()
+    assert rows[0]["k"] == 7 and rows[0]["key_count"] == 410
+    assert abs(rows[0]["share"] - 410 / 1400) < 1e-6
+    # 100 distinct keys: uniform would be 14 rows each → ratio ≈ 29x
+    assert rows[0]["skew_ratio"] > 25
+    assert all(abs(r["skew_ratio"] - 10 / 14) < 1e-5 for r in rows[1:])
