@@ -185,3 +185,71 @@ def test_two_phase_salted_join_plan_broadcasts_hot_keys(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan and "LeftAnti" in plan, plan
     assert " IN (" not in plan, plan
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    target=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 99)),
+        min_size=0, max_size=15, unique_by=lambda t: t[0],
+    ),
+    updates=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 99), st.booleans()),
+        min_size=0, max_size=10, unique_by=lambda t: t[0],
+    ),
+)
+def test_merge_upsert_is_idempotent_and_keyed(spark, target, updates):
+    """MERGE invariants under arbitrary key overlap: applying the same
+    batch twice equals once (idempotence — the retry-safety property a
+    CDC sink needs), output keys are unique, and every output row comes
+    from the update batch when its key was in the batch."""
+    from blinkit_etl_pipeline_spark.operators import merge
+
+    tdf = spark.createDataFrame(
+        target or [(999_999, 0)], "k bigint, v bigint"
+    )
+    udf_rows = updates or [(999_998, 0, False)]
+    udf = spark.createDataFrame(
+        udf_rows, "k bigint, v bigint, is_delete boolean"
+    )
+    once = merge.merge_upsert(tdf, udf, ["k"], delete_col="is_delete")
+    twice = merge.merge_upsert(once, udf, ["k"], delete_col="is_delete")
+    r_once = sorted(map(tuple, once.collect()))
+    r_twice = sorted(map(tuple, twice.collect()))
+    assert r_once == r_twice
+    keys = [r[0] for r in r_once]
+    assert len(keys) == len(set(keys))
+    upd_map = {k: (v, d) for k, v, d in udf_rows}
+    for k, v in r_once:
+        if k in upd_map:
+            uv, ud = upd_map[k]
+            assert not ud and v == uv  # updated rows carry batch values
+        else:
+            assert (k, v) in (target or [(999_999, 0)])  # untouched
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    segments=st.lists(st.integers(-32768, 32767), min_size=1, max_size=6),
+)
+def test_adpcm_block_constant_roundtrip_property(segments):
+    """ANY block-constant int16 signal roundtrips bit-exactly through
+    IMA ADPCM (the exactness contract the oracle query rests on)."""
+    import numpy as np
+
+    from blinkit_etl_pipeline_spark.functions.adpcm import (
+        decode_ima_adpcm_wav,
+        encode_ima_adpcm_wav,
+    )
+    from blinkit_etl_pipeline_spark.operators.multimodal import (
+        ADPCM_BLOCK_ALIGN,
+        ADPCM_SAMPLES_PER_BLOCK,
+    )
+
+    sig = np.repeat(
+        np.array(segments, dtype=np.int16), ADPCM_SAMPLES_PER_BLOCK
+    )
+    payload = encode_ima_adpcm_wav(sig, 8000, block_align=ADPCM_BLOCK_ALIGN)
+    rate, n, dec = decode_ima_adpcm_wav(payload)
+    assert (rate, n) == (8000, len(sig))
+    assert (dec == sig).all()
