@@ -66,6 +66,21 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return register_base(spark, sf_dir)["events"]
 
 
+def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training, iteration 0 (functions/bpe.py): adjacent character
+    pairs over the word-frequency table, weighted by word count —
+    top-20 deterministically ordered. The corpus collapses to (word,
+    count) rows before any pair math, so the expensive part is bounded
+    by vocabulary size, not corpus size. The iterative trainer
+    (bpe_train) and the greedy left-to-right merge fold are pinned by
+    unit tests on the classic low/lower/newest/widest corpus."""
+    from ..functions import bpe
+
+    return bpe.top_pairs(
+        bpe.with_symbols(bpe.word_counts(_docs(spark, sf_dir))), 20
+    )
+
+
 def q_profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew profile of events.user_id (operators/profile.py):
     top-20 heaviest keys with share and uniformity ratio — the
@@ -1467,6 +1482,23 @@ ranked AS (
 SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine_sim, "rank"
 FROM ranked WHERE "rank" <= {ANN_K}"""
 
+# BPE iteration-0 replay: same word-frequency weighting, same
+# deterministic (count desc, pair asc) ordering at the top-20 cutoff.
+ORACLES["ns_text_bpe_pairs"] = f"""WITH {_TOKS},
+words AS (SELECT unnest(tk) AS w FROM toks),
+wc AS (SELECT w, CAST(count(*) AS BIGINT) AS wcount FROM words GROUP BY w),
+pairs AS (
+  SELECT substr(w, CAST(i AS INT), 1) AS sym_a,
+         substr(w, CAST(i AS INT) + 1, 1) AS sym_b,
+         wcount
+  FROM wc, unnest(range(1, length(w))) AS t(i)
+)
+SELECT sym_a, sym_b, CAST(SUM(wcount) AS BIGINT) AS pair_count
+FROM pairs
+GROUP BY sym_a, sym_b
+ORDER BY pair_count DESC, sym_a ASC, sym_b ASC
+LIMIT 20"""
+
 ORACLES["ns_profile_key_skew"] = """WITH c AS (
   SELECT user_id, CAST(count(*) AS BIGINT) AS key_count
   FROM events GROUP BY user_id
@@ -1770,6 +1802,7 @@ QUERIES = {
     "ns_dedup_semantic": q_dedup_semantic,
     "ns_merge_upsert": q_merge_upsert,
     "ns_profile_key_skew": q_profile_key_skew,
+    "ns_text_bpe_pairs": q_text_bpe_pairs,
     "ns_ann_ivf_balance": q_ann_ivf_balance,
     "ns_ann_recall": q_ann_recall,
     "ns_ann_ivf_curve": q_ann_ivf_curve,

@@ -256,3 +256,59 @@ def test_gopher_thresholds_are_integer_exact_at_the_boundary(spark):
     assert r["n_words"] == n
     # boundary check the alpha rule against the exact rational
     assert r["r_alpha_words"] == (n_alpha * 5 >= n * 4)
+
+
+# ----------------------------------------------------------------------
+# BPE tokenizer training
+# ----------------------------------------------------------------------
+
+
+def test_bpe_train_learns_the_classic_merges(spark):
+    """Sennrich's worked example: low×5, lower×2, newest×6, widest×3.
+    Merge order and tie-breaks must be deterministic."""
+    from blinkit_etl_pipeline_spark.functions import bpe
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(["low"] * 5 + ["lower"] * 2
+                      + ["newest"] * 6 + ["widest"] * 3))],
+        "doc_id bigint, text string",
+    )
+    merges = bpe.bpe_train(docs, 6)
+    assert merges == [
+        ("e", "s", 9),    # es in newest(6) + widest(3)
+        ("es", "t", 9),
+        ("l", "o", 7),    # low(5) + lower(2)
+        ("lo", "w", 7),
+        ("e", "w", 6),    # tie (e,w)/(n,e)/(w,est) → lexicographic
+        ("ew", "est", 6),
+    ]
+    seg = {
+        r["word"]: list(r["symbols"])
+        for r in bpe.segment(
+            bpe.with_symbols(bpe.word_counts(docs)), merges
+        ).collect()
+    }
+    assert seg["low"] == ["low"]
+    assert seg["lower"] == ["low", "e", "r"]
+    assert seg["newest"] == ["n", "ewest"]
+    assert seg["widest"] == ["w", "i", "d", "est"]
+
+
+def test_bpe_merge_fold_is_greedy_non_overlapping(spark):
+    """aaa under merge (a,a) → [aa, a], never the overlapping [aa, aa]."""
+    from pyspark.sql import functions as F
+
+    from blinkit_etl_pipeline_spark.functions import bpe
+
+    df = spark.createDataFrame(
+        [("aaa", 1), ("aaaa", 1), ("baab", 1)], "word string, wcount bigint"
+    )
+    out = {
+        r["word"]: list(r["m"])
+        for r in bpe.with_symbols(df)
+        .select("word", bpe.apply_merge(F.col("symbols"), "a", "a").alias("m"))
+        .collect()
+    }
+    assert out["aaa"] == ["aa", "a"]
+    assert out["aaaa"] == ["aa", "aa"]
+    assert out["baab"] == ["b", "aa", "b"]
