@@ -66,6 +66,21 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return register_base(spark, sf_dir)["events"]
 
 
+PACK_BUDGET = 512
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (operators/pack.py): concat docs in
+    doc_id order, chunk at 512 tokens. The running total is the
+    two-phase distributed prefix sum (range partition → per-partition
+    totals, one row each → driver exclusive prefix → map-side local
+    cumsum), never a single global window sort; the oracle replays it
+    with a plain window cumsum — same numbers, different plan shape."""
+    from ..operators import pack
+
+    return pack.pack_sequences(_docs(spark, sf_dir), PACK_BUDGET)
+
+
 def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE training, iteration 0 (functions/bpe.py): adjacent character
     pairs over the word-frequency table, weighted by word count —
@@ -1482,6 +1497,24 @@ ranked AS (
 SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine_sim, "rank"
 FROM ranked WHERE "rank" <= {ANN_K}"""
 
+# Packing replay: window cumsum in doc_id order — value-identical to
+# Spark's two-phase distributed prefix sum by construction.
+ORACLES["ns_pack_sequences"] = f"""WITH {_TOKS},
+sized AS (
+  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks
+),
+ps AS (
+  SELECT doc_id, n_tokens,
+    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_tokens
+  FROM sized
+)
+SELECT doc_id, n_tokens, cum_tokens,
+  CAST((cum_tokens - n_tokens) // {PACK_BUDGET} AS BIGINT) AS seq_id,
+  CAST((cum_tokens - n_tokens) % {PACK_BUDGET} AS BIGINT) AS offset_in_seq
+FROM ps"""
+
 # BPE iteration-0 replay: same word-frequency weighting, same
 # deterministic (count desc, pair asc) ordering at the top-20 cutoff.
 ORACLES["ns_text_bpe_pairs"] = f"""WITH {_TOKS},
@@ -1803,6 +1836,7 @@ QUERIES = {
     "ns_merge_upsert": q_merge_upsert,
     "ns_profile_key_skew": q_profile_key_skew,
     "ns_text_bpe_pairs": q_text_bpe_pairs,
+    "ns_pack_sequences": q_pack_sequences,
     "ns_ann_ivf_balance": q_ann_ivf_balance,
     "ns_ann_recall": q_ann_recall,
     "ns_ann_ivf_curve": q_ann_ivf_curve,

@@ -308,3 +308,44 @@ def test_key_skew_profile_plans_topn_and_flags_planted_hot_key(spark):
     # 100 distinct keys: uniform would be 14 rows each → ratio ≈ 29x
     assert rows[0]["skew_ratio"] > 25
     assert all(abs(r["skew_ratio"] - 10 / 14) < 1e-5 for r in rows[1:])
+
+
+def test_global_prefix_sum_is_partition_count_invariant(spark):
+    """The two-phase distributed prefix sum must produce the same
+    running totals regardless of how many range partitions it uses —
+    that equality IS the scalability argument (a global window would
+    serialize; this doesn't, and loses nothing)."""
+    from blinkit_etl_pipeline_spark.operators import pack
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), ((F.col("id") * 7) % 13 + 1).alias("v")
+    )
+    a = sorted(
+        map(tuple, pack.global_prefix_sum(df, "k", "v", num_ranges=1).collect())
+    )
+    b = sorted(
+        map(tuple, pack.global_prefix_sum(df, "k", "v", num_ranges=8).collect())
+    )
+    assert a == b
+    # spot-check exactness at the head and tail
+    head = dict((r[0], r[2]) for r in a[:3])
+    assert head[0] == 1  # (0*7)%13+1
+    total = sum(((i * 7) % 13 + 1) for i in range(1000))
+    assert a[-1][2] == total
+
+
+def test_pack_sequences_budget_boundaries(spark):
+    from blinkit_etl_pipeline_spark.operators import pack
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate([3, 4, 5, 2, 6])],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in pack.pack_sequences(docs, budget=5, num_ranges=2).collect()
+    }
+    # cum: 3, 7, 12, 14, 20; starts: 0, 3, 7, 12, 14
+    assert [rows[i]["cum_tokens"] for i in range(5)] == [3, 7, 12, 14, 20]
+    assert [rows[i]["seq_id"] for i in range(5)] == [0, 0, 1, 2, 2]
+    assert [rows[i]["offset_in_seq"] for i in range(5)] == [0, 3, 2, 2, 4]
