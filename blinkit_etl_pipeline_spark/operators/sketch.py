@@ -223,3 +223,74 @@ CROSS JOIN (VALUES {qvals}) AS q(q)
 WHERE c.cum >= CAST(ceil(q.q * s.n) AS BIGINT)
   AND c.prev_cum < CAST(ceil(q.q * s.n) AS BIGINT)
 """.strip()
+
+
+# ----------------------------------------------------------------------
+# Count-Min sketch (heavy hitters)
+# ----------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 256  # counters per row
+
+
+def _cms_cell(seed, value: "F.Column") -> "F.Column":
+    """Counter index for (seed, value): cross-engine h32 of
+    ``'<seed>|<value>'`` mod width."""
+    return F.pmod(
+        h32(F.concat(seed.cast("string"), F.lit("|"), value.cast("string"))),
+        F.lit(CMS_W),
+    ).cast("int")
+
+
+def cms_cells(df: DataFrame, value_col: str) -> DataFrame:
+    """The sketch itself: (seed, cell) → counter. A CMS is d×w integers
+    TOTAL (here 4×256) regardless of input size: the explode emits
+    (seed, cell) pairs that partial-aggregation collapses map-side, so
+    the shuffle carries at most d·w rows per task — this is why CMS is
+    the 100 TB answer for frequency estimation, like HLL for distincts.
+    """
+    seed = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("seed")
+    pairs = df.select(F.col(value_col).alias("__v")).select(seed, "__v")
+    return (
+        pairs.select(
+            "seed", _cms_cell(F.col("seed"), F.col("__v")).alias("cell")
+        )
+        .groupBy("seed", "cell")
+        .agg(F.count("*").cast("bigint").alias("counter"))
+    )
+
+
+def cms_heavy_hitters(df: DataFrame, value_col: str, k: int = 20) -> DataFrame:
+    """Top-``k`` values by CMS-estimated frequency, with the exact count
+    and the (always ≥ 0) overestimate beside it — the error evidence.
+
+    The probe side joins each distinct value's d cells against the
+    sketch; the sketch is ≤ d·w rows, so that join is a broadcast.
+    Deterministic order: estimate desc, then value asc.
+    """
+    cells = cms_cells(df, value_col)
+    exact = df.groupBy(F.col(value_col).alias("value")).agg(
+        F.count("*").cast("bigint").alias("exact_count")
+    )
+    seed = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("seed")
+    probes = exact.select("value", "exact_count", seed).select(
+        "value",
+        "exact_count",
+        "seed",
+        _cms_cell(F.col("seed"), F.col("value")).alias("cell"),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["seed", "cell"])
+        .groupBy("value", "exact_count")
+        .agg(F.min("counter").cast("bigint").alias("cms_estimate"))
+    )
+    return (
+        est.select(
+            "value",
+            "cms_estimate",
+            "exact_count",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+        )
+        .orderBy(F.col("cms_estimate").desc(), F.col("value").asc())
+        .limit(k)
+    )

@@ -66,6 +66,18 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return register_base(spark, sf_dir)["events"]
 
 
+def q_sketch_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters over events.user_id: the sketch is d·w
+    = 1024 integers total at ANY corpus size (map-side partial agg);
+    estimates carry the exact count + overestimate beside them as
+    error evidence, and the probe join broadcasts the sketch."""
+    from ..operators import sketch
+
+    return sketch.cms_heavy_hitters(
+        _events(spark, sf_dir).select("user_id"), "user_id", k=20
+    )
+
+
 PACK_BUDGET = 512
 
 
@@ -1497,6 +1509,39 @@ ranked AS (
 SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine_sim, "rank"
 FROM ranked WHERE "rank" <= {ANN_K}"""
 
+# CMS replay: same h32('<seed>|<value>') % w cells, same min-over-rows
+# estimate — a value-exact oracle for an approximate aggregate.
+ORACLES["ns_sketch_cms_heavy"] = f"""WITH src AS (
+  SELECT user_id FROM events
+),
+seeds AS (SELECT unnest(range(0, {sketch.CMS_D})) AS seed),
+cells AS (
+  SELECT seed, cell, CAST(count(*) AS BIGINT) AS counter FROM (
+    SELECT s.seed,
+      CAST({_H.format(x="CAST(s.seed AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)")}
+        % {sketch.CMS_W} AS INT) AS cell
+    FROM src, seeds s
+  ) GROUP BY seed, cell
+),
+exact AS (
+  SELECT user_id AS value, CAST(count(*) AS BIGINT) AS exact_count
+  FROM src GROUP BY user_id
+),
+probes AS (
+  SELECT e.value, e.exact_count, s.seed,
+    CAST({_H.format(x="CAST(s.seed AS VARCHAR) || '|' || CAST(e.value AS VARCHAR)")}
+      % {sketch.CMS_W} AS INT) AS cell
+  FROM exact e, seeds s
+),
+est AS (
+  SELECT value, exact_count, CAST(MIN(counter) AS BIGINT) AS cms_estimate
+  FROM probes JOIN cells USING (seed, cell)
+  GROUP BY value, exact_count
+)
+SELECT value, cms_estimate, exact_count,
+  cms_estimate - exact_count AS overestimate
+FROM est ORDER BY cms_estimate DESC, value ASC LIMIT 20"""
+
 # Packing replay: window cumsum in doc_id order — value-identical to
 # Spark's two-phase distributed prefix sum by construction.
 ORACLES["ns_pack_sequences"] = f"""WITH {_TOKS},
@@ -1837,6 +1882,7 @@ QUERIES = {
     "ns_profile_key_skew": q_profile_key_skew,
     "ns_text_bpe_pairs": q_text_bpe_pairs,
     "ns_pack_sequences": q_pack_sequences,
+    "ns_sketch_cms_heavy": q_sketch_cms_heavy,
     "ns_ann_ivf_balance": q_ann_ivf_balance,
     "ns_ann_recall": q_ann_recall,
     "ns_ann_ivf_curve": q_ann_ivf_curve,

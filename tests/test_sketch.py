@@ -73,3 +73,29 @@ def test_histogram_quantiles_bracket_truth(spark):
         assert abs(r["quantile_estimate"] - truth) <= width + 1e-9, (
             r["event_type"], r["q"], r["quantile_estimate"], truth, width,
         )
+
+
+# ----------------------------------------------------------------------
+# Count-Min sketch
+# ----------------------------------------------------------------------
+
+
+def test_cms_never_underestimates_and_bounds_error(spark):
+    """CMS guarantee: estimate >= exact for EVERY value; with
+    d=4, w=256 and a small distinct count, collisions are rare so the
+    heavy hitter ranking should match the exact ranking's head."""
+    from pyspark.sql import functions as F
+
+    from blinkit_etl_pipeline_spark.operators import sketch
+
+    base = spark.range(2000).select((F.col("id") % 50).alias("v"))
+    hot = spark.range(500).select(F.lit(7).cast("bigint").alias("v"))
+    df = base.unionByName(hot)
+    hh = sketch.cms_heavy_hitters(df, "v", k=50).collect()
+    assert all(r["overestimate"] >= 0 for r in hh)
+    assert hh[0]["value"] == 7 and hh[0]["exact_count"] == 540
+    # the sketch summary is d*w counters regardless of input rows
+    cells = sketch.cms_cells(df, "v")
+    assert cells.count() <= sketch.CMS_D * sketch.CMS_W
+    totals = cells.groupBy("seed").agg(F.sum("counter").alias("s")).collect()
+    assert all(r["s"] == 2500 for r in totals)  # each row sees every item
