@@ -66,6 +66,26 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return register_base(spark, sf_dir)["events"]
 
 
+PRIVACY_K = 10
+
+
+def q_privacy_k_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity profile (operators/privacy.py) over the customer
+    quasi-identifiers (market segment × nation): group sizes + the
+    k≥10 flag (k chosen to split the checked SF) — the release gate that complements PII scrubbing."""
+    from ..operators import privacy
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return privacy.k_anonymity_profile(
+        cust.select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").alias("nation_key"),
+        ),
+        ["segment", "nation_key"],
+        k=PRIVACY_K,
+    )
+
+
 def q_sketch_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min heavy hitters over events.user_id: the sketch is d·w
     = 1024 integers total at ANY corpus size (map-side partial agg);
@@ -1509,6 +1529,14 @@ ranked AS (
 SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine_sim, "rank"
 FROM ranked WHERE "rank" <= {ANN_K}"""
 
+ORACLES["ns_privacy_k_anon"] = f"""SELECT
+  c_mktsegment AS segment,
+  c_nationkey AS nation_key,
+  CAST(count(*) AS BIGINT) AS group_size,
+  count(*) >= {PRIVACY_K} AS k_anonymous
+FROM customer
+GROUP BY c_mktsegment, c_nationkey"""
+
 # CMS replay: same h32('<seed>|<value>') % w cells, same min-over-rows
 # estimate — a value-exact oracle for an approximate aggregate.
 ORACLES["ns_sketch_cms_heavy"] = f"""WITH src AS (
@@ -1883,6 +1911,7 @@ QUERIES = {
     "ns_text_bpe_pairs": q_text_bpe_pairs,
     "ns_pack_sequences": q_pack_sequences,
     "ns_sketch_cms_heavy": q_sketch_cms_heavy,
+    "ns_privacy_k_anon": q_privacy_k_anon,
     "ns_ann_ivf_balance": q_ann_ivf_balance,
     "ns_ann_recall": q_ann_recall,
     "ns_ann_ivf_curve": q_ann_ivf_curve,

@@ -83,3 +83,28 @@ def test_repetition_columns_hand_computed(spark):
     assert r.dup_trigram_frac == 0.0
     r = out[1]  # too short for trigrams: defined 0, not null
     assert r.n_tokens == 2 and r.dup_bigram_frac == 0.0 and r.dup_trigram_frac == 0.0
+
+
+def test_suppress_small_groups_enforces_k_anonymity(spark):
+    """After suppression every surviving quasi-combination covers >= k
+    rows, the plan is a broadcast anti join (the fact side never
+    shuffles), and no k-anonymous row was lost."""
+    from pyspark.sql import functions as F
+
+    from blinkit_etl_pipeline_spark.operators import privacy
+
+    df = spark.range(100).select(
+        (F.col("id") % 7).alias("q1"),
+        F.when(F.col("id") < 3, F.lit(99)).otherwise(F.col("id") % 2).alias("q2"),
+    )
+    k = 5
+    out = privacy.suppress_small_groups(df, ["q1", "q2"], k)
+    sizes = out.groupBy("q1", "q2").count().collect()
+    assert sizes and all(r["count"] >= k for r in sizes)
+    prof = privacy.k_anonymity_profile(df, ["q1", "q2"], k)
+    safe_total = sum(
+        r["group_size"] for r in prof.collect() if r["k_anonymous"]
+    )
+    assert out.count() == safe_total
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
