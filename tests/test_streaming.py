@@ -351,3 +351,69 @@ def test_stream_stream_interval_join_matches_batch_range_join(spark, tmp_path):
     )
     expect = sorted(map(tuple, batch_pairs.collect()))
     assert got == expect and len(got) > 0
+
+
+def test_streaming_cdc_merge_matches_sequential_batch_merge(spark, tmp_path):
+    """Change files drained through the streaming MERGE sink must leave
+    the partitioned table exactly where applying the same batches
+    sequentially with the batch operator would — and a second drain
+    with the same checkpoint must be a no-op (exactly-once)."""
+    import os
+
+    from blinkit_etl_pipeline_spark.operators import merge as merge_ops
+    from blinkit_etl_pipeline_spark.streaming import merge_sink
+
+    table = str(tmp_path / "cdc_table")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", i % 2) for i in range(20)],
+        "k bigint, v string, part int",
+    )
+    base.repartition("part").write.partitionBy("part").parquet(table)
+    # mirror table for the sequential batch reference
+    table_ref = str(tmp_path / "cdc_table_ref")
+    base.repartition("part").write.partitionBy("part").parquet(table_ref)
+
+    batches = [
+        [(3, "B1", 1, False), (100, "new1", 0, False)],
+        [(3, "B2", 1, False), (4, None, 0, True), (101, "new2", 1, False)],
+    ]
+    schema = "k bigint, v string, part int, is_delete boolean"
+    raw = tmp_path / "cdc_raw"
+    raw.mkdir()
+    staging = tmp_path / "cdc_stage"
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.parquet(str(staging / f"b{i}"))
+        src = sorted(glob.glob(f"{staging}/b{i}/part-*.parquet"))[0]
+        dst = str(raw / f"b{i}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream = file_source.stream_files(
+        spark, str(raw), spark.createDataFrame([], schema).schema,
+        fmt="parquet", max_files_per_trigger=1,
+    )
+    ckpt = str(tmp_path / "cdc_ckpt")
+    merge_sink.stream_merge_into_partitioned(
+        stream, table, ckpt, ["k"], ["part"], delete_col="is_delete"
+    )
+
+    for rows in batches:
+        merge_ops.merge_into_partitioned(
+            spark, table_ref, spark.createDataFrame(rows, schema),
+            ["k"], ["part"], delete_col="is_delete",
+        )
+
+    got = sorted(map(tuple, spark.read.parquet(table).collect()))
+    expect = sorted(map(tuple, spark.read.parquet(table_ref).collect()))
+    assert got == expect and len(got) == 21  # 20 - 1 delete + 2 inserts
+
+    # re-drain with the same checkpoint: no new files → table unchanged
+    stream2 = file_source.stream_files(
+        spark, str(raw), spark.createDataFrame([], schema).schema,
+        fmt="parquet",
+    )
+    merge_sink.stream_merge_into_partitioned(
+        stream2, table, ckpt, ["k"], ["part"], delete_col="is_delete"
+    )
+    assert sorted(map(tuple, spark.read.parquet(table).collect())) == got
