@@ -65,3 +65,51 @@ def rating_icons(spark: SparkSession) -> DataFrame:
     """S4: the 5-row rating→icon literal dimension (reference 03:54-70)."""
     rows = [(i, "⭐" * i) for i in range(1, 6)]
     return spark.createDataFrame(rows, RATING_ICON_SCHEMA)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSONL scan with explicit schema and corrupt-record capture.
+
+    At ingestion scale, malformed lines are a fact of life; FAILFAST
+    kills a 6-hour job on row one and DROPMALFORMED silently loses
+    data. PERMISSIVE with a named corrupt column keeps the job running
+    AND auditable: bad lines surface as rows with every schema field
+    NULL and the raw line in ``corrupt_col`` — route them to a
+    quarantine sink, alert on the count (see `sources/metrics.py`),
+    and keep going. The returned frame includes ``corrupt_col``; use
+    :func:`split_corrupt` to partition clean/quarantine.
+    """
+    full = schema.add(T.StructField(corrupt_col, T.StringType()))
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def split_corrupt(
+    df: DataFrame, corrupt_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """(clean_rows_without_corrupt_col, quarantine_rows) from a
+    PERMISSIVE scan. Quarantine keeps only the raw line — the payload a
+    re-ingestion or bug report needs.
+
+    The scan is cached first: Spark disallows querying ONLY the
+    internal corrupt column from a raw JSON scan
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — the column
+    is populated during full-row parsing), and both halves read the
+    same pass anyway, so one materialization serves both sinks.
+    """
+    df = df.cache()
+    clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantine = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return clean, quarantine

@@ -87,3 +87,33 @@ def test_sink_bounds_file_size_and_sorts_row_groups(spark, tmp_path):
         ks = t.column("k").to_pylist()
         assert ks == sorted(ks), f"unsorted row group in {f}"
     assert total == n
+
+
+def test_jsonl_permissive_scan_quarantines_corrupt_lines(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from blinkit_etl_pipeline_spark.sources import readers
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        "{not json at all}\n"
+        '{"doc_id": 2, "text": "second"}\n'
+        '{"doc_id": "not-a-number", "text": "type clash"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    df = readers.read_jsonl(spark, str(p), schema)
+    clean, quarantine = readers.split_corrupt(df)
+    assert sorted(map(tuple, clean.collect())) == [
+        (1, "hello world"),
+        (2, "second"),
+    ]
+    bad = [r["raw_line"] for r in quarantine.collect()]
+    assert len(bad) == 2
+    assert any("not json" in b for b in bad)
+    assert any("not-a-number" in b for b in bad)
