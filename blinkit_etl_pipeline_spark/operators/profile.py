@@ -57,3 +57,74 @@ def key_skew_profile(
         )
         .limit(top_n)
     )
+
+
+def table_stats(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """ANALYZE-style per-column profile in ONE scan: row count, null
+    count/fraction, distinct estimate (the module's deterministic HLL,
+    not engine-private approx_count_distinct), and min/max rendered as
+    strings so one tall frame covers heterogeneous column types.
+
+    Output: (column, n_rows, n_nulls, null_frac, distinct_est,
+    min_value, max_value) — the stats a planner, a data-quality gate,
+    or a partition-strategy choice reads first. Everything partial-
+    aggregates map-side; the shuffle carries per-column scalars + HLL
+    registers (≤ 512 rows per column), never data.
+    """
+    from .sketch import hll_distinct
+
+    cols = list(columns) if columns is not None else list(df.columns)
+    aggs = [F.count("*").cast("bigint").alias("__n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nulls_{c}")
+        )
+        # min/max on the NATIVE type, cast to string afterwards —
+        # casting first would make numeric min/max lexicographic
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"__min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"__max_{c}"))
+    wide = df.agg(*aggs)
+
+    tall = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col("__n").alias("n_rows"),
+                        F.col(f"__nulls_{c}").alias("n_nulls"),
+                        F.col(f"__min_{c}").alias("min_value"),
+                        F.col(f"__max_{c}").alias("max_value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+
+    # one HLL per column (non-null values), unioned — each is a tiny
+    # register aggregate
+    hll = None
+    for c in cols:
+        h = hll_distinct(
+            df.filter(F.col(c).isNotNull()).select(
+                F.lit(c).alias("column"), F.col(c).alias("__v")
+            ),
+            ["column"],
+            "__v",
+        ).select("column", F.col("hll_estimate").alias("distinct_est"))
+        hll = h if hll is None else hll.unionByName(h)
+
+    return tall.join(hll, "column", "left").select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        F.round(F.col("n_nulls") / F.col("n_rows"), 6).alias("null_frac"),
+        # all-null columns have no HLL group: distinct count is 0
+        F.coalesce(F.col("distinct_est"), F.lit(0.0)).alias("distinct_est"),
+        "min_value",
+        "max_value",
+    )

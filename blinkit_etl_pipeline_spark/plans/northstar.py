@@ -66,6 +66,21 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return register_base(spark, sf_dir)["events"]
 
 
+TABLE_STATS_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+
+
+def q_profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column profile of orders
+    (operators/profile.py::table_stats): row/null counts, deterministic
+    HLL distinct estimate, native-typed min/max rendered as strings —
+    one scan for the scalar stats plus a register-sized aggregate per
+    column."""
+    from ..operators import profile
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return profile.table_stats(orders, TABLE_STATS_COLS)
+
+
 PRIVACY_K = 10
 
 
@@ -1529,6 +1544,36 @@ ranked AS (
 SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine_sim, "rank"
 FROM ranked WHERE "rank" <= {ANN_K}"""
 
+def _table_stats_oracle() -> str:
+    """Per-column stats ∪ the deterministic-HLL distinct estimate —
+    composed from sketch.hll_distinct_sql so both engines share one
+    register definition."""
+    parts = []
+    for i, c in enumerate(TABLE_STATS_COLS):
+        hll = sketch.hll_distinct_sql(
+            f'(SELECT \'{c}\' AS "column", {c} AS __v '
+            f"FROM orders WHERE {c} IS NOT NULL) t{i}",
+            ['"column"'],
+            "__v",
+        )
+        parts.append(
+            f"""SELECT s."column", s.n_rows, s.n_nulls,
+  ROUND(s.n_nulls / CAST(s.n_rows AS DOUBLE), 6) AS null_frac,
+  h.hll_estimate AS distinct_est, s.min_value, s.max_value
+FROM (
+  SELECT '{c}' AS "column",
+    CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+    CAST(MIN({c}) AS VARCHAR) AS min_value,
+    CAST(MAX({c}) AS VARCHAR) AS max_value
+  FROM orders
+) s CROSS JOIN ({hll}) h"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLES["ns_profile_table_stats"] = _table_stats_oracle()
+
 ORACLES["ns_privacy_k_anon"] = f"""SELECT
   c_mktsegment AS segment,
   c_nationkey AS nation_key,
@@ -1912,6 +1957,7 @@ QUERIES = {
     "ns_pack_sequences": q_pack_sequences,
     "ns_sketch_cms_heavy": q_sketch_cms_heavy,
     "ns_privacy_k_anon": q_privacy_k_anon,
+    "ns_profile_table_stats": q_profile_table_stats,
     "ns_ann_ivf_balance": q_ann_ivf_balance,
     "ns_ann_recall": q_ann_recall,
     "ns_ann_ivf_curve": q_ann_ivf_curve,

@@ -349,3 +349,21 @@ def test_pack_sequences_budget_boundaries(spark):
     assert [rows[i]["cum_tokens"] for i in range(5)] == [3, 7, 12, 14, 20]
     assert [rows[i]["seq_id"] for i in range(5)] == [0, 0, 1, 2, 2]
     assert [rows[i]["offset_in_seq"] for i in range(5)] == [0, 3, 2, 2, 4]
+
+
+def test_table_stats_profile_counts_nulls_and_ranges(spark):
+    from blinkit_etl_pipeline_spark.operators import profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (10, "b"), (None, "a")],
+        "n bigint, s string",
+    )
+    rows = {r["column"]: r for r in profile.table_stats(df).collect()}
+    n = rows["n"]
+    assert (n["n_rows"], n["n_nulls"]) == (4, 1)
+    assert abs(n["null_frac"] - 0.25) < 1e-9
+    # native-typed min/max: numeric, not lexicographic ("10" < "9")
+    assert (n["min_value"], n["max_value"]) == ("1", "10")
+    assert abs(n["distinct_est"] - 3) < 1.0  # HLL on 3 values
+    s = rows["s"]
+    assert (s["n_nulls"], s["min_value"], s["max_value"]) == (1, "a", "b")
