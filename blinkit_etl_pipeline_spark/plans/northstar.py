@@ -185,20 +185,31 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("balance")
         )
     )
-    upd = u0.select(
-        "cust_id",
-        "balance",
+    # ONE aggregation feeds both change kinds: each aggregated row
+    # explodes into its update row plus (for cust % 5) a shifted insert
+    # row — a union of two selects over u0 would recompute the groupBy
+    upd_row = F.struct(
+        F.col("cust_id"),
+        F.col("balance"),
         F.lit("upd").alias("src"),
         (F.col("cust_id") % 37 == 0).alias("is_delete"),
     )
-    ins = u0.filter(F.col("cust_id") % 5 == 0).select(
-        (F.col("cust_id") + 10_000_000).alias("cust_id"),
-        "balance",
-        F.lit("upd").alias("src"),
-        F.lit(False).alias("is_delete"),
+    ins_row = F.when(
+        F.col("cust_id") % 5 == 0,
+        F.struct(
+            (F.col("cust_id") + 10_000_000).alias("cust_id"),
+            F.col("balance"),
+            F.lit("upd").alias("src"),
+            F.lit(False).alias("is_delete"),
+        ),
+    )
+    updates = (
+        u0.select(F.explode(F.array(upd_row, ins_row)).alias("r"))
+        .filter(F.col("r").isNotNull())
+        .select("r.*")
     )
     return merge.merge_upsert(
-        target, upd.unionByName(ins), ["cust_id"], delete_col="is_delete"
+        target, updates, ["cust_id"], delete_col="is_delete"
     )
 
 
