@@ -1001,6 +1001,77 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def resize_nearest(raster: bytes, w: int, h: int, tw: int, th: int) -> bytes:
+    """Nearest-neighbor resample of an RGB raster to (tw, th).
+
+    Integer source mapping ``src = (dst · src_dim) // dst_dim`` — exact
+    and engine-replayable (the oracle recomputes the same gather), and
+    the standard nearest kernel when shrinking.
+    """
+    import numpy as np
+
+    if tw <= 0 or th <= 0:
+        raise ValueError("target dimensions must be positive")
+    arr = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+    iy = (np.arange(th, dtype=np.int64) * h) // th
+    ix = (np.arange(tw, dtype=np.int64) * w) // tw
+    return arr[iy][:, ix].tobytes()
+
+
+def resize_exec_stats(docs: DataFrame) -> DataFrame:
+    """Resize EXECUTION correctness (the plan-only twin is
+    :func:`resize_plan`): decode each synthesized PPM, nearest-resample
+    to half size, and report statistics over the RESIZED raster. The
+    gather positions are closed-form integers, so DuckDB re-derives the
+    same pixels from the generator formula — a wrong index anywhere in
+    decode or resample hash-fails."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "src_width": [], "src_height": [],
+                "dst_width": [], "dst_height": [],
+                "resized_sum_mod": [], "resized_weighted_mod": [],
+                "mean_r": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, raster = decode_image(bytes(payload))
+                tw, th = max(w // 2, 1), max(h // 2, 1)
+                resized = resize_nearest(raster, w, h, tw, th)
+                arr = np.frombuffer(resized, dtype=np.uint8).astype(np.int64)
+                out["media_id"].append(mid)
+                out["src_width"].append(w)
+                out["src_height"].append(h)
+                out["dst_width"].append(tw)
+                out["dst_height"].append(th)
+                out["resized_sum_mod"].append(int(arr.sum()) % CHECKSUM_MOD)
+                out["resized_weighted_mod"].append(
+                    int(
+                        (arr * np.arange(1, arr.size + 1, dtype=np.int64)).sum()
+                    )
+                    % CHECKSUM_MOD
+                )
+                out["mean_r"].append(int(arr[0::3].sum()) / (tw * th))
+            yield pd.DataFrame(out)
+
+    images = synthesize_media(docs).filter(F.col("media_type") == "image")
+    feats = images.select("media_id", "payload").mapInPandas(
+        work,
+        schema=(
+            "media_id long, src_width int, src_height int,"
+            " dst_width int, dst_height int,"
+            " resized_sum_mod long, resized_weighted_mod long, mean_r double"
+        ),
+    )
+    return feats.select(
+        "media_id", "src_width", "src_height", "dst_width", "dst_height",
+        "resized_sum_mod", "resized_weighted_mod",
+        F.round("mean_r", 6).alias("mean_r"),
+    )
+
+
 def resize_plan(media: DataFrame, max_side: int = 512) -> DataFrame:
     """Resize planning (pure metadata math — no decode needed):
     target dimensions preserving aspect ratio, capped at ``max_side``."""

@@ -851,6 +851,16 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_plan(multimodal.synthesize_media(_docs(spark, sf_dir)))
 
 
+def q_media_resize_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executed resize (not the metadata plan): PPM decode →
+    nearest-neighbor half-size resample → statistics over the RESIZED
+    pixels, gather positions replayed closed-form by the oracle."""
+    return multimodal.resize_exec_stats(
+        _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample_plan(
         multimodal.synthesize_media(_docs(spark, sf_dir)), every_ms=1000
@@ -1482,6 +1492,43 @@ SELECT media_id,
     / CAST(n_blocks * {multimodal.ADPCM_SAMPLES_PER_BLOCK} AS DOUBLE), 6)
     AS mean_amplitude
 FROM g""",
+    # Executed-resize replay: target pixel q at channel ch gathers
+    # source byte ((ty·h)//th·w + (tx·w)//tw)·3 + ch, whose value the
+    # generator gives closed-form.
+    "ns_media_resize_exec": f"""WITH m AS (
+  SELECT doc_id AS media_id,
+    CAST(doc_id % 16 + 8 AS INT) AS src_width,
+    CAST(doc_id % 12 + 8 AS INT) AS src_height
+  FROM documents WHERE doc_id % 3 = 0
+),
+d AS (
+  SELECT media_id, src_width, src_height,
+    CAST(src_width // 2 AS INT) AS dst_width,
+    CAST(src_height // 2 AS INT) AS dst_height
+  FROM m
+)
+SELECT media_id, src_width, src_height, dst_width, dst_height,
+  CAST(list_sum(list_transform(range(0, dst_width * dst_height * 3),
+    p -> (media_id * {multimodal.PIX_A}
+          + (((((p // 3) // dst_width) * src_height // dst_height)
+               * src_width
+              + ((p // 3) % dst_width) * src_width // dst_width) * 3
+             + p % 3) * {multimodal.PIX_B}) % 256))
+    % {multimodal.CHECKSUM_MOD} AS BIGINT) AS resized_sum_mod,
+  CAST(list_sum(list_transform(range(0, dst_width * dst_height * 3),
+    p -> ((media_id * {multimodal.PIX_A}
+           + (((((p // 3) // dst_width) * src_height // dst_height)
+                * src_width
+               + ((p // 3) % dst_width) * src_width // dst_width) * 3
+              + p % 3) * {multimodal.PIX_B}) % 256) * (p + 1)))
+    % {multimodal.CHECKSUM_MOD} AS BIGINT) AS resized_weighted_mod,
+  ROUND(list_sum(list_transform(range(0, dst_width * dst_height),
+    q -> (media_id * {multimodal.PIX_A}
+          + (((q // dst_width) * src_height // dst_height) * src_width
+             + (q % dst_width) * src_width // dst_width) * 3
+            * {multimodal.PIX_B}) % 256))
+    / CAST(dst_width * dst_height AS DOUBLE), 6) AS mean_r
+FROM d""",
     "ns_media_resize": """WITH m AS (
   SELECT doc_id AS media_id,
     (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
@@ -1997,6 +2044,7 @@ QUERIES = {
     "ns_media_video_frames": q_media_video_frames,
     "ns_media_adpcm": q_media_adpcm,
     "ns_media_resize": q_media_resize,
+    "ns_media_resize_exec": q_media_resize_exec,
     "ns_media_frame_sample": q_media_frame_sample,
     "ns_sketch_hll_users": q_sketch_hll_users,
     "ns_sketch_value_quantiles": q_sketch_value_quantiles,

@@ -388,3 +388,19 @@ def test_decode_audio_routes_pcm_and_adpcm():
     assert multimodal.decode_audio(pcm) == (8000, 4, bytes((1, 2, 3, 4)))
     with _pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"ID3\x04...mp3ish")
+
+
+def test_resize_nearest_gathers_expected_pixels():
+    import numpy as np
+
+    # 4x2 RGB with distinct per-pixel values
+    src = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    out = multimodal.resize_nearest(src.tobytes(), 4, 2, 2, 1)
+    arr = np.frombuffer(out, dtype=np.uint8).reshape(1, 2, 3)
+    # iy = [0]; ix = [0, 2] under (dst*src)//dst_dim mapping
+    assert arr[0, 0].tolist() == src[0, 0].tolist()
+    assert arr[0, 1].tolist() == src[0, 2].tolist()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.resize_nearest(src.tobytes(), 4, 2, 0, 1)

@@ -22,6 +22,7 @@ ARROW_WHITELIST = {
     "ns_media_jpeg",
     "ns_media_video_frames",
     "ns_media_adpcm",
+    "ns_media_resize_exec",
     "ns_dedup_embedding",
     "ns_dedup_recall",
     "ns_dedup_semantic",
