@@ -1065,3 +1065,32 @@ def semantic_dedup(
         F.round("max_lower_sim", 6).alias("max_lower_sim"),
         "is_kept",
     )
+
+
+def semantic_neardup_pairs(
+    emb: DataFrame,
+    codebook: Sequence[tuple[int, Sequence[float]]],
+    threshold: float,
+) -> DataFrame:
+    """(vec_a, vec_b) near-duplicate pairs FOUND by the SemDeDup path:
+    same-cluster pairs with cosine ≥ threshold. The recall of this set
+    against the exact all-pairs truth is SemDeDup's quality gauge —
+    pairs straddling a cluster boundary are the misses by design.
+    """
+    assigned = ivf_assign(emb if "qvec" in emb.columns else with_q(emb), codebook)
+
+    def per_cluster(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        M = _np_stack(pdf["qvec"])
+        qq = pdf["qq"].to_numpy(dtype="float64")
+        cos = (M @ M.T) / (np.sqrt(qq)[:, None] * np.sqrt(qq)[None, :])
+        ia, ib = np.where(np.triu(cos >= threshold, k=1))
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame({"vec_a": ids[ia], "vec_b": ids[ib]})
+
+    return assigned.groupBy("centroid_id").applyInPandas(
+        per_cluster, schema="vec_a long, vec_b long"
+    )

@@ -155,6 +155,22 @@ def q_profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's quality gauge: recall/precision of same-cluster
+    near-dup pairs vs the exact all-pairs cosine truth. Misses are
+    exactly the pairs straddling a cluster boundary — the approximation
+    this number prices. Precision is 1.0 by construction (every found
+    pair passes the same cosine test the truth uses)."""
+    from .codebook import TRAINED_IVF_CODEBOOK
+
+    emb = _emb(spark, sf_dir)
+    truth = vector.cosine_neardup_pairs(emb, threshold=COSINE_THRESHOLD, nbits=0)
+    found = vector.semantic_neardup_pairs(
+        emb, TRAINED_IVF_CODEBOOK, COSINE_THRESHOLD
+    )
+    return quality.pair_recall(truth, found, ("vec_a", "vec_b"), "semantic_cluster")
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC MERGE relation (operators/merge.py): a customer snapshot
     merged with an order-derived update batch — replacements, keyed
@@ -1779,6 +1795,44 @@ SELECT a.vec_id, a.centroid_id,
     AS is_kept
 FROM assigned a LEFT JOIN sims s ON a.vec_id = s.vec_id"""
 
+# SemDeDup quality gauge: exact truth pairs vs same-cluster pairs.
+ORACLES["ns_dedup_semantic_recall"] = f"""WITH {_EMB},
+c AS (SELECT centroid_id, cvec, list_dot_product(cvec, cvec) AS cqq
+  FROM {_codebook_values_sql()}),
+assigned AS (
+  SELECT vec_id, qv, qq, centroid_id FROM (
+    SELECT e.vec_id, e.qv, e.qq, c.centroid_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_COSR.format(a='e.qv', b='c.cvec', qa='e.qq', qb='c.cqq')} DESC,
+        c.centroid_id ASC) AS rn
+    FROM e CROSS JOIN c
+  ) WHERE rn = 1
+),
+truth_e AS (
+  SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b
+  FROM e a JOIN e bb ON a.vec_id < bb.vec_id
+  WHERE {_COSR.format(a='a.qv', b='bb.qv', qa='a.qq', qb='bb.qq')}
+    >= {COSINE_THRESHOLD}
+),
+found_s AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE {_COSR.format(a='a.qv', b='b.qv', qa='a.qq', qb='b.qq')}
+    >= {COSINE_THRESHOLD}
+),
+counts AS (
+  SELECT 'semantic_cluster' AS method,
+    (SELECT CAST(count(*) AS BIGINT) FROM truth_e) AS n_true,
+    (SELECT CAST(count(*) AS BIGINT) FROM found_s) AS n_found,
+    (SELECT CAST(count(*) AS BIGINT) FROM truth_e t
+      JOIN found_s f ON t.vec_a = f.vec_a AND t.vec_b = f.vec_b) AS n_hits
+)
+SELECT method, n_true, n_found, n_hits,
+  ROUND(n_hits / CAST(greatest(n_true, 1) AS DOUBLE), 6) AS recall,
+  ROUND(n_hits / CAST(greatest(n_found, 1) AS DOUBLE), 6) AS "precision"
+FROM counts"""
+
 
 ORACLES["ns_dedup_jaccard_prefix"] = f"""WITH {_TOKS},
 {_sh_cte(NGRAM_N)},
@@ -2009,6 +2063,7 @@ QUERIES = {
     "ns_ann_ivf_topk": q_ann_ivf_topk,
     "ns_ann_ivf_trained": q_ann_ivf_trained,
     "ns_dedup_semantic": q_dedup_semantic,
+    "ns_dedup_semantic_recall": q_dedup_semantic_recall,
     "ns_merge_upsert": q_merge_upsert,
     "ns_profile_key_skew": q_profile_key_skew,
     "ns_text_bpe_pairs": q_text_bpe_pairs,
