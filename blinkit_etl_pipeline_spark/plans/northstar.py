@@ -155,6 +155,42 @@ def q_profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving average of daily revenue per event type —
+    a RANGE window frame over calendar days (missing days genuinely
+    shrink the frame, unlike a rows frame). Exactness: daily revenue
+    stays integer cents; the frame SUM/COUNT are exact integers and the
+    single float division happens once at the edge, so both engines
+    agree bit-for-bit. One shuffle (the daily groupBy doubles as the
+    window partitioning)."""
+    from pyspark.sql import Window
+
+    from ..operators.events import value_cents
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(value_cents()).cast("bigint").alias("__cents"))
+    day_num = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(day_num)
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        (F.col("__cents").cast("double") / F.lit(100.0)).alias("daily_revenue"),
+        F.count("*").over(w).cast("bigint").alias("window_days"),
+        F.round(
+            F.sum("__cents").over(w).cast("double")
+            / F.lit(100.0)
+            / F.count("*").over(w).cast("double"),
+            6,
+        ).alias("moving_avg_revenue"),
+    )
+
+
 def q_dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup's quality gauge: recall/precision of same-cluster
     near-dup pairs vs the exact all-pairs cosine truth. Misses are
@@ -1267,6 +1303,23 @@ FROM ev GROUP BY event_type""",
   CAST((2 * SUM(CAST(round(value * 100) AS BIGINT)) * 100 + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0
     AS avg_value
 FROM events GROUP BY 1, 2, 3""",
+    # Moving average: integer-cents daily sums, RANGE frame over day
+    # numbers, one float division at the edge (mirrors Spark's order:
+    # sum/100.0 then /count).
+    "ns_events_moving_avg": """WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+)
+SELECT event_type, day,
+  CAST(cents AS DOUBLE) / 100.0 AS daily_revenue,
+  CAST(COUNT(*) OVER w AS BIGINT) AS window_days,
+  ROUND(CAST(SUM(cents) OVER w AS DOUBLE) / 100.0
+        / CAST(COUNT(*) OVER w AS DOUBLE), 6) AS moving_avg_revenue
+FROM daily
+WINDOW w AS (PARTITION BY event_type
+  ORDER BY date_diff('day', DATE '1970-01-01', day)
+  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""",
     "ns_events_sliding": """WITH g AS (
   SELECT e.*,
     make_timestamp(((epoch_us(ts) // 1800000000) * 1800000000) - (o.j * 1800000000)) AS window_start
@@ -2090,6 +2143,7 @@ QUERIES = {
     "ns_events_json_kv": q_events_json_kv,
     "ns_events_hourly": q_events_hourly,
     "ns_events_sliding": q_events_sliding,
+    "ns_events_moving_avg": q_events_moving_avg,
     "ns_events_sessionize": q_events_sessionize,
     "ns_asof_attribution": q_asof_attribution,
     "ns_range_click_window": q_range_click_window,
