@@ -162,3 +162,75 @@ def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> Dat
             ).alias("duration_us"),
         )
     )
+
+
+#: Funnel step order for :func:`funnel`; a user reaches step k only if
+#: every earlier step happened STRICTLY before their first step-k event.
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
+    """Ordered-funnel analysis: per user, the deepest step reached with
+    strict timestamp ordering (first view < first click < first
+    purchase), then one row per step with reached-user counts and
+    conversion from the previous step.
+
+    Shape: ONE conditional aggregation per user (min ts per step —
+    partial map-side, shuffle carries user_id + |steps| timestamps),
+    then a |steps|-row explode + count. No joins, no window, no
+    per-step scans — at 100 TB this is a single pass however deep the
+    funnel is.
+    """
+    firsts = events.filter(F.col("event_type").isin(*steps)).groupBy(
+        "user_id"
+    ).agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(
+                f"__t{i}"
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    # depth = number of leading steps with strictly increasing firsts
+    depth = F.lit(0)
+    cond = F.lit(True)
+    for i in range(len(steps)):
+        this_ok = F.col(f"__t{i}").isNotNull()
+        if i > 0:
+            this_ok = this_ok & (F.col(f"__t{i}") > F.col(f"__t{i - 1}"))
+        cond = cond & this_ok
+        depth = depth + cond.cast("int")
+    staged = firsts.select("user_id", depth.alias("__depth"))
+    per_step = staged.select(
+        F.explode(
+            F.array(*[F.lit(i + 1) for i in range(len(steps))])
+        ).alias("step_idx"),
+        "__depth",
+    ).groupBy("step_idx").agg(
+        F.sum((F.col("__depth") >= F.col("step_idx")).cast("bigint")).alias(
+            "users_reached"
+        )
+    )
+    step_names = F.array(*[F.lit(s) for s in steps])
+    w = Window.orderBy("step_idx")
+    return (
+        per_step.select(
+            F.col("step_idx").cast("int").alias("step_idx"),
+            F.element_at(step_names, F.col("step_idx")).alias("step"),
+            "users_reached",
+            F.lag("users_reached").over(w).alias("__prev"),
+        )
+        .select(
+            "step_idx",
+            "step",
+            "users_reached",
+            F.round(
+                F.col("users_reached")
+                / F.greatest(
+                    F.coalesce(F.col("__prev"), F.col("users_reached")),
+                    F.lit(1),
+                ).cast("double"),
+                6,
+            ).alias("conversion_from_prev"),
+        )
+    )

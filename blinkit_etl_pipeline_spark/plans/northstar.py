@@ -155,6 +155,14 @@ def q_profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase (operators/events.py::funnel):
+    strict first-timestamp ordering decides each user's depth in ONE
+    conditional aggregation pass; per-step reach + conversion follow
+    from a 3-row explode. No per-step scans or joins at any scale."""
+    return events.funnel(_events(spark, sf_dir))
+
+
 def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day moving average of daily revenue per event type —
     a RANGE window frame over calendar days (missing days genuinely
@@ -1303,6 +1311,38 @@ FROM ev GROUP BY event_type""",
   CAST((2 * SUM(CAST(round(value * 100) AS BIGINT)) * 100 + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0
     AS avg_value
 FROM events GROUP BY 1, 2, 3""",
+    # Funnel replay: identical strict-ordering depth arithmetic.
+    "ns_events_funnel": """WITH firsts AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY user_id
+),
+staged AS (
+  SELECT user_id,
+    (CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END)
+    + (CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+        THEN 1 ELSE 0 END)
+    + (CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+             AND t2 IS NOT NULL AND t2 > t1 THEN 1 ELSE 0 END) AS depth
+  FROM firsts
+),
+per_step AS (
+  SELECT s.step_idx,
+    CAST(SUM(CASE WHEN depth >= s.step_idx THEN 1 ELSE 0 END) AS BIGINT)
+      AS users_reached
+  FROM staged, (SELECT unnest(range(1, 4)) AS step_idx) s
+  GROUP BY s.step_idx
+)
+SELECT CAST(step_idx AS INT) AS step_idx,
+  (['view', 'click', 'purchase'])[step_idx] AS step,
+  users_reached,
+  ROUND(users_reached / CAST(greatest(
+    COALESCE(lag(users_reached) OVER (ORDER BY step_idx), users_reached),
+    1) AS DOUBLE), 6) AS conversion_from_prev
+FROM per_step""",
     # Moving average: integer-cents daily sums, RANGE frame over day
     # numbers, one float division at the edge (mirrors Spark's order:
     # sum/100.0 then /count).
@@ -2144,6 +2184,7 @@ QUERIES = {
     "ns_events_hourly": q_events_hourly,
     "ns_events_sliding": q_events_sliding,
     "ns_events_moving_avg": q_events_moving_avg,
+    "ns_events_funnel": q_events_funnel,
     "ns_events_sessionize": q_events_sessionize,
     "ns_asof_attribution": q_asof_attribution,
     "ns_range_click_window": q_range_click_window,

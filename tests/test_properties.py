@@ -253,3 +253,37 @@ def test_adpcm_block_constant_roundtrip_property(segments):
     rate, n, dec = decode_ima_adpcm_wav(payload)
     assert (rate, n) == (8000, len(sig))
     assert (dec == sig).all()
+
+
+def test_funnel_strict_ordering_semantics(spark):
+    """Depth counts only strictly-ordered first events: click-before-
+    view users stall at depth 1 (if they viewed at all), simultaneous
+    events don't advance, and repeat events use the FIRST timestamp."""
+    import datetime as _dt
+
+    from blinkit_etl_pipeline_spark.operators import events as ev_ops
+
+    t = lambda m: _dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1: clean view < click < purchase → depth 3
+        (1, "view", t(0)), (1, "click", t(1)), (1, "purchase", t(2)),
+        # u2: click BEFORE view → depth 1
+        (2, "click", t(0)), (2, "view", t(1)),
+        # u3: view and click simultaneous → strict > fails → depth 1
+        (3, "view", t(0)), (3, "click", t(0)),
+        # u4: repeat views; first view is later than the click → depth 1
+        (4, "click", t(0)), (4, "view", t(1)), (4, "view", t(5)),
+        # u5: purchase only (no view) → depth 0
+        (5, "purchase", t(0)),
+        # u6: view then click; purchase missing → depth 2
+        (6, "view", t(0)), (6, "click", t(3)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts timestamp"
+    )
+    out = {r["step"]: r for r in ev_ops.funnel(df).collect()}
+    assert out["view"]["users_reached"] == 5      # u1 u2 u3 u4 u6
+    assert out["click"]["users_reached"] == 2     # u1 u6
+    assert out["purchase"]["users_reached"] == 1  # u1
+    assert abs(out["click"]["conversion_from_prev"] - 2 / 5) < 1e-9
+    assert abs(out["purchase"]["conversion_from_prev"] - 1 / 2) < 1e-9
