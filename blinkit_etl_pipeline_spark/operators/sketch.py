@@ -74,6 +74,16 @@ def hll_distinct(
     correction (raw estimate ≤ 2.5m with empty registers present).
     """
     regs = hll_registers(df, group_cols, value_col)
+    return hll_estimate_from_registers(regs, group_cols)
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """Estimate from a (group, bucket, m_rank) register table — shared
+    by the one-shot path and any MERGED register table (union + max):
+    HLL registers are a semilattice, so daily/partition sketches merge
+    with a plain groupBy-max before estimating here."""
     per_group = regs.groupBy(*group_cols).agg(
         F.count("*").cast("bigint").alias("hll_buckets_used"),
         F.sum(F.pow(F.lit(0.5), F.col("m_rank"))).alias("_hsum"),
@@ -293,4 +303,39 @@ def cms_heavy_hitters(df: DataFrame, value_col: str, k: int = 20) -> DataFrame:
         )
         .orderBy(F.col("cms_estimate").desc(), F.col("value").asc())
         .limit(k)
+    )
+
+
+def hll_cumulative_distinct(
+    df: DataFrame, date_col: str, value_col: str
+) -> DataFrame:
+    """Cumulative distinct-to-date via SKETCH MERGE — the production
+    pattern for "unique users through day D" without re-scanning
+    history: per-day register tables (bounded: ≤ 512 rows/day whatever
+    the volume) merge by register max into every later day, then the
+    standard estimate runs per day. The ≤-join and the merge touch only
+    sketch rows, never data — history stays cold.
+
+    Output: (date, hll_buckets_used, hll_estimate, exact_distinct) —
+    the exact side (first-appearance counting, also one aggregate)
+    ships alongside as the error evidence.
+    """
+    daily_regs = hll_registers(df, [date_col], value_col)
+    days = df.select(date_col).distinct()
+    merged = (
+        daily_regs.withColumnRenamed(date_col, "__reg_day")
+        .join(days, F.col("__reg_day") <= F.col(date_col))
+        .groupBy(date_col, "bucket")
+        .agg(F.max("m_rank").alias("m_rank"))
+    )
+    est = hll_estimate_from_registers(merged, [date_col])
+
+    firsts = df.groupBy(value_col).agg(F.min(date_col).alias("__first_day"))
+    exact = (
+        firsts.join(days, F.col("__first_day") <= F.col(date_col))
+        .groupBy(date_col)
+        .agg(F.count("*").cast("bigint").alias("exact_distinct"))
+    )
+    return est.join(exact, date_col).select(
+        date_col, "hll_buckets_used", "hll_estimate", "exact_distinct"
     )

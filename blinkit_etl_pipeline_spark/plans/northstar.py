@@ -155,6 +155,17 @@ def q_profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_hll_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users through day D via HLL register MERGE
+    (operators/sketch.py::hll_cumulative_distinct): daily sketch rows
+    merge into later days by register max — history never re-scans —
+    with the exact first-appearance count alongside as error evidence."""
+    ev = _events(spark, sf_dir).select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    return sketch.hll_cumulative_distinct(ev, "day", "user_id")
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view→click→purchase (operators/events.py::funnel):
     strict first-timestamp ordering decides each user's depth in ONE
@@ -1311,6 +1322,59 @@ FROM ev GROUP BY event_type""",
   CAST((2 * SUM(CAST(round(value * 100) AS BIGINT)) * 100 + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0
     AS avg_value
 FROM events GROUP BY 1, 2, 3""",
+    # Cumulative-HLL replay: same registers, merged into later days by
+    # register max, same estimate; exact side counts first appearances.
+    "ns_sketch_hll_cumulative": f"""WITH src AS (
+  SELECT CAST(ts AS DATE) AS day, user_id FROM events
+),
+regs AS (
+  SELECT day, bucket, MAX(rank) AS m_rank FROM (
+    SELECT day,
+      CAST(floor(h / {float(sketch.HLL_REM_MOD)}) AS INT) AS bucket,
+      CAST(CASE WHEN h % {sketch.HLL_REM_MOD} = 0 THEN {sketch.HLL_REM_BITS + 1}
+           ELSE {sketch.HLL_REM_BITS + 1} - length(bin(h % {sketch.HLL_REM_MOD}))
+           END AS INT) AS rank
+    FROM (
+      SELECT day,
+        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM src
+    )
+  ) GROUP BY day, bucket
+),
+days AS (SELECT DISTINCT day FROM src),
+merged AS (
+  SELECT d.day, r.bucket, MAX(r.m_rank) AS m_rank
+  FROM regs r JOIN days d ON r.day <= d.day
+  GROUP BY d.day, r.bucket
+),
+per_group AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS hll_buckets_used,
+    SUM(pow(0.5, m_rank)) AS hsum
+  FROM merged GROUP BY day
+),
+est AS (
+  SELECT day, hll_buckets_used,
+    ROUND(CASE WHEN (0.7213 / (1.0 + 1.079 / {sketch.HLL_M}.0))
+                    * {sketch.HLL_M}.0 * {sketch.HLL_M}.0
+                    / (hsum + ({sketch.HLL_M}.0 - hll_buckets_used))
+                 <= 2.5 * {sketch.HLL_M}.0
+                AND {sketch.HLL_M}.0 - hll_buckets_used > 0
+           THEN {sketch.HLL_M}.0
+                * ln({sketch.HLL_M}.0 / ({sketch.HLL_M}.0 - hll_buckets_used))
+           ELSE (0.7213 / (1.0 + 1.079 / {sketch.HLL_M}.0))
+                * {sketch.HLL_M}.0 * {sketch.HLL_M}.0
+                / (hsum + ({sketch.HLL_M}.0 - hll_buckets_used)) END, 2)
+      AS hll_estimate
+  FROM per_group
+),
+firsts AS (SELECT user_id, MIN(day) AS first_day FROM src GROUP BY user_id),
+exact AS (
+  SELECT d.day, CAST(count(*) AS BIGINT) AS exact_distinct
+  FROM firsts f JOIN days d ON f.first_day <= d.day
+  GROUP BY d.day
+)
+SELECT e.day, e.hll_buckets_used, e.hll_estimate, x.exact_distinct
+FROM est e JOIN exact x ON e.day = x.day""",
     # Funnel replay: identical strict-ordering depth arithmetic.
     "ns_events_funnel": """WITH firsts AS (
   SELECT user_id,
@@ -2185,6 +2249,7 @@ QUERIES = {
     "ns_events_sliding": q_events_sliding,
     "ns_events_moving_avg": q_events_moving_avg,
     "ns_events_funnel": q_events_funnel,
+    "ns_sketch_hll_cumulative": q_sketch_hll_cumulative,
     "ns_events_sessionize": q_events_sessionize,
     "ns_asof_attribution": q_asof_attribution,
     "ns_range_click_window": q_range_click_window,

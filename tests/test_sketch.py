@@ -99,3 +99,38 @@ def test_cms_never_underestimates_and_bounds_error(spark):
     assert cells.count() <= sketch.CMS_D * sketch.CMS_W
     totals = cells.groupBy("seed").agg(F.sum("counter").alias("s")).collect()
     assert all(r["s"] == 2500 for r in totals)  # each row sees every item
+
+
+def test_hll_cumulative_merge_equals_one_shot_on_the_last_day(spark):
+    """Register-merge semantics: the cumulative estimate on the final
+    day must equal the one-shot HLL over ALL data (merging daily
+    sketches loses nothing), estimates must be monotone non-decreasing,
+    and the exact side counts first appearances."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from blinkit_etl_pipeline_spark.operators import sketch
+
+    rows = []
+    for d in range(5):
+        day = _dt.date(2024, 1, d + 1)
+        for u in range(d * 40, d * 40 + 120):  # overlapping user ranges
+            rows.append((day, u % 300))
+    df = spark.createDataFrame(rows, "day date, user_id bigint")
+
+    cum = {
+        r["day"]: r
+        for r in sketch.hll_cumulative_distinct(df, "day", "user_id").collect()
+    }
+    ordered = [cum[d] for d in sorted(cum)]
+    ests = [r["hll_estimate"] for r in ordered]
+    assert ests == sorted(ests)  # monotone
+    one_shot = sketch.hll_distinct(
+        df.select(F.lit(1).alias("g"), "user_id"), ["g"], "user_id"
+    ).collect()[0]["hll_estimate"]
+    assert ordered[-1]["hll_estimate"] == one_shot
+    # exact side: distinct users to date
+    exact_final = df.select("user_id").distinct().count()
+    assert ordered[-1]["exact_distinct"] == exact_final
+    assert abs(ordered[-1]["hll_estimate"] - exact_final) / exact_final < 0.15
