@@ -89,3 +89,67 @@ def running_user_totals(
             timeoutConf=timeout_conf,
         )
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = "user_id bigint, funnel_depth int, events_seen bigint"
+FUNNEL_STATE_SCHEMA = "t0 timestamp, t1 timestamp, t2 timestamp, n bigint"
+
+
+def streaming_funnel_depth(events_stream: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators.events.funnel``: per-user funnel
+    depth maintained incrementally.
+
+    State per user is just the three first-timestamps (view, click,
+    purchase) — O(1) per key, merged monotonically (min) as events
+    arrive in any order across micro-batches, so late/out-of-order
+    delivery converges to the same depths as the batch operator. Emits
+    the user's current depth each micro-batch they appear in; the LAST
+    emission per user equals the batch funnel depth over the union of
+    all delivered events (asserted in tests/test_streaming.py).
+    """
+    from ..operators.events import FUNNEL_STEPS
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            *firsts, seen = state.get
+            firsts = list(firsts)
+        else:
+            firsts, seen = [None] * 3, 0
+        for pdf in pdfs:
+            seen += int(len(pdf))
+            for i, step in enumerate(FUNNEL_STEPS):
+                ts = pdf.loc[pdf["event_type"] == step, "ts"]
+                if len(ts):
+                    t = ts.min()
+                    if firsts[i] is None or t < firsts[i]:
+                        firsts[i] = t
+        state.update((*firsts, seen))
+        depth = 0
+        for i in range(len(FUNNEL_STEPS)):
+            ok = firsts[i] is not None and (
+                i == 0 or (firsts[i - 1] is not None and firsts[i] > firsts[i - 1])
+            )
+            if not ok:
+                break
+            depth += 1
+        # events_seen is monotone, so the row with the max value per
+        # user is the converged (all-events-delivered) depth
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "funnel_depth": [depth],
+                "events_seen": [seen],
+            }
+        )
+
+    return (
+        events_stream.select("user_id", "event_type", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

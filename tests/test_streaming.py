@@ -417,3 +417,69 @@ def test_streaming_cdc_merge_matches_sequential_batch_merge(spark, tmp_path):
         stream2, table, ckpt, ["k"], ["part"], delete_col="is_delete"
     )
     assert sorted(map(tuple, spark.read.parquet(table).collect())) == got
+
+
+def test_streaming_funnel_converges_to_batch_depths(spark, tmp_path):
+    """Out-of-order cross-batch delivery must converge: the min-merge
+    of first-timestamps makes each user's final emission equal the
+    batch funnel depth — including a user whose depth DROPS when an
+    earlier click arrives late."""
+    import datetime as _dt
+
+    from blinkit_etl_pipeline_spark.operators import events as ev_ops
+    from blinkit_etl_pipeline_spark.streaming import stateful
+
+    t = lambda m: _dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    schema = "user_id bigint, event_type string, ts timestamp"
+    drops = [
+        # batch 1: u1 looks depth-2 (view@1 < click@2); u2 view only
+        [(1, "view", t(1)), (1, "click", t(2)), (2, "view", t(0))],
+        # batch 2: u1's EARLIER click@0 arrives late → depth drops to 1;
+        # u2 clicks then purchases in order
+        [(1, "click", t(0)), (2, "click", t(3)), (2, "purchase", t(4))],
+        # batch 3: u3 full funnel in one batch
+        [(3, "view", t(0)), (3, "click", t(1)), (3, "purchase", t(2))],
+    ]
+    import os
+
+    raw = tmp_path / "funnel_raw"
+    raw.mkdir()
+    staging = tmp_path / "funnel_stage"
+    for i, rows in enumerate(drops):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(staging / f"d{i}")
+        )
+        src = sorted(glob.glob(f"{staging}/d{i}/part-*.parquet"))[0]
+        dst = str(raw / f"d{i}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream = file_source.stream_files(
+        spark, str(raw), spark.createDataFrame([], schema).schema,
+        fmt="parquet", max_files_per_trigger=1,
+    )
+    file_source.stream_to_memory(
+        stateful.streaming_funnel_depth(stream), "stream_funnel",
+        str(tmp_path / "ckpt_funnel"), output_mode="append",
+    )
+    emissions = spark.table("stream_funnel").collect()
+    final = {}
+    for r in emissions:
+        cur = final.get(r["user_id"])
+        if cur is None or r["events_seen"] > cur["events_seen"]:
+            final[r["user_id"]] = r
+    assert {u: r["funnel_depth"] for u, r in final.items()} == {
+        1: 1,  # late click@0 undercut the view → stalls at view
+        2: 3,
+        3: 3,
+    }
+    # intermediate emission for u1 showed the provisional depth 2
+    assert any(
+        r["user_id"] == 1 and r["funnel_depth"] == 2 for r in emissions
+    )
+
+    # batch parity over the union of all drops
+    all_rows = [r for d in drops for r in d]
+    batch = ev_ops.funnel(spark.createDataFrame(all_rows, schema))
+    reached = {r["step"]: r["users_reached"] for r in batch.collect()}
+    assert reached == {"view": 3, "click": 2, "purchase": 2}
