@@ -339,3 +339,28 @@ def hll_cumulative_distinct(
     return est.join(exact, date_col).select(
         date_col, "hll_buckets_used", "hll_estimate", "exact_distinct"
     )
+
+
+def cms_probe(cells: DataFrame, items: DataFrame, value_col: str) -> DataFrame:
+    """Production-path CMS lookup: estimate frequencies for a SMALL
+    item list against a prebuilt sketch — no exact counts, no groupBy
+    over the corpus. ``cells`` is :func:`cms_cells` output (≤ d·w rows,
+    broadcast); ``items`` carries ``value_col``. This is the spelling a
+    100 TB deployment uses (the heavy-hitters QA query keeps exact
+    counts beside the estimates as error evidence — affordable only
+    because its exact side is itself one aggregate)."""
+    seed = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("seed")
+    probes = items.select(F.col(value_col).alias("value")).select(
+        "value", seed
+    ).select(
+        "value", "seed", _cms_cell(F.col("seed"), F.col("value")).alias("cell")
+    )
+    return (
+        probes.join(F.broadcast(cells), ["seed", "cell"], "left")
+        .groupBy("value")
+        .agg(
+            F.min(F.coalesce(F.col("counter"), F.lit(0)))
+            .cast("bigint")
+            .alias("cms_estimate")
+        )
+    )

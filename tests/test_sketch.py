@@ -134,3 +134,24 @@ def test_hll_cumulative_merge_equals_one_shot_on_the_last_day(spark):
     exact_final = df.select("user_id").distinct().count()
     assert ordered[-1]["exact_distinct"] == exact_final
     assert abs(ordered[-1]["hll_estimate"] - exact_final) / exact_final < 0.15
+
+
+def test_cms_probe_matches_heavy_hitter_estimates(spark):
+    """The production probe (sketch + item list only) must return the
+    same estimates the QA query reports, and 0 for unseen items."""
+    from pyspark.sql import functions as F
+
+    from blinkit_etl_pipeline_spark.operators import sketch
+
+    df = spark.range(3000).select((F.col("id") % 40).alias("v"))
+    cells = sketch.cms_cells(df, "v")
+    hh = {r["value"]: r["cms_estimate"]
+          for r in sketch.cms_heavy_hitters(df, "v", k=40).collect()}
+    items = spark.createDataFrame(
+        [(v,) for v in [0, 7, 39, 999_999]], "v bigint"
+    )
+    probed = {r["value"]: r["cms_estimate"]
+              for r in sketch.cms_probe(cells, items, "v").collect()}
+    for v in (0, 7, 39):
+        assert probed[v] == hh[v]
+    assert probed[999_999] >= 0  # unseen: collision-bounded, never null
