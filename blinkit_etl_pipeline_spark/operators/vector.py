@@ -1033,16 +1033,24 @@ def semantic_dedup(
         import pandas as pd
 
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
         M = _np_stack(pdf["qvec"])
-        qq = pdf["qq"].to_numpy(dtype="float64")
-        # same FP spelling as the oracle: dot / (sqrt(qa) * sqrt(qb))
-        cos = (M @ M.T) / (np.sqrt(qq)[:, None] * np.sqrt(qq)[None, :])
-        # strict lower triangle only — np.where (not np.tril) so the
-        # excluded entries are -inf, never a spurious 0.0
-        mask = np.tril(np.ones_like(cos, dtype=bool), k=-1)
-        masked = np.where(mask, cos, -np.inf)
-        has_lower = np.arange(len(pdf)) > 0
-        max_lower = np.where(has_lower, masked.max(axis=1), np.nan)
+        sq = np.sqrt(pdf["qq"].to_numpy(dtype="float64"))
+        # row-tiled (like _bucket_pair_fn): SemDeDup's premise bounds
+        # cluster sizes, but a skewed codebook must degrade to slower,
+        # not to an n×n allocation
+        rows = max(1, _BLOCK_CELLS // max(n, 1))
+        max_lower = np.full(n, -np.inf)
+        col_idx = np.arange(n)
+        for b0 in range(0, n, rows):
+            b1 = min(n, b0 + rows)
+            # same FP spelling as the oracle: dot / (sqrt_a * sqrt_b)
+            cos = (M[b0:b1] @ M.T) / (sq[b0:b1, None] * sq[None, :])
+            # strict lower positions only (sorted by vec_id): col < row
+            mask = col_idx[None, :] < np.arange(b0, b1)[:, None]
+            masked = np.where(mask, cos, -np.inf)
+            max_lower[b0:b1] = masked.max(axis=1, initial=-np.inf)
+        max_lower = np.where(np.arange(n) > 0, max_lower, np.nan)
         return pd.DataFrame(
             {
                 "vec_id": pdf["vec_id"],
@@ -1084,12 +1092,28 @@ def semantic_neardup_pairs(
         import pandas as pd
 
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
         M = _np_stack(pdf["qvec"])
-        qq = pdf["qq"].to_numpy(dtype="float64")
-        cos = (M @ M.T) / (np.sqrt(qq)[:, None] * np.sqrt(qq)[None, :])
-        ia, ib = np.where(np.triu(cos >= threshold, k=1))
+        sq = np.sqrt(pdf["qq"].to_numpy(dtype="float64"))
         ids = pdf["vec_id"].to_numpy()
-        return pd.DataFrame({"vec_a": ids[ia], "vec_b": ids[ib]})
+        rows = max(1, _BLOCK_CELLS // max(n, 1))  # row-tiled, see above
+        outs = []
+        for b0 in range(0, n, rows):
+            b1 = min(n, b0 + rows)
+            cos = (M[b0:b1] @ M.T) / (sq[b0:b1, None] * sq[None, :])
+            la, ib = np.nonzero(cos >= threshold)
+            ga = la + b0
+            keep = ga < ib  # strict upper: position order == id order
+            ga, ib = ga[keep], ib[keep]
+            if len(ga):
+                outs.append(
+                    pd.DataFrame({"vec_a": ids[ga], "vec_b": ids[ib]})
+                )
+        if not outs:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64"}
+            )
+        return pd.concat(outs, ignore_index=True)
 
     return assigned.groupBy("centroid_id").applyInPandas(
         per_cluster, schema="vec_a long, vec_b long"

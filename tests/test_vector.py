@@ -302,3 +302,34 @@ def test_semantic_dedup_policy_and_cluster_blindness(spark):
     assert out[4]["is_kept"] and out[4]["max_lower_sim"] < 0.9
     assert out[0]["centroid_id"] == out[1]["centroid_id"] == 0
     assert out[2]["centroid_id"] == out[3]["centroid_id"] == 1
+
+
+def test_semantic_dedup_tiling_is_result_invariant(spark, monkeypatch):
+    """Forcing 1-row tiles (tiny _BLOCK_CELLS) must not change a single
+    keep/drop decision or found pair — the memory-bounding is pure
+    mechanics."""
+    from blinkit_etl_pipeline_spark.operators import vector
+
+    dim = 4
+    codebook = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    rows = [
+        (i, [1.0 - 0.01 * i, 0.01 * i, 0.0, 0.0]) for i in range(12)
+    ] + [(100 + i, [0.02 * i, 1.0, 0.0, 0.0]) for i in range(9)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    big = sorted(
+        map(tuple, vector.semantic_dedup(emb, codebook, 0.95).collect())
+    )
+    pairs_big = sorted(
+        map(tuple, vector.semantic_neardup_pairs(emb, codebook, 0.95).collect())
+    )
+    monkeypatch.setattr(vector, "_BLOCK_CELLS", 8)
+    small = sorted(
+        map(tuple, vector.semantic_dedup(emb, codebook, 0.95).collect())
+    )
+    pairs_small = sorted(
+        map(tuple, vector.semantic_neardup_pairs(emb, codebook, 0.95).collect())
+    )
+    assert big == small
+    assert pairs_big == pairs_small and len(pairs_big) > 0
