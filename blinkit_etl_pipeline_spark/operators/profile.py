@@ -105,18 +105,27 @@ def table_stats(
         ).alias("s")
     ).select("s.*")
 
-    # one HLL per column (non-null values), unioned — each is a tiny
-    # register aggregate
-    hll = None
-    for c in cols:
-        h = hll_distinct(
-            df.filter(F.col(c).isNotNull()).select(
-                F.lit(c).alias("column"), F.col(c).alias("__v")
-            ),
-            ["column"],
-            "__v",
-        ).select("column", F.col("hll_estimate").alias("distinct_est"))
-        hll = h if hll is None else hll.unionByName(h)
+    # ALL columns' HLLs from ONE additional scan: stack (column, value)
+    # pairs row-wise, then a single register aggregate grouped by
+    # column — a per-column loop would re-scan the table |cols| times.
+    # Values hash via their string form, which is what hll_registers
+    # does anyway, so the registers are identical to per-column runs.
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("__v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.*").filter(F.col("__v").isNotNull())
+    hll = hll_distinct(stacked, ["column"], "__v").select(
+        "column", F.col("hll_estimate").alias("distinct_est")
+    )
 
     return tall.join(hll, "column", "left").select(
         "column",
