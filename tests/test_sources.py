@@ -117,3 +117,23 @@ def test_jsonl_permissive_scan_quarantines_corrupt_lines(spark, tmp_path):
     assert len(bad) == 2
     assert any("not json" in b for b in bad)
     assert any("not-a-number" in b for b in bad)
+
+
+def test_parquet_schema_evolution_reads_unified(spark, tmp_path):
+    """Appending files with an evolved schema (extra column) must stay
+    readable: mergeSchema unifies the footer schemas and old rows
+    surface NULL for the new column — the contract a long-lived
+    curated table depends on across pipeline versions."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, v string"
+    ).write.parquet(path)
+    spark.createDataFrame(
+        [(3, "c", 9.5)], "id bigint, v string, score double"
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[3]["score"] == 9.5
+    assert merged.count() == 3
