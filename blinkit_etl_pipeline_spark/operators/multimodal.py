@@ -1088,3 +1088,94 @@ def resize_plan(media: DataFrame, max_side: int = 512) -> DataFrame:
         F.floor(F.col("height") * scale).cast("int").alias("target_height"),
         F.round(scale, 6).alias("scale"),
     )
+
+
+#: dHash geometry: 8×8 downsample, 7 column-adjacent comparisons per
+#: row → 56 bits (stays inside a positive BIGINT on every engine)
+DHASH_SIDE = 8
+DHASH_BITS_PER_ROW = DHASH_SIDE - 1
+
+
+def perceptual_dhash(raster: bytes, w: int, h: int) -> int:
+    """Difference-hash of an RGB raster: nearest-resample to 8×8 gray,
+    then one bit per adjacent-column comparison (gray[x+1] > gray[x]).
+
+    Deterministic integer arithmetic end to end (the nearest gather is
+    the exact ``(dst·src)//dst`` mapping, gray is the integer mean), so
+    the hash is engine-replayable. Invariant to any monotone intensity
+    transform and — the property the dedup query exercises — to the
+    CODEC the image travelled through, as long as decode is faithful.
+    """
+    import numpy as np
+
+    small = np.frombuffer(
+        resize_nearest(raster, w, h, DHASH_SIDE, DHASH_SIDE), dtype=np.uint8
+    ).reshape(DHASH_SIDE, DHASH_SIDE, 3)
+    gray = small.astype(np.int64).sum(axis=2) // 3
+    bits = gray[:, 1:] > gray[:, :-1]  # 8 rows × 7 comparisons
+    weights = 1 << (
+        np.arange(DHASH_SIDE * DHASH_BITS_PER_ROW, dtype=np.int64)
+    )
+    return int((bits.reshape(-1) * weights).sum())
+
+
+def phash_dedup_stats(docs: DataFrame) -> DataFrame:
+    """Cross-format perceptual dedup, end to end with an exact oracle.
+
+    Per document, the SAME flat-block image is encoded twice — once as
+    binary PPM, once as a real baseline JPEG (unit quantization, so its
+    decode is bit-exact) — and both payloads go through the format-
+    routing :func:`decode_image` and :func:`perceptual_dhash`. Re-
+    encodings of one image MUST collapse into one hash group; documents
+    whose flat-block layouts produce the same gradient signs merge too
+    (dHash coarseness, replayed exactly by the oracle). Output: one row
+    per (doc, format) with the hash, its group's canonical media_id
+    (min) and the group size.
+    """
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.jpeg import encode_jpeg
+
+        ones = np.ones((8, 8), dtype=np.int64)
+        for pdf in batches:
+            out = {"media_id": [], "fmt": [], "dhash": []}
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                bw, bh = mid % 4 + 2, mid % 3 + 2
+                blocks = (
+                    mid * PIX_A
+                    + np.arange(bh * bw, dtype=np.int64).reshape(bh, bw)
+                    * PIX_B
+                ) % 256
+                img = np.kron(
+                    blocks, np.ones((8, 8), dtype=np.int64)
+                ).astype(np.uint8)
+                h_, w_ = img.shape
+                ppm = (
+                    f"P6\n{w_} {h_}\n255\n".encode()
+                    + np.repeat(img.reshape(-1), 3).tobytes()
+                )
+                jpg = encode_jpeg(img, quant=ones)
+                for fmt, payload in (("ppm", ppm), ("jpeg", jpg)):
+                    dw, dh, raster = decode_image(payload)
+                    if (dw, dh) != (w_, h_):
+                        raise ValueError(f"{fmt} decode changed geometry")
+                    out["media_id"].append(mid * 2 + (fmt == "jpeg"))
+                    out["fmt"].append(fmt)
+                    out["dhash"].append(
+                        perceptual_dhash(raster, dw, dh)
+                    )
+            yield pd.DataFrame(out)
+
+    hashes = docs.select(F.col("doc_id").alias("media_id")).mapInPandas(
+        work, schema="media_id long, fmt string, dhash long"
+    )
+    groups = hashes.groupBy("dhash").agg(
+        F.min("media_id").alias("canonical_media_id"),
+        F.count("*").cast("bigint").alias("group_size"),
+    )
+    return hashes.join(groups, "dhash").select(
+        "media_id", "fmt", "dhash", "canonical_media_id", "group_size"
+    )

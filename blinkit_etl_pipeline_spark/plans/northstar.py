@@ -918,6 +918,21 @@ def q_media_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format perceptual image dedup: the same flat-block raster
+    is encoded as PPM AND as a real baseline JPEG, both decode through
+    the format-routing decoder, and their dHashes must land in one
+    group — dedup across re-encodings, the multimodal counterpart of
+    text near-dup. The oracle derives every hash closed-form from the
+    pixel generator, so it simultaneously checks both codecs' decoded
+    bits and the hash arithmetic."""
+    return multimodal.phash_dedup_stats(
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_plan(multimodal.synthesize_media(_docs(spark, sf_dir)))
 
@@ -1605,6 +1620,44 @@ SELECT media_id, parsed_width, parsed_height,
              + (p % parsed_width) // 8) * {multimodal.PIX_B}) % 256))
     / CAST(parsed_width * parsed_height AS DOUBLE), 6) AS mean_luma
 FROM m""",
+    # dHash replay: resized gray at (y, x) gathers the flat-block value
+    # via the exact integer mapping; bit i compares columns i%7+1 vs
+    # i%7 of row i//7; both formats decode to the same raster, so the
+    # hash depends only on the document.
+    "ns_media_phash_dedup": f"""WITH m AS (
+  SELECT doc_id AS mid,
+    CAST((doc_id % 4 + 2) * 8 AS INT) AS w,
+    CAST((doc_id % 3 + 2) * 8 AS INT) AS h
+  FROM documents
+),
+bits AS (
+  SELECT mid, i,
+    CASE WHEN
+      (mid * {multimodal.PIX_A}
+       + (((((i // 7) * h) // 8) // 8) * (w // 8)
+          + ((((i % 7) + 1) * w) // 8) // 8) * {multimodal.PIX_B}) % 256
+      >
+      (mid * {multimodal.PIX_A}
+       + (((((i // 7) * h) // 8) // 8) * (w // 8)
+          + (((i % 7) * w) // 8) // 8) * {multimodal.PIX_B}) % 256
+    THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END AS contrib
+  FROM m, unnest(range(0, 56)) AS t(i)
+),
+hashes0 AS (
+  SELECT mid, CAST(SUM(contrib) AS BIGINT) AS dhash FROM bits GROUP BY mid
+),
+rows_ AS (
+  SELECT mid * 2 AS media_id, 'ppm' AS fmt, dhash FROM hashes0
+  UNION ALL
+  SELECT mid * 2 + 1, 'jpeg', dhash FROM hashes0
+),
+grp AS (
+  SELECT dhash, MIN(media_id) AS canonical_media_id,
+    CAST(COUNT(*) AS BIGINT) AS group_size
+  FROM rows_ GROUP BY dhash
+)
+SELECT r.media_id, r.fmt, r.dhash, grp.canonical_media_id, grp.group_size
+FROM rows_ r JOIN grp USING (dhash)""",
     # Sampled-frame statistics from the closed-form generator: sampling
     # at 500 ms over 250 ms/frame video selects frame ts//250; each
     # decoded 16×16 frame is 4 flat 8×8 blocks (64 px each) whose
@@ -2258,6 +2311,7 @@ QUERIES = {
     "ns_media_jpeg": q_media_jpeg,
     "ns_media_video_frames": q_media_video_frames,
     "ns_media_adpcm": q_media_adpcm,
+    "ns_media_phash_dedup": q_media_phash_dedup,
     "ns_media_resize": q_media_resize,
     "ns_media_resize_exec": q_media_resize_exec,
     "ns_media_frame_sample": q_media_frame_sample,

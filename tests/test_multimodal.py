@@ -404,3 +404,34 @@ def test_resize_nearest_gathers_expected_pixels():
 
     with _pytest.raises(ValueError):
         multimodal.resize_nearest(src.tobytes(), 4, 2, 0, 1)
+
+
+def test_perceptual_dhash_invariances():
+    """dHash must be invariant to monotone intensity shifts and to the
+    codec an image travelled through (PPM vs unit-quant JPEG of the
+    same raster), and must differ for a genuinely different image."""
+    import numpy as np
+
+    from blinkit_etl_pipeline_spark.functions.jpeg import encode_jpeg
+
+    rng = np.random.RandomState(5)
+    gray = rng.randint(0, 200, size=(24, 32)).astype(np.uint8)
+    rgb = np.repeat(gray.reshape(-1), 3).tobytes()
+    h0 = multimodal.perceptual_dhash(rgb, 32, 24)
+
+    # +20 brightness (no clipping: values < 200) → same gradients
+    shifted = np.repeat((gray + 20).reshape(-1), 3).tobytes()
+    assert multimodal.perceptual_dhash(shifted, 32, 24) == h0
+
+    # flat-block image through two codecs → identical hash
+    blocks = rng.randint(0, 256, size=(2, 3))
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+    ppm = b"P6\n24 16\n255\n" + np.repeat(img.reshape(-1), 3).tobytes()
+    jpg = encode_jpeg(img, quant=np.ones((8, 8), dtype=np.int64))
+    wp, hp, rp = multimodal.decode_image(ppm)
+    wj, hj, rj = multimodal.decode_image(jpg)
+    assert multimodal.perceptual_dhash(rp, wp, hp) == multimodal.perceptual_dhash(rj, wj, hj)
+
+    # a different image hashes differently (not a constant function)
+    other = np.repeat(gray.T.copy().reshape(-1), 3).tobytes()
+    assert multimodal.perceptual_dhash(other, 24, 32) != h0

@@ -23,6 +23,7 @@ ARROW_WHITELIST = {
     "ns_media_video_frames",
     "ns_media_adpcm",
     "ns_media_resize_exec",
+    "ns_media_phash_dedup",
     "ns_dedup_embedding",
     "ns_dedup_recall",
     "ns_dedup_semantic",
