@@ -1179,3 +1179,85 @@ def phash_dedup_stats(docs: DataFrame) -> DataFrame:
     return hashes.join(groups, "dhash").select(
         "media_id", "fmt", "dhash", "canonical_media_id", "group_size"
     )
+
+
+#: audio fingerprint geometry: 16 equal frames → 15 energy-delta bits
+AUDIO_FP_FRAMES = 16
+
+
+def audio_fingerprint(samples) -> int:
+    """Energy-delta fingerprint of an integer sample array: split into
+    :data:`AUDIO_FP_FRAMES` equal frames (remainder dropped), one bit
+    per adjacent-frame comparison (Σ|x| rising). Pure integer
+    arithmetic; invariant under positive linear rescaling (bit-depth
+    changes) and under any codec that reproduces the samples — the
+    audio counterpart of :func:`perceptual_dhash`.
+    """
+    import numpy as np
+
+    x = np.abs(np.asarray(samples, dtype=np.int64))
+    frame = len(x) // AUDIO_FP_FRAMES
+    if frame == 0:
+        raise ValueError("too few samples for a fingerprint")
+    e = x[: frame * AUDIO_FP_FRAMES].reshape(AUDIO_FP_FRAMES, frame).sum(axis=1)
+    bits = e[1:] > e[:-1]
+    weights = 1 << np.arange(AUDIO_FP_FRAMES - 1, dtype=np.int64)
+    return int((bits * weights).sum())
+
+
+def audio_fp_dedup_stats(docs: DataFrame) -> DataFrame:
+    """Cross-codec audio dedup, end to end with an exact oracle.
+
+    Per document the SAME block-constant signal (ADPCM-exact by
+    construction, 8-bit-representable values) is encoded twice — as
+    PCM8 WAV and as IMA ADPCM WAV — decoded through the fmt-routing
+    :func:`decode_audio`, and fingerprinted. Re-encodings must collapse
+    into one group; the oracle derives every fingerprint closed-form
+    from the generator, cross-checking both audio decoders at once.
+    """
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.adpcm import encode_ima_adpcm_wav
+
+        spb = ADPCM_SAMPLES_PER_BLOCK
+        for pdf in batches:
+            out = {"media_id": [], "fmt": [], "audio_fp": []}
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n_blocks = mid % 3 + 5  # 85..119 samples: ≥ 16 frames
+                vals = (
+                    mid * PIX_A
+                    + np.arange(n_blocks, dtype=np.int64) * PIX_B
+                ) % 256
+                sig = np.repeat(vals, spb)
+                pcm8 = wav_header(len(sig)) + sig.astype(np.uint8).tobytes()
+                adpcm = encode_ima_adpcm_wav(
+                    sig.astype(np.int16),
+                    AUDIO_SAMPLE_RATE,
+                    block_align=ADPCM_BLOCK_ALIGN,
+                )
+                for fmt, payload, dtype in (
+                    ("pcm8", pcm8, np.uint8),
+                    ("adpcm", adpcm, np.int16),
+                ):
+                    rate, n, data = decode_audio(payload)
+                    samples = np.frombuffer(data, dtype=dtype)
+                    if n != len(sig):
+                        raise ValueError(f"{fmt} decode changed length")
+                    out["media_id"].append(mid * 2 + (fmt == "adpcm"))
+                    out["fmt"].append(fmt)
+                    out["audio_fp"].append(audio_fingerprint(samples))
+            yield pd.DataFrame(out)
+
+    fps = docs.select(F.col("doc_id").alias("media_id")).mapInPandas(
+        work, schema="media_id long, fmt string, audio_fp long"
+    )
+    groups = fps.groupBy("audio_fp").agg(
+        F.min("media_id").alias("canonical_media_id"),
+        F.count("*").cast("bigint").alias("group_size"),
+    )
+    return fps.join(groups, "audio_fp").select(
+        "media_id", "fmt", "audio_fp", "canonical_media_id", "group_size"
+    )

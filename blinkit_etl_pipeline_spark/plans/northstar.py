@@ -933,6 +933,19 @@ def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-codec audio dedup: the same block-constant signal encoded
+    as PCM8 WAV and IMA ADPCM, decoded through the fmt router,
+    fingerprinted by frame-energy deltas — re-encodings must collapse
+    into one group; the oracle derives every fingerprint closed-form
+    (the audio mirror of ns_media_phash_dedup)."""
+    return multimodal.audio_fp_dedup_stats(
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_plan(multimodal.synthesize_media(_docs(spark, sf_dir)))
 
@@ -1620,6 +1633,50 @@ SELECT media_id, parsed_width, parsed_height,
              + (p % parsed_width) // 8) * {multimodal.PIX_B}) % 256))
     / CAST(parsed_width * parsed_height AS DOUBLE), 6) AS mean_luma
 FROM m""",
+    # Audio-fingerprint replay: frame f sums samples [f·frame, (f+1)·
+    # frame), sample s carries vals[s // 17]; bit f compares frames
+    # f+1 vs f. Both codecs decode to the same samples, so the
+    # fingerprint depends only on the document.
+    "ns_media_audio_fp_dedup": f"""WITH m AS (
+  SELECT doc_id AS mid, CAST(doc_id % 3 + 5 AS INT) AS n_blocks
+  FROM documents
+),
+p AS (
+  SELECT mid, n_blocks,
+    (n_blocks * {multimodal.ADPCM_SAMPLES_PER_BLOCK})
+      // {multimodal.AUDIO_FP_FRAMES} AS frame
+  FROM m
+),
+bits AS (
+  SELECT mid, f,
+    CASE WHEN
+      list_sum(list_transform(range((f + 1) * frame, (f + 2) * frame),
+        s -> (mid * {multimodal.PIX_A}
+              + (s // {multimodal.ADPCM_SAMPLES_PER_BLOCK})
+                * {multimodal.PIX_B}) % 256))
+      >
+      list_sum(list_transform(range(f * frame, (f + 1) * frame),
+        s -> (mid * {multimodal.PIX_A}
+              + (s // {multimodal.ADPCM_SAMPLES_PER_BLOCK})
+                * {multimodal.PIX_B}) % 256))
+    THEN (CAST(1 AS BIGINT) << f) ELSE CAST(0 AS BIGINT) END AS contrib
+  FROM p, unnest(range(0, {multimodal.AUDIO_FP_FRAMES - 1})) AS t(f)
+),
+fps0 AS (
+  SELECT mid, CAST(SUM(contrib) AS BIGINT) AS audio_fp FROM bits GROUP BY mid
+),
+rows_ AS (
+  SELECT mid * 2 AS media_id, 'pcm8' AS fmt, audio_fp FROM fps0
+  UNION ALL
+  SELECT mid * 2 + 1, 'adpcm', audio_fp FROM fps0
+),
+grp AS (
+  SELECT audio_fp, MIN(media_id) AS canonical_media_id,
+    CAST(COUNT(*) AS BIGINT) AS group_size
+  FROM rows_ GROUP BY audio_fp
+)
+SELECT r.media_id, r.fmt, r.audio_fp, grp.canonical_media_id, grp.group_size
+FROM rows_ r JOIN grp USING (audio_fp)""",
     # dHash replay: resized gray at (y, x) gathers the flat-block value
     # via the exact integer mapping; bit i compares columns i%7+1 vs
     # i%7 of row i//7; both formats decode to the same raster, so the
@@ -2312,6 +2369,7 @@ QUERIES = {
     "ns_media_video_frames": q_media_video_frames,
     "ns_media_adpcm": q_media_adpcm,
     "ns_media_phash_dedup": q_media_phash_dedup,
+    "ns_media_audio_fp_dedup": q_media_audio_fp_dedup,
     "ns_media_resize": q_media_resize,
     "ns_media_resize_exec": q_media_resize_exec,
     "ns_media_frame_sample": q_media_frame_sample,

@@ -24,6 +24,7 @@ ARROW_WHITELIST = {
     "ns_media_adpcm",
     "ns_media_resize_exec",
     "ns_media_phash_dedup",
+    "ns_media_audio_fp_dedup",
     "ns_dedup_embedding",
     "ns_dedup_recall",
     "ns_dedup_semantic",
