@@ -226,3 +226,86 @@ def test_decode_image_routes_jpeg_and_replicates_gray_to_rgb():
     assert (arr[:, :, 0] == img).all()
     assert (arr[:, :, 0] == arr[:, :, 1]).all()
     assert (arr[:, :, 1] == arr[:, :, 2]).all()
+
+
+# ----------------------------------------------------------------------
+# Property + fuzz hardening (pure Python, no Spark)
+# ----------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_roundtrip_bounded_error_property(w, h, seed):
+    """ANY geometry (including non-multiples of 8 and 1-pixel edges)
+    roundtrips with unit quantization within the DCT rounding bound."""
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    payload = encode_jpeg(img, quant=ONES)
+    dw, dh, nc, raster = decode_jpeg(payload)
+    assert (dw, dh, nc) == (w, h, 1)
+    dec = np.frombuffer(raster, dtype=np.uint8).reshape(h, w).astype(int)
+    assert np.abs(dec - img.astype(int)).max() <= 4
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    pos=st.integers(2, 10_000),
+    flip=st.integers(1, 255),
+    seed=st.integers(0, 1000),
+)
+def test_jpeg_decoder_never_hangs_or_crashes_on_corruption(pos, flip, seed):
+    """Single-byte corruption anywhere must yield either a clean decode
+    (the bit happened not to matter / decoded differently) or a raised
+    Exception — never a hang, segfault, or non-Exception failure."""
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(16, 16)).astype(np.uint8)
+    payload = bytearray(encode_jpeg(img, quant=ONES))
+    p = pos % (len(payload) - 2) + 1
+    payload[p] ^= flip
+    try:
+        decode_jpeg(bytes(payload))
+    except Exception:
+        pass  # loud failure is a correct outcome
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    pos=st.integers(0, 10_000),
+    flip=st.integers(1, 255),
+)
+def test_container_parsers_survive_corruption(pos, flip):
+    """AVI and ADPCM parsers: corrupt bytes raise or parse, never
+    crash the interpreter or loop forever."""
+    from blinkit_etl_pipeline_spark.functions.adpcm import (
+        decode_ima_adpcm_wav,
+        encode_ima_adpcm_wav,
+    )
+    from blinkit_etl_pipeline_spark.functions.video import (
+        encode_mjpeg_avi,
+        parse_avi,
+    )
+
+    frame = np.full((8, 8), 33, dtype=np.uint8)
+    avi = bytearray(encode_mjpeg_avi([frame, frame], us_per_frame=100_000,
+                                     quant=ONES))
+    p = pos % (len(avi) - 1)
+    avi[p] ^= flip
+    try:
+        parse_avi(bytes(avi))
+    except Exception:
+        pass
+
+    sig = np.repeat(np.array([100, -100], dtype=np.int16), 17)
+    wav = bytearray(encode_ima_adpcm_wav(sig, 8000, block_align=12))
+    p = pos % (len(wav) - 1)
+    wav[p] ^= flip
+    try:
+        decode_ima_adpcm_wav(bytes(wav))
+    except Exception:
+        pass
