@@ -234,3 +234,42 @@ def funnel(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFram
             ).alias("conversion_from_prev"),
         )
     )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    tracked across subsequent weeks.
+
+    Shape: one distinct over (user, week) — partial-aggregated, the
+    shuffle carries pairs, not events — one groupBy(user) for the
+    cohort assignment, one equi-join back, one matrix aggregate.
+    Output: (cohort_week, periods_since, n_active, cohort_size,
+    retention) with retention exact-integer-divided at the edge.
+    """
+    act = events.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+    ).distinct()
+    firsts = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    mat = (
+        act.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7)
+            .cast("bigint")
+            .alias("periods_since"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+    )
+    return mat.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "periods_since",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+            "retention"
+        ),
+    )

@@ -155,6 +155,13 @@ def q_profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators/events.py::cohort_retention):
+    first-activity-week cohorts tracked across weeks — one distinct,
+    one cohort groupBy, one join, one matrix aggregate."""
+    return events.cohort_retention(_events(spark, sf_dir))
+
+
 def q_sketch_hll_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users through day D via HLL register MERGE
     (operators/sketch.py::hll_cumulative_distinct): daily sketch rows
@@ -1403,6 +1410,30 @@ exact AS (
 )
 SELECT e.day, e.hll_buckets_used, e.hll_estimate, x.exact_distinct
 FROM est e JOIN exact x ON e.day = x.day""",
+    # Cohort replay: same week truncation (Monday start on both
+    # engines), same first-week assignment and integer week arithmetic.
+    "ns_events_cohorts": """WITH act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+),
+firsts AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM firsts GROUP BY cohort_week
+),
+mat AS (
+  SELECT f.cohort_week,
+    CAST(date_diff('day', f.cohort_week, a.week) / 7 AS BIGINT)
+      AS periods_since,
+    CAST(count(*) AS BIGINT) AS n_active
+  FROM act a JOIN firsts f ON a.user_id = f.user_id
+  GROUP BY f.cohort_week, date_diff('day', f.cohort_week, a.week) / 7
+)
+SELECT m.cohort_week, m.periods_since, m.n_active, s.cohort_size,
+  ROUND(m.n_active / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+FROM mat m JOIN sizes s ON m.cohort_week = s.cohort_week""",
     # Funnel replay: identical strict-ordering depth arithmetic.
     "ns_events_funnel": """WITH firsts AS (
   SELECT user_id,
@@ -2360,6 +2391,7 @@ QUERIES = {
     "ns_events_moving_avg": q_events_moving_avg,
     "ns_events_funnel": q_events_funnel,
     "ns_sketch_hll_cumulative": q_sketch_hll_cumulative,
+    "ns_events_cohorts": q_events_cohorts,
     "ns_events_sessionize": q_events_sessionize,
     "ns_asof_attribution": q_asof_attribution,
     "ns_range_click_window": q_range_click_window,
