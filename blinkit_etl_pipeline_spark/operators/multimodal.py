@@ -19,11 +19,13 @@ by :func:`synthesize_png_media`'s JVM-built valid containers.
 Baseline-sequential JPEG is a full native codec too
 (``functions/jpeg.py``: forward/inverse DCT, two-pass optimized
 Huffman, restart markers, 4:4:4/4:2:0 color), exercised end to end by
-:func:`jpeg_roundtrip_stats`. The only remaining stubs are genuinely
+:func:`jpeg_roundtrip_stats`. IMA ADPCM compressed audio
+(``functions/adpcm.py``) and MJPEG/AVI video (``functions/video.py``)
+decode natively too. The only remaining stubs are genuinely
 environment-limited: exotic image formats (TIFF/WebP/progressive JPEG
-need PIL), compressed audio (mp3/ogg need ffmpeg/soundfile), and
-general video frame decode (ffmpeg) — the decode *pipeline* is
-exercised end to end on PPM + PNG + JPEG + WAV.
+need PIL), PERCEPTUAL audio codecs (mp3/ogg need ffmpeg/soundfile),
+and inter-frame video (H.264+ needs ffmpeg) — every modality has a
+real compressed-codec path exercised end to end.
 
 Because the PPM pixels follow a closed-form generator, ``media_features``
 has a value-exact DuckDB oracle: the oracle derives byte checksums and
