@@ -179,12 +179,15 @@ def sample_frames_mjpeg(
     Only the selected frames are entropy-decoded (plan-then-decode).
     """
     meta = parse_avi(payload)
-    ms_per_frame = meta["us_per_frame"] / 1000.0
-    duration_ms = meta["n_frames"] * ms_per_frame
+    # exact integer arithmetic in microseconds: float ms-per-frame
+    # could round a boundary instant to frame n_frames (IndexError) or
+    # to the wrong adjacent frame
+    us_per_frame = meta["us_per_frame"]
+    duration_us = meta["n_frames"] * us_per_frame
     out = []
     t = 0
-    while t < duration_ms:
-        fi = int(t / ms_per_frame)
+    while t * 1000 < duration_us:
+        fi = (t * 1000) // us_per_frame
         w, h, _nc, raster = decode_jpeg(meta["frames"][fi])
         out.append((fi, t, w, h, raster))
         t += every_ms

@@ -50,9 +50,17 @@ def merge_upsert(
     """
     keys = list(keys)
     if version_col is not None:
-        # latest-wins within the batch: highest version per key survives
+        # latest-wins within the batch: highest version per key
+        # survives; EQUAL versions tie-break over the remaining columns
+        # so a redelivered batch always keeps the same row (the
+        # idempotence the streaming CDC sink relies on)
+        tiebreak = [
+            F.col(c).asc_nulls_last()
+            for c in updates.columns
+            if c not in keys and c != version_col
+        ]
         w = Window.partitionBy(*keys).orderBy(
-            F.col(version_col).desc_nulls_last()
+            F.col(version_col).desc_nulls_last(), *tiebreak
         )
         updates = (
             updates.withColumn("__rn", F.row_number().over(w))
@@ -95,11 +103,19 @@ def merge_into_partitioned(
     """Copy-on-write MERGE into a hive-partitioned parquet table.
 
     Reads only the partitions present in ``updates``, merges, and
-    rewrites only those via ``partitionOverwriteMode=dynamic``. The
-    touched-partition list is collected to the driver — bounded by the
-    CDC batch's partition spread (never table size) by construction.
-    Returns the touched partition tuples for observability.
+    rewrites EXACTLY those partition directories — one explicit
+    overwrite per touched partition, not ``partitionOverwriteMode=
+    dynamic``. The distinction matters for deletes: a dynamic overwrite
+    only replaces partitions that appear in the written output, so a
+    partition whose rows were ALL deleted would keep its old files
+    (silent data resurrection); the explicit per-partition overwrite
+    clears the directory even when the merge result for it is empty.
+    The touched-partition list is collected to the driver — bounded by
+    the CDC batch's partition spread (never table size) by
+    construction, and each partition is one small job.
 
+    A nonexistent ``path`` bootstraps: the first batch's live rows
+    become the initial table (the streaming CDC sink's batch 0).
     A MERGE whose updates span every partition degrades to a full
     rewrite, as it must; the win is the common case (today's partition
     plus a late-data straggler or two).
@@ -110,23 +126,44 @@ def merge_into_partitioned(
     ]
     if not touched:
         return []
+    try:
+        table = spark.read.parquet(path)
+    except Exception:  # fresh table: first batch is pure inserts
+        live = updates
+        if version_col is not None or delete_col is not None:
+            live = merge_upsert(
+                updates.limit(0).drop(
+                    *[c for c in (delete_col, version_col) if c]
+                ),
+                updates,
+                keys,
+                delete_col=delete_col,
+                version_col=version_col,
+            )
+        live.write.partitionBy(*partition_cols).parquet(path)
+        return touched
     pred = F.lit(False)
     for combo in touched:
         clause = F.lit(True)
         for c, v in zip(partition_cols, combo):
             clause = clause & (F.col(c) == F.lit(v))
         pred = pred | clause
-    base = spark.read.parquet(path).filter(pred)
+    base = table.filter(pred)
     merged = merge_upsert(
         base, updates, keys, delete_col=delete_col, version_col=version_col
     )
     # break lineage from the path being overwritten (Spark refuses a
     # write that reads from its own destination)
     merged = merged.localCheckpoint(eager=True)
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(*partition_cols)
-        .parquet(path)
-    )
+    for combo in touched:
+        clause = F.lit(True)
+        for c, v in zip(partition_cols, combo):
+            clause = clause & (F.col(c) == F.lit(v))
+        subdir = "/".join(
+            f"{c}={v}" for c, v in zip(partition_cols, combo)
+        )
+        # empty result still overwrites: the old files are cleared
+        merged.filter(clause).drop(*partition_cols).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/{subdir}")
     return touched

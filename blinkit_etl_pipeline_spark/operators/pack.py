@@ -107,7 +107,12 @@ def pack_sequences(
         raise ValueError("budget must be positive")
     sized = docs.select(
         F.col(order_col),
-        F.size(tokens(F.col(text))).cast("bigint").alias("n_tokens"),
+        # NULL text counts 0 tokens — unguarded, legacy size(NULL) = -1
+        # would silently corrupt the running sum for every later doc
+        F.when(F.col(text).isNull(), F.lit(0))
+        .otherwise(F.size(tokens(F.col(text))))
+        .cast("bigint")
+        .alias("n_tokens"),
     )
     ps = global_prefix_sum(
         sized,

@@ -309,3 +309,15 @@ def test_container_parsers_survive_corruption(pos, flip):
         decode_ima_adpcm_wav(bytes(wav))
     except Exception:
         pass
+
+
+def test_decoder_accepts_t81_fill_bytes_between_segments():
+    """Markers may be preceded by 0xFF fill bytes (T.81 B.1.1.2):
+    padding inserted before DQT/SOF/SOS must not change the decode."""
+    img = _flat_block_image(4, 2, 2)
+    payload = encode_jpeg(img, quant=ONES)
+    ref = decode_jpeg(payload)
+    for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xda"):
+        i = payload.index(marker)
+        padded = payload[:i] + b"\xff\xff\xff" + payload[i:]
+        assert decode_jpeg(padded) == ref, marker

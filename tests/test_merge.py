@@ -105,3 +105,51 @@ def test_merge_into_partitioned_rewrites_only_touched_partitions(
         + [(3, "V3", 0), (900, "new", 0)]
     )
     assert got == expect
+
+
+def test_merge_into_partitioned_clears_fully_deleted_partitions(
+    spark, tmp_path
+):
+    """Deleting EVERY row of a partition must clear its files — a
+    dynamic-overwrite spelling would leave the old files in place and
+    resurrect the rows on the next read."""
+    path = str(tmp_path / "cow_del")
+    spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1)], "k bigint, v string, part int"
+    ).repartition("part").write.partitionBy("part").parquet(path)
+
+    updates = spark.createDataFrame(
+        [(1, None, 0, True)], "k bigint, v string, part int, is_delete boolean"
+    )
+    merge.merge_into_partitioned(
+        spark, path, updates, ["k"], ["part"], delete_col="is_delete"
+    )
+    got = _rows(spark.read.parquet(path).select("k", "v", "part"))
+    assert got == [(2, "b", 1)]  # row 1 stays deleted, not resurrected
+
+
+def test_merge_into_partitioned_bootstraps_missing_table(spark, tmp_path):
+    path = str(tmp_path / "cow_fresh")
+    updates = spark.createDataFrame(
+        [(1, "a", 0, False), (2, None, 1, True), (3, "c", 1, False)],
+        "k bigint, v string, part int, is_delete boolean",
+    )
+    touched = merge.merge_into_partitioned(
+        spark, path, updates, ["k"], ["part"], delete_col="is_delete"
+    )
+    assert sorted(touched) == [(0,), (1,)]
+    got = _rows(spark.read.parquet(path).select("k", "v", "part"))
+    assert got == [(1, "a", 0), (3, "c", 1)]  # deletes never insert
+
+
+def test_merge_upsert_equal_versions_tie_break_deterministically(spark):
+    """A redelivered batch with duplicate (key, version) rows must keep
+    the SAME row every run — ascending tie-break over the remaining
+    columns."""
+    target = spark.createDataFrame([(1, "old")], "k bigint, v string")
+    dup = spark.createDataFrame(
+        [(1, "zzz", 5), (1, "aaa", 5)], "k bigint, v string, ver int"
+    )
+    for _ in range(3):
+        out = merge.merge_upsert(target, dup, ["k"], version_col="ver")
+        assert _rows(out) == [(1, "aaa")]

@@ -435,3 +435,26 @@ def test_perceptual_dhash_invariances():
     # a different image hashes differently (not a constant function)
     other = np.repeat(gray.T.copy().reshape(-1), 3).tobytes()
     assert multimodal.perceptual_dhash(other, 24, 32) != h0
+
+
+def test_sample_frames_exact_integer_boundaries():
+    """Frame selection is exact integer µs arithmetic: the final sample
+    before the duration boundary picks the last frame, the boundary
+    instant itself is excluded, and awkward frame intervals never
+    overflow into an IndexError."""
+    import numpy as np
+
+    from blinkit_etl_pipeline_spark.functions.video import (
+        encode_mjpeg_avi,
+        sample_frames_mjpeg,
+    )
+
+    ones = np.ones((8, 8), dtype=np.int64)
+    frames = [np.full((8, 8), 10 * i, dtype=np.uint8) for i in range(4)]
+    payload = encode_mjpeg_avi(frames, us_per_frame=250_000, quant=ones)
+    picks = sample_frames_mjpeg(payload, every_ms=250)
+    assert [fi for fi, *_ in picks] == [0, 1, 2, 3]  # t=1000ms excluded
+    # prime-ish interval: 333333 µs/frame, 3 frames ≈ 999999 µs
+    p2 = encode_mjpeg_avi(frames[:3], us_per_frame=333_333, quant=ones)
+    picks2 = sample_frames_mjpeg(p2, every_ms=333)
+    assert [fi for fi, *_ in picks2][-1] == 2 and len(picks2) == 4

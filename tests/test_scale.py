@@ -367,3 +367,17 @@ def test_table_stats_profile_counts_nulls_and_ranges(spark):
     assert abs(n["distinct_est"] - 3) < 1.0  # HLL on 3 values
     s = rows["s"]
     assert (s["n_nulls"], s["min_value"], s["max_value"]) == (1, "a", "b")
+
+
+def test_pack_sequences_null_text_counts_zero_tokens(spark):
+    from blinkit_etl_pipeline_spark.operators import pack
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, None), (2, "d e")], "doc_id bigint, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in pack.pack_sequences(docs, budget=4, num_ranges=2).collect()
+    }
+    assert rows[1]["n_tokens"] == 0  # not -1, not a corrupted sum
+    assert [rows[i]["cum_tokens"] for i in range(3)] == [3, 3, 5]
