@@ -102,17 +102,49 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_val,
+        },
+        separators=(",", ":"),
     )
+    # The r4 driver capture kept only a bounded TAIL of stdout, and the
+    # 80-query JSON line overflowed it ("parsed": null). Defend the
+    # artifact three ways: (1) the full compact line goes out FIRST,
+    # so a head/full-stdout reader parses everything; (2) the LAST line
+    # is a short summary (headline timings only, same metric/value/sf)
+    # guaranteed to fit any plausible tail window; (3) a file copy
+    # lands beside the repo for forensics. Both stdout lines are valid
+    # driver-contract JSON — whichever the capture keeps, it parses.
+    summary = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": {n: timings[n] for n in HEADLINE if n in timings},
+            "sf": sf_val,
+            "n_queries": len(timings),
+            "full": "BENCH_local_last.json",
+        },
+        separators=(",", ":"),
+    )
+    spark.stop()  # no trailing JVM noise can interleave with the result
+    sys.stderr.flush()
+    sys.stdout.write(full + "\n" + summary + "\n")
+    sys.stdout.flush()
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_local_last.json"), "w"
+        ) as f:
+            f.write(full + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

@@ -99,6 +99,7 @@ def merge_into_partitioned(
     *,
     delete_col: str | None = None,
     version_col: str | None = None,
+    check_moved_keys: bool = False,
 ) -> list[tuple]:
     """Copy-on-write MERGE into a hive-partitioned parquet table.
 
@@ -119,6 +120,20 @@ def merge_into_partitioned(
     A MERGE whose updates span every partition degrades to a full
     rewrite, as it must; the win is the common case (today's partition
     plus a late-data straggler or two).
+
+    Precondition: partition-column values are IMMUTABLE per key. An
+    update that moves a key to a different partition value only rewrites
+    the new partition — the stale row in the old partition survives,
+    leaving duplicate keys. Either include the partition columns in
+    ``keys``, or pass ``check_moved_keys=True`` to scan the rest of the
+    table for the batch's keys and raise if any live outside the
+    touched partitions (one extra broadcast-semi-join pass over the
+    table — affordable for CDC batches, opt-in for that reason).
+
+    NULL partition values are supported: rows partition into the Hive
+    default-partition directory (``__HIVE_DEFAULT_PARTITION__``), the
+    same layout ``partitionBy`` writes, and match via null-safe
+    equality.
     """
     partition_cols = list(partition_cols)
     touched = [
@@ -126,6 +141,14 @@ def merge_into_partitioned(
     ]
     if not touched:
         return []
+
+    def _clause(combo: tuple):
+        clause = F.lit(True)
+        for c, v in zip(partition_cols, combo):
+            # null-safe: v=None must match NULL-partition rows, not
+            # evaluate to NULL and silently drop the whole partition
+            clause = clause & F.col(c).eqNullSafe(F.lit(v))
+        return clause
     try:
         table = spark.read.parquet(path)
     except Exception:  # fresh table: first batch is pure inserts
@@ -144,10 +167,23 @@ def merge_into_partitioned(
         return touched
     pred = F.lit(False)
     for combo in touched:
-        clause = F.lit(True)
-        for c, v in zip(partition_cols, combo):
-            clause = clause & (F.col(c) == F.lit(v))
-        pred = pred | clause
+        pred = pred | _clause(combo)
+    if check_moved_keys:
+        moved = (
+            table.filter(~pred)
+            .select(*keys)
+            .join(F.broadcast(updates.select(*keys).distinct()), list(keys), "semi")
+            .limit(1)
+            .count()
+        )
+        if moved:
+            raise ValueError(
+                "merge_into_partitioned: update batch contains keys that "
+                "already live in partitions outside the batch's partition "
+                "values — a partition-moving update would leave stale "
+                "duplicates. Include the partition columns in `keys` or "
+                "fix the upstream CDC feed."
+            )
     base = table.filter(pred)
     merged = merge_upsert(
         base, updates, keys, delete_col=delete_col, version_col=version_col
@@ -156,14 +192,12 @@ def merge_into_partitioned(
     # write that reads from its own destination)
     merged = merged.localCheckpoint(eager=True)
     for combo in touched:
-        clause = F.lit(True)
-        for c, v in zip(partition_cols, combo):
-            clause = clause & (F.col(c) == F.lit(v))
         subdir = "/".join(
-            f"{c}={v}" for c, v in zip(partition_cols, combo)
+            f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+            for c, v in zip(partition_cols, combo)
         )
         # empty result still overwrites: the old files are cleared
-        merged.filter(clause).drop(*partition_cols).write.mode(
+        merged.filter(_clause(combo)).drop(*partition_cols).write.mode(
             "overwrite"
         ).parquet(f"{path}/{subdir}")
     return touched

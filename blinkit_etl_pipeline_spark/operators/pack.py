@@ -121,11 +121,18 @@ def pack_sequences(
         num_ranges=num_ranges,
         out_col="cum_tokens",
     )
-    start = F.col("cum_tokens") - F.col("n_tokens")
+    # pure integer arithmetic end-to-end: `div` is bigint integer
+    # division (floor for the non-negative starts here), exact at any
+    # cumulative token count — float `/` + floor would drift past 2^53
+    budget = int(budget)
     return ps.select(
         order_col,
         "n_tokens",
         "cum_tokens",
-        F.floor(start / budget).cast("bigint").alias("seq_id"),
-        (start % budget).cast("bigint").alias("offset_in_seq"),
+        F.expr(f"(cum_tokens - n_tokens) div {budget}")
+        .cast("bigint")
+        .alias("seq_id"),
+        F.expr(f"(cum_tokens - n_tokens) % {budget}")
+        .cast("bigint")
+        .alias("offset_in_seq"),
     )

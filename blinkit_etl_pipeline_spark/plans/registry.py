@@ -15,6 +15,33 @@ from . import parity
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# The driver samples a subset of the registry per round, preferring
+# earlier entries (insertion order).  Queries that have never received a
+# driver-side CORRECTNESS row go first so the next sample attests them;
+# everything else keeps its natural (parity-then-northstar) order.
+PRIORITY = [
+    # r4 additions, locally oracle-green but never driver-checked
+    "ns_media_png",
+    "ns_media_jpeg",
+    "ns_media_video_frames",
+    "ns_media_adpcm",
+    "ns_media_phash_dedup",
+    "ns_media_audio_fp_dedup",
+    "ns_media_resize_exec",
+    "ns_events_funnel",
+    "ns_events_cohorts",
+    "ns_events_moving_avg",
+    "ns_sketch_hll_cumulative",
+    # r5 additions
+    "ns_media_gif",
+]
+
+
+def _prioritized(items: dict) -> dict:
+    front = {k: items[k] for k in PRIORITY if k in items}
+    front.update({k: v for k, v in items.items() if k not in front})
+    return front
+
 
 def all_queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
@@ -25,7 +52,7 @@ def all_queries() -> dict[str, QueryFn]:
         out.update(northstar.QUERIES)
     except ImportError:
         pass
-    return out
+    return _prioritized(out)
 
 
 def all_oracle_sql() -> dict[str, str]:
@@ -37,4 +64,4 @@ def all_oracle_sql() -> dict[str, str]:
         out.update(northstar.ORACLES)
     except ImportError:
         pass
-    return out
+    return _prioritized(out)

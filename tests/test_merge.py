@@ -153,3 +153,50 @@ def test_merge_upsert_equal_versions_tie_break_deterministically(spark):
     for _ in range(3):
         out = merge.merge_upsert(target, dup, ["k"], version_col="ver")
         assert _rows(out) == [(1, "aaa")]
+
+
+def test_merge_into_partitioned_null_partition_values(spark, tmp_path):
+    """NULL partition values route to the Hive default-partition
+    directory and match via null-safe equality — a plain `==` clause
+    evaluates to NULL and silently vanishes the whole batch."""
+    path = str(tmp_path / "cow_null")
+    spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", None), (3, "c", None)],
+        "k bigint, v string, part string",
+    ).write.partitionBy("part").parquet(path)
+
+    updates = spark.createDataFrame(
+        [(2, "B", None, False), (9, "new", None, False), (3, None, None, True)],
+        "k bigint, v string, part string, is_delete boolean",
+    )
+    touched = merge.merge_into_partitioned(
+        spark, path, updates, ["k"], ["part"], delete_col="is_delete"
+    )
+    assert touched == [(None,)]
+    got = _rows(spark.read.parquet(path).select("k", "v", "part"))
+    assert got == [(1, "a", "x"), (2, "B", None), (9, "new", None)]
+    # layout parity with partitionBy's own NULL spelling
+    assert os.path.isdir(f"{path}/part=__HIVE_DEFAULT_PARTITION__")
+
+
+def test_merge_into_partitioned_detects_moved_keys(spark, tmp_path):
+    """check_moved_keys=True raises when an update's key already lives
+    in a partition outside the batch (a partition-moving update would
+    otherwise leave a stale duplicate)."""
+    path = str(tmp_path / "cow_moved")
+    spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1)], "k bigint, v string, part int"
+    ).write.partitionBy("part").parquet(path)
+
+    moved = spark.createDataFrame([(2, "B", 0)], "k bigint, v string, part int")
+    with pytest.raises(ValueError, match="moving"):
+        merge.merge_into_partitioned(
+            spark, path, moved, ["k"], ["part"], check_moved_keys=True
+        )
+    # a non-moving update under the same flag still merges
+    ok = spark.createDataFrame([(1, "A", 0)], "k bigint, v string, part int")
+    merge.merge_into_partitioned(
+        spark, path, ok, ["k"], ["part"], check_moved_keys=True
+    )
+    got = _rows(spark.read.parquet(path).select("k", "v", "part"))
+    assert got == [(1, "A", 0), (2, "b", 1)]
