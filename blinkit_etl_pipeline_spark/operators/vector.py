@@ -712,6 +712,44 @@ def ivf_assign(
     )
 
 
+def derive_num_clusters(n: int, floor: int = 8) -> int:
+    """Scale-safe cluster count for SemDeDup-style dedup: ``max(floor,
+    ceil(sqrt(n/2)))``.
+
+    Total exact work is assignment ``n·k`` dots plus within-cluster
+    pairwise ``n²/k`` dots; ``k ≈ sqrt(n/2)`` balances the two at
+    ``O(n^1.5)`` — the best a fully-exact path can do. A FIXED k is the
+    scale killer (n²/k quadratic: measured 42× at 100× data for k=8,
+    PLANS.md); deriving k from the corpus count keeps both terms
+    sub-quadratic at any sf.
+    """
+    import math
+
+    return max(floor, math.ceil(math.sqrt(n / 2.0)))
+
+
+def semantic_codebook(
+    emb: DataFrame,
+    *,
+    floor: int = 8,
+    iters: int = 5,
+    pinned: Sequence[tuple[int, Sequence[float]]] | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Codebook for :func:`semantic_dedup` with corpus-derived k.
+
+    Counts the corpus, derives ``k`` via :func:`derive_num_clusters`,
+    and trains :func:`kmeans_codebook` — unless a ``pinned`` offline
+    artifact with exactly that k is supplied (the production pattern:
+    train offline, ship the codebook; the pinned path also keeps the
+    sf0.01 oracle contract value-exact without retraining per run).
+    """
+    n = emb.count()
+    k = derive_num_clusters(n, floor=floor)
+    if pinned is not None and len(pinned) == k:
+        return [(int(c), [float(x) for x in v]) for c, v in pinned]
+    return kmeans_codebook(emb, k=k, iters=iters)
+
+
 def kmeans_codebook(
     emb: DataFrame, k: int = 8, iters: int = 5
 ) -> list[tuple[int, list[float]]]:

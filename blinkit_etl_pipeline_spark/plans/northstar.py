@@ -66,6 +66,31 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return register_base(spark, sf_dir)["events"]
 
 
+# Per-corpus SemDeDup codebooks: k derives from the corpus count
+# (vector.derive_num_clusters — sqrt-balanced so neither assignment nor
+# the within-cluster quadratic dominates at any sf). The sf0.01
+# training corpus resolves to the pinned SEMANTIC_CODEBOOK artifact
+# (len == derived k there), which is what the static DuckDB oracle
+# replays; other corpora train live, memoized per (sf_dir, n) — the
+# production shape where training is offline/amortized, not per-query.
+_SEM_CODEBOOKS: dict[tuple[str, int], list[tuple[int, list[float]]]] = {}
+
+
+def _semantic_codebook(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, list[float]]]:
+    from .codebook import SEMANTIC_CODEBOOK
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    key = (sf_dir.rstrip("/"), n)
+    if key not in _SEM_CODEBOOKS:
+        _SEM_CODEBOOKS[key] = vector.semantic_codebook(
+            emb, pinned=SEMANTIC_CODEBOOK
+        )
+    return _SEM_CODEBOOKS[key]
+
+
 TABLE_STATS_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
 
 
@@ -223,12 +248,10 @@ def q_dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the pairs straddling a cluster boundary — the approximation
     this number prices. Precision is 1.0 by construction (every found
     pair passes the same cosine test the truth uses)."""
-    from .codebook import TRAINED_IVF_CODEBOOK
-
     emb = _emb(spark, sf_dir)
     truth = vector.cosine_neardup_pairs(emb, threshold=COSINE_THRESHOLD, nbits=0)
     found = vector.semantic_neardup_pairs(
-        emb, TRAINED_IVF_CODEBOOK, COSINE_THRESHOLD
+        emb, _semantic_codebook(spark, sf_dir), COSINE_THRESHOLD
     )
     return quality.pair_recall(truth, found, ("vec_a", "vec_b"), "semantic_cluster")
 
@@ -351,15 +374,17 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup: zero-shuffle assignment to the
-    trained codebook, then within-cluster pairwise cosine with a
-    deterministic lowest-id-wins keep policy. The oracle replays
-    cluster assignment and the keep decision from the same quantized
-    integers (codebook shipped as literals)."""
-    from .codebook import TRAINED_IVF_CODEBOOK
-
+    """SemDeDup-style semantic dedup: zero-shuffle assignment to a
+    corpus-sized codebook (k = derive_num_clusters(n), sqrt-balanced —
+    a fixed k was the measured 42×-at-100×-data scale killer), then
+    within-cluster pairwise cosine with a deterministic lowest-id-wins
+    keep policy. At the sf0.01 training corpus the derived k resolves
+    to the pinned SEMANTIC_CODEBOOK artifact, which the oracle replays
+    from the same quantized integers (codebook shipped as literals)."""
     return vector.semantic_dedup(
-        _emb(spark, sf_dir), TRAINED_IVF_CODEBOOK, threshold=COSINE_THRESHOLD
+        _emb(spark, sf_dir),
+        _semantic_codebook(spark, sf_dir),
+        threshold=COSINE_THRESHOLD,
     )
 
 
@@ -1864,17 +1889,20 @@ SELECT media_id, media_type, width, height,
 FROM s""",
 }
 
-def _codebook_values_sql() -> str:
-    """Literal VALUES table for the trained codebook — quantized with
-    vector.pyquantize, i.e. the exact integers Spark's ivf_assign uses."""
-    from .codebook import TRAINED_IVF_CODEBOOK
+def _codebook_values_sql(which: str = "ivf") -> str:
+    """Literal VALUES table for a trained codebook artifact — quantized
+    with vector.pyquantize, i.e. the exact integers Spark's ivf_assign
+    uses. ``which``: "ivf" (k=8 probe codebook) or "semantic" (the
+    corpus-derived-k SemDeDup codebook for the sf0.01 test corpus)."""
+    from .codebook import SEMANTIC_CODEBOOK, TRAINED_IVF_CODEBOOK
 
+    book = TRAINED_IVF_CODEBOOK if which == "ivf" else SEMANTIC_CODEBOOK
     rows = ", ".join(
         "({cid}, [{vals}]::DOUBLE[])".format(
             cid=cid,
             vals=", ".join(str(vector.pyquantize(x)) for x in vec),
         )
-        for cid, vec in TRAINED_IVF_CODEBOOK
+        for cid, vec in book
     )
     return f"(SELECT * FROM (VALUES {rows}) AS t(centroid_id, cvec))"
 
@@ -2069,7 +2097,7 @@ SELECT * FROM kept UNION ALL SELECT * FROM live"""
 # its cluster; kept iff that max is NULL (cluster minimum) or < t.
 ORACLES["ns_dedup_semantic"] = f"""WITH {_EMB},
 c AS (SELECT centroid_id, cvec, list_dot_product(cvec, cvec) AS cqq
-  FROM {_codebook_values_sql()}),
+  FROM {_codebook_values_sql("semantic")}),
 assigned AS (
   SELECT vec_id, qv, qq, centroid_id FROM (
     SELECT e.vec_id, e.qv, e.qq, c.centroid_id,
@@ -2096,7 +2124,7 @@ FROM assigned a LEFT JOIN sims s ON a.vec_id = s.vec_id"""
 # SemDeDup quality gauge: exact truth pairs vs same-cluster pairs.
 ORACLES["ns_dedup_semantic_recall"] = f"""WITH {_EMB},
 c AS (SELECT centroid_id, cvec, list_dot_product(cvec, cvec) AS cqq
-  FROM {_codebook_values_sql()}),
+  FROM {_codebook_values_sql("semantic")}),
 assigned AS (
   SELECT vec_id, qv, qq, centroid_id FROM (
     SELECT e.vec_id, e.qv, e.qq, c.centroid_id,

@@ -72,6 +72,45 @@ def test_trained_codebook_matches_retraining(spark):
     assert retrained == TRAINED_IVF_CODEBOOK
 
 
+def test_semantic_codebook_matches_retraining_at_derived_k(spark):
+    """The SemDeDup artifact's k is exactly derive_num_clusters(n) on
+    its training corpus, and its centroids are what the trainer
+    reproduces — so the pinned path and the live-training path can
+    never diverge for the oracle corpus."""
+    from blinkit_etl_pipeline_spark.operators.vector import (
+        derive_num_clusters,
+        kmeans_codebook,
+        semantic_codebook,
+    )
+    from blinkit_etl_pipeline_spark.plans.codebook import (
+        SEMANTIC_CODEBOOK,
+        SEMANTIC_K,
+        TRAIN_ITERS,
+        TRAIN_SF_DIR,
+    )
+
+    emb = spark.read.parquet(f"{TRAIN_SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    assert derive_num_clusters(n) == SEMANTIC_K == len(SEMANTIC_CODEBOOK)
+    retrained = kmeans_codebook(emb, k=SEMANTIC_K, iters=TRAIN_ITERS)
+    assert retrained == SEMANTIC_CODEBOOK
+    # and the auto path resolves to the pinned artifact (no retrain)
+    assert semantic_codebook(emb, pinned=SEMANTIC_CODEBOOK) == SEMANTIC_CODEBOOK
+
+
+def test_derive_num_clusters_scales_sublinearly():
+    from blinkit_etl_pipeline_spark.operators.vector import derive_num_clusters
+
+    assert derive_num_clusters(100) == 8  # floor
+    assert derive_num_clusters(500) == 16
+    assert derive_num_clusters(5_000) == 50
+    assert derive_num_clusters(500_000) == 500
+    # both cost terms stay sub-quadratic: n·k and n²/k are O(n^1.5)
+    for n in (10**4, 10**6, 10**8):
+        k = derive_num_clusters(n)
+        assert n * k <= 2 * n**1.5 and n * n / k <= 2 * n**1.5
+
+
 def test_connected_components_raises_when_iteration_cap_hit(spark):
     """ADVICE r2: exhausting max_iters must raise, not silently return
     half-propagated labels (which would split components downstream)."""
