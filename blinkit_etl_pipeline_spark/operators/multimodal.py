@@ -15,7 +15,10 @@ runs inside the ``mapInPandas`` stage to produce pixel statistics
 RIFF parser producing sample statistics (rate, count, mean amplitude).
 :func:`decode_png` is a real pure-stdlib PNG decoder (chunk walk with
 CRC verification, zlib inflate, per-scanline unfilter incl. Paeth) fed
-by :func:`synthesize_png_media`'s JVM-built valid containers.
+by :func:`synthesize_png_media`'s JVM-built valid containers; GIF
+decodes natively too (``functions/gif.py``: variable-width LZW with
+dictionary growth, sub-block reassembly, interlace, local palettes)
+fed by :func:`synthesize_gif_media`.
 Baseline-sequential JPEG is a full native codec too
 (``functions/jpeg.py``: forward/inverse DCT, two-pass optimized
 Huffman, restart markers, 4:4:4/4:2:0 color), exercised end to end by
@@ -41,6 +44,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.gif import decode_gif
 from pyspark.sql.types import (
     BinaryType,
     DoubleType,
@@ -108,6 +113,22 @@ CHECKSUM_MOD = 1_000_003
 
 # image payload generator: pixel byte i of media m = (m*7 + i*13) % 256
 PIX_A, PIX_B = 7, 13
+
+#: GIF synthesis: 128-color global palette (7 bits/pixel), LZW minimum
+#: code size 7 → all codes are exactly 8 bits wide while the dictionary
+#: stays under 256 entries, so a CLEAR every GIF_GROUP literals keeps
+#: the whole code stream byte-aligned and Catalyst-expressible. 100
+#: literals after a CLEAR grow the dictionary to 229 < 256 — safely
+#: inside 8-bit width for both early- and late-bump decoders.
+GIF_GROUP = 100
+GIF_N_COLORS = 128
+#: palette entry j → (2j, 3j mod 256, (5j+7) mod 256): distinct
+#: channels so a palette-index/channel mixup cannot cancel out in the
+#: oracle's means. Constant across images → one shared hex literal.
+GIF_PALETTE_HEX = "".join(
+    f"{(2 * j) % 256:02X}{(3 * j) % 256:02X}{(5 * j + 7) % 256:02X}"
+    for j in range(GIF_N_COLORS)
+)
 
 
 def _img_w(doc_id: Column) -> Column:
@@ -327,6 +348,148 @@ def png_pixel_stats(png_media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     feats = png_media.mapInPandas(
+        extract,
+        schema=(
+            "media_id long, parsed_width int, parsed_height int,"
+            " raster_sum_mod long, raster_weighted_mod long,"
+            " mean_r double, mean_g double, mean_b double"
+        ),
+    )
+    return feats.select(
+        "media_id", "parsed_width", "parsed_height",
+        "raster_sum_mod", "raster_weighted_mod",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+def synthesize_gif_media(docs: DataFrame) -> DataFrame:
+    """(media_id, payload) — one VALID GIF89a per document, built
+    entirely JVM-side (zero UDFs), so the decode query's Python stage
+    is only the decoder under test.
+
+    Container anatomy, assembled as Catalyst hex expressions:
+
+    - header + logical screen descriptor (global table flag set, 128
+      entries) + the constant 128-color palette (one shared literal);
+    - image descriptor (full-frame, no local table, not interlaced);
+    - LZW data with minimum code size 7: the pixel stream is cut into
+      groups of ≤ ``GIF_GROUP`` indices, each emitted as its own
+      sub-block ``[len][CLEAR][literals…]`` — with a CLEAR that often,
+      the code width never leaves 8 bits, so every LZW code is exactly
+      one byte and the stream is a closed-form function of position
+      (see :data:`GIF_GROUP`); a final ``[1][EOI]`` sub-block, the
+      0x00 terminator, and the 0x3B trailer close the file.
+
+    Pixel index ``pix(i) = (mid·7 + i·13) % 128``; the decoded RGB
+    raster is the palette image of that formula, which is what gives
+    ``ns_media_gif`` a value-exact DuckDB oracle: DuckDB derives the
+    statistics from palette(formula) while Spark recovers them by
+    actually reassembling sub-blocks and LZW-decoding — the decoder's
+    variable-width/dictionary-growth paths beyond 8-bit codes are
+    pinned by round-trip unit tests against a real compressing
+    encoder (tests/test_multimodal.py).
+    """
+    mid = F.col("doc_id")
+    w, h = _img_w(mid), _img_h(mid)
+    npx = (w.cast("bigint") * h).cast("bigint")
+    # geometry is bounded (w≤23, h≤19 ⇒ npx≤437), so double-precision
+    # floor/ceil here are exact
+    n_groups = F.ceil(npx / GIF_GROUP).cast("bigint")
+    rem = npx - (n_groups - 1) * GIF_GROUP
+    base = (n_groups - 1) * (GIF_GROUP + 2)
+    data_len = base + rem + 2  # last group: len byte + CLEAR + rem px
+
+    def le16(c) -> Column:
+        return F.concat(
+            F.lpad(F.hex(F.pmod(c, 256)), 2, "0"),
+            F.lpad(F.hex(F.shiftright(c.cast("int"), 8)), 2, "0"),
+        )
+
+    clear = F.lit(GIF_N_COLORS).cast("bigint")  # CLEAR code = 0x80
+
+    def gif_byte(p: Column) -> Column:
+        """Byte ``p`` of the LZW data region (sub-block framing
+        included): closed-form in the pixel-generator formula."""
+        q_full = F.pmod(p, GIF_GROUP + 2)
+        i_full = (
+            F.floor(p / (GIF_GROUP + 2)).cast("bigint") * GIF_GROUP
+            + q_full
+            - 2
+        )
+        q_last = p - base
+        i_last = (n_groups - 1) * GIF_GROUP + q_last - 2
+        pix_full = F.pmod(mid * PIX_A + i_full * PIX_B, GIF_N_COLORS)
+        pix_last = F.pmod(mid * PIX_A + i_last * PIX_B, GIF_N_COLORS)
+        return (
+            F.when(
+                p >= base,
+                F.when(q_last == 0, rem + 1)
+                .when(q_last == 1, clear)
+                .otherwise(pix_last),
+            ).otherwise(
+                F.when(q_full == 0, F.lit(GIF_GROUP + 1).cast("bigint"))
+                .when(q_full == 1, clear)
+                .otherwise(pix_full)
+            )
+        ).cast("bigint")
+
+    seq = F.sequence(F.lit(0).cast("bigint"), data_len - 1)
+    data_hex = F.array_join(
+        F.transform(seq, lambda p: F.lpad(F.hex(gif_byte(p)), 2, "0")), ""
+    )
+    gif_hex = F.concat(
+        F.lit("474946383961"),  # "GIF89a"
+        le16(w),
+        le16(h),
+        # packed: GCT flag | color-res 7 | size 2^(6+1)=128 → 0xF6
+        F.lit("F60000"),
+        F.lit(GIF_PALETTE_HEX),
+        F.lit("2C00000000"),  # image descriptor @ (0,0)
+        le16(w),
+        le16(h),
+        F.lit("00"),  # no local table, not interlaced
+        F.lit("07"),  # LZW minimum code size
+        data_hex,
+        F.lit("0181"),  # final sub-block: EOI code
+        F.lit("003B"),  # block terminator + trailer
+    )
+    return docs.select(mid.alias("media_id"), F.unhex(gif_hex).alias("payload"))
+
+
+def gif_pixel_stats(gif_media: DataFrame) -> DataFrame:
+    """Decode GIF payloads → parsed dimensions + raster statistics —
+    the same contract as :func:`png_pixel_stats` (position-weighted
+    checksums, per-channel means), via ``functions.gif.decode_gif``."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "parsed_width": [], "parsed_height": [],
+                "raster_sum_mod": [], "raster_weighted_mod": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pw, ph, raster = decode_gif(bytes(payload))
+                arr = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+                npx = pw * ph
+                out["media_id"].append(mid)
+                out["parsed_width"].append(pw)
+                out["parsed_height"].append(ph)
+                out["raster_sum_mod"].append(int(arr.sum()) % CHECKSUM_MOD)
+                out["raster_weighted_mod"].append(
+                    int((arr * np.arange(1, arr.size + 1, dtype=np.int64)).sum())
+                    % CHECKSUM_MOD
+                )
+                out["mean_r"].append(int(arr[0::3].sum()) / npx)
+                out["mean_g"].append(int(arr[1::3].sum()) / npx)
+                out["mean_b"].append(int(arr[2::3].sum()) / npx)
+            yield pd.DataFrame(out)
+
+    feats = gif_media.mapInPandas(
         extract,
         schema=(
             "media_id long, parsed_width int, parsed_height int,"
@@ -580,13 +743,15 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
 
 
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
-    """Image decode: PPM, PNG and baseline JPEG handled natively (pure
-    stdlib + numpy); exotic formats (TIFF/WebP/progressive JPEG) would
-    need PIL."""
+    """Image decode: PPM, PNG, GIF and baseline JPEG handled natively
+    (pure stdlib + numpy); exotic formats (TIFF/WebP/progressive JPEG)
+    would need PIL."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     if payload[:2] == b"\xff\xd8":
         from ..functions.jpeg import decode_jpeg
 

@@ -921,6 +921,25 @@ def q_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF/LZW decode correctness, end to end: JVM-synthesized VALID
+    GIF89a containers (128-color global palette, sub-block framing,
+    byte-aligned LZW via periodic CLEAR codes) → pure-stdlib decode
+    (sub-block reassembly + variable-width LZW + palette map) → raster
+    statistics. The oracle derives the same statistics from
+    palette(closed-form pixel generator), so a wrong byte in container
+    construction OR decoding hash-fails. Dictionary growth past 8-bit
+    codes is pinned by round-trip tests against a real compressing
+    encoder (tests/test_multimodal.py)."""
+    return multimodal.gif_pixel_stats(
+        multimodal.synthesize_gif_media(
+            _docs(spark, sf_dir)
+            .select("doc_id")
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+    )
+
+
 def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MJPEG/AVI frame sampling, end to end: per document a tiny
     MJPEG video (flat-block frames, unit quantization) is encoded into
@@ -1659,6 +1678,46 @@ SELECT media_id, parsed_width, parsed_height,
     / CAST(parsed_width * parsed_height AS DOUBLE), 6) AS mean_g,
   ROUND(list_sum(list_transform(range(0, parsed_width * parsed_height),
     p -> (media_id * {multimodal.PIX_A} + (p * 3 + 2) * {multimodal.PIX_B}) % 256))
+    / CAST(parsed_width * parsed_height AS DOUBLE), 6) AS mean_b
+FROM m""",
+    # GIF replay: pixel p's palette index is (mid·7 + p·13) % 128 and
+    # the constant palette maps j → (2j, 3j%256, (5j+7)%256); the
+    # oracle evaluates palette(formula) while Spark LZW-decodes the
+    # actual container bytes.
+    "ns_media_gif": f"""WITH m AS (
+  SELECT doc_id AS media_id,
+    CAST(doc_id % 16 + 8 AS INT) AS parsed_width,
+    CAST(doc_id % 12 + 8 AS INT) AS parsed_height
+  FROM documents
+)
+SELECT media_id, parsed_width, parsed_height,
+  CAST(list_sum(list_transform(range(0, parsed_width * parsed_height),
+    p -> (2 * ((media_id * {multimodal.PIX_A} + p * {multimodal.PIX_B})
+               % {multimodal.GIF_N_COLORS})) % 256
+       + (3 * ((media_id * {multimodal.PIX_A} + p * {multimodal.PIX_B})
+               % {multimodal.GIF_N_COLORS})) % 256
+       + (5 * ((media_id * {multimodal.PIX_A} + p * {multimodal.PIX_B})
+               % {multimodal.GIF_N_COLORS}) + 7) % 256))
+    % {multimodal.CHECKSUM_MOD} AS BIGINT) AS raster_sum_mod,
+  CAST(list_sum(list_transform(range(0, parsed_width * parsed_height),
+    p -> ((2 * ((media_id * {multimodal.PIX_A} + p * {multimodal.PIX_B})
+                % {multimodal.GIF_N_COLORS})) % 256) * (3 * p + 1)
+       + ((3 * ((media_id * {multimodal.PIX_A} + p * {multimodal.PIX_B})
+                % {multimodal.GIF_N_COLORS})) % 256) * (3 * p + 2)
+       + ((5 * ((media_id * {multimodal.PIX_A} + p * {multimodal.PIX_B})
+                % {multimodal.GIF_N_COLORS}) + 7) % 256) * (3 * p + 3)))
+    % {multimodal.CHECKSUM_MOD} AS BIGINT) AS raster_weighted_mod,
+  ROUND(list_sum(list_transform(range(0, parsed_width * parsed_height),
+    p -> (2 * ((media_id * {multimodal.PIX_A} + p * {multimodal.PIX_B})
+               % {multimodal.GIF_N_COLORS})) % 256))
+    / CAST(parsed_width * parsed_height AS DOUBLE), 6) AS mean_r,
+  ROUND(list_sum(list_transform(range(0, parsed_width * parsed_height),
+    p -> (3 * ((media_id * {multimodal.PIX_A} + p * {multimodal.PIX_B})
+               % {multimodal.GIF_N_COLORS})) % 256))
+    / CAST(parsed_width * parsed_height AS DOUBLE), 6) AS mean_g,
+  ROUND(list_sum(list_transform(range(0, parsed_width * parsed_height),
+    p -> (5 * ((media_id * {multimodal.PIX_A} + p * {multimodal.PIX_B})
+               % {multimodal.GIF_N_COLORS}) + 7) % 256))
     / CAST(parsed_width * parsed_height AS DOUBLE), 6) AS mean_b
 FROM m""",
     # Decoded-pixel statistics from the closed-form generator: pixel p
@@ -2425,6 +2484,7 @@ QUERIES = {
     "ns_range_click_window": q_range_click_window,
     "ns_media_features": q_media_features,
     "ns_media_png": q_media_png,
+    "ns_media_gif": q_media_gif,
     "ns_media_jpeg": q_media_jpeg,
     "ns_media_video_frames": q_media_video_frames,
     "ns_media_adpcm": q_media_adpcm,

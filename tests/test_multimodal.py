@@ -458,3 +458,218 @@ def test_sample_frames_exact_integer_boundaries():
     p2 = encode_mjpeg_avi(frames[:3], us_per_frame=333_333, quant=ones)
     picks2 = sample_frames_mjpeg(p2, every_ms=333)
     assert [fi for fi, *_ in picks2][-1] == 2 and len(picks2) == 4
+
+
+# ----------------------------------------------------------------------
+# GIF / LZW
+# ----------------------------------------------------------------------
+
+
+def _lzw_encode(min_code_size, indices):
+    """Real compressing GIF-LZW encoder (test-side reference): greedy
+    longest-match dictionary, variable-width codes with the width bump
+    AFTER emitting the boundary code (giflib semantics), CLEAR on full
+    dictionary. Exercises decoder paths the byte-aligned synthesizer
+    never reaches (9..12-bit codes, KwKwK, dict-full resets)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = nbits = 0
+    width = min_code_size + 1
+    next_code = eoi + 1
+
+    def emit(code):
+        nonlocal acc, nbits, width
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        # post-write check: affects the NEXT code (giflib pairing)
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+
+    table = {bytes([i]): i for i in range(clear)}
+    emit(clear)
+    cur = b""
+    for sym in indices:
+        nxt = cur + bytes([sym])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        if next_code >= 4096:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            width = min_code_size + 1
+            next_code = eoi + 1
+        else:
+            table[nxt] = next_code
+            next_code += 1
+        cur = bytes([sym])
+    if cur:
+        emit(table[cur])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _subblocks(data):
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def _encode_gif(width, height, indices, palette, *, interlaced=False,
+                local_palette=False, min_code_size=None):
+    """Full test-side GIF encoder: compressing LZW, optional interlace
+    (rows emitted in four-pass order), global or local palette."""
+    import struct as _s
+
+    from blinkit_etl_pipeline_spark.functions import gif as G
+
+    n_colors = len(palette) // 3
+    depth = max(2, (n_colors - 1).bit_length())
+    if min_code_size is None:
+        min_code_size = depth
+    if interlaced:
+        rows = [indices[r * width : (r + 1) * width] for r in range(height)]
+        order = []
+        for first, step in G._INTERLACE_PASSES:
+            order.extend(range(first, height, step))
+        indices = b"".join(rows[r] for r in order)
+    pal = palette + b"\x00" * (3 * ((1 << depth) - n_colors))
+    buf = bytearray(b"GIF89a")
+    packed = (0 if local_palette else 0x80) | 0x70 | (depth - 1)
+    buf += _s.pack("<HHBBB", width, height, packed, 0, 0)
+    if not local_palette:
+        buf += pal
+    # a skippable extension before the image (exercises block walking)
+    buf += b"\x21\xfe" + _subblocks(b"test comment")
+    ipacked = (0x80 if local_palette else 0) | (0x40 if interlaced else 0) | (
+        (depth - 1) if local_palette else 0
+    )
+    buf += b"\x2c" + _s.pack("<HHHHB", 0, 0, width, height, ipacked)
+    if local_palette:
+        buf += pal
+    buf.append(min_code_size)
+    buf += _subblocks(_lzw_encode(min_code_size, indices))
+    buf.append(0x3B)
+    return bytes(buf)
+
+
+def test_gif_lzw_real_compression_roundtrips():
+    """lzw_decode must invert a genuinely compressing encoder across
+    code widths 3..12 — including KwKwK sequences and a dictionary
+    driven past the 9/10/11-bit boundaries by a redundant stream."""
+    import random
+
+    from blinkit_etl_pipeline_spark.functions.gif import lzw_decode
+
+    rng = random.Random(7)
+    for mcs in (2, 4, 7, 8):
+        # highly redundant → deep dictionary chains and width growth;
+        # alphabet bounded by the code size's literal range
+        motif = bytes(rng.randrange(1 << min(mcs, 4)) for _ in range(40))
+        stream = (motif * 300)[:9000]
+        data = _lzw_encode(mcs, stream)
+        assert len(data) < len(stream)  # it actually compressed
+        assert lzw_decode(mcs, data, max_pixels=len(stream)) == stream
+    # KwKwK: aaa… emits cScSc patterns immediately
+    runs = b"\x00" * 500 + b"\x01" * 500 + b"\x00\x01\x00\x01" * 250
+    for mcs in (2, 7):
+        data = _lzw_encode(mcs, runs)
+        assert lzw_decode(mcs, data, max_pixels=len(runs)) == runs
+
+
+def test_decode_gif_interlaced_local_palette_and_extensions():
+    import random
+
+    from blinkit_etl_pipeline_spark.functions.gif import decode_gif
+
+    rng = random.Random(13)
+    w, h = 17, 11
+    n_colors = 32
+    palette = bytes(rng.randrange(256) for _ in range(3 * n_colors))
+    indices = bytes(rng.randrange(n_colors) for _ in range(w * h))
+    for interlaced in (False, True):
+        for local in (False, True):
+            payload = _encode_gif(
+                w, h, indices, palette, interlaced=interlaced,
+                local_palette=local,
+            )
+            pw, ph, raster = decode_gif(payload)
+            assert (pw, ph) == (w, h)
+            expect = b"".join(
+                palette[3 * i : 3 * i + 3] for i in indices
+            )
+            assert raster == expect, (interlaced, local)
+
+
+def test_decode_gif_rejects_corruption():
+    import pytest
+
+    from blinkit_etl_pipeline_spark.functions.gif import GifError, decode_gif
+
+    palette = bytes(range(48))  # 16 colors
+    payload = _encode_gif(4, 4, bytes(range(16)), palette)
+    assert decode_gif(payload)[0] == 4
+    with pytest.raises(GifError, match="not a GIF"):
+        decode_gif(b"JIF89a" + payload[6:])
+    with pytest.raises(GifError):
+        decode_gif(payload[:20])  # truncated mid-structure
+    # truncate inside the LZW sub-blocks → missing EOI / overrun
+    with pytest.raises(GifError):
+        decode_gif(payload[:-6])
+    # corrupt the image descriptor's declared width (13-byte header +
+    # 48-byte padded global palette + 16-byte comment extension → the
+    # 0x2C block at 77; width field at +5) → pixel-count mismatch
+    bad = bytearray(payload)
+    assert bad[77] == 0x2C
+    bad[82] ^= 0x01
+    with pytest.raises(GifError):
+        decode_gif(bytes(bad))
+
+
+def test_decode_gif_corruption_fuzz_never_hangs_or_miscrashes():
+    """Arbitrary single-byte corruption anywhere in a valid GIF must
+    either still decode cleanly or raise GifError — never a foreign
+    exception, hang, or memory balloon (the max_pixels guard)."""
+    import random
+
+    from blinkit_etl_pipeline_spark.functions.gif import GifError, decode_gif
+
+    rng = random.Random(99)
+    palette = bytes(rng.randrange(256) for _ in range(3 * 64))
+    indices = bytes(rng.randrange(64) for _ in range(23 * 19))
+    payload = _encode_gif(23, 19, indices, palette)
+    for _ in range(300):
+        bad = bytearray(payload)
+        bad[rng.randrange(len(bad))] ^= 1 << rng.randrange(8)
+        try:
+            w, h, raster = decode_gif(bytes(bad))
+            assert len(raster) == 3 * w * h
+        except GifError:
+            pass  # loud, typed failure is the contract
+
+
+def test_synthesized_gif_is_valid_and_exact(spark):
+    """The JVM-built containers must be VALID GIFs whose decoded
+    raster equals palette(pixel generator)."""
+    docs = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 7, 44, 191)], "doc_id bigint"
+    )
+    for r in multimodal.synthesize_gif_media(docs).collect():
+        mid = r["media_id"]
+        w, h, raster = multimodal.decode_gif(bytes(r["payload"]))
+        assert (w, h) == (mid % 16 + 8, mid % 12 + 8)
+        expect = bytearray()
+        for i in range(w * h):
+            j = (mid * multimodal.PIX_A + i * multimodal.PIX_B) % 128
+            expect += bytes(((2 * j) % 256, (3 * j) % 256, (5 * j + 7) % 256))
+        assert raster == bytes(expect), mid

@@ -19,6 +19,7 @@ from conftest import SF_SMOKE
 ARROW_WHITELIST = {
     "ns_media_features",
     "ns_media_png",
+    "ns_media_gif",
     "ns_media_jpeg",
     "ns_media_video_frames",
     "ns_media_adpcm",
