@@ -579,15 +579,26 @@ def lsh_topk(
     A single sign-LSH table prunes hard but recalls poorly on weakly
     clustered embeddings; the standard production remedy is ``ntables``
     independent tables whose candidate sets union (a pair is a candidate
-    if it collides in ANY table). Cost: the corpus is exploded ×ntables
-    into (t, bucket) keys — shuffle O(corpus × ntables) — and each
-    (t, bucket) group scores its query×member block in one BLAS matmul;
-    cross-table duplicates score identically (exact integer dots) so
-    the dedup is value-stable.
+    if it collides in ANY table).
+
+    Execution is the **broadcast-probe** shape: the query vectors are a
+    small bounded batch (the caller's top-k probe set), so they are
+    collected once (driver state O(|queries|·dim), the same bound as
+    the IVF codebook) and shipped inside ONE Arrow ``mapInPandas`` scan
+    of the corpus — each batch computes all ``ntables`` buckets for its
+    rows with one BLAS matmul, finds any-table collisions against the
+    query buckets, and scores only the colliding pairs. No corpus
+    explode, no bucket shuffle, no cross-table duplicate emission: the
+    only exchange in the whole plan is the final per-query top-k window
+    over the (small) candidate stream. [The r2 grouped bucket-join
+    implementation shuffled corpus×ntables rows; that shape is still
+    the right one for LARGE probe sets and lives on in the pair
+    generators (``bucket_frame`` + per-bucket kernels).]
 
     ``bucket_expr`` overrides the bucketer with a single-table JVM
     variant (recall comparisons pit :func:`axis_sign_bucket` against RP
-    planes).
+    planes); that path keeps the grouped per-bucket kernel since the
+    bucket is an arbitrary JVM expression, not replayable driver-side.
     """
     import pandas as pd
 
@@ -607,40 +618,101 @@ def lsh_topk(
                 F.array(F.col("bucket")).alias("all_buckets"),
             )
         )
-    else:
-        bucketed = bucket_frame(q, nbits, ntables, dim)
 
-    def fn(pdf):
+        def fn(pdf):
+            import numpy as np
+
+            qmask = pdf["vec_id"].isin(qids).to_numpy()
+            if not qmask.any() or len(pdf) < 2:
+                return pd.DataFrame(
+                    {"query_id": [], "neighbor_id": [], "cos_raw": []}
+                ).astype(
+                    {
+                        "query_id": "int64",
+                        "neighbor_id": "int64",
+                        "cos_raw": "float64",
+                    }
+                )
+            ids = pdf["vec_id"].to_numpy()
+            qq = pdf["qq"].to_numpy(dtype="float64")
+            M = _np_stack(pdf["qvec"])
+            Q = M[qmask]
+            cos = (Q @ M.T) / (
+                np.sqrt(qq[qmask])[:, None] * np.sqrt(qq)[None, :]
+            )
+            qid = ids[qmask]
+            qpos = np.nonzero(qmask)[0]
+            ia, ib = np.nonzero(qid[:, None] != ids[None, :])
+            # first-collision ownership on (query, neighbor row) — same
+            # exact local dedup as the near-dup kernel
+            own = _ownership_mask(pdf, qpos[ia], ib)
+            ia, ib = ia[own], ib[own]
+            return pd.DataFrame(
+                {
+                    "query_id": qid[ia],
+                    "neighbor_id": ids[ib],
+                    "cos_raw": cos[ia, ib],
+                }
+            )
+
+        cands = bucketed.groupBy("t", "bucket").applyInPandas(
+            fn, schema="query_id long, neighbor_id long, cos_raw double"
+        )
+    else:
         import numpy as np
 
-        qmask = pdf["vec_id"].isin(qids).to_numpy()
-        if not qmask.any() or len(pdf) < 2:
-            return pd.DataFrame(
-                {"query_id": [], "neighbor_id": [], "cos_raw": []}
-            ).astype(
-                {"query_id": "int64", "neighbor_id": "int64", "cos_raw": "float64"}
-            )
-        ids = pdf["vec_id"].to_numpy()
-        qq = pdf["qq"].to_numpy(dtype="float64")
-        M = _np_stack(pdf["qvec"])
-        Q = M[qmask]
-        cos = (Q @ M.T) / (
-            np.sqrt(qq[qmask])[:, None] * np.sqrt(qq)[None, :]
+        qrows = sorted(
+            q.filter(F.col("vec_id").isin(list(qids)))
+            .select("vec_id", "qvec", "qq")
+            .collect(),
+            key=lambda r: r["vec_id"],
         )
-        qid = ids[qmask]
-        qpos = np.nonzero(qmask)[0]
-        ia, ib = np.nonzero(qid[:, None] != ids[None, :])
-        # first-collision ownership on (query row, neighbor row) — same
-        # exact local dedup as the near-dup kernel
-        own = _ownership_mask(pdf, qpos[ia], ib)
-        ia, ib = ia[own], ib[own]
-        return pd.DataFrame(
-            {"query_id": qid[ia], "neighbor_id": ids[ib], "cos_raw": cos[ia, ib]}
-        )
+        if not qrows:
+            raise ValueError("none of the query_ids exist in the corpus")
+        P = _planes_matrix(nbits, ntables, dim)
+        weights = np.array([1 << j for j in range(nbits)], dtype=np.int64)
 
-    cands = bucketed.groupBy("t", "bucket").applyInPandas(
-        fn, schema="query_id long, neighbor_id long, cos_raw double"
-    )
+        def table_buckets(M: "np.ndarray") -> "np.ndarray":
+            bits = (M @ P) > 0  # exact integer projections
+            return np.stack(
+                [
+                    bits[:, t * nbits : (t + 1) * nbits] @ weights
+                    for t in range(ntables)
+                ],
+                axis=1,
+            )  # n × ntables
+
+        qid_v = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+        QM = np.array([list(r["qvec"]) for r in qrows], dtype=np.float64)
+        q_sq = np.sqrt(np.array([r["qq"] for r in qrows], dtype=np.float64))
+        QB = table_buckets(QM)  # nq × ntables
+
+        def scan(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                ids = pdf["vec_id"].to_numpy()
+                M = _np_stack(pdf["qvec"], dim)
+                B = table_buckets(M)
+                # any-table collision: nq × n
+                hit = (QB[:, None, :] == B[None, :, :]).any(axis=2)
+                hit &= qid_v[:, None] != ids[None, :]
+                ia, ib = np.nonzero(hit)
+                if not len(ia):
+                    continue
+                sq = np.sqrt(pdf["qq"].to_numpy(dtype="float64"))
+                cos = (QM[ia] * M[ib]).sum(axis=1) / (sq[ib] * q_sq[ia])
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid_v[ia],
+                        "neighbor_id": ids[ib],
+                        "cos_raw": cos,
+                    }
+                )
+
+        cands = q.mapInPandas(
+            scan, schema="query_id long, neighbor_id long, cos_raw double"
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id").asc()
     )
