@@ -381,3 +381,25 @@ def test_pack_sequences_null_text_counts_zero_tokens(spark):
     }
     assert rows[1]["n_tokens"] == 0  # not -1, not a corrupted sum
     assert [rows[i]["cum_tokens"] for i in range(3)] == [3, 3, 5]
+
+
+def test_parity_spine_plans_broadcast_dims_and_bounded_exchanges(spark):
+    """The parity spine's dimension joins must broadcast at test scale
+    (no shuffled fact side), with the exchange budget pinned — the
+    sf10 audit (PLANS.md) shows AQE switching the grown dim to a
+    sort-merge join when it outgrows the threshold, which is the
+    correct adaptive behavior; THIS guard pins the small-dim shape so
+    a regression that shuffles the fact at every scale fails CI."""
+    from blinkit_etl_pipeline_spark.plans import parity
+
+    from conftest import SF_SMOKE
+
+    expectations = {"sales_fact": 4, "customer_metrics": 8}
+    for name, max_exch in expectations.items():
+        df = parity.QUERIES[name](spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") >= 2, f"{name}: dims must broadcast"
+        assert plan.count("SortMergeJoin") == 0, f"{name}: fact side shuffled"
+        assert plan.count("Exchange") <= max_exch, (
+            f"{name}: exchange budget exceeded\n" + plan[:2000]
+        )
