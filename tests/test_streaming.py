@@ -483,3 +483,51 @@ def test_streaming_funnel_converges_to_batch_depths(spark, tmp_path):
     batch = ev_ops.funnel(spark.createDataFrame(all_rows, schema))
     reached = {r["step"]: r["users_reached"] for r in batch.collect()}
     assert reached == {"view": 3, "click": 2, "purchase": 2}
+
+
+def test_file_stream_backpressure_bounds_batches_and_drains(spark, tmp_path):
+    """maxFilesPerTrigger is the file-source backpressure valve: a
+    backlog of N files must drain through ceil(N/max) bounded
+    micro-batches under Trigger.AvailableNow — never one giant batch —
+    and still deliver every row exactly once. Operationally this is
+    what keeps a cold-start (or post-outage) backlog from sizing a
+    micro-batch by the backlog instead of the cluster."""
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    rows_per_file, n_files, per_trigger = 40, 6, 2
+
+    base = spark.range(rows_per_file * n_files).select(
+        F.col("id").alias("event_id"), (F.col("id") % 7).alias("v")
+    )
+    for i in range(n_files):
+        base.filter(
+            (F.col("event_id") >= i * rows_per_file)
+            & (F.col("event_id") < (i + 1) * rows_per_file)
+        ).coalesce(1).write.parquet(str(tmp_path / f"stage{i}"))
+        src = glob.glob(str(tmp_path / f"stage{i}/part-*.parquet"))[0]
+        shutil.copy(src, str(raw / f"f{i}.parquet"))
+    schema = spark.read.parquet(str(raw)).schema
+
+    batch_rows: list[int] = []
+
+    def process(batch_df, batch_id):
+        batch_rows.append(batch_df.count())
+
+    stream = file_source.stream_files(
+        spark, str(raw), schema, fmt="parquet",
+        max_files_per_trigger=per_trigger,
+    )
+    file_source.run_available_now(stream, ckpt, process)
+
+    assert sum(batch_rows) == rows_per_file * n_files  # sustained drain
+    assert len(batch_rows) == n_files // per_trigger  # bounded batches
+    assert all(b <= per_trigger * rows_per_file for b in batch_rows)
+
+    # a second drain with nothing new is a no-op (checkpoint holds)
+    stream = file_source.stream_files(
+        spark, str(raw), schema, fmt="parquet",
+        max_files_per_trigger=per_trigger,
+    )
+    file_source.run_available_now(stream, ckpt, process)
+    assert sum(batch_rows) == rows_per_file * n_files
