@@ -189,6 +189,78 @@ def _longest_equal_run(sorted_toks: Column) -> Column:
     return run_state["best"].cast("bigint")
 
 
+def chunk_frame(
+    docs,
+    size: int,
+    overlap: int = 0,
+    text: str = "text",
+    keep: Sequence[str] = ("lang",),
+):
+    """Token-window chunking (training-sample / RAG-passage prep),
+    fully map-side: zero shuffle, zero UDF, one scan at any scale.
+
+    Chunk ``c`` of a document covers tokens ``[c·stride, c·stride +
+    size)`` with ``stride = size − overlap``; the last chunk may be
+    short, and a trailing window that would start at-or-past the end is
+    never emitted (``n_chunks = 1 + ceil((n − size)/stride)``, floored
+    at 1; empty/NULL documents emit NO rows — they carry no trainable
+    tokens). Built as ``explode(sequence)`` over a staged token array,
+    so the token split happens once per document, not once per chunk.
+
+    Returns (doc_id, *keep, chunk_id, n_chunks, start_tok, chunk_len,
+    chunk_text, chunk_hash) — ``chunk_hash`` is the cross-engine
+    :func:`h32` of the chunk text, ready for chunk-level exact dedup
+    downstream.
+    """
+    if size <= 0:
+        raise ValueError("size must be positive")
+    if not 0 <= overlap < size:
+        raise ValueError("overlap must satisfy 0 <= overlap < size")
+    stride = size - overlap
+    toked = docs.select(
+        "doc_id", *keep, tokens(F.col(text)).alias("__tk")
+    ).filter(F.size("__tk") > 0)
+    n = F.size("__tk").cast("bigint")
+    # per-document counts are bounded far below 2^53: double-div ceil
+    # is exact here (unlike pack.py's CUMULATIVE positions)
+    n_chunks = (
+        F.lit(1)
+        + F.greatest(
+            F.lit(0).cast("bigint"),
+            F.ceil((n - size) / F.lit(stride).cast("double")).cast("bigint"),
+        )
+    ).cast("int")
+    staged = toked.select(
+        "doc_id",
+        *keep,
+        F.col("__tk"),
+        n_chunks.alias("n_chunks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    # staged projections (see repetition_frame): the slice and the
+    # joined text are each multi-referenced — land them in their own
+    # Project so they evaluate once per chunk
+    sliced = staged.select(
+        "doc_id",
+        *keep,
+        "chunk_id",
+        "n_chunks",
+        F.slice(F.col("__tk"), F.col("chunk_id") * stride + 1, size).alias(
+            "__ck"
+        ),
+    )
+    texted = sliced.select(
+        "doc_id",
+        *keep,
+        "chunk_id",
+        "n_chunks",
+        (F.col("chunk_id").cast("bigint") * stride).alias("start_tok"),
+        F.size("__ck").cast("int").alias("chunk_len"),
+        F.array_join(F.col("__ck"), " ").alias("chunk_text"),
+    )
+    return texted.withColumn("chunk_hash", h32(F.col("chunk_text")))
+
+
 def repetition_frame(docs, text: str = "text", keep: Sequence[str] = ("lang",)):
     """Within-document repetition signals, fully map-side (zero shuffle).
 

@@ -562,6 +562,24 @@ def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 VOCAB_TOP_K = 200
 
 
+#: chunking geometry for the oracle-checked query: 64-token windows
+#: with a 16-token overlap (stride 48) — the common RAG/pretrain shape
+CHUNK_SIZE, CHUNK_OVERLAP = 64, 16
+
+
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (functions.text.chunk_frame): every
+    document split into 64-token windows overlapping by 16 — the
+    training-sample / RAG-passage prep step. Fully map-side: one scan,
+    explode over a staged token array, zero shuffle, zero UDF; the
+    chunk_hash column is the cross-engine h32, ready for chunk-level
+    exact dedup. The oracle replays window arithmetic and slicing in
+    DuckDB list functions."""
+    return T.chunk_frame(
+        _docs(spark, sf_dir), CHUNK_SIZE, CHUNK_OVERLAP
+    )
+
+
 def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary builder: top-K tokens by frequency with corpus
     share — the first step of tokenizer training. One explode + one
@@ -1306,6 +1324,38 @@ SELECT doc_id, lang,
       w -> CAST(ceil(length(w) / CAST(8 AS DOUBLE)) AS BIGINT)), 'sum'), 0)
     + len(list_filter(tk, w -> regexp_matches(w, '[0-9]'))) AS BIGINT) AS bpe_tokens
 FROM toks""",
+    # chunking replay: n_chunks = 1 + ceil((n-size)/stride), chunk c =
+    # tokens [c*stride, c*stride+size); DuckDB list_slice is 1-based
+    # inclusive-end. Empty docs emit no rows (no trainable tokens).
+    "ns_text_chunks": f"""WITH {_TOKS},
+base AS (
+  SELECT doc_id, lang, tk, len(tk) AS n FROM toks WHERE len(tk) > 0
+),
+counted AS (
+  SELECT doc_id, lang, tk, n,
+    CAST(1 + greatest(0, CAST(ceil((n - {CHUNK_SIZE})
+      / CAST({CHUNK_SIZE - CHUNK_OVERLAP} AS DOUBLE)) AS BIGINT)) AS INT)
+      AS n_chunks
+  FROM base
+),
+exploded AS (
+  SELECT doc_id, lang, tk, n_chunks,
+    CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_id
+  FROM counted
+),
+sliced AS (
+  SELECT doc_id, lang, chunk_id, n_chunks,
+    CAST(chunk_id AS BIGINT) * {CHUNK_SIZE - CHUNK_OVERLAP} AS start_tok,
+    list_slice(tk, chunk_id * {CHUNK_SIZE - CHUNK_OVERLAP} + 1,
+               chunk_id * {CHUNK_SIZE - CHUNK_OVERLAP} + {CHUNK_SIZE})
+      AS ck
+  FROM exploded
+)
+SELECT doc_id, lang, chunk_id, n_chunks, start_tok,
+  CAST(len(ck) AS INT) AS chunk_len,
+  array_to_string(ck, ' ') AS chunk_text,
+  {_H.format(x="array_to_string(ck, ' ')")} AS chunk_hash
+FROM sliced""",
     "ns_text_langid": f"""WITH {_TOKS},
 scored AS (
   SELECT doc_id, lang,
@@ -2463,6 +2513,7 @@ QUERIES = {
     "ns_text_stats": q_text_stats,
     "ns_text_langid": q_text_langid,
     "ns_text_gopher": q_text_gopher,
+    "ns_text_chunks": q_text_chunks,
     "ns_text_fingerprint": q_text_fingerprint,
     "ns_text_repetition": q_text_repetition,
     "ns_text_vocab": q_text_vocab,

@@ -34,6 +34,7 @@ PRIORITY = [
     "ns_sketch_hll_cumulative",
     # r5 additions
     "ns_media_gif",
+    "ns_text_chunks",
 ]
 
 

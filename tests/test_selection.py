@@ -108,3 +108,56 @@ def test_suppress_small_groups_enforces_k_anonymity(spark):
     assert out.count() == safe_total
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_chunk_frame_boundaries_and_overlap_reconstruction(spark):
+    """Chunk windows: short doc → one short chunk; exact-fit → one
+    chunk; stride walk emits the right starts/lengths; consecutive
+    chunks agree on their `overlap` shared tokens (the property RAG
+    retrieval relies on); empty/NULL docs emit nothing."""
+    from blinkit_etl_pipeline_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),   # < size
+            (2, " ".join(f"x{i}" for i in range(16))),   # exact fit
+            (3, " ".join(f"y{i}" for i in range(17))),   # one over
+            (4, " ".join(f"z{i}" for i in range(100))),  # long walk
+            (5, ""),
+            (6, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = T.chunk_frame(docs, size=16, overlap=4, keep=()).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2, 3, 4}  # 5/6 emit nothing
+    assert [(r["chunk_len"], r["start_tok"]) for r in by_doc[1]] == [(10, 0)]
+    assert [(r["chunk_len"], r["start_tok"]) for r in by_doc[2]] == [(16, 0)]
+    assert sorted((r["start_tok"], r["chunk_len"]) for r in by_doc[3]) == [
+        (0, 16), (12, 5)
+    ]
+    # 100 tokens, stride 12: chunks at 0,12,...,84 → 8 chunks, last len 16
+    d4 = sorted(by_doc[4], key=lambda r: r["chunk_id"])
+    assert len(d4) == 8 and all(r["n_chunks"] == 8 for r in d4)
+    assert [r["start_tok"] for r in d4] == [12 * c for c in range(8)]
+    for a, b in zip(d4, d4[1:]):  # overlap agreement
+        assert a["chunk_text"].split()[-4:] == b["chunk_text"].split()[:4]
+    # every token of the long doc is covered in order
+    stitched = d4[0]["chunk_text"].split()
+    for r in d4[1:]:
+        stitched += r["chunk_text"].split()[4:]
+    assert stitched == [f"z{i}" for i in range(100)]
+
+
+def test_chunk_frame_rejects_bad_geometry(spark):
+    import pytest
+
+    from blinkit_etl_pipeline_spark.functions import text as T
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        T.chunk_frame(docs, size=0)
+    with pytest.raises(ValueError):
+        T.chunk_frame(docs, size=8, overlap=8)

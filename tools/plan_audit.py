@@ -52,6 +52,7 @@ NOTES = {
     "ns_ann_lsh_topk": "broadcast-probe: query vectors collected (bounded), any-table collisions + scoring in ONE Arrow corpus scan; only exchange is the top-k window",
     "ns_dedup_semantic": "k derives from corpus count (sqrt balance) — assignment n*k and within-cluster n^2/k both O(n^1.5); sf0.01 resolves to the pinned artifact",
     "ns_media_gif": "JVM-synthesized container (byte-aligned LZW via periodic CLEAR); single Arrow decode stage",
+    "ns_text_chunks": "token-window chunking: staged token array + explode(sequence); one scan, zero shuffle, zero UDF",
     "ns_ann_ivf_topk": "codebook assign = zero-shuffle Arrow matmul; probe scans nprobe/num_centroids of corpus",
     "ns_asof_attribution": "as-of via union-merge: one key shuffle, no range cross-product; both scans filter-pushed",
     "ns_media_features": "single Arrow-batched mapInPandas stage; schema fixed, no driver collect",
