@@ -261,6 +261,86 @@ def chunk_frame(
     return texted.withColumn("chunk_hash", h32(F.col("chunk_text")))
 
 
+def bm25_frame(
+    docs,
+    terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+    text: str = "text",
+):
+    """Okapi BM25 retrieval scoring of every document against a fixed
+    term set (Robertson/Spärck Jones idf in the Lucene ``ln(1 + (N−df
+    +0.5)/(df+0.5))`` spelling) — corpus-quality ranking / seed-set
+    retrieval for targeted curation.
+
+    Plan shape: one scan computes per-doc term frequencies map-side
+    (staged token array, one ``size(filter(...))`` per term); a single
+    partial aggregate reduces to ONE stats row (N, avgdl, per-term df)
+    that broadcast-attaches back; scoring is pure arithmetic; the
+    top-k plans as ``TakeOrderedAndProject``. Zero UDFs; the only
+    exchanges are the scalar-stats agg and the final top-k — neither
+    grows with the corpus.
+
+    Float discipline: the score chain is written in the exact
+    operation order the DuckDB oracle uses, and ``ln`` is the one
+    transcendental (precedent: the HLL estimator) — ROUND(…, 6) before
+    ranking keeps 1-ulp libm differences out of both the values and
+    the order (ties break on doc_id).
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    toked = docs.select("doc_id", tokens(F.col(text)).alias("__tk"))
+
+    def _eq(term: str):
+        # NB: a default-arg lambda would have arity 2, which F.filter
+        # interprets as the (element, index) form — close over instead
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(F.col("__tk"), _eq(t)))
+        .cast("double")
+        .alias(f"__tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    tfd = toked.select(
+        "doc_id", F.size("__tk").cast("double").alias("dl"), *tf_cols
+    )
+    stats = tfd.agg(
+        F.count("*").cast("double").alias("N"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long"))
+            .cast("double")
+            .alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = tfd.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"__tf_{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("N") - F.col(f"__df_{i}") + F.lit(0.5))
+            / (F.col(f"__df_{i}") + F.lit(0.5))
+        )
+        part = (
+            idf
+            * (tf * F.lit(k1 + 1.0))
+            / (
+                tf
+                + F.lit(k1)
+                * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = part if score is None else score + part
+    scored = joined.select("doc_id", F.round(score, 6).alias("bm25"))
+    return scored.orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    ).limit(topk)
+
+
 def repetition_frame(docs, text: str = "text", keep: Sequence[str] = ("lang",)):
     """Within-document repetition signals, fully map-side (zero shuffle).
 

@@ -562,6 +562,28 @@ def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 VOCAB_TOP_K = 200
 
 
+#: BM25 constants for the oracle-checked query: a 4-term query mixing
+#: common and mid-frequency corpus vocabulary, Lucene-default k1/b
+BM25_TERMS = ("hash", "join", "vector", "merge")
+BM25_K1, BM25_B, BM25_TOPK = 1.2, 0.75, 20
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval over the corpus
+    (functions.text.bm25_frame): one scan for term frequencies, one
+    broadcast stats row (N, avgdl, per-term df), arithmetic scoring,
+    TakeOrderedAndProject top-k. The oracle replays the identical
+    operation-ordered formula in DuckDB; ROUND(…,6) before ranking
+    absorbs libm ln ulp differences."""
+    return T.bm25_frame(
+        _docs(spark, sf_dir),
+        BM25_TERMS,
+        k1=BM25_K1,
+        b=BM25_B,
+        topk=BM25_TOPK,
+    )
+
+
 #: chunking geometry for the oracle-checked query: 64-token windows
 #: with a 16-token overlap (stride 48) — the common RAG/pretrain shape
 CHUNK_SIZE, CHUNK_OVERLAP = 64, 16
@@ -2177,6 +2199,44 @@ LIMIT 20"""
 
 # MERGE relation replay: anti-join survivors ∪ live updates, balances
 # via the exact integer-cents sum (same spelling both engines).
+def _bm25_oracle() -> str:
+    """BM25 replay: per-term tf/df and the score chain in EXACTLY the
+    operation order the Spark expression uses (left-associative sums
+    and products), so the only cross-engine difference is libm ln at
+    the ulp level — absorbed by ROUND(…,6) before ranking."""
+    k1, b = BM25_K1, BM25_B
+    tf_defs = ",\n    ".join(
+        f"CAST(len(list_filter(tk, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_defs = ",\n    ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    parts = " + ".join(
+        f"ln(1.0 + (N - df{i} + 0.5) / (df{i} + 0.5)) * (tf{i} * {k1 + 1.0})"
+        f" / (tf{i} + {k1} * (1.0 - {b} + {b} * dl / avgdl))"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""WITH {_TOKS},
+tf AS (
+  SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl,
+    {tf_defs}
+  FROM toks
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS N, avg(dl) AS avgdl,
+    {df_defs}
+  FROM tf
+)
+SELECT doc_id, ROUND({parts}, 6) AS bm25
+FROM tf CROSS JOIN stats
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {BM25_TOPK}"""
+
+
+ORACLES["ns_text_bm25"] = _bm25_oracle()
+
 ORACLES["ns_merge_upsert"] = """WITH t AS (
   SELECT c_custkey AS cust_id, ROUND(c_acctbal, 2) AS balance,
          'base' AS src
@@ -2514,6 +2574,7 @@ QUERIES = {
     "ns_text_langid": q_text_langid,
     "ns_text_gopher": q_text_gopher,
     "ns_text_chunks": q_text_chunks,
+    "ns_text_bm25": q_text_bm25,
     "ns_text_fingerprint": q_text_fingerprint,
     "ns_text_repetition": q_text_repetition,
     "ns_text_vocab": q_text_vocab,

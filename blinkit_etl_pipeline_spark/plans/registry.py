@@ -35,6 +35,7 @@ PRIORITY = [
     # r5 additions
     "ns_media_gif",
     "ns_text_chunks",
+    "ns_text_bm25",
 ]
 
 

@@ -161,3 +161,42 @@ def test_chunk_frame_rejects_bad_geometry(spark):
         T.chunk_frame(docs, size=0)
     with pytest.raises(ValueError):
         T.chunk_frame(docs, size=8, overlap=8)
+
+
+def test_bm25_frame_matches_hand_computation(spark):
+    """BM25 on a 3-doc corpus vs the formula computed in plain Python
+    (Lucene idf spelling, k1=1.2 b=0.75)."""
+    import math
+
+    from blinkit_etl_pipeline_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles data fast"),
+            (2, "spark spark joins data"),
+            (3, "a b c d e f g h"),
+        ],
+        "doc_id bigint, text string",
+    )
+    terms, k1, b = ("spark", "data"), 1.2, 0.75
+    out = {r["doc_id"]: r["bm25"] for r in
+           T.bm25_frame(docs, terms, k1=k1, b=b, topk=3).collect()}
+
+    corpus = {1: "spark shuffles data fast".split(),
+              2: "spark spark joins data".split(),
+              3: "a b c d e f g h".split()}
+    N = 3.0
+    avgdl = (4 + 4 + 8) / 3.0
+    for d, toks in corpus.items():
+        score = 0.0
+        for t in terms:
+            tf = float(toks.count(t))
+            df = float(sum(1 for tk in corpus.values() if t in tk))
+            idf = math.log(1.0 + (N - df + 0.5) / (df + 0.5))
+            score += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(toks) / avgdl)
+            )
+        assert out[d] == round(score, 6), d
+    # ranking: doc 2 (two 'spark') above doc 1, doc 3 at zero
+    ordered = sorted(out, key=lambda d: (-out[d], d))
+    assert ordered == [2, 1, 3] and out[3] == 0.0

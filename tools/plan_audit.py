@@ -53,6 +53,7 @@ NOTES = {
     "ns_dedup_semantic": "k derives from corpus count (sqrt balance) — assignment n*k and within-cluster n^2/k both O(n^1.5); sf0.01 resolves to the pinned artifact",
     "ns_media_gif": "JVM-synthesized container (byte-aligned LZW via periodic CLEAR); single Arrow decode stage",
     "ns_text_chunks": "token-window chunking: staged token array + explode(sequence); one scan, zero shuffle, zero UDF",
+    "ns_text_bm25": "one scan for tf, ONE broadcast stats row (N/avgdl/df), arithmetic scoring, TakeOrderedAndProject top-k",
     "ns_ann_ivf_topk": "codebook assign = zero-shuffle Arrow matmul; probe scans nprobe/num_centroids of corpus",
     "ns_asof_attribution": "as-of via union-merge: one key shuffle, no range cross-product; both scans filter-pushed",
     "ns_media_features": "single Arrow-batched mapInPandas stage; schema fixed, no driver collect",
