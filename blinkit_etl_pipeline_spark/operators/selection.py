@@ -120,3 +120,81 @@ def weighted_sample(
     return df.filter(
         gate < F.col(weight_col) * F.lit(float(scale) * GATE_MOD)
     )
+
+
+def mixture_rates(
+    docs: DataFrame,
+    targets_ppm: dict[str, int],
+    *,
+    source: str = "source",
+) -> DataFrame:
+    """Static data-mixing plan (Pile/DoReMi-style fixed mixture): given
+    target mixture WEIGHTS per source (parts-per-million, summing to ≤
+    1e6), derive the largest feasible corpus honoring them without
+    oversampling, and each source's deterministic keep rate.
+
+    All arithmetic is exact integer ppm — ``T = min_s(n_s·1e6 div w_s)``
+    is the largest total for which every source can supply its share;
+    ``keep_s = T·w_s div 1e6``, ``rate_s = keep_s·1e6 div n_s`` (floors
+    make the plan conservative, never oversampling a source). One
+    partial-aggregated ``groupBy(source)`` (source cardinality is
+    bounded — this is a catalog, not data) and a broadcast scalar
+    attach; nothing scales with corpus size except the count scan.
+
+    Returns (source, n_obs, w_ppm, keep_target, rate_ppm) for sources
+    with positive weight.
+    """
+    if not targets_ppm:
+        raise ValueError("targets_ppm must be non-empty")
+    if sum(targets_ppm.values()) > GATE_MOD:
+        raise ValueError("mixture weights exceed 1e6 ppm")
+    if any(w <= 0 for w in targets_ppm.values()):
+        raise ValueError("mixture weights must be positive")
+    w_col: Column = F.lit(0)
+    for value, w in sorted(targets_ppm.items()):
+        w_col = F.when(F.col(source) == value, F.lit(int(w))).otherwise(w_col)
+    counts = (
+        docs.groupBy(source)
+        .agg(F.count("*").cast("bigint").alias("n_obs"))
+        .withColumn("w_ppm", w_col.cast("bigint"))
+        .filter(F.col("w_ppm") > 0)
+    )
+    feasible = counts.agg(
+        F.min(F.expr(f"n_obs * {GATE_MOD} div w_ppm")).alias("t_max")
+    )
+    return (
+        counts.crossJoin(F.broadcast(feasible))
+        .select(
+            source,
+            "n_obs",
+            "w_ppm",
+            F.least(
+                F.col("n_obs"),
+                F.expr(f"t_max * w_ppm div {GATE_MOD}"),
+            ).alias("keep_target"),
+        )
+        .withColumn(
+            "rate_ppm", F.expr(f"keep_target * {GATE_MOD} div n_obs")
+        )
+    )
+
+
+def apply_mixture(
+    docs: DataFrame,
+    rates: DataFrame,
+    *,
+    source: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Execute a :func:`mixture_rates` plan: broadcast the (bounded)
+    per-source rate table and hash-gate each row — map-side except the
+    broadcast, idempotent under retries, incremental-data-stable (same
+    guarantees as :func:`stratified_sample`). Sources without a plan
+    row are dropped (weight 0)."""
+    joined = docs.join(
+        F.broadcast(rates.select(source, "rate_ppm")), source, "inner"
+    )
+    return joined.filter(
+        _gate(F.col(id_col), salt) < F.col("rate_ppm")
+    ).drop("rate_ppm")

@@ -746,6 +746,57 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: mixture targets (ppm, sum = 1e6) over 8 of the 20 synthetic sources
+#: — deliberately non-uniform so every floor in the plan arithmetic is
+#: exercised; the other 12 sources get weight 0 (dropped)
+MIX_TARGETS_PPM = {
+    "src0": 250_000,
+    "src1": 200_000,
+    "src2": 150_000,
+    "src3": 125_000,
+    "src4": 100_000,
+    "src5": 75_000,
+    "src6": 60_000,
+    "src7": 40_000,
+}
+
+
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static data mixing (operators/selection.py::mixture_rates /
+    apply_mixture): derive the largest feasible corpus honoring fixed
+    per-source mixture weights, hash-gate each source to its rate, and
+    report plan vs realized — (source, n_obs, w_ppm, keep_target,
+    rate_ppm, n_kept, realized_share_ppm). Exact integer-ppm
+    arithmetic end-to-end; the only corpus-sized work is two count
+    scans (plan + realized), everything else is bounded by source
+    cardinality."""
+    docs = _docs(spark, sf_dir)
+    plan = selection.mixture_rates(docs, MIX_TARGETS_PPM)
+    kept = selection.apply_mixture(docs, plan)
+    kept_counts = kept.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_kept")
+    )
+    total = kept_counts.agg(
+        F.sum("n_kept").cast("bigint").alias("total_kept")
+    )
+    return (
+        plan.join(kept_counts, "source", "left")
+        .withColumn("n_kept", F.coalesce(F.col("n_kept"), F.lit(0)))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_obs",
+            "w_ppm",
+            "keep_target",
+            "rate_ppm",
+            "n_kept",
+            F.expr("n_kept * 1000000 div total_kept")
+            .cast("bigint")
+            .alias("realized_share_ppm"),
+        )
+    )
+
+
 def q_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted importance sampling: keep probability equals the
     document's quality score — the soft-curation alternative to a hard
@@ -2581,6 +2632,7 @@ QUERIES = {
     "ns_pii_scrub": q_pii_scrub,
     "ns_pipeline_curation": q_pipeline_curation,
     "ns_sample_stratified": q_sample_stratified,
+    "ns_mix_sources": q_mix_sources,
     "ns_sample_quality_weighted": q_sample_quality_weighted,
     "ns_split_hash": q_split_hash,
     "ns_decontam_overlap": q_decontam_overlap,
@@ -2844,6 +2896,41 @@ GROUP BY train_doc_id, test_doc_id"""
 ORACLES["ns_decontam_overlap"] = _decontam_oracle()
 
 ORACLES["ns_pipeline_curation"] = _curation_oracle()
+
+def _mix_oracle() -> str:
+    """Mixture replay: the identical integer-ppm plan arithmetic
+    (DuckDB `//` == Spark `div` on BIGINTs) plus the shared hash gate."""
+    vals = ", ".join(f"('{s}', {w})" for s, w in sorted(MIX_TARGETS_PPM.items()))
+    gate = _H.format(x="CAST(d.doc_id AS VARCHAR) || ':mix'")
+    return f"""WITH w(source, w_ppm) AS (VALUES {vals}),
+c AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_obs,
+    CAST(w.w_ppm AS BIGINT) AS w_ppm
+  FROM documents d JOIN w ON d.source = w.source
+  GROUP BY d.source, w.w_ppm
+),
+t AS (SELECT min(n_obs * 1000000 // w_ppm) AS t_max FROM c),
+plan AS (
+  SELECT source, n_obs, w_ppm,
+    least(n_obs, t_max * w_ppm // 1000000) AS keep_target,
+    least(n_obs, t_max * w_ppm // 1000000) * 1000000 // n_obs AS rate_ppm
+  FROM c CROSS JOIN t
+),
+kept AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+  FROM documents d JOIN plan p ON d.source = p.source
+  WHERE {gate} % 1000000 < p.rate_ppm
+  GROUP BY d.source
+),
+tot AS (SELECT sum(n_kept) AS total_kept FROM kept)
+SELECT p.source, p.n_obs, p.w_ppm, p.keep_target, p.rate_ppm,
+  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+  CAST(COALESCE(k.n_kept, 0) * 1000000 // total_kept AS BIGINT)
+    AS realized_share_ppm
+FROM plan p LEFT JOIN kept k ON p.source = k.source CROSS JOIN tot"""
+
+
+ORACLES["ns_mix_sources"] = _mix_oracle()
 
 ORACLES["ns_sample_stratified"] = f"""SELECT doc_id, lang, source
 FROM documents

@@ -36,6 +36,7 @@ PRIORITY = [
     "ns_media_gif",
     "ns_text_chunks",
     "ns_text_bm25",
+    "ns_mix_sources",
 ]
 
 

@@ -200,3 +200,44 @@ def test_bm25_frame_matches_hand_computation(spark):
     # ranking: doc 2 (two 'spark') above doc 1, doc 3 at zero
     ordered = sorted(out, key=lambda d: (-out[d], d))
     assert ordered == [2, 1, 3] and out[3] == 0.0
+
+
+def test_mixture_rates_feasibility_and_floors(spark):
+    """The plan must pick the largest total for which NO source is
+    oversampled: the tightest source pins T, every keep_target stays
+    <= n_obs, and floors always round the conservative way."""
+    from blinkit_etl_pipeline_spark.operators import selection
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 10 else ("b" if i < 110 else "c"))
+         for i in range(1110)],
+        "doc_id bigint, source string",
+    )  # a:10, b:100, c:1000
+    plan = {r["source"]: r for r in selection.mixture_rates(
+        docs, {"a": 500_000, "b": 300_000, "c": 200_000}
+    ).collect()}
+    # T = min(10/0.5, 100/0.3, 1000/0.2) = 20 → keeps 10/6/4
+    assert plan["a"]["keep_target"] == 10 and plan["a"]["rate_ppm"] == 1_000_000
+    assert plan["b"]["keep_target"] == 6 and plan["b"]["rate_ppm"] == 60_000
+    assert plan["c"]["keep_target"] == 4 and plan["c"]["rate_ppm"] == 4_000
+    kept = selection.apply_mixture(docs, selection.mixture_rates(
+        docs, {"a": 500_000, "b": 300_000, "c": 200_000}))
+    # deterministic: same result every run; unplanned sources dropped
+    assert kept.count() == selection.apply_mixture(
+        docs, selection.mixture_rates(
+            docs, {"a": 500_000, "b": 300_000, "c": 200_000})).count()
+    assert kept.filter("source = 'a'").count() == 10  # rate 1e6 keeps all
+
+
+def test_mixture_rates_rejects_bad_weights(spark):
+    import pytest
+
+    from blinkit_etl_pipeline_spark.operators import selection
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id bigint, source string")
+    with pytest.raises(ValueError):
+        selection.mixture_rates(docs, {})
+    with pytest.raises(ValueError):
+        selection.mixture_rates(docs, {"a": 600_000, "b": 600_000})
+    with pytest.raises(ValueError):
+        selection.mixture_rates(docs, {"a": 0})
