@@ -287,3 +287,30 @@ def test_funnel_strict_ordering_semantics(spark):
     assert out["purchase"]["users_reached"] == 1  # u1
     assert abs(out["click"]["conversion_from_prev"] - 2 / 5) < 1e-9
     assert abs(out["purchase"]["conversion_from_prev"] - 1 / 2) < 1e-9
+
+
+@given(
+    mcs=st.integers(min_value=2, max_value=8),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_lzw_roundtrip_property(mcs, data):
+    """GIF-LZW invariant: decode(encode(s)) == s for ANY symbol stream
+    within the alphabet — random lengths, runs, and repetition levels,
+    across every legal minimum code size (hypothesis-driven; the
+    corruption direction is covered by the fuzz test)."""
+    from blinkit_etl_pipeline_spark.functions.gif import lzw_decode
+    from test_multimodal import _lzw_encode
+
+    alphabet = 1 << mcs
+    stream = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=alphabet - 1),
+                min_size=0,
+                max_size=3000,
+            )
+        )
+    )
+    encoded = _lzw_encode(mcs, stream)
+    assert lzw_decode(mcs, encoded, max_pixels=max(len(stream), 1)) == stream
