@@ -33,6 +33,20 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+#: Hive escapePathName charset (mirrors Spark's ExternalCatalogUtils):
+#: control chars plus the characters below are %XX-encoded in partition
+#: directory names — matching what ``partitionBy`` itself writes, so
+#: the explicit per-partition overwrite targets the same directory.
+_ESCAPE_CHARS = set('"#%\'*/:=?\\\x7f{[]^') | {chr(c) for c in range(0x20)}
+
+
+def _escape_partition_value(v) -> str:
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _ESCAPE_CHARS else ch for ch in str(v)
+    )
+
 
 def merge_upsert(
     target: DataFrame,
@@ -193,7 +207,7 @@ def merge_into_partitioned(
     merged = merged.localCheckpoint(eager=True)
     for combo in touched:
         subdir = "/".join(
-            f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+            f"{c}={_escape_partition_value(v)}"
             for c, v in zip(partition_cols, combo)
         )
         # empty result still overwrites: the old files are cleared

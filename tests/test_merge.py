@@ -200,3 +200,27 @@ def test_merge_into_partitioned_detects_moved_keys(spark, tmp_path):
     )
     got = _rows(spark.read.parquet(path).select("k", "v", "part"))
     assert got == [(1, "A", 0), (2, "b", 1)]
+
+
+def test_merge_into_partitioned_escapes_special_partition_values(
+    spark, tmp_path
+):
+    """Partition values containing Hive-escaped characters (= / : %)
+    must merge into the SAME %XX-encoded directory partitionBy writes —
+    a raw f-string path would create a sibling directory and duplicate
+    the partition."""
+    path = str(tmp_path / "cow_esc")
+    spark.createDataFrame(
+        [(1, "a", "x=1/y:2"), (2, "b", "plain")],
+        "k bigint, v string, part string",
+    ).write.partitionBy("part").parquet(path)
+
+    updates = spark.createDataFrame(
+        [(1, "A", "x=1/y:2"), (9, "new", "x=1/y:2")],
+        "k bigint, v string, part string",
+    )
+    touched = merge.merge_into_partitioned(spark, path, updates, ["k"], ["part"])
+    assert touched == [("x=1/y:2",)]
+    assert os.path.isdir(f"{path}/part=x%3D1%2Fy%3A2")
+    got = _rows(spark.read.parquet(path).select("k", "v", "part"))
+    assert got == [(1, "A", "x=1/y:2"), (2, "b", "plain"), (9, "new", "x=1/y:2")]
