@@ -290,7 +290,15 @@ def bm25_frame(
     """
     if not terms:
         raise ValueError("terms must be non-empty")
-    toked = docs.select("doc_id", tokens(F.col(text)).alias("__tk"))
+    # NULL text normalizes to an empty token array (dl=0, tf=0) — the
+    # unguarded spelling would flow legacy size(NULL) = -1 into avgdl
+    # and the tf numerators, silently skewing every score
+    toked = docs.select(
+        "doc_id",
+        F.coalesce(
+            tokens(F.col(text)), F.array().cast("array<string>")
+        ).alias("__tk"),
+    )
 
     def _eq(term: str):
         # NB: a default-arg lambda would have arity 2, which F.filter

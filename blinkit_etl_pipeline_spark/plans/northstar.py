@@ -2270,10 +2270,11 @@ def _bm25_oracle() -> str:
         for i in range(len(BM25_TERMS))
     )
     return f"""WITH {_TOKS},
+tkn AS (SELECT doc_id, COALESCE(tk, []) AS tk FROM toks),
 tf AS (
   SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl,
     {tf_defs}
-  FROM toks
+  FROM tkn
 ),
 stats AS (
   SELECT CAST(count(*) AS DOUBLE) AS N, avg(dl) AS avgdl,

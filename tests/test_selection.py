@@ -241,3 +241,20 @@ def test_mixture_rates_rejects_bad_weights(spark):
         selection.mixture_rates(docs, {"a": 600_000, "b": 600_000})
     with pytest.raises(ValueError):
         selection.mixture_rates(docs, {"a": 0})
+
+
+def test_bm25_frame_null_text_counts_as_empty_doc(spark):
+    """NULL text must behave as an empty document (dl=0, score 0) —
+    not poison avgdl with legacy size(NULL) = -1."""
+    from blinkit_etl_pipeline_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "spark data"), (2, None), (3, "spark")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["bm25"] for r in
+           T.bm25_frame(docs, ("spark",), topk=3).collect()}
+    assert out[2] == 0.0
+    # avgdl = (2+0+1)/3 = 1.0; doc3 (shorter-than-avg... exactly tf=1)
+    # must strictly outrank doc1 (longer doc, same tf)
+    assert out[3] > out[1] > 0.0
