@@ -159,15 +159,19 @@ def mixture_rates(
         .withColumn("w_ppm", w_col.cast("bigint"))
         .filter(F.col("w_ppm") > 0)
     )
+    return _plan_from_counts(counts)
+
+
+def _plan_from_counts(counts: DataFrame) -> DataFrame:
+    """Shared feasible-corpus arithmetic over a (source, n_obs, w_ppm)
+    frame — see :func:`mixture_rates` for the semantics."""
     feasible = counts.agg(
         F.min(F.expr(f"n_obs * {GATE_MOD} div w_ppm")).alias("t_max")
     )
     return (
         counts.crossJoin(F.broadcast(feasible))
         .select(
-            source,
-            "n_obs",
-            "w_ppm",
+            *[c for c in counts.columns if c != "t_max"],
             F.least(
                 F.col("n_obs"),
                 F.expr(f"t_max * w_ppm div {GATE_MOD}"),
@@ -177,6 +181,47 @@ def mixture_rates(
             "rate_ppm", F.expr(f"keep_target * {GATE_MOD} div n_obs")
         )
     )
+
+
+def temperature_mixture_plan(
+    docs: DataFrame,
+    *,
+    source: str = "source",
+) -> DataFrame:
+    """Temperature-scaled mixing at α = 0.5 (the classic "square-root
+    sampling" of multilingual pretraining — upweight small sources,
+    damp dominant ones): weights derive from the observed counts,
+    ``w_s ∝ sqrt(n_s)``, then the same feasible-corpus plan as
+    :func:`mixture_rates`.
+
+    Exactness: IEEE ``sqrt`` is correctly rounded (unlike ``pow``/
+    ``ln``), and it is immediately quantized — ``q_s = floor(sqrt(n_s)
+    · 2^20)`` — so the normalization sum is an INTEGER sum
+    (order-independent) and every engine derives identical ppm
+    weights; a general-α ``pow`` would reintroduce libm ulp drift
+    into a floor boundary. Same bounded-cardinality scale shape as
+    :func:`mixture_rates`.
+    """
+    counts = docs.groupBy(source).agg(
+        F.count("*").cast("bigint").alias("n_obs")
+    )
+    q = counts.withColumn(
+        "q_s",
+        F.floor(F.sqrt(F.col("n_obs").cast("double")) * (1 << 20)).cast(
+            "bigint"
+        ),
+    )
+    total = q.agg(F.sum("q_s").cast("bigint").alias("q_total"))
+    weighted = (
+        q.crossJoin(F.broadcast(total))
+        .select(
+            source,
+            "n_obs",
+            F.expr(f"q_s * {GATE_MOD} div q_total").alias("w_ppm"),
+        )
+        .filter(F.col("w_ppm") > 0)
+    )
+    return _plan_from_counts(weighted)
 
 
 def apply_mixture(

@@ -797,6 +797,17 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixing at α = 0.5 (square-root sampling —
+    the multilingual-pretraining standard for damping dominant
+    sources): weights derive from observed counts via exactly-rounded
+    IEEE sqrt quantized to integers BEFORE normalization, so the plan
+    is bit-identical on every engine; then the same feasible-corpus
+    integer arithmetic as ns_mix_sources
+    (operators/selection.py::temperature_mixture_plan)."""
+    return selection.temperature_mixture_plan(_docs(spark, sf_dir))
+
+
 def q_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted importance sampling: keep probability equals the
     document's quality score — the soft-curation alternative to a hard
@@ -2634,6 +2645,7 @@ QUERIES = {
     "ns_pipeline_curation": q_pipeline_curation,
     "ns_sample_stratified": q_sample_stratified,
     "ns_mix_sources": q_mix_sources,
+    "ns_mix_temperature": q_mix_temperature,
     "ns_sample_quality_weighted": q_sample_quality_weighted,
     "ns_split_hash": q_split_hash,
     "ns_decontam_overlap": q_decontam_overlap,
@@ -2932,6 +2944,32 @@ FROM plan p LEFT JOIN kept k ON p.source = k.source CROSS JOIN tot"""
 
 
 ORACLES["ns_mix_sources"] = _mix_oracle()
+
+# Temperature (α=0.5) mixing replay: floor(sqrt·2^20) quantization
+# BEFORE normalization keeps everything integer (IEEE sqrt is exactly
+# rounded, so both engines quantize identically); then the shared
+# feasible-corpus arithmetic.
+ORACLES["ns_mix_temperature"] = """WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_obs
+  FROM documents GROUP BY source
+),
+q AS (
+  SELECT source, n_obs,
+    CAST(floor(sqrt(CAST(n_obs AS DOUBLE)) * 1048576) AS BIGINT) AS q_s
+  FROM c
+),
+tq AS (SELECT CAST(sum(q_s) AS BIGINT) AS q_total FROM q),
+w AS (
+  SELECT source, n_obs, CAST(q_s * 1000000 // q_total AS BIGINT) AS w_ppm
+  FROM q CROSS JOIN tq
+  WHERE q_s * 1000000 // q_total > 0
+),
+t AS (SELECT min(n_obs * 1000000 // w_ppm) AS t_max FROM w)
+SELECT source, n_obs, w_ppm,
+  CAST(least(n_obs, t_max * w_ppm // 1000000) AS BIGINT) AS keep_target,
+  CAST(least(n_obs, t_max * w_ppm // 1000000) * 1000000 // n_obs AS BIGINT)
+    AS rate_ppm
+FROM w CROSS JOIN t"""
 
 ORACLES["ns_sample_stratified"] = f"""SELECT doc_id, lang, source
 FROM documents

@@ -37,6 +37,7 @@ PRIORITY = [
     "ns_text_chunks",
     "ns_text_bm25",
     "ns_mix_sources",
+    "ns_mix_temperature",
 ]
 
 

@@ -258,3 +258,28 @@ def test_bm25_frame_null_text_counts_as_empty_doc(spark):
     # avgdl = (2+0+1)/3 = 1.0; doc3 (shorter-than-avg... exactly tf=1)
     # must strictly outrank doc1 (longer doc, same tf)
     assert out[3] > out[1] > 0.0
+
+
+def test_temperature_mixture_upweights_small_sources(spark):
+    """alpha=0.5 temperature weights: a 100:1 source imbalance becomes
+    a 10:1 weight ratio (sqrt), so the small source's plan share rises;
+    quantized-integer normalization keeps the plan deterministic."""
+    from blinkit_etl_pipeline_spark.operators import selection
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 10000 else "small") for i in range(10100)],
+        "doc_id bigint, source string",
+    )  # big:10000, small:100 → sqrt 100:10 → weights ~909090/90909 ppm
+    plan = {r["source"]: r for r in
+            selection.temperature_mixture_plan(docs).collect()}
+    assert plan["big"]["w_ppm"] == 909_090
+    assert plan["small"]["w_ppm"] == 90_909
+    # raw share of small = 100/10100 ≈ 0.99%; temperature share ≈ 9.1%
+    assert plan["small"]["w_ppm"] > 9 * (100 * 1_000_000 // 10_100) // 10
+    # feasibility: T = min(1e10 div 909090, 1e8 div 90909) = 1100;
+    # conservative floors: keep = T*w div 1e6 → 99 / 999 (never rounds
+    # a source ABOVE its weight-implied share)
+    assert plan["small"]["keep_target"] == 99
+    assert plan["big"]["keep_target"] == 999
+    # realized ratio stays within one ulp-of-ppm of 10:1
+    assert abs(plan["big"]["keep_target"] / plan["small"]["keep_target"] - 10) < 0.2
