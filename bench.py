@@ -41,6 +41,11 @@ HEADLINE = [
     "ns_text_stats",
     "ns_events_sessionize",
     "ns_media_features",
+    # r5 additions
+    "ns_media_gif",
+    "ns_text_chunks",
+    "ns_text_bm25",
+    "ns_mix_sources",
 ]
 
 

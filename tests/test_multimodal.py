@@ -673,3 +673,22 @@ def test_synthesized_gif_is_valid_and_exact(spark):
             j = (mid * multimodal.PIX_A + i * multimodal.PIX_B) % 128
             expect += bytes(((2 * j) % 256, (3 * j) % 256, (5 * j + 7) % 256))
         assert raster == bytes(expect), mid
+
+
+def test_gif_lzw_dictionary_full_reset_roundtrips():
+    """Drive the dictionary to the 4096-entry cap so the encoder emits
+    a mid-stream CLEAR and the decoder resets widths 9→10→11→12 and
+    back — the deepest LZW path, untouched by shorter streams."""
+    import random
+
+    from blinkit_etl_pipeline_spark.functions.gif import lzw_decode
+
+    rng = random.Random(21)
+    stream = bytes(rng.randrange(256) for _ in range(30_000))
+    data = _lzw_encode(8, stream)
+    assert lzw_decode(8, data, max_pixels=len(stream)) == stream
+    # low-entropy variant: long runs reach the cap with fewer symbols
+    runs = b"".join(bytes([i % 7]) * 40 for i in range(1200))
+    data = _lzw_encode(2, bytes(b % 4 for b in runs))
+    dec = lzw_decode(2, data, max_pixels=len(runs))
+    assert dec == bytes(b % 4 for b in runs)
