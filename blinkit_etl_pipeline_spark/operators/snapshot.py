@@ -1,0 +1,287 @@
+"""Snapshot table layer: versioned manifests over immutable parquet.
+
+The reference's curated layer is plain ``mode("overwrite")`` parquet
+(`code-files/etl-scripts/01_sales_etl.py:96-101`) — a reader racing a
+rewrite sees partial data, and there is no history. Delta/Iceberg/Hudi
+solve this with an immutable-data-files + versioned-metadata design;
+this module is that design's minimal honest spelling over plain parquet
+and a filesystem, Spark-first:
+
+- data files are immutable, written once under ``<table>/data/`` with a
+  unique prefix per commit;
+- each commit writes a JSON manifest ``<table>/_manifests/v{N}.json``
+  listing its data files (with per-file key-range stats), then
+  atomically swings the ``_latest`` pointer (``os.replace``) — readers
+  resolve a manifest ONCE and then read only immutable files, so a
+  concurrent commit can never tear a read (snapshot isolation);
+- old versions stay readable (time travel) until explicitly vacuumed;
+  ``rollback`` is just a new manifest re-listing an old version's files.
+
+MERGE is copy-on-write at FILE granularity: the manifest's per-file
+min/max of the merge key prunes the rewrite set — only files whose key
+range intersects the update batch are read and rewritten; untouched
+files are carried into the new manifest by reference. At 100 TB that is
+the difference between rewriting a table and rewriting the handful of
+files a CDC batch actually touches. The pruning join is
+manifest(rows = files, tiny) × update-keys — broadcast, never a scan
+of the table.
+
+Scope (honest): single-writer commit protocol (``os.replace`` gives
+atomic visibility, not multi-writer conflict detection), local/posix
+paths, one clustering key for file stats. Concurrent WRITERS need a
+lock or a conditional-put store, as early Delta on S3 did.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_DIR = "_manifests"
+DATA_DIR = "data"
+
+
+class SnapshotError(RuntimeError):
+    pass
+
+
+def _manifest_path(table: str, version: int) -> str:
+    return os.path.join(table, MANIFEST_DIR, f"v{version:06d}.json")
+
+
+def _latest_pointer(table: str) -> str:
+    return os.path.join(table, MANIFEST_DIR, "_latest")
+
+
+def current_version(table: str) -> int | None:
+    try:
+        with open(_latest_pointer(table)) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def read_manifest(table: str, version: int | None = None) -> dict:
+    if version is None:
+        version = current_version(table)
+        if version is None:
+            raise SnapshotError(f"no snapshot table at {table}")
+    try:
+        with open(_manifest_path(table, version)) as f:
+            return json.load(f)
+    except FileNotFoundError as e:
+        raise SnapshotError(
+            f"version {version} does not exist at {table}"
+        ) from e
+
+
+def _file_stats(path: str, stats_col: str | None) -> dict:
+    entry: dict = {"path": path}
+    if stats_col is not None:
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(path).metadata
+        idx = {
+            meta.schema.column(i).name: i for i in range(meta.num_columns)
+        }.get(stats_col)
+        if idx is not None:
+            mins, maxs = [], []
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    mins, maxs = [], []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins:
+                entry["min"], entry["max"] = min(mins), max(maxs)
+    return entry
+
+
+def _write_data_files(
+    df: DataFrame, table: str, stats_col: str | None
+) -> list[dict]:
+    """Write df as immutable parquet under data/<commit-uuid>/ and
+    return manifest entries (path + key-range stats from footers)."""
+    commit_id = uuid.uuid4().hex[:12]
+    out_dir = os.path.join(table, DATA_DIR, commit_id)
+    if stats_col is not None and stats_col in df.columns:
+        # cluster by the stats key so file ranges are tight => pruning
+        # actually prunes (a random layout makes every range overlap)
+        df = df.repartitionByRange(
+            max(df.sparkSession.sparkContext.defaultParallelism // 4, 1),
+            F.col(stats_col),
+        ).sortWithinPartitions(stats_col)
+    df.write.parquet(out_dir)
+    files = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
+    return [_file_stats(f, stats_col) for f in files]
+
+
+def _commit(table: str, files: list[dict], *, stats_col: str | None) -> int:
+    prev = current_version(table)
+    version = 1 if prev is None else prev + 1
+    os.makedirs(os.path.join(table, MANIFEST_DIR), exist_ok=True)
+    manifest = {
+        "version": version,
+        "ts": time.time(),
+        "stats_col": stats_col,
+        "files": files,
+    }
+    mpath = _manifest_path(table, version)
+    if os.path.exists(mpath):
+        raise SnapshotError(
+            f"concurrent commit detected: {mpath} already exists"
+        )
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, mpath)
+    # pointer swing is the commit point: readers either see the old
+    # version or the new one, never a partial state
+    ptmp = _latest_pointer(table) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(ptmp, "w") as f:
+        f.write(str(version))
+    os.replace(ptmp, _latest_pointer(table))
+    return version
+
+
+def write_snapshot(
+    df: DataFrame, table: str, *, stats_col: str | None = None
+) -> int:
+    """Create version 1 (or a full-overwrite new version) from ``df``."""
+    files = _write_data_files(df, table, stats_col)
+    return _commit(table, files, stats_col=stats_col)
+
+
+def append_snapshot(
+    df: DataFrame, table: str, *, stats_col: str | None = None
+) -> int:
+    """New version = previous version's files (by reference) + ``df``'s
+    new files. No existing file is read or rewritten."""
+    manifest = read_manifest(table)
+    new_files = _write_data_files(df, table, stats_col or manifest.get("stats_col"))
+    return _commit(
+        table,
+        list(manifest["files"]) + new_files,
+        stats_col=manifest.get("stats_col"),
+    )
+
+
+def read_snapshot(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Read a (possibly historical) version: resolve its manifest once,
+    then scan only the immutable files it lists."""
+    manifest = read_manifest(table, version)
+    paths = [e["path"] for e in manifest["files"]]
+    if not paths:
+        raise SnapshotError(f"version {manifest['version']} lists no files")
+    return spark.read.parquet(*paths)
+
+
+def rollback_snapshot(table: str, version: int) -> int:
+    """Commit a NEW version whose file list is ``version``'s — history
+    is never rewritten, so the bad versions stay inspectable."""
+    manifest = read_manifest(table, version)
+    return _commit(
+        table, list(manifest["files"]), stats_col=manifest.get("stats_col")
+    )
+
+
+def merge_snapshot(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    *,
+    delete_col: str | None = None,
+    version_col: str | None = None,
+) -> tuple[int, list[str]]:
+    """File-granular copy-on-write MERGE (see module docstring).
+
+    Returns ``(new_version, rewritten_file_paths)``. Files whose
+    manifest key range does not intersect the update batch's keys are
+    carried by reference; matched-key semantics are
+    :func:`operators.merge.merge_upsert` over ONLY the touched files'
+    rows. Inserts (keys matching no file) land in the new files.
+
+    Pruning needs single-column ``stats_col == keys[0]`` stats in the
+    manifest; without them every file is "touched" (correct, just a
+    full rewrite — the plain-parquet behavior this layer improves on).
+    """
+    from .merge import merge_upsert
+
+    keys = list(keys)
+    manifest = read_manifest(table)
+    stats_col = manifest.get("stats_col")
+    entries = manifest["files"]
+    if stats_col == keys[0] and all("min" in e for e in entries):
+        # tiny frame: one row per FILE — broadcast against update keys
+        ktype = "string" if isinstance(entries[0]["min"], str) else "long"
+        ranges = spark.createDataFrame(
+            [(e["path"], e["min"], e["max"]) for e in entries],
+            f"path string, kmin {ktype}, kmax {ktype}",
+        )
+        touched_rows = (
+            updates.select(F.col(keys[0]).alias("__k"))
+            .distinct()
+            .join(
+                F.broadcast(ranges),
+                (F.col("__k") >= F.col("kmin"))
+                & (F.col("__k") <= F.col("kmax")),
+                "inner",
+            )
+            .select("path")
+            .distinct()
+            .collect()
+        )
+        touched = {r["path"] for r in touched_rows}
+    else:
+        touched = {e["path"] for e in entries}
+    untouched = [e for e in entries if e["path"] not in touched]
+    if touched:
+        base = spark.read.parquet(*sorted(touched))
+    else:
+        base = read_snapshot(spark, table).limit(0)
+    merged = merge_upsert(
+        base, updates, keys, delete_col=delete_col, version_col=version_col
+    )
+    new_files = _write_data_files(merged, table, stats_col)
+    version = _commit(table, untouched + new_files, stats_col=stats_col)
+    return version, sorted(touched)
+
+
+def expire_snapshots(table: str, keep_last: int = 1) -> list[str]:
+    """Vacuum: delete manifests older than the newest ``keep_last``
+    versions and any data file no remaining manifest references.
+    Time travel to expired versions stops working — that is the
+    explicit trade the retention window names."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    latest = current_version(table)
+    if latest is None:
+        raise SnapshotError(f"no snapshot table at {table}")
+    versions = sorted(
+        int(os.path.basename(p)[1:-5])
+        for p in glob.glob(os.path.join(table, MANIFEST_DIR, "v*.json"))
+    )
+    keep = set(versions[-keep_last:]) | {latest}
+    live: set[str] = set()
+    for v in keep:
+        live.update(e["path"] for e in read_manifest(table, v)["files"])
+    removed: list[str] = []
+    for v in versions:
+        if v not in keep:
+            os.remove(_manifest_path(table, v))
+    for f in glob.glob(os.path.join(table, DATA_DIR, "*", "*.parquet")):
+        if f not in live:
+            os.remove(f)
+            removed.append(f)
+    return sorted(removed)

@@ -74,11 +74,18 @@ class CompareResult:
 
 
 def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
+    import os
+
     con = duckdb.connect()
     try:
         for t in BASE_TABLES:
+            path = f"{sf_dir}/{t}.parquet"
+            # driver testdata ships single files; Spark-written scale
+            # corpora (tools/scale_testdata.py) are directories of parts
+            if os.path.isdir(path):
+                path = f"{path}/*.parquet"
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
             )
         return con.execute(sql).fetchdf()
     finally:

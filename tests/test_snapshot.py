@@ -1,0 +1,126 @@
+"""Snapshot table layer: atomic versions, time travel, file-granular
+copy-on-write MERGE with range pruning, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from blinkit_etl_pipeline_spark.operators import snapshot as S
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _mk(spark, lo, hi, tag):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.lit(tag).alias("v")
+    )
+
+
+def test_snapshot_versions_time_travel_and_rollback(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v1 = S.write_snapshot(_mk(spark, 0, 100, "a"), t, stats_col="k")
+    v2 = S.append_snapshot(_mk(spark, 100, 150, "b"), t)
+    assert (v1, v2) == (1, 2)
+    assert S.read_snapshot(spark, t).count() == 150
+    assert S.read_snapshot(spark, t, version=1).count() == 100  # time travel
+    # rollback commits a NEW version listing v1's files
+    v3 = S.rollback_snapshot(t, 1)
+    assert v3 == 3 and S.current_version(t) == 3
+    assert S.read_snapshot(spark, t).count() == 100
+    assert S.read_snapshot(spark, t, version=2).count() == 150  # history intact
+
+
+def test_snapshot_reader_isolation_across_commits(spark, tmp_path):
+    """A reader that resolved version N keeps a consistent view while a
+    new commit lands — the immutable-files property plain overwrite
+    parquet lacks."""
+    t = str(tmp_path / "iso")
+    S.write_snapshot(_mk(spark, 0, 50, "a"), t, stats_col="k")
+    old_reader = S.read_snapshot(spark, t)  # resolves v1's file list NOW
+    S.append_snapshot(_mk(spark, 50, 80, "b"), t)
+    S.merge_snapshot(
+        spark,
+        t,
+        spark.createDataFrame([(5, "UPD")], "k bigint, v string"),
+        ["k"],
+    )
+    assert old_reader.count() == 50  # still v1's files, still readable
+    assert _rows(old_reader.filter("k = 5")) == [(5, "a")]
+    cur = S.read_snapshot(spark, t)
+    assert cur.count() == 80
+    assert _rows(cur.filter("k = 5")) == [(5, "UPD")]
+
+
+def test_merge_snapshot_rewrites_only_intersecting_files(spark, tmp_path):
+    t = str(tmp_path / "cow")
+    S.write_snapshot(_mk(spark, 0, 10_000, "a"), t, stats_col="k")
+    m1 = S.read_manifest(t)
+    assert len(m1["files"]) > 1, "need multiple files for pruning to show"
+    assert all("min" in e for e in m1["files"])
+
+    # update keys confined to a narrow range → most files untouched
+    upd = spark.createDataFrame(
+        [(3, "U3"), (7, "U7"), (20_000, "ins")], "k bigint, v string"
+    )
+    v, rewritten = S.merge_snapshot(spark, t, upd, ["k"])
+    assert v == 2
+    assert len(rewritten) < len(m1["files"])  # pruning actually pruned
+    m2 = S.read_manifest(t)
+    carried = {e["path"] for e in m1["files"]} - set(rewritten)
+    assert carried <= {e["path"] for e in m2["files"]}  # by reference
+
+    got = S.read_snapshot(spark, t)
+    assert got.count() == 10_001
+    assert _rows(got.filter("k in (3, 7, 20000)")) == [
+        (3, "U3"), (7, "U7"), (20_000, "ins")
+    ]
+
+
+def test_merge_snapshot_delete_and_versions(spark, tmp_path):
+    t = str(tmp_path / "del")
+    S.write_snapshot(_mk(spark, 0, 100, "a"), t, stats_col="k")
+    upd = spark.createDataFrame(
+        [(1, None, True), (2, "B", False)], "k bigint, v string, is_delete boolean"
+    )
+    S.merge_snapshot(spark, t, upd, ["k"], delete_col="is_delete")
+    cur = S.read_snapshot(spark, t)
+    assert cur.count() == 99
+    assert _rows(cur.filter("k in (1, 2)")) == [(2, "B")]
+    # the pre-merge version still shows the deleted row (time travel)
+    assert S.read_snapshot(spark, t, version=1).filter("k = 1").count() == 1
+
+
+def test_expire_snapshots_vacuums_unreferenced_files(spark, tmp_path):
+    t = str(tmp_path / "vac")
+    S.write_snapshot(_mk(spark, 0, 100, "a"), t, stats_col="k")
+    S.merge_snapshot(
+        spark,
+        t,
+        spark.createDataFrame([(5, "U")], "k bigint, v string"),
+        ["k"],
+    )
+    live_before = {e["path"] for e in S.read_manifest(t)["files"]}
+    removed = S.expire_snapshots(t, keep_last=1)
+    assert removed  # v1's rewritten files got vacuumed
+    assert not (set(removed) & live_before)  # never a live file
+    assert S.read_snapshot(spark, t).count() == 100  # latest intact
+    with pytest.raises(S.SnapshotError):
+        S.read_manifest(t, 1)  # expired version gone
+    for f in removed:
+        assert not os.path.exists(f)
+
+
+def test_commit_collision_raises(spark, tmp_path):
+    t = str(tmp_path / "clash")
+    S.write_snapshot(_mk(spark, 0, 10, "a"), t, stats_col="k")
+    # simulate a racing writer that already claimed version 2
+    path = S._manifest_path(t, 2)
+    with open(path, "w") as f:
+        f.write("{}")
+    with pytest.raises(S.SnapshotError, match="concurrent"):
+        S.append_snapshot(_mk(spark, 10, 20, "b"), t)
