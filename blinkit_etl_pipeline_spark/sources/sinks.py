@@ -23,7 +23,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 #: Default file-roll cap. At ~100 bytes/row this bounds files to
 #: ~500 MB before compression — large enough for scan efficiency,
@@ -67,6 +68,84 @@ def write_curated(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     Curated aggregates are small; coalesce to one file for cheap reads.
     """
     df.coalesce(1).write.mode(mode).format("parquet").save(path)
+
+
+def zorder_value(cols: Sequence[Column], bits: int = 21) -> Column:
+    """Morton (Z-order) interleave of up to three non-negative integer
+    columns → one bigint clustering key, as a pure Catalyst expression
+    (a constant-folded sum of shift/mask terms — JVM whole-stage
+    codegen, no UDF).
+
+    Bit ``i`` of column ``j`` lands at interleaved position
+    ``i·ncols + j``, so a range over the z-value corresponds to a
+    locality-preserving curve through the multi-dimensional key space:
+    sorting by it clusters rows that are close in EVERY dimension,
+    which is what makes multi-column min/max skipping work where a
+    lexicographic sort only serves its leading column.
+
+    ``bits`` per dimension (21 ⇒ 3·21 = 63 ≤ bigint). Caller maps raw
+    values into [0, 2^bits) first (truncate timestamps, bucket floats);
+    values above the range raise rather than silently aliasing.
+    """
+    ncols = len(cols)
+    if not 1 <= ncols <= 3:
+        raise ValueError("zorder_value interleaves 1-3 columns")
+    if bits * ncols > 63:
+        raise ValueError("bits * ncols must fit in a bigint (<= 63)")
+    guard = F.lit(True)
+    for c in cols:
+        guard = guard & (c >= 0) & (c < F.lit(1 << bits))
+    z = F.lit(0).cast("bigint")
+    for j, c in enumerate(cols):
+        cb = c.cast("bigint")
+        for i in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(cb, i).bitwiseAND(F.lit(1)), i * ncols + j
+            )
+    return F.when(guard, z).otherwise(
+        F.raise_error(
+            F.lit(f"zorder_value: input outside [0, 2^{bits})")
+        )
+    )
+
+
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    *,
+    num_files: int,
+    bits: int = 21,
+    mode: str = "overwrite",
+    rowgroup_bytes: int | None = None,
+) -> None:
+    """Z-order-clustered layout: multi-dimensional data skipping.
+
+    :func:`write_range_clustered` is exact for ONE dimension; queries
+    that filter on several columns (user AND time; lat AND lon) leave
+    its trailing columns unsorted, so their min/max stats span the
+    whole domain and skip nothing. Interleaving the key bits
+    (:func:`zorder_value`) makes every dimension's values locally
+    clustered in every file and row group — each column's footer stats
+    become tight for ALL filtered columns at once, and a conjunctive
+    predicate prunes multiplicatively.
+
+    Same write shape as the range sink: ``repartitionByRange`` on the
+    z-value (disjoint file ranges) + ``sortWithinPartitions`` (tight
+    row groups); the z column itself is dropped before writing —
+    it is layout, not data.
+    """
+    z = zorder_value([F.col(c) for c in cluster_cols], bits=bits)
+    out = (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    writer = out.write.mode(mode).format("parquet")
+    if rowgroup_bytes:
+        writer = writer.option("parquet.block.size", str(int(rowgroup_bytes)))
+    writer.save(path)
 
 
 def write_range_clustered(

@@ -403,3 +403,78 @@ def test_parity_spine_plans_broadcast_dims_and_bounded_exchanges(spark):
         assert plan.count("Exchange") <= max_exch, (
             f"{name}: exchange budget exceeded\n" + plan[:2000]
         )
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-order vs lexicographic range clustering on a 2-D key: for a
+    box predicate on (x, y), the z-ordered layout must offer row-group
+    skipping on BOTH columns, while the lexicographic layout's
+    trailing column stats span the domain and skip ~nothing."""
+    from blinkit_etl_pipeline_spark.sources import sinks
+
+    n, side = 1 << 16, 1 << 8
+    df = spark.range(n).select(
+        (F.col("id") % side).alias("x"),
+        (F.col("id") / side).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    zpath, rpath = str(tmp_path / "zord"), str(tmp_path / "lex")
+    sinks.write_zorder_clustered(
+        df, zpath, ["x", "y"], num_files=4, bits=8, rowgroup_bytes=16_000
+    )
+    sinks.write_range_clustered(
+        df, rpath, ["x", "y"], num_files=4, rowgroup_bytes=16_000
+    )
+
+    def surviving_fraction(path, lo, hi):
+        """Fraction of row groups whose [min,max] intersects [lo,hi] on
+        BOTH x and y (conjunctive box predicate)."""
+        by_col = {
+            c: {
+                (s["file"], s["row_group"]): (s["min"], s["max"])
+                for s in sinks.rowgroup_stats(path, c)
+            }
+            for c in ("x", "y")
+        }
+        groups = by_col["x"].keys()
+        hit = sum(
+            1
+            for g in groups
+            if by_col["x"][g][0] <= hi and by_col["x"][g][1] >= lo
+            and by_col["y"][g][0] <= hi and by_col["y"][g][1] >= lo
+        )
+        return hit / len(by_col["x"]), len(by_col["x"])
+
+    zfrac, zgroups = surviving_fraction(zpath, 0, 15)  # 1/16 of each side
+    rfrac, rgroups = surviving_fraction(rpath, 0, 15)
+    assert zgroups >= 8 and rgroups >= 8  # enough granularity to mean anything
+    # z-order: a (1/8)^2 box touches a small fraction of groups;
+    # lexicographic: y-stats span the domain -> x-pruning only at best
+    assert zfrac <= 0.25, (zfrac, zgroups)
+    assert zfrac < rfrac / 2, (zfrac, rfrac)
+    # correctness: both layouts return the identical box contents
+    zbox = spark.read.parquet(zpath).filter(
+        "x between 0 and 15 and y between 0 and 15"
+    )
+    rbox = spark.read.parquet(rpath).filter(
+        "x between 0 and 15 and y between 0 and 15"
+    )
+    assert sorted(map(tuple, zbox.collect())) == sorted(map(tuple, rbox.collect()))
+    assert zbox.count() == 16 * 16
+
+
+def test_zorder_value_validates_inputs(spark):
+    import pytest
+
+    from blinkit_etl_pipeline_spark.sources import sinks
+
+    with pytest.raises(ValueError):
+        sinks.zorder_value([F.lit(1)] * 4)
+    with pytest.raises(ValueError):
+        sinks.zorder_value([F.lit(1), F.lit(2)], bits=32)
+    df = spark.range(4).select(sinks.zorder_value([F.col("id")], bits=2).alias("z"))
+    with pytest.raises(Exception, match="zorder_value"):
+        spark.range(5).select(
+            sinks.zorder_value([F.col("id")], bits=2).alias("z")
+        ).collect()  # id=4 outside [0, 4)
+    assert [r["z"] for r in df.collect()] == [0, 1, 2, 3]
