@@ -310,6 +310,36 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*_minhash_agg_cols())
 
 
+def band_frame(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, key) — LSH banding of a signature frame: band
+    ``bi`` concatenates its ``NUM_MINHASHES // MINHASH_BANDS`` rows of
+    the signature into one join key. This frame IS the persistable LSH
+    index (see ``operators/incremental.py``): signatures are a few
+    dozen bytes per document, so the index scales as metadata, not
+    corpus."""
+    rows_per_band = NUM_MINHASHES // MINHASH_BANDS
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"sig{bi * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for bi in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.35,
     idx: DataFrame | ShingleIndex | None = None,
@@ -331,27 +361,7 @@ def minhash_lsh_pairs(
     sigs = idx.select("doc_id", h32(F.col("shingle")).alias("sh32")).groupBy(
         "doc_id"
     ).agg(*_minhash_agg_cols())
-    rows_per_band = NUM_MINHASHES // MINHASH_BANDS
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.col(f"sig{bi * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("key"),
-                    )
-                    for bi in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
+    bands = band_frame(sigs)
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(

@@ -1,0 +1,105 @@
+"""Incremental near-dup detection against a persisted signature store.
+
+The production dedup problem is rarely one static corpus: data arrives
+in batches, and every batch must be checked against EVERYTHING ingested
+so far without re-reading (or even retaining) the historical text. The
+scalable answer is to persist the MinHash-LSH *index* — per-document
+band keys (``dedup.band_frame``), a few dozen bytes per document — and
+band-join each new batch against it:
+
+- history is touched only through its signatures (the store scales as
+  metadata: ~64 B/doc vs the corpus' KBs-to-MBs/doc);
+- candidate generation stays an equi-join on (band, key) — never a
+  cross product, exactly like the batch operator;
+- the store is a :mod:`snapshot <..operators.snapshot>` table, so each
+  ingest appends a new VERSION: concurrent readers are isolated, the
+  index is time-travelable, and a redelivered batch is detected by
+  doc_id and skipped (idempotent ingest — the same exactly-once
+  property the streaming dedup sink provides for rows, here for
+  batches).
+
+Returned pairs carry ``bands_matched`` (1..MINHASH_BANDS) — the LSH
+confidence. Exact-Jaccard verification requires document text, which
+the store deliberately does not hold; callers wanting verified pairs
+join the candidates back to whatever text they still retain (the
+batch side always has its own).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import snapshot
+from .dedup import band_frame, minhash_signatures
+
+
+def ingest_and_find_dups(
+    spark: SparkSession,
+    store_table: str,
+    new_docs: DataFrame,
+    *,
+    n: int = 3,
+    min_bands: int = 1,
+) -> tuple[DataFrame, int]:
+    """Check ``new_docs`` against the store AND within itself, then
+    append the batch's signatures as a new store version.
+
+    Returns ``(pairs, version)`` where ``pairs`` is (doc_a, doc_b,
+    bands_matched) with ``doc_a < doc_b``, covering new-vs-history and
+    new-vs-new collisions (history-vs-history pairs were reported when
+    those batches ingested — each pair is reported exactly once across
+    the table's lifetime). Redelivered doc_ids (already in the store)
+    are excluded from both the pair search and the append, so re-running
+    a batch is a no-op that returns zero pairs and no new version.
+
+    The pairs DataFrame is materialized eagerly (``localCheckpoint``)
+    BEFORE the append commits, so it reflects the pre-append store even
+    if consumed later — and the snapshot layer's immutable files mean a
+    concurrent reader of the old version stays consistent regardless.
+    """
+    exists = snapshot.current_version(store_table) is not None
+    new_bands = band_frame(minhash_signatures(new_docs, n=n))
+    if exists:
+        store = snapshot.read_snapshot(spark, store_table)
+        seen = store.select("doc_id").distinct()
+        # redelivery guard: one anti join of the (small) batch against
+        # store doc_ids — the only store-wide shuffle, and it shuffles
+        # signatures' ids, never documents
+        new_bands = new_bands.join(seen, "doc_id", "left_anti")
+    # bands are 4 small rows/doc; materialize once — the frame feeds
+    # both the pair search and the store append
+    new_bands = new_bands.localCheckpoint(eager=True)
+    if new_bands.isEmpty():
+        return (
+            spark.createDataFrame(
+                [], "doc_a long, doc_b long, bands_matched int"
+            ),
+            snapshot.current_version(store_table) or 0,
+        )
+    searchable = (
+        store.unionByName(new_bands) if exists else new_bands
+    )
+    joined = new_bands.alias("a").join(
+        searchable.alias("b"),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    )
+    pairs = (
+        joined.select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            F.col("a.band").alias("band"),
+        )
+        .distinct()  # new-new collisions appear in both orientations
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("int").alias("bands_matched"))
+        .filter(F.col("bands_matched") >= min_bands)
+        .localCheckpoint(eager=True)  # pin to the pre-append store
+    )
+    if exists:
+        version = snapshot.append_snapshot(new_bands, store_table)
+    else:
+        version = snapshot.write_snapshot(new_bands, store_table)
+    return pairs, version

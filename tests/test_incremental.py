@@ -1,0 +1,96 @@
+"""Incremental LSH dedup: batch-over-batch detection through the
+persisted signature store, redelivery idempotence, versioned index."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blinkit_etl_pipeline_spark.operators import incremental, snapshot
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and keeps on running "
+    "through the quiet green field toward the distant hills at dawn"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_incremental_dedup_across_batches_and_redelivery(spark, tmp_path):
+    store = str(tmp_path / "sigstore")
+
+    # batch 1: two near-identical docs + one unrelated
+    b1 = _docs(spark, [
+        (1, BASE),
+        (2, BASE + " tonight"),
+        (3, "completely different words about spark shuffles and joins "
+            "with partitions exchanges and broadcast variables in rows"),
+    ])
+    p1, v1 = incremental.ingest_and_find_dups(spark, store, b1)
+    got1 = {(r["doc_a"], r["doc_b"]) for r in p1.collect()}
+    assert (1, 2) in got1 and v1 == 1
+    assert all(a != 3 and b != 3 for a, b in got1)
+
+    # batch 2: a near-dup of doc 1 — found via the STORE, without any
+    # access to batch 1's text
+    b2 = _docs(spark, [
+        (10, BASE + " yesterday"),
+        (11, "entirely novel content mentioning gardens rivers bridges "
+             "and mountains under a wide open summer sky full of birds"),
+    ])
+    p2, v2 = incremental.ingest_and_find_dups(spark, store, b2)
+    got2 = {(r["doc_a"], r["doc_b"]) for r in p2.collect()}
+    assert (1, 10) in got2 and v2 == 2
+    # history-vs-history pairs are NOT re-reported
+    assert (1, 2) not in got2
+
+    # redelivery of batch 2: zero pairs, no new version
+    p3, v3 = incremental.ingest_and_find_dups(spark, store, b2)
+    assert p3.count() == 0 and v3 == 2
+
+    # the store is versioned: v1 holds 3 docs' bands, v2 holds 5
+    assert snapshot.read_snapshot(spark, store, version=1).select(
+        "doc_id"
+    ).distinct().count() == 3
+    assert snapshot.read_snapshot(spark, store, version=2).select(
+        "doc_id"
+    ).distinct().count() == 5
+
+
+def test_incremental_matches_batch_operator_on_union(spark, tmp_path):
+    """Ingesting A then B must surface the same cross/new pairs the
+    batch band-collision search finds on A ∪ B (minus A's internal
+    pairs, already reported at A's ingest)."""
+    from blinkit_etl_pipeline_spark.operators.dedup import (
+        band_frame,
+        minhash_signatures,
+    )
+
+    store = str(tmp_path / "sigstore2")
+    a = _docs(spark, [(1, BASE), (2, BASE + " extra"), (3, "unrelated "
+               "text about engines pipelines and storage formats today")])
+    b = _docs(spark, [(10, BASE + " again"), (11, BASE + " extra words")])
+    pa, _ = incremental.ingest_and_find_dups(spark, store, a)
+    pb, _ = incremental.ingest_and_find_dups(spark, store, b)
+
+    bands = band_frame(minhash_signatures(a.unionByName(b)))
+    ref = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    expected = {(r["doc_a"], r["doc_b"]) for r in ref.collect()}
+    got = {(r["doc_a"], r["doc_b"]) for r in pa.collect()} | {
+        (r["doc_a"], r["doc_b"]) for r in pb.collect()
+    }
+    assert got == expected
