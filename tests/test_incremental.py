@@ -94,3 +94,47 @@ def test_incremental_matches_batch_operator_on_union(spark, tmp_path):
         (r["doc_a"], r["doc_b"]) for r in pb.collect()
     }
     assert got == expected
+
+
+def test_streaming_lsh_ingest_detects_cross_drop_dups(spark, tmp_path):
+    """File drops drain through the streaming ingest: a near-dup in a
+    LATER drop is found against the store, the pair log accumulates
+    monotonically, and a re-drain (and even a byte-copied drop that
+    evades the file checkpoint) is a no-op."""
+    import glob as _glob
+    import shutil
+
+    from blinkit_etl_pipeline_spark.streaming import file_source, lsh_ingest
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+    log = str(tmp_path / "pairs")
+
+    def drop(rows, stage, tag):
+        _docs(spark, rows).coalesce(1).write.parquet(str(tmp_path / stage))
+        src = _glob.glob(str(tmp_path / stage / "part-*.parquet"))[0]
+        shutil.copy(src, str(raw / f"{tag}.parquet"))
+
+    drop([(1, BASE), (2, "unrelated words about storage engines and "
+          "query planners running distributed aggregations at night")],
+         "s1", "d1")
+    schema = spark.read.parquet(str(raw)).schema
+    stream = file_source.stream_files(spark, str(raw), schema, fmt="parquet")
+    lsh_ingest.run_lsh_ingest(stream, ckpt, store, log)
+    assert spark.read.parquet(log).count() == 0  # no dups yet
+
+    drop([(10, BASE + " tonight")], "s2", "d2")
+    stream = file_source.stream_files(spark, str(raw), schema, fmt="parquet")
+    lsh_ingest.run_lsh_ingest(stream, ckpt, store, log)
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in spark.read.parquet(log).collect()}
+    assert (1, 10) in pairs
+
+    # byte-copied drop under a NEW filename: the checkpoint can't catch
+    # it, the store's doc_id guard must
+    shutil.copy(str(raw / "d2.parquet"), str(raw / "d2_copy.parquet"))
+    stream = file_source.stream_files(spark, str(raw), schema, fmt="parquet")
+    lsh_ingest.run_lsh_ingest(stream, ckpt, store, log)
+    assert spark.read.parquet(log).count() == len(pairs)  # unchanged
