@@ -784,6 +784,231 @@ def ivf_assign(
     )
 
 
+def pq_codebook(
+    emb: DataFrame, m: int = 8, k: int = 16, iters: int = 5, dim: int = 64
+) -> list[tuple[int, int, list[float]]]:
+    """Product-quantization codebooks: per-subspace L2 k-means.
+
+    The vector is split into ``m`` contiguous subspaces of ``dim/m``
+    dims; each trains its own ``k``-centroid codebook (Jégou et al.
+    2011, "Product Quantization for Nearest Neighbor Search"). A doc
+    then encodes as ``m`` small codes — 8 bytes here instead of 512 —
+    which is what lets a 100 TB embedding corpus live ADC-scannable in
+    memory.
+
+    Same determinism contract as :func:`kmeans_codebook`: init = the
+    ``k`` lowest-vec_id subvectors, assignment on QUANTIZED integers
+    (exact squared-L2 — argmin ties → lowest code), centroid update
+    rounded to 6 decimals, so the artifact is reproducible and the
+    DuckDB oracle shares its exact integers. All distributed work is
+    one Arrow assignment map + a ``m·k·(dim/m)``-row partial-agg
+    collect per iteration; driver state is the codebook only.
+
+    Returns ``[(subspace, code, centroid_subvector)]``.
+    """
+    import numpy as np
+
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError("dim must divide evenly into m subspaces")
+    init = emb.orderBy("vec_id").limit(k).select("embedding").collect()
+    books = [
+        [[float(x) for x in r["embedding"][j * sub : (j + 1) * sub]] for r in init]
+        for j in range(m)
+    ]  # books[j][c] = centroid c of subspace j
+    q = with_q(emb)
+    for _ in range(iters):
+        C = np.array(
+            [[[pyquantize(x) for x in c] for c in books[j]] for j in range(m)],
+            dtype=np.float64,
+        )  # m × k × sub (quantized ints as exact doubles)
+
+        def assign(batches, C=C):
+            import pandas as pd
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = _np_stack(pdf["qvec"], dim)
+                out = {"vec_id": pdf["vec_id"].to_numpy()}
+                codes = np.empty((len(pdf), m), dtype=np.int32)
+                for j in range(m):
+                    Xj = X[:, j * sub : (j + 1) * sub]
+                    d = (
+                        (Xj * Xj).sum(1)[:, None]
+                        - 2.0 * (Xj @ C[j].T)
+                        + (C[j] * C[j]).sum(1)[None, :]
+                    )  # exact: integer-valued doubles < 2^53
+                    codes[:, j] = np.argmin(d, axis=1)  # first min → lowest
+                out["codes"] = list(codes)
+                yield pd.DataFrame(out)
+
+        assigned = q.mapInPandas(assign, schema="vec_id long, codes array<int>")
+        sums = (
+            assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+            .select(
+                F.posexplode(F.col("embedding")).alias("pos", "val"),
+                F.col("codes"),
+            )
+            .select(
+                (F.col("pos") / sub).cast("int").alias("sub_j"),
+                F.pmod(F.col("pos"), sub).alias("sub_pos"),
+                F.col("val").cast("double").alias("val"),
+                F.element_at(F.col("codes"), (F.col("pos") / sub).cast("int") + 1).alias("code"),
+            )
+            .groupBy("sub_j", "code", "sub_pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("cnt"))
+            .collect()
+        )
+        acc: dict = {}
+        for r in sums:
+            acc.setdefault((r["sub_j"], r["code"]), {})[r["sub_pos"]] = (
+                r["s"],
+                r["cnt"],
+            )
+        for j in range(m):
+            for c in range(k):
+                dims = acc.get((j, c))
+                if not dims:
+                    continue  # empty cluster keeps its previous centroid
+                books[j][c] = [
+                    round(dims[p][0] / dims[p][1], 6) for p in range(sub)
+                ]
+    return [
+        (j, c, books[j][c]) for j in range(m) for c in range(k)
+    ]
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    codebook: Sequence[tuple[int, int, Sequence[float]]],
+    k: int = 5,
+    dim: int = 64,
+    rerank: int | None = None,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: encode the corpus on the fly and
+    score every document against each query through the per-subspace
+    lookup tables (ADC) — the memory-bound ANN tier.
+
+    Broadcast-probe shape (same driver-state bound as :func:`lsh_topk`):
+    query vectors collect once; ONE Arrow scan per partition encodes its
+    rows (argmin over quantized integers), gathers ADC distances from
+    the integer tables, and emits only its LOCAL top candidates per
+    query — a partition's top-R is a superset of the global top-R, so
+    the single exchange carries ``partitions × queries × R`` rows,
+    never the corpus. All distances are exact int64 sums of quantized
+    terms, so ranking (ties → lowest vec_id) is engine-reproducible.
+
+    ``rerank=R`` enables the production two-tier shape (FAISS's
+    IVFPQ+refine): the globally-top-R ADC shortlist is re-scored with
+    the EXACT squared L2 carried from the same scan, and the final
+    top-k ranks by exact distance. ADC codes are 8 bytes/vector, so
+    coarse scoring runs at memory-bandwidth speed; the exact metric
+    touches only R rows per query. On structureless (e.g. random)
+    embeddings raw 32-bit ADC ranking is noisy — the rerank tier is
+    what restores near-exact recall at a bounded extra cost.
+    """
+    import numpy as np
+
+    m = max(j for j, _, _ in codebook) + 1
+    nk = max(c for _, c, _ in codebook) + 1
+    sub = dim // m
+    shortlist = max(k, rerank or k)
+    C = np.zeros((m, nk, sub), dtype=np.float64)
+    for j, c, vec in codebook:
+        C[j, c] = [pyquantize(x) for x in vec]
+    q = with_q(emb)
+    qrows = sorted(
+        q.filter(F.col("vec_id").isin([int(i) for i in query_ids]))
+        .select("vec_id", "qvec")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    if not qrows:
+        raise ValueError("none of the query_ids exist in the corpus")
+    qid_v = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    QM = np.array([list(r["qvec"]) for r in qrows], dtype=np.float64)
+    # ADC tables: T[q, j, c] = ||query_sub - centroid||² (exact ints)
+    T = np.empty((len(qrows), m, nk), dtype=np.int64)
+    for j in range(m):
+        Qj = QM[:, j * sub : (j + 1) * sub]
+        T[:, j, :] = (
+            (Qj * Qj).sum(1)[:, None]
+            - 2.0 * (Qj @ C[j].T)
+            + (C[j] * C[j]).sum(1)[None, :]
+        ).astype(np.int64)
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            X = _np_stack(pdf["qvec"], dim)
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            for j in range(m):
+                Xj = X[:, j * sub : (j + 1) * sub]
+                d = (
+                    (Xj * Xj).sum(1)[:, None]
+                    - 2.0 * (Xj @ C[j].T)
+                    + (C[j] * C[j]).sum(1)[None, :]
+                )
+                codes[:, j] = np.argmin(d, axis=1)
+            outs = []
+            for qi in range(len(qid_v)):
+                dist = np.zeros(len(pdf), dtype=np.int64)
+                for j in range(m):
+                    dist += T[qi, j][codes[:, j]]
+                mask = ids != qid_v[qi]
+                cand_ids, cand_d = ids[mask], dist[mask]
+                # local top-R on (adc, vec_id): a superset of the
+                # global top-R survives any partitioning
+                order = np.lexsort((cand_ids, cand_d))[:shortlist]
+                sel = pd.DataFrame(
+                    {
+                        "query_id": qid_v[qi],
+                        "neighbor_id": cand_ids[order],
+                        "adc_dist": cand_d[order],
+                    }
+                )
+                # exact metric for the (small) local shortlist only —
+                # integer-valued doubles < 2^53 → exact, then int64
+                diff = X[mask][order] - QM[qi][None, :]
+                sel["l2_dist"] = (diff * diff).sum(axis=1).astype(np.int64)
+                outs.append(sel)
+            yield pd.concat(outs, ignore_index=True)
+
+    cands = q.mapInPandas(
+        scan,
+        schema=(
+            "query_id long, neighbor_id long, adc_dist long, l2_dist long"
+        ),
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    short = cands.withColumn("adc_rank", F.row_number().over(w_adc)).filter(
+        F.col("adc_rank") <= shortlist
+    )
+    if rerank is None:
+        return short.filter(F.col("adc_rank") <= k).select(
+            "query_id",
+            "neighbor_id",
+            "adc_dist",
+            F.col("adc_rank").alias("rank"),
+        )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.col("l2_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        short.withColumn("rank", F.row_number().over(w_exact))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "l2_dist", "rank")
+    )
+
+
 def derive_num_clusters(n: int, floor: int = 8) -> int:
     """Scale-safe cluster count for SemDeDup-style dedup: ``max(floor,
     ceil(sqrt(n/2)))``.

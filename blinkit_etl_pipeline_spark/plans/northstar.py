@@ -397,6 +397,31 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vector.brute_force_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K)
 
 
+#: ADC shortlist size for the reranked PQ query (10× the final k)
+PQ_RERANK = 50
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC + exact rerank (vector.pq_adc_topk):
+    the memory-bound ANN tier — 8-byte codes instead of 512-byte
+    vectors, coarse distances through per-subspace integer lookup
+    tables, then the globally-top-50 ADC shortlist re-scored with the
+    exact squared L2 carried from the same single Arrow scan (FAISS's
+    IVFPQ+refine shape). The trained 16×16 PQ codebook ships as
+    literals; both distance tiers are exact int64 sums of quantized
+    terms, so encode, shortlist, and rerank all replay value-exactly
+    in the oracle."""
+    from .codebook import PQ_CODEBOOK
+
+    return vector.pq_adc_topk(
+        _emb(spark, sf_dir),
+        ANN_QUERY_IDS,
+        PQ_CODEBOOK,
+        k=ANN_K,
+        rerank=PQ_RERANK,
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vector.lsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K, nbits=ANN_NBITS)
 
@@ -2618,6 +2643,7 @@ QUERIES = {
     "ns_dedup_embedding": q_dedup_embedding,
     "ns_ann_cosine_topk": q_ann_cosine_topk,
     "ns_ann_lsh_topk": q_ann_lsh_topk,
+    "ns_ann_pq_topk": q_ann_pq_topk,
     "ns_ann_ivf_topk": q_ann_ivf_topk,
     "ns_ann_ivf_trained": q_ann_ivf_trained,
     "ns_dedup_semantic": q_dedup_semantic,
@@ -2942,6 +2968,78 @@ SELECT p.source, p.n_obs, p.w_ppm, p.keep_target, p.rate_ppm,
     AS realized_share_ppm
 FROM plan p LEFT JOIN kept k ON p.source = k.source CROSS JOIN tot"""
 
+
+def _pq_oracle() -> str:
+    """PQ-ADC replay: per-(doc, subspace) argmin encoding against the
+    quantized centroid literals, then per-(query, doc) ADC = the sum of
+    the 8 subspace squared-L2 terms — all BIGINT-exact, ties → lowest
+    code / lowest neighbor_id, identical to the Spark kernel."""
+    from .codebook import PQ_CODEBOOK
+
+    sub = len(PQ_CODEBOOK[0][2])
+    rows = ", ".join(
+        "({j}, {c}, [{vals}]::DOUBLE[])".format(
+            j=j, c=c, vals=", ".join(str(vector.pyquantize(x)) for x in vec)
+        )
+        for j, c, vec in PQ_CODEBOOK
+    )
+    sv = f"list_slice({{x}}, {{s}} * {sub} + 1, {{s}} * {sub} + {sub})"
+    dsv = sv.format(x="e.qv", s="p.sub")
+    qsv = sv.format(x="q.qv", s="c.sub")
+    dist_doc = (
+        f"list_dot_product({dsv}, {dsv})"
+        f" - 2 * list_dot_product({dsv}, p.cvec)"
+        f" + list_dot_product(p.cvec, p.cvec)"
+    )
+    dist_q = (
+        f"list_dot_product({qsv}, {qsv})"
+        f" - 2 * list_dot_product({qsv}, p.cvec)"
+        f" + list_dot_product(p.cvec, p.cvec)"
+    )
+    return f"""WITH {_EMB},
+pq(sub, code, cvec) AS (SELECT * FROM (VALUES {rows}) t(sub, code, cvec)),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT e.vec_id, p.sub, p.code,
+      row_number() OVER (PARTITION BY e.vec_id, p.sub
+        ORDER BY {dist_doc} ASC, p.code ASC) AS rn
+    FROM e CROSS JOIN pq p
+  ) WHERE rn = 1
+),
+qe AS (SELECT vec_id, qv FROM e WHERE vec_id < {len(ANN_QUERY_IDS)}),
+d AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    CAST(sum(CAST({dist_q} AS BIGINT)) AS BIGINT) AS adc_dist
+  FROM qe q
+  CROSS JOIN codes c
+  JOIN pq p ON p.sub = c.sub AND p.code = c.code
+  WHERE c.vec_id != q.vec_id
+  GROUP BY q.vec_id, c.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+    FROM d
+  ) WHERE rn <= {PQ_RERANK}
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+    CAST(list_dot_product(q.qv, q.qv)
+      - 2 * list_dot_product(q.qv, n.qv)
+      + list_dot_product(n.qv, n.qv) AS BIGINT) AS l2_dist
+  FROM short s
+  JOIN e q ON q.vec_id = s.query_id
+  JOIN e n ON n.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, l2_dist, CAST(rn AS INT) AS "rank" FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY l2_dist ASC, neighbor_id ASC) AS rn
+  FROM exact
+) WHERE rn <= {ANN_K}"""
+
+
+ORACLES["ns_ann_pq_topk"] = _pq_oracle()
 
 ORACLES["ns_mix_sources"] = _mix_oracle()
 

@@ -38,6 +38,7 @@ PRIORITY = [
     "ns_text_bm25",
     "ns_mix_sources",
     "ns_mix_temperature",
+    "ns_ann_pq_topk",
 ]
 
 

@@ -33,6 +33,7 @@ ARROW_WHITELIST = {
     # NOT ns_ann_cosine_topk: the brute baseline is deliberately
     # JVM-only (exact integer folds, no BLAS kernel)
     "ns_ann_lsh_topk",
+    "ns_ann_pq_topk",
     "ns_ann_ivf_topk",
     "ns_ann_ivf_trained",
     "ns_ann_ivf_balance",

@@ -351,3 +351,76 @@ def test_bpe_merge_fold_is_greedy_non_overlapping(spark):
     assert out["aaa"] == ["aa", "a"]
     assert out["aaaa"] == ["aa", "aa"]
     assert out["baab"] == ["b", "aa", "b"]
+
+
+def test_pq_codebook_matches_retraining(spark):
+    """The shipped PQ artifact is exactly what the deterministic
+    per-subspace trainer reproduces (provenance, like the IVF books)."""
+    from blinkit_etl_pipeline_spark.operators.vector import pq_codebook
+    from blinkit_etl_pipeline_spark.plans.codebook import (
+        PQ_CODEBOOK,
+        PQ_K,
+        PQ_M,
+        TRAIN_ITERS,
+        TRAIN_SF_DIR,
+    )
+
+    emb = spark.read.parquet(f"{TRAIN_SF_DIR}/embeddings.parquet")
+    retrained = pq_codebook(emb, m=PQ_M, k=PQ_K, iters=TRAIN_ITERS)
+    assert retrained == PQ_CODEBOOK
+
+
+def test_pq_adc_rerank_recall_against_exact_l2(spark):
+    """PQ is an approximation — pin its measured quality against the
+    EXACT squared-L2 top-5 (both sides integer-exact → stable). Two
+    tiers: raw 32-bit ADC ranking on structureless random embeddings
+    is deliberately coarse (measured ~0.14 — the documented reason the
+    registry query reranks); the ADC-shortlist + exact-rerank tier
+    must restore strong recall (shortlist only misses when the true
+    neighbor falls outside the ADC top-50)."""
+    import numpy as np
+
+    from blinkit_etl_pipeline_spark.operators import vector
+    from blinkit_etl_pipeline_spark.plans.codebook import PQ_CODEBOOK
+    from blinkit_etl_pipeline_spark.plans.northstar import (
+        ANN_K,
+        ANN_QUERY_IDS,
+        PQ_RERANK,
+        _emb,
+    )
+
+    from conftest import SF_CORRECTNESS
+
+    emb = _emb(spark, SF_CORRECTNESS)
+
+    def topk_sets(df):
+        sets: dict = {}
+        for r in df.collect():
+            sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sets
+
+    raw = topk_sets(vector.pq_adc_topk(emb, ANN_QUERY_IDS, PQ_CODEBOOK, k=ANN_K))
+    rr = topk_sets(
+        vector.pq_adc_topk(
+            emb, ANN_QUERY_IDS, PQ_CODEBOOK, k=ANN_K, rerank=PQ_RERANK
+        )
+    )
+
+    rows = vector.with_q(emb).select("vec_id", "qvec").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([list(r["qvec"]) for r in rows], dtype=np.float64)
+
+    def recall(sets):
+        hits = total = 0
+        for qid in ANN_QUERY_IDS:
+            qv = X[ids == qid][0]
+            d = ((X - qv) ** 2).sum(axis=1)
+            d[ids == qid] = np.inf
+            truth = set(ids[np.lexsort((ids, d))[:ANN_K]])
+            hits += len(truth & sets[qid])
+            total += ANN_K
+        return hits / total
+
+    raw_r, rr_r = recall(raw), recall(rr)
+    assert rr_r >= 0.85, f"reranked PQ recall@{ANN_K} collapsed: {rr_r:.2f}"
+    assert rr_r > raw_r, (raw_r, rr_r)  # the rerank tier must earn its cost

@@ -10,6 +10,8 @@ offline, ship the codebook as a tiny versioned artifact):
 - ``SEMANTIC_CODEBOOK``: k = derive_num_clusters(n) — the SemDeDup
   codebook whose k scales with corpus size (sqrt balance), so the
   within-cluster quadratic stays bounded at any sf.
+- ``PQ_CODEBOOK``: 16 subspaces x 16 centroids — the product-quantization
+  codebooks for the ADC tier (L2 per-subspace k-means).
 
 tests/test_quality.py retrains with the same parameters and asserts
 equality, so neither artifact can silently drift from the trainer.
@@ -25,12 +27,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from blinkit_etl_pipeline_spark.operators.vector import (  # noqa: E402
     derive_num_clusters,
     kmeans_codebook,
+    pq_codebook,
 )
 from blinkit_etl_pipeline_spark.session import get_session  # noqa: E402
 
 TRAIN_SF_DIR = "/root/testdata/sf0.01"
 TRAIN_K = 8
 TRAIN_ITERS = 5
+PQ_M, PQ_K = 16, 16
 
 HEADER = '''"""Offline-trained IVF codebook artifacts (plans layer).
 
@@ -60,6 +64,8 @@ TRAIN_SF_DIR = "{sf_dir}"
 TRAIN_K = {k}
 TRAIN_ITERS = {iters}
 SEMANTIC_K = {sem_k}
+PQ_M = {pq_m}
+PQ_K = {pq_k}
 '''
 
 
@@ -74,6 +80,14 @@ def _emit(f, name: str, codebook) -> None:
     f.write("]\n")
 
 
+def _emit_pq(f, name: str, codebook) -> None:
+    f.write(f"\n{name}: list[tuple[int, int, list[float]]] = [\n")
+    for j, c, vec in codebook:
+        row = ", ".join(repr(x) for x in vec)
+        f.write(f"    ({j}, {c}, [{row}]),\n")
+    f.write("]\n")
+
+
 def main() -> None:
     spark = get_session("train-codebook")
     emb = spark.read.parquet(f"{TRAIN_SF_DIR}/embeddings.parquet")
@@ -81,6 +95,7 @@ def main() -> None:
     sem_k = derive_num_clusters(n)
     ivf_cb = kmeans_codebook(emb, k=TRAIN_K, iters=TRAIN_ITERS)
     sem_cb = kmeans_codebook(emb, k=sem_k, iters=TRAIN_ITERS)
+    pq_cb = pq_codebook(emb, m=PQ_M, k=PQ_K, iters=TRAIN_ITERS)
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "blinkit_etl_pipeline_spark",
@@ -90,12 +105,15 @@ def main() -> None:
     with open(out, "w") as f:
         f.write(
             HEADER.format(
-                sf_dir=TRAIN_SF_DIR, k=TRAIN_K, iters=TRAIN_ITERS, sem_k=sem_k
+                sf_dir=TRAIN_SF_DIR, k=TRAIN_K, iters=TRAIN_ITERS,
+                sem_k=sem_k, pq_m=PQ_M, pq_k=PQ_K,
             )
         )
         _emit(f, "TRAINED_IVF_CODEBOOK", ivf_cb)
         _emit(f, "SEMANTIC_CODEBOOK", sem_cb)
-    print(f"wrote {out} (ivf k={TRAIN_K}, semantic k={sem_k}, n={n})")
+        _emit_pq(f, "PQ_CODEBOOK", pq_cb)
+    print(f"wrote {out} (ivf k={TRAIN_K}, semantic k={sem_k}, "
+          f"pq {PQ_M}x{PQ_K}, n={n})")
 
 
 if __name__ == "__main__":
