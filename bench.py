@@ -46,6 +46,7 @@ HEADLINE = [
     "ns_text_chunks",
     "ns_text_bm25",
     "ns_mix_sources",
+    "ns_ann_pq_topk",
 ]
 
 
