@@ -784,6 +784,51 @@ def ivf_assign(
     )
 
 
+def l2_brute_topk(
+    emb: DataFrame, query_ids: Sequence[int], k: int = 5
+) -> DataFrame:
+    """Exact squared-L2 top-k — :func:`brute_force_topk`'s metric twin
+    and the ground truth the PQ tier's recall is measured against.
+    ``‖a−b‖² = qq_a + qq_b − 2·dot`` on quantized integers: one JVM
+    fold per pair, exact in int64, ties → lowest neighbor_id."""
+    q = with_q(emb)
+    queries = q.filter(F.col("vec_id").isin(*[int(i) for i in query_ids])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qq").alias("q_qq"),
+    )
+    dists = (
+        F.broadcast(queries)
+        .crossJoin(
+            q.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("qvec").alias("n_qvec"),
+                F.col("qq").alias("n_qq"),
+            )
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.col("q_qq")
+                + F.col("n_qq")
+                - 2 * qdot(F.col("q_qvec"), F.col("n_qvec"))
+            )
+            .cast("bigint")
+            .alias("l2_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        dists.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "l2_dist", "rank")
+    )
+
+
 def pq_codebook(
     emb: DataFrame, m: int = 8, k: int = 16, iters: int = 5, dim: int = 64
 ) -> list[tuple[int, int, list[float]]]:

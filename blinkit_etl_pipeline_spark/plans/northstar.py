@@ -493,6 +493,27 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of BOTH PQ tiers vs the exact squared-L2 truth
+    (vector.l2_brute_topk — integer-exact, JVM-only): 'pq_adc' prices
+    the raw 32-bit coarse ranking alone, 'pq_rerank' the shipped
+    shortlist-then-exact-rerank default. The gap between the two rows
+    IS the rerank tier's measured value — the same gauge pattern as
+    ns_ann_recall. Truth side is O(n·queries) by definition: QA-only,
+    like every exact baseline in this family."""
+    from .codebook import PQ_CODEBOOK
+
+    emb = _emb(spark, sf_dir)
+    truth = vector.l2_brute_topk(emb, ANN_QUERY_IDS, k=ANN_K)
+    raw = vector.pq_adc_topk(emb, ANN_QUERY_IDS, PQ_CODEBOOK, k=ANN_K)
+    rr = vector.pq_adc_topk(
+        emb, ANN_QUERY_IDS, PQ_CODEBOOK, k=ANN_K, rerank=PQ_RERANK
+    )
+    return quality.topk_recall(truth, raw, ANN_K, "pq_adc").unionByName(
+        quality.topk_recall(truth, rr, ANN_K, "pq_rerank")
+    )
+
+
 def q_ann_ivf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k vs fraction-of-corpus-scanned for nprobe ∈ {1,2,4,8} —
     the measured operating curve a deployment picks its nprobe from
@@ -2644,6 +2665,7 @@ QUERIES = {
     "ns_ann_cosine_topk": q_ann_cosine_topk,
     "ns_ann_lsh_topk": q_ann_lsh_topk,
     "ns_ann_pq_topk": q_ann_pq_topk,
+    "ns_ann_pq_recall": q_ann_pq_recall,
     "ns_ann_ivf_topk": q_ann_ivf_topk,
     "ns_ann_ivf_trained": q_ann_ivf_trained,
     "ns_dedup_semantic": q_dedup_semantic,
@@ -2969,11 +2991,11 @@ SELECT p.source, p.n_obs, p.w_ppm, p.keep_target, p.rate_ppm,
 FROM plan p LEFT JOIN kept k ON p.source = k.source CROSS JOIN tot"""
 
 
-def _pq_oracle() -> str:
-    """PQ-ADC replay: per-(doc, subspace) argmin encoding against the
-    quantized centroid literals, then per-(query, doc) ADC = the sum of
-    the 8 subspace squared-L2 terms — all BIGINT-exact, ties → lowest
-    code / lowest neighbor_id, identical to the Spark kernel."""
+def _pq_common_ctes() -> str:
+    """Shared PQ replay CTEs: quantized centroid literals, per-(doc,
+    subspace) argmin encoding, per-(query, doc) ADC distance ``d`` —
+    all BIGINT-exact, ties → lowest code, identical to the Spark
+    kernel. Composed by both the top-k and the recall oracles."""
     from .codebook import PQ_CODEBOOK
 
     sub = len(PQ_CODEBOOK[0][2])
@@ -2996,8 +3018,7 @@ def _pq_oracle() -> str:
         f" - 2 * list_dot_product({qsv}, p.cvec)"
         f" + list_dot_product(p.cvec, p.cvec)"
     )
-    return f"""WITH {_EMB},
-pq(sub, code, cvec) AS (SELECT * FROM (VALUES {rows}) t(sub, code, cvec)),
+    return f"""pq(sub, code, cvec) AS (SELECT * FROM (VALUES {rows}) t(sub, code, cvec)),
 codes AS (
   SELECT vec_id, sub, code FROM (
     SELECT e.vec_id, p.sub, p.code,
@@ -3015,7 +3036,12 @@ d AS (
   JOIN pq p ON p.sub = c.sub AND p.code = c.code
   WHERE c.vec_id != q.vec_id
   GROUP BY q.vec_id, c.vec_id
-),
+)"""
+
+
+def _pq_oracle() -> str:
+    return f"""WITH {_EMB},
+{_pq_common_ctes()},
 short AS (
   SELECT query_id, neighbor_id FROM (
     SELECT *, row_number() OVER (
@@ -3040,6 +3066,70 @@ SELECT query_id, neighbor_id, l2_dist, CAST(rn AS INT) AS "rank" FROM (
 
 
 ORACLES["ns_ann_pq_topk"] = _pq_oracle()
+
+
+def _pq_recall_oracle() -> str:
+    """Recall replay: exact-L2 truth top-k, raw-ADC top-k, and the
+    reranked top-k, intersected per query — counts only, so recall is
+    an exact integer/k ratio on both engines."""
+    exact = (
+        "CAST(list_dot_product(q.qv, q.qv)"
+        " - 2 * list_dot_product(q.qv, n.qv)"
+        " + list_dot_product(n.qv, n.qv) AS BIGINT)"
+    )
+    return f"""WITH {_EMB},
+{_pq_common_ctes()},
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY {exact} ASC, n.vec_id ASC) AS rn
+    FROM qe q CROSS JOIN e n WHERE n.vec_id != q.vec_id
+  ) WHERE rn <= {ANN_K}
+),
+adc5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+    FROM d
+  ) WHERE rn <= {ANN_K}
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+    FROM d
+  ) WHERE rn <= {PQ_RERANK}
+),
+rr5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT s.query_id, s.neighbor_id,
+      row_number() OVER (PARTITION BY s.query_id
+        ORDER BY {exact} ASC, s.neighbor_id ASC) AS rn
+    FROM short s
+    JOIN e q ON q.vec_id = s.query_id
+    JOIN e n ON n.vec_id = s.neighbor_id
+  ) WHERE rn <= {ANN_K}
+),
+scored AS (
+  SELECT 'pq_adc' AS method, t.query_id,
+    CAST(count(a.neighbor_id) AS BIGINT) AS hits
+  FROM truth t LEFT JOIN adc5 a
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+  GROUP BY t.query_id
+  UNION ALL
+  SELECT 'pq_rerank' AS method, t.query_id,
+    CAST(count(r.neighbor_id) AS BIGINT) AS hits
+  FROM truth t LEFT JOIN rr5 r
+    ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+  GROUP BY t.query_id
+)
+SELECT method, query_id, hits,
+  ROUND(hits / CAST({ANN_K} AS DOUBLE), 6) AS recall_at_k
+FROM scored"""
+
+
+ORACLES["ns_ann_pq_recall"] = _pq_recall_oracle()
 
 ORACLES["ns_mix_sources"] = _mix_oracle()
 

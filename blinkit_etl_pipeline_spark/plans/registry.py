@@ -39,6 +39,7 @@ PRIORITY = [
     "ns_mix_sources",
     "ns_mix_temperature",
     "ns_ann_pq_topk",
+    "ns_ann_pq_recall",
 ]
 
 

@@ -34,6 +34,7 @@ ARROW_WHITELIST = {
     # JVM-only (exact integer folds, no BLAS kernel)
     "ns_ann_lsh_topk",
     "ns_ann_pq_topk",
+    "ns_ann_pq_recall",
     "ns_ann_ivf_topk",
     "ns_ann_ivf_trained",
     "ns_ann_ivf_balance",

@@ -57,6 +57,7 @@ NOTES = {
     "ns_mix_sources": "static data mixing: integer-ppm plan from one bounded groupBy, broadcast rate table, map-side hash gate",
     "ns_mix_temperature": "sqrt-temperature weights quantized to integers pre-normalization; same bounded feasible-corpus arithmetic",
     "ns_ann_pq_topk": "PQ-ADC: 8-byte codes, integer table lookups, per-partition top-k in ONE Arrow scan; only exchange is the final top-k window",
+    "ns_ann_pq_recall": "QA gauge: exact-L2 truth side O(n x queries) by definition",
     "ns_ann_ivf_topk": "codebook assign = zero-shuffle Arrow matmul; probe scans nprobe/num_centroids of corpus",
     "ns_asof_attribution": "as-of via union-merge: one key shuffle, no range cross-product; both scans filter-pushed",
     "ns_media_features": "single Arrow-batched mapInPandas stage; schema fixed, no driver collect",
