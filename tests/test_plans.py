@@ -61,3 +61,18 @@ def test_only_whitelisted_queries_plan_python_stages(spark, name):
             f"{name} plans a Python stage outside the Arrow whitelist:\n"
             + plan[:3000]
         )
+
+
+def test_registry_priority_names_resolve():
+    """PRIORITY entries silently no-op when misspelled (the driver
+    would then never sample the query they meant to front) — pin that
+    every name resolves and actually leads the emission order."""
+    from blinkit_etl_pipeline_spark.plans import registry
+
+    qs = registry.all_queries()
+    missing = [n for n in registry.PRIORITY if n not in qs]
+    assert not missing, f"PRIORITY names not in registry: {missing}"
+    assert list(qs)[: len(registry.PRIORITY)] == registry.PRIORITY
+    assert list(registry.all_oracle_sql())[: len(registry.PRIORITY)] == (
+        registry.PRIORITY
+    )
