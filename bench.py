@@ -1,9 +1,12 @@
 """Benchmark runner — driver contract.
 
-Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+Times the FULL query registry at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints TWO
+JSON lines of the shape {"metric": ..., "value": total_sec, "unit":
+"sec", "queries": {name: sec}, "sf": ...}: first the full per-query
+line (for whole-stdout readers), last a short headline-only summary
+guaranteed to fit a bounded tail capture (see the emission comment in
+``main``). Both lines carry the same metric/value/sf.
 
 Execution is forced with the ``noop`` sink (full pipeline runs, no
 result materialization on the driver) so timings measure the plan, not

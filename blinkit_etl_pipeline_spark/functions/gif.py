@@ -181,7 +181,10 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
         raise GifError("truncated image descriptor")
     _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
     pos += 9
-    if w <= 0 or h <= 0 or w > sw + 65535 or h > sh + 65535:
+    # uint16 fields can't be negative; zero is the only invalid value
+    # (real-world GIFs DO declare frames beyond the logical screen, so
+    # that is tolerated — the max_pixels LZW guard bounds memory)
+    if w == 0 or h == 0:
         raise GifError(f"bad image dimensions {w}x{h}")
     pal = gct
     if ipacked & 0x80:

@@ -41,6 +41,7 @@ def ingest_and_find_dups(
     *,
     n: int = 3,
     min_bands: int = 1,
+    on_pairs=None,
 ) -> tuple[DataFrame, int]:
     """Check ``new_docs`` against the store AND within itself, then
     append the batch's signatures as a new store version.
@@ -57,6 +58,15 @@ def ingest_and_find_dups(
     BEFORE the append commits, so it reflects the pre-append store even
     if consumed later — and the snapshot layer's immutable files mean a
     concurrent reader of the old version stays consistent regardless.
+
+    ``on_pairs(pairs)`` — when given — runs BEFORE the store append
+    commits. This ordering is what makes a durable pair sink crash-safe:
+    if the process dies after the sink wrote but before the append, the
+    redelivered batch recomputes the identical pairs (store unchanged)
+    and an idempotent sink overwrites them; if it dies after the append,
+    the retry finds no fresh ids and never touches the sink. A sink
+    AFTER the append would lose the batch's pairs forever on a crash in
+    between (the append marks the ids seen, so the retry finds nothing).
     """
     exists = snapshot.current_version(store_table) is not None
     new_bands = band_frame(minhash_signatures(new_docs, n=n))
@@ -98,6 +108,8 @@ def ingest_and_find_dups(
         .filter(F.col("bands_matched") >= min_bands)
         .localCheckpoint(eager=True)  # pin to the pre-append store
     )
+    if on_pairs is not None:
+        on_pairs(pairs)  # durable sink BEFORE the append (see docstring)
     if exists:
         version = snapshot.append_snapshot(new_bands, store_table)
     else:

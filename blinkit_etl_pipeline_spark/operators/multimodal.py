@@ -45,7 +45,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.gif import decode_gif
+from ..functions.gif import GIF_HEADERS, decode_gif
 from pyspark.sql.types import (
     BinaryType,
     DoubleType,
@@ -750,7 +750,7 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
         return decode_ppm(payload)
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
-    if payload[:6] in (b"GIF87a", b"GIF89a"):
+    if payload[:6] in GIF_HEADERS:
         return decode_gif(payload)
     if payload[:2] == b"\xff\xd8":
         from ..functions.jpeg import decode_jpeg

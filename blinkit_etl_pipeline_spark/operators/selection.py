@@ -159,6 +159,18 @@ def mixture_rates(
         .withColumn("w_ppm", w_col.cast("bigint"))
         .filter(F.col("w_ppm") > 0)
     )
+    # a target source with ZERO corpus rows never surfaces from the
+    # groupBy, which would silently drop it from the min() and produce
+    # a plan violating the requested mixture (the only corpus honoring
+    # a positive weight for an empty source is the empty corpus) —
+    # detect and raise instead. Bounded collect: ≤ len(targets) rows.
+    present = {r[source] for r in counts.select(source).collect()}
+    missing = sorted(set(targets_ppm) - present)
+    if missing:
+        raise ValueError(
+            f"mixture infeasible: target sources have no corpus rows: "
+            f"{missing}"
+        )
     return _plan_from_counts(counts)
 
 

@@ -101,7 +101,12 @@ def _file_stats(path: str, stats_col: str | None) -> dict:
                 mins.append(st.min)
                 maxs.append(st.max)
             if mins:
-                entry["min"], entry["max"] = min(mins), max(maxs)
+                lo, hi = min(mins), max(maxs)
+                # only JSON-faithful key types are recorded; others
+                # (date/timestamp/decimal objects) degrade to no stats
+                # → merge falls back to full rewrite, never mis-prunes
+                if isinstance(lo, (str, bool, int, float)):
+                    entry["min"], entry["max"] = lo, hi
     return entry
 
 
@@ -213,8 +218,11 @@ def merge_snapshot(
     rows. Inserts (keys matching no file) land in the new files.
 
     Pruning needs single-column ``stats_col == keys[0]`` stats in the
-    manifest; without them every file is "touched" (correct, just a
-    full rewrite — the plain-parquet behavior this layer improves on).
+    manifest with a str/bool/int/float key; without them every file is
+    "touched" (correct, just a full rewrite — the plain-parquet
+    behavior this layer improves on). Date/timestamp keys fall into the
+    full-rewrite path too: parquet footers surface them as logical
+    types the JSON manifest doesn't round-trip faithfully yet.
     """
     from .merge import merge_upsert
 
@@ -222,9 +230,14 @@ def merge_snapshot(
     manifest = read_manifest(table)
     stats_col = manifest.get("stats_col")
     entries = manifest["files"]
-    if stats_col == keys[0] and all("min" in e for e in entries):
+    if not entries:
+        raise SnapshotError(
+            f"version {manifest['version']} of {table} lists no files"
+        )
+    _KTYPES = {str: "string", bool: "boolean", int: "long", float: "double"}
+    ktype = _KTYPES.get(type(entries[0].get("min")))
+    if stats_col == keys[0] and ktype and all("min" in e for e in entries):
         # tiny frame: one row per FILE — broadcast against update keys
-        ktype = "string" if isinstance(entries[0]["min"], str) else "long"
         ranges = spark.createDataFrame(
             [(e["path"], e["min"], e["max"]) for e in entries],
             f"path string, kmin {ktype}, kmax {ktype}",

@@ -68,25 +68,30 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Per-corpus SemDeDup codebooks: k derives from the corpus count
 # (vector.derive_num_clusters — sqrt-balanced so neither assignment nor
-# the within-cluster quadratic dominates at any sf). The sf0.01
+# the within-cluster quadratic dominates at any sf). ONLY the sf0.01
 # training corpus resolves to the pinned SEMANTIC_CODEBOOK artifact
-# (len == derived k there), which is what the static DuckDB oracle
-# replays; other corpora train live, memoized per (sf_dir, n) — the
-# production shape where training is offline/amortized, not per-query.
-_SEM_CODEBOOKS: dict[tuple[str, int], list[tuple[int, list[float]]]] = {}
+# (gated on the directory, not just a k collision — a foreign corpus
+# whose derived k happens to equal the artifact's must train live, not
+# inherit sf0.01 centroids); the static DuckDB oracle replays the
+# pinned artifact at the contract SF. Memoized per sf_dir so repeated
+# invocations (bench warm passes, recall + dedup sharing a corpus)
+# never re-count or re-train — the production shape where training is
+# offline/amortized, not per-query.
+_SEM_CODEBOOKS: dict[str, list[tuple[int, list[float]]]] = {}
 
 
 def _semantic_codebook(
     spark: SparkSession, sf_dir: str
 ) -> list[tuple[int, list[float]]]:
-    from .codebook import SEMANTIC_CODEBOOK
+    from .codebook import SEMANTIC_CODEBOOK, TRAIN_SF_DIR
 
-    emb = _emb(spark, sf_dir)
-    n = emb.count()
-    key = (sf_dir.rstrip("/"), n)
+    key = sf_dir.rstrip("/")
     if key not in _SEM_CODEBOOKS:
+        pinned = (
+            SEMANTIC_CODEBOOK if key == TRAIN_SF_DIR.rstrip("/") else None
+        )
         _SEM_CODEBOOKS[key] = vector.semantic_codebook(
-            emb, pinned=SEMANTIC_CODEBOOK
+            _emb(spark, sf_dir), pinned=pinned
         )
     return _SEM_CODEBOOKS[key]
 

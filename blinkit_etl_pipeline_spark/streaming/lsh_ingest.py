@@ -15,7 +15,13 @@ Crash/redelivery safety is layered: the checkpoint prevents REPLAYED
 FILES, and the store's doc_id guard turns any batch that slips through
 twice (e.g. a copied drop file) into a no-op — the same
 exactly-once-by-content contract as ``streaming/dedup.py``, here for
-whole batches against all of history.
+whole batches against all of history. The pair log is written BEFORE
+the store append (via ``on_pairs``) into a per-batch partition with
+overwrite semantics: a crash between log and append redelivers the
+batch, recomputes identical pairs (the store is unchanged), and
+overwrites the same partition — never losing and never duplicating a
+pair. The reverse order would lose a batch's pairs forever if the
+process died between the append and the log.
 """
 
 from __future__ import annotations
@@ -42,14 +48,19 @@ def run_lsh_ingest(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        pairs, _version = incremental.ingest_and_find_dups(
-            spark, store_table, batch_df, n=n, min_bands=min_bands
-        )
-        from pyspark.sql import functions as F
 
-        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(pairs_log)
+        def sink(pairs: DataFrame) -> None:
+            # idempotent per-batch hive partition: a redelivered batch
+            # overwrites ITS OWN directory with identical content (the
+            # batch_id column comes back from the directory name)
+            pairs.write.mode("overwrite").parquet(
+                f"{pairs_log}/batch_id={batch_id}"
+            )
+
+        incremental.ingest_and_find_dups(
+            spark, store_table, batch_df, n=n, min_bands=min_bands,
+            on_pairs=sink,
+        )
 
     return run_available_now(
         stream_docs, checkpoint_dir, process, timeout_sec=timeout_sec

@@ -283,3 +283,20 @@ def test_temperature_mixture_upweights_small_sources(spark):
     assert plan["big"]["keep_target"] == 999
     # realized ratio stays within one ulp-of-ppm of 10:1
     assert abs(plan["big"]["keep_target"] / plan["small"]["keep_target"] - 10) < 0.2
+
+
+def test_mixture_rates_rejects_absent_target_source(spark):
+    """A positive-weight target source with zero corpus rows makes the
+    mixture infeasible — the plan must raise, not silently re-balance
+    over the sources that happen to exist."""
+    import pytest
+
+    from blinkit_etl_pipeline_spark.operators import selection
+
+    docs = spark.createDataFrame(
+        [(i, "common") for i in range(50)], "doc_id bigint, source string"
+    )
+    with pytest.raises(ValueError, match="no corpus rows"):
+        selection.mixture_rates(
+            docs, {"common": 500_000, "rare": 500_000}
+        )
