@@ -93,23 +93,33 @@ def main() -> None:
     for name in names:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # best-of-2 per query at steady state: the min shields against
-    # host-level noise (co-tenant CPU spikes), not against cold plans.
-    timings: dict[str, float] = {}
+    # median-of-3 per query at steady state (VERDICT r5 task #3): the
+    # r4→r5 driver walls moved 1.32× on identical code while controlled
+    # reruns showed ~1.0×, so single-shot (and even best-of-2) timings
+    # are not comparable round-over-round. The median of three samples
+    # rejects a single co-tenant CPU spike in either direction without
+    # the min's optimistic bias. Per-run totals are kept in the artifact
+    # so reproducibility is attested IN the output: run_totals spread
+    # close to 1.0 means a same-day rerun would land within it.
+    samples: dict[str, list[float]] = {}
+    n_runs = 3
     for name in names:
-        best = float("inf")
-        for _ in range(2):
+        samples[name] = []
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples[name].append(time.perf_counter() - t0)
         # operators persist intermediates (shingle indexes etc.) for
         # their own plan; dropping them between queries keeps 50+
         # measurements independent instead of letting accumulated cache
         # blocks raise GC pressure on everything after them
         spark.catalog.clearCache()
 
+    timings = {n: round(sorted(s)[n_runs // 2], 3) for n, s in samples.items()}
+    run_totals = [
+        round(sum(s[i] for s in samples.values()), 3) for i in range(n_runs)
+    ]
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full = json.dumps(
@@ -119,6 +129,8 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf_val,
+            "stat": "median_of_3",
+            "run_totals": run_totals,
         },
         separators=(",", ":"),
     )
@@ -138,6 +150,8 @@ def main() -> None:
             "queries": {n: timings[n] for n in HEADLINE if n in timings},
             "sf": sf_val,
             "n_queries": len(timings),
+            "stat": "median_of_3",
+            "run_totals": run_totals,
             "full": "BENCH_local_last.json",
         },
         separators=(",", ":"),
