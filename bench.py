@@ -50,6 +50,8 @@ HEADLINE = [
     "ns_text_bm25",
     "ns_mix_sources",
     "ns_ann_pq_topk",
+    # r6 additions
+    "ns_ann_ivfpq_topk",
 ]
 
 

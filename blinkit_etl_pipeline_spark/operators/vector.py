@@ -1375,6 +1375,160 @@ def ivf_recall_curve(
     return out
 
 
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    ivf_codebook: Sequence[tuple[int, Sequence[float]]],
+    pq_codebook: Sequence[tuple[int, int, Sequence[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    rerank: int | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """IVFPQ: coarse-quantizer list pruning composed with PQ-ADC scoring
+    and optional exact rerank — the FAISS ``IVFPQ(+refine)`` shape and
+    the sub-linear ANN tier (:func:`pq_adc_topk` alone is corpus-linear;
+    :func:`ivf_topk` prunes but scores full vectors).
+
+    Plan: (1) one zero-shuffle Arrow map assigns every corpus vector to
+    its nearest coarse centroid (:func:`ivf_assign`); (2) each query's
+    ``nprobe`` probe lists are ranked DRIVER-side against the tiny coarse
+    codebook (same quantized-integer cosine, same ``(cos desc, cid asc)``
+    tie-break as :func:`ivf_topk` — numpy reproduces the JVM doubles
+    bit-for-bit because the operation order is identical); (3) the corpus
+    stream is **filtered to the union of probed lists before the PQ
+    scan**, so encode+ADC cost is proportional to probed-list mass, not
+    the corpus — at 100 TB, with codes stored partitioned by
+    ``centroid_id``, this filter is partition pruning and unprobed lists
+    are never read; (4) the probed stream goes through the same
+    broadcast-probe ADC scan as :func:`pq_adc_topk` (integer lookup
+    tables, local top-R per query, exact squared-L2 carried from the
+    same scan), each query scored only against rows in ITS probe set;
+    (5) global ADC shortlist → exact rerank. PQ encodes RAW vectors
+    (FAISS ``by_residual=false``), so the fine codebook is shared with
+    the flat PQ tier and every distance stays an exact int64 the oracle
+    replays.
+    """
+    import numpy as np
+
+    m = max(j for j, _, _ in pq_codebook) + 1
+    nk = max(c for _, c, _ in pq_codebook) + 1
+    sub = dim // m
+    shortlist = max(k, rerank or k)
+    C = np.zeros((m, nk, sub), dtype=np.float64)
+    for j, c, vec in pq_codebook:
+        C[j, c] = [pyquantize(x) for x in vec]
+
+    q = with_q(emb)
+    assigned = ivf_assign(q, ivf_codebook, dim=dim)
+
+    qrows = sorted(
+        q.filter(F.col("vec_id").isin([int(i) for i in query_ids]))
+        .select("vec_id", "qvec", "qq")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    if not qrows:
+        raise ValueError("none of the query_ids exist in the corpus")
+    qid_v = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    QM = np.array([list(r["qvec"]) for r in qrows], dtype=np.float64)
+    qqq = np.array([r["qq"] for r in qrows], dtype=np.float64)
+
+    # driver-side probe ranking against the coarse codebook: cosine in
+    # the exact ivf_assign operation order (dot / (sqrt(qa)·sqrt(qb))),
+    # ties → lowest centroid_id (np.lexsort keys: cid minor, -cos major)
+    cids, CC, cqq = _qcodebook(
+        sorted((int(cid), [float(x) for x in vec]) for cid, vec in ivf_codebook)
+    )
+    pcos = (QM @ CC.T) / (np.sqrt(qqq)[:, None] * np.sqrt(cqq)[None, :])
+    probe_sets: list[frozenset] = []
+    for qi in range(len(qid_v)):
+        order = np.lexsort((cids, -pcos[qi]))[:nprobe]
+        probe_sets.append(frozenset(int(cids[j]) for j in order))
+    probed_union = sorted(set().union(*probe_sets))
+
+    # ADC tables: T[q, j, c] = ||query_sub − centroid||² (exact ints)
+    T = np.empty((len(qid_v), m, nk), dtype=np.int64)
+    for j in range(m):
+        Qj = QM[:, j * sub : (j + 1) * sub]
+        T[:, j, :] = (
+            (Qj * Qj).sum(1)[:, None]
+            - 2.0 * (Qj @ C[j].T)
+            + (C[j] * C[j]).sum(1)[None, :]
+        ).astype(np.int64)
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            lists = pdf["centroid_id"].to_numpy()
+            X = _np_stack(pdf["qvec"], dim)
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            for j in range(m):
+                Xj = X[:, j * sub : (j + 1) * sub]
+                d = (
+                    (Xj * Xj).sum(1)[:, None]
+                    - 2.0 * (Xj @ C[j].T)
+                    + (C[j] * C[j]).sum(1)[None, :]
+                )
+                codes[:, j] = np.argmin(d, axis=1)
+            outs = []
+            for qi in range(len(qid_v)):
+                in_probe = np.isin(lists, list(probe_sets[qi]))
+                mask = in_probe & (ids != qid_v[qi])
+                if not mask.any():
+                    continue
+                dist = np.zeros(int(mask.sum()), dtype=np.int64)
+                mcodes = codes[mask]
+                for j in range(m):
+                    dist += T[qi, j][mcodes[:, j]]
+                cand_ids = ids[mask]
+                order = np.lexsort((cand_ids, dist))[:shortlist]
+                sel = pd.DataFrame(
+                    {
+                        "query_id": qid_v[qi],
+                        "neighbor_id": cand_ids[order],
+                        "adc_dist": dist[order],
+                    }
+                )
+                diff = X[mask][order] - QM[qi][None, :]
+                sel["l2_dist"] = (diff * diff).sum(axis=1).astype(np.int64)
+                outs.append(sel)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    # the list filter IS the scan pruning — everything downstream only
+    # ever touches probed lists
+    cands = assigned.filter(F.col("centroid_id").isin(probed_union)).mapInPandas(
+        scan,
+        schema="query_id long, neighbor_id long, adc_dist long, l2_dist long",
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    short = cands.withColumn("adc_rank", F.row_number().over(w_adc)).filter(
+        F.col("adc_rank") <= shortlist
+    )
+    if rerank is None:
+        return short.filter(F.col("adc_rank") <= k).select(
+            "query_id",
+            "neighbor_id",
+            "adc_dist",
+            F.col("adc_rank").alias("rank"),
+        )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.col("l2_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        short.withColumn("rank", F.row_number().over(w_exact))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "l2_dist", "rank")
+    )
+
+
 # ----------------------------------------------------------------------
 # Semantic deduplication (SemDeDup-style: cluster, then dedup within)
 # ----------------------------------------------------------------------

@@ -333,3 +333,66 @@ def test_semantic_dedup_tiling_is_result_invariant(spark, monkeypatch):
     )
     assert big == small
     assert pairs_big == pairs_small and len(pairs_big) > 0
+
+
+def test_ivfpq_probe_all_equals_flat_pq(spark):
+    """With nprobe = num_centroids the coarse pruning is a no-op, so
+    IVFPQ must reproduce the flat PQ tier EXACTLY (both raw-ADC and
+    reranked) — the composition adds pruning, never changes scoring."""
+    from blinkit_etl_pipeline_spark.plans.codebook import (
+        PQ_CODEBOOK,
+        TRAINED_IVF_CODEBOOK,
+    )
+
+    emb = _emb(spark)
+    qids = range(4)
+    for kwargs in ({}, {"rerank": 20}):
+        flat = sorted(
+            map(tuple, vector.pq_adc_topk(emb, qids, PQ_CODEBOOK, k=3, **kwargs).collect())
+        )
+        comp = sorted(
+            map(
+                tuple,
+                vector.ivfpq_topk(
+                    emb, qids, TRAINED_IVF_CODEBOOK, PQ_CODEBOOK, k=3,
+                    nprobe=len(TRAINED_IVF_CODEBOOK), **kwargs,
+                ).collect(),
+            )
+        )
+        assert flat == comp
+
+
+def test_ivfpq_results_come_only_from_probed_lists(spark):
+    """Every neighbor a query reports must live in one of that query's
+    nprobe probed inverted lists — the pruning contract."""
+    from blinkit_etl_pipeline_spark.plans.codebook import (
+        PQ_CODEBOOK,
+        TRAINED_IVF_CODEBOOK,
+    )
+
+    emb = _emb(spark)
+    out = vector.ivfpq_topk(
+        emb, range(4), TRAINED_IVF_CODEBOOK, PQ_CODEBOOK, k=3, nprobe=2, rerank=10
+    ).collect()
+    assigned = {
+        r["vec_id"]: r["centroid_id"]
+        for r in vector.ivf_assign(
+            vector.with_q(emb), TRAINED_IVF_CODEBOOK
+        ).collect()
+    }
+    import numpy as np
+
+    cids, C, cqq = vector._qcodebook(
+        sorted((int(c), [float(x) for x in v]) for c, v in TRAINED_IVF_CODEBOOK)
+    )
+    q = vector.with_q(emb).filter(F.col("vec_id") < 4).collect()
+    probe = {}
+    for r in q:
+        v = np.array(list(r["qvec"]), dtype=np.float64)
+        cos = (v @ C.T) / (np.sqrt(float(r["qq"])) * np.sqrt(cqq))
+        probe[r["vec_id"]] = {
+            int(cids[j]) for j in np.lexsort((cids, -cos))[:2]
+        }
+    assert len(out) == 12
+    for r in out:
+        assert assigned[r["neighbor_id"]] in probe[r["query_id"]]
