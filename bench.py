@@ -52,6 +52,7 @@ HEADLINE = [
     "ns_ann_pq_topk",
     # r6 additions
     "ns_ann_ivfpq_topk",
+    "ns_text_chunk_dedup",
 ]
 
 

@@ -310,16 +310,17 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*_minhash_agg_cols())
 
 
-def band_frame(sigs: DataFrame) -> DataFrame:
-    """(doc_id, band, key) — LSH banding of a signature frame: band
+def band_frame(sigs: DataFrame, keys: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """(*keys, band, key) — LSH banding of a signature frame: band
     ``bi`` concatenates its ``NUM_MINHASHES // MINHASH_BANDS`` rows of
     the signature into one join key. This frame IS the persistable LSH
     index (see ``operators/incremental.py``): signatures are a few
     dozen bytes per document, so the index scales as metadata, not
-    corpus."""
+    corpus. ``keys`` generalizes the unit of deduplication — e.g.
+    ``("doc_id", "chunk_id")`` for chunk-level banding."""
     rows_per_band = NUM_MINHASHES // MINHASH_BANDS
     return sigs.select(
-        "doc_id",
+        *keys,
         F.explode(
             F.array(
                 *[
@@ -337,7 +338,7 @@ def band_frame(sigs: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
+    ).select(*keys, "bk.band", "bk.key")
 
 
 def minhash_lsh_pairs(
@@ -599,4 +600,157 @@ def simhash_pairs(docs: DataFrame, max_distance: int = 3) -> DataFrame:
             F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
         )
         .filter(F.col("hamming") <= max_distance)
+    )
+
+
+def chunk_containment_pairs(
+    chunks: DataFrame,
+    n: int = 3,
+    chunk_threshold: float = 0.5,
+    containment_threshold: float = 0.2,
+) -> DataFrame:
+    """Chunk-level near-dedup composed up to doc-level containment — the
+    fine-grained pass real LLM pipelines run on top of doc-level dedup:
+    two documents that share most of their CHUNKS (boilerplate, quoted
+    passages, templated sections) slip past whole-document Jaccard but
+    still leak duplicated training tokens.
+
+    Input is a :func:`~..functions.text.chunk_frame` result — (doc_id,
+    chunk_id, n_chunks, chunk_text) at minimum. Pipeline, all via the
+    existing band machinery at chunk granularity:
+
+    1. shingle each chunk (distinct word n-grams), MinHash 16-perm
+       signatures per (doc_id, chunk_id) — one aggregation pass;
+    2. candidates via the banded equi-join (:func:`band_frame` with
+       composite keys) restricted to CROSS-document pairs, oriented
+       ``doc_a < doc_b`` — shuffle is O(chunks × bands), never chunks²;
+    3. exact-Jaccard verification of candidate chunk pairs only, kept at
+       ``jaccard ≥ chunk_threshold``;
+    4. doc-level rollup: ``containment_a`` = fraction of A's chunks with
+       a matching chunk in B (and symmetrically), emitted when either
+       side's containment reaches ``containment_threshold``.
+
+    At 100 TB the chunk count is corpus-tokens/stride — linear — and
+    every join here is either the banded equi-join or bounded by the
+    candidate set, so the composition scales exactly like doc-level
+    MinHash-LSH with a constant-factor-larger unit count.
+
+    Returns (doc_a, doc_b, matched_pairs, matched_chunks_a,
+    matched_chunks_b, n_chunks_a, n_chunks_b, containment_a,
+    containment_b).
+    """
+    csh = chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.explode(
+            F.array_distinct(shingles(tokens(F.col("chunk_text")), n))
+        ).alias("shingle"),
+    )
+    hashed = csh.select(
+        "doc_id", "chunk_id", h32(F.col("shingle")).alias("sh32"), "shingle"
+    )
+    sigs = hashed.groupBy("doc_id", "chunk_id").agg(*_minhash_agg_cols())
+    bands = band_frame(sigs, keys=("doc_id", "chunk_id"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.chunk_id").alias("chunk_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.chunk_id").alias("chunk_b"),
+        )
+        .distinct()
+    )
+    sizes = hashed.groupBy("doc_id", "chunk_id").agg(
+        F.count("*").cast("bigint").alias("set_size")
+    )
+    ha = hashed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("chunk_id").alias("chunk_a"),
+        "shingle",
+    )
+    hb = hashed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("chunk_id").alias("chunk_b"),
+        "shingle",
+    )
+    inter = (
+        cand.join(ha, ["doc_a", "chunk_a"])
+        .join(hb, ["doc_b", "chunk_b", "shingle"])
+        .groupBy("doc_a", "chunk_a", "doc_b", "chunk_b")
+        .agg(F.count("*").cast("bigint").alias("isect"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("chunk_id").alias("chunk_a"),
+        F.col("set_size").alias("size_a"),
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("chunk_id").alias("chunk_b"),
+        F.col("set_size").alias("size_b"),
+    )
+    cpairs = (
+        inter.join(sa, ["doc_a", "chunk_a"])
+        .join(sb, ["doc_b", "chunk_b"])
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("isect")
+                / (F.col("size_a") + F.col("size_b") - F.col("isect")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= chunk_threshold)
+    )
+    nch = chunks.select("doc_id", "n_chunks").distinct()
+    agg = cpairs.groupBy("doc_a", "doc_b").agg(
+        F.count("*").cast("bigint").alias("matched_pairs"),
+        F.countDistinct("chunk_a").cast("bigint").alias("matched_chunks_a"),
+        F.countDistinct("chunk_b").cast("bigint").alias("matched_chunks_b"),
+    )
+    return (
+        agg.join(
+            nch.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n_chunks").alias("n_chunks_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            nch.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n_chunks").alias("n_chunks_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "containment_a",
+            F.round(F.col("matched_chunks_a") / F.col("n_chunks_a"), 6),
+        )
+        .withColumn(
+            "containment_b",
+            F.round(F.col("matched_chunks_b") / F.col("n_chunks_b"), 6),
+        )
+        .filter(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= containment_threshold
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "matched_pairs",
+            "matched_chunks_a",
+            "matched_chunks_b",
+            "n_chunks_a",
+            "n_chunks_b",
+            "containment_a",
+            "containment_b",
+        )
     )

@@ -705,6 +705,30 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: chunk-pair Jaccard gate + doc-level containment gate for the
+#: chunk-dedup query: a chunk pair must share half its shingles; a doc
+#: pair reports when a fifth of either side's chunks have a match
+CHUNK_DEDUP_JACCARD, CHUNK_CONTAINMENT = 0.5, 0.2
+
+
+def q_text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level near-dedup rolled up to doc-level containment
+    (dedup.chunk_containment_pairs over the same chunk geometry as
+    ns_text_chunks): chunks shingle → MinHash-band equi-join candidates
+    → exact-Jaccard verify → per-doc-pair containment. Catches partial
+    duplication (shared boilerplate / quoted passages) that whole-doc
+    Jaccard dilutes away — the fine-grained pass LLM pipelines run on
+    top of doc-level dedup. All arithmetic on the cross-engine h32, so
+    the oracle replays candidates, verification, and rollup exactly."""
+    chunks = T.chunk_frame(_docs(spark, sf_dir), CHUNK_SIZE, CHUNK_OVERLAP)
+    return dedup.chunk_containment_pairs(
+        chunks,
+        n=NGRAM_N,
+        chunk_threshold=CHUNK_DEDUP_JACCARD,
+        containment_threshold=CHUNK_CONTAINMENT,
+    )
+
+
 def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary builder: top-K tokens by frequency with corpus
     share — the first step of tokenizer training. One explode + one
@@ -2744,6 +2768,7 @@ QUERIES = {
     "ns_text_langid": q_text_langid,
     "ns_text_gopher": q_text_gopher,
     "ns_text_chunks": q_text_chunks,
+    "ns_text_chunk_dedup": q_text_chunk_dedup,
     "ns_text_bm25": q_text_bm25,
     "ns_text_fingerprint": q_text_fingerprint,
     "ns_text_repetition": q_text_repetition,
@@ -3354,6 +3379,109 @@ FROM scored"""
 
 
 ORACLES["ns_ann_ivfpq_recall"] = _ivfpq_recall_oracle()
+
+
+def _chunk_dedup_oracle() -> str:
+    """Chunk-level MinHash dedup → doc containment replay: the
+    ns_text_chunks slicing CTEs feed per-(doc, chunk) shingles into the
+    SAME 16-permutation signature + 4-band candidate machinery as the
+    doc-level minhash oracle (keys widened to (doc_id, chunk_id)), then
+    exact-Jaccard verification and the doc-pair rollup."""
+    stride = CHUNK_SIZE - CHUNK_OVERLAP
+    nm1 = NGRAM_N - 1
+    rows = dedup.NUM_MINHASHES // dedup.MINHASH_BANDS
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, chunk_id, {bi} AS band, {key} AS key FROM sigs".format(
+            bi=bi,
+            key=" || '_' || ".join(
+                f"CAST(sig{bi * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for bi in range(dedup.MINHASH_BANDS)
+    )
+    return f"""WITH {_TOKS},
+base AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+counted AS (
+  SELECT doc_id, tk, n,
+    CAST(1 + greatest(0, CAST(ceil((n - {CHUNK_SIZE})
+      / CAST({stride} AS DOUBLE)) AS BIGINT)) AS INT) AS n_chunks
+  FROM base
+),
+exploded AS (
+  SELECT doc_id, tk, n_chunks,
+    CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_id
+  FROM counted
+),
+chunks AS (
+  SELECT doc_id, chunk_id,
+    list_slice(tk, chunk_id * {stride} + 1,
+               chunk_id * {stride} + {CHUNK_SIZE}) AS ck
+  FROM exploded
+),
+csh AS (
+  SELECT doc_id, chunk_id,
+    unnest(list_distinct(list_transform(
+      range(1, greatest(len(ck) - {nm1}, 0) + 1),
+      i -> array_to_string(ck[i:i+{nm1}], ' ')))) AS shingle
+  FROM chunks
+),
+h AS (SELECT doc_id, chunk_id, {_H.format(x='shingle')} AS sh32, shingle FROM csh),
+sigs AS (
+  SELECT doc_id, chunk_id, {_minhash_sig_exprs()} FROM h
+  GROUP BY doc_id, chunk_id
+),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.chunk_id AS chunk_a,
+                  b.doc_id AS doc_b, b.chunk_id AS chunk_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (
+  SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS set_size FROM h
+  GROUP BY doc_id, chunk_id
+),
+inter AS (
+  SELECT c.doc_a, c.chunk_a, c.doc_b, c.chunk_b,
+    CAST(count(*) AS BIGINT) AS isect
+  FROM cand c
+  JOIN h ha ON ha.doc_id = c.doc_a AND ha.chunk_id = c.chunk_a
+  JOIN h hb ON hb.doc_id = c.doc_b AND hb.chunk_id = c.chunk_b
+           AND hb.shingle = ha.shingle
+  GROUP BY c.doc_a, c.chunk_a, c.doc_b, c.chunk_b
+),
+cpairs AS (
+  SELECT doc_a, chunk_a, doc_b, chunk_b FROM (
+    SELECT i.doc_a, i.chunk_a, i.doc_b, i.chunk_b,
+      ROUND(i.isect / CAST(sa.set_size + sb.set_size - i.isect AS DOUBLE), 6) AS j
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a AND sa.chunk_id = i.chunk_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b AND sb.chunk_id = i.chunk_b
+  ) WHERE j >= {CHUNK_DEDUP_JACCARD}
+),
+nch AS (SELECT doc_id, n_chunks FROM counted),
+agg AS (
+  SELECT doc_a, doc_b,
+    CAST(count(*) AS BIGINT) AS matched_pairs,
+    CAST(count(DISTINCT chunk_a) AS BIGINT) AS matched_chunks_a,
+    CAST(count(DISTINCT chunk_b) AS BIGINT) AS matched_chunks_b
+  FROM cpairs GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b, matched_pairs, matched_chunks_a, matched_chunks_b,
+  CAST(na.n_chunks AS INT) AS n_chunks_a,
+  CAST(nb.n_chunks AS INT) AS n_chunks_b,
+  ROUND(matched_chunks_a / CAST(na.n_chunks AS DOUBLE), 6) AS containment_a,
+  ROUND(matched_chunks_b / CAST(nb.n_chunks AS DOUBLE), 6) AS containment_b
+FROM agg
+JOIN nch na ON na.doc_id = agg.doc_a
+JOIN nch nb ON nb.doc_id = agg.doc_b
+WHERE greatest(
+    ROUND(matched_chunks_a / CAST(na.n_chunks AS DOUBLE), 6),
+    ROUND(matched_chunks_b / CAST(nb.n_chunks AS DOUBLE), 6)
+  ) >= {CHUNK_CONTAINMENT}"""
+
+
+ORACLES["ns_text_chunk_dedup"] = _chunk_dedup_oracle()
 
 ORACLES["ns_mix_sources"] = _mix_oracle()
 

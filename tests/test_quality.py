@@ -424,3 +424,34 @@ def test_pq_adc_rerank_recall_against_exact_l2(spark):
     raw_r, rr_r = recall(raw), recall(rr)
     assert rr_r >= 0.85, f"reranked PQ recall@{ANN_K} collapsed: {rr_r:.2f}"
     assert rr_r > raw_r, (raw_r, rr_r)  # the rerank tier must earn its cost
+
+
+def test_chunk_containment_catches_partial_duplication(spark):
+    """A document wholly contained in a larger one must surface with
+    containment_a = 1.0 even though whole-doc Jaccard is diluted; an
+    unrelated document must not pair with either."""
+    from blinkit_etl_pipeline_spark.functions.text import chunk_frame
+    from blinkit_etl_pipeline_spark.operators.dedup import (
+        chunk_containment_pairs,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))
+    extra = " ".join(f"x{i}" for i in range(40))
+    other = " ".join(f"z{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, base, "en"), (2, base + " " + extra, "en"), (3, other, "en")],
+        "doc_id long, text string, lang string",
+    )
+    chunks = chunk_frame(docs, size=8, overlap=0)
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in chunk_containment_pairs(
+            chunks, n=3, chunk_threshold=0.5, containment_threshold=0.2
+        ).collect()
+    }
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    # all five of doc 1's chunks are verbatim chunks of doc 2
+    assert r["n_chunks_a"] == 5 and r["n_chunks_b"] == 10
+    assert r["matched_chunks_a"] == 5 and r["matched_chunks_b"] == 5
+    assert r["containment_a"] == 1.0 and r["containment_b"] == 0.5
