@@ -26,10 +26,26 @@ files a CDC batch actually touches. The pruning join is
 manifest(rows = files, tiny) × update-keys — broadcast, never a scan
 of the table.
 
-Scope (honest): single-writer commit protocol (``os.replace`` gives
-atomic visibility, not multi-writer conflict detection), local/posix
-paths, one clustering key for file stats. Concurrent WRITERS need a
-lock or a conditional-put store, as early Delta on S3 did.
+Concurrency (r6): MULTI-writer optimistic concurrency, Delta-log style.
+The commit point is the creation of ``v{N}.json`` itself via
+``os.link`` — atomic and *exclusive* on POSIX, so exactly one of two
+racing committers claims version N; the loser gets
+:class:`CommitConflictError` and retries on the winner's base
+(``append_snapshot``/``merge_snapshot`` do this automatically with
+bounded retries; data files are immutable so an append retry only
+re-composes the manifest, while a merge retry re-runs the merge against
+the new base — its failed attempt's files are unreferenced and get
+vacuumed). ``current_version`` resolves by scanning committed
+manifests; the ``_latest`` file is a best-effort monotonic hint for
+humans, never the source of truth (a pointer race could otherwise
+regress visibility across concurrent committers). Manifests are fully
+written before the link lands, so any visible manifest is complete; an
+incomplete/foreign claim file surfaces as a loud SnapshotError, not a
+silent lost update.
+
+Scope (honest): local/posix paths (os.link exclusivity; S3 would need
+conditional PUT, as early Delta did), one clustering key for file
+stats.
 """
 
 from __future__ import annotations
@@ -52,6 +68,20 @@ class SnapshotError(RuntimeError):
     pass
 
 
+class CommitConflictError(SnapshotError):
+    """Another committer claimed the version this commit targeted.
+
+    ``winning_version`` is the version that exists instead; re-read the
+    table at that base and retry (the append/merge helpers do)."""
+
+    def __init__(self, table: str, winning_version: int | None):
+        self.winning_version = winning_version
+        super().__init__(
+            f"concurrent commit detected at {table}: version "
+            f"{winning_version} was committed by another writer"
+        )
+
+
 def _manifest_path(table: str, version: int) -> str:
     return os.path.join(table, MANIFEST_DIR, f"v{version:06d}.json")
 
@@ -61,11 +91,14 @@ def _latest_pointer(table: str) -> str:
 
 
 def current_version(table: str) -> int | None:
-    try:
-        with open(_latest_pointer(table)) as f:
-            return int(f.read().strip())
-    except FileNotFoundError:
-        return None
+    """Newest committed version — resolved by scanning the manifest dir
+    (the commit point is manifest creation; the ``_latest`` file is only
+    a hint, see module docstring)."""
+    versions = [
+        int(os.path.basename(p)[1:-5])
+        for p in glob.glob(os.path.join(table, MANIFEST_DIR, "v*.json"))
+    ]
+    return max(versions) if versions else None
 
 
 def read_manifest(table: str, version: int | None = None) -> dict:
@@ -75,11 +108,22 @@ def read_manifest(table: str, version: int | None = None) -> dict:
             raise SnapshotError(f"no snapshot table at {table}")
     try:
         with open(_manifest_path(table, version)) as f:
-            return json.load(f)
+            manifest = json.load(f)
     except FileNotFoundError as e:
         raise SnapshotError(
             f"version {version} does not exist at {table}"
         ) from e
+    except ValueError as e:
+        raise SnapshotError(
+            f"manifest v{version} at {table} is unreadable — a concurrent "
+            "or crashed foreign writer left a partial claim"
+        ) from e
+    if not isinstance(manifest, dict) or "files" not in manifest:
+        raise SnapshotError(
+            f"manifest v{version} at {table} is incomplete — a concurrent "
+            "or crashed foreign writer left a partial claim"
+        )
+    return manifest
 
 
 def _file_stats(path: str, stats_col: str | None) -> dict:
@@ -129,8 +173,23 @@ def _write_data_files(
     return [_file_stats(f, stats_col) for f in files]
 
 
-def _commit(table: str, files: list[dict], *, stats_col: str | None) -> int:
+def _commit(
+    table: str,
+    files: list[dict],
+    *,
+    stats_col: str | None,
+    expected_version: int | None = None,
+) -> int:
+    """Compare-and-swap commit: claim version N+1 by hard-linking the
+    fully-written manifest into place — ``os.link`` fails atomically if
+    another writer already claimed it. ``expected_version`` asserts the
+    base this commit was computed against (optimistic concurrency):
+    when supplied and stale, the commit conflicts WITHOUT claiming a
+    version, so the caller rebases instead of silently skipping the
+    winner's changes."""
     prev = current_version(table)
+    if expected_version is not None and prev != expected_version:
+        raise CommitConflictError(table, prev)
     version = 1 if prev is None else prev + 1
     os.makedirs(os.path.join(table, MANIFEST_DIR), exist_ok=True)
     manifest = {
@@ -140,28 +199,50 @@ def _commit(table: str, files: list[dict], *, stats_col: str | None) -> int:
         "files": files,
     }
     mpath = _manifest_path(table, version)
-    if os.path.exists(mpath):
-        raise SnapshotError(
-            f"concurrent commit detected: {mpath} already exists"
-        )
-    tmp = mpath + ".tmp"
+    tmp = mpath + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
-    os.replace(tmp, mpath)
-    # pointer swing is the commit point: readers either see the old
-    # version or the new one, never a partial state
-    ptmp = _latest_pointer(table) + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(ptmp, "w") as f:
-        f.write(str(version))
-    os.replace(ptmp, _latest_pointer(table))
+    try:
+        # the commit point: atomic-exclusive on POSIX — exactly one
+        # racing writer's link lands; the manifest behind it is already
+        # complete, so visibility == completeness
+        os.link(tmp, mpath)
+    except FileExistsError:
+        raise CommitConflictError(table, current_version(table)) from None
+    finally:
+        os.unlink(tmp)
+    # best-effort monotonic hint for humans/tooling; never authoritative
+    cur_hint = None
+    try:
+        with open(_latest_pointer(table)) as f:
+            cur_hint = int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        pass
+    if cur_hint is None or cur_hint < version:
+        ptmp = _latest_pointer(table) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(ptmp, "w") as f:
+            f.write(str(version))
+        os.replace(ptmp, _latest_pointer(table))
     return version
+
+
+#: bounded optimistic-concurrency retries for the auto-rebasing writers
+COMMIT_RETRIES = 5
 
 
 def write_snapshot(
     df: DataFrame, table: str, *, stats_col: str | None = None
 ) -> int:
-    """Create version 1 (or a full-overwrite new version) from ``df``."""
+    """Create version 1 (or a full-overwrite new version) from ``df``.
+
+    Content doesn't depend on the base, so a lost version race only
+    needs re-allocation — data files are written once."""
     files = _write_data_files(df, table, stats_col)
+    for _ in range(COMMIT_RETRIES):
+        try:
+            return _commit(table, files, stats_col=stats_col)
+        except CommitConflictError:
+            continue
     return _commit(table, files, stats_col=stats_col)
 
 
@@ -169,14 +250,28 @@ def append_snapshot(
     df: DataFrame, table: str, *, stats_col: str | None = None
 ) -> int:
     """New version = previous version's files (by reference) + ``df``'s
-    new files. No existing file is read or rewritten."""
-    manifest = read_manifest(table)
-    new_files = _write_data_files(df, table, stats_col or manifest.get("stats_col"))
-    return _commit(
-        table,
-        list(manifest["files"]) + new_files,
-        stats_col=manifest.get("stats_col"),
-    )
+    new files. No existing file is read or rewritten; on a commit
+    conflict the (immutable, already-written) new files are re-composed
+    onto the winner's manifest and retried — appends from concurrent
+    writers all land, in some serial order."""
+    new_files: list[dict] | None = None
+    last_err: CommitConflictError | None = None
+    for _ in range(COMMIT_RETRIES):
+        manifest = read_manifest(table)
+        if new_files is None:
+            new_files = _write_data_files(
+                df, table, stats_col or manifest.get("stats_col")
+            )
+        try:
+            return _commit(
+                table,
+                list(manifest["files"]) + new_files,
+                stats_col=manifest.get("stats_col"),
+                expected_version=manifest["version"],
+            )
+        except CommitConflictError as e:
+            last_err = e
+    raise last_err
 
 
 def read_snapshot(
@@ -193,8 +288,18 @@ def read_snapshot(
 
 def rollback_snapshot(table: str, version: int) -> int:
     """Commit a NEW version whose file list is ``version``'s — history
-    is never rewritten, so the bad versions stay inspectable."""
+    is never rewritten, so the bad versions stay inspectable. The
+    source manifest is immutable, so a version race only re-allocates."""
     manifest = read_manifest(table, version)
+    for _ in range(COMMIT_RETRIES):
+        try:
+            return _commit(
+                table,
+                list(manifest["files"]),
+                stats_col=manifest.get("stats_col"),
+            )
+        except CommitConflictError:
+            continue
     return _commit(
         table, list(manifest["files"]), stats_col=manifest.get("stats_col")
     )
@@ -227,6 +332,32 @@ def merge_snapshot(
     from .merge import merge_upsert
 
     keys = list(keys)
+    last_err: CommitConflictError | None = None
+    for _ in range(COMMIT_RETRIES):
+        try:
+            return _merge_once(
+                spark, table, updates, keys,
+                delete_col=delete_col, version_col=version_col,
+                merge_fn=merge_upsert,
+            )
+        except CommitConflictError as e:
+            # a merge's rewrite set depends on the base, so a conflict
+            # re-runs the whole merge against the winner's manifest; the
+            # failed attempt's data files are unreferenced (vacuumable)
+            last_err = e
+    raise last_err
+
+
+def _merge_once(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    keys: list[str],
+    *,
+    delete_col: str | None,
+    version_col: str | None,
+    merge_fn,
+) -> tuple[int, list[str]]:
     manifest = read_manifest(table)
     stats_col = manifest.get("stats_col")
     entries = manifest["files"]
@@ -263,11 +394,16 @@ def merge_snapshot(
         base = spark.read.parquet(*sorted(touched))
     else:
         base = read_snapshot(spark, table).limit(0)
-    merged = merge_upsert(
+    merged = merge_fn(
         base, updates, keys, delete_col=delete_col, version_col=version_col
     )
     new_files = _write_data_files(merged, table, stats_col)
-    version = _commit(table, untouched + new_files, stats_col=stats_col)
+    version = _commit(
+        table,
+        untouched + new_files,
+        stats_col=stats_col,
+        expected_version=manifest["version"],
+    )
     return version, sorted(touched)
 
 
