@@ -42,6 +42,9 @@ def ingest_and_find_dups(
     n: int = 3,
     min_bands: int = 1,
     on_pairs=None,
+    compact_threshold: int | None = 64,
+    compact_target: int = 8,
+    compact_keep_versions: int = 2,
 ) -> tuple[DataFrame, int]:
     """Check ``new_docs`` against the store AND within itself, then
     append the batch's signatures as a new store version.
@@ -67,6 +70,19 @@ def ingest_and_find_dups(
     the retry finds no fresh ids and never touches the sink. A sink
     AFTER the append would lose the batch's pairs forever on a crash in
     between (the append marks the ids seen, so the retry finds nothing).
+
+    **Store maintenance**: every append adds a file set, so after
+    thousands of batches the manifest and file count — and with them
+    ingest latency (file listing + per-file open cost) — would grow
+    unboundedly. When the post-append manifest exceeds
+    ``compact_threshold`` files, the store is compacted
+    (:func:`snapshot.compact_snapshot` — CAS-committed, so a racing
+    ingest is never dropped) down to ``compact_target`` files and
+    versions older than ``compact_keep_versions`` are vacuumed. Net:
+    file count and manifest size stay O(threshold) at any batch count,
+    bounded-history time travel. ``compact_threshold=None`` disables
+    (unbounded growth, full time travel). The returned version is the
+    batch's own append commit.
     """
     exists = snapshot.current_version(store_table) is not None
     new_bands = band_frame(minhash_signatures(new_docs, n=n))
@@ -114,4 +130,15 @@ def ingest_and_find_dups(
         version = snapshot.append_snapshot(new_bands, store_table)
     else:
         version = snapshot.write_snapshot(new_bands, store_table)
+    if (
+        compact_threshold is not None
+        and len(snapshot.read_manifest(store_table)["files"])
+        > compact_threshold
+    ):
+        snapshot.compact_snapshot(
+            spark, store_table, target_files=compact_target
+        )
+        snapshot.expire_snapshots(
+            store_table, keep_last=compact_keep_versions
+        )
     return pairs, version

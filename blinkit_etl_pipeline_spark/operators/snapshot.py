@@ -155,19 +155,24 @@ def _file_stats(path: str, stats_col: str | None) -> dict:
 
 
 def _write_data_files(
-    df: DataFrame, table: str, stats_col: str | None
+    df: DataFrame, table: str, stats_col: str | None,
+    num_files: int | None = None,
 ) -> list[dict]:
     """Write df as immutable parquet under data/<commit-uuid>/ and
-    return manifest entries (path + key-range stats from footers)."""
+    return manifest entries (path + key-range stats from footers).
+    ``num_files`` overrides the output file count (compaction)."""
     commit_id = uuid.uuid4().hex[:12]
     out_dir = os.path.join(table, DATA_DIR, commit_id)
     if stats_col is not None and stats_col in df.columns:
         # cluster by the stats key so file ranges are tight => pruning
         # actually prunes (a random layout makes every range overlap)
         df = df.repartitionByRange(
-            max(df.sparkSession.sparkContext.defaultParallelism // 4, 1),
+            num_files
+            or max(df.sparkSession.sparkContext.defaultParallelism // 4, 1),
             F.col(stats_col),
         ).sortWithinPartitions(stats_col)
+    elif num_files is not None:
+        df = df.repartition(num_files)
     df.write.parquet(out_dir)
     files = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
     return [_file_stats(f, stats_col) for f in files]
@@ -405,6 +410,51 @@ def _merge_once(
         expected_version=manifest["version"],
     )
     return version, sorted(touched)
+
+
+def compact_snapshot(
+    spark: SparkSession, table: str, *, target_files: int = 8
+) -> tuple[int, int, int]:
+    """Rewrite the current version's (possibly many small) data files
+    into ``target_files`` and commit the result as a new,
+    content-identical version.
+
+    Append-heavy tables (e.g. the incremental dedup signature store)
+    otherwise accumulate one file set per batch forever — manifests,
+    file listings, and per-file open costs grow without bound even
+    though the DATA stays metadata-sized. Compaction is CAS-committed
+    against the version it read (``expected_version``), so a concurrent
+    ingest landing mid-compaction conflicts and the compaction rebases
+    — appended signatures are never silently dropped. Old versions
+    (and their small files) remain time-travelable until
+    :func:`expire_snapshots` vacuums them.
+
+    Returns ``(version, files_before, files_after)``; a store already
+    at/below ``target_files`` is a no-op returning the current version.
+    """
+    if target_files < 1:
+        raise ValueError("target_files must be >= 1")
+    last_err: CommitConflictError | None = None
+    for _ in range(COMMIT_RETRIES):
+        manifest = read_manifest(table)
+        entries = manifest["files"]
+        if len(entries) <= target_files:
+            return manifest["version"], len(entries), len(entries)
+        df = spark.read.parquet(*[e["path"] for e in entries])
+        files = _write_data_files(
+            df, table, manifest.get("stats_col"), num_files=target_files
+        )
+        try:
+            version = _commit(
+                table,
+                files,
+                stats_col=manifest.get("stats_col"),
+                expected_version=manifest["version"],
+            )
+            return version, len(entries), len(files)
+        except CommitConflictError as e:
+            last_err = e
+    raise last_err
 
 
 def expire_snapshots(table: str, keep_last: int = 1) -> list[str]:

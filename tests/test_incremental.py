@@ -138,3 +138,68 @@ def test_streaming_lsh_ingest_detects_cross_drop_dups(spark, tmp_path):
     stream = file_source.stream_files(spark, str(raw), schema, fmt="parquet")
     lsh_ingest.run_lsh_ingest(stream, ckpt, store, log)
     assert spark.read.parquet(log).count() == len(pairs)  # unchanged
+
+
+def test_fifty_batch_ingest_stays_bounded_with_compaction(spark, tmp_path):
+    """Sustained ingest: 50 batches with auto-compaction must keep the
+    store's file count and manifest count bounded (the unbounded-growth
+    failure mode is one file set per batch forever), keep ingest wall
+    time from trending up, and stay CORRECT — a near-dup of a batch-1
+    document ingested last must still surface through the compacted
+    store."""
+    import time as _time
+
+    store = str(tmp_path / "sigstore50")
+    threshold, target = 12, 2
+    max_files_seen = 0
+    walls = []
+    for b in range(50):
+        docs = _docs(
+            spark,
+            [
+                (
+                    100 * b + i,
+                    f"batch {b} doc {i} unique filler words "
+                    + " ".join(f"tok{b}x{i}y{j}" for j in range(12)),
+                )
+                for i in range(3)
+            ],
+        )
+        t0 = _time.perf_counter()
+        incremental.ingest_and_find_dups(
+            spark, store, docs,
+            compact_threshold=threshold, compact_target=target,
+        )
+        walls.append(_time.perf_counter() - t0)
+        n_files = len(snapshot.read_manifest(store)["files"])
+        max_files_seen = max(max_files_seen, n_files)
+    # bounded store: never grows past threshold + one batch's file set
+    assert max_files_seen <= threshold + 16
+    assert len(snapshot.read_manifest(store)["files"]) <= threshold + 16
+    import glob as _glob
+    import os as _os
+
+    # manifest count: keep_last survives each vacuum, plus at most one
+    # manifest per append between compaction cycles (each append adds
+    # >= 1 file, so cycles are at most `threshold` appends long)
+    manifests = _glob.glob(_os.path.join(store, "_manifests", "v*.json"))
+    assert len(manifests) <= threshold + 3
+    # all 150 docs' signatures survived every compaction
+    assert (
+        snapshot.read_snapshot(spark, store).select("doc_id").distinct().count()
+        == 150
+    )
+    # latency stays flat-ish: the last ten batches must not trend far
+    # above the first ten (generous 3x guard — the structural bound
+    # above is the real invariant; this catches an O(batches) regression)
+    assert sum(walls[-10:]) < 3 * sum(walls[:10]) + 5.0
+    # correctness through compaction: near-dup of a batch-1 doc found
+    probe = _docs(spark, [(99999, "batch 0 doc 1 unique filler words "
+                           + " ".join(f"tok0x1y{j}" for j in range(12)))])
+    pairs, _ = incremental.ingest_and_find_dups(
+        spark, store, probe,
+        compact_threshold=threshold, compact_target=target,
+    )
+    assert (1, 99999) in {
+        (r["doc_a"], r["doc_b"]) for r in pairs.collect()
+    }
