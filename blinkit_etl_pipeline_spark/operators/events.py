@@ -110,19 +110,81 @@ def tumbling_rollup(events: DataFrame, width: str = "1 hour") -> DataFrame:
     )
 
 
+_INTERVAL_UNITS = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+}
+
+
+def _interval_seconds(spec: str) -> int:
+    n, unit = spec.strip().split()
+    return int(n) * _INTERVAL_UNITS[unit.lower()]
+
+
 def sliding_rollup(
     events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
 ) -> DataFrame:
-    """Sliding windows (each event lands in width/slide windows)."""
+    """Sliding windows (each event lands in ``r = width/slide`` windows).
+
+    Composed from tumbling partials instead of ``F.window(ts, width,
+    slide)``: the built-in plans an **Expand** that duplicates every
+    input row r× BEFORE partial aggregation — r× the scan-side CPU at
+    any scale (the surface's one >2×-vs-baseline query in r5, PLANS.md).
+    Here events aggregate ONCE into ``slide``-width tumbling buckets
+    (map-side partials, shuffle carries bucket partials), then each
+    bucket — already thousands-of-× smaller than the event stream —
+    fans out to the r windows covering it and a second (tiny) aggregate
+    merges buckets per window. Identical semantics: Spark's sliding
+    grid starts windows at every epoch-aligned slide multiple, so an
+    event's r windows start at ``bucket_start − k·slide`` for k <
+    r — only non-empty buckets exist, hence only non-empty windows
+    emit, exactly like the built-in. Requires ``slide`` to divide
+    ``width`` (the production case); otherwise falls back to the
+    Expand plan, whose grid a non-dividing slide genuinely needs.
+    """
+    wsec, ssec = _interval_seconds(width), _interval_seconds(slide)
+    if wsec % ssec != 0:
+        return (
+            events.groupBy(F.window("ts", width, slide).alias("w"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(money(F.sum(value_cents())), 2).alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "n_events",
+                "sum_value",
+            )
+        )
+    r = wsec // ssec
+    buckets = events.groupBy(F.window("ts", slide).alias("b")).agg(
+        F.count("*").alias("__n"),
+        F.sum(value_cents()).alias("__cents"),
+    )
+    # bucket starts are slide-aligned integral seconds: long cast exact
     return (
-        events.groupBy(F.window("ts", width, slide).alias("w"))
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(money(F.sum(value_cents())), 2).alias("sum_value"),
+        buckets.select(
+            F.col("b.start").cast("long").alias("__bs"),
+            "__n",
+            "__cents",
+            F.explode(F.sequence(F.lit(0), F.lit(r - 1))).alias("__k"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
+            (F.col("__bs") - F.col("__k") * ssec).alias("__ws"),
+            "__n",
+            "__cents",
+        )
+        .groupBy("__ws")
+        .agg(
+            F.sum("__n").alias("n_events"),
+            F.round(money(F.sum("__cents")), 2).alias("sum_value"),
+        )
+        .select(
+            F.timestamp_seconds(F.col("__ws")).alias("window_start"),
+            F.timestamp_seconds(F.col("__ws") + wsec).alias("window_end"),
             "n_events",
             "sum_value",
         )

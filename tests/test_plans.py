@@ -40,6 +40,8 @@ ARROW_WHITELIST = {
     "ns_ann_ivf_balance",
     "ns_ann_ivf_curve",
     "ns_ann_recall",
+    "ns_ann_ivfpq_topk",
+    "ns_ann_ivfpq_recall",
     "ns_pack_sequences",
 }
 
@@ -76,3 +78,21 @@ def test_registry_priority_names_resolve():
     assert list(registry.all_oracle_sql())[: len(registry.PRIORITY)] == (
         registry.PRIORITY
     )
+
+
+def test_sliding_rollup_plans_no_expand_over_events(spark):
+    """The composed sliding rollup must aggregate events ONCE into
+    tumbling buckets — no Expand/row-duplicating Generate upstream of
+    the first aggregation (the r5 2×-vs-baseline cost). The only
+    Generate allowed is the per-BUCKET window fan-out, which sits above
+    a HashAggregate."""
+    from blinkit_etl_pipeline_spark.plans.northstar import q_events_sliding
+
+    df = q_events_sliding(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    # scan feeds an aggregate before any Generate: in the plan tree the
+    # (bucket-level) Generate must appear ABOVE a HashAggregate chain,
+    # i.e. some HashAggregate exists below the last Generate
+    gen = plan.rfind("Generate")
+    assert gen != -1 and "HashAggregate" in plan[gen:], plan[:2000]
