@@ -1529,6 +1529,73 @@ def ivfpq_topk(
     )
 
 
+def fps_codebook(emb: DataFrame, k: int = 8) -> list[tuple[int, list[float]]]:
+    """Greedy farthest-point codebook (max-min angular coverage) —
+    the codebook whose derivation a plain-SQL oracle can replay inline
+    (k-means needs iterative centroid averaging; farthest-point is a
+    pure argmin recursion over corpus vectors, cf. Gonzalez 1985).
+
+    Selection rule, fully deterministic: centroid 0 is the lowest
+    vec_id; each subsequent centroid is the unchosen vector whose MAX
+    cosine to the chosen set is smallest (i.e. the angularly farthest
+    point), ties → lowest vec_id. Cosines are the exact
+    quantized-integer form in the same operation order as
+    :func:`ivf_assign`, so the whole recursion replays value-exactly in
+    a DuckDB ``WITH RECURSIVE`` — no shipped artifact, ANY corpus.
+
+    Shape: ``k`` sequential corpus scans, each ONE job (the per-scan
+    reduction is a ``TakeOrderedAndProject`` of a single row; chosen
+    centroids enter the plan as literals, ≤ k·dim ints). Driver state
+    is the codebook only. At offline-training scale the standard
+    incremental trick (persist a running max-cos per point, fold in
+    only the newest centroid per pass) drops total work from Σ i·n to
+    k·n dot products; at gauge-scale k the recompute is cheaper than
+    the checkpoint chain.
+
+    Returns ``[(centroid_id 0..k-1 in selection order, vector)]``.
+    """
+    q = emb if "qvec" in emb.columns else with_q(emb)
+    q = q.persist()
+    first = q.agg(F.min("vec_id").alias("m")).collect()[0]["m"]
+    if first is None:
+        raise ValueError("fps_codebook: empty corpus")
+    chosen: list[int] = [int(first)]
+    chosen_q: list[tuple[list[int], int]] = []
+    row0 = q.filter(F.col("vec_id") == first).collect()[0]
+    chosen_q.append(([int(x) for x in row0["qvec"]], int(row0["qq"])))
+    while len(chosen) < k:
+        cols = [
+            qcos(
+                qdot(
+                    F.col("qvec"),
+                    F.array(*[F.lit(x) for x in cq]).cast("array<long>"),
+                ),
+                F.col("qq"),
+                F.lit(cqq).cast("long"),
+            )
+            for cq, cqq in chosen_q
+        ]
+        maxcos = cols[0] if len(cols) == 1 else F.greatest(*cols)
+        nxt = (
+            q.filter(~F.col("vec_id").isin(chosen))
+            .select("vec_id", "qvec", "qq", maxcos.alias("__mc"))
+            .orderBy(F.col("__mc").asc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not nxt:
+            break  # corpus smaller than k
+        r = nxt[0]
+        chosen.append(int(r["vec_id"]))
+        chosen_q.append(([int(x) for x in r["qvec"]], int(r["qq"])))
+    q.unpersist()
+    # centroid vectors: dequantized integers (qvec/QSCALE) — pyquantize
+    # round-trips them exactly, so ivf_assign sees the same ints
+    return [
+        (i, [x / QSCALE for x in cq]) for i, (cq, _) in enumerate(chosen_q)
+    ]
+
+
 # ----------------------------------------------------------------------
 # Semantic deduplication (SemDeDup-style: cluster, then dedup within)
 # ----------------------------------------------------------------------

@@ -400,6 +400,25 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: FPS codebook size for the inline-derivable semantic-dedup oracle —
+#: a gauge-scale k (the derived-k production path is ns_dedup_semantic)
+FPS_K = 8
+
+
+def q_dedup_semantic_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with a greedy farthest-point codebook derived INLINE
+    from the corpus (vector.fps_codebook) — no shipped artifact, so
+    unlike ns_dedup_semantic's pinned-codebook oracle this one
+    generalizes to ANY corpus: the DuckDB side re-derives the identical
+    codebook with a WITH RECURSIVE argmin recursion over the same
+    quantized integers (k-means is not SQL-expressible; farthest-point
+    is). Same cluster-then-pairwise dedup downstream."""
+    emb = _emb(spark, sf_dir)
+    return vector.semantic_dedup(
+        emb, vector.fps_codebook(emb, k=FPS_K), threshold=COSINE_THRESHOLD
+    )
+
+
 # ----------------------------------------------------------------------
 # Similarity search
 # ----------------------------------------------------------------------
@@ -2753,6 +2772,7 @@ QUERIES = {
     "ns_ann_ivfpq_recall": q_ann_ivfpq_recall,
     "ns_dedup_semantic": q_dedup_semantic,
     "ns_dedup_semantic_recall": q_dedup_semantic_recall,
+    "ns_dedup_semantic_fps": q_dedup_semantic_fps,
     "ns_merge_upsert": q_merge_upsert,
     "ns_profile_key_skew": q_profile_key_skew,
     "ns_text_bpe_pairs": q_text_bpe_pairs,
@@ -3482,6 +3502,65 @@ WHERE greatest(
 
 
 ORACLES["ns_text_chunk_dedup"] = _chunk_dedup_oracle()
+
+
+def _semantic_fps_oracle() -> str:
+    """Cross-corpus SemDeDup replay: the farthest-point codebook is
+    DERIVED by a WITH RECURSIVE argmin recursion (centroid 0 = lowest
+    vec_id; each next = unchosen vector with the smallest max-cosine to
+    the chosen set, ties → lowest vec_id — vector.fps_codebook's exact
+    rule on the same quantized integers), then the standard
+    assign → within-cluster max-lower-sim dedup. Valid on ANY corpus,
+    closing ns_dedup_semantic's pinned-artifact oracle scope."""
+    return f"""WITH RECURSIVE {_EMB},
+sel(iter, ids) AS (
+  SELECT 1, [(SELECT min(vec_id) FROM e)]
+  UNION ALL
+  SELECT sel.iter + 1, list_append(sel.ids, (
+    SELECT cand.vec_id FROM e cand
+    WHERE NOT list_contains(sel.ids, cand.vec_id)
+    ORDER BY (
+      SELECT max({_COSR.format(a='cand.qv', b='ch.qv', qa='cand.qq', qb='ch.qq')})
+      FROM e ch WHERE list_contains(sel.ids, ch.vec_id)
+    ) ASC, cand.vec_id ASC
+    LIMIT 1
+  ))
+  FROM sel WHERE sel.iter < {FPS_K}
+),
+cid AS (
+  SELECT unnest(ids) AS cv,
+    CAST(unnest(range(len(ids))) AS INT) AS centroid_id
+  FROM sel WHERE iter = {FPS_K}
+),
+c AS (
+  SELECT cid.centroid_id, e.qv AS cvec, e.qq AS cqq
+  FROM cid JOIN e ON e.vec_id = cid.cv
+),
+assigned AS (
+  SELECT vec_id, qv, qq, centroid_id FROM (
+    SELECT e.vec_id, e.qv, e.qq, c.centroid_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_COSR.format(a='e.qv', b='c.cvec', qa='e.qq', qb='c.cqq')} DESC,
+        c.centroid_id ASC) AS rn
+    FROM e CROSS JOIN c
+  ) WHERE rn = 1
+),
+sims AS (
+  SELECT a.vec_id,
+    max({_COSR.format(a='a.qv', b='b.qv', qa='a.qq', qb='b.qq')})
+      AS max_lower_sim
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+  GROUP BY a.vec_id
+)
+SELECT a.vec_id, a.centroid_id,
+  ROUND(s.max_lower_sim, 6) AS max_lower_sim,
+  (s.max_lower_sim IS NULL OR s.max_lower_sim < {COSINE_THRESHOLD})
+    AS is_kept
+FROM assigned a LEFT JOIN sims s ON a.vec_id = s.vec_id"""
+
+
+ORACLES["ns_dedup_semantic_fps"] = _semantic_fps_oracle()
 
 ORACLES["ns_mix_sources"] = _mix_oracle()
 

@@ -26,6 +26,7 @@ PRIORITY = [
     "ns_ann_ivfpq_topk",
     "ns_ann_ivfpq_recall",
     "ns_text_chunk_dedup",
+    "ns_dedup_semantic_fps",
     # --- stalest existing rows (newest driver row r1–r3) ---
     "ns_sketch_hll_users",  # r1
     "ns_sketch_value_quantiles",  # r1

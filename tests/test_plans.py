@@ -30,6 +30,7 @@ ARROW_WHITELIST = {
     "ns_dedup_recall",
     "ns_dedup_semantic",
     "ns_dedup_semantic_recall",
+    "ns_dedup_semantic_fps",
     # NOT ns_ann_cosine_topk: the brute baseline is deliberately
     # JVM-only (exact integer folds, no BLAS kernel)
     "ns_ann_lsh_topk",

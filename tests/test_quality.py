@@ -455,3 +455,36 @@ def test_chunk_containment_catches_partial_duplication(spark):
     assert r["n_chunks_a"] == 5 and r["n_chunks_b"] == 10
     assert r["matched_chunks_a"] == 5 and r["matched_chunks_b"] == 5
     assert r["containment_a"] == 1.0 and r["containment_b"] == 0.5
+
+
+def test_semantic_fps_oracle_generalizes_to_replica_corpus(spark, tmp_path):
+    """The FPS-codebook semantic dedup must stay oracle-exact on a
+    corpus OUTSIDE the driver testdata tree (ns_dedup_semantic's pinned
+    artifact can't, by design): perturb the smoke embeddings (reversed
+    dims — different cosine structure, different derived codebook),
+    write to /tmp, and replay the full WITH RECURSIVE oracle there."""
+    import duckdb
+
+    from blinkit_etl_pipeline_spark.oracle_check import canonicalize
+    from blinkit_etl_pipeline_spark.plans.northstar import (
+        ORACLES,
+        q_dedup_semantic_fps,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    replica = emb.select("vec_id", F.reverse("embedding").alias("embedding"))
+    out = str(tmp_path / "replica")
+    replica.write.parquet(f"{out}/embeddings.parquet")
+
+    sdf = q_dedup_semantic_fps(spark, out).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{out}/embeddings.parquet/*.parquet')"
+    )
+    odf = con.execute(ORACLES["ns_dedup_semantic_fps"]).fetchdf()
+    assert len(sdf) == emb.count()
+    assert canonicalize(sdf) == canonicalize(odf)
+    # and it actually deduplicates something on this corpus OR keeps
+    # everything — either way the decision column is boolean-complete
+    assert set(sdf["is_kept"].unique()) <= {True, False}
