@@ -142,3 +142,53 @@ def ingest_and_find_dups(
             store_table, keep_last=compact_keep_versions
         )
     return pairs, version
+
+
+def ingest_pq_codes(
+    spark: SparkSession,
+    store_table: str,
+    new_emb: DataFrame,
+    codebook,
+    *,
+    dim: int = 64,
+    compact_threshold: int | None = 64,
+    compact_target: int = 8,
+    compact_keep_versions: int = 2,
+) -> int:
+    """PQ twin of :func:`ingest_and_find_dups`'s store side: encode a
+    batch of embeddings to 8-byte codes against the SHIPPED codebook
+    (:func:`vector.pq_encode` — one Arrow scan, zero shuffle) and
+    append them to a snapshot code store. History lives as codes only —
+    the store grows ~(8 + id) bytes per vector regardless of embedding
+    width, and :func:`vector.pq_store_adc_topk` answers top-k from it
+    without ever touching raw history. Redelivered vec_ids are skipped
+    (idempotent batch ingest) and the store auto-compacts like the
+    signature store. Returns the committed store version."""
+    from . import vector
+
+    exists = snapshot.current_version(store_table) is not None
+    codes = vector.pq_encode(new_emb, codebook, dim=dim)
+    if exists:
+        seen = snapshot.read_snapshot(spark, store_table).select(
+            "vec_id"
+        ).distinct()
+        codes = codes.join(seen, "vec_id", "left_anti")
+    codes = codes.localCheckpoint(eager=True)
+    if codes.isEmpty():
+        return snapshot.current_version(store_table) or 0
+    if exists:
+        version = snapshot.append_snapshot(codes, store_table)
+    else:
+        version = snapshot.write_snapshot(codes, store_table)
+    if (
+        compact_threshold is not None
+        and len(snapshot.read_manifest(store_table)["files"])
+        > compact_threshold
+    ):
+        snapshot.compact_snapshot(
+            spark, store_table, target_files=compact_target
+        )
+        snapshot.expire_snapshots(
+            store_table, keep_last=compact_keep_versions
+        )
+    return version

@@ -1054,6 +1054,141 @@ def pq_adc_topk(
     )
 
 
+def pq_codes_matrix(codebook: Sequence[tuple[int, int, Sequence[float]]]):
+    """(m, nk, sub, C) — quantized centroid tensor for a PQ codebook."""
+    import numpy as np
+
+    m = max(j for j, _, _ in codebook) + 1
+    nk = max(c for _, c, _ in codebook) + 1
+    sub = len(codebook[0][2])
+    C = np.zeros((m, nk, sub), dtype=np.float64)
+    for j, c, vec in codebook:
+        C[j, c] = [pyquantize(x) for x in vec]
+    return m, nk, sub, C
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: Sequence[tuple[int, int, Sequence[float]]],
+    dim: int = 64,
+) -> DataFrame:
+    """Encode vectors to PQ codes — (vec_id, codes array<int>), 8 bytes
+    of payload per vector at the default 8×16 geometry. One Arrow scan,
+    zero shuffle; the same exact-integer argmin (ties → lowest code) as
+    the fused :func:`pq_adc_topk` kernel, so codes persisted by an
+    ingest are bit-identical to codes derived on the fly."""
+    import numpy as np
+
+    m, nk, sub, C = pq_codes_matrix(codebook)
+    if sub * m != dim:
+        raise ValueError("codebook geometry does not match dim")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = _np_stack(pdf["qvec"], dim)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                Xj = X[:, j * sub : (j + 1) * sub]
+                d = (
+                    (Xj * Xj).sum(1)[:, None]
+                    - 2.0 * (Xj @ C[j].T)
+                    + (C[j] * C[j]).sum(1)[None, :]
+                )
+                codes[:, j] = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "codes": list(codes)}
+            )
+
+    q = emb if "qvec" in emb.columns else with_q(emb)
+    return q.mapInPandas(gen, schema="vec_id long, codes array<int>")
+
+
+def pq_store_adc_topk(
+    codes: DataFrame,
+    queries_emb: DataFrame,
+    query_ids: Sequence[int],
+    codebook: Sequence[tuple[int, int, Sequence[float]]],
+    k: int = 5,
+    dim: int = 64,
+) -> DataFrame:
+    """ADC top-k over a PERSISTED code store — the query half of the
+    streaming PQ ingest tier: history is touched only as 8-byte codes,
+    so query latency is independent of how many raw-vector bytes ever
+    streamed in (the raw embeddings are not even an input). Same
+    broadcast-probe shape and exact-int64 ranking as
+    :func:`pq_adc_topk` without rerank; given a store built by
+    :func:`pq_encode` over the same corpus, results are identical to
+    the fused on-the-fly scan."""
+    import numpy as np
+
+    m, nk, sub, C = pq_codes_matrix(codebook)
+    q = with_q(queries_emb)
+    qrows = sorted(
+        q.filter(F.col("vec_id").isin([int(i) for i in query_ids]))
+        .select("vec_id", "qvec")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    if not qrows:
+        raise ValueError("none of the query_ids exist in queries_emb")
+    qid_v = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    QM = np.array([list(r["qvec"]) for r in qrows], dtype=np.float64)
+    T = np.empty((len(qrows), m, nk), dtype=np.int64)
+    for j in range(m):
+        Qj = QM[:, j * sub : (j + 1) * sub]
+        T[:, j, :] = (
+            (Qj * Qj).sum(1)[:, None]
+            - 2.0 * (Qj @ C[j].T)
+            + (C[j] * C[j]).sum(1)[None, :]
+        ).astype(np.int64)
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            codes_m = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )
+            outs = []
+            for qi in range(len(qid_v)):
+                dist = np.zeros(len(pdf), dtype=np.int64)
+                for j in range(m):
+                    dist += T[qi, j][codes_m[:, j]]
+                mask = ids != qid_v[qi]
+                cand_ids, cand_d = ids[mask], dist[mask]
+                order = np.lexsort((cand_ids, cand_d))[:k]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid_v[qi],
+                            "neighbor_id": cand_ids[order],
+                            "adc_dist": cand_d[order],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    cands = codes.mapInPandas(
+        scan, schema="query_id long, neighbor_id long, adc_dist long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
 def derive_num_clusters(n: int, floor: int = 8) -> int:
     """Scale-safe cluster count for SemDeDup-style dedup: ``max(floor,
     ceil(sqrt(n/2)))``.

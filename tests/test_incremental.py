@@ -203,3 +203,58 @@ def test_fifty_batch_ingest_stays_bounded_with_compaction(spark, tmp_path):
     assert (1, 99999) in {
         (r["doc_a"], r["doc_b"]) for r in pairs.collect()
     }
+
+
+def test_streaming_pq_ingest_matches_batch_adc_topk(spark, tmp_path):
+    """File-dropped embeddings encode to PQ codes and append to the
+    store; ADC top-k over the CODE STORE must equal the fused batch
+    pq_adc_topk over the union corpus, and a byte-copied redelivery
+    must not change the store."""
+    import glob as _glob
+    import shutil
+
+    from blinkit_etl_pipeline_spark.operators import vector
+    from blinkit_etl_pipeline_spark.plans.codebook import PQ_CODEBOOK
+    from blinkit_etl_pipeline_spark.streaming import file_source, pq_ingest
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "codestore")
+
+    def drop(lo, hi, tag):
+        emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)) \
+            .coalesce(1).write.parquet(str(tmp_path / tag))
+        src = _glob.glob(str(tmp_path / tag / "part-*.parquet"))[0]
+        shutil.copy(src, str(raw / f"{tag}.parquet"))
+
+    drop(0, 20, "d1")
+    drop(20, 35, "d2")
+    schema = emb.schema
+    stream = file_source.stream_files(spark, str(raw), schema, fmt="parquet")
+    pq_ingest.run_pq_ingest(stream, ckpt, store, PQ_CODEBOOK)
+    drop(35, 50, "d3")
+    stream = file_source.stream_files(spark, str(raw), schema, fmt="parquet")
+    pq_ingest.run_pq_ingest(stream, ckpt, store, PQ_CODEBOOK)
+
+    from blinkit_etl_pipeline_spark.operators import snapshot
+
+    codes = snapshot.read_snapshot(spark, store)
+    assert codes.count() == 50  # every dropped vector encoded once
+
+    union = emb.filter(F.col("vec_id") < 50)
+    qids = range(4)
+    got = sorted(map(tuple, vector.pq_store_adc_topk(
+        codes, union, qids, PQ_CODEBOOK, k=3,
+    ).collect()))
+    want = sorted(map(tuple, vector.pq_adc_topk(
+        union, qids, PQ_CODEBOOK, k=3,
+    ).collect()))
+    assert got == want and len(got) == 12
+
+    # byte-copied redelivery under a new name: vec_id guard catches it
+    shutil.copy(str(raw / "d2.parquet"), str(raw / "d2_again.parquet"))
+    stream = file_source.stream_files(spark, str(raw), schema, fmt="parquet")
+    pq_ingest.run_pq_ingest(stream, ckpt, store, PQ_CODEBOOK)
+    assert snapshot.read_snapshot(spark, store).count() == 50
