@@ -1525,21 +1525,21 @@ def ivfpq_topk(
     the sub-linear ANN tier (:func:`pq_adc_topk` alone is corpus-linear;
     :func:`ivf_topk` prunes but scores full vectors).
 
-    Plan: (1) one zero-shuffle Arrow map assigns every corpus vector to
-    its nearest coarse centroid (:func:`ivf_assign`); (2) each query's
-    ``nprobe`` probe lists are ranked DRIVER-side against the tiny coarse
-    codebook (same quantized-integer cosine, same ``(cos desc, cid asc)``
-    tie-break as :func:`ivf_topk` — numpy reproduces the JVM doubles
-    bit-for-bit because the operation order is identical); (3) the corpus
-    stream is **filtered to the union of probed lists before the PQ
-    scan**, so encode+ADC cost is proportional to probed-list mass, not
-    the corpus — at 100 TB, with codes stored partitioned by
-    ``centroid_id``, this filter is partition pruning and unprobed lists
-    are never read; (4) the probed stream goes through the same
-    broadcast-probe ADC scan as :func:`pq_adc_topk` (integer lookup
-    tables, local top-R per query, exact squared-L2 carried from the
-    same scan), each query scored only against rows in ITS probe set;
-    (5) global ADC shortlist → exact rerank. PQ encodes RAW vectors
+    Plan: (1) each query's ``nprobe`` probe lists are ranked DRIVER-side
+    against the tiny coarse codebook (same quantized-integer cosine,
+    same ``(cos desc, cid asc)`` tie-break as :func:`ivf_topk` — numpy
+    reproduces the JVM doubles bit-for-bit because the operation order
+    is identical); (2) ONE fused zero-shuffle Arrow pass over the corpus
+    then assigns each row to its list (exact :func:`ivf_assign`
+    arithmetic), PQ-encodes ONLY rows inside some query's probed list,
+    and ADC-scores each query against ITS probed rows alone — encode
+    and scoring cost track probed-list mass, not the corpus; (3) local
+    top-R per query (exact squared-L2 carried from the same scan) →
+    global ADC shortlist → exact rerank. At 100 TB the assignment step
+    moves to INGEST (codes stored partitioned by ``centroid_id`` — see
+    :func:`pq_encode` / the snapshot code store) and query-time becomes
+    pure partition pruning; this self-contained form recomputes it
+    map-side at one cheap ``corpus × k`` matmul. PQ encodes RAW vectors
     (FAISS ``by_residual=false``), so the fine codebook is shared with
     the flat PQ tier and every distance stays an exact int64 the oracle
     replays.
@@ -1555,7 +1555,6 @@ def ivfpq_topk(
         C[j, c] = [pyquantize(x) for x in vec]
 
     q = with_q(emb)
-    assigned = ivf_assign(q, ivf_codebook, dim=dim)
 
     qrows = sorted(
         q.filter(F.col("vec_id").isin([int(i) for i in query_ids]))
@@ -1599,17 +1598,26 @@ def ivfpq_topk(
             if pdf.empty:
                 continue
             ids = pdf["vec_id"].to_numpy()
-            lists = pdf["centroid_id"].to_numpy()
             X = _np_stack(pdf["qvec"], dim)
-            codes = np.empty((len(pdf), m), dtype=np.int64)
-            for j in range(m):
-                Xj = X[:, j * sub : (j + 1) * sub]
-                d = (
-                    (Xj * Xj).sum(1)[:, None]
-                    - 2.0 * (Xj @ C[j].T)
-                    + (C[j] * C[j]).sum(1)[None, :]
-                )
-                codes[:, j] = np.argmin(d, axis=1)
+            qq = pdf["qq"].to_numpy(dtype="float64")
+            # coarse assignment, fused into the same pass (exact
+            # ivf_assign arithmetic: argmax → first max → lowest cid)
+            pcosb = (X @ CC.T) / (np.sqrt(qq)[:, None] * np.sqrt(cqq)[None, :])
+            lists = cids[np.argmax(pcosb, axis=1)]
+            # PQ-encode ONLY rows inside some query's probed list — the
+            # pruning: encode cost tracks probed-list mass, not corpus
+            in_union = np.isin(lists, probed_union)
+            codes = np.zeros((len(pdf), m), dtype=np.int64)
+            if in_union.any():
+                Xu = X[in_union]
+                for j in range(m):
+                    Xj = Xu[:, j * sub : (j + 1) * sub]
+                    d = (
+                        (Xj * Xj).sum(1)[:, None]
+                        - 2.0 * (Xj @ C[j].T)
+                        + (C[j] * C[j]).sum(1)[None, :]
+                    )
+                    codes[in_union, j] = np.argmin(d, axis=1)
             outs = []
             for qi in range(len(qid_v)):
                 in_probe = np.isin(lists, list(probe_sets[qi]))
@@ -1635,9 +1643,14 @@ def ivfpq_topk(
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    # the list filter IS the scan pruning — everything downstream only
-    # ever touches probed lists
-    cands = assigned.filter(F.col("centroid_id").isin(probed_union)).mapInPandas(
+    # ONE Arrow pass: assign + prune + encode + ADC in the same
+    # generator (a staged assign-then-scan pays a second corpus
+    # serialization; fused, the corpus crosses Arrow once and PQ work
+    # runs only on probed rows). In the stored variant the assignment
+    # happens at INGEST (codes partitioned by centroid_id — see
+    # pq_encode/ingest_pq_codes) and query-time reads probed partitions
+    # only; this self-contained form recomputes it map-side.
+    cands = q.mapInPandas(
         scan,
         schema="query_id long, neighbor_id long, adc_dist long, l2_dist long",
     )
