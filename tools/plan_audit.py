@@ -63,6 +63,11 @@ NOTES = {
     "ns_media_features": "single Arrow-batched mapInPandas stage; schema fixed, no driver collect",
     "ns_events_sessionize": "single shuffle on user_id; session bounds via lag window",
     "ns_pipeline_curation": "5-stage curation pipeline fused to ONE plan; gates map-side, single shuffle (dedup window)",
+    "ns_ann_ivfpq_topk": "IVFPQ fused: assign + probed-only PQ encode + per-query ADC in ONE Arrow pass; below both parent tiers at sf10",
+    "ns_ann_ivfpq_recall": "QA gauge: exact-L2 truth side O(n x queries) by definition; prices both IVFPQ tiers",
+    "ns_text_chunk_dedup": "chunk-grain MinHash bands -> equi-join candidates; verify + containment rollup candidate-proportional",
+    "ns_dedup_semantic_fps": "FPS codebook: k one-row-reduction scans (TakeOrderedAndProject), codebook-only driver state; oracle derives it inline",
+    "ns_events_sliding": "composed from tumbling partials: NO Expand; bucket fan-out Generate sits above the first agg",
 }
 
 
