@@ -670,19 +670,24 @@ def chunk_containment_pairs(
     sizes = hashed.groupBy("doc_id", "chunk_id").agg(
         F.count("*").cast("bigint").alias("set_size")
     )
+    # verify-join key is xxhash64(shingle) — an 8-byte long instead of
+    # the shingle string (same trade as ngram_jaccard_pairs: sizes and
+    # candidates use true distinct sets; a 64-bit collision would need
+    # two distinct shingles of ONE chunk pair to hash equal, P ≈ 2⁻⁶⁵
+    # per pair)
     ha = hashed.select(
         F.col("doc_id").alias("doc_a"),
         F.col("chunk_id").alias("chunk_a"),
-        "shingle",
+        F.xxhash64("shingle").alias("sh64"),
     )
     hb = hashed.select(
         F.col("doc_id").alias("doc_b"),
         F.col("chunk_id").alias("chunk_b"),
-        "shingle",
+        F.xxhash64("shingle").alias("sh64"),
     )
     inter = (
         cand.join(ha, ["doc_a", "chunk_a"])
-        .join(hb, ["doc_b", "chunk_b", "shingle"])
+        .join(hb, ["doc_b", "chunk_b", "sh64"])
         .groupBy("doc_a", "chunk_a", "doc_b", "chunk_b")
         .agg(F.count("*").cast("bigint").alias("isect"))
     )
