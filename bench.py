@@ -53,6 +53,7 @@ HEADLINE = [
     # r6 additions
     "ns_ann_ivfpq_topk",
     "ns_text_chunk_dedup",
+    "ns_hybrid_rrf_topk",
 ]
 
 

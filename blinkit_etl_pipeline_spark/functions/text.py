@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 # Marker stopwords per language for the n-gram/stopword language-ID
@@ -553,3 +553,101 @@ def gopher_columns(text: Column, toks: Column) -> dict[str, Column]:
         "r_stopwords": r_stopwords,
         "gopher_pass": gopher_pass,
     }
+
+
+def bm25_bydoc_topk(
+    docs,
+    query_ids: Sequence[int],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+    text: str = "text",
+):
+    """BM25 more-like-this retrieval: each QUERY DOCUMENT's distinct
+    tokens form the query, scored against the corpus through an
+    inverted-index probe — the generalization of :func:`bm25_frame`
+    (fixed literal terms) to data-dependent queries.
+
+    Scale shape: one tokenize scan feeds (doc_id, token, tf) and doc
+    lengths; df is a token-grain aggregate of the same frame; the probe
+    is ``query-terms ⋈ tf`` on token, so only documents SHARING a term
+    with the query are ever scored (the Lucene postings walk, never a
+    corpus × queries product); one scalar stats row broadcasts.
+
+    Float discipline, stricter than :func:`bm25_frame` because the
+    per-(query, doc) term count is data-dependent: each term's BM25
+    part is quantized to an exact integer (``round(part·10⁶)``) BEFORE
+    the sum, so the aggregate is order-independent exact int64 on both
+    engines; ``ln`` stays inside the part in the oracle's exact
+    operation order. Ranking on the integer sum, ties → lowest doc_id;
+    the query document itself is excluded.
+
+    Returns (query_id, doc_id, bm25, rank) — ``bm25`` is the integer
+    sum dequantized (/10⁶).
+    """
+    qids = [int(i) for i in query_ids]
+    toked = docs.select(
+        "doc_id",
+        F.coalesce(
+            tokens(F.col(text)), F.array().cast("array<string>")
+        ).alias("__tk"),
+    )
+    dls = toked.select(
+        "doc_id", F.size("__tk").cast("double").alias("dl")
+    )
+    tf = (
+        toked.select("doc_id", F.explode("__tk").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    stats = dls.agg(
+        F.count("*").cast("double").alias("N"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.count("*").cast("double").alias("df")
+    )
+    qterms = tf.filter(F.col("doc_id").isin(qids)).select(
+        F.col("doc_id").alias("query_id"), "token"
+    )
+    probe = (
+        qterms.join(tf, "token")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(dfreq, "token")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("N") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    part = (
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        probe.select(
+            "query_id",
+            "doc_id",
+            F.round(part * F.lit(1000000.0), 0).cast("long").alias("part_q"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("part_q").alias("bm25_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25_q").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("bm25_q").cast("double") / F.lit(1000000.0)).alias("bm25"),
+            "rank",
+        )
+    )

@@ -748,6 +748,66 @@ def q_text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: hybrid retrieval geometry: per-list depth, RRF constant (Cormack et
+#: al. 2009's k=60), fused top-k, and the bounded query-doc set
+HYBRID_QUERY_IDS = tuple(range(4))
+HYBRID_R = 20
+RRF_K0 = 60
+HYBRID_TOPK = 5
+
+
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval via reciprocal-rank fusion: each
+    query document retrieves top-R by BM25 more-like-this (inverted-
+    index probe, T.bm25_bydoc_topk) AND top-R by embedding cosine
+    (brute baseline), fused with RRF — score(d) = Σ 1/(60 + rank_i(d)),
+    the standard zero-tuning fusion real RAG/curation stacks run.
+    Determinism: BM25 sums are exact int64 (per-term parts quantized
+    before aggregation), cosine ranks come from the integer-exact brute
+    tier, and the RRF sum is two IEEE terms in fixed order — ties →
+    lowest doc_id. The oracle replays both rankings and the fusion."""
+    from pyspark.sql import Window
+
+    docs, emb = _docs(spark, sf_dir), _emb(spark, sf_dir)
+    bm = T.bm25_bydoc_topk(docs, HYBRID_QUERY_IDS, topk=HYBRID_R).select(
+        "query_id", "doc_id", F.col("rank").alias("r_bm25")
+    )
+    cos = vector.brute_force_topk(emb, HYBRID_QUERY_IDS, k=HYBRID_R).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("r_cos"),
+    )
+    fused = bm.join(cos, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "r_bm25",
+        "r_cos",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K0) + F.col("r_bm25")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K0) + F.col("r_cos")), F.lit(0.0)
+            )
+        ).alias("__rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HYBRID_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            "r_bm25",
+            "r_cos",
+            F.round("__rrf", 6).alias("rrf_score"),
+            "rank",
+        )
+    )
+
+
 def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary builder: top-K tokens by frequency with corpus
     share — the first step of tokenizer training. One explode + one
@@ -2790,6 +2850,7 @@ QUERIES = {
     "ns_text_chunks": q_text_chunks,
     "ns_text_chunk_dedup": q_text_chunk_dedup,
     "ns_text_bm25": q_text_bm25,
+    "ns_hybrid_rrf_topk": q_hybrid_rrf_topk,
     "ns_text_fingerprint": q_text_fingerprint,
     "ns_text_repetition": q_text_repetition,
     "ns_text_vocab": q_text_vocab,
@@ -3561,6 +3622,84 @@ FROM assigned a LEFT JOIN sims s ON a.vec_id = s.vec_id"""
 
 
 ORACLES["ns_dedup_semantic_fps"] = _semantic_fps_oracle()
+
+
+def _hybrid_rrf_oracle() -> str:
+    """Hybrid-retrieval replay: BM25-by-doc through the same inverted
+    probe (per-term parts quantized to int64 BEFORE the sum — the
+    aggregate is order-free exact; ln in the exact Spark operation
+    order inside each part), the quantized-cosine brute ranking, FULL
+    OUTER fusion, RRF = two fixed-order IEEE terms."""
+    k1, b = 1.2, 0.75
+    part = (
+        f"ln(1.0 + (N - df + 0.5) / (df + 0.5)) * (tf * {k1 + 1.0})"
+        f" / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl))"
+    )
+    qid_list = ", ".join(str(i) for i in HYBRID_QUERY_IDS)
+    return f"""WITH {_TOKS},
+tkn AS (SELECT doc_id, COALESCE(tk, []) AS tk FROM toks),
+dls AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM tkn),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(tk) AS token FROM tkn)
+  GROUP BY doc_id, token
+),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS N, avg(dl) AS avgdl FROM dls),
+dfreq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+qterms AS (
+  SELECT doc_id AS query_id, token FROM tf WHERE doc_id IN ({qid_list})
+),
+probe AS (
+  SELECT q.query_id, t.doc_id,
+    CAST(round(({part}) * 1000000.0) AS BIGINT) AS part_q
+  FROM qterms q
+  JOIN tf t ON t.token = q.token AND t.doc_id != q.query_id
+  JOIN dfreq d ON d.token = q.token
+  JOIN dls l ON l.doc_id = t.doc_id
+  CROSS JOIN stats
+),
+bm_scored AS (
+  SELECT query_id, doc_id, CAST(sum(part_q) AS BIGINT) AS bm25_q
+  FROM probe GROUP BY query_id, doc_id
+),
+bm AS (
+  SELECT query_id, doc_id, r_bm25 FROM (
+    SELECT query_id, doc_id, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY bm25_q DESC, doc_id ASC) AS INT)
+      AS r_bm25
+    FROM bm_scored
+  ) WHERE r_bm25 <= {HYBRID_R}
+),
+{_EMB},
+qe2 AS (SELECT vec_id, qv, qq FROM e WHERE vec_id IN ({qid_list})),
+cos AS (
+  SELECT query_id, doc_id, r_cos FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+      CAST(row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY {_COSR.format(a='q.qv', b='c.qv', qa='q.qq', qb='c.qq')} DESC,
+        c.vec_id ASC) AS INT) AS r_cos
+    FROM qe2 q CROSS JOIN e c WHERE c.vec_id != q.vec_id
+  ) WHERE r_cos <= {HYBRID_R}
+),
+fused AS (
+  SELECT COALESCE(bm.query_id, cos.query_id) AS query_id,
+    COALESCE(bm.doc_id, cos.doc_id) AS doc_id,
+    bm.r_bm25, cos.r_cos,
+    (COALESCE(1.0 / ({RRF_K0} + bm.r_bm25), 0.0)
+     + COALESCE(1.0 / ({RRF_K0} + cos.r_cos), 0.0)) AS rrf
+  FROM bm FULL OUTER JOIN cos
+    ON bm.query_id = cos.query_id AND bm.doc_id = cos.doc_id
+)
+SELECT query_id, doc_id, r_bm25, r_cos,
+  ROUND(rrf, 6) AS rrf_score, CAST(rn AS INT) AS "rank"
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rn
+  FROM fused
+) WHERE rn <= {HYBRID_TOPK}"""
+
+
+ORACLES["ns_hybrid_rrf_topk"] = _hybrid_rrf_oracle()
 
 ORACLES["ns_mix_sources"] = _mix_oracle()
 

@@ -27,6 +27,7 @@ PRIORITY = [
     "ns_ann_ivfpq_recall",
     "ns_text_chunk_dedup",
     "ns_dedup_semantic_fps",
+    "ns_hybrid_rrf_topk",
     # --- stalest existing rows (newest driver row r1–r3) ---
     "ns_sketch_hll_users",  # r1
     "ns_sketch_value_quantiles",  # r1

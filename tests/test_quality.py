@@ -488,3 +488,49 @@ def test_semantic_fps_oracle_generalizes_to_replica_corpus(spark, tmp_path):
     # and it actually deduplicates something on this corpus OR keeps
     # everything — either way the decision column is boolean-complete
     assert set(sdf["is_kept"].unique()) <= {True, False}
+
+
+def test_rrf_fusion_promotes_doc_ranked_by_both_lists(spark):
+    """A document mid-ranked by BOTH retrievers must outscore documents
+    top-ranked by only one — the property RRF exists for. Constructed:
+    doc 1 is rank-1 lexically, doc 2 rank-1 by cosine, doc 3 is rank-2
+    in both lists → 1/62+1/62 > 1/61 ⇒ doc 3 wins the fusion."""
+    from blinkit_etl_pipeline_spark.plans.northstar import RRF_K0
+
+    bm = spark.createDataFrame(
+        [(0, 1, 1), (0, 3, 2)], "query_id long, doc_id long, r_bm25 int"
+    )
+    cos = spark.createDataFrame(
+        [(0, 2, 1), (0, 3, 2)], "query_id long, doc_id long, r_cos int"
+    )
+    fused = bm.join(cos, ["query_id", "doc_id"], "full_outer").select(
+        "query_id", "doc_id",
+        (F.coalesce(F.lit(1.0) / (F.lit(RRF_K0) + F.col("r_bm25")), F.lit(0.0))
+         + F.coalesce(F.lit(1.0) / (F.lit(RRF_K0) + F.col("r_cos")), F.lit(0.0))
+         ).alias("rrf"),
+    )
+    rows = {r["doc_id"]: r["rrf"] for r in fused.collect()}
+    assert rows[3] > rows[1] == rows[2]
+
+
+def test_bm25_bydoc_scores_shared_vocabulary_only(spark):
+    """The inverted probe must score only documents sharing a term with
+    the query, rank the most-overlapping doc first, and exclude the
+    query document itself."""
+    from blinkit_etl_pipeline_spark.functions.text import bm25_bydoc_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma zeta"),      # 3 shared terms
+            (2, "alpha omega psi chi"),        # 1 shared term
+            (3, "completely disjoint words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_bydoc_topk(docs, [0], topk=10).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    assert 0 not in by_doc            # self excluded
+    assert 3 not in by_doc            # no shared vocabulary → never scored
+    assert by_doc[1]["rank"] == 1 and by_doc[2]["rank"] == 2
+    assert by_doc[1]["bm25"] > by_doc[2]["bm25"] > 0
