@@ -1054,6 +1054,37 @@ def pq_adc_topk(
     )
 
 
+def residual_frame(
+    emb: DataFrame,
+    ivf_codebook: Sequence[tuple[int, Sequence[float]]],
+    dim: int = 64,
+) -> DataFrame:
+    """(vec_id, embedding) where ``embedding`` is the RESIDUAL of each
+    vector from its assigned coarse centroid, in dequantized units —
+    the training input for a residual PQ codebook (FAISS
+    ``by_residual=true``). Residuals are exact: integer subtraction of
+    quantized vectors, divided by the power-of-two scale, so
+    ``quantize(residual)`` round-trips to the same integers on every
+    engine. One zero-shuffle assignment map + a broadcast centroid join.
+    """
+    assigned = ivf_assign(with_q(emb), ivf_codebook, dim=dim)
+    cids, C, _ = _qcodebook(
+        sorted((int(c), [float(x) for x in v]) for c, v in ivf_codebook)
+    )
+    spark = emb.sparkSession
+    cent = spark.createDataFrame(
+        [(int(cid), [int(x) for x in vec]) for cid, vec in zip(cids, C)],
+        "centroid_id int, c_qvec array<long>",
+    )
+    return assigned.join(F.broadcast(cent), "centroid_id").select(
+        "vec_id",
+        F.transform(
+            F.zip_with("qvec", "c_qvec", lambda a, b: a - b),
+            lambda x: x.cast("double") / F.lit(float(QSCALE)),
+        ).alias("embedding"),
+    )
+
+
 def pq_codes_matrix(codebook: Sequence[tuple[int, int, Sequence[float]]]):
     """(m, nk, sub, C) — quantized centroid tensor for a PQ codebook."""
     import numpy as np
@@ -1519,11 +1550,22 @@ def ivfpq_topk(
     nprobe: int = 2,
     rerank: int | None = None,
     dim: int = 64,
+    residual: bool = False,
 ) -> DataFrame:
     """IVFPQ: coarse-quantizer list pruning composed with PQ-ADC scoring
     and optional exact rerank — the FAISS ``IVFPQ(+refine)`` shape and
     the sub-linear ANN tier (:func:`pq_adc_topk` alone is corpus-linear;
     :func:`ivf_topk` prunes but scores full vectors).
+
+    ``residual=True`` is FAISS's ``by_residual`` default: PQ encodes
+    each vector's RESIDUAL from its coarse centroid (exact integer
+    subtraction of quantized vectors — still int64-exact end to end),
+    which removes the coarse component's variance so the same code
+    budget approximates distances tighter; ADC tables then become
+    per-(query, probed-list) — ``|queries|·nprobe·m·nk`` ints, still
+    driver-trivial — because the query's residual depends on which
+    list it probes. Pass a codebook TRAINED on residuals
+    (:func:`residual_frame` + :func:`pq_codebook`).
 
     Plan: (1) each query's ``nprobe`` probe lists are ranked DRIVER-side
     against the tiny coarse codebook (same quantized-integer cosine,
@@ -1581,15 +1623,33 @@ def ivfpq_topk(
         probe_sets.append(frozenset(int(cids[j]) for j in order))
     probed_union = sorted(set().union(*probe_sets))
 
-    # ADC tables: T[q, j, c] = ||query_sub − centroid||² (exact ints)
+    # ADC tables (exact ints). Non-residual: T[q, j, c] =
+    # ||query_sub − pq_centroid||². Residual: per probed pair —
+    # T2[(q, list)][j, c] = ||(query − coarse_list)_sub − pq_centroid||².
+    cidx = {int(c): i for i, c in enumerate(cids)}
     T = np.empty((len(qid_v), m, nk), dtype=np.int64)
-    for j in range(m):
-        Qj = QM[:, j * sub : (j + 1) * sub]
-        T[:, j, :] = (
-            (Qj * Qj).sum(1)[:, None]
-            - 2.0 * (Qj @ C[j].T)
-            + (C[j] * C[j]).sum(1)[None, :]
-        ).astype(np.int64)
+    T2: dict = {}
+    if residual:
+        for qi in range(len(qid_v)):
+            for c in probe_sets[qi]:
+                Qr = QM[qi] - CC[cidx[c]]
+                t = np.empty((m, nk), dtype=np.int64)
+                for j in range(m):
+                    Qj = Qr[j * sub : (j + 1) * sub]
+                    t[j] = (
+                        (Qj * Qj).sum()
+                        - 2.0 * (C[j] @ Qj)
+                        + (C[j] * C[j]).sum(1)
+                    ).astype(np.int64)
+                T2[(qi, c)] = t
+    else:
+        for j in range(m):
+            Qj = QM[:, j * sub : (j + 1) * sub]
+            T[:, j, :] = (
+                (Qj * Qj).sum(1)[:, None]
+                - 2.0 * (Qj @ C[j].T)
+                + (C[j] * C[j]).sum(1)[None, :]
+            ).astype(np.int64)
 
     def scan(batches):
         import pandas as pd
@@ -1610,6 +1670,12 @@ def ivfpq_topk(
             codes = np.zeros((len(pdf), m), dtype=np.int64)
             if in_union.any():
                 Xu = X[in_union]
+                if residual:
+                    # residual encode: subtract each row's own coarse
+                    # centroid (exact integer-valued doubles)
+                    Xu = Xu - CC[
+                        np.vectorize(cidx.__getitem__)(lists[in_union])
+                    ]
                 for j in range(m):
                     Xj = Xu[:, j * sub : (j + 1) * sub]
                     d = (
@@ -1620,16 +1686,39 @@ def ivfpq_topk(
                     codes[in_union, j] = np.argmin(d, axis=1)
             outs = []
             for qi in range(len(qid_v)):
-                in_probe = np.isin(lists, list(probe_sets[qi]))
-                mask = in_probe & (ids != qid_v[qi])
-                if not mask.any():
-                    continue
-                dist = np.zeros(int(mask.sum()), dtype=np.int64)
-                mcodes = codes[mask]
-                for j in range(m):
-                    dist += T[qi, j][mcodes[:, j]]
-                cand_ids = ids[mask]
-                order = np.lexsort((cand_ids, dist))[:shortlist]
+                if residual:
+                    parts_ids, parts_d, parts_rows = [], [], []
+                    for c in probe_sets[qi]:
+                        mask = (lists == c) & (ids != qid_v[qi])
+                        if not mask.any():
+                            continue
+                        t = T2[(qi, c)]
+                        mcodes = codes[mask]
+                        d = np.zeros(int(mask.sum()), dtype=np.int64)
+                        for j in range(m):
+                            d += t[j][mcodes[:, j]]
+                        parts_ids.append(ids[mask])
+                        parts_d.append(d)
+                        parts_rows.append(np.nonzero(mask)[0])
+                    if not parts_ids:
+                        continue
+                    cand_ids = np.concatenate(parts_ids)
+                    dist = np.concatenate(parts_d)
+                    rows = np.concatenate(parts_rows)
+                    order = np.lexsort((cand_ids, dist))[:shortlist]
+                    sel_rows = rows[order]
+                else:
+                    in_probe = np.isin(lists, list(probe_sets[qi]))
+                    mask = in_probe & (ids != qid_v[qi])
+                    if not mask.any():
+                        continue
+                    dist = np.zeros(int(mask.sum()), dtype=np.int64)
+                    mcodes = codes[mask]
+                    for j in range(m):
+                        dist += T[qi, j][mcodes[:, j]]
+                    cand_ids = ids[mask]
+                    order = np.lexsort((cand_ids, dist))[:shortlist]
+                    sel_rows = np.nonzero(mask)[0][order]
                 sel = pd.DataFrame(
                     {
                         "query_id": qid_v[qi],
@@ -1637,7 +1726,7 @@ def ivfpq_topk(
                         "adc_dist": dist[order],
                     }
                 )
-                diff = X[mask][order] - QM[qi][None, :]
+                diff = X[sel_rows] - QM[qi][None, :]
                 sel["l2_dist"] = (diff * diff).sum(axis=1).astype(np.int64)
                 outs.append(sel)
             if outs:

@@ -528,6 +528,50 @@ def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ with residual encoding (FAISS's ``by_residual`` default):
+    PQ codes approximate each vector's offset FROM its coarse centroid
+    rather than the raw vector, so the same 16-byte budget spends zero
+    bits on the coarse component the probe already knows. ADC tables
+    become per-(query, probed-list); everything stays exact int64. The
+    residual fine codebook is trained offline against the shipped
+    coarse codebook (tools/train_codebook.py) and pairs with it as one
+    versioned artifact."""
+    from .codebook import RESIDUAL_PQ_CODEBOOK, TRAINED_IVF_CODEBOOK
+
+    return vector.ivfpq_topk(
+        _emb(spark, sf_dir),
+        ANN_QUERY_IDS,
+        TRAINED_IVF_CODEBOOK,
+        RESIDUAL_PQ_CODEBOOK,
+        k=ANN_K,
+        nprobe=IVF_NPROBE,
+        rerank=PQ_RERANK,
+        residual=True,
+    )
+
+
+def q_ann_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of both RESIDUAL IVFPQ tiers vs exact squared-L2 truth —
+    read against ns_ann_ivfpq_recall's rows to see what residual
+    encoding buys at the identical code budget and probe coverage."""
+    from .codebook import RESIDUAL_PQ_CODEBOOK, TRAINED_IVF_CODEBOOK
+
+    emb = _emb(spark, sf_dir)
+    truth = vector.l2_brute_topk(emb, ANN_QUERY_IDS, k=ANN_K)
+    raw = vector.ivfpq_topk(
+        emb, ANN_QUERY_IDS, TRAINED_IVF_CODEBOOK, RESIDUAL_PQ_CODEBOOK,
+        k=ANN_K, nprobe=IVF_NPROBE, residual=True,
+    )
+    rr = vector.ivfpq_topk(
+        emb, ANN_QUERY_IDS, TRAINED_IVF_CODEBOOK, RESIDUAL_PQ_CODEBOOK,
+        k=ANN_K, nprobe=IVF_NPROBE, rerank=PQ_RERANK, residual=True,
+    )
+    return quality.topk_recall(truth, raw, ANN_K, "ivfpq_res_adc").unionByName(
+        quality.topk_recall(truth, rr, ANN_K, "ivfpq_res_rerank")
+    )
+
+
 def q_ann_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-list balance of the trained IVF codebook — the
     operational stat that decides whether a codebook ships: a skewed
@@ -2830,6 +2874,8 @@ QUERIES = {
     "ns_ann_ivf_trained": q_ann_ivf_trained,
     "ns_ann_ivfpq_topk": q_ann_ivfpq_topk,
     "ns_ann_ivfpq_recall": q_ann_ivfpq_recall,
+    "ns_ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
+    "ns_ann_ivfpq_residual_recall": q_ann_ivfpq_residual_recall,
     "ns_dedup_semantic": q_dedup_semantic,
     "ns_dedup_semantic_recall": q_dedup_semantic_recall,
     "ns_dedup_semantic_fps": q_dedup_semantic_fps,
@@ -3397,6 +3443,181 @@ SELECT query_id, neighbor_id, l2_dist, CAST(rn AS INT) AS "rank" FROM (
 
 
 ORACLES["ns_ann_ivfpq_topk"] = _ivfpq_oracle()
+
+
+def _ivfpq_res_ctes() -> str:
+    """Residual-IVFPQ replay: same coarse assignment + probe CTEs, but
+    PQ operates on RESIDUALS — ``rv = qv − coarse_cvec`` per document
+    (exact integer subtraction) and per (query, probed list) — with the
+    RESIDUAL_PQ_CODEBOOK literals. ADC ``d`` joins each neighbor to the
+    probing query's residual FOR THAT LIST."""
+    from .codebook import RESIDUAL_PQ_CODEBOOK
+
+    sub = len(RESIDUAL_PQ_CODEBOOK[0][2])
+    rows = ", ".join(
+        "({j}, {c}, [{vals}]::DOUBLE[])".format(
+            j=j, c=c, vals=", ".join(str(vector.pyquantize(x)) for x in vec)
+        )
+        for j, c, vec in RESIDUAL_PQ_CODEBOOK
+    )
+    sv = f"list_slice({{x}}, {{s}} * {sub} + 1, {{s}} * {sub} + {sub})"
+    dsv = sv.format(x="r.rv", s="p.sub")
+    qsv = sv.format(x="qr.rv", s="cd.sub")
+    dist_doc = (
+        f"list_dot_product({dsv}, {dsv})"
+        f" - 2 * list_dot_product({dsv}, p.cvec)"
+        f" + list_dot_product(p.cvec, p.cvec)"
+    )
+    dist_q = (
+        f"list_dot_product({qsv}, {qsv})"
+        f" - 2 * list_dot_product({qsv}, pp.cvec)"
+        f" + list_dot_product(pp.cvec, pp.cvec)"
+    )
+    return f"""c AS (SELECT centroid_id, cvec, list_dot_product(cvec, cvec) AS cqq
+  FROM {_codebook_values_sql()}),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_COSR.format(a='e.qv', b='c.cvec', qa='e.qq', qb='c.cqq')} DESC,
+        c.centroid_id ASC) AS rn
+    FROM e CROSS JOIN c
+  ) WHERE rn = 1
+),
+resid AS (
+  SELECT a.vec_id, a.centroid_id,
+    list_transform(range(1, {EMB_DIM} + 1), i -> e.qv[i] - c.cvec[i]) AS rv
+  FROM assigned a
+  JOIN e ON e.vec_id = a.vec_id
+  JOIN c ON c.centroid_id = a.centroid_id
+),
+q AS (SELECT vec_id AS query_id, qv, qq FROM e WHERE vec_id < {len(ANN_QUERY_IDS)}),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {_COSR.format(a='q.qv', b='c.cvec', qa='q.qq', qb='c.cqq')} DESC,
+        c.centroid_id ASC) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= {IVF_NPROBE}
+),
+qres AS (
+  SELECT pr.query_id, pr.centroid_id,
+    list_transform(range(1, {EMB_DIM} + 1), i -> e.qv[i] - c.cvec[i]) AS rv
+  FROM probes pr
+  JOIN e ON e.vec_id = pr.query_id
+  JOIN c ON c.centroid_id = pr.centroid_id
+),
+pq(sub, code, cvec) AS (SELECT * FROM (VALUES {rows}) t(sub, code, cvec)),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT r.vec_id, p.sub, p.code,
+      row_number() OVER (PARTITION BY r.vec_id, p.sub
+        ORDER BY {dist_doc} ASC, p.code ASC) AS rn
+    FROM resid r CROSS JOIN pq p
+  ) WHERE rn = 1
+),
+d AS (
+  SELECT qr.query_id, a.vec_id AS neighbor_id,
+    CAST(sum(CAST({dist_q} AS BIGINT)) AS BIGINT) AS adc_dist
+  FROM qres qr
+  JOIN assigned a ON a.centroid_id = qr.centroid_id
+  JOIN codes cd ON cd.vec_id = a.vec_id
+  JOIN pq pp ON pp.sub = cd.sub AND pp.code = cd.code
+  WHERE a.vec_id != qr.query_id
+  GROUP BY qr.query_id, a.vec_id
+)"""
+
+
+def _ivfpq_res_oracle() -> str:
+    return f"""WITH {_EMB},
+{_ivfpq_res_ctes()},
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+    FROM d
+  ) WHERE rn <= {PQ_RERANK}
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+    CAST(list_dot_product(q.qv, q.qv)
+      - 2 * list_dot_product(q.qv, n.qv)
+      + list_dot_product(n.qv, n.qv) AS BIGINT) AS l2_dist
+  FROM short s
+  JOIN e q ON q.vec_id = s.query_id
+  JOIN e n ON n.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, l2_dist, CAST(rn AS INT) AS "rank" FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY l2_dist ASC, neighbor_id ASC) AS rn
+  FROM exact
+) WHERE rn <= {ANN_K}"""
+
+
+ORACLES["ns_ann_ivfpq_residual_topk"] = _ivfpq_res_oracle()
+
+
+def _ivfpq_res_recall_oracle() -> str:
+    exact = (
+        "CAST(list_dot_product(q.qv, q.qv)"
+        " - 2 * list_dot_product(q.qv, n.qv)"
+        " + list_dot_product(n.qv, n.qv) AS BIGINT)"
+    )
+    return f"""WITH {_EMB},
+{_ivfpq_res_ctes()},
+qe AS (SELECT vec_id, qv FROM e WHERE vec_id < {len(ANN_QUERY_IDS)}),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY {exact} ASC, n.vec_id ASC) AS rn
+    FROM qe q CROSS JOIN e n WHERE n.vec_id != q.vec_id
+  ) WHERE rn <= {ANN_K}
+),
+adc5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+    FROM d
+  ) WHERE rn <= {ANN_K}
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+    FROM d
+  ) WHERE rn <= {PQ_RERANK}
+),
+rr5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT s.query_id, s.neighbor_id,
+      row_number() OVER (PARTITION BY s.query_id
+        ORDER BY {exact} ASC, s.neighbor_id ASC) AS rn
+    FROM short s
+    JOIN e q ON q.vec_id = s.query_id
+    JOIN e n ON n.vec_id = s.neighbor_id
+  ) WHERE rn <= {ANN_K}
+),
+scored AS (
+  SELECT 'ivfpq_res_adc' AS method, t.query_id,
+    CAST(count(a.neighbor_id) AS BIGINT) AS hits
+  FROM truth t LEFT JOIN adc5 a
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+  GROUP BY t.query_id
+  UNION ALL
+  SELECT 'ivfpq_res_rerank' AS method, t.query_id,
+    CAST(count(r.neighbor_id) AS BIGINT) AS hits
+  FROM truth t LEFT JOIN rr5 r
+    ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+  GROUP BY t.query_id
+)
+SELECT method, query_id, hits,
+  ROUND(hits / CAST({ANN_K} AS DOUBLE), 6) AS recall_at_k
+FROM scored"""
+
+
+ORACLES["ns_ann_ivfpq_residual_recall"] = _ivfpq_res_recall_oracle()
 
 
 def _ivfpq_recall_oracle() -> str:

@@ -28,6 +28,8 @@ PRIORITY = [
     "ns_text_chunk_dedup",
     "ns_dedup_semantic_fps",
     "ns_hybrid_rrf_topk",
+    "ns_ann_ivfpq_residual_topk",
+    "ns_ann_ivfpq_residual_recall",
     # --- stalest existing rows (newest driver row r1–r3) ---
     "ns_sketch_hll_users",  # r1
     "ns_sketch_value_quantiles",  # r1

@@ -43,6 +43,8 @@ ARROW_WHITELIST = {
     "ns_ann_recall",
     "ns_ann_ivfpq_topk",
     "ns_ann_ivfpq_recall",
+    "ns_ann_ivfpq_residual_topk",
+    "ns_ann_ivfpq_residual_recall",
     "ns_pack_sequences",
 }
 

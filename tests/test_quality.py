@@ -534,3 +534,28 @@ def test_bm25_bydoc_scores_shared_vocabulary_only(spark):
     assert 3 not in by_doc            # no shared vocabulary → never scored
     assert by_doc[1]["rank"] == 1 and by_doc[2]["rank"] == 2
     assert by_doc[1]["bm25"] > by_doc[2]["bm25"] > 0
+
+
+def test_residual_pq_codebook_matches_retraining(spark):
+    """The shipped RESIDUAL PQ artifact reproduces from the shipped
+    coarse codebook + the deterministic residual trainer — the pair
+    ships as one versioned artifact and can't silently drift."""
+    from blinkit_etl_pipeline_spark.operators.vector import (
+        pq_codebook,
+        residual_frame,
+    )
+    from blinkit_etl_pipeline_spark.plans.codebook import (
+        PQ_K,
+        PQ_M,
+        RESIDUAL_PQ_CODEBOOK,
+        TRAIN_ITERS,
+        TRAIN_SF_DIR,
+        TRAINED_IVF_CODEBOOK,
+    )
+
+    emb = spark.read.parquet(f"{TRAIN_SF_DIR}/embeddings.parquet")
+    retrained = pq_codebook(
+        residual_frame(emb, TRAINED_IVF_CODEBOOK),
+        m=PQ_M, k=PQ_K, iters=TRAIN_ITERS,
+    )
+    assert retrained == RESIDUAL_PQ_CODEBOOK

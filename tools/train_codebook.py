@@ -28,6 +28,7 @@ from blinkit_etl_pipeline_spark.operators.vector import (  # noqa: E402
     derive_num_clusters,
     kmeans_codebook,
     pq_codebook,
+    residual_frame,
 )
 from blinkit_etl_pipeline_spark.session import get_session  # noqa: E402
 
@@ -96,6 +97,11 @@ def main() -> None:
     ivf_cb = kmeans_codebook(emb, k=TRAIN_K, iters=TRAIN_ITERS)
     sem_cb = kmeans_codebook(emb, k=sem_k, iters=TRAIN_ITERS)
     pq_cb = pq_codebook(emb, m=PQ_M, k=PQ_K, iters=TRAIN_ITERS)
+    # residual PQ (FAISS by_residual): train on residuals from the
+    # JUST-trained coarse codebook so the two artifacts stay paired
+    res_cb = pq_codebook(
+        residual_frame(emb, ivf_cb), m=PQ_M, k=PQ_K, iters=TRAIN_ITERS
+    )
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "blinkit_etl_pipeline_spark",
@@ -112,8 +118,9 @@ def main() -> None:
         _emit(f, "TRAINED_IVF_CODEBOOK", ivf_cb)
         _emit(f, "SEMANTIC_CODEBOOK", sem_cb)
         _emit_pq(f, "PQ_CODEBOOK", pq_cb)
+        _emit_pq(f, "RESIDUAL_PQ_CODEBOOK", res_cb)
     print(f"wrote {out} (ivf k={TRAIN_K}, semantic k={sem_k}, "
-          f"pq {PQ_M}x{PQ_K}, n={n})")
+          f"pq {PQ_M}x{PQ_K} + residual, n={n})")
 
 
 if __name__ == "__main__":
