@@ -192,3 +192,59 @@ def ingest_pq_codes(
             store_table, keep_last=compact_keep_versions
         )
     return version
+
+
+def ingest_ivfpq_codes(
+    spark: SparkSession,
+    store_table: str,
+    new_emb: DataFrame,
+    ivf_codebook,
+    pq_codebook,
+    *,
+    dim: int = 64,
+    compact_threshold: int | None = 64,
+    compact_target: int = 8,
+    compact_keep_versions: int = 2,
+) -> int:
+    """Stored-IVFPQ ingest: one Arrow pass assigns each new vector to
+    its coarse inverted list AND encodes its PQ codes
+    (:func:`vector.pq_encode` with ``ivf_codebook``); the snapshot
+    store clusters data files BY ``centroid_id`` (``stats_col``), so a
+    probed ANN query later reads ONLY the files of its probed lists
+    (:func:`snapshot.read_snapshot_pruned` + :func:`vector.
+    ivfpq_store_topk`) — list pruning happens at the FILE level, before
+    any scan. Same vec_id redelivery guard and auto-compaction as the
+    flat code store; compaction re-clusters by centroid_id, so pruning
+    tightens as the store consolidates. Returns the store version."""
+    from . import vector
+
+    exists = snapshot.current_version(store_table) is not None
+    codes = vector.pq_encode(
+        new_emb, pq_codebook, dim=dim, ivf_codebook=ivf_codebook
+    )
+    if exists:
+        seen = snapshot.read_snapshot(spark, store_table).select(
+            "vec_id"
+        ).distinct()
+        codes = codes.join(seen, "vec_id", "left_anti")
+    codes = codes.localCheckpoint(eager=True)
+    if codes.isEmpty():
+        return snapshot.current_version(store_table) or 0
+    if exists:
+        version = snapshot.append_snapshot(codes, store_table)
+    else:
+        version = snapshot.write_snapshot(
+            codes, store_table, stats_col="centroid_id"
+        )
+    if (
+        compact_threshold is not None
+        and len(snapshot.read_manifest(store_table)["files"])
+        > compact_threshold
+    ):
+        snapshot.compact_snapshot(
+            spark, store_table, target_files=compact_target
+        )
+        snapshot.expire_snapshots(
+            store_table, keep_last=compact_keep_versions
+        )
+    return version

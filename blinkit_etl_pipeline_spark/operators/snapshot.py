@@ -291,6 +291,40 @@ def read_snapshot(
     return spark.read.parquet(*paths)
 
 
+def _pruned_entries(manifest: dict, values) -> list[dict] | None:
+    """Manifest entries whose [min, max] range may contain ANY of
+    ``values`` on the manifest's stats_col — None when stats are
+    missing (caller must read everything; correct, just unpruned)."""
+    entries = manifest["files"]
+    if not entries or not all("min" in e for e in entries):
+        return None
+    return [
+        e
+        for e in entries
+        if any(e["min"] <= v <= e["max"] for v in values)
+    ]
+
+
+def read_snapshot_pruned(
+    spark: SparkSession, table: str, values, version: int | None = None
+) -> DataFrame:
+    """Read only the data files whose manifest key range intersects
+    ``values`` — file-level pruning straight from the manifest, before
+    any scan exists (the same stats that prune MERGE rewrites). A store
+    clustered by its stats_col (e.g. the IVFPQ code store clustered by
+    centroid_id) serves a probed query by opening probed lists' files
+    ONLY; everything else never leaves disk. Falls back to the full
+    file list when stats are absent."""
+    manifest = read_manifest(table, version)
+    entries = _pruned_entries(manifest, values)
+    if entries is None:
+        entries = manifest["files"]
+    if not entries:
+        # preserve schema: scan the full version, keep zero rows
+        return read_snapshot(spark, table, version).limit(0)
+    return spark.read.parquet(*[e["path"] for e in entries])
+
+
 def rollback_snapshot(table: str, version: int) -> int:
     """Commit a NEW version whose file list is ``version``'s — history
     is never rewritten, so the bad versions stay inspectable. The

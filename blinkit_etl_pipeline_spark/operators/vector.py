@@ -1102,17 +1102,28 @@ def pq_encode(
     emb: DataFrame,
     codebook: Sequence[tuple[int, int, Sequence[float]]],
     dim: int = 64,
+    ivf_codebook: Sequence[tuple[int, Sequence[float]]] | None = None,
 ) -> DataFrame:
     """Encode vectors to PQ codes — (vec_id, codes array<int>), 8 bytes
     of payload per vector at the default 8×16 geometry. One Arrow scan,
     zero shuffle; the same exact-integer argmin (ties → lowest code) as
     the fused :func:`pq_adc_topk` kernel, so codes persisted by an
-    ingest are bit-identical to codes derived on the fly."""
+    ingest are bit-identical to codes derived on the fly.
+
+    With ``ivf_codebook`` the same pass also assigns each vector to its
+    coarse inverted list (exact :func:`ivf_assign` arithmetic) and the
+    output gains ``centroid_id`` — the stored-IVFPQ shape: an ingest
+    that clusters the code store by list lets queries read ONLY probed
+    lists (:func:`ivfpq_store_topk`)."""
     import numpy as np
 
     m, nk, sub, C = pq_codes_matrix(codebook)
     if sub * m != dim:
         raise ValueError("codebook geometry does not match dim")
+    if ivf_codebook is not None:
+        cids, CC, cqq = _qcodebook(
+            sorted((int(c), [float(x) for x in v]) for c, v in ivf_codebook)
+        )
 
     def gen(batches):
         import pandas as pd
@@ -1130,12 +1141,22 @@ def pq_encode(
                     + (C[j] * C[j]).sum(1)[None, :]
                 )
                 codes[:, j] = np.argmin(d, axis=1)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].to_numpy(), "codes": list(codes)}
-            )
+            out = {"vec_id": pdf["vec_id"].to_numpy(), "codes": list(codes)}
+            if ivf_codebook is not None:
+                qq = pdf["qq"].to_numpy(dtype="float64")
+                pcos = (X @ CC.T) / (
+                    np.sqrt(qq)[:, None] * np.sqrt(cqq)[None, :]
+                )
+                out["centroid_id"] = cids[np.argmax(pcos, axis=1)].astype(
+                    "int32"
+                )
+            yield pd.DataFrame(out)
 
     q = emb if "qvec" in emb.columns else with_q(emb)
-    return q.mapInPandas(gen, schema="vec_id long, codes array<int>")
+    schema = "vec_id long, codes array<int>"
+    if ivf_codebook is not None:
+        schema += ", centroid_id int"
+    return q.mapInPandas(gen, schema=schema)
 
 
 def pq_store_adc_topk(
@@ -1208,6 +1229,109 @@ def pq_store_adc_topk(
                 yield pd.concat(outs, ignore_index=True)
 
     cands = codes.mapInPandas(
+        scan, schema="query_id long, neighbor_id long, adc_dist long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+def ivfpq_store_topk(
+    codes: DataFrame,
+    queries_emb: DataFrame,
+    query_ids: Sequence[int],
+    ivf_codebook: Sequence[tuple[int, Sequence[float]]],
+    pq_codebook: Sequence[tuple[int, int, Sequence[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """ADC top-k over a PERSISTED IVFPQ code store — the query half of
+    the stored-IVFPQ tier: ``codes`` is a (vec_id, codes, centroid_id)
+    frame from :func:`pq_encode` with a coarse codebook (e.g. via
+    ``incremental.ingest_ivfpq_codes``, whose snapshot store clusters
+    files BY centroid_id so ``snapshot.read_snapshot_pruned`` hands
+    this function only the probed lists' files — true at-rest pruning:
+    unprobed lists are never read from disk). Each query is scored only
+    against rows in ITS ``nprobe`` probed lists; identical arithmetic
+    and tie-breaks to :func:`ivfpq_topk` without rerank, so given a
+    store covering the same corpus the results are identical."""
+    import numpy as np
+
+    m, nk, sub, C = pq_codes_matrix(pq_codebook)
+    cids, CC, cqq = _qcodebook(
+        sorted((int(c), [float(x) for x in v]) for c, v in ivf_codebook)
+    )
+    q = with_q(queries_emb)
+    qrows = sorted(
+        q.filter(F.col("vec_id").isin([int(i) for i in query_ids]))
+        .select("vec_id", "qvec", "qq")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    if not qrows:
+        raise ValueError("none of the query_ids exist in queries_emb")
+    qid_v = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    QM = np.array([list(r["qvec"]) for r in qrows], dtype=np.float64)
+    qqq = np.array([r["qq"] for r in qrows], dtype=np.float64)
+    pcos = (QM @ CC.T) / (np.sqrt(qqq)[:, None] * np.sqrt(cqq)[None, :])
+    probe_sets: list[frozenset] = []
+    for qi in range(len(qid_v)):
+        order = np.lexsort((cids, -pcos[qi]))[:nprobe]
+        probe_sets.append(frozenset(int(cids[j]) for j in order))
+    probed_union = sorted(set().union(*probe_sets))
+
+    T = np.empty((len(qid_v), m, nk), dtype=np.int64)
+    for j in range(m):
+        Qj = QM[:, j * sub : (j + 1) * sub]
+        T[:, j, :] = (
+            (Qj * Qj).sum(1)[:, None]
+            - 2.0 * (Qj @ C[j].T)
+            + (C[j] * C[j]).sum(1)[None, :]
+        ).astype(np.int64)
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            lists = pdf["centroid_id"].to_numpy()
+            codes_m = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )
+            outs = []
+            for qi in range(len(qid_v)):
+                mask = np.isin(lists, list(probe_sets[qi])) & (
+                    ids != qid_v[qi]
+                )
+                if not mask.any():
+                    continue
+                dist = np.zeros(int(mask.sum()), dtype=np.int64)
+                mcodes = codes_m[mask]
+                for j in range(m):
+                    dist += T[qi, j][mcodes[:, j]]
+                cand_ids = ids[mask]
+                order = np.lexsort((cand_ids, dist))[:k]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid_v[qi],
+                            "neighbor_id": cand_ids[order],
+                            "adc_dist": dist[order],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    cands = codes.filter(F.col("centroid_id").isin(probed_union)).mapInPandas(
         scan, schema="query_id long, neighbor_id long, adc_dist long"
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -258,3 +258,54 @@ def test_streaming_pq_ingest_matches_batch_adc_topk(spark, tmp_path):
     stream = file_source.stream_files(spark, str(raw), schema, fmt="parquet")
     pq_ingest.run_pq_ingest(stream, ckpt, store, PQ_CODEBOOK)
     assert snapshot.read_snapshot(spark, store).count() == 50
+
+
+def test_stored_ivfpq_prunes_files_and_matches_fused_scan(spark, tmp_path):
+    """The IVFPQ code store must (a) answer probed ADC top-k identically
+    to the self-contained fused scan over the same corpus, and (b)
+    serve that query from a PRUNED file set — files of unprobed lists
+    are never opened (manifest key-range pruning over centroid_id)."""
+    from blinkit_etl_pipeline_spark.operators import vector
+    from blinkit_etl_pipeline_spark.plans.codebook import (
+        PQ_CODEBOOK,
+        TRAINED_IVF_CODEBOOK,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    store = str(tmp_path / "ivfpqstore")
+    for lo, hi in [(0, 40), (40, 80), (80, 120)]:
+        incremental.ingest_ivfpq_codes(
+            spark, store,
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            TRAINED_IVF_CODEBOOK, PQ_CODEBOOK,
+        )
+    union = emb.filter(F.col("vec_id") < 120)
+    qids = range(4)
+
+    # the query's own probe ranking decides which lists (hence files)
+    # are touched; replicate it to drive the pruned read
+    import numpy as np
+
+    cids, CC, cqq = vector._qcodebook(
+        sorted((int(c), [float(x) for x in v]) for c, v in TRAINED_IVF_CODEBOOK)
+    )
+    qrows = vector.with_q(union).filter(F.col("vec_id") < 4).collect()
+    probed = set()
+    for r in qrows:
+        v = np.array(list(r["qvec"]), dtype=np.float64)
+        cos = (v @ CC.T) / (np.sqrt(float(r["qq"])) * np.sqrt(cqq))
+        probed |= {int(cids[j]) for j in np.lexsort((cids, -cos))[:2]}
+
+    m = snapshot.read_manifest(store)
+    pruned = snapshot._pruned_entries(m, sorted(probed))
+    assert pruned is not None and len(pruned) < len(m["files"]), (
+        len(pruned or []), len(m["files"]))
+
+    codes = snapshot.read_snapshot_pruned(spark, store, sorted(probed))
+    got = sorted(map(tuple, vector.ivfpq_store_topk(
+        codes, union, qids, TRAINED_IVF_CODEBOOK, PQ_CODEBOOK, k=3, nprobe=2,
+    ).collect()))
+    want = sorted(map(tuple, vector.ivfpq_topk(
+        union, qids, TRAINED_IVF_CODEBOOK, PQ_CODEBOOK, k=3, nprobe=2,
+    ).collect()))
+    assert got == want and len(got) == 12
