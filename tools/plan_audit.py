@@ -68,6 +68,9 @@ NOTES = {
     "ns_text_chunk_dedup": "chunk-grain MinHash bands -> equi-join candidates; verify + containment rollup candidate-proportional",
     "ns_dedup_semantic_fps": "FPS codebook: k one-row-reduction scans (TakeOrderedAndProject), codebook-only driver state; oracle derives it inline",
     "ns_events_sliding": "composed from tumbling partials: NO Expand; bucket fan-out Generate sits above the first agg",
+    "ns_ann_ivfpq_residual_topk": "residual IVFPQ (by_residual): per-(query, probed-list) ADC tables, residual encode in the same fused pass",
+    "ns_ann_ivfpq_residual_recall": "QA gauge vs exact L2; read against ns_ann_ivfpq_recall to price residual encoding",
+    "ns_hybrid_rrf_topk": "BM25 inverted probe (int64-quantized term sums) + brute cosine, fused by RRF; only vocabulary-sharing docs ever scored",
 }
 
 
