@@ -566,39 +566,77 @@ def bm25_bydoc_topk(
     """BM25 more-like-this retrieval: each QUERY DOCUMENT's distinct
     tokens form the query, scored against the corpus through an
     inverted-index probe — the generalization of :func:`bm25_frame`
-    (fixed literal terms) to data-dependent queries.
+    (fixed literal terms) to data-dependent queries, and the standard
+    "find documents like this one" primitive for seed-set curation.
 
-    Scale shape: one tokenize scan feeds (doc_id, token, tf) and doc
-    lengths; df is a token-grain aggregate of the same frame; the probe
-    is ``query-terms ⋈ tf`` on token, so only documents SHARING a term
-    with the query are ever scored (the Lucene postings walk, never a
-    corpus × queries product); one scalar stats row broadcasts.
+    Implemented as one tokenize pass into index rows
+    (:func:`postings_frame`) piped through the store-side scorer
+    (:func:`bm25_store_topk`) — a single scoring implementation serves
+    both the ad-hoc and the persisted-index paths, and their equality
+    is structural rather than asserted. Scale shape and float
+    discipline live on the scorer: inverted probe (only
+    vocabulary-sharing documents scored), one broadcast stats row,
+    per-term parts quantized to int64 BEFORE the order-free exact sum,
+    ties → lowest doc_id, query doc excluded.
 
-    Float discipline, stricter than :func:`bm25_frame` because the
-    per-(query, doc) term count is data-dependent: each term's BM25
-    part is quantized to an exact integer (``round(part·10⁶)``) BEFORE
-    the sum, so the aggregate is order-independent exact int64 on both
-    engines; ``ln`` stays inside the part in the oracle's exact
-    operation order. Ranking on the integer sum, ties → lowest doc_id;
-    the query document itself is excluded.
-
-    Returns (query_id, doc_id, bm25, rank) — ``bm25`` is the integer
-    sum dequantized (/10⁶).
+    Returns (query_id, doc_id, bm25, rank).
     """
-    qids = [int(i) for i in query_ids]
+    return bm25_store_topk(
+        postings_frame(docs, text=text), query_ids, k1=k1, b=b, topk=topk
+    )
+
+
+def postings_frame(docs, text: str = "text"):
+    """(doc_id, token, tf, dl) — the BM25 index rows for a doc batch,
+    one tokenize scan. Every document ALSO emits one sentinel row
+    (``token IS NULL, tf = 0``) carrying its length, so empty documents
+    — which still count toward N and avgdl — survive in a postings-only
+    store and the store replays :func:`bm25_bydoc_topk` exactly."""
     toked = docs.select(
         "doc_id",
         F.coalesce(
             tokens(F.col(text)), F.array().cast("array<string>")
         ).alias("__tk"),
     )
-    dls = toked.select(
-        "doc_id", F.size("__tk").cast("double").alias("dl")
+    post = (
+        toked.select(
+            "doc_id",
+            F.size("__tk").cast("long").alias("dl"),
+            F.explode("__tk").alias("token"),
+        )
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .select("doc_id", "token", "tf", "dl")
     )
-    tf = (
-        toked.select("doc_id", F.explode("__tk").alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").cast("double").alias("tf"))
+    sentinel = toked.select(
+        "doc_id",
+        F.lit(None).cast("string").alias("token"),
+        F.lit(0).cast("long").alias("tf"),
+        F.size("__tk").cast("long").alias("dl"),
+    )
+    return post.unionByName(sentinel)
+
+
+def bm25_store_topk(
+    postings,
+    query_ids: Sequence[int],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+):
+    """BM25 more-like-this answered from a PERSISTED postings store
+    (:func:`postings_frame` rows) — the lexical twin of the PQ code
+    store: history is touched as (token, tf) integers, never document
+    text, so retrieval cost tracks the index, not the corpus bytes.
+    Identical arithmetic and tie-breaks to :func:`bm25_bydoc_topk`
+    (int64-quantized term parts, exact integer stats), so a store
+    covering the same corpus returns identical rows."""
+    qids = [int(i) for i in query_ids]
+    dls = postings.filter(F.col("token").isNull()).select(
+        "doc_id", F.col("dl").cast("double").alias("dl")
+    )
+    tf = postings.filter(F.col("token").isNotNull()).select(
+        "doc_id", "token", F.col("tf").cast("double").alias("tf")
     )
     stats = dls.agg(
         F.count("*").cast("double").alias("N"), F.avg("dl").alias("avgdl")

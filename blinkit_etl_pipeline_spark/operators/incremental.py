@@ -248,3 +248,54 @@ def ingest_ivfpq_codes(
             store_table, keep_last=compact_keep_versions
         )
     return version
+
+
+def ingest_bm25_postings(
+    spark: SparkSession,
+    store_table: str,
+    new_docs: DataFrame,
+    *,
+    compact_threshold: int | None = 64,
+    compact_target: int = 8,
+    compact_keep_versions: int = 2,
+) -> int:
+    """Incremental BM25 index ingest: tokenize a document batch ONCE
+    into postings + per-doc length sentinels (``functions.text.
+    postings_frame``) and append them to a snapshot store. Document
+    TEXT is never retained — the store is (token, tf, dl) integers —
+    yet ``bm25_store_topk`` over it replays batch retrieval exactly,
+    with df/N/avgdl always reflecting everything ingested so far.
+    Single atomic append per batch (sentinels ride in the same commit,
+    so a crash can never half-index a batch); redelivered doc_ids are
+    skipped; same auto-compaction as the signature/code stores."""
+    from ..functions.text import postings_frame
+
+    exists = snapshot.current_version(store_table) is not None
+    rows = postings_frame(new_docs)
+    if exists:
+        seen = (
+            snapshot.read_snapshot(spark, store_table)
+            .filter(F.col("token").isNull())
+            .select("doc_id")
+            .distinct()
+        )
+        rows = rows.join(seen, "doc_id", "left_anti")
+    rows = rows.localCheckpoint(eager=True)
+    if rows.isEmpty():
+        return snapshot.current_version(store_table) or 0
+    if exists:
+        version = snapshot.append_snapshot(rows, store_table)
+    else:
+        version = snapshot.write_snapshot(rows, store_table)
+    if (
+        compact_threshold is not None
+        and len(snapshot.read_manifest(store_table)["files"])
+        > compact_threshold
+    ):
+        snapshot.compact_snapshot(
+            spark, store_table, target_files=compact_target
+        )
+        snapshot.expire_snapshots(
+            store_table, keep_last=compact_keep_versions
+        )
+    return version

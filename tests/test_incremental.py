@@ -309,3 +309,53 @@ def test_stored_ivfpq_prunes_files_and_matches_fused_scan(spark, tmp_path):
         union, qids, TRAINED_IVF_CODEBOOK, PQ_CODEBOOK, k=3, nprobe=2,
     ).collect()))
     assert got == want and len(got) == 12
+
+
+def test_streaming_bm25_ingest_matches_batch_bydoc(spark, tmp_path):
+    """Postings accumulated across file drops must answer BM25
+    more-like-this IDENTICALLY to the batch operator over the union —
+    including df/N/avgdl reflecting all ingested history — and a
+    redelivered drop must not double-index."""
+    import glob as _glob
+    import shutil
+
+    from blinkit_etl_pipeline_spark.functions.text import (
+        bm25_bydoc_topk,
+        bm25_store_topk,
+    )
+    from blinkit_etl_pipeline_spark.streaming import bm25_ingest, file_source
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "bm25store")
+
+    def drop(lo, hi, tag):
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)) \
+            .coalesce(1).write.parquet(str(tmp_path / tag))
+        src = _glob.glob(str(tmp_path / tag / "part-*.parquet"))[0]
+        shutil.copy(src, str(raw / f"{tag}.parquet"))
+
+    drop(0, 30, "d1")
+    drop(30, 60, "d2")
+    schema = docs.schema
+    stream = file_source.stream_files(spark, str(raw), schema, fmt="parquet")
+    bm25_ingest.run_bm25_ingest(stream, ckpt, store)
+    drop(60, 90, "d3")
+    stream = file_source.stream_files(spark, str(raw), schema, fmt="parquet")
+    bm25_ingest.run_bm25_ingest(stream, ckpt, store)
+
+    union = docs.filter(F.col("doc_id") < 90)
+    postings = snapshot.read_snapshot(spark, store)
+    got = sorted(map(tuple, bm25_store_topk(postings, range(3), topk=10).collect()))
+    want = sorted(map(tuple, bm25_bydoc_topk(union, range(3), topk=10).collect()))
+    assert got == want and len(got) == 30
+
+    # byte-copied redelivery: doc_id guard keeps the index unchanged
+    shutil.copy(str(raw / "d2.parquet"), str(raw / "d2_again.parquet"))
+    stream = file_source.stream_files(spark, str(raw), schema, fmt="parquet")
+    bm25_ingest.run_bm25_ingest(stream, ckpt, store)
+    again = sorted(map(tuple, bm25_store_topk(
+        snapshot.read_snapshot(spark, store), range(3), topk=10).collect()))
+    assert again == want
