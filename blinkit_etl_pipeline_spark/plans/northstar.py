@@ -691,6 +691,46 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus card: the per-(language, quality-bucket) inventory a
+    training-data release ships with — document/duplicate counts, token
+    and character mass, and mean quality per cell. One scan + one
+    partial-aggregated groupBy; exact-dup counting rides the same
+    aggregate as count(distinct md5) so no second pass. Determinism:
+    quality is bucketed on its ROUNDed 6-decimal value and averaged via
+    an int64 sum of 1e6-quantized scores — order-free exact, no
+    float-sum drift between engines."""
+    docs = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    quality = T.quality_columns(F.col("text"), toks)["quality_score"]
+    staged = docs.select(
+        "lang",
+        F.md5("text").alias("__h"),
+        F.size(toks).cast("long").alias("__ntok"),
+        F.length("text").cast("long").alias("__nchr"),
+        F.round(quality * F.lit(1000000.0), 0).cast("long").alias("__q"),
+    ).withColumn(
+        # decile bucket on the quantized score: floor(q/1e5) clamps the
+        # perfect 1.0 into the top bucket
+        "q_bucket",
+        F.least(F.floor(F.col("__q") / F.lit(100000)).cast("int"), F.lit(9)),
+    )
+    return (
+        staged.groupBy("lang", "q_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            (F.count("*") - F.countDistinct("__h"))
+            .cast("bigint")
+            .alias("n_exact_dups"),
+            F.sum("__ntok").cast("bigint").alias("total_tokens"),
+            F.sum("__nchr").cast("bigint").alias("total_chars"),
+            F.round(
+                (F.sum("__q") / F.count("*")) / F.lit(1000000.0), 6
+            ).alias("avg_quality"),
+        )
+    )
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     cols = T.langid_columns(F.col("text"), T.tokens(F.col("text")))
@@ -2891,6 +2931,7 @@ QUERIES = {
     "ns_ann_ivf_curve": q_ann_ivf_curve,
     "ns_dedup_recall": q_dedup_recall,
     "ns_text_stats": q_text_stats,
+    "ns_corpus_card": q_corpus_card,
     "ns_text_langid": q_text_langid,
     "ns_text_gopher": q_text_gopher,
     "ns_text_chunks": q_text_chunks,
@@ -3921,6 +3962,34 @@ FROM (
 
 
 ORACLES["ns_hybrid_rrf_topk"] = _hybrid_rrf_oracle()
+
+# Corpus card: per-(lang, quality-decile) inventory. Quality is the
+# ns_text_stats ROUND-6 score, re-quantized to int64 so the bucket and
+# the mean are both order-free exact on both engines.
+_CARD_Q = """CAST(round(ROUND(least(len(tk) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+      + (len(list_distinct(tk)) / CAST(greatest(len(tk), 1) AS DOUBLE)) * CAST(0.5 AS DOUBLE), 6)
+      * 1000000.0) AS BIGINT)"""
+
+ORACLES["ns_corpus_card"] = f"""WITH {_TOKS},
+staged AS (
+  SELECT lang, md5(text) AS h,
+    CAST(len(tk) AS BIGINT) AS ntok,
+    CAST(length(text) AS BIGINT) AS nchr,
+    {_CARD_Q} AS q
+  FROM toks
+),
+b AS (
+  SELECT *, CAST(least(CAST(floor(q / 100000) AS INT), 9) AS INT) AS q_bucket
+  FROM staged
+)
+SELECT lang, q_bucket,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_exact_dups,
+  CAST(sum(ntok) AS BIGINT) AS total_tokens,
+  CAST(sum(nchr) AS BIGINT) AS total_chars,
+  ROUND((sum(q) / count(*)) / 1000000.0, 6) AS avg_quality
+FROM b GROUP BY lang, q_bucket"""
+
 
 ORACLES["ns_mix_sources"] = _mix_oracle()
 
