@@ -118,8 +118,17 @@ _INTERVAL_UNITS = {
 }
 
 
-def _interval_seconds(spec: str) -> int:
-    n, unit = spec.strip().split()
+def _interval_seconds(spec: str) -> int | None:
+    """Seconds for a simple "N unit" interval; None for anything this
+    parser doesn't cover (compound specs, weeks/months, ...) — the
+    caller falls back to the built-in plan, which accepts everything
+    ``F.window`` does."""
+    parts = spec.strip().split()
+    if len(parts) != 2:
+        return None
+    n, unit = parts
+    if not n.lstrip("-").isdigit() or unit.lower() not in _INTERVAL_UNITS:
+        return None
     return int(n) * _INTERVAL_UNITS[unit.lower()]
 
 
@@ -145,7 +154,7 @@ def sliding_rollup(
     Expand plan, whose grid a non-dividing slide genuinely needs.
     """
     wsec, ssec = _interval_seconds(width), _interval_seconds(slide)
-    if wsec % ssec != 0:
+    if wsec is None or ssec is None or ssec <= 0 or wsec % ssec != 0:
         return (
             events.groupBy(F.window("ts", width, slide).alias("w"))
             .agg(

@@ -130,6 +130,25 @@ def ingest_and_find_dups(
         version = snapshot.append_snapshot(new_bands, store_table)
     else:
         version = snapshot.write_snapshot(new_bands, store_table)
+    _maybe_compact(
+        spark, store_table, compact_threshold, compact_target,
+        compact_keep_versions,
+    )
+    return pairs, version
+
+
+def _maybe_compact(
+    spark: SparkSession,
+    store_table: str,
+    compact_threshold: int | None,
+    compact_target: int,
+    compact_keep_versions: int,
+) -> None:
+    """Shared store maintenance: compact + vacuum when the manifest
+    exceeds the file threshold. ``keep_last`` is clamped to >= 2 so the
+    batch's own append commit (the version every ingest just returned)
+    always survives its own maintenance pass — keep_versions=1 would
+    expire it immediately, leaving callers a dangling version handle."""
     if (
         compact_threshold is not None
         and len(snapshot.read_manifest(store_table)["files"])
@@ -139,9 +158,50 @@ def ingest_and_find_dups(
             spark, store_table, target_files=compact_target
         )
         snapshot.expire_snapshots(
-            store_table, keep_last=compact_keep_versions
+            store_table, keep_last=max(compact_keep_versions, 2)
         )
-    return pairs, version
+
+
+def _ingest_rows(
+    spark: SparkSession,
+    store_table: str,
+    rows: DataFrame,
+    id_col: str,
+    *,
+    stats_col: str | None = None,
+    seen_fn=None,
+    compact_threshold: int | None,
+    compact_target: int,
+    compact_keep_versions: int,
+) -> int:
+    """Shared idempotent-append skeleton for the index stores
+    (signatures aside — its pair search interleaves with the guard):
+    redelivery guard on ``id_col`` (``seen_fn(store_df)`` overrides how
+    seen ids are derived), eager materialization, atomic append,
+    auto-compaction. One implementation, so a protocol fix lands once
+    (this helper replaced three verbatim copies, ADVICE-style)."""
+    exists = snapshot.current_version(store_table) is not None
+    if exists:
+        store = snapshot.read_snapshot(spark, store_table)
+        seen = (
+            seen_fn(store) if seen_fn is not None
+            else store.select(id_col).distinct()
+        )
+        rows = rows.join(seen, id_col, "left_anti")
+    rows = rows.localCheckpoint(eager=True)
+    if rows.isEmpty():
+        return snapshot.current_version(store_table) or 0
+    if exists:
+        version = snapshot.append_snapshot(rows, store_table)
+    else:
+        version = snapshot.write_snapshot(
+            rows, store_table, stats_col=stats_col
+        )
+    _maybe_compact(
+        spark, store_table, compact_threshold, compact_target,
+        compact_keep_versions,
+    )
+    return version
 
 
 def ingest_pq_codes(
@@ -162,36 +222,22 @@ def ingest_pq_codes(
     the store grows ~(8 + id) bytes per vector regardless of embedding
     width, and :func:`vector.pq_store_adc_topk` answers top-k from it
     without ever touching raw history. Redelivered vec_ids are skipped
-    (idempotent batch ingest) and the store auto-compacts like the
+    both ACROSS batches (store guard) and WITHIN one (duplicate file
+    drops landing in the same micro-batch dedup by vec_id before
+    encode; conflicting different-content rows under one id are a
+    caller data error and resolve arbitrarily); auto-compacts like the
     signature store. Returns the committed store version."""
     from . import vector
 
-    exists = snapshot.current_version(store_table) is not None
-    codes = vector.pq_encode(new_emb, codebook, dim=dim)
-    if exists:
-        seen = snapshot.read_snapshot(spark, store_table).select(
-            "vec_id"
-        ).distinct()
-        codes = codes.join(seen, "vec_id", "left_anti")
-    codes = codes.localCheckpoint(eager=True)
-    if codes.isEmpty():
-        return snapshot.current_version(store_table) or 0
-    if exists:
-        version = snapshot.append_snapshot(codes, store_table)
-    else:
-        version = snapshot.write_snapshot(codes, store_table)
-    if (
-        compact_threshold is not None
-        and len(snapshot.read_manifest(store_table)["files"])
-        > compact_threshold
-    ):
-        snapshot.compact_snapshot(
-            spark, store_table, target_files=compact_target
-        )
-        snapshot.expire_snapshots(
-            store_table, keep_last=compact_keep_versions
-        )
-    return version
+    codes = vector.pq_encode(
+        new_emb.dropDuplicates(["vec_id"]), codebook, dim=dim
+    )
+    return _ingest_rows(
+        spark, store_table, codes, "vec_id",
+        compact_threshold=compact_threshold,
+        compact_target=compact_target,
+        compact_keep_versions=compact_keep_versions,
+    )
 
 
 def ingest_ivfpq_codes(
@@ -213,41 +259,23 @@ def ingest_ivfpq_codes(
     probed ANN query later reads ONLY the files of its probed lists
     (:func:`snapshot.read_snapshot_pruned` + :func:`vector.
     ivfpq_store_topk`) — list pruning happens at the FILE level, before
-    any scan. Same vec_id redelivery guard and auto-compaction as the
-    flat code store; compaction re-clusters by centroid_id, so pruning
-    tightens as the store consolidates. Returns the store version."""
+    any scan. Same within-batch + cross-batch vec_id redelivery guards
+    and auto-compaction as the flat code store; compaction re-clusters
+    by centroid_id, so pruning tightens as the store consolidates.
+    Returns the store version."""
     from . import vector
 
-    exists = snapshot.current_version(store_table) is not None
     codes = vector.pq_encode(
-        new_emb, pq_codebook, dim=dim, ivf_codebook=ivf_codebook
+        new_emb.dropDuplicates(["vec_id"]), pq_codebook, dim=dim,
+        ivf_codebook=ivf_codebook,
     )
-    if exists:
-        seen = snapshot.read_snapshot(spark, store_table).select(
-            "vec_id"
-        ).distinct()
-        codes = codes.join(seen, "vec_id", "left_anti")
-    codes = codes.localCheckpoint(eager=True)
-    if codes.isEmpty():
-        return snapshot.current_version(store_table) or 0
-    if exists:
-        version = snapshot.append_snapshot(codes, store_table)
-    else:
-        version = snapshot.write_snapshot(
-            codes, store_table, stats_col="centroid_id"
-        )
-    if (
-        compact_threshold is not None
-        and len(snapshot.read_manifest(store_table)["files"])
-        > compact_threshold
-    ):
-        snapshot.compact_snapshot(
-            spark, store_table, target_files=compact_target
-        )
-        snapshot.expire_snapshots(
-            store_table, keep_last=compact_keep_versions
-        )
-    return version
+    return _ingest_rows(
+        spark, store_table, codes, "vec_id",
+        stats_col="centroid_id",
+        compact_threshold=compact_threshold,
+        compact_target=compact_target,
+        compact_keep_versions=compact_keep_versions,
+    )
 
 
 def ingest_bm25_postings(
@@ -267,35 +295,19 @@ def ingest_bm25_postings(
     with df/N/avgdl always reflecting everything ingested so far.
     Single atomic append per batch (sentinels ride in the same commit,
     so a crash can never half-index a batch); redelivered doc_ids are
-    skipped; same auto-compaction as the signature/code stores."""
+    skipped across batches AND within one (duplicate drops in a single
+    micro-batch dedup by doc_id before tokenize — double-counting tf/dl
+    would silently skew every score); same auto-compaction as the
+    sibling stores."""
     from ..functions.text import postings_frame
 
-    exists = snapshot.current_version(store_table) is not None
-    rows = postings_frame(new_docs)
-    if exists:
-        seen = (
-            snapshot.read_snapshot(spark, store_table)
-            .filter(F.col("token").isNull())
-            .select("doc_id")
-            .distinct()
-        )
-        rows = rows.join(seen, "doc_id", "left_anti")
-    rows = rows.localCheckpoint(eager=True)
-    if rows.isEmpty():
-        return snapshot.current_version(store_table) or 0
-    if exists:
-        version = snapshot.append_snapshot(rows, store_table)
-    else:
-        version = snapshot.write_snapshot(rows, store_table)
-    if (
-        compact_threshold is not None
-        and len(snapshot.read_manifest(store_table)["files"])
-        > compact_threshold
-    ):
-        snapshot.compact_snapshot(
-            spark, store_table, target_files=compact_target
-        )
-        snapshot.expire_snapshots(
-            store_table, keep_last=compact_keep_versions
-        )
-    return version
+    rows = postings_frame(new_docs.dropDuplicates(["doc_id"]))
+    return _ingest_rows(
+        spark, store_table, rows, "doc_id",
+        seen_fn=lambda store: (
+            store.filter(F.col("token").isNull()).select("doc_id").distinct()
+        ),
+        compact_threshold=compact_threshold,
+        compact_target=compact_target,
+        compact_keep_versions=compact_keep_versions,
+    )

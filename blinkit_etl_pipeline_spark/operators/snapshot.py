@@ -260,13 +260,20 @@ def append_snapshot(
     onto the winner's manifest and retried — appends from concurrent
     writers all land, in some serial order."""
     new_files: list[dict] | None = None
+    written_stats: str | None = None
     last_err: CommitConflictError | None = None
     for _ in range(COMMIT_RETRIES):
         manifest = read_manifest(table)
+        effective_stats = stats_col or manifest.get("stats_col")
+        if new_files is not None and written_stats != effective_stats:
+            # the winner changed the table's stats_col under us: our
+            # files carry min/max of the OLD column — committing them
+            # under the new stats_col would let pruning silently skip
+            # matching rows. Rewrite against the rebased column.
+            new_files = None
         if new_files is None:
-            new_files = _write_data_files(
-                df, table, stats_col or manifest.get("stats_col")
-            )
+            new_files = _write_data_files(df, table, effective_stats)
+            written_stats = effective_stats
         try:
             return _commit(
                 table,
@@ -295,6 +302,8 @@ def _pruned_entries(manifest: dict, values) -> list[dict] | None:
     """Manifest entries whose [min, max] range may contain ANY of
     ``values`` on the manifest's stats_col — None when stats are
     missing (caller must read everything; correct, just unpruned)."""
+    values = list(values)  # re-iterated per entry: a generator would
+    # exhaust after the first file and silently prune everything else
     entries = manifest["files"]
     if not entries or not all("min" in e for e in entries):
         return None
@@ -509,12 +518,27 @@ def expire_snapshots(table: str, keep_last: int = 1) -> list[str]:
     live: set[str] = set()
     for v in keep:
         live.update(e["path"] for e in read_manifest(table, v)["files"])
-    removed: list[str] = []
+    # Vacuum scope: ONLY files referenced by the manifests being
+    # expired (minus live). A blanket "delete anything no kept manifest
+    # references" would also hit a CONCURRENT writer's already-written,
+    # not-yet-committed data files (they are referenced by no manifest
+    # until its CAS commit lands) — silently destroying that writer's
+    # batch under the multi-writer protocol. Orphans from crashed or
+    # conflicted attempts are left for an explicit offline GC with an
+    # age threshold, exactly as Delta's VACUUM retention does.
+    dead: set[str] = set()
     for v in versions:
         if v not in keep:
-            os.remove(_manifest_path(table, v))
-    for f in glob.glob(os.path.join(table, DATA_DIR, "*", "*.parquet")):
-        if f not in live:
+            dead.update(e["path"] for e in read_manifest(table, v)["files"])
+            try:
+                os.remove(_manifest_path(table, v))
+            except FileNotFoundError:
+                pass  # concurrent expire already removed it
+    removed: list[str] = []
+    for f in sorted(dead - live):
+        try:
             os.remove(f)
             removed.append(f)
+        except FileNotFoundError:
+            pass
     return sorted(removed)

@@ -956,13 +956,10 @@ def pq_adc_topk(
     """
     import numpy as np
 
-    m = max(j for j, _, _ in codebook) + 1
-    nk = max(c for _, c, _ in codebook) + 1
-    sub = dim // m
+    m, nk, sub, C = pq_codes_matrix(codebook)
+    if sub * m != dim:
+        raise ValueError("codebook geometry does not match dim")
     shortlist = max(k, rerank or k)
-    C = np.zeros((m, nk, sub), dtype=np.float64)
-    for j, c, vec in codebook:
-        C[j, c] = [pyquantize(x) for x in vec]
     q = with_q(emb)
     qrows = sorted(
         q.filter(F.col("vec_id").isin([int(i) for i in query_ids]))
@@ -1712,13 +1709,10 @@ def ivfpq_topk(
     """
     import numpy as np
 
-    m = max(j for j, _, _ in pq_codebook) + 1
-    nk = max(c for _, c, _ in pq_codebook) + 1
-    sub = dim // m
+    m, nk, sub, C = pq_codes_matrix(pq_codebook)
+    if sub * m != dim:
+        raise ValueError("codebook geometry does not match dim")
     shortlist = max(k, rerank or k)
-    C = np.zeros((m, nk, sub), dtype=np.float64)
-    for j, c, vec in pq_codebook:
-        C[j, c] = [pyquantize(x) for x in vec]
 
     q = with_q(emb)
 

@@ -314,3 +314,21 @@ def test_lzw_roundtrip_property(mcs, data):
     )
     encoded = _lzw_encode(mcs, stream)
     assert lzw_decode(mcs, encoded, max_pixels=max(len(stream), 1)) == stream
+
+
+def test_sliding_rollup_falls_back_on_unparseable_intervals(spark):
+    """Specs the simple parser doesn't cover (weeks, compound) must
+    fall back to the built-in F.window plan instead of raising — the
+    pre-r6 surface accepted them."""
+    from pyspark.sql import functions as F
+
+    from blinkit_etl_pipeline_spark.operators.events import sliding_rollup
+
+    ev = spark.createDataFrame(
+        [(1, "view", 1.0, "2024-01-01 00:10:00")],
+        "event_id long, event_type string, value double, ts string",
+    ).select("event_id", "event_type", "value", F.col("ts").cast("timestamp").alias("ts"))
+    out = sliding_rollup(ev, width="2 weeks", slide="1 week").collect()
+    assert len(out) == 2  # one event lands in width/slide = 2 windows
+    out2 = sliding_rollup(ev, width="1 hour 30 minutes", slide="45 minutes")
+    assert out2.count() == 2

@@ -218,3 +218,42 @@ def test_threaded_append_race_all_appends_land(spark, tmp_path):
     assert S.current_version(t) == 3
     got = S.read_snapshot(spark, t).groupBy("v").count().collect()
     assert {r["v"]: r["count"] for r in got} == {"base": 10, "a": 10, "b": 10}
+
+
+def test_expire_never_deletes_uncommitted_inflight_files(spark, tmp_path):
+    """A concurrent writer's data files exist on disk BEFORE its CAS
+    commit lands; expire must scope its vacuum to files referenced by
+    the manifests it removes — never to unreferenced (in-flight)
+    files."""
+    t = str(tmp_path / "vac")
+    S.write_snapshot(_mk(spark, 0, 10, "a"), t, stats_col="k")
+    # merge rewrites touched files → v1 has files no later version
+    # references (genuinely dead once v1 expires)
+    S.merge_snapshot(
+        spark, t,
+        spark.createDataFrame([(5, "U")], "k bigint, v string"), ["k"],
+    )
+    # writer D has written files but not yet committed
+    inflight = S._write_data_files(_mk(spark, 30, 40, "d"), t, "k")
+    removed = S.expire_snapshots(t, keep_last=1)
+    for e in inflight:
+        assert os.path.exists(e["path"]), "vacuumed an in-flight file"
+    # D's delayed commit still lands and reads back whole
+    S._commit(
+        t,
+        list(S.read_manifest(t)["files"]) + inflight,
+        stats_col="k",
+        expected_version=S.current_version(t),
+    )
+    got = {r["v"] for r in S.read_snapshot(spark, t).select("v").collect()}
+    assert "d" in got and removed  # vacuum still removed expired files
+
+
+def test_read_snapshot_pruned_accepts_generator(spark, tmp_path):
+    """values is re-iterated per manifest entry; a one-shot iterable
+    must not silently prune everything after the first file."""
+    t = str(tmp_path / "gen")
+    S.write_snapshot(_mk(spark, 0, 100, "a"), t, stats_col="k")
+    want = S.read_snapshot_pruned(spark, t, [5, 95]).count()
+    got = S.read_snapshot_pruned(spark, t, (v for v in [5, 95])).count()
+    assert got == want > 0
