@@ -359,3 +359,32 @@ def test_streaming_bm25_ingest_matches_batch_bydoc(spark, tmp_path):
     again = sorted(map(tuple, bm25_store_topk(
         snapshot.read_snapshot(spark, store), range(3), topk=10).collect()))
     assert again == want
+
+
+def test_duplicate_rows_within_one_batch_index_once(spark, tmp_path):
+    """Two copies of the same embeddings/documents arriving in a SINGLE
+    batch (the file checkpoint can't split them) must index once: the
+    code store stays unique per vec_id and BM25 stats/tf are not
+    doubled."""
+    from blinkit_etl_pipeline_spark.functions.text import (
+        bm25_bydoc_topk,
+        bm25_store_topk,
+    )
+    from blinkit_etl_pipeline_spark.plans.codebook import PQ_CODEBOOK
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .filter(F.col("vec_id") < 30)
+    doubled = emb.unionByName(emb)
+    store = str(tmp_path / "dupstore")
+    incremental.ingest_pq_codes(spark, store, doubled, PQ_CODEBOOK)
+    codes = snapshot.read_snapshot(spark, store)
+    assert codes.count() == 30 == codes.select("vec_id").distinct().count()
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .filter(F.col("doc_id") < 30)
+    bstore = str(tmp_path / "dupbm25")
+    incremental.ingest_bm25_postings(spark, bstore, docs.unionByName(docs))
+    got = sorted(map(tuple, bm25_store_topk(
+        snapshot.read_snapshot(spark, bstore), range(2), topk=5).collect()))
+    want = sorted(map(tuple, bm25_bydoc_topk(docs, range(2), topk=5).collect()))
+    assert got == want
