@@ -1662,6 +1662,37 @@ def ivf_recall_curve(
     return out
 
 
+def coarse_probe_rows(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    ivf_codebook: Sequence[tuple[int, Sequence[float]]],
+    nprobe: int,
+) -> list[tuple[int, int, int]]:
+    """Driver-side probe ranking shared by the IVFPQ family's gauges:
+    ``[(query_id, centroid_id, rank 1..nprobe)]`` — the same
+    quantized-integer cosine and (cos desc, cid asc) tie-break as
+    :func:`ivf_topk`'s probe CTE; bounded by |queries| × nprobe."""
+    import numpy as np
+
+    q = emb if "qvec" in emb.columns else with_q(emb)
+    qrows = sorted(
+        q.filter(F.col("vec_id").isin([int(i) for i in query_ids]))
+        .select("vec_id", "qvec", "qq")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cids, CC, cqq = _qcodebook(
+        sorted((int(c), [float(x) for x in v]) for c, v in ivf_codebook)
+    )
+    out = []
+    for r in qrows:
+        v = np.array(list(r["qvec"]), dtype=np.float64)
+        cos = (v @ CC.T) / (np.sqrt(float(r["qq"])) * np.sqrt(cqq))
+        for rank, j in enumerate(np.lexsort((cids, -cos))[:nprobe], start=1):
+            out.append((int(r["vec_id"]), int(cids[j]), rank))
+    return out
+
+
 def ivfpq_topk(
     emb: DataFrame,
     query_ids: Sequence[int],

@@ -572,6 +572,69 @@ def q_ann_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating curve for the IVFPQ tier: recall@k (reranked) vs
+    probed-list mass share across nprobe ∈ {1,2,4,8} — the same
+    evidence ns_ann_ivf_curve publishes for full-vector IVF, now for
+    the shipped sub-linear tier: a deployment reads nprobe off this
+    curve. ``scan_fraction`` = Σ probed-list sizes / (|queries|·N),
+    the fraction of corpus mass the ADC kernel touches. Truth side is
+    the exact-L2 gauge — QA-only, quadratic by definition."""
+    from .codebook import PQ_CODEBOOK, TRAINED_IVF_CODEBOOK
+
+    emb = _emb(spark, sf_dir)
+    nq = len(ANN_QUERY_IDS)
+    truth = (
+        vector.l2_brute_topk(emb, ANN_QUERY_IDS, k=ANN_K)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    assigned = vector.ivf_assign(vector.with_q(emb), TRAINED_IVF_CODEBOOK)
+    lsizes = assigned.groupBy("centroid_id").agg(
+        F.count("*").alias("n_in_list")
+    )
+    n_corpus = emb.agg(F.count("*").alias("n_corpus"))
+    probes_all = spark.createDataFrame(
+        vector.coarse_probe_rows(
+            emb, ANN_QUERY_IDS, TRAINED_IVF_CODEBOOK, max(IVF_NPROBES)
+        ),
+        "query_id long, centroid_id int, rn int",
+    )
+    points = []
+    for np_ in IVF_NPROBES:
+        topk = vector.ivfpq_topk(
+            emb, ANN_QUERY_IDS, TRAINED_IVF_CODEBOOK, PQ_CODEBOOK,
+            k=ANN_K, nprobe=np_, rerank=PQ_RERANK,
+        )
+        hits = truth.join(topk, ["query_id", "neighbor_id"]).agg(
+            F.count("*").alias("hits_total")
+        )
+        scanned = (
+            probes_all.filter(F.col("rn") <= np_)
+            .join(lsizes, "centroid_id")
+            .agg(F.sum("n_in_list").alias("scanned_total"))
+        )
+        points.append(
+            hits.crossJoin(scanned)
+            .crossJoin(n_corpus)
+            .select(
+                F.lit(np_).cast("int").alias("nprobe"),
+                F.round(
+                    F.col("hits_total") / F.lit(nq * ANN_K).cast("double"), 6
+                ).alias("avg_recall"),
+                F.round(
+                    F.col("scanned_total")
+                    / (F.lit(nq).cast("double") * F.col("n_corpus")),
+                    6,
+                ).alias("scan_fraction"),
+            )
+        )
+    out = points[0]
+    for p in points[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_ann_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-list balance of the trained IVF codebook — the
     operational stat that decides whether a codebook ships: a skewed
@@ -2915,6 +2978,7 @@ QUERIES = {
     "ns_ann_ivfpq_topk": q_ann_ivfpq_topk,
     "ns_ann_ivfpq_recall": q_ann_ivfpq_recall,
     "ns_ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
+    "ns_ann_ivfpq_curve": q_ann_ivfpq_curve,
     "ns_ann_ivfpq_residual_recall": q_ann_ivfpq_residual_recall,
     "ns_dedup_semantic": q_dedup_semantic,
     "ns_dedup_semantic_recall": q_dedup_semantic_recall,
@@ -3659,6 +3723,132 @@ FROM scored"""
 
 
 ORACLES["ns_ann_ivfpq_residual_recall"] = _ivfpq_res_recall_oracle()
+
+
+def _ivfpq_curve_oracle() -> str:
+    """IVFPQ operating-curve replay: the shared IVFPQ CTEs at
+    max(nprobe), then per sweep point an ADC + rerank restricted to
+    probes rn <= np, recall vs the exact-L2 truth, and the probed-list
+    mass share — one UNION ALL row per nprobe."""
+    from .codebook import PQ_CODEBOOK
+
+    nq, k = len(ANN_QUERY_IDS), ANN_K
+    sub = len(PQ_CODEBOOK[0][2])
+    rows = ", ".join(
+        "({j}, {c}, [{vals}]::DOUBLE[])".format(
+            j=j, c=c, vals=", ".join(str(vector.pyquantize(x)) for x in vec)
+        )
+        for j, c, vec in PQ_CODEBOOK
+    )
+    sv = f"list_slice({{x}}, {{s}} * {sub} + 1, {{s}} * {sub} + {sub})"
+    dsv = sv.format(x="e.qv", s="p.sub")
+    qsv = sv.format(x="qv2.qv", s="cd.sub")
+    dist_doc = (
+        f"list_dot_product({dsv}, {dsv})"
+        f" - 2 * list_dot_product({dsv}, p.cvec)"
+        f" + list_dot_product(p.cvec, p.cvec)"
+    )
+    dist_q = (
+        f"list_dot_product({qsv}, {qsv})"
+        f" - 2 * list_dot_product({qsv}, pp.cvec)"
+        f" + list_dot_product(pp.cvec, pp.cvec)"
+    )
+    exact = (
+        "CAST(list_dot_product(q.qv, q.qv)"
+        " - 2 * list_dot_product(q.qv, n.qv)"
+        " + list_dot_product(n.qv, n.qv) AS BIGINT)"
+    )
+    point_ctes, point_rows = [], []
+    for np_ in IVF_NPROBES:
+        point_ctes.append(f"""d{np_} AS (
+  SELECT pr.query_id, a.vec_id AS neighbor_id,
+    CAST(sum(CAST({dist_q} AS BIGINT)) AS BIGINT) AS adc_dist
+  FROM probes pr
+  JOIN assigned a ON a.centroid_id = pr.centroid_id
+  JOIN codes cd ON cd.vec_id = a.vec_id
+  JOIN pq pp ON pp.sub = cd.sub AND pp.code = cd.code
+  JOIN e qv2 ON qv2.vec_id = pr.query_id
+  WHERE a.vec_id != pr.query_id AND pr.rn <= {np_}
+  GROUP BY pr.query_id, a.vec_id
+),
+short{np_} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+    FROM d{np_}
+  ) WHERE rn <= {PQ_RERANK}
+),
+rr{np_} AS (
+  SELECT s.query_id, s.neighbor_id FROM (
+    SELECT s.query_id, s.neighbor_id,
+      row_number() OVER (PARTITION BY s.query_id
+        ORDER BY {exact} ASC, s.neighbor_id ASC) AS rn
+    FROM short{np_} s
+    JOIN e q ON q.vec_id = s.query_id
+    JOIN e n ON n.vec_id = s.neighbor_id
+  ) s WHERE s.rn <= {k}
+)""")
+        point_rows.append(f"""SELECT CAST({np_} AS INT) AS nprobe,
+  ROUND((SELECT count(*) FROM truth t
+         JOIN rr{np_} r ON t.query_id = r.query_id
+                       AND t.neighbor_id = r.neighbor_id)
+    / CAST({nq * k} AS DOUBLE), 6) AS avg_recall,
+  ROUND((SELECT sum(ls.n_in_list)
+         FROM (SELECT DISTINCT query_id, centroid_id FROM probes
+               WHERE rn <= {np_}) pr
+         JOIN lsizes ls ON ls.centroid_id = pr.centroid_id)
+    / (CAST({nq} AS DOUBLE) * (SELECT n_corpus FROM ncorp)), 6)
+    AS scan_fraction""")
+    return f"""WITH {_EMB},
+c AS (SELECT centroid_id, cvec, list_dot_product(cvec, cvec) AS cqq
+  FROM {_codebook_values_sql()}),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_COSR.format(a='e.qv', b='c.cvec', qa='e.qq', qb='c.cqq')} DESC,
+        c.centroid_id ASC) AS rn
+    FROM e CROSS JOIN c
+  ) WHERE rn = 1
+),
+lsizes AS (
+  SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_in_list
+  FROM assigned GROUP BY centroid_id
+),
+ncorp AS (SELECT CAST(count(*) AS DOUBLE) AS n_corpus FROM e),
+q AS (SELECT vec_id AS query_id, qv, qq FROM e WHERE vec_id < {nq}),
+probes AS (
+  SELECT query_id, centroid_id, rn FROM (
+    SELECT q.query_id, c.centroid_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {_COSR.format(a='q.qv', b='c.cvec', qa='q.qq', qb='c.cqq')} DESC,
+        c.centroid_id ASC) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= {max(IVF_NPROBES)}
+),
+pq(sub, code, cvec) AS (SELECT * FROM (VALUES {rows}) t(sub, code, cvec)),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT e.vec_id, p.sub, p.code,
+      row_number() OVER (PARTITION BY e.vec_id, p.sub
+        ORDER BY {dist_doc} ASC, p.code ASC) AS rn
+    FROM e CROSS JOIN pq p
+  ) WHERE rn = 1
+),
+qe AS (SELECT vec_id, qv FROM e WHERE vec_id < {nq}),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY {exact} ASC, n.vec_id ASC) AS rn
+    FROM qe q CROSS JOIN e n WHERE n.vec_id != q.vec_id
+  ) WHERE rn <= {k}
+),
+{", ".join(point_ctes)}
+{" UNION ALL ".join(point_rows)}"""
+
+
+ORACLES["ns_ann_ivfpq_curve"] = _ivfpq_curve_oracle()
 
 
 def _ivfpq_recall_oracle() -> str:

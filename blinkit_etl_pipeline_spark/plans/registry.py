@@ -31,6 +31,7 @@ PRIORITY = [
     "ns_ann_ivfpq_residual_topk",
     "ns_ann_ivfpq_residual_recall",
     "ns_corpus_card",
+    "ns_ann_ivfpq_curve",
     # --- stalest existing rows (newest driver row r1–r3) ---
     "ns_sketch_hll_users",  # r1
     "ns_sketch_value_quantiles",  # r1

@@ -45,6 +45,7 @@ ARROW_WHITELIST = {
     "ns_ann_ivfpq_recall",
     "ns_ann_ivfpq_residual_topk",
     "ns_ann_ivfpq_residual_recall",
+    "ns_ann_ivfpq_curve",
     "ns_pack_sequences",
 }
 
