@@ -72,6 +72,7 @@ NOTES = {
     "ns_ann_ivfpq_residual_recall": "QA gauge vs exact L2; read against ns_ann_ivfpq_recall to price residual encoding",
     "ns_hybrid_rrf_topk": "BM25 inverted probe (int64-quantized term sums) + brute cosine, fused by RRF; only vocabulary-sharing docs ever scored",
     "ns_corpus_card": "one scan + one partial-agg groupBy; quality bucketed/averaged on 1e6-quantized int64 (order-free exact)",
+    "ns_ann_ivfpq_curve": "QA gauge: nprobe sweep of the reranked IVFPQ tier vs exact-L2 truth; deployment picks its operating point here",
 }
 
 
