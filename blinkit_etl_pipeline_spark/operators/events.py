@@ -127,7 +127,10 @@ def _interval_seconds(spec: str) -> int | None:
     if len(parts) != 2:
         return None
     n, unit = parts
-    if not n.lstrip("-").isdigit() or unit.lower() not in _INTERVAL_UNITS:
+    # strictly positive only: a negative/zero width must fall through to
+    # the built-in F.window plan and fail loudly there, not produce a
+    # descending F.sequence that silently yields empty windows
+    if not n.isdigit() or int(n) <= 0 or unit.lower() not in _INTERVAL_UNITS:
         return None
     return int(n) * _INTERVAL_UNITS[unit.lower()]
 

@@ -335,22 +335,56 @@ def read_snapshot_pruned(
 
 
 def rollback_snapshot(table: str, version: int) -> int:
-    """Commit a NEW version whose file list is ``version``'s — history
-    is never rewritten, so the bad versions stay inspectable. The
-    source manifest is immutable, so a version race only re-allocates."""
+    """Commit a NEW version whose file CONTENT is ``version``'s —
+    history is never rewritten, so the bad versions stay inspectable.
+
+    The old version's immutable files are HARD-LINKED into a fresh
+    commit directory and the new manifest lists the new paths (content
+    identical, inodes shared, no data copied). Re-listing the old paths
+    by reference would race :func:`expire_snapshots`: an expire whose
+    version scan predates this commit treats those paths as dead
+    (referenced only by expired manifests) and unlinks them, leaving
+    the just-committed rollback pointing at deleted files. With fresh
+    links, unlinking the old path cannot strand the rollback (the inode
+    survives through the new name); and if the expire wins the race
+    BEFORE the link, ``os.link`` raises and the rollback fails loudly
+    — never a silently-torn version. The source manifest itself is
+    immutable, so a version-number race only re-allocates the commit."""
     manifest = read_manifest(table, version)
+    commit_id = uuid.uuid4().hex[:12]
+    out_dir = os.path.join(table, DATA_DIR, f"rb-{commit_id}")
+    os.makedirs(out_dir, exist_ok=True)
+    files: list[dict] = []
+    for i, e in enumerate(manifest["files"]):
+        # index prefix: basenames from different source commits could
+        # theoretically collide; paths within one rollback must not
+        new_path = os.path.join(
+            out_dir, f"{i:05d}-{os.path.basename(e['path'])}"
+        )
+        try:
+            os.link(e["path"], new_path)
+        except FileNotFoundError:
+            for done in files:  # undo partial links; abort loudly
+                try:
+                    os.remove(done["path"])
+                except FileNotFoundError:
+                    pass
+            raise SnapshotError(
+                f"cannot roll back {table} to version {version}: data "
+                f"file {e['path']} was removed (concurrent "
+                "expire_snapshots vacuumed that version mid-rollback)"
+            ) from None
+        entry = dict(e)
+        entry["path"] = new_path
+        files.append(entry)
     for _ in range(COMMIT_RETRIES):
         try:
             return _commit(
-                table,
-                list(manifest["files"]),
-                stats_col=manifest.get("stats_col"),
+                table, files, stats_col=manifest.get("stats_col")
             )
         except CommitConflictError:
             continue
-    return _commit(
-        table, list(manifest["files"]), stats_col=manifest.get("stats_col")
-    )
+    return _commit(table, files, stats_col=manifest.get("stats_col"))
 
 
 def merge_snapshot(
@@ -517,7 +551,14 @@ def expire_snapshots(table: str, keep_last: int = 1) -> list[str]:
     keep = set(versions[-keep_last:]) | {latest}
     live: set[str] = set()
     for v in keep:
-        live.update(e["path"] for e in read_manifest(table, v)["files"])
+        try:
+            live.update(e["path"] for e in read_manifest(table, v)["files"])
+        except SnapshotError:
+            # a concurrent expire with a narrower retention window
+            # already removed this manifest; that expire also handled
+            # its files — a vanished version protects nothing and
+            # contributes nothing
+            continue
     # Vacuum scope: ONLY files referenced by the manifests being
     # expired (minus live). A blanket "delete anything no kept manifest
     # references" would also hit a CONCURRENT writer's already-written,
@@ -529,7 +570,15 @@ def expire_snapshots(table: str, keep_last: int = 1) -> list[str]:
     dead: set[str] = set()
     for v in versions:
         if v not in keep:
-            dead.update(e["path"] for e in read_manifest(table, v)["files"])
+            try:
+                files_v = read_manifest(table, v)["files"]
+            except SnapshotError:
+                # concurrent expire already removed this manifest (and
+                # took responsibility for its files) — skip; two
+                # overlapping expires converge on the narrower window's
+                # outcome instead of crashing each other
+                continue
+            dead.update(e["path"] for e in files_v)
             try:
                 os.remove(_manifest_path(table, v))
             except FileNotFoundError:
@@ -542,3 +591,92 @@ def expire_snapshots(table: str, keep_last: int = 1) -> list[str]:
         except FileNotFoundError:
             pass
     return sorted(removed)
+
+
+def expire_orphans(
+    table: str, *, older_than_seconds: float = 7 * 86400
+) -> list[str]:
+    """Age-threshold GC for UNREFERENCED data files — the offline
+    companion to :func:`expire_snapshots` (Delta VACUUM's retention
+    shape).
+
+    The vacuum above deliberately deletes only files referenced by the
+    manifests it expires: a crashed writer's already-written batch, or
+    a conflicted merge attempt's rewrite set, is referenced by NO
+    manifest and therefore survives vacuum forever. This pass removes
+    any file under ``data/`` that (a) no committed manifest — of any
+    version — references and (b) is older than ``older_than_seconds``.
+
+    The age threshold IS the multi-writer safety: an in-flight writer's
+    files are younger than any sane threshold (pick it well above the
+    longest plausible write→commit latency, default 7 days as Delta
+    does), so only genuinely abandoned files qualify. Age is judged by
+    ``max(file mtime, commit-dir mtime)``: a rollback's hard links
+    share the OLD inode's mtime, but creating them bumps their (fresh)
+    commit directory's mtime, so a mid-flight rollback's links never
+    look abandoned. Dir mtimes are snapshotted BEFORE any removal —
+    removing a file bumps its dir's mtime, which must not refresh the
+    dir's other orphans mid-pass. Files referenced by ANY committed
+    manifest are excluded outright (expired-version cleanup belongs to
+    :func:`expire_snapshots`), so a reader time-traveling a
+    still-committed version is never affected.
+
+    Returns the removed paths; empty commit directories are pruned."""
+    if older_than_seconds < 0:
+        raise ValueError("older_than_seconds must be >= 0")
+    if current_version(table) is None:
+        raise SnapshotError(f"no snapshot table at {table}")
+    referenced: set[str] = set()
+    for p in glob.glob(os.path.join(table, MANIFEST_DIR, "v*.json")):
+        v = int(os.path.basename(p)[1:-5])
+        try:
+            referenced.update(
+                e["path"] for e in read_manifest(table, v)["files"]
+            )
+        except SnapshotError:
+            continue  # concurrent expire removed it mid-scan
+    cutoff = time.time() - older_than_seconds
+    dir_mtime: dict[str, float] = {}
+    for d in glob.glob(os.path.join(table, DATA_DIR, "*")):
+        try:
+            dir_mtime[d] = os.stat(d).st_mtime
+        except FileNotFoundError:
+            pass
+    removed: list[str] = []
+    for f in sorted(
+        glob.glob(os.path.join(table, DATA_DIR, "*", "*.parquet"))
+    ):
+        if f in referenced:
+            continue
+        try:
+            st = os.stat(f)
+        except FileNotFoundError:
+            continue
+        dmt = dir_mtime.get(os.path.dirname(f), time.time())
+        if max(st.st_mtime, dmt) >= cutoff:
+            continue  # could be an in-flight writer's batch — keep
+        try:
+            os.remove(f)
+            removed.append(f)
+        except FileNotFoundError:
+            pass
+    for d in glob.glob(os.path.join(table, DATA_DIR, "*")):
+        try:
+            left = os.listdir(d)
+            # a commit dir holding only write markers (_SUCCESS, .crc)
+            # and no data is spent — clear markers so the dir can go
+            if left and not any(n.endswith(".parquet") for n in left):
+                if all(
+                    n == "_SUCCESS" or n.endswith(".crc") for n in left
+                ) and all(
+                    os.stat(os.path.join(d, n)).st_mtime < cutoff
+                    for n in left
+                ):
+                    for n in left:
+                        os.remove(os.path.join(d, n))
+                    left = []
+            if not left:
+                os.rmdir(d)
+        except (FileNotFoundError, OSError):
+            pass  # racing writer re-populated or removed it — fine
+    return removed

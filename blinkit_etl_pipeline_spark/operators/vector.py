@@ -1175,6 +1175,8 @@ def pq_store_adc_topk(
     import numpy as np
 
     m, nk, sub, C = pq_codes_matrix(codebook)
+    if sub * m != dim:
+        raise ValueError("codebook geometry does not match dim")
     q = with_q(queries_emb)
     qrows = sorted(
         q.filter(F.col("vec_id").isin([int(i) for i in query_ids]))
@@ -1186,6 +1188,10 @@ def pq_store_adc_topk(
         raise ValueError("none of the query_ids exist in queries_emb")
     qid_v = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     QM = np.array([list(r["qvec"]) for r in qrows], dtype=np.float64)
+    if QM.shape[1] != dim:
+        raise ValueError(
+            f"query embedding width {QM.shape[1]} != dim {dim}"
+        )
     T = np.empty((len(qrows), m, nk), dtype=np.int64)
     for j in range(m):
         Qj = QM[:, j * sub : (j + 1) * sub]
@@ -1261,6 +1267,8 @@ def ivfpq_store_topk(
     import numpy as np
 
     m, nk, sub, C = pq_codes_matrix(pq_codebook)
+    if sub * m != dim:
+        raise ValueError("codebook geometry does not match dim")
     cids, CC, cqq = _qcodebook(
         sorted((int(c), [float(x) for x in v]) for c, v in ivf_codebook)
     )
@@ -1275,6 +1283,10 @@ def ivfpq_store_topk(
         raise ValueError("none of the query_ids exist in queries_emb")
     qid_v = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     QM = np.array([list(r["qvec"]) for r in qrows], dtype=np.float64)
+    if QM.shape[1] != dim:
+        raise ValueError(
+            f"query embedding width {QM.shape[1]} != dim {dim}"
+        )
     qqq = np.array([r["qq"] for r in qrows], dtype=np.float64)
     pcos = (QM @ CC.T) / (np.sqrt(qqq)[:, None] * np.sqrt(cqq)[None, :])
     probe_sets: list[frozenset] = []

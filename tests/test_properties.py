@@ -332,3 +332,29 @@ def test_sliding_rollup_falls_back_on_unparseable_intervals(spark):
     assert len(out) == 2  # one event lands in width/slide = 2 windows
     out2 = sliding_rollup(ev, width="1 hour 30 minutes", slide="45 minutes")
     assert out2.count() == 2
+
+
+def test_interval_parser_rejects_non_positive(spark):
+    """Negative/zero specs must fall through to the built-in F.window
+    plan and fail LOUDLY there — the composed path would otherwise
+    build a descending F.sequence and return silently-empty windows."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from blinkit_etl_pipeline_spark.operators.events import (
+        _interval_seconds,
+        sliding_rollup,
+    )
+
+    assert _interval_seconds("-1 hour") is None
+    assert _interval_seconds("0 minutes") is None
+    assert _interval_seconds("2 hours") == 7200
+    ev = spark.createDataFrame(
+        [(1, "view", 1.0, "2024-01-01 00:10:00")],
+        "event_id long, event_type string, value double, ts string",
+    ).select(
+        "event_id", "event_type", "value",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    with pytest.raises(Exception):  # built-in rejects negative width
+        sliding_rollup(ev, width="-1 hour", slide="30 minutes").collect()

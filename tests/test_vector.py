@@ -396,3 +396,32 @@ def test_ivfpq_results_come_only_from_probed_lists(spark):
     assert len(out) == 12
     for r in out:
         assert assigned[r["neighbor_id"]] in probe[r["query_id"]]
+
+
+def test_store_topk_kernels_validate_dim(spark):
+    """ADVICE r6: the stored-probe kernels accepted a dim they never
+    checked — a query frame wider than m*sub would silently ignore
+    trailing dimensions and return wrong neighbors. They must raise,
+    exactly like their on-the-fly siblings."""
+    import pytest
+
+    from blinkit_etl_pipeline_spark.plans.codebook import (
+        PQ_CODEBOOK,
+        TRAINED_IVF_CODEBOOK,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    codes = vector.pq_encode(
+        emb.limit(20), PQ_CODEBOOK, ivf_codebook=TRAINED_IVF_CODEBOOK
+    )
+    with pytest.raises(ValueError, match="geometry"):
+        vector.pq_store_adc_topk(codes, emb, range(2), PQ_CODEBOOK, dim=32)
+    with pytest.raises(ValueError, match="geometry"):
+        vector.ivfpq_store_topk(
+            codes, emb, range(2), TRAINED_IVF_CODEBOOK, PQ_CODEBOOK, dim=32
+        )
+    # width mismatch between the query frame and a VALID geometry:
+    # widen the codebook instead (m*sub = 128 != embedding width 64)
+    wide = [(j, c, list(v) + list(v)) for j, c, v in PQ_CODEBOOK]
+    with pytest.raises(ValueError, match="width"):
+        vector.pq_store_adc_topk(codes, emb, range(2), wide, dim=128)
