@@ -903,38 +903,33 @@ RRF_K0 = 60
 HYBRID_TOPK = 5
 
 
-def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid lexical+dense retrieval via reciprocal-rank fusion: each
-    query document retrieves top-R by BM25 more-like-this (inverted-
-    index probe, T.bm25_bydoc_topk) AND top-R by embedding cosine
-    (brute baseline), fused with RRF — score(d) = Σ 1/(60 + rank_i(d)),
+def _hybrid_fused(
+    spark: SparkSession, sf_dir: str, dense: DataFrame
+) -> DataFrame:
+    """RRF fusion of the BM25 more-like-this leg with a supplied dense
+    leg (query_id, doc_id, r_dense): score(d) = Σ 1/(60 + rank_i(d)),
     the standard zero-tuning fusion real RAG/curation stacks run.
     Determinism: BM25 sums are exact int64 (per-term parts quantized
-    before aggregation), cosine ranks come from the integer-exact brute
+    before aggregation), the dense ranks come from an integer-exact
     tier, and the RRF sum is two IEEE terms in fixed order — ties →
-    lowest doc_id. The oracle replays both rankings and the fusion."""
+    lowest doc_id."""
     from pyspark.sql import Window
 
-    docs, emb = _docs(spark, sf_dir), _emb(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
     bm = T.bm25_bydoc_topk(docs, HYBRID_QUERY_IDS, topk=HYBRID_R).select(
         "query_id", "doc_id", F.col("rank").alias("r_bm25")
     )
-    cos = vector.brute_force_topk(emb, HYBRID_QUERY_IDS, k=HYBRID_R).select(
-        "query_id",
-        F.col("neighbor_id").alias("doc_id"),
-        F.col("rank").alias("r_cos"),
-    )
-    fused = bm.join(cos, ["query_id", "doc_id"], "full_outer").select(
+    fused = bm.join(dense, ["query_id", "doc_id"], "full_outer").select(
         "query_id",
         "doc_id",
         "r_bm25",
-        "r_cos",
+        "r_dense",
         (
             F.coalesce(
                 F.lit(1.0) / (F.lit(RRF_K0) + F.col("r_bm25")), F.lit(0.0)
             )
             + F.coalesce(
-                F.lit(1.0) / (F.lit(RRF_K0) + F.col("r_cos")), F.lit(0.0)
+                F.lit(1.0) / (F.lit(RRF_K0) + F.col("r_dense")), F.lit(0.0)
             )
         ).alias("__rrf"),
     )
@@ -948,11 +943,73 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "doc_id",
             "r_bm25",
-            "r_cos",
+            "r_dense",
             F.round("__rrf", 6).alias("rrf_score"),
             "rank",
         )
     )
+
+
+def _hybrid_dense_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dense leg: IVFPQ probe + ADC shortlist + exact
+    rerank (the sub-linear tier) — corpus contact is probed lists only,
+    so the hybrid query's dense side scales like ns_ann_ivfpq_topk
+    instead of the brute baseline (r6 verdict's one `weak` item)."""
+    from .codebook import PQ_CODEBOOK, TRAINED_IVF_CODEBOOK
+
+    return vector.ivfpq_topk(
+        _emb(spark, sf_dir),
+        HYBRID_QUERY_IDS,
+        TRAINED_IVF_CODEBOOK,
+        PQ_CODEBOOK,
+        k=HYBRID_R,
+        nprobe=IVF_NPROBE,
+        rerank=PQ_RERANK,
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("r_dense"),
+    )
+
+
+def _hybrid_dense_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-cosine dense leg — corpus-linear by definition; kept as
+    the truth side of the ns_hybrid_rrf_recall gauge only."""
+    return vector.brute_force_topk(
+        _emb(spark, sf_dir), HYBRID_QUERY_IDS, k=HYBRID_R
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("r_dense"),
+    )
+
+
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval via reciprocal-rank fusion: each
+    query document retrieves top-R by BM25 more-like-this (inverted-
+    index probe, T.bm25_bydoc_topk) AND top-R by IVFPQ-reranked
+    approximate nearest neighbors, fused with RRF. Both legs prune
+    their corpus contact (inverted-index probe / probed inverted
+    lists); the oracle replays probe choice, PQ encode, ADC shortlist,
+    exact rerank, and the fusion value-exactly."""
+    return _hybrid_fused(
+        spark, sf_dir, _hybrid_dense_ivfpq(spark, sf_dir)
+    )
+
+
+def q_hybrid_rrf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prices what the IVFPQ dense leg costs the FUSED answer: recall@
+    {HYBRID_TOPK} of the production hybrid (IVFPQ leg) against the
+    brute-cosine-leg fusion as truth — the gauge that keeps the
+    approximate hybrid honest (same pattern as ns_ann_ivfpq_recall;
+    truth side corpus-linear by definition, QA-only)."""
+    truth = _hybrid_fused(
+        spark, sf_dir, _hybrid_dense_brute(spark, sf_dir)
+    ).select("query_id", F.col("doc_id").alias("neighbor_id"))
+    approx = q_hybrid_rrf_topk(spark, sf_dir).select(
+        "query_id", F.col("doc_id").alias("neighbor_id")
+    )
+    return quality.topk_recall(truth, approx, HYBRID_TOPK, "hybrid_ivfpq")
 
 
 def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3002,6 +3059,7 @@ QUERIES = {
     "ns_text_chunk_dedup": q_text_chunk_dedup,
     "ns_text_bm25": q_text_bm25,
     "ns_hybrid_rrf_topk": q_hybrid_rrf_topk,
+    "ns_hybrid_rrf_recall": q_hybrid_rrf_recall,
     "ns_text_fingerprint": q_text_fingerprint,
     "ns_text_repetition": q_text_repetition,
     "ns_text_vocab": q_text_vocab,
@@ -3448,7 +3506,7 @@ FROM scored"""
 ORACLES["ns_ann_pq_recall"] = _pq_recall_oracle()
 
 
-def _ivfpq_ctes() -> str:
+def _ivfpq_ctes(nq: int | None = None) -> str:
     """Shared IVFPQ replay CTEs: trained coarse codebook literals →
     per-doc list assignment + per-query nprobe probe lists (exactly the
     ns_ann_ivf_trained fragments), PQ codebook literals → per-(doc,
@@ -3489,7 +3547,7 @@ assigned AS (
     FROM e CROSS JOIN c
   ) WHERE rn = 1
 ),
-q AS (SELECT vec_id AS query_id, qv, qq FROM e WHERE vec_id < {len(ANN_QUERY_IDS)}),
+q AS (SELECT vec_id AS query_id, qv, qq FROM e WHERE vec_id < {nq or len(ANN_QUERY_IDS)}),
 probes AS (
   SELECT query_id, centroid_id FROM (
     SELECT q.query_id, c.centroid_id,
@@ -4076,18 +4134,57 @@ FROM assigned a LEFT JOIN sims s ON a.vec_id = s.vec_id"""
 ORACLES["ns_dedup_semantic_fps"] = _semantic_fps_oracle()
 
 
-def _hybrid_rrf_oracle() -> str:
+def _hybrid_rrf_sql(leg: str) -> str:
     """Hybrid-retrieval replay: BM25-by-doc through the same inverted
     probe (per-term parts quantized to int64 BEFORE the sum — the
     aggregate is order-free exact; ln in the exact Spark operation
-    order inside each part), the quantized-cosine brute ranking, FULL
-    OUTER fusion, RRF = two fixed-order IEEE terms."""
+    order inside each part), a dense leg (``leg``: 'ivfpq' replays
+    probe choice → PQ encode → ADC shortlist → exact rerank via the
+    shared _ivfpq_ctes; 'brute' the quantized-cosine exact ranking),
+    FULL OUTER fusion, RRF = two fixed-order IEEE terms."""
     k1, b = 1.2, 0.75
     part = (
         f"ln(1.0 + (N - df + 0.5) / (df + 0.5)) * (tf * {k1 + 1.0})"
         f" / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl))"
     )
     qid_list = ", ".join(str(i) for i in HYBRID_QUERY_IDS)
+    if leg == "ivfpq":
+        dense = f"""{_ivfpq_ctes(nq=len(HYBRID_QUERY_IDS))},
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+    FROM d
+  ) WHERE rn <= {PQ_RERANK}
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+    CAST(list_dot_product(qv1.qv, qv1.qv)
+      - 2 * list_dot_product(qv1.qv, nv.qv)
+      + list_dot_product(nv.qv, nv.qv) AS BIGINT) AS l2_dist
+  FROM short s
+  JOIN e qv1 ON qv1.vec_id = s.query_id
+  JOIN e nv ON nv.vec_id = s.neighbor_id
+),
+dense AS (
+  SELECT query_id, doc_id, r_dense FROM (
+    SELECT query_id, neighbor_id AS doc_id, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY l2_dist ASC, neighbor_id ASC) AS INT)
+      AS r_dense
+    FROM exact
+  ) WHERE r_dense <= {HYBRID_R}
+)"""
+    else:
+        dense = f"""qe2 AS (SELECT vec_id, qv, qq FROM e WHERE vec_id IN ({qid_list})),
+dense AS (
+  SELECT query_id, doc_id, r_dense FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+      CAST(row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY {_COSR.format(a='q.qv', b='c.qv', qa='q.qq', qb='c.qq')} DESC,
+        c.vec_id ASC) AS INT) AS r_dense
+    FROM qe2 q CROSS JOIN e c WHERE c.vec_id != q.vec_id
+  ) WHERE r_dense <= {HYBRID_R}
+)"""
     return f"""WITH {_TOKS},
 tkn AS (SELECT doc_id, COALESCE(tk, []) AS tk FROM toks),
 dls AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM tkn),
@@ -4123,26 +4220,17 @@ bm AS (
   ) WHERE r_bm25 <= {HYBRID_R}
 ),
 {_EMB},
-qe2 AS (SELECT vec_id, qv, qq FROM e WHERE vec_id IN ({qid_list})),
-cos AS (
-  SELECT query_id, doc_id, r_cos FROM (
-    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
-      CAST(row_number() OVER (PARTITION BY q.vec_id
-        ORDER BY {_COSR.format(a='q.qv', b='c.qv', qa='q.qq', qb='c.qq')} DESC,
-        c.vec_id ASC) AS INT) AS r_cos
-    FROM qe2 q CROSS JOIN e c WHERE c.vec_id != q.vec_id
-  ) WHERE r_cos <= {HYBRID_R}
-),
+{dense},
 fused AS (
-  SELECT COALESCE(bm.query_id, cos.query_id) AS query_id,
-    COALESCE(bm.doc_id, cos.doc_id) AS doc_id,
-    bm.r_bm25, cos.r_cos,
+  SELECT COALESCE(bm.query_id, dense.query_id) AS query_id,
+    COALESCE(bm.doc_id, dense.doc_id) AS doc_id,
+    bm.r_bm25, dense.r_dense,
     (COALESCE(1.0 / ({RRF_K0} + bm.r_bm25), 0.0)
-     + COALESCE(1.0 / ({RRF_K0} + cos.r_cos), 0.0)) AS rrf
-  FROM bm FULL OUTER JOIN cos
-    ON bm.query_id = cos.query_id AND bm.doc_id = cos.doc_id
+     + COALESCE(1.0 / ({RRF_K0} + dense.r_dense), 0.0)) AS rrf
+  FROM bm FULL OUTER JOIN dense
+    ON bm.query_id = dense.query_id AND bm.doc_id = dense.doc_id
 )
-SELECT query_id, doc_id, r_bm25, r_cos,
+SELECT query_id, doc_id, r_bm25, r_dense,
   ROUND(rrf, 6) AS rrf_score, CAST(rn AS INT) AS "rank"
 FROM (
   SELECT *, row_number() OVER (
@@ -4151,7 +4239,31 @@ FROM (
 ) WHERE rn <= {HYBRID_TOPK}"""
 
 
-ORACLES["ns_hybrid_rrf_topk"] = _hybrid_rrf_oracle()
+ORACLES["ns_hybrid_rrf_topk"] = _hybrid_rrf_sql("ivfpq")
+
+
+def _hybrid_rrf_recall_oracle() -> str:
+    """Replays BOTH fusions (brute-leg truth, IVFPQ-leg production) as
+    nested-WITH subqueries and scores fused recall@{HYBRID_TOPK} —
+    the quality.topk_recall shape."""
+    nq = len(HYBRID_QUERY_IDS)
+    return f"""WITH truth AS ({_hybrid_rrf_sql("brute")}),
+approx AS ({_hybrid_rrf_sql("ivfpq")}),
+hits AS (
+  SELECT t.query_id, CAST(count(*) AS BIGINT) AS hits
+  FROM truth t JOIN approx a
+    ON t.query_id = a.query_id AND t.doc_id = a.doc_id
+  GROUP BY t.query_id
+)
+SELECT 'hybrid_ivfpq' AS method, q.query_id,
+  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+  ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / {HYBRID_TOPK}, 6)
+    AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM truth) q
+LEFT JOIN hits h ON h.query_id = q.query_id"""
+
+
+ORACLES["ns_hybrid_rrf_recall"] = _hybrid_rrf_recall_oracle()
 
 # Corpus card: per-(lang, quality-decile) inventory. Quality is the
 # ns_text_stats ROUND-6 score, re-quantized to int64 so the bucket and
