@@ -623,6 +623,7 @@ def bm25_store_topk(
     k1: float = 1.2,
     b: float = 0.75,
     topk: int = 20,
+    stats=None,
 ):
     """BM25 more-like-this answered from a PERSISTED postings store
     (:func:`postings_frame` rows) — the lexical twin of the PQ code
@@ -630,17 +631,31 @@ def bm25_store_topk(
     text, so retrieval cost tracks the index, not the corpus bytes.
     Identical arithmetic and tie-breaks to :func:`bm25_bydoc_topk`
     (int64-quantized term parts, exact integer stats), so a store
-    covering the same corpus returns identical rows."""
+    covering the same corpus returns identical rows.
+
+    The candidate's ``dl`` is read off the posting row itself (every
+    :func:`postings_frame` row carries it), so the probe never joins
+    the per-doc sentinel range; sentinels feed only the corpus stats.
+    ``stats`` — when given — is a one-row (N, avgdl) frame replacing
+    the sentinel-derived default: the pruned-store path derives it from
+    materialized per-batch partials so the probe touches ZERO
+    corpus-linear rows (exact-equal: dl/N sums are integer-valued
+    doubles, order-free below 2^53)."""
     qids = [int(i) for i in query_ids]
-    dls = postings.filter(F.col("token").isNull()).select(
-        "doc_id", F.col("dl").cast("double").alias("dl")
-    )
     tf = postings.filter(F.col("token").isNotNull()).select(
-        "doc_id", "token", F.col("tf").cast("double").alias("tf")
+        "doc_id",
+        "token",
+        F.col("tf").cast("double").alias("tf"),
+        F.col("dl").cast("double").alias("dl"),
     )
-    stats = dls.agg(
-        F.count("*").cast("double").alias("N"), F.avg("dl").alias("avgdl")
-    )
+    if stats is None:
+        dls = postings.filter(
+            F.col("token").isNull() & F.col("doc_id").isNotNull()
+        ).select("doc_id", F.col("dl").cast("double").alias("dl"))
+        stats = dls.agg(
+            F.count("*").cast("double").alias("N"),
+            F.avg("dl").alias("avgdl"),
+        )
     dfreq = tf.groupBy("token").agg(
         F.count("*").cast("double").alias("df")
     )
@@ -651,7 +666,6 @@ def bm25_store_topk(
         qterms.join(tf, "token")
         .filter(F.col("doc_id") != F.col("query_id"))
         .join(dfreq, "token")
-        .join(dls, "doc_id")
         .crossJoin(F.broadcast(stats))
     )
     idf = F.log(

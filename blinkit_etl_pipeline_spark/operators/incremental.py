@@ -170,6 +170,7 @@ def _ingest_rows(
     *,
     stats_col: str | None = None,
     seen_fn=None,
+    augment_fn=None,
     compact_threshold: int | None,
     compact_target: int,
     compact_keep_versions: int,
@@ -179,7 +180,12 @@ def _ingest_rows(
     redelivery guard on ``id_col`` (``seen_fn(store_df)`` overrides how
     seen ids are derived), eager materialization, atomic append,
     auto-compaction. One implementation, so a protocol fix lands once
-    (this helper replaced three verbatim copies, ADVICE-style)."""
+    (this helper replaced three verbatim copies, ADVICE-style).
+
+    ``augment_fn(rows)`` — when given — maps the POST-guard batch to
+    the rows actually appended (e.g. adding per-batch stats partials);
+    running it after the guard is what keeps partials honest when part
+    of a batch is a redelivery."""
     exists = snapshot.current_version(store_table) is not None
     if exists:
         store = snapshot.read_snapshot(spark, store_table)
@@ -191,6 +197,8 @@ def _ingest_rows(
     rows = rows.localCheckpoint(eager=True)
     if rows.isEmpty():
         return snapshot.current_version(store_table) or 0
+    if augment_fn is not None:
+        rows = augment_fn(rows)
     if exists:
         version = snapshot.append_snapshot(rows, store_table)
     else:
@@ -278,6 +286,27 @@ def ingest_ivfpq_codes(
     )
 
 
+#: tkey clustering constants for the postings store. Real token keys
+#: are xxhash64 values (full int64 range); the two reserved lanes sit
+#: at the extremes so range-clustered files separate them from almost
+#: all vocabulary mass. A genuine hash landing ON an extreme is
+#: harmless — pruning is over-inclusive by construction.
+BM25_TKEY_DL = -(1 << 63)  # per-doc length sentinels (ingest-guard lane)
+BM25_TKEY_STATS = (1 << 63) - 1  # per-batch (n_docs, sum_dl) partials
+
+
+def _postings_tkey() -> F.Column:
+    return (
+        F.when(
+            F.col("token").isNull() & F.col("doc_id").isNotNull(),
+            F.lit(BM25_TKEY_DL),
+        )
+        .when(F.col("doc_id").isNull(), F.lit(BM25_TKEY_STATS))
+        .otherwise(F.xxhash64(F.col("token")))
+        .cast("long")
+    )
+
+
 def ingest_bm25_postings(
     spark: SparkSession,
     store_table: str,
@@ -298,16 +327,106 @@ def ingest_bm25_postings(
     skipped across batches AND within one (duplicate drops in a single
     micro-batch dedup by doc_id before tokenize — double-counting tf/dl
     would silently skew every score); same auto-compaction as the
-    sibling stores."""
+    sibling stores.
+
+    **File-level probe pruning** (the IVFPQ code store's analogue for
+    the lexical index): every row carries ``tkey`` — xxhash64(token)
+    for postings, the two reserved extremes for sentinels/stats — and
+    the store clusters files BY tkey range (``stats_col``), so
+    :func:`bm25_store_probe` opens only the files whose token range its
+    query vocabulary touches. Each post-guard batch also appends ONE
+    stats-partial row (``doc_id IS NULL``: tf = n_docs, dl = Σdl) in
+    the same atomic commit, so N/avgdl are answerable from partials
+    instead of the corpus-linear sentinel range."""
     from ..functions.text import postings_frame
 
     rows = postings_frame(new_docs.dropDuplicates(["doc_id"]))
+
+    def _augment(guarded: DataFrame) -> DataFrame:
+        batch_stats = (
+            guarded.filter(
+                F.col("token").isNull() & F.col("doc_id").isNotNull()
+            )
+            .agg(
+                F.count("*").cast("long").alias("tf"),
+                F.sum("dl").cast("long").alias("dl"),
+            )
+            .select(
+                F.lit(None).cast("long").alias("doc_id"),
+                F.lit(None).cast("string").alias("token"),
+                "tf",
+                "dl",
+            )
+        )
+        return guarded.unionByName(batch_stats).withColumn(
+            "tkey", _postings_tkey()
+        )
+
     return _ingest_rows(
         spark, store_table, rows, "doc_id",
+        stats_col="tkey",
         seen_fn=lambda store: (
-            store.filter(F.col("token").isNull()).select("doc_id").distinct()
+            store.filter(
+                F.col("token").isNull() & F.col("doc_id").isNotNull()
+            ).select("doc_id").distinct()
         ),
+        augment_fn=_augment,
         compact_threshold=compact_threshold,
         compact_target=compact_target,
         compact_keep_versions=compact_keep_versions,
     )
+
+
+def bm25_store_probe(
+    spark: SparkSession,
+    store_table: str,
+    query_docs: DataFrame,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+    text: str = "text",
+) -> DataFrame:
+    """More-like-this over the persisted postings store with FILE-level
+    pruning — the lexical twin of ``read_snapshot_pruned`` +
+    ``ivfpq_store_topk``: tokenize the (caller-retained) query
+    documents, prune the store's manifest to files whose tkey range
+    intersects the query vocabulary (+ the stats lane), and score with
+    the standard scorer. Results are identical to the full-store scan:
+    the pruned set contains every posting of every query token (df and
+    candidate tf/dl are token-complete by construction) and N/avgdl
+    come from the materialized per-batch partials, so no corpus-linear
+    row is ever read. Query-vocabulary keys are collected driver-side —
+    bounded by the query docs' distinct tokens, the same gauge as the
+    IVFPQ probe rows."""
+    from ..functions.text import bm25_store_topk, tokens
+
+    toks = (
+        query_docs.select(
+            F.explode(
+                F.coalesce(
+                    tokens(F.col(text)), F.array().cast("array<string>")
+                )
+            ).alias("token")
+        )
+        .distinct()
+        .select(F.xxhash64(F.col("token")).alias("tkey"))
+    )
+    keys = [int(r["tkey"]) for r in toks.collect()]
+    qids = [
+        int(r["doc_id"])
+        for r in query_docs.select("doc_id").distinct().collect()
+    ]
+    pruned = snapshot.read_snapshot_pruned(
+        spark, store_table, keys + [BM25_TKEY_STATS]
+    )
+    stats = (
+        pruned.filter(F.col("doc_id").isNull())
+        .agg(
+            F.sum("tf").cast("double").alias("N"),
+            (
+                F.sum("dl").cast("double") / F.sum("tf").cast("double")
+            ).alias("avgdl"),
+        )
+    )
+    return bm25_store_topk(pruned, qids, k1=k1, b=b, topk=topk, stats=stats)

@@ -388,3 +388,74 @@ def test_duplicate_rows_within_one_batch_index_once(spark, tmp_path):
         snapshot.read_snapshot(spark, bstore), range(2), topk=5).collect()))
     want = sorted(map(tuple, bm25_bydoc_topk(docs, range(2), topk=5).collect()))
     assert got == want
+
+
+def test_bm25_store_probe_prunes_files_and_matches_full_scan(spark, tmp_path):
+    """The postings store must (a) answer a more-like-this probe
+    IDENTICALLY to the full-store scan, and (b) serve it from a PRUNED
+    file set — files whose tkey range no query token touches are never
+    opened (manifest range pruning over xxhash64(token), the lexical
+    analogue of the stored-IVFPQ test above). N/avgdl come from the
+    per-batch stats partials, so the corpus-linear sentinel lane is
+    not in the probed set either."""
+    from blinkit_etl_pipeline_spark.functions.text import bm25_store_topk
+
+    store = str(tmp_path / "bm25pruned")
+    # controlled vocabulary: doc i owns 5 private tokens + one shared
+    # token, so a single query doc touches few tkey ranges while every
+    # doc is still a scoring candidate (shared-token postings)
+    def batch(lo, hi):
+        return _docs(spark, [
+            (
+                i,
+                " ".join(f"w{5 * i + j:04d}" for j in range(5))
+                + " common",
+            )
+            for i in range(lo, hi)
+        ])
+
+    for lo, hi in [(0, 20), (20, 40), (40, 60)]:
+        incremental.ingest_bm25_postings(spark, store, batch(lo, hi))
+
+    m = snapshot.read_manifest(store)
+    assert m["stats_col"] == "tkey"
+    assert all("min" in e for e in m["files"])
+
+    qdocs = batch(7, 8)  # 6 distinct tokens
+    import pyspark.sql.functions as SF
+    keys = [
+        int(r["k"])
+        for r in qdocs.select(
+            SF.explode(SF.split("text", " ")).alias("t")
+        ).distinct().select(SF.xxhash64("t").alias("k")).collect()
+    ]
+    pruned_entries = snapshot._pruned_entries(
+        m, keys + [incremental.BM25_TKEY_STATS]
+    )
+    assert pruned_entries is not None
+    assert len(pruned_entries) < len(m["files"]), (
+        len(pruned_entries), len(m["files"]))
+    # the stats lane IS probed (N/avgdl partials), and strictly fewer
+    # files cover the sentinel lane than the full manifest — the
+    # corpus-linear per-doc rows are (mostly) outside the probe set
+    assert any(
+        e["min"] <= incremental.BM25_TKEY_STATS <= e["max"]
+        for e in pruned_entries
+    )
+    sentinel_files_probed = sum(
+        1 for e in pruned_entries
+        if e["min"] <= incremental.BM25_TKEY_DL <= e["max"]
+    )
+    sentinel_files_total = sum(
+        1 for e in m["files"]
+        if e["min"] <= incremental.BM25_TKEY_DL <= e["max"]
+    )
+    assert sentinel_files_probed < max(sentinel_files_total, 1)
+
+    got = sorted(map(tuple, incremental.bm25_store_probe(
+        spark, store, qdocs, topk=5,
+    ).collect()))
+    want = sorted(map(tuple, bm25_store_topk(
+        snapshot.read_snapshot(spark, store), [7], topk=5,
+    ).collect()))
+    assert got == want and len(got) == 5
