@@ -603,6 +603,137 @@ def simhash_pairs(docs: DataFrame, max_distance: int = 3) -> DataFrame:
     )
 
 
+def _chunk_shingle_index(chunks: DataFrame, n: int) -> DataFrame:
+    """(doc_id, chunk_id, sh32, shingle) — per-chunk distinct word
+    n-grams with the cross-engine h32, the shared front half of the
+    chunk-granularity band machinery."""
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.explode(
+            F.array_distinct(shingles(tokens(F.col("chunk_text")), n))
+        ).alias("shingle"),
+    ).select(
+        "doc_id", "chunk_id", h32(F.col("shingle")).alias("sh32"), "shingle"
+    )
+
+
+def chunk_decontam_pairs(
+    train_chunks: DataFrame,
+    test_chunks: DataFrame,
+    n: int = 3,
+    chunk_threshold: float = 0.5,
+) -> DataFrame:
+    """Chunk-level benchmark decontamination: which TEST documents
+    contain a chunk that near-duplicates a TRAIN chunk? The span-level
+    contamination check real LLM pipelines run on top of whole-doc
+    n-gram overlap (``ns_decontam_overlap``): an eval answer pasted
+    into one paragraph of a long train document dilutes to nothing at
+    doc granularity but lights up its chunk.
+
+    Same machinery as :func:`chunk_containment_pairs` with the banded
+    equi-join restricted to CROSS-SPLIT pairs — test-chunk band rows
+    join train-chunk band rows on (band, key), never a train×test
+    product; exact-Jaccard verification of candidate chunk pairs only
+    (xxhash64 verify keys); rollup per (test_doc, train_doc). The two
+    inputs are :func:`~..functions.text.chunk_frame` results over
+    disjoint doc sets (a leak-free hash split upstream).
+
+    Returns (test_doc_id, train_doc_id, matched_pairs,
+    contaminated_chunks, n_chunks_test, contamination) — contamination
+    is the fraction of the test doc's chunks with a verified train
+    match; any emitted row is actionable (≥ 1 leaked span).
+    """
+    ht = _chunk_shingle_index(train_chunks, n).persist()
+    he = _chunk_shingle_index(test_chunks, n).persist()
+    sig_t = ht.groupBy("doc_id", "chunk_id").agg(*_minhash_agg_cols())
+    sig_e = he.groupBy("doc_id", "chunk_id").agg(*_minhash_agg_cols())
+    bt = band_frame(sig_t, keys=("doc_id", "chunk_id")).select(
+        F.col("doc_id").alias("train_doc_id"),
+        F.col("chunk_id").alias("train_chunk"),
+        "band",
+        "key",
+    )
+    be = band_frame(sig_e, keys=("doc_id", "chunk_id")).select(
+        F.col("doc_id").alias("test_doc_id"),
+        F.col("chunk_id").alias("test_chunk"),
+        "band",
+        "key",
+    )
+    cand = (
+        be.join(bt, ["band", "key"])
+        .select("test_doc_id", "test_chunk", "train_doc_id", "train_chunk")
+        .distinct()
+    )
+    ha = ht.select(
+        F.col("doc_id").alias("train_doc_id"),
+        F.col("chunk_id").alias("train_chunk"),
+        F.xxhash64("shingle").alias("sh64"),
+    )
+    hb = he.select(
+        F.col("doc_id").alias("test_doc_id"),
+        F.col("chunk_id").alias("test_chunk"),
+        F.xxhash64("shingle").alias("sh64"),
+    )
+    inter = (
+        cand.join(hb, ["test_doc_id", "test_chunk"])
+        .join(ha, ["train_doc_id", "train_chunk", "sh64"])
+        .groupBy("test_doc_id", "test_chunk", "train_doc_id", "train_chunk")
+        .agg(F.count("*").cast("bigint").alias("isect"))
+    )
+    st = ht.groupBy("doc_id", "chunk_id").agg(
+        F.count("*").cast("bigint").alias("size_t")
+    ).select(
+        F.col("doc_id").alias("train_doc_id"),
+        F.col("chunk_id").alias("train_chunk"),
+        "size_t",
+    )
+    se = he.groupBy("doc_id", "chunk_id").agg(
+        F.count("*").cast("bigint").alias("size_e")
+    ).select(
+        F.col("doc_id").alias("test_doc_id"),
+        F.col("chunk_id").alias("test_chunk"),
+        "size_e",
+    )
+    cpairs = (
+        inter.join(se, ["test_doc_id", "test_chunk"])
+        .join(st, ["train_doc_id", "train_chunk"])
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("isect")
+                / (F.col("size_e") + F.col("size_t") - F.col("isect")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= chunk_threshold)
+    )
+    nch = test_chunks.select(
+        F.col("doc_id").alias("test_doc_id"),
+        F.col("n_chunks").alias("n_chunks_test"),
+    ).distinct()
+    return (
+        cpairs.groupBy("test_doc_id", "train_doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("matched_pairs"),
+            F.countDistinct("test_chunk")
+            .cast("bigint")
+            .alias("contaminated_chunks"),
+        )
+        .join(nch, "test_doc_id")
+        .select(
+            "test_doc_id",
+            "train_doc_id",
+            "matched_pairs",
+            "contaminated_chunks",
+            "n_chunks_test",
+            F.round(
+                F.col("contaminated_chunks") / F.col("n_chunks_test"), 6
+            ).alias("contamination"),
+        )
+    )
+
+
 def chunk_containment_pairs(
     chunks: DataFrame,
     n: int = 3,
@@ -639,22 +770,13 @@ def chunk_containment_pairs(
     matched_chunks_b, n_chunks_a, n_chunks_b, containment_a,
     containment_b).
     """
-    csh = chunks.select(
-        "doc_id",
-        "chunk_id",
-        F.explode(
-            F.array_distinct(shingles(tokens(F.col("chunk_text")), n))
-        ).alias("shingle"),
-    )
     # the chunk shingle index feeds FOUR consumers (signatures, set
     # sizes, both verify-join sides); persisting it runs the
     # tokenize+chunk+shingle explode once instead of four times
     # (measured 9.4 s → expected ~1/2 at sf1.0). Same pattern as the
     # doc-level _resolve_idx; cache holds the index (ints + shingles),
     # never document text.
-    hashed = csh.select(
-        "doc_id", "chunk_id", h32(F.col("shingle")).alias("sh32"), "shingle"
-    ).persist()
+    hashed = _chunk_shingle_index(chunks, n).persist()
     sigs = hashed.groupBy("doc_id", "chunk_id").agg(*_minhash_agg_cols())
     bands = band_frame(sigs, keys=("doc_id", "chunk_id"))
     a, b = bands.alias("a"), bands.alias("b")

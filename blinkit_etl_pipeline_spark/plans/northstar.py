@@ -1293,6 +1293,31 @@ def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontam_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level decontamination (dedup.chunk_decontam_pairs): TEST
+    docs' chunks banded against TRAIN docs' chunks — the verbatim-SPAN
+    leakage check that whole-doc overlap (ns_decontam_overlap) dilutes
+    away when the leak is one paragraph of a long train document.
+    Split assignment is the leak-free hash split recomputed MAP-SIDE on
+    the chunk frame (a pure function of doc_id — no doc-level join),
+    candidates come from the cross-split band equi-join (never a
+    train×test product), and each candidate chunk pair is verified by
+    exact Jaccard at the ns_text_chunk_dedup geometry."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    split = selection.hash_split(
+        docs, weights=SPLIT_WEIGHTS, labels=SPLIT_LABELS
+    )
+    chunks = T.chunk_frame(
+        split, CHUNK_SIZE, CHUNK_OVERLAP, keep=("split",)
+    )
+    return dedup.chunk_decontam_pairs(
+        chunks.filter(F.col("split") == "train"),
+        chunks.filter(F.col("split") == "test"),
+        n=NGRAM_N,
+        chunk_threshold=CHUNK_DEDUP_JACCARD,
+    )
+
+
 def q_events_json_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.json_kv_rollup(_events(spark, sf_dir))
 
@@ -3071,6 +3096,7 @@ QUERIES = {
     "ns_sample_quality_weighted": q_sample_quality_weighted,
     "ns_split_hash": q_split_hash,
     "ns_decontam_overlap": q_decontam_overlap,
+    "ns_decontam_chunks": q_decontam_chunks,
     "ns_events_json_kv": q_events_json_kv,
     "ns_events_hourly": q_events_hourly,
     "ns_events_sliding": q_events_sliding,
@@ -4073,6 +4099,114 @@ WHERE greatest(
 
 
 ORACLES["ns_text_chunk_dedup"] = _chunk_dedup_oracle()
+
+
+def _decontam_chunks_oracle() -> str:
+    """Chunk-decontam replay: the ns_text_chunk_dedup slicing/minhash/
+    band CTEs with the leak-free split gate on the doc level, the band
+    join restricted to test×train, exact-Jaccard verify, and the
+    per-(test_doc, train_doc) contamination rollup."""
+    from ..operators.selection import GATE_MOD
+
+    stride = CHUNK_SIZE - CHUNK_OVERLAP
+    nm1 = NGRAM_N - 1
+    rows = dedup.NUM_MINHASHES // dedup.MINHASH_BANDS
+    gate = _H.format(x="CAST(doc_id AS VARCHAR) || ':split'")
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, chunk_id, split, {bi} AS band, {key} AS key FROM sigs".format(
+            bi=bi,
+            key=" || '_' || ".join(
+                f"CAST(sig{bi * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for bi in range(dedup.MINHASH_BANDS)
+    )
+    return f"""WITH {_TOKS},
+sp AS (
+  SELECT doc_id, tk, {_split_case_sql()} AS split
+  FROM (SELECT doc_id, tk, {gate} % {GATE_MOD} AS g FROM toks)
+),
+base AS (
+  SELECT doc_id, split, tk, len(tk) AS n FROM sp
+  WHERE len(tk) > 0 AND split IN ('train', 'test')
+),
+counted AS (
+  SELECT doc_id, split, tk, n,
+    CAST(1 + greatest(0, CAST(ceil((n - {CHUNK_SIZE})
+      / CAST({stride} AS DOUBLE)) AS BIGINT)) AS INT) AS n_chunks
+  FROM base
+),
+exploded AS (
+  SELECT doc_id, split, tk, n_chunks,
+    CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_id
+  FROM counted
+),
+chunks AS (
+  SELECT doc_id, split, chunk_id,
+    list_slice(tk, chunk_id * {stride} + 1,
+               chunk_id * {stride} + {CHUNK_SIZE}) AS ck
+  FROM exploded
+),
+csh AS (
+  SELECT doc_id, split, chunk_id,
+    unnest(list_distinct(list_transform(
+      range(1, greatest(len(ck) - {nm1}, 0) + 1),
+      i -> array_to_string(ck[i:i+{nm1}], ' ')))) AS shingle
+  FROM chunks
+),
+h AS (SELECT doc_id, split, chunk_id, {_H.format(x='shingle')} AS sh32, shingle
+      FROM csh),
+sigs AS (
+  SELECT doc_id, split, chunk_id, {_minhash_sig_exprs()} FROM h
+  GROUP BY doc_id, split, chunk_id
+),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT e.doc_id AS test_doc_id, e.chunk_id AS test_chunk,
+                  t.doc_id AS train_doc_id, t.chunk_id AS train_chunk
+  FROM bands e JOIN bands t
+    ON e.band = t.band AND e.key = t.key
+   AND e.split = 'test' AND t.split = 'train'
+),
+sizes AS (
+  SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS set_size FROM h
+  GROUP BY doc_id, chunk_id
+),
+inter AS (
+  SELECT c.test_doc_id, c.test_chunk, c.train_doc_id, c.train_chunk,
+    CAST(count(*) AS BIGINT) AS isect
+  FROM cand c
+  JOIN h he ON he.doc_id = c.test_doc_id AND he.chunk_id = c.test_chunk
+  JOIN h ht ON ht.doc_id = c.train_doc_id AND ht.chunk_id = c.train_chunk
+           AND ht.shingle = he.shingle
+  GROUP BY c.test_doc_id, c.test_chunk, c.train_doc_id, c.train_chunk
+),
+cpairs AS (
+  SELECT test_doc_id, test_chunk, train_doc_id, train_chunk FROM (
+    SELECT i.test_doc_id, i.test_chunk, i.train_doc_id, i.train_chunk,
+      ROUND(i.isect / CAST(se.set_size + st.set_size - i.isect AS DOUBLE), 6)
+        AS j
+    FROM inter i
+    JOIN sizes se ON se.doc_id = i.test_doc_id AND se.chunk_id = i.test_chunk
+    JOIN sizes st ON st.doc_id = i.train_doc_id
+                 AND st.chunk_id = i.train_chunk
+  ) WHERE j >= {CHUNK_DEDUP_JACCARD}
+),
+agg AS (
+  SELECT test_doc_id, train_doc_id,
+    CAST(count(*) AS BIGINT) AS matched_pairs,
+    CAST(count(DISTINCT test_chunk) AS BIGINT) AS contaminated_chunks
+  FROM cpairs GROUP BY test_doc_id, train_doc_id
+)
+SELECT a.test_doc_id, a.train_doc_id, a.matched_pairs,
+  a.contaminated_chunks,
+  CAST(n.n_chunks AS INT) AS n_chunks_test,
+  ROUND(a.contaminated_chunks / CAST(n.n_chunks AS DOUBLE), 6)
+    AS contamination
+FROM agg a JOIN counted n ON n.doc_id = a.test_doc_id"""
+
+
+ORACLES["ns_decontam_chunks"] = _decontam_chunks_oracle()
 
 
 def _semantic_fps_oracle() -> str:

@@ -459,3 +459,79 @@ def test_bm25_store_probe_prunes_files_and_matches_full_scan(spark, tmp_path):
         snapshot.read_snapshot(spark, store), [7], topk=5,
     ).collect()))
     assert got == want and len(got) == 5
+
+
+def test_chunk_decontam_through_persisted_signature_store(spark, tmp_path):
+    """Chunk-level decontamination through the PERSISTED LSH index:
+    train chunks ingest as (packed chunk id, chunk_text) units; test
+    chunks then probe the store — candidates come from the band join
+    against stored signatures (train text no longer needed), match the
+    in-memory band join exactly, and the planted leaked span is found."""
+    from blinkit_etl_pipeline_spark.functions.text import chunk_frame
+    from blinkit_etl_pipeline_spark.operators import dedup
+
+    para = (
+        "the secret benchmark answer is forty two and the model must "
+        "never have seen this exact passage during training at all "
+        "because that would inflate every downstream evaluation score "
+        "in a way reviewers cannot detect without a decontam pass"
+    )
+    filler = (
+        "ordinary web text about cooking gardening travel music sports "
+        "history science art weather finance recipes movies books news"
+    )
+    train = _docs(spark, [
+        (1, filler + " " + para + " " + filler),
+        (2, filler * 3),
+    ])
+    test = _docs(spark, [
+        (100, "unrelated evaluation prompt content " + para),
+        (101, "completely clean test document with fresh novel words "
+              "about llamas alpacas and vicunas grazing in the andes"),
+    ])
+    PACK = 1 << 20
+
+    def chunk_docs(docs):
+        ch = chunk_frame(docs, 24, 8, keep=())
+        return ch.select(
+            (F.col("doc_id") * PACK + F.col("chunk_id")).alias("doc_id"),
+            F.col("chunk_text").alias("text"),
+        )
+
+    store = str(tmp_path / "decontamstore")
+    # ingest the TRAIN side; its returned pairs are train-internal
+    incremental.ingest_and_find_dups(spark, store, chunk_docs(train))
+    # probe the TEST side against the store
+    pairs, _ = incremental.ingest_and_find_dups(
+        spark, store, chunk_docs(test)
+    )
+    cross = {
+        (r["doc_a"], r["doc_b"])
+        for r in pairs.collect()
+        if (r["doc_a"] < 100 * PACK) != (r["doc_b"] < 100 * PACK)
+    }
+    # expectation: the SAME band join computed in memory over both sides
+    both = chunk_docs(train).unionByName(chunk_docs(test))
+    bands = dedup.band_frame(dedup.minhash_signatures(both, n=3))
+    a, b = bands.alias("a"), bands.alias("b")
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .collect()
+        if (r["doc_a"] < 100 * PACK) != (r["doc_b"] < 100 * PACK)
+    }
+    assert cross == want
+    # the planted span: doc 100's chunks collide with doc 1's chunks
+    assert any(a // PACK == 1 and b // PACK == 100 for a, b in cross)
+    # the clean doc stays clean
+    assert not any(a // PACK == 101 or b // PACK == 101 for a, b in cross)
