@@ -84,57 +84,48 @@ def ingest_and_find_dups(
     (unbounded growth, full time travel). The returned version is the
     batch's own append commit.
     """
-    exists = snapshot.current_version(store_table) is not None
-    new_bands = band_frame(minhash_signatures(new_docs, n=n))
-    if exists:
-        store = snapshot.read_snapshot(spark, store_table)
-        seen = store.select("doc_id").distinct()
-        # redelivery guard: one anti join of the (small) batch against
-        # store doc_ids — the only store-wide shuffle, and it shuffles
-        # signatures' ids, never documents
-        new_bands = new_bands.join(seen, "doc_id", "left_anti")
-    # bands are 4 small rows/doc; materialize once — the frame feeds
-    # both the pair search and the store append
-    new_bands = new_bands.localCheckpoint(eager=True)
-    if new_bands.isEmpty():
-        return (
-            spark.createDataFrame(
-                [], "doc_a long, doc_b long, bands_matched int"
-            ),
-            snapshot.current_version(store_table) or 0,
+    empty = spark.createDataFrame(
+        [], "doc_a long, doc_b long, bands_matched int"
+    )
+    result = {"pairs": empty}
+
+    def pre_commit(store: DataFrame | None, new_bands: DataFrame) -> None:
+        searchable = (
+            store.unionByName(new_bands) if store is not None else new_bands
         )
-    searchable = (
-        store.unionByName(new_bands) if exists else new_bands
-    )
-    joined = new_bands.alias("a").join(
-        searchable.alias("b"),
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.key") == F.col("b.key"))
-        & (F.col("a.doc_id") != F.col("b.doc_id")),
-    )
-    pairs = (
-        joined.select(
-            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
-            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
-            F.col("a.band").alias("band"),
+        joined = new_bands.alias("a").join(
+            searchable.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
         )
-        .distinct()  # new-new collisions appear in both orientations
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("int").alias("bands_matched"))
-        .filter(F.col("bands_matched") >= min_bands)
-        .localCheckpoint(eager=True)  # pin to the pre-append store
+        pairs = (
+            joined.select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+                F.greatest(
+                    F.col("a.doc_id"), F.col("b.doc_id")
+                ).alias("doc_b"),
+                F.col("a.band").alias("band"),
+            )
+            .distinct()  # new-new collisions appear in both orientations
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").cast("int").alias("bands_matched"))
+            .filter(F.col("bands_matched") >= min_bands)
+            .localCheckpoint(eager=True)  # pin to the pre-append store
+        )
+        result["pairs"] = pairs
+        if on_pairs is not None:
+            on_pairs(pairs)  # durable sink BEFORE the append (docstring)
+
+    version = _ingest_rows(
+        spark, store_table, band_frame(minhash_signatures(new_docs, n=n)),
+        "doc_id",
+        pre_commit_fn=pre_commit,
+        compact_threshold=compact_threshold,
+        compact_target=compact_target,
+        compact_keep_versions=compact_keep_versions,
     )
-    if on_pairs is not None:
-        on_pairs(pairs)  # durable sink BEFORE the append (see docstring)
-    if exists:
-        version = snapshot.append_snapshot(new_bands, store_table)
-    else:
-        version = snapshot.write_snapshot(new_bands, store_table)
-    _maybe_compact(
-        spark, store_table, compact_threshold, compact_target,
-        compact_keep_versions,
-    )
-    return pairs, version
+    return result["pairs"], version
 
 
 def _maybe_compact(
@@ -171,22 +162,30 @@ def _ingest_rows(
     stats_col: str | None = None,
     seen_fn=None,
     augment_fn=None,
+    pre_commit_fn=None,
     compact_threshold: int | None,
     compact_target: int,
     compact_keep_versions: int,
 ) -> int:
-    """Shared idempotent-append skeleton for the index stores
-    (signatures aside — its pair search interleaves with the guard):
-    redelivery guard on ``id_col`` (``seen_fn(store_df)`` overrides how
-    seen ids are derived), eager materialization, atomic append,
-    auto-compaction. One implementation, so a protocol fix lands once
-    (this helper replaced three verbatim copies, ADVICE-style).
+    """Shared idempotent-append lifecycle for ALL the index stores
+    (LSH signatures, PQ/IVFPQ codes, BM25 postings): redelivery guard
+    on ``id_col`` (``seen_fn(store_df)`` overrides how seen ids are
+    derived), eager materialization, atomic CAS append with
+    auto-rebase, auto-compaction. One implementation, so a protocol
+    fix lands once and the next index format is a plug-in.
 
     ``augment_fn(rows)`` — when given — maps the POST-guard batch to
     the rows actually appended (e.g. adding per-batch stats partials);
     running it after the guard is what keeps partials honest when part
-    of a batch is a redelivery."""
+    of a batch is a redelivery. ``pre_commit_fn(store_df, rows)`` runs
+    after the guard and BEFORE the append commits (store_df is None on
+    first write) — the crash-safe slot for derived side effects like
+    the signature store's pair search + durable pair sink: a crash
+    between hook and append redelivers the batch and recomputes
+    identical results; a crash after the append finds no fresh ids and
+    never re-fires the hook."""
     exists = snapshot.current_version(store_table) is not None
+    store: DataFrame | None = None
     if exists:
         store = snapshot.read_snapshot(spark, store_table)
         seen = (
@@ -197,6 +196,8 @@ def _ingest_rows(
     rows = rows.localCheckpoint(eager=True)
     if rows.isEmpty():
         return snapshot.current_version(store_table) or 0
+    if pre_commit_fn is not None:
+        pre_commit_fn(store, rows)
     if augment_fn is not None:
         rows = augment_fn(rows)
     if exists:
