@@ -15,73 +15,119 @@ from . import parity
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# The driver samples a subset of the registry per round, preferring
-# earlier entries (insertion order).  Round 6 ordering (VERDICT r5 task #1):
-# new r6 queries first (never driver-checked), then every existing query
-# oldest-driver-green-row-first, so the r6 sample re-attests the ~37 rows
-# whose newest CORRECTNESS evidence predates the r5 code.  Generated from
-# the union of CORRECTNESS_r01–r05.json (newest round per query, then name).
+
+# The driver samples ~50 registry queries per round, preferring earlier
+# entries (insertion order). Round 7 ordering (VERDICT r6 task #6):
+# never-driver-checked / changed-oracle queries first (ns_decontam_chunks,
+# ns_hybrid_rrf_recall are new; ns_hybrid_rrf_topk's dense leg + oracle
+# changed to IVFPQ this round), then every existing query ordered
+# oldest-driver-green-row-first. Generated from the union of
+# CORRECTNESS_r01-r06.json: 46 queries' newest green row is r5, 49 are
+# r6 — the ~50-query r7 sample re-attests all three new/changed rows
+# plus the full r5 cohort (which includes ns_text_bm25, whose scorer
+# plan changed this round).
 PRIORITY = [
-    # --- r6 additions, never driver-checked ---
-    "ns_ann_ivfpq_topk",
-    "ns_ann_ivfpq_recall",
-    "ns_text_chunk_dedup",
-    "ns_dedup_semantic_fps",
+    # --- r7 additions / changed oracles, never driver-checked as-is ---
+    "ns_decontam_chunks",
+    "ns_hybrid_rrf_recall",
     "ns_hybrid_rrf_topk",
-    "ns_ann_ivfpq_residual_topk",
-    "ns_ann_ivfpq_residual_recall",
-    "ns_corpus_card",
-    "ns_ann_ivfpq_curve",
-    # --- stalest existing rows (newest driver row r1–r3) ---
-    "ns_sketch_hll_users",  # r1
-    "ns_sketch_value_quantiles",  # r1
-    "ns_asof_attribution",  # r2
-    "ns_events_sessionize",  # r2
-    "ns_media_features",  # r2
-    "ns_media_frame_sample",  # r2
-    "ns_media_resize",  # r2
-    "ns_range_click_window",  # r2
-    "ns_decontam_overlap",  # r3
-    "ns_events_hourly",  # r3
-    "ns_events_json_kv",  # r3
-    "ns_events_sliding",  # r3
-    "ns_pii_scrub",  # r3
-    "ns_pipeline_curation",  # r3
-    "ns_sample_quality_weighted",  # r3
-    "ns_sample_stratified",  # r3
-    "ns_split_hash",  # r3
-    "ns_text_repetition",  # r3
-    "ns_text_vocab",  # r3
-    # --- newest driver row r4 ---
+    # --- newest driver-green row r5 ---
+    "area_feedback_metrics",
+    "campaign_performance",
+    "campaign_roi",
+    "category_inventory_impact",
+    "customer_metrics",
+    "customer_order_presence",
+    "customer_satisfaction",
+    "delay_setops",
+    "delivery_partner",
+    "delivery_partner_performance",
+    "inventory_and_revenue",
+    "inventory_discrepancies",
+    "ns_ann_cosine_topk",
+    "ns_ann_ivf_topk",
+    "ns_ann_lsh_topk",
+    "ns_ann_pq_recall",
+    "ns_ann_pq_topk",
+    "ns_dedup_embedding",
+    "ns_dedup_exact",
+    "ns_dedup_groups",
+    "ns_dedup_jaccard_prefix",
+    "ns_dedup_minhash_lsh",
+    "ns_dedup_ngram_jaccard",
+    "ns_dedup_simhash",
+    "ns_events_cohorts",
+    "ns_events_funnel",
+    "ns_events_moving_avg",
+    "ns_media_adpcm",
+    "ns_media_audio_fp_dedup",
+    "ns_media_gif",
+    "ns_media_jpeg",
+    "ns_media_phash_dedup",
+    "ns_media_png",
+    "ns_media_resize_exec",
+    "ns_media_video_frames",
+    "ns_mix_sources",
+    "ns_mix_temperature",
+    "ns_sketch_hll_cumulative",
+    "ns_text_bm25",
+    "ns_text_chunks",
+    "product_inventory_discrepancies",
+    "revenue_by_category",
+    "revenue_cube",
+    "revenue_rollup",
+    "sentiment_pivot",
+    "top_products_per_category",
+    # --- newest driver-green row r6 ---
+    "enriched_feedback",
+    "inventory_reconciliation",
+    "marketing_kpis",
     "ns_ann_ivf_balance",
     "ns_ann_ivf_curve",
     "ns_ann_ivf_trained",
+    "ns_ann_ivfpq_curve",
+    "ns_ann_ivfpq_recall",
+    "ns_ann_ivfpq_residual_recall",
+    "ns_ann_ivfpq_residual_topk",
+    "ns_ann_ivfpq_topk",
     "ns_ann_recall",
+    "ns_asof_attribution",
+    "ns_corpus_card",
+    "ns_decontam_overlap",
     "ns_dedup_recall",
     "ns_dedup_semantic",
+    "ns_dedup_semantic_fps",
     "ns_dedup_semantic_recall",
+    "ns_events_hourly",
+    "ns_events_json_kv",
+    "ns_events_sessionize",
+    "ns_events_sliding",
+    "ns_media_features",
+    "ns_media_frame_sample",
+    "ns_media_resize",
     "ns_merge_upsert",
     "ns_pack_sequences",
+    "ns_pii_scrub",
+    "ns_pipeline_curation",
     "ns_privacy_k_anon",
     "ns_profile_key_skew",
     "ns_profile_table_stats",
+    "ns_range_click_window",
+    "ns_sample_quality_weighted",
+    "ns_sample_stratified",
     "ns_sketch_cms_heavy",
+    "ns_sketch_hll_users",
+    "ns_sketch_value_quantiles",
+    "ns_split_hash",
     "ns_text_bpe_pairs",
+    "ns_text_chunk_dedup",
     "ns_text_fingerprint",
     "ns_text_gopher",
     "ns_text_langid",
+    "ns_text_repetition",
     "ns_text_stats",
-    # --- newest driver row r5 (refresh as sample budget allows) ---
+    "ns_text_vocab",
     "sales_fact",
-    "enriched_feedback",
-    "marketing_kpis",
-    "inventory_reconciliation",
-    "customer_metrics",
-    "customer_satisfaction",
-    "campaign_roi",
-    "delivery_partner",
-    "inventory_and_revenue",
-    "inventory_discrepancies",
 ]
 
 
