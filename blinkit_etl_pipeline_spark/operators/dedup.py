@@ -218,13 +218,27 @@ def ngram_jaccard_pairs_prefix(
     (the df² blowup) sit at the END of the global order and fall out of
     most prefixes. Costs two extra small shuffles (df counts + the
     per-doc rank) and a candidate-proportional verify.
+
+    Every post-tokenize stage keys on ``xxhash64(shingle)`` — the df
+    join, the ranking window, the prefix join, and the verify all
+    shuffle 8-byte longs, never shingle strings (r7: the string-keyed
+    df-join + window spilled >77 GB at a 5M-doc corpus; hashed keys cut
+    the shuffled bytes ~3×). Correctness is unchanged: the pigeonhole
+    bound holds under ANY consistent global order (it only counts
+    elements, and (df, sh64) is as total an order as (df, shingle)),
+    prefix lengths come from TRUE set sizes, and the exact verify fixes
+    the final answer set. A 64-bit collision would need two distinct
+    shingles of one document to hash equal (P ≈ 2⁻⁶⁵ per pair — the
+    same accepted trade as the verify keys here and in
+    :func:`ngram_jaccard_pairs`).
     """
     idx = _resolve_idx(idx, docs, n, None, "ngram_jaccard_pairs_prefix")
     sizes = idx.groupBy("doc_id").agg(F.count("*").alias("set_size"))
-    dfreq = idx.groupBy("shingle").agg(F.count("*").alias("__df"))
-    w = Window.partitionBy("doc_id").orderBy("__df", "shingle")
+    hidx64 = idx.select("doc_id", F.xxhash64("shingle").alias("sh"))
+    dfreq = hidx64.groupBy("sh").agg(F.count("*").alias("__df"))
+    w = Window.partitionBy("doc_id").orderBy("__df", "sh")
     ranked = (
-        idx.join(dfreq, "shingle")
+        hidx64.join(dfreq, "sh")
         .withColumn("__rn", F.row_number().over(w))
         .join(sizes, "doc_id")
     )
@@ -239,22 +253,42 @@ def ngram_jaccard_pairs_prefix(
     # adds candidates (the exact verify keeps the answer set identical).
     t_ppm = int(round(threshold * 1_000_000)) - 1
     required = F.expr(f"(set_size * {t_ppm} + 999999) div 1000000")
-    prefix = ranked.filter(
+    ph = ranked.filter(
         F.col("__rn") <= F.col("set_size") - required + 1
-    ).select("doc_id", "shingle")
-    ph = prefix.select("doc_id", F.xxhash64("shingle").alias("sh"))
+    ).select("doc_id", "sh")
     a, b = ph.alias("a"), ph.alias("b")
     candidates = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    hidx = idx.select("doc_id", F.xxhash64("shingle").alias("sh"))
+    # verify on per-doc hashed-shingle ARRAYS, not an exploded
+    # (pair, shingle) join: the exploded form shuffles |candidates| ×
+    # |set| ~25-byte ROWS into the pair-group aggregate (r7: >90 GB
+    # spill at a 5M-doc corpus with replica-driven candidate counts);
+    # arrays ship the same longs at ~8 bytes each, skip the aggregate
+    # shuffle entirely, and array_intersect counts JVM-side per pair.
+    sets64 = hidx64.groupBy("doc_id").agg(F.collect_list("sh").alias("shs"))
     inter = (
-        candidates.join(hidx.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(hidx.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("intersection"))
+        candidates.join(
+            sets64.select(
+                F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sets64.select(
+                F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).cast("long").alias(
+                "intersection"
+            ),
+        )
     )
     return (
         inter.join(

@@ -46,6 +46,10 @@ ARROW_WHITELIST = {
     "ns_ann_ivfpq_residual_topk",
     "ns_ann_ivfpq_residual_recall",
     "ns_ann_ivfpq_curve",
+    # r7: hybrid RRF's dense leg moved from the JVM-only brute scan to
+    # the IVFPQ tier (the scale path), which carries the BLAS kernel
+    "ns_hybrid_rrf_topk",
+    "ns_hybrid_rrf_recall",
     "ns_pack_sequences",
 }
 

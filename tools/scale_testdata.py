@@ -132,13 +132,22 @@ def main() -> None:
     src = os.environ.get("SRC", "/root/testdata/sf0.1")
     dst = os.environ.get("DST", "/tmp/sfscale/sf1.0")
     factor = int(os.environ.get("FACTOR", "10"))
+    # TABLES=documents,embeddings restricts the run (sf100 spot-checks
+    # only need the corpus tables; replicating 600M lineitem rows to
+    # measure a documents query would be waste)
+    wanted = os.environ.get("TABLES")
+    tables = tuple(wanted.split(",")) if wanted else None
     spark = get_session(app_name="scale-testdata")
     strides = _strides(spark, src)
     for table in COPY_TABLES:
+        if tables is not None and table not in tables:
+            continue
         spark.read.parquet(f"{src}/{table}.parquet").write.mode(
             "overwrite"
         ).parquet(f"{dst}/{table}.parquet")
     for table in SCALE_TABLES:
+        if tables is not None and table not in tables:
+            continue
         base = spark.read.parquet(f"{src}/{table}.parquet")
         out = None
         for r in range(factor):
