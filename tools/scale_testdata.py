@@ -14,10 +14,20 @@ than 10 exact copies (10 identical corpora would inflate near-dup
 candidate PAIRS quadratically — an artifact of the replication, not of
 scale):
 
-- ``documents.text``: replica-dependent character substitution
-  (``e`` → ``e<r>``) rewrites nearly every shingle, so each replica is
-  a distinct corpus with the SAME internal near-dup structure → pair
-  counts scale linearly, as they would at true sf1.0.
+- ``documents.text``: every token gets a per-replica suffix
+  (``tok`` → ``tok\\x01<r>``; \\x01 never occurs in the synthetic text,
+  so the map is collision-free across replicas even when r=2 meets a
+  token ending in "1"). The map is a BIJECTION on tokens, so word
+  n-gram shingle equality within a replica is exactly isomorphic to
+  the base corpus (same pairs, same Jaccard values), while
+  cross-replica shingle equality is impossible → candidate and answer
+  pair counts scale exactly linearly, as they would at true sf1.0.
+  (The earlier ``e`` → ``e<r>`` substitution left the ~5% of shingles
+  containing no 'e'-word shared across ALL replicas; their document
+  frequency scaled with the factor and any one of them landing in a
+  PPJoin prefix generated factor²-quadratic candidates — a 94 GB
+  spill at factor 1000 that benchmarked the generator artifact, not
+  the engine.)
 - ``embeddings.embedding``: multiplied by a per-replica ±1 diagonal
   (md5-seeded sign pattern) — norm-preserving, within-replica cosines
   identical to the base corpus, cross-replica cosines decorrelated
@@ -104,8 +114,10 @@ def _replica(df: DataFrame, table: str, r: int,
         if t == table:
             df = df.withColumn(col, F.col(col) + F.lit(r * stride))
     if table == "documents" and r > 0:
+        # token bijection: within-replica shingle structure preserved
+        # exactly, cross-replica shingle overlap impossible (docstring)
         df = df.withColumn(
-            "text", F.regexp_replace("text", "e", f"e{r}")
+            "text", F.regexp_replace("text", r"(\S+)", "$1\x01" + str(r))
         ).withColumn("n_chars", F.length("text"))
     if table == "embeddings" and r > 0:
         # Replica distinctness via a per-replica ±1 diagonal "rotation"
