@@ -921,3 +921,136 @@ def chunk_containment_pairs(
             "containment_b",
         )
     )
+
+
+def span_dedup(docs: DataFrame, k: int = 10) -> DataFrame:
+    """Exact duplicated-span removal — the substring-granularity dedup of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), re-expressed as a rolling-window inverted index instead of
+    the paper's suffix array (which is inherently single-machine).
+
+    Any ``k``-token window whose text occurs more than once in the corpus
+    is a duplicated span; the globally-first occurrence (min (doc_id,
+    position)) is the canonical one and survives, every other occurrence
+    is removed from its document. Overlapping/adjacent removed windows
+    merge into maximal spans, so a long verbatim quote is counted as ONE
+    span, and the document text is reconstructed without the removed
+    tokens.
+
+    Returns one row per input document: (doc_id, n_tokens,
+    spans_removed, tokens_removed, clean_text). ``clean_text`` is the
+    whitespace-normalized reconstruction (``concat_ws`` over surviving
+    tokens) for every row, so unaffected documents are byte-comparable
+    with affected ones.
+
+    Scale shape (100 TB framing): one position explode (the same
+    O(corpus tokens) row count as every inverted-index pass here), then
+    every shuffle carries 8-byte ``xxhash64`` window keys — the window
+    TEXT never leaves the map side. Duplicate detection is a hash
+    groupBy with partial aggregation; only duplicated windows (answer-
+    proportional) flow into the per-document interval merge, which is a
+    JVM array fold over that document's own removed windows. No
+    driver-side state, no quadratic pair set — cost is O(tokens) +
+    O(duplicated occurrences). Window equality is by 64-bit hash (the
+    same accepted 2**-64 collision trade as the Jaccard verify keys).
+    """
+    tk = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    base = docs.select("doc_id", tk.alias("tk")).withColumn(
+        "n_tokens", F.size("tk").cast("bigint")
+    )
+    # (doc_id, pos, h): pos is 1-based; empty hash array when < k tokens
+    # (sequence(1, 0) counts DOWN — guard like functions.text.shingles)
+    win_hashes = F.when(
+        F.size("tk") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - (k - 1)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("tk", i, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    wins = base.select(
+        "doc_id", F.posexplode(win_hashes).alias("idx", "h")
+    ).select("doc_id", (F.col("idx") + 1).alias("pos"), "h")
+    # duplicated windows and their canonical (first) occurrence
+    dup = (
+        wins.groupBy("h")
+        .agg(
+            F.count("*").alias("occ"),
+            F.min(F.struct("doc_id", "pos")).alias("canon"),
+        )
+        .filter(F.col("occ") > 1)
+        .select("h", "canon")
+    )
+    removed = (
+        wins.join(dup, "h")
+        .filter(
+            (F.col("doc_id") != F.col("canon.doc_id"))
+            | (F.col("pos") != F.col("canon.pos"))
+        )
+        .select(
+            "doc_id",
+            F.col("pos").alias("start"),
+            (F.col("pos") + (k - 1)).alias("end"),
+        )
+    )
+    # per-document merge of overlapping/adjacent windows into maximal
+    # spans: sort, then a JVM array fold (bounded by the doc's own
+    # removed-window count)
+    empty_spans = F.expr("CAST(array() AS array<struct<start:int,end:int>>)")
+    merged = F.aggregate(
+        F.array_sort(F.col("spans")),
+        empty_spans,
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (s["start"] <= F.element_at(acc, -1)["end"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["start"].alias("start"),
+                        F.greatest(
+                            F.element_at(acc, -1)["end"], s["end"]
+                        ).alias("end"),
+                    )
+                ),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+    doc_spans = (
+        removed.groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("start").cast("int").alias("start"),
+                    F.col("end").cast("int").alias("end"),
+                )
+            ).alias("spans")
+        )
+        .select("doc_id", merged.alias("spans"))
+    )
+    out = base.join(doc_spans, "doc_id", "left").withColumn(
+        "spans", F.coalesce("spans", empty_spans)
+    )
+    # removed 1-based positions, flattened; per-token membership test is
+    # O(doc removed tokens) inside the JVM — no second shuffle
+    removed_pos = F.flatten(
+        F.transform(
+            F.col("spans"), lambda s: F.sequence(s["start"], s["end"])
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.size("spans").cast("bigint").alias("spans_removed"),
+        F.aggregate(
+            "spans",
+            F.lit(0).cast("bigint"),
+            lambda acc, s: acc + (s["end"] - s["start"] + 1),
+        ).alias("tokens_removed"),
+        F.concat_ws(
+            " ",
+            F.filter(
+                F.col("tk"),
+                lambda t, i: ~F.array_contains(removed_pos, i + 1),
+            ),
+        ).alias("clean_text"),
+    )

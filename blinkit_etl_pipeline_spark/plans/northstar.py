@@ -359,6 +359,21 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Exact duplicated-span removal window width (tokens). 10 is scaled to
+#: the synthetic corpus (docs run 14-80 words; real pipelines use ~50 on
+#: web documents — Lee et al. 2022 §4). At sf0.01 k=10 yields 969
+#: duplicated windows across 47 documents: a non-trivial answer without
+#: degenerating into whole-document dedup.
+SPAN_K = 10
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-granularity dedup (Lee et al. 2022): remove every
+    non-first occurrence of any duplicated SPAN_K-token window, merge
+    overlapping removals into maximal spans, reconstruct the text."""
+    return dedup.span_dedup(_docs(spark, sf_dir), k=SPAN_K)
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
         _docs(spark, sf_dir), n=NGRAM_N, threshold=JACCARD_THRESHOLD
@@ -2833,6 +2848,52 @@ ORACLES["ns_dedup_jaccard_prefix"] = f"""WITH {_TOKS},
 SELECT doc_a, doc_b, intersection, size_a, size_b, jaccard
 FROM jacc WHERE jaccard >= {JACCARD_PREFIX_THRESHOLD}"""
 
+# Span dedup: the oracle groups on the window TEXT where Spark groups on
+# xxhash64(window text) — identical answers modulo 64-bit collisions (the
+# standard accepted trade, see operators/dedup.py span_dedup docstring).
+# Island merge is the classic gaps-and-islands running-max formulation.
+ORACLES["ns_dedup_spans"] = f"""WITH {_TOKS},
+wins AS (
+  SELECT doc_id, u.i AS pos, array_to_string(tk[u.i:u.i+{SPAN_K}-1], ' ') AS w
+  FROM toks, unnest(generate_series(1, len(tk)-{SPAN_K}+1)) AS u(i)),
+occ AS (
+  SELECT doc_id, pos,
+    row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn,
+    count(*) OVER (PARTITION BY w) AS c
+  FROM wins),
+rem AS (SELECT doc_id, pos AS s, pos + {SPAN_K} - 1 AS e
+        FROM occ WHERE c > 1 AND rn > 1),
+m1 AS (
+  SELECT doc_id, s, e,
+    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM rem),
+m2 AS (SELECT doc_id, s, e,
+    CASE WHEN prev_max IS NULL OR s > prev_max + 1 THEN 1 ELSE 0 END AS brk
+  FROM m1),
+m3 AS (SELECT doc_id, s, e,
+    sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+  FROM m2),
+isl AS (SELECT doc_id, min(s) AS s, max(e) AS e
+        FROM m3 GROUP BY doc_id, grp),
+stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS spans_removed,
+    CAST(sum(e - s + 1) AS BIGINT) AS tokens_removed
+  FROM isl GROUP BY doc_id),
+posn AS (SELECT doc_id, u.i AS p, tk[u.i] AS tok
+  FROM toks, unnest(generate_series(1, len(tk))) AS u(i)),
+kept AS (SELECT p.doc_id, p.p, p.tok FROM posn p
+  WHERE NOT EXISTS (SELECT 1 FROM isl
+    WHERE isl.doc_id = p.doc_id AND p.p BETWEEN isl.s AND isl.e)),
+clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+  COALESCE(stats.spans_removed, 0) AS spans_removed,
+  COALESCE(stats.tokens_removed, 0) AS tokens_removed,
+  COALESCE(clean.clean_text, '') AS clean_text
+FROM toks t
+LEFT JOIN stats ON t.doc_id = stats.doc_id
+LEFT JOIN clean ON t.doc_id = clean.doc_id"""
+
 ORACLES["ns_ann_ivf_balance"] = f"""WITH {_EMB},
 c AS (SELECT centroid_id, cvec, list_dot_product(cvec, cvec) AS cqq
   FROM {_codebook_values_sql()}),
@@ -3047,6 +3108,7 @@ QUERIES = {
     "ns_dedup_exact": q_dedup_exact,
     "ns_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "ns_dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+    "ns_dedup_spans": q_dedup_spans,
     "ns_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "ns_dedup_groups": q_dedup_groups,
     "ns_dedup_simhash": q_dedup_simhash,

@@ -29,6 +29,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 PRIORITY = [
     # --- r7 additions / changed oracles, never driver-checked as-is ---
     "ns_decontam_chunks",
+    "ns_dedup_spans",
     "ns_hybrid_rrf_recall",
     "ns_hybrid_rrf_topk",
     # --- newest driver-green row r5 ---

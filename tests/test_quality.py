@@ -559,3 +559,49 @@ def test_residual_pq_codebook_matches_retraining(spark):
         m=PQ_M, k=PQ_K, iters=TRAIN_ITERS,
     )
     assert retrained == RESIDUAL_PQ_CODEBOOK
+
+
+def test_span_dedup_crafted_documents(spark):
+    """Hand-computable span removal: doc 2 repeats doc 1's 4-token run,
+    doc 3 repeats it twice back-to-back (overlapping windows must merge
+    into ONE maximal span), doc 4 shares nothing."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d x1 y1 z1"),          # canonical occurrence
+            (2, "p2 a b c d q2 r2 s2"),       # one copy -> one span
+            (3, "a b c d a b c d t3"),        # two copies; pos1 is dup
+            #   of canon too (doc 1 owns it); windows chain into one span
+            (4, "u4 v4 w4 x4 y4 z4 q4"),      # untouched
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.span_dedup(docs, k=4).collect()
+    }
+    assert out[1]["spans_removed"] == 0
+    assert out[1]["clean_text"] == "a b c d x1 y1 z1"
+    assert out[2]["spans_removed"] == 1
+    assert out[2]["tokens_removed"] == 4
+    assert out[2]["clean_text"] == "p2 q2 r2 s2"
+    # doc 3: every 4-window over positions 1..8 duplicates doc 1's run
+    # (or its own) -> the merged span covers tokens 1..8, leaving "t3"
+    assert out[3]["spans_removed"] == 1
+    assert out[3]["tokens_removed"] == 8
+    assert out[3]["clean_text"] == "t3"
+    assert out[4]["spans_removed"] == 0
+    assert out[4]["clean_text"] == "u4 v4 w4 x4 y4 z4 q4"
+
+
+def test_span_dedup_short_docs_untouched(spark):
+    """Documents shorter than k produce zero windows and survive whole —
+    including the empty-text edge (reconstruction is '' not NULL)."""
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup.span_dedup(docs, k=4).collect()}
+    assert all(rows[i]["spans_removed"] == 0 for i in (1, 2, 3))
+    assert rows[1]["clean_text"] == "a b"  # exact dup, but < k tokens
+    assert rows[3]["clean_text"] == ""
+    assert rows[3]["n_tokens"] == 0
