@@ -394,6 +394,41 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_groups(pairs)
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster canonicalization by QUALITY: over the same LSH dup graph
+    as ns_dedup_groups, each connected component keeps its highest-
+    quality member (doc_id tiebreak) instead of the min-id one — the
+    keep policy real curation pipelines use (pick the best copy of a
+    boilerplate cluster, not an arbitrary one). Singletons are their own
+    group. One extra shuffle over ns_dedup_groups (the per-group window;
+    WindowGroupLimit prunes it to one survivor row per partition run).
+    """
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD
+    )
+    groups = dedup.dedup_groups(pairs)
+    toks = T.tokens(F.col("text"))
+    quality = T.quality_columns(F.col("text"), toks)["quality_score"]
+    scored = docs.select("doc_id", quality.alias("quality_score"))
+    joined = scored.join(groups, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("group_id", "doc_id").alias("group_id"),
+        F.coalesce("group_size", F.lit(1)).cast("bigint").alias(
+            "group_size"
+        ),
+        "quality_score",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return joined.withColumn(
+        "keep", (F.row_number().over(w) == 1).cast("int")
+    )
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vector.cosine_neardup_pairs(
         _emb(spark, sf_dir), threshold=COSINE_THRESHOLD, nbits=ANN_NBITS
@@ -3062,6 +3097,41 @@ SELECT CAST(node AS BIGINT) AS doc_id, CAST(comp.group_id AS BIGINT) AS group_id
   group_size
 FROM comp JOIN gsizes ON comp.group_id = gsizes.group_id"""
 
+ORACLES["ns_dedup_keep_best"] = f"""WITH RECURSIVE {_TOKS},
+{_sh_cte(NGRAM_N)},
+{_MINHASH_CTES},
+{_JACC},
+pairs AS (
+  SELECT c.doc_a, c.doc_b FROM cand c
+  JOIN jacc j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+  WHERE j.jaccard >= {JACCARD_THRESHOLD}),
+gedges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+gnodes AS (SELECT DISTINCT u AS node FROM gedges),
+reach(node, r) AS (
+  SELECT node, node FROM gnodes
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN gedges e ON e.u = reach.node
+),
+comp AS (SELECT node, min(r) AS group_id FROM reach GROUP BY node),
+gsizes AS (SELECT group_id, CAST(count(*) AS BIGINT) AS group_size
+  FROM comp GROUP BY group_id),
+qual AS (SELECT doc_id,
+  ROUND(least(len(tk) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+    + (len(list_distinct(tk)) / CAST(greatest(len(tk), 1) AS DOUBLE)) * CAST(0.5 AS DOUBLE), 6)
+    AS quality_score
+  FROM toks),
+gmap AS (SELECT q.doc_id,
+    CAST(COALESCE(comp.group_id, q.doc_id) AS BIGINT) AS group_id,
+    COALESCE(gsizes.group_size, 1) AS group_size, q.quality_score
+  FROM qual q
+  LEFT JOIN comp ON q.doc_id = comp.node
+  LEFT JOIN gsizes ON comp.group_id = gsizes.group_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, group_id, group_size, quality_score,
+  CAST(CASE WHEN row_number() OVER (PARTITION BY group_id
+      ORDER BY quality_score DESC, doc_id ASC) = 1 THEN 1 ELSE 0 END AS INT) AS keep
+FROM gmap"""
+
 ORACLES["ns_dedup_recall"] = f"""WITH {_TOKS},
 {_sh_cte(NGRAM_N)},
 {_MINHASH_CTES},
@@ -3109,6 +3179,7 @@ QUERIES = {
     "ns_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "ns_dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     "ns_dedup_spans": q_dedup_spans,
+    "ns_dedup_keep_best": q_dedup_keep_best,
     "ns_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "ns_dedup_groups": q_dedup_groups,
     "ns_dedup_simhash": q_dedup_simhash,

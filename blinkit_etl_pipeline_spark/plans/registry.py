@@ -30,6 +30,7 @@ PRIORITY = [
     # --- r7 additions / changed oracles, never driver-checked as-is ---
     "ns_decontam_chunks",
     "ns_dedup_spans",
+    "ns_dedup_keep_best",
     "ns_hybrid_rrf_recall",
     "ns_hybrid_rrf_topk",
     # --- newest driver-green row r5 ---
