@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import h32
@@ -255,3 +255,49 @@ def apply_mixture(
     return joined.filter(
         _gate(F.col(id_col), salt) < F.col("rate_ppm")
     ).drop("rate_ppm")
+
+
+def shuffle_shards(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards.
+
+    Training runs need the corpus in a pseudorandom order that is (a)
+    decorrelated from ingest order (domain/time clumps hurt loss), and
+    (b) exactly reproducible across re-runs, retries, and engines —
+    which rules out ``DataFrame.orderBy(rand())`` (nondeterministic
+    under task retry, partition-layout dependent). The standard trick:
+    order by a salted hash of the row id.
+
+    Each row gets ``shard = h32(id:salt) % n_shards`` and ``pos`` = its
+    rank within the shard ordered by (full hash, id). Changing the salt
+    is a fresh epoch-level reshuffle; changing nothing reproduces the
+    byte-same order.
+
+    Scale shape (100 TB): the hash is map-side; the only shuffle is the
+    hash-partition by ``shard`` + per-shard sort that the rank needs —
+    the same single exchange any global shuffle pays, but split into
+    n_shards independent sorts. Choose ``n_shards`` so one shard fits
+    an executor's sort spill budget (production: thousands); the rank
+    window is per-shard, so no global-order bottleneck exists.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    key = h32(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    ).alias("__key")
+    out = df.withColumn("__key", key).withColumn(
+        "shard", (F.col("__key") % n_shards).cast("int")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("__key").asc(), F.col(id_col).asc())
+    )
+    return (
+        out.withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .drop("__key")
+    )

@@ -1282,6 +1282,22 @@ def q_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selection.weighted_sample(scored, "quality_score")
 
 
+#: Deterministic training-order shuffle gauge: 8 shards is the test
+#: scale; production uses thousands (one shard per output file group).
+SHUFFLE_SHARDS = 8
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global shuffle into training shards: shard + within-shard
+    rank are a pure function of (doc_id, salt) via the cross-engine h32,
+    so the training order is byte-reproducible across runs and engines
+    (see operators/selection.py shuffle_shards)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return selection.shuffle_shards(
+        docs, n_shards=SHUFFLE_SHARDS, salt="epoch0"
+    )
+
+
 def q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
     return selection.hash_split(
@@ -3228,6 +3244,7 @@ QUERIES = {
     "ns_mix_temperature": q_mix_temperature,
     "ns_sample_quality_weighted": q_sample_quality_weighted,
     "ns_split_hash": q_split_hash,
+    "ns_shuffle_shards": q_shuffle_shards,
     "ns_decontam_overlap": q_decontam_overlap,
     "ns_decontam_chunks": q_decontam_chunks,
     "ns_events_json_kv": q_events_json_kv,
@@ -4592,6 +4609,16 @@ ORACLES["ns_sample_stratified"] = f"""SELECT doc_id, lang, source
 FROM documents
 WHERE {_H.format(x="CAST(doc_id AS VARCHAR) || ':strat'")} % 1000000
   < {_strata_case_sql()}"""
+
+ORACLES["ns_shuffle_shards"] = f"""WITH k AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch0'), 1, 8))::BIGINT AS key
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(key % {SHUFFLE_SHARDS} AS INT) AS shard,
+  CAST(row_number() OVER (PARTITION BY key % {SHUFFLE_SHARDS}
+    ORDER BY key, doc_id) AS BIGINT) AS pos
+FROM k"""
 
 ORACLES["ns_split_hash"] = f"""SELECT doc_id, lang, {_split_case_sql()} AS split
 FROM (

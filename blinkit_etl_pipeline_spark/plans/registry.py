@@ -31,6 +31,7 @@ PRIORITY = [
     "ns_decontam_chunks",
     "ns_dedup_spans",
     "ns_dedup_keep_best",
+    "ns_shuffle_shards",
     "ns_hybrid_rrf_recall",
     "ns_hybrid_rrf_topk",
     # --- newest driver-green row r5 ---

@@ -300,3 +300,34 @@ def test_mixture_rates_rejects_absent_target_source(spark):
         selection.mixture_rates(
             docs, {"common": 500_000, "rare": 500_000}
         )
+
+
+def test_shuffle_shards_deterministic_and_salted(spark):
+    from blinkit_etl_pipeline_spark.operators.selection import shuffle_shards
+
+    docs = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in shuffle_shards(docs, n_shards=4, salt="e0").collect()}
+    b = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in shuffle_shards(docs, n_shards=4, salt="e0").collect()}
+    assert a == b  # byte-reproducible
+    c = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in shuffle_shards(docs, n_shards=4, salt="e1").collect()}
+    assert a != c  # fresh epoch reshuffles
+    # every shard is a dense 1..n rank, partitioning the corpus
+    from collections import Counter
+    by_shard = Counter(s for s, _ in a.values())
+    assert sum(by_shard.values()) == 200
+    for shard, cnt in by_shard.items():
+        ranks = sorted(p for s, p in a.values() if s == shard)
+        assert ranks == list(range(1, cnt + 1))
+
+
+def test_shuffle_shards_rejects_nonpositive(spark):
+    import pytest
+
+    from blinkit_etl_pipeline_spark.operators.selection import shuffle_shards
+
+    with pytest.raises(ValueError):
+        shuffle_shards(spark.range(3).withColumnRenamed("id", "doc_id"),
+                       n_shards=0)
