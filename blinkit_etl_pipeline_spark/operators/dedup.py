@@ -923,6 +923,58 @@ def chunk_containment_pairs(
     )
 
 
+def window_hash_frame(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, h): xxhash64 of every k-token window, pos 1-based.
+
+    The shared windowing of :func:`span_dedup` and the incremental
+    span-window store (operators/incremental.py) — one definition so
+    batch and incremental answers agree by construction. Empty for
+    documents under k tokens (``sequence(1, 0)`` counts DOWN — guarded
+    like functions.text.shingles).
+    """
+    tk = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    win_hashes = F.when(
+        F.size(tk) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - (k - 1)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tk, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return docs.select(
+        "doc_id", F.posexplode(win_hashes).alias("idx", "h")
+    ).select("doc_id", (F.col("idx") + 1).alias("pos"), "h")
+
+
+#: empty accumulator for the span-merge fold (shared literal)
+_EMPTY_SPANS = "CAST(array() AS array<struct<start:int,end:int>>)"
+
+
+def merge_spans(spans_col) -> F.Column:
+    """Merge a (start, end) struct array into maximal non-overlapping
+    spans: sort, then a JVM array fold that extends the last span when
+    the next one overlaps or is adjacent. Bounded by the input array —
+    no shuffle, no Python."""
+    return F.aggregate(
+        F.array_sort(spans_col),
+        F.expr(_EMPTY_SPANS),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (s["start"] <= F.element_at(acc, -1)["end"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["start"].alias("start"),
+                        F.greatest(
+                            F.element_at(acc, -1)["end"], s["end"]
+                        ).alias("end"),
+                    )
+                ),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
 def span_dedup(docs: DataFrame, k: int = 10) -> DataFrame:
     """Exact duplicated-span removal — the substring-granularity dedup of
     Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
@@ -958,18 +1010,7 @@ def span_dedup(docs: DataFrame, k: int = 10) -> DataFrame:
     base = docs.select("doc_id", tk.alias("tk")).withColumn(
         "n_tokens", F.size("tk").cast("bigint")
     )
-    # (doc_id, pos, h): pos is 1-based; empty hash array when < k tokens
-    # (sequence(1, 0) counts DOWN — guard like functions.text.shingles)
-    win_hashes = F.when(
-        F.size("tk") >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size("tk") - (k - 1)),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("tk", i, k))),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    wins = base.select(
-        "doc_id", F.posexplode(win_hashes).alias("idx", "h")
-    ).select("doc_id", (F.col("idx") + 1).alias("pos"), "h")
+    wins = window_hash_frame(docs, k)
     # duplicated windows and their canonical (first) occurrence
     dup = (
         wins.groupBy("h")
@@ -992,29 +1033,8 @@ def span_dedup(docs: DataFrame, k: int = 10) -> DataFrame:
             (F.col("pos") + (k - 1)).alias("end"),
         )
     )
-    # per-document merge of overlapping/adjacent windows into maximal
-    # spans: sort, then a JVM array fold (bounded by the doc's own
-    # removed-window count)
-    empty_spans = F.expr("CAST(array() AS array<struct<start:int,end:int>>)")
-    merged = F.aggregate(
-        F.array_sort(F.col("spans")),
-        empty_spans,
-        lambda acc, s: F.when(
-            (F.size(acc) > 0)
-            & (s["start"] <= F.element_at(acc, -1)["end"] + 1),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(
-                    F.struct(
-                        F.element_at(acc, -1)["start"].alias("start"),
-                        F.greatest(
-                            F.element_at(acc, -1)["end"], s["end"]
-                        ).alias("end"),
-                    )
-                ),
-            ),
-        ).otherwise(F.concat(acc, F.array(s))),
-    )
+    empty_spans = F.expr(_EMPTY_SPANS)
+    merged = merge_spans(F.col("spans"))
     doc_spans = (
         removed.groupBy("doc_id")
         .agg(

@@ -431,3 +431,196 @@ def bm25_store_probe(
         )
     )
     return bm25_store_topk(pruned, qids, k1=k1, b=b, topk=topk, stats=stats)
+
+
+def ingest_and_find_dup_spans(
+    spark: SparkSession,
+    store_table: str,
+    new_docs: DataFrame,
+    *,
+    k: int = 10,
+    on_spans=None,
+    compact_threshold: int | None = 64,
+    compact_target: int = 8,
+    compact_keep_versions: int = 2,
+) -> tuple[DataFrame, int]:
+    """Span-granularity twin of :func:`ingest_and_find_dups` — the
+    incremental form of :func:`dedup.span_dedup` (Lee et al. 2022),
+    and the first store format added AFTER the shared
+    :func:`_ingest_rows` lifecycle: the whole function is the windowing
+    call, one pre-commit hook, and the lifecycle call — nothing about
+    CAS/compaction/redelivery is repeated.
+
+    The store holds the corpus's rolling k-token window index —
+    (doc_id, pos, h) with ``h = xxhash64(window text)``, ~24 bytes per
+    token — range-clustered by ``h`` so :func:`span_store_probe` can
+    prune files. Each batch is checked for duplicated spans against
+    history AND within itself:
+
+    - a window whose hash exists in HISTORY is duplicated at every
+      batch occurrence (history is immutable — its copy is canonical);
+    - otherwise the batch's first occurrence (min (doc_id, pos)) is
+      canonical and the rest are duplicated.
+
+    With batches arriving in doc_id order this reproduces the batch
+    operator's answer exactly (global min = first ingested), which the
+    equivalence test pins. Overlapping duplicated windows merge into
+    maximal spans per document (:func:`dedup.merge_spans`).
+
+    Returns ``(spans, version)``: spans is (doc_id, spans_removed,
+    tokens_removed, spans) for batch documents with ≥1 duplicated
+    window. ``on_spans(spans)`` runs BEFORE the append commits — same
+    crash-safe sink ordering as the signature store. Redelivered
+    doc_ids are skipped from search and append. Scale: candidate flow
+    is an equi-join on 8-byte window hashes; history text is never
+    touched (the store never holds it).
+    """
+    from .dedup import merge_spans, window_hash_frame
+
+    empty = spark.createDataFrame(
+        [],
+        "doc_id long, spans_removed long, tokens_removed long, "
+        "spans array<struct<start:int,end:int>>",
+    )
+    result = {"spans": empty}
+
+    def pre_commit(store: DataFrame | None, new_wins: DataFrame) -> None:
+        batch_canon = new_wins.groupBy("h").agg(
+            F.min(F.struct("doc_id", "pos")).alias("canon"),
+            F.count("*").alias("occ"),
+        )
+        cand = new_wins.join(batch_canon, "h")
+        if store is not None:
+            hist = store.select("h").distinct().withColumn(
+                "in_hist", F.lit(True)
+            )
+            cand = cand.join(hist, "h", "left")
+        else:
+            cand = cand.withColumn("in_hist", F.lit(None).cast("boolean"))
+        removed = cand.filter(
+            F.coalesce(F.col("in_hist"), F.lit(False))
+            | (
+                (F.col("occ") > 1)
+                & (
+                    (F.col("doc_id") != F.col("canon.doc_id"))
+                    | (F.col("pos") != F.col("canon.pos"))
+                )
+            )
+        ).select(
+            "doc_id",
+            F.col("pos").cast("int").alias("start"),
+            (F.col("pos") + (k - 1)).cast("int").alias("end"),
+        )
+        spans = (
+            removed.groupBy("doc_id")
+            .agg(F.collect_list(F.struct("start", "end")).alias("spans"))
+            .select("doc_id", merge_spans(F.col("spans")).alias("spans"))
+            .select(
+                "doc_id",
+                F.size("spans").cast("bigint").alias("spans_removed"),
+                F.aggregate(
+                    "spans",
+                    F.lit(0).cast("bigint"),
+                    lambda acc, s: acc + (s["end"] - s["start"] + 1),
+                ).alias("tokens_removed"),
+                "spans",
+            )
+            .localCheckpoint(eager=True)  # pin to the pre-append store
+        )
+        result["spans"] = spans
+        if on_spans is not None:
+            on_spans(spans)
+
+    version = _ingest_rows(
+        spark, store_table,
+        window_hash_frame(new_docs.dropDuplicates(["doc_id"]), k),
+        "doc_id",
+        stats_col="h",
+        pre_commit_fn=pre_commit,
+        compact_threshold=compact_threshold,
+        compact_target=compact_target,
+        compact_keep_versions=compact_keep_versions,
+    )
+    return result["spans"], version
+
+
+def span_store_probe(
+    spark: SparkSession,
+    store_table: str,
+    probe_docs: DataFrame,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Which spans of ``probe_docs`` already exist in the ingested
+    corpus — the contamination/plagiarism check against history,
+    WITHOUT ingesting (read-only twin of the pre-commit search, pruned
+    like :func:`bm25_store_probe`): the probe's window hashes are
+    collected driver-side (bounded by the probe docs' token count, the
+    same gauge as the BM25 query vocabulary) and the store manifest is
+    pruned to files whose ``h`` range intersects them — a small probe
+    against a compacted store opens a fraction of the files.
+
+    Returns one row per probe doc: (doc_id, n_tokens, dup_spans,
+    dup_tokens, coverage) where coverage = dup_tokens / n_tokens
+    (ROUND 6). Probe docs are not checked against each other — this is
+    strictly containment-vs-corpus.
+    """
+    from ..functions.text import tokens
+    from .dedup import merge_spans, window_hash_frame
+
+    probe = probe_docs.dropDuplicates(["doc_id"])
+    wins = window_hash_frame(probe, k)
+    keys = [int(r["h"]) for r in wins.select("h").distinct().collect()]
+    base = probe.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias(
+            "n_tokens"
+        )
+    )
+    if not keys or snapshot.current_version(store_table) is None:
+        return base.select(
+            "doc_id", "n_tokens",
+            F.lit(0).cast("bigint").alias("dup_spans"),
+            F.lit(0).cast("bigint").alias("dup_tokens"),
+            F.lit(0.0).alias("coverage"),
+        )
+    hist = (
+        snapshot.read_snapshot_pruned(spark, store_table, keys)
+        .select("h").distinct()
+    )
+    spans = (
+        wins.join(hist, "h")
+        .select(
+            "doc_id",
+            F.col("pos").cast("int").alias("start"),
+            (F.col("pos") + (k - 1)).cast("int").alias("end"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("start", "end")).alias("spans"))
+        .select("doc_id", merge_spans(F.col("spans")).alias("spans"))
+        .select(
+            "doc_id",
+            F.size("spans").cast("bigint").alias("dup_spans"),
+            F.aggregate(
+                "spans",
+                F.lit(0).cast("bigint"),
+                lambda acc, s: acc + (s["end"] - s["start"] + 1),
+            ).alias("dup_tokens"),
+        )
+    )
+    return (
+        base.join(spans, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.coalesce("dup_spans", F.lit(0)).cast("bigint").alias(
+                "dup_spans"
+            ),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias(
+                "dup_tokens"
+            ),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("coverage"),
+        )
+    )

@@ -535,3 +535,90 @@ def test_chunk_decontam_through_persisted_signature_store(spark, tmp_path):
     assert any(a // PACK == 1 and b // PACK == 100 for a, b in cross)
     # the clean doc stays clean
     assert not any(a // PACK == 101 or b // PACK == 101 for a, b in cross)
+
+
+def test_incremental_span_dedup_matches_batch_and_redelivery(spark, tmp_path):
+    """The span-window store must reproduce the batch operator's answer
+    when batches arrive in doc_id order (global-min canonical == first
+    ingested), skip redeliveries, and find cross-batch spans without
+    history text."""
+    from blinkit_etl_pipeline_spark.operators.dedup import span_dedup
+
+    store = str(tmp_path / "spanstore")
+    RUN = "alpha beta gamma delta epsilon zeta"  # 6-token duplicated run
+    rows = [
+        (1, RUN + " one extra tail here now"),
+        (2, "p q " + RUN + " r s"),             # copies doc 1's run
+        (3, "totally unrelated words in this document body here"),
+        (10, RUN + " " + RUN + " mid tail"),    # two copies back-to-back
+        (11, "fresh novel content nothing shared with anyone at all"),
+    ]
+    all_docs = _docs(spark, rows)
+    k = 4
+
+    s1, v1 = incremental.ingest_and_find_dup_spans(
+        spark, store, _docs(spark, rows[:3]), k=k)
+    s2, v2 = incremental.ingest_and_find_dup_spans(
+        spark, store, _docs(spark, rows[3:]), k=k)
+    assert (v1, v2) == (1, 2)
+    got = {r["doc_id"]: (r["spans_removed"], r["tokens_removed"])
+           for df in (s1, s2) for r in df.collect()}
+    batch = {
+        r["doc_id"]: (r["spans_removed"], r["tokens_removed"])
+        for r in span_dedup(all_docs, k=k).collect()
+        if r["spans_removed"] > 0
+    }
+    assert got == batch  # incremental union == batch answer
+    assert 2 in got and 10 in got and 3 not in got and 11 not in got
+
+    # redelivery: no spans, no new version
+    s3, v3 = incremental.ingest_and_find_dup_spans(
+        spark, store, _docs(spark, rows[3:]), k=k)
+    assert s3.count() == 0 and v3 == 2
+
+
+def test_span_store_probe_prunes_files_and_scores_coverage(spark, tmp_path):
+    """Probe is read-only (no version bump), coverage is exact, and a
+    small probe against the h-clustered store opens a strict subset of
+    the manifest files."""
+    store = str(tmp_path / "spanprobe")
+    k = 4
+    # three batches of docs with private token streams (no cross dups)
+    for b in range(3):
+        docs = _docs(spark, [
+            (b * 10 + i,
+             " ".join(f"b{b}d{i}t{j}" for j in range(12)))
+            for i in range(5)
+        ])
+        incremental.ingest_and_find_dup_spans(spark, store, docs, k=k)
+    snapshot.compact_snapshot(spark, store, target_files=6)
+    v = snapshot.current_version(store)
+
+    # probe doc 900 is exactly one window copied from doc 12; doc 901
+    # one private window — 2 window hashes total, so the manifest prune
+    # is deterministic (uniform int64 hashes: a BIG probe's keys cover
+    # every file range; pruning is the small-probe/containment gauge)
+    copied = " ".join(f"b1d2t{j}" for j in range(k))
+    probe = _docs(spark, [
+        (900, copied),
+        (901, "zz yy xx ww"),
+    ])
+    out = {r["doc_id"]: r for r in incremental.span_store_probe(
+        spark, store, probe, k=k).collect()}
+    assert snapshot.current_version(store) == v  # read-only
+    assert out[900]["dup_spans"] == 1
+    assert out[900]["dup_tokens"] == k
+    assert out[900]["coverage"] == 1.0
+    assert out[901]["dup_spans"] == 0 and out[901]["coverage"] == 0.0
+
+    # file pruning: the probe's h keys hit < all files of the manifest
+    from blinkit_etl_pipeline_spark.operators.dedup import (
+        window_hash_frame,
+    )
+    m = snapshot.read_manifest(store)
+    assert m["stats_col"] == "h"
+    keys = [int(r["h"]) for r in window_hash_frame(
+        probe, k).select("h").distinct().collect()]
+    pruned = snapshot._pruned_entries(m, keys)
+    assert pruned is not None and len(pruned) < len(m["files"]), (
+        len(pruned) if pruned else None, len(m["files"]))
