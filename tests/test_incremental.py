@@ -622,3 +622,57 @@ def test_span_store_probe_prunes_files_and_scores_coverage(spark, tmp_path):
     pruned = snapshot._pruned_entries(m, keys)
     assert pruned is not None and len(pruned) < len(m["files"]), (
         len(pruned) if pruned else None, len(m["files"]))
+
+
+def test_streaming_span_ingest_matches_batch_on_real_docs(spark, tmp_path):
+    """Span-window store accumulated across file drops must equal the
+    batch span_dedup answer over the union (drops arrive in doc_id
+    order), and a byte-copied redelivered drop must not re-report or
+    re-index."""
+    import glob as _glob
+    import shutil
+
+    from blinkit_etl_pipeline_spark.operators.dedup import span_dedup
+    from blinkit_etl_pipeline_spark.streaming import file_source, span_ingest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "spanstore")
+    seen = []
+
+    def drop(lo, hi, tag):
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)) \
+            .coalesce(1).write.parquet(str(tmp_path / tag))
+        src = _glob.glob(str(tmp_path / tag / "part-*.parquet"))[0]
+        shutil.copy(src, str(raw / f"{tag}.parquet"))
+
+    k = 8
+    drop(0, 25, "d1")
+    drop(25, 50, "d2")
+    schema = docs.schema
+    stream = file_source.stream_files(spark, str(raw), schema, fmt="parquet")
+    span_ingest.run_span_ingest(
+        stream, ckpt, store, k=k,
+        on_spans=lambda df: seen.extend(df.collect()))
+
+    union = docs.filter(F.col("doc_id") < 50)
+    got = {r["doc_id"]: (r["spans_removed"], r["tokens_removed"])
+           for r in seen}
+    want = {r["doc_id"]: (r["spans_removed"], r["tokens_removed"])
+            for r in span_dedup(union, k=k).collect()
+            if r["spans_removed"] > 0}
+    assert got == want and len(want) > 0  # sf0.001 has planted dups
+
+    # redelivery: nothing new reported, store version unchanged
+    v = snapshot.current_version(store)
+    shutil.copy(str(raw / "d1.parquet"), str(raw / "d1_again.parquet"))
+    before = len(seen)
+    stream = file_source.stream_files(spark, str(raw), schema, fmt="parquet")
+    span_ingest.run_span_ingest(
+        stream, ckpt, store, k=k,
+        on_spans=lambda df: seen.extend(df.collect()))
+    assert len(seen) == before
+    assert snapshot.current_version(store) == v
