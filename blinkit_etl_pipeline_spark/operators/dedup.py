@@ -975,6 +975,22 @@ def merge_spans(spans_col) -> F.Column:
     )
 
 
+def span_counts(spans_col) -> tuple[F.Column, F.Column]:
+    """(span count, token count) for a merged-spans array — the single
+    span-accounting definition shared by the batch operator, the
+    incremental span store's pre-commit search, and the read-only
+    probe, so a change to the adjacency rule or the width arithmetic
+    cannot make their answers diverge."""
+    return (
+        F.size(spans_col).cast("bigint"),
+        F.aggregate(
+            spans_col,
+            F.lit(0).cast("bigint"),
+            lambda acc, s: acc + (s["end"] - s["start"] + 1),
+        ),
+    )
+
+
 def span_dedup(docs: DataFrame, k: int = 10) -> DataFrame:
     """Exact duplicated-span removal — the substring-granularity dedup of
     Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
@@ -1010,7 +1026,10 @@ def span_dedup(docs: DataFrame, k: int = 10) -> DataFrame:
     base = docs.select("doc_id", tk.alias("tk")).withColumn(
         "n_tokens", F.size("tk").cast("bigint")
     )
-    wins = window_hash_frame(docs, k)
+    # two consumers (the dup aggregate and the removed-join probe side)
+    # read the O(corpus tokens) window explode — persist so the
+    # tokenize+hash pass runs once, not twice (the _resolve_idx pattern)
+    wins = window_hash_frame(docs, k).persist()
     # duplicated windows and their canonical (first) occurrence
     dup = (
         wins.groupBy("h")
@@ -1057,15 +1076,12 @@ def span_dedup(docs: DataFrame, k: int = 10) -> DataFrame:
             F.col("spans"), lambda s: F.sequence(s["start"], s["end"])
         )
     )
+    n_spans, n_toks = span_counts(F.col("spans"))
     return out.select(
         "doc_id",
         "n_tokens",
-        F.size("spans").cast("bigint").alias("spans_removed"),
-        F.aggregate(
-            "spans",
-            F.lit(0).cast("bigint"),
-            lambda acc, s: acc + (s["end"] - s["start"] + 1),
-        ).alias("tokens_removed"),
+        n_spans.alias("spans_removed"),
+        n_toks.alias("tokens_removed"),
         F.concat_ws(
             " ",
             F.filter(

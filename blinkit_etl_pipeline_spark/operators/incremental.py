@@ -430,6 +430,23 @@ def bm25_store_probe(
             ).alias("avgdl"),
         )
     )
+    # A store ingested before the stats-partial format has zero
+    # doc_id-IS-NULL rows → the agg yields N = NULL → every score would
+    # be NULL and ranking arbitrary. Fail loudly at execution instead.
+    stats = stats.select(
+        F.when(
+            F.col("N").isNull(),
+            F.raise_error(
+                F.lit(
+                    f"bm25 postings store at {store_table} has no "
+                    "stats-partial rows (pre-stats format) — re-ingest "
+                    "via ingest_bm25_postings, or score with "
+                    "bm25_store_topk(stats=None) over a full store scan"
+                )
+            ).cast("double"),
+        ).otherwise(F.col("N")).alias("N"),
+        "avgdl",
+    )
     return bm25_store_topk(pruned, qids, k1=k1, b=b, topk=topk, stats=stats)
 
 
@@ -475,7 +492,13 @@ def ingest_and_find_dup_spans(
     is an equi-join on 8-byte window hashes; history text is never
     touched (the store never holds it).
     """
-    from .dedup import merge_spans, window_hash_frame
+    from .dedup import merge_spans, span_counts, window_hash_frame
+
+    # the window width is a FORMAT parameter: hashes of k-token windows
+    # can only ever match hashes of k-token windows, so a mixed-k store
+    # silently reports zero duplication — pin k write-once and fail
+    # loudly on any later ingest that disagrees
+    snapshot.ensure_table_properties(store_table, {"span_window_k": k})
 
     empty = spark.createDataFrame(
         [],
@@ -511,18 +534,15 @@ def ingest_and_find_dup_spans(
             F.col("pos").cast("int").alias("start"),
             (F.col("pos") + (k - 1)).cast("int").alias("end"),
         )
+        n_spans, n_toks = span_counts(F.col("spans"))
         spans = (
             removed.groupBy("doc_id")
             .agg(F.collect_list(F.struct("start", "end")).alias("spans"))
             .select("doc_id", merge_spans(F.col("spans")).alias("spans"))
             .select(
                 "doc_id",
-                F.size("spans").cast("bigint").alias("spans_removed"),
-                F.aggregate(
-                    "spans",
-                    F.lit(0).cast("bigint"),
-                    lambda acc, s: acc + (s["end"] - s["start"] + 1),
-                ).alias("tokens_removed"),
+                n_spans.alias("spans_removed"),
+                n_toks.alias("tokens_removed"),
                 "spans",
             )
             .localCheckpoint(eager=True)  # pin to the pre-append store
@@ -566,27 +586,42 @@ def span_store_probe(
     strictly containment-vs-corpus.
     """
     from ..functions.text import tokens
-    from .dedup import merge_spans, window_hash_frame
+    from .dedup import merge_spans, span_counts, window_hash_frame
 
     probe = probe_docs.dropDuplicates(["doc_id"])
-    wins = window_hash_frame(probe, k)
-    keys = [int(r["h"]) for r in wins.select("h").distinct().collect()]
     base = probe.select(
         "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias(
             "n_tokens"
         )
     )
-    if not keys or snapshot.current_version(store_table) is None:
-        return base.select(
-            "doc_id", "n_tokens",
-            F.lit(0).cast("bigint").alias("dup_spans"),
-            F.lit(0).cast("bigint").alias("dup_tokens"),
-            F.lit(0.0).alias("coverage"),
+    zeros = base.select(
+        "doc_id", "n_tokens",
+        F.lit(0).cast("bigint").alias("dup_spans"),
+        F.lit(0).cast("bigint").alias("dup_tokens"),
+        F.lit(0.0).alias("coverage"),
+    )
+    # cheap gates FIRST — a missing/empty store answers all-zeros
+    # without paying the tokenize+hash Spark job below
+    if snapshot.current_version(store_table) is None:
+        return zeros
+    stored_k = snapshot.table_properties(store_table).get("span_window_k")
+    if stored_k is not None and stored_k != k:
+        raise snapshot.SnapshotError(
+            f"span store at {store_table} was built with window width "
+            f"k={stored_k}; probing with k={k} can never match — pass "
+            "the store's k"
         )
+    # two consumers (the driver-side key collect and the containment
+    # join) — persist so the window explode runs once
+    wins = window_hash_frame(probe, k).persist()
+    keys = [int(r["h"]) for r in wins.select("h").distinct().collect()]
+    if not keys:
+        return zeros
     hist = (
         snapshot.read_snapshot_pruned(spark, store_table, keys)
         .select("h").distinct()
     )
+    _n_spans, _n_toks = span_counts(F.col("spans"))
     spans = (
         wins.join(hist, "h")
         .select(
@@ -599,12 +634,8 @@ def span_store_probe(
         .select("doc_id", merge_spans(F.col("spans")).alias("spans"))
         .select(
             "doc_id",
-            F.size("spans").cast("bigint").alias("dup_spans"),
-            F.aggregate(
-                "spans",
-                F.lit(0).cast("bigint"),
-                lambda acc, s: acc + (s["end"] - s["start"] + 1),
-            ).alias("dup_tokens"),
+            _n_spans.alias("dup_spans"),
+            _n_toks.alias("dup_tokens"),
         )
     )
     return (

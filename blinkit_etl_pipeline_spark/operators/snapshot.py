@@ -534,6 +534,57 @@ def compact_snapshot(
     raise last_err
 
 
+def ensure_table_properties(table: str, props: dict) -> dict:
+    """Write-once table properties (format parameters that must never
+    vary over a store's lifetime — a span store's window width, an
+    index's hash family). First caller's dict lands via the same
+    link-CAS as manifests; every later call VERIFIES its values against
+    the stored ones and raises :class:`SnapshotError` on mismatch, so a
+    probe or append with incompatible parameters fails loudly instead
+    of silently matching nothing. Returns the stored properties."""
+    path = os.path.join(table, "props.json")
+    os.makedirs(table, exist_ok=True)
+    try:
+        with open(path) as f:
+            stored = json.load(f)
+    except FileNotFoundError:
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(props, f)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            pass  # lost the race — winner's dict is canonical, verify below
+        finally:
+            os.unlink(tmp)
+        with open(path) as f:
+            stored = json.load(f)
+    bad = {
+        k: (stored[k], v)
+        for k, v in props.items()
+        if k in stored and stored[k] != v
+    }
+    if bad:
+        raise SnapshotError(
+            f"table properties at {table} conflict with this call: "
+            + ", ".join(
+                f"{k}: store has {s!r}, caller passed {c!r}"
+                for k, (s, c) in bad.items()
+            )
+        )
+    return stored
+
+
+def table_properties(table: str) -> dict:
+    """Stored write-once properties (empty for stores predating
+    :func:`ensure_table_properties` or that never declared any)."""
+    try:
+        with open(os.path.join(table, "props.json")) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
 def expire_snapshots(table: str, keep_last: int = 1) -> list[str]:
     """Vacuum: delete manifests older than the newest ``keep_last``
     versions and any data file no remaining manifest references.
@@ -626,12 +677,17 @@ def expire_orphans(
         raise ValueError("older_than_seconds must be >= 0")
     if current_version(table) is None:
         raise SnapshotError(f"no snapshot table at {table}")
+    # Manifests record paths as the WRITER spelled them ('store/…' vs
+    # './store/…' vs absolute); compare realpaths so a GC caller using a
+    # different-but-equivalent spelling never misclassifies live data
+    # files as orphans.
     referenced: set[str] = set()
     for p in glob.glob(os.path.join(table, MANIFEST_DIR, "v*.json")):
         v = int(os.path.basename(p)[1:-5])
         try:
             referenced.update(
-                e["path"] for e in read_manifest(table, v)["files"]
+                os.path.realpath(e["path"])
+                for e in read_manifest(table, v)["files"]
             )
         except SnapshotError:
             continue  # concurrent expire removed it mid-scan
@@ -646,7 +702,7 @@ def expire_orphans(
     for f in sorted(
         glob.glob(os.path.join(table, DATA_DIR, "*", "*.parquet"))
     ):
-        if f in referenced:
+        if os.path.realpath(f) in referenced:
             continue
         try:
             st = os.stat(f)
@@ -661,6 +717,11 @@ def expire_orphans(
         except FileNotFoundError:
             pass
     for d in glob.glob(os.path.join(table, DATA_DIR, "*")):
+        # The age threshold applies to DIRECTORIES too: a rollback (or a
+        # just-started Spark write) makedirs its commit dir and then
+        # populates it — an empty-but-young dir is in-flight, not spent.
+        if dir_mtime.get(d, time.time()) >= cutoff:
+            continue
         try:
             left = os.listdir(d)
             # a commit dir holding only write markers (_SUCCESS, .crc)

@@ -4530,7 +4530,6 @@ def _hybrid_rrf_recall_oracle() -> str:
     """Replays BOTH fusions (brute-leg truth, IVFPQ-leg production) as
     nested-WITH subqueries and scores fused recall@{HYBRID_TOPK} —
     the quality.topk_recall shape."""
-    nq = len(HYBRID_QUERY_IDS)
     return f"""WITH truth AS ({_hybrid_rrf_sql("brute")}),
 approx AS ({_hybrid_rrf_sql("ivfpq")}),
 hits AS (

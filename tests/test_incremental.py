@@ -676,3 +676,50 @@ def test_streaming_span_ingest_matches_batch_on_real_docs(spark, tmp_path):
         on_spans=lambda df: seen.extend(df.collect()))
     assert len(seen) == before
     assert snapshot.current_version(store) == v
+
+
+def test_span_store_window_width_is_pinned(spark, tmp_path):
+    """k is a FORMAT parameter: k-window hashes only ever match
+    k-window hashes, so a mixed-k store silently reports zero
+    duplication. Both the probe and a second ingest must fail loudly
+    on a width mismatch."""
+    import pytest
+
+    store = str(tmp_path / "spanstore")
+    docs = _docs(spark, [(1, BASE), (2, BASE + " tonight")])
+    incremental.ingest_and_find_dup_spans(spark, store, docs, k=10)
+    probe = _docs(spark, [(99, BASE)])
+    with pytest.raises(snapshot.SnapshotError, match="k=10"):
+        incremental.span_store_probe(spark, store, probe, k=8)
+    with pytest.raises(snapshot.SnapshotError):
+        incremental.ingest_and_find_dup_spans(
+            spark, store, _docs(spark, [(3, BASE)]), k=8
+        )
+    # matching k still works end-to-end
+    got = incremental.span_store_probe(spark, store, probe, k=10)
+    row = got.filter(F.col("doc_id") == 99).collect()[0]
+    assert row["dup_tokens"] > 0
+
+
+def test_bm25_probe_rejects_store_without_stats_partials(spark, tmp_path):
+    """A store ingested before the stats-partial format yields
+    N = NULL from the partials agg — the probe must raise, not return
+    NULL-scored arbitrarily-ranked rows."""
+    import pytest
+
+    from blinkit_etl_pipeline_spark.functions.text import postings_frame
+
+    store = str(tmp_path / "legacy_bm25")
+    docs = _docs(spark, [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta other words entirely here"),
+    ])
+    # legacy layout: postings + sentinels + tkey, but NO stats rows
+    rows = postings_frame(docs).withColumn(
+        "tkey", incremental._postings_tkey()
+    )
+    snapshot.write_snapshot(rows, store, stats_col="tkey")
+    with pytest.raises(Exception, match="stats-partial"):
+        incremental.bm25_store_probe(
+            spark, store, docs.filter(F.col("doc_id") == 1)
+        ).collect()

@@ -389,3 +389,59 @@ def test_read_snapshot_pruned_accepts_generator(spark, tmp_path):
     want = S.read_snapshot_pruned(spark, t, [5, 95]).count()
     got = S.read_snapshot_pruned(spark, t, (v for v in [5, 95])).count()
     assert got == want > 0
+
+
+def test_expire_orphans_path_spelling_never_orphans_live_files(
+    spark, tmp_path
+):
+    """Manifests record paths as the WRITER spelled them; a GC caller
+    using an equivalent-but-different spelling ('./x' vs 'x', extra
+    '/./') must still recognize live files as referenced — before the
+    realpath fix this scenario deleted the live table's data."""
+    t = str(tmp_path / "norm")
+    S.write_snapshot(_mk(spark, 0, 50, "a"), t, stats_col="k")
+    live = [e["path"] for e in S.read_manifest(t)["files"]]
+    # one genuine orphan, same commit-dir layout
+    orphans = S._write_data_files(_mk(spark, 100, 110, "k"), t, "k")
+    # age EVERYTHING (files + dirs) past the threshold
+    old = __import__("time").time() - 7200
+    for p in live + [e["path"] for e in orphans]:
+        os.utime(p, (old, old))
+        os.utime(os.path.dirname(p), (old, old))
+    alt = str(tmp_path) + "/./norm"  # equivalent spelling
+    removed = S.expire_orphans(alt, older_than_seconds=3600)
+    assert sorted(os.path.realpath(p) for p in removed) == sorted(
+        os.path.realpath(e["path"]) for e in orphans
+    )
+    for p in live:
+        assert os.path.exists(p), "GC deleted a live, referenced file"
+    assert S.read_snapshot(spark, t).count() == 50
+
+
+def test_expire_orphans_spares_young_empty_dirs(spark, tmp_path):
+    """A rollback (or starting write) makedirs its commit dir before
+    populating it — an empty-but-YOUNG dir is in-flight and must
+    survive GC; only an aged empty dir is pruned."""
+    t = str(tmp_path / "gcdir")
+    S.write_snapshot(_mk(spark, 0, 10, "a"), t, stats_col="k")
+    young = os.path.join(t, S.DATA_DIR, "rb-young")
+    aged = os.path.join(t, S.DATA_DIR, "rb-aged")
+    os.makedirs(young)
+    os.makedirs(aged)
+    old = __import__("time").time() - 7200
+    os.utime(aged, (old, old))
+    S.expire_orphans(t, older_than_seconds=3600)
+    assert os.path.isdir(young), "GC rmdir'd an in-flight commit dir"
+    assert not os.path.exists(aged)
+
+
+def test_table_properties_write_once_and_conflict(tmp_path):
+    t = str(tmp_path / "props")
+    assert S.table_properties(t) == {}
+    assert S.ensure_table_properties(t, {"k": 10, "fam": "xxh"}) == {
+        "k": 10, "fam": "xxh"
+    }
+    # idempotent re-declare, and subset verification
+    assert S.ensure_table_properties(t, {"k": 10})["fam"] == "xxh"
+    with pytest.raises(S.SnapshotError, match="conflict"):
+        S.ensure_table_properties(t, {"k": 8})
