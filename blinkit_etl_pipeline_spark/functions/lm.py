@@ -1,0 +1,274 @@
+"""Statistical language-model scoring for corpus curation — the two
+classic model-based quality filters real LLM data pipelines run on top
+of the rule-based (Gopher) gates:
+
+- :func:`nb_quality_frame` — a multinomial Naive Bayes quality
+  classifier trained ON THE CORPUS ITSELF, with the rule-based
+  ``gopher_pass`` verdict as weak supervision (the fastText-classifier
+  shape of CCNet/RefinedWeb, distilled to closed-form counts so both
+  engines derive the model exactly).
+- :func:`bigram_nll_frame` — bigram language-model negative
+  log-likelihood per document (the CCNet "LM perplexity" filter, with
+  the LM trained on the corpus itself via add-one smoothing).
+
+Float discipline (the HLL/BM25 precedent): every per-token/per-bigram
+log term is quantized to int64 (``ROUND(ln(·)·10^6)``) BEFORE the
+per-document summation, so document scores are exact integers — sums
+are order-free and cross-engine bit-identical; ``ln`` ulp differences
+are absorbed by the quantization except at measure-zero rounding
+boundaries.
+
+Scale shape (100 TB framing): one tokenize/explode pass (the same
+O(corpus tokens) row count as every text pass here), hash aggregates
+with map-side partials for the model counts, ONE equi-join from
+occurrence rows to the (vocabulary-sized) model table, and one-row
+broadcast frames for the corpus totals. No driver-side state beyond
+nothing — even the priors stay in a broadcast one-row frame. Zero
+UDFs; zero corpus-quadratic shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import gopher_columns, tokens
+
+#: log-term quantization scale — same granularity as the BM25 scorer
+LOGQ_SCALE = 1000000.0
+
+
+def _lnq(x: Column) -> Column:
+    """``ROUND(ln(x)·10^6) :: long`` — the int64 log quantizer."""
+    return F.round(F.log(x) * F.lit(LOGQ_SCALE), 0).cast("long")
+
+
+def nb_quality_frame(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Multinomial Naive Bayes quality score per document.
+
+    Labels are the corpus's own rule-based ``gopher_pass`` verdicts
+    (weak supervision — no hand labels at 100 TB); features are token
+    counts. The model is closed-form: per-class token counts with
+    add-one (Laplace) smoothing, so "training" is two hash aggregates
+    — no iterative optimizer, and the DuckDB oracle derives the exact
+    same model from the same corpus.
+
+    Per token t: ``llr(t) = ln((c_pos(t)+1)/(T_pos+V))
+    - ln((c_neg(t)+1)/(T_neg+V))``, quantized to int64. Per document:
+    ``log_odds_q = prior_q + Σ tf(t)·llr_q(t)`` — an exact integer.
+    ``nb_pass = log_odds_q > 0``. Documents with zero tokens score the
+    prior alone.
+
+    Returns (doc_id, gopher_pass, log_odds_q, nb_pass).
+    """
+    toked = docs.select(
+        "doc_id",
+        F.coalesce(
+            tokens(F.col(text)), F.array().cast("array<string>")
+        ).alias("__tk"),
+        F.col(text).alias("__text"),
+    )
+    lab = toked.select(
+        "doc_id",
+        gopher_columns(F.col("__text"), F.col("__tk"))["gopher_pass"].alias(
+            "pass"
+        ),
+        "__tk",
+    )
+    # (doc_id, pass, token, tf) in ONE pass — the label is functionally
+    # dependent on the document, so no join is needed to attach it
+    occ = (
+        lab.select("doc_id", "pass", F.explode("__tk").alias("token"))
+        .groupBy("doc_id", "pass", "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    tc = occ.groupBy("token").agg(
+        F.sum(F.when(F.col("pass"), F.col("tf")).otherwise(0)).alias(
+            "c_pos"
+        ),
+        F.sum(F.when(~F.col("pass"), F.col("tf")).otherwise(0)).alias(
+            "c_neg"
+        ),
+    )
+    tot = tc.agg(
+        F.sum("c_pos").cast("double").alias("tp"),
+        F.sum("c_neg").cast("double").alias("tn"),
+        F.count("*").cast("double").alias("v"),
+    )
+    llr = tc.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.round(
+            (
+                F.log(
+                    (F.col("c_pos") + F.lit(1.0)) / (F.col("tp") + F.col("v"))
+                )
+                - F.log(
+                    (F.col("c_neg") + F.lit(1.0))
+                    / (F.col("tn") + F.col("v"))
+                )
+            )
+            * F.lit(LOGQ_SCALE),
+            0,
+        )
+        .cast("long")
+        .alias("llr_q"),
+    )
+    # Laplace-smoothed class prior (add-one on DOC counts, so a corpus
+    # where one class is empty still yields a finite prior)
+    prior = lab.agg(
+        F.sum(F.when(F.col("pass"), 1).otherwise(0))
+        .cast("double")
+        .alias("np"),
+        F.count("*").cast("double").alias("n"),
+    ).select(
+        F.round(
+            (
+                F.log((F.col("np") + F.lit(1.0)) / (F.col("n") + F.lit(2.0)))
+                - F.log(
+                    (F.col("n") - F.col("np") + F.lit(1.0))
+                    / (F.col("n") + F.lit(2.0))
+                )
+            )
+            * F.lit(LOGQ_SCALE),
+            0,
+        )
+        .cast("long")
+        .alias("prior_q")
+    )
+    # model lookup is an equi-join on token (vocabulary-sized right
+    # side); the sum of int64 terms is exact and order-free
+    sc = (
+        occ.join(llr, "token")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("llr_q")).alias("s"))
+    )
+    return (
+        lab.select("doc_id", "pass")
+        .join(sc, "doc_id", "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id",
+            F.col("pass").alias("gopher_pass"),
+            (F.col("prior_q") + F.coalesce(F.col("s"), F.lit(0)))
+            .cast("long")
+            .alias("log_odds_q"),
+            (
+                (F.col("prior_q") + F.coalesce(F.col("s"), F.lit(0)))
+                > F.lit(0)
+            ).alias("nb_pass"),
+        )
+    )
+
+
+def bigram_nll_frame(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Bigram-LM negative log-likelihood per document — the CCNet-style
+    perplexity filter with the LM trained on the scored corpus itself.
+
+    Model: ``P(w2|w1) = (c(w1,w2)+1) / (ctx(w1)+V)`` with add-one
+    smoothing, where ``ctx(w1)`` counts bigram contexts (Σ over w2 of
+    c(w1,w2)) and ``V`` is the corpus vocabulary size. Each bigram's
+    ``ln P`` is int64-quantized; a document's ``nll_q`` is the exact
+    integer ``-Σ tf·lnP_q``.
+
+    ``flagged`` marks documents whose mean per-bigram NLL exceeds the
+    corpus mean — the scale-safe form of "drop the worst-perplexity
+    tail" (a global ntile would be a full sort at 100 TB; the mean
+    threshold is one broadcast row). Documents with fewer than two
+    tokens have no bigrams: nll_q = 0, never flagged.
+
+    Returns (doc_id, n_bigrams, nll_q, avg_nll, flagged).
+    """
+    toked = docs.select(
+        "doc_id",
+        F.coalesce(
+            tokens(F.col(text)), F.array().cast("array<string>")
+        ).alias("__tk"),
+    )
+    # k-1 bigram structs per doc; sequence(1, 0) counts DOWN — guard
+    bg = F.when(
+        F.size("__tk") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__tk") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("__tk"), i).alias("w1"),
+                F.element_at(F.col("__tk"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+    occ = (
+        toked.select("doc_id", F.explode(bg).alias("b"))
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    cb = occ.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
+    ctx = cb.groupBy("w1").agg(F.sum("cb").alias("ctx"))
+    vocab = (
+        toked.select(F.explode("__tk").alias("t"))
+        .agg(F.count_distinct("t").cast("double").alias("v"))
+    )
+    logp = (
+        cb.join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("cb") + F.lit(1.0)) / (F.col("ctx") + F.col("v"))
+                )
+                * F.lit(LOGQ_SCALE),
+                0,
+            )
+            .cast("long")
+            .alias("logp_q"),
+        )
+    )
+    per_doc = (
+        occ.join(logp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            (-F.sum(F.col("tf") * F.col("logp_q"))).cast("long").alias(
+                "nll_q"
+            ),
+        )
+    )
+    base = toked.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("nll_q", F.lit(0)).cast("long").alias("nll_q"),
+    )
+    # per-doc mean NLL, int64-quantized (exact-int inputs → the double
+    # quotient is deterministic IEEE; quantization keeps the corpus
+    # mean an exact integer sum)
+    scored = base.withColumn(
+        "avg_q",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.round(
+                F.col("nll_q").cast("double")
+                / F.col("n_bigrams").cast("double"),
+                0,
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    mean = scored.filter(F.col("n_bigrams") > 0).agg(
+        (
+            F.sum("avg_q").cast("double") / F.count("*").cast("double")
+        ).alias("mean_avg_q")
+    )
+    return scored.crossJoin(F.broadcast(mean)).select(
+        "doc_id",
+        "n_bigrams",
+        "nll_q",
+        F.round(
+            F.col("avg_q").cast("double") / F.lit(LOGQ_SCALE), 6
+        ).alias("avg_nll"),
+        (
+            (F.col("n_bigrams") > 0)
+            & (F.col("avg_q").cast("double") > F.col("mean_avg_q"))
+        ).alias("flagged"),
+    )

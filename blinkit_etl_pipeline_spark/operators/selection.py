@@ -301,3 +301,105 @@ def shuffle_shards(
         out.withColumn("pos", F.row_number().over(w).cast("bigint"))
         .drop("__key")
     )
+
+
+# ----------------------------------------------------------------------
+# Contrastive triplet mining (embedding-model training data)
+# ----------------------------------------------------------------------
+
+#: deterministic negative-probe parameters: LCG-style candidate ids
+#: ``(anchor·A + j·B + C) mod n_max`` for j in [0, NEG_PROBES)
+NEG_PROBES = 8
+NEG_A, NEG_B, NEG_C = 48271, 104729, 12345
+
+
+def triplet_mine(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(anchor, positive, negative) triplets for contrastive embedding
+    training, mined from a near-duplicate pair set.
+
+    Every document appearing in ``pairs`` (symmetrized) anchors one
+    triplet: its POSITIVE is its most-similar partner (ties → lowest
+    id); its NEGATIVE is drawn by deterministic modular probing —
+    candidate ids ``(anchor·A + j·B + C) mod n_max`` for j = 0..7,
+    keeping the first probe that (a) exists in the corpus, (b) isn't
+    the anchor, and (c) isn't one of the anchor's near-dup partners.
+    Anchors whose 8 probes all fail yield no row (measure-zero on any
+    corpus where near-dup partners are sparse).
+
+    Determinism is structural: similarity ties break on ids, negative
+    selection is integer arithmetic — no ``rand()``, so retried tasks
+    and both engines mine identical triplets, and the sample composes
+    with incremental data the way the hash-gates above do.
+
+    Scale shape: ``pairs`` is answer-proportional (banded/prefix
+    candidate generation upstream); probing is anchors×8 rows through
+    one semi-join on corpus ids and one anti-join on the pair set —
+    all linear equi-joins, no corpus product anywhere.
+
+    ``pairs`` must have (doc_a, doc_b, jaccard) columns (the
+    ``dedup.ngram_jaccard_pairs`` contract).
+    Returns (anchor_id, positive_id, pos_jaccard, negative_id).
+    """
+    sym = pairs.select(
+        F.col("doc_a").alias("anchor"),
+        F.col("doc_b").alias("partner"),
+        "jaccard",
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("anchor"),
+            F.col("doc_a").alias("partner"),
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("anchor").orderBy(
+        F.col("jaccard").desc(), F.col("partner").asc()
+    )
+    best = (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("anchor", F.col("partner").alias("positive"), "jaccard")
+    )
+    nmax = docs.agg(
+        (F.max(F.col(id_col)) + F.lit(1)).cast("long").alias("n_max")
+    )
+    probes = (
+        best.crossJoin(F.broadcast(nmax))
+        .select(
+            "anchor",
+            "positive",
+            "jaccard",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(NEG_PROBES - 1))
+            ).alias("j"),
+            "n_max",
+        )
+        .withColumn(
+            "cand",
+            (
+                F.col("anchor") * F.lit(NEG_A)
+                + F.col("j") * F.lit(NEG_B)
+                + F.lit(NEG_C)
+            )
+            % F.col("n_max"),
+        )
+        .filter(F.col("cand") != F.col("anchor"))
+    )
+    ids = docs.select(F.col(id_col).alias("cand"))
+    valid = probes.join(ids, "cand").join(
+        sym.select("anchor", F.col("partner").alias("cand")),
+        ["anchor", "cand"],
+        "left_anti",
+    )
+    wj = Window.partitionBy("anchor").orderBy(F.col("j").asc())
+    return (
+        valid.withColumn("rnj", F.row_number().over(wj))
+        .filter(F.col("rnj") == 1)
+        .select(
+            F.col("anchor").cast("long").alias("anchor_id"),
+            F.col("positive").cast("long").alias("positive_id"),
+            F.col("jaccard").alias("pos_jaccard"),
+            F.col("cand").cast("long").alias("negative_id"),
+        )
+    )

@@ -4625,3 +4625,250 @@ FROM (
     {_H.format(x="CAST(doc_id AS VARCHAR) || ':split'")} % 1000000 AS g
   FROM documents
 )"""
+
+
+# ----------------------------------------------------------------------
+# r7: model-based quality filters (NB classifier, bigram-LM perplexity)
+# ----------------------------------------------------------------------
+
+
+def q_quality_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes quality classifier, trained on the
+    corpus's own Gopher rule verdicts as weak supervision (the
+    fastText-classifier shape of CCNet/RefinedWeb, closed-form).
+    Per-token log-likelihood ratios int64-quantized before the exact
+    per-doc integer sum — one explode, two hash aggs, one vocab-sized
+    equi-join, one-row broadcast priors. See functions/lm.py."""
+    from ..functions import lm
+
+    return lm.nb_quality_frame(_docs(spark, sf_dir))
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM negative log-likelihood filter (the CCNet perplexity
+    gate), LM trained on the scored corpus with add-one smoothing.
+    ``flagged`` = mean per-bigram NLL above the corpus mean — the
+    scale-safe form of dropping the worst-perplexity tail (no global
+    sort/ntile). See functions/lm.py."""
+    from ..functions import lm
+
+    return lm.bigram_nll_frame(_docs(spark, sf_dir))
+
+
+QUERIES["ns_quality_nb"] = q_quality_nb
+QUERIES["ns_lm_perplexity"] = q_lm_perplexity
+
+#: the Gopher-pass conjunction over the ``toks`` CTE's (doc_id, text,
+#: tk) — shared label expression for model-based quality oracles
+_GOPHER_PASS_SQL = f"""(CAST(len(tk) AS BIGINT) >= {T.GOPHER_MIN_WORDS}
+     AND CAST(len(tk) AS BIGINT) <= {T.GOPHER_MAX_WORDS}
+     AND CAST(COALESCE(list_sum(list_transform(tk, t -> length(t))), 0)
+       AS BIGINT) >= {T.GOPHER_MIN_MEAN_WORD_LEN} * len(tk)
+     AND CAST(COALESCE(list_sum(list_transform(tk, t -> length(t))), 0)
+       AS BIGINT) <= {T.GOPHER_MAX_MEAN_WORD_LEN} * len(tk)
+     AND CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS BIGINT) * 10
+       <= len(tk)
+     AND CAST(len(list_filter(string_split(text, chr(10)),
+       l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT) * 10
+       <= CAST(len(string_split(text, chr(10))) AS BIGINT) * 9
+     AND CAST(len(list_filter(string_split(text, chr(10)),
+       l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS BIGINT) * 10
+       <= CAST(len(string_split(text, chr(10))) AS BIGINT) * 3
+     AND CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-zA-Z]')))
+       AS BIGINT) * 5 >= CAST(len(tk) AS BIGINT) * 4
+     AND CAST(len(list_filter({_GOPHER_STOPWORDS_SQL},
+       s -> list_contains(tk, s))) AS BIGINT)
+       >= {T.GOPHER_MIN_REQUIRED_STOPWORDS})"""
+
+ORACLES["ns_quality_nb"] = f"""WITH {_TOKS},
+lab AS (SELECT doc_id, tk, {_GOPHER_PASS_SQL} AS pass FROM toks),
+occ AS (
+  SELECT doc_id, pass, token, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, pass, unnest(tk) AS token FROM lab)
+  GROUP BY doc_id, pass, token),
+tc AS (
+  SELECT token,
+    CAST(SUM(CASE WHEN pass THEN tf ELSE 0 END) AS BIGINT) AS c_pos,
+    CAST(SUM(CASE WHEN pass THEN 0 ELSE tf END) AS BIGINT) AS c_neg
+  FROM occ GROUP BY token),
+tot AS (SELECT CAST(SUM(c_pos) AS DOUBLE) AS tp,
+  CAST(SUM(c_neg) AS DOUBLE) AS tn, CAST(count(*) AS DOUBLE) AS v FROM tc),
+llr AS (SELECT token,
+  CAST(ROUND((ln((c_pos + 1.0) / (tp + v)) - ln((c_neg + 1.0) / (tn + v)))
+    * 1000000.0, 0) AS BIGINT) AS llr_q
+  FROM tc CROSS JOIN tot),
+pr AS (SELECT CAST(ROUND((ln((np + 1.0) / (n + 2.0))
+    - ln((n - np + 1.0) / (n + 2.0))) * 1000000.0, 0) AS BIGINT) AS prior_q
+  FROM (SELECT CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE) AS np,
+    CAST(count(*) AS DOUBLE) AS n FROM lab)),
+sc AS (SELECT occ.doc_id, SUM(tf * llr_q) AS s
+  FROM occ JOIN llr USING (token) GROUP BY occ.doc_id)
+SELECT l.doc_id, l.pass AS gopher_pass,
+  CAST(pr.prior_q + COALESCE(sc.s, 0) AS BIGINT) AS log_odds_q,
+  (pr.prior_q + COALESCE(sc.s, 0)) > 0 AS nb_pass
+FROM lab l LEFT JOIN sc ON l.doc_id = sc.doc_id CROSS JOIN pr"""
+
+ORACLES["ns_lm_perplexity"] = f"""WITH {_TOKS},
+bg AS (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk), 1)),
+      i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS b
+    FROM toks)),
+occ AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+  FROM bg GROUP BY doc_id, w1, w2),
+cb AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS cb
+  FROM occ GROUP BY w1, w2),
+ctx AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS ctx FROM cb GROUP BY w1),
+voc AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+  FROM (SELECT unnest(tk) AS t FROM toks)),
+logp AS (SELECT cb.w1, cb.w2,
+  CAST(ROUND(ln((cb.cb + 1.0) / (ctx.ctx + voc.v)) * 1000000.0, 0)
+    AS BIGINT) AS logp_q
+  FROM cb JOIN ctx ON cb.w1 = ctx.w1 CROSS JOIN voc),
+per_doc AS (SELECT occ.doc_id,
+  CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+  CAST(-SUM(tf * logp_q) AS BIGINT) AS nll_q
+  FROM occ JOIN logp ON occ.w1 = logp.w1 AND occ.w2 = logp.w2
+  GROUP BY occ.doc_id),
+scored AS (SELECT t.doc_id,
+  COALESCE(p.n_bigrams, 0) AS n_bigrams,
+  COALESCE(p.nll_q, 0) AS nll_q,
+  CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+    THEN CAST(ROUND(CAST(p.nll_q AS DOUBLE) / p.n_bigrams, 0) AS BIGINT)
+    ELSE 0 END AS avg_q
+  FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id),
+m AS (SELECT CAST(SUM(avg_q) AS DOUBLE) / count(*) AS mean_avg_q
+  FROM scored WHERE n_bigrams > 0)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+  CAST(nll_q AS BIGINT) AS nll_q,
+  ROUND(CAST(avg_q AS DOUBLE) / 1000000.0, 6) AS avg_nll,
+  (n_bigrams > 0 AND CAST(avg_q AS DOUBLE) > m.mean_avg_q) AS flagged
+FROM scored CROSS JOIN m"""
+
+
+# ----------------------------------------------------------------------
+# r7: SQ8 scalar-quantization ANN tier
+# ----------------------------------------------------------------------
+
+
+def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 (byte-per-dimension) compressed ANN — FAISS
+    IndexScalarQuantizer's shape: per-dim affine codes trained as one
+    posexplode agg, asymmetric full-precision-query vs reconstructed-
+    corpus cosine. See operators/vector.py::sq8_topk."""
+    return vector.sq8_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K)
+
+
+def q_ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the SQ8 tier vs the exact cosine truth — prices the
+    byte-quantization loss the way ns_ann_pq_recall prices PQ's
+    (expected near-1.0: 8-bit/dim is a much finer lattice than PQ's
+    8 bytes/vector)."""
+    emb = _emb(spark, sf_dir)
+    truth = vector.brute_force_topk(emb, ANN_QUERY_IDS, k=ANN_K)
+    approx = vector.sq8_topk(emb, ANN_QUERY_IDS, k=ANN_K)
+    return quality.topk_recall(truth, approx, ANN_K, "sq8")
+
+
+QUERIES["ns_ann_sq8_topk"] = q_ann_sq8_topk
+QUERIES["ns_ann_sq8_recall"] = q_ann_sq8_recall
+
+#: SQ8 CTE block: per-dim (min, range) from the quantized corpus, then
+#: the reconstructed-lattice corpus rr(vec_id, rv, rq)
+_SQ8_CTES = f"""dims AS (SELECT range AS d FROM range(1, {EMB_DIM + 1})),
+st AS (SELECT d, min(qv[d]) AS mn, max(qv[d]) - min(qv[d]) AS rg
+  FROM e, dims GROUP BY d),
+sl AS (SELECT list(mn ORDER BY d) AS mins, list(rg ORDER BY d) AS rngs
+  FROM st),
+r AS (SELECT vec_id, list_transform(range(1, {EMB_DIM + 1}), d ->
+    CASE WHEN rngs[d] > 0
+      THEN mins[d] + CAST(ROUND(ROUND((qv[d] - mins[d]) * 255 / rngs[d], 0)
+        * rngs[d] / 255.0, 0) AS BIGINT)
+      ELSE mins[d] END) AS rv
+  FROM e CROSS JOIN sl),
+rr AS (SELECT vec_id, rv, list_dot_product(rv, rv) AS rq FROM r)"""
+
+ORACLES["ns_ann_sq8_topk"] = f"""WITH {_EMB},
+{_SQ8_CTES},
+q AS (SELECT vec_id, qv, qq FROM e WHERE vec_id < {len(ANN_QUERY_IDS)}),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    (list_dot_product(q.qv, c.rv) / (sqrt(q.qq) * sqrt(c.rq))) AS cos_raw
+  FROM q CROSS JOIN rr c WHERE c.vec_id != q.vec_id),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS INT)
+    AS "rank"
+  FROM sims)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine_sq8, "rank"
+FROM ranked WHERE "rank" <= {ANN_K}"""
+
+ORACLES["ns_ann_sq8_recall"] = f"""WITH {_EMB},
+{_SQ8_CTES},
+q AS (SELECT vec_id, qv, qq FROM e WHERE vec_id < {len(ANN_QUERY_IDS)}),
+bf_sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    {_COSR.format(a='q.qv', b='c.qv', qa='q.qq', qb='c.qq')} AS cos_raw
+  FROM q CROSS JOIN e c WHERE c.vec_id != q.vec_id),
+bf AS ({_RANKED.format(src='bf_sims', k=ANN_K)}),
+sq_sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    (list_dot_product(q.qv, c.rv) / (sqrt(q.qq) * sqrt(c.rq))) AS cos_raw
+  FROM q CROSS JOIN rr c WHERE c.vec_id != q.vec_id),
+sq AS ({_RANKED.format(src='sq_sims', k=ANN_K)}),
+qs AS (SELECT DISTINCT query_id FROM bf),
+h AS (SELECT query_id, CAST(count(*) AS BIGINT) AS hits
+  FROM bf JOIN sq USING (query_id, neighbor_id) GROUP BY query_id)
+SELECT 'sq8' AS method, qs.query_id,
+  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+  ROUND(COALESCE(h.hits, 0) / CAST({ANN_K} AS DOUBLE), 6) AS recall_at_k
+FROM qs LEFT JOIN h USING (query_id)"""
+
+
+# ----------------------------------------------------------------------
+# r7: contrastive triplet mining
+# ----------------------------------------------------------------------
+
+
+def q_triplet_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, negative) triplets for contrastive embedding
+    training: positives from the verified near-dup pair set (best
+    partner per anchor), negatives by deterministic modular probing
+    against the pair set — no rand(), identical on both engines. See
+    operators/selection.py::triplet_mine."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD
+    )
+    return selection.triplet_mine(docs, pairs)
+
+
+QUERIES["ns_triplet_mine"] = q_triplet_mine
+
+ORACLES["ns_triplet_mine"] = f"""WITH {_TOKS},
+{_sh_cte(NGRAM_N)},
+{_JACC},
+sym AS (
+  SELECT doc_a AS anchor, doc_b AS partner, jaccard FROM jacc
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+  UNION ALL
+  SELECT doc_b AS anchor, doc_a AS partner, jaccard FROM jacc
+    WHERE jaccard >= {JACCARD_THRESHOLD}),
+best AS (SELECT anchor, partner AS positive, jaccard FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor
+    ORDER BY jaccard DESC, partner ASC) AS rn FROM sym) WHERE rn = 1),
+nm AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n_max FROM documents),
+pr AS (SELECT anchor, positive, jaccard, j.range AS j,
+  (anchor * {selection.NEG_A} + j.range * {selection.NEG_B}
+    + {selection.NEG_C}) % n_max AS cand
+  FROM best CROSS JOIN nm CROSS JOIN range(0, {selection.NEG_PROBES}) j),
+valid AS (SELECT p.* FROM pr p JOIN documents d ON d.doc_id = p.cand
+  WHERE p.cand != p.anchor
+  AND NOT EXISTS (SELECT 1 FROM sym s
+    WHERE s.anchor = p.anchor AND s.partner = p.cand))
+SELECT CAST(anchor AS BIGINT) AS anchor_id,
+  CAST(positive AS BIGINT) AS positive_id,
+  jaccard AS pos_jaccard,
+  CAST(cand AS BIGINT) AS negative_id
+FROM (SELECT *, row_number() OVER (PARTITION BY anchor ORDER BY j ASC)
+  AS rnj FROM valid) WHERE rnj = 1"""

@@ -28,6 +28,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # plan changed this round).
 PRIORITY = [
     # --- r7 additions / changed oracles, never driver-checked as-is ---
+    "ns_quality_nb",
+    "ns_lm_perplexity",
+    "ns_ann_sq8_topk",
+    "ns_ann_sq8_recall",
+    "ns_triplet_mine",
     "ns_decontam_chunks",
     "ns_dedup_spans",
     "ns_dedup_keep_best",

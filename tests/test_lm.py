@@ -1,0 +1,76 @@
+"""Model-based quality filters (functions/lm.py): Naive Bayes quality
+classifier and bigram-LM perplexity — semantic invariants beyond the
+value-exact oracle checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blinkit_etl_pipeline_spark.functions import lm
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# A corpus where quality is separable by vocabulary: "good" docs are
+# long English prose with stopwords; "bad" docs are symbol-heavy spam.
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and that is a fine "
+    "sight to see because with every passing day the fields grow "
+    "greener and the rivers run clearer toward the distant blue hills "
+    "while farmers tend their quiet gardens and children walk along "
+    "the winding lanes to school with books and bright ideas about "
+    "the wide world waiting patiently for them beyond the old bridge"
+)
+BAD = "buy $$$ now ### click ... win ### free $$$ ... prize ### lucky"
+
+
+def test_nb_learns_the_vocabulary_split(spark):
+    rows = [(i, GOOD + f" extra{i}") for i in range(6)] + [
+        (10 + i, BAD + f" spam{i}") for i in range(6)
+    ]
+    out = lm.nb_quality_frame(_docs(spark, rows)).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # labels: prose passes the Gopher rules, spam fails them
+    assert all(by_id[i]["gopher_pass"] for i in range(6))
+    assert not any(by_id[10 + i]["gopher_pass"] for i in range(6))
+    # NB trained on those labels reproduces the split on seen docs
+    assert all(by_id[i]["nb_pass"] for i in range(6))
+    assert not any(by_id[10 + i]["nb_pass"] for i in range(6))
+    # log-odds are exact integers with the right signs
+    assert all(by_id[i]["log_odds_q"] > 0 for i in range(6))
+    assert all(by_id[10 + i]["log_odds_q"] < 0 for i in range(6))
+
+
+def test_nb_empty_doc_scores_the_prior(spark):
+    rows = [(0, GOOD), (1, GOOD + " again"), (2, BAD), (3, "")]
+    out = {r["doc_id"]: r for r in lm.nb_quality_frame(_docs(spark, rows)).collect()}
+    # prior: 2 pass / 4 docs (+Laplace) -> ln(3/6)-ln(3/6) = 0
+    assert out[3]["log_odds_q"] == 0 and out[3]["nb_pass"] is False
+
+
+def test_bigram_nll_flags_the_unpredictable_doc(spark):
+    # three near-identical docs (predictable bigrams) + one scramble
+    base = "a b c d e f g h i j a b c d e f g h i j"
+    rows = [
+        (0, base),
+        (1, base),
+        (2, base),
+        (3, "j a h c f e b i d g j h a f c b e g i d"),
+    ]
+    out = {r["doc_id"]: r for r in lm.bigram_nll_frame(_docs(spark, rows)).collect()}
+    assert out[3]["flagged"] and not out[0]["flagged"]
+    assert out[3]["avg_nll"] > out[0]["avg_nll"] > 0
+    # every doc has 19 bigrams; nll_q is an exact positive integer
+    assert all(out[i]["n_bigrams"] == 19 for i in range(4))
+    assert all(out[i]["nll_q"] > 0 for i in range(4))
+
+
+def test_bigram_nll_short_docs_never_flagged(spark):
+    rows = [(0, "solo"), (1, ""), (2, "a b a b a b")]
+    out = {r["doc_id"]: r for r in lm.bigram_nll_frame(_docs(spark, rows)).collect()}
+    for i in (0, 1):
+        assert out[i]["n_bigrams"] == 0
+        assert out[i]["nll_q"] == 0
+        assert out[i]["flagged"] is False

@@ -331,3 +331,35 @@ def test_shuffle_shards_rejects_nonpositive(spark):
     with pytest.raises(ValueError):
         shuffle_shards(spark.range(3).withColumnRenamed("id", "doc_id"),
                        n_shards=0)
+
+
+def test_triplet_mine_invariants(spark):
+    """Positives are the best near-dup partner; negatives are corpus
+    members that are neither the anchor nor any of its partners; the
+    whole mine is deterministic across runs."""
+    from blinkit_etl_pipeline_spark.operators import dedup, selection
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps going "
+        "through the quiet green field toward the distant hills at dawn"
+    )
+    rows = [(0, base), (1, base + " tonight"), (2, base + " forever")] + [
+        (i, f"unique document number {i} about entirely different "
+            f"topics like rivers bridges mountains and storms {i}")
+        for i in range(3, 40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.35)
+    got = selection.triplet_mine(docs, pairs).collect()
+    assert got, "near-dup cluster must anchor triplets"
+    partners = {}
+    for r in pairs.collect():
+        partners.setdefault(r["doc_a"], set()).add(r["doc_b"])
+        partners.setdefault(r["doc_b"], set()).add(r["doc_a"])
+    ids = {r[0] for r in rows}
+    for t in got:
+        a, p, n = t["anchor_id"], t["positive_id"], t["negative_id"]
+        assert p in partners[a]
+        assert n in ids and n != a and n not in partners[a]
+    again = selection.triplet_mine(docs, pairs).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))

@@ -425,3 +425,43 @@ def test_store_topk_kernels_validate_dim(spark):
     wide = [(j, c, list(v) + list(v)) for j, c, v in PQ_CODEBOOK]
     with pytest.raises(ValueError, match="width"):
         vector.pq_store_adc_topk(codes, emb, range(2), wide, dim=128)
+
+
+def test_sq8_reconstruction_error_is_bounded(spark):
+    """SQ8 codes round-trip within half a quantization step per dim:
+    |recon - x| <= range/510 + 1 on the integer lattice."""
+    import random
+
+    from blinkit_etl_pipeline_spark.operators import vector as V
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    stats = V.sq8_stats(emb)
+    q = V.with_q(emb)
+    got = q.select(
+        "qvec", V.sq8_recon(F.col("qvec"), stats).alias("rv")
+    ).collect()
+    steps = [max(mx - mn, 0) / 255.0 for mn, mx in stats]
+    for r in got:
+        for d, (x, rx) in enumerate(zip(r["qvec"], r["rv"])):
+            assert abs(rx - x) <= steps[d] / 2 + 1
+
+
+def test_sq8_topk_high_recall_vs_brute(spark):
+    """8 bits/dim is a fine lattice — top-k should nearly match the
+    exact ranking on a well-spread corpus."""
+    import random
+
+    from blinkit_etl_pipeline_spark.operators import quality as Q
+    from blinkit_etl_pipeline_spark.operators import vector as V
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    truth = V.brute_force_topk(emb, range(8), k=5)
+    approx = V.sq8_topk(emb, range(8), k=5)
+    rec = Q.topk_recall(truth, approx, 5, "sq8").agg(
+        F.avg("recall_at_k")
+    ).collect()[0][0]
+    assert rec >= 0.9
