@@ -187,12 +187,20 @@ def _ingest_rows(
     exists = snapshot.current_version(store_table) is not None
     store: DataFrame | None = None
     if exists:
-        store = snapshot.read_snapshot(spark, store_table)
+        # the store handed to searches (pre_commit_fn) is the LIVE
+        # view: retracted docs never surface as match partners
+        store = _exclude_tombstoned(
+            spark, store_table,
+            snapshot.read_snapshot(spark, store_table), id_col,
+        )
         seen = (
             seen_fn(store) if seen_fn is not None
             else store.select(id_col).distinct()
         )
         rows = rows.join(seen, id_col, "left_anti")
+    # retraction is terminal: a retracted id in a new batch is refused,
+    # not re-indexed (takedown contract — see the retraction section)
+    rows = _exclude_tombstoned(spark, store_table, rows, id_col)
     rows = rows.localCheckpoint(eager=True)
     if rows.isEmpty():
         return snapshot.current_version(store_table) or 0
@@ -418,8 +426,12 @@ def bm25_store_probe(
         int(r["doc_id"])
         for r in query_docs.select("doc_id").distinct().collect()
     ]
-    pruned = snapshot.read_snapshot_pruned(
-        spark, store_table, keys + [BM25_TKEY_STATS]
+    # live view: retracted docs never come back as neighbors (their
+    # contribution to N/avgdl persists until purge_bm25_store — the
+    # Lucene deleted-docs-in-stats shape, see the retraction section)
+    pruned = read_store_live(
+        spark, store_table, "doc_id",
+        prune_values=keys + [BM25_TKEY_STATS],
     )
     stats = (
         pruned.filter(F.col("doc_id").isNull())
@@ -618,7 +630,7 @@ def span_store_probe(
     if not keys:
         return zeros
     hist = (
-        snapshot.read_snapshot_pruned(spark, store_table, keys)
+        read_store_live(spark, store_table, "doc_id", prune_values=keys)
         .select("h").distinct()
     )
     _n_spans, _n_toks = span_counts(F.col("spans"))
@@ -654,4 +666,198 @@ def span_store_probe(
                 6,
             ).alias("coverage"),
         )
+    )
+
+
+# ----------------------------------------------------------------------
+# Document retraction (takedown / right-to-be-forgotten)
+# ----------------------------------------------------------------------
+#
+# The index stores are APPEND-ONLY and clustered by their index key
+# (band key, token hash, window hash, inverted list) — a retracted
+# document's rows are scattered across every file range, so eager
+# physical deletion would be a full-store rewrite per request. The
+# production shape is merge-on-read (Lucene liveDocs, Iceberg delete
+# files): retraction appends the doc id to a small sidecar tombstone
+# table; ingests and probes anti-join it (the tombstone side is tiny →
+# broadcast); an explicit :func:`purge_retracted` pass folds the
+# tombstones into a physical rewrite when maintenance windows allow.
+#
+# Semantics: retraction is TERMINAL for an id — a redelivered or
+# re-ingested batch never re-indexes it (the takedown contract).
+# Corpus-level statistics derived from ingest-time partials (BM25
+# N/avgdl) keep counting retracted docs until a purge recomputes them
+# — the same behavior as Lucene's deleted docs before a segment merge,
+# and documented per probe.
+
+
+def _tombstone_table(store_table: str) -> str:
+    return store_table.rstrip("/") + "_tombstones"
+
+
+def tombstones(
+    spark: SparkSession, store_table: str, id_col: str = "doc_id"
+) -> DataFrame | None:
+    """The store's retracted-id frame, or None if nothing was ever
+    retracted."""
+    t = _tombstone_table(store_table)
+    if snapshot.current_version(t) is None:
+        return None
+    return snapshot.read_snapshot(spark, t).select(id_col).distinct()
+
+
+def _exclude_tombstoned(
+    spark: SparkSession, store_table: str, df: DataFrame, id_col: str
+) -> DataFrame:
+    tb = tombstones(spark, store_table, id_col)
+    if tb is None:
+        return df
+    # tombstone side is bounded by retraction volume — broadcast anti
+    return df.join(F.broadcast(tb), id_col, "left_anti")
+
+
+def retract_docs(
+    spark: SparkSession,
+    store_table: str,
+    ids,
+    id_col: str = "doc_id",
+) -> int:
+    """Retract documents from an index store: every probe and every
+    future ingest stops seeing these ids immediately; physical bytes
+    are reclaimed later by :func:`purge_retracted`. Idempotent
+    (re-retracting appends nothing) and CAS-safe against concurrent
+    retractors — creation races resolve through the snapshot layer's
+    atomic-create commit (``expected_version=0``), append races through
+    its rebase loop. ``ids`` is a DataFrame with ``id_col`` or an
+    iterable of ints. Returns the tombstone-table version."""
+    if isinstance(ids, DataFrame):
+        frame = ids.select(
+            F.col(id_col).cast("long").alias(id_col)
+        ).distinct()
+    else:
+        frame = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} long"
+        ).distinct()
+    t = _tombstone_table(store_table)
+    last_err: Exception | None = None
+    for _ in range(snapshot.COMMIT_RETRIES):
+        cur = snapshot.current_version(t)
+        try:
+            if cur is None:
+                files = snapshot._write_data_files(frame, t, id_col)
+                return snapshot._commit(
+                    t, files, stats_col=id_col, expected_version=0
+                )
+            fresh = frame.join(
+                snapshot.read_snapshot(spark, t).select(id_col),
+                id_col,
+                "left_anti",
+            ).localCheckpoint(eager=True)
+            if fresh.isEmpty():
+                return cur
+            return snapshot.append_snapshot(fresh, t)
+        except snapshot.CommitConflictError as e:
+            last_err = e  # another retractor moved the table — re-read
+    raise last_err
+
+
+def read_store_live(
+    spark: SparkSession,
+    store_table: str,
+    id_col: str = "doc_id",
+    prune_values=None,
+) -> DataFrame:
+    """Current store rows minus retracted ids — the merge-on-read view
+    every consumer should probe. ``prune_values`` forwards to
+    :func:`snapshot.read_snapshot_pruned` (file-level pruning composes
+    with the tombstone anti-join)."""
+    df = (
+        snapshot.read_snapshot_pruned(spark, store_table, prune_values)
+        if prune_values is not None
+        else snapshot.read_snapshot(spark, store_table)
+    )
+    return _exclude_tombstoned(spark, store_table, df, id_col)
+
+
+def purge_retracted(
+    spark: SparkSession,
+    store_table: str,
+    id_col: str = "doc_id",
+    *,
+    rebuild_fn=None,
+) -> tuple[int, int]:
+    """Fold tombstones into a physical copy-on-write rewrite: the new
+    version contains no retracted rows, so scan cost and store size
+    stop paying for them (the Lucene segment-merge moment). Tombstones
+    are KEPT — retraction stays terminal for future ingests.
+
+    ``rebuild_fn(live_df) -> DataFrame`` — when given — maps the
+    surviving rows to the rows actually written, the hook for formats
+    with derived aggregate lanes (the BM25 store's stats partials —
+    see :func:`purge_bm25_store`). CAS-committed with rebase retries;
+    concurrent appends are never lost (the rewrite re-runs against the
+    winner). Returns ``(new_version, rows_removed)``; a store with no
+    tombstones returns unchanged."""
+    tb = tombstones(spark, store_table, id_col)
+    cur = snapshot.current_version(store_table)
+    if cur is None:
+        raise snapshot.SnapshotError(f"no snapshot table at {store_table}")
+    if tb is None:
+        return cur, 0
+    last_err: Exception | None = None
+    for _ in range(snapshot.COMMIT_RETRIES):
+        manifest = snapshot.read_manifest(store_table)
+        base = snapshot.read_snapshot(spark, store_table)
+        live = base.join(F.broadcast(tb), id_col, "left_anti")
+        if rebuild_fn is not None:
+            live = rebuild_fn(live)
+        live = live.localCheckpoint(eager=True)
+        removed = base.count() - live.count()
+        files = snapshot._write_data_files(
+            live, store_table, manifest.get("stats_col")
+        )
+        try:
+            version = snapshot._commit(
+                store_table,
+                files,
+                stats_col=manifest.get("stats_col"),
+                expected_version=manifest["version"],
+            )
+            return version, removed
+        except snapshot.CommitConflictError as e:
+            last_err = e  # concurrent ingest won — re-run against it
+    raise last_err
+
+
+def purge_bm25_store(
+    spark: SparkSession, store_table: str
+) -> tuple[int, int]:
+    """BM25-format purge: drops retracted postings AND rebuilds the
+    stats lane, so N/avgdl stop counting retracted documents (the
+    wrinkle plain merge-on-read leaves — Lucene's deleted-docs-in-
+    stats behavior — ends here). All per-batch stats partials are
+    replaced by ONE partial recomputed from the surviving sentinels."""
+
+    def rebuild(live: DataFrame) -> DataFrame:
+        rows = live.filter(F.col("doc_id").isNotNull())
+        stats = (
+            rows.filter(
+                F.col("token").isNull() & F.col("doc_id").isNotNull()
+            )
+            .agg(
+                F.count("*").cast("long").alias("tf"),
+                F.sum("dl").cast("long").alias("dl"),
+            )
+            .select(
+                F.lit(None).cast("long").alias("doc_id"),
+                F.lit(None).cast("string").alias("token"),
+                "tf",
+                F.coalesce(F.col("dl"), F.lit(0)).alias("dl"),
+                F.lit(BM25_TKEY_STATS).cast("long").alias("tkey"),
+            )
+        )
+        return rows.unionByName(stats)
+
+    return purge_retracted(
+        spark, store_table, "doc_id", rebuild_fn=rebuild
     )

@@ -191,10 +191,14 @@ def _commit(
     base this commit was computed against (optimistic concurrency):
     when supplied and stale, the commit conflicts WITHOUT claiming a
     version, so the caller rebases instead of silently skipping the
-    winner's changes."""
+    winner's changes. ``expected_version=0`` asserts the table does
+    not exist yet (atomic CREATE: exactly one of several racing
+    creators lands as v1; the rest conflict and can re-read)."""
     prev = current_version(table)
-    if expected_version is not None and prev != expected_version:
-        raise CommitConflictError(table, prev)
+    if expected_version is not None:
+        want = None if expected_version == 0 else expected_version
+        if prev != want:
+            raise CommitConflictError(table, prev)
     version = 1 if prev is None else prev + 1
     os.makedirs(os.path.join(table, MANIFEST_DIR), exist_ok=True)
     manifest = {

@@ -723,3 +723,83 @@ def test_bm25_probe_rejects_store_without_stats_partials(spark, tmp_path):
         incremental.bm25_store_probe(
             spark, store, docs.filter(F.col("doc_id") == 1)
         ).collect()
+
+
+def test_retraction_hides_docs_from_search_and_reingest(spark, tmp_path):
+    """Takedown contract: retracted docs stop matching immediately,
+    can never be re-ingested, and purge reclaims their rows while
+    keeping the tombstones terminal."""
+    store = str(tmp_path / "sig_retract")
+    b1 = _docs(spark, [
+        (1, BASE),
+        (2, BASE + " tonight"),
+        (3, "completely different words about spark shuffles and joins "
+            "with partitions exchanges and broadcast variables in rows"),
+    ])
+    incremental.ingest_and_find_dups(spark, store, b1)
+    # retract doc 1 (idempotent: second call appends nothing)
+    v = incremental.retract_docs(spark, store, [1])
+    assert incremental.retract_docs(spark, store, [1]) == v
+    # a new near-dup of doc 1 no longer pairs with it — doc 2 still does
+    b2 = _docs(spark, [(10, BASE + " yesterday")])
+    p2, _ = incremental.ingest_and_find_dups(spark, store, b2)
+    got = {(r["doc_a"], r["doc_b"]) for r in p2.collect()}
+    assert (1, 10) not in got and (2, 10) in got
+    # re-ingesting the retracted id is refused (no store growth)
+    before = incremental.read_store_live(spark, store).count()
+    incremental.ingest_and_find_dups(spark, store, _docs(spark, [(1, BASE)]))
+    assert incremental.read_store_live(spark, store).count() == before
+    # purge physically drops doc 1's rows; live view unchanged
+    raw_before = snapshot.read_snapshot(spark, store).count()
+    _, removed = incremental.purge_retracted(spark, store)
+    assert removed > 0
+    assert snapshot.read_snapshot(spark, store).count() == raw_before - removed
+    assert incremental.read_store_live(spark, store).count() == before
+    # tombstone stays terminal after the purge
+    incremental.ingest_and_find_dups(spark, store, _docs(spark, [(1, BASE)]))
+    assert incremental.read_store_live(spark, store).filter(
+        F.col("doc_id") == 1
+    ).count() == 0
+
+
+def test_retraction_span_and_bm25_probes(spark, tmp_path):
+    """Span-containment and BM25 probes honor tombstones; the BM25
+    purge rebuilds corpus stats so N/avgdl forget retracted docs."""
+    span_store = str(tmp_path / "span_retract")
+    docs = _docs(spark, [(1, BASE), (2, "totally unrelated words here "
+                                       "about other topics entirely")])
+    incremental.ingest_and_find_dup_spans(spark, span_store, docs, k=10)
+    probe = _docs(spark, [(99, BASE)])
+    hit = incremental.span_store_probe(spark, span_store, probe, k=10)
+    assert hit.collect()[0]["dup_tokens"] > 0
+    incremental.retract_docs(spark, span_store, [1])
+    miss = incremental.span_store_probe(spark, span_store, probe, k=10)
+    assert miss.collect()[0]["dup_tokens"] == 0
+
+    bm_store = str(tmp_path / "bm25_retract")
+    corpus = _docs(spark, [
+        (1, "alpha beta gamma delta words"),
+        (2, "alpha beta other things entirely"),
+        (3, "unrelated content about nothing shared"),
+    ])
+    incremental.ingest_bm25_postings(spark, bm_store, corpus)
+    q = _docs(spark, [(1, "alpha beta gamma delta words")])
+    res = incremental.bm25_store_probe(spark, bm_store, q)
+    assert 2 in {r["doc_id"] for r in res.collect()}
+    incremental.retract_docs(spark, bm_store, [2])
+    res2 = incremental.bm25_store_probe(spark, bm_store, q)
+    assert 2 not in {r["doc_id"] for r in res2.collect()}
+    # purge rebuilds the stats lane: one partial, counting 2 live docs
+    incremental.purge_bm25_store(spark, bm_store)
+    stats = (
+        snapshot.read_snapshot(spark, bm_store)
+        .filter(F.col("doc_id").isNull())
+        .collect()
+    )
+    assert len(stats) == 1 and stats[0]["tf"] == 2
+    # probe still answers identically from the purged store
+    res3 = incremental.bm25_store_probe(spark, bm_store, q)
+    assert 2 not in {r["doc_id"] for r in res3.collect()}
+    assert {r["doc_id"] for r in res3.collect()} == {
+        r["doc_id"] for r in res2.collect()
+    }
