@@ -4872,3 +4872,142 @@ SELECT CAST(anchor AS BIGINT) AS anchor_id,
   CAST(cand AS BIGINT) AS negative_id
 FROM (SELECT *, row_number() OVER (PARTITION BY anchor ORDER BY j ASC)
   AS rnj FROM valid) WHERE rnj = 1"""
+
+
+# ----------------------------------------------------------------------
+# r7: model-gated curation composite (the full modern pipeline)
+# ----------------------------------------------------------------------
+
+
+def q_pipeline_curation_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet/RefinedWeb-shaped curation pipeline with MODEL gates
+    composed on top of the rule gates — the full modern chain in one
+    submitted plan:
+
+    rule gates (quality score + language-ID, map-side) →
+    NB quality-classifier gate (trained on the corpus's own Gopher
+    verdicts, `functions/lm.py`) → bigram-LM perplexity gate (corpus-
+    mean threshold) → exact dedup (min-doc_id survivor) →
+    per-language stratified downsample → leak-free hash split.
+
+    The model gates cost what model training honestly costs — two
+    count-aggregation passes and a vocabulary-sized equi-join each —
+    on top of the rule pipeline's one dedup shuffle; every gate is a
+    doc_id semi-join, so the composite stays corpus-linear with no
+    driver state. Same output contract as ns_pipeline_curation.
+    """
+    from ..functions import lm
+
+    docs = _docs(spark, sf_dir)
+    nb_keep = (
+        lm.nb_quality_frame(docs).filter(F.col("nb_pass")).select("doc_id")
+    )
+    ppl_keep = (
+        lm.bigram_nll_frame(docs)
+        .filter(~F.col("flagged"))
+        .select("doc_id")
+    )
+    gated = (
+        curation_gated(docs).join(nb_keep, "doc_id").join(ppl_keep, "doc_id")
+    )
+    return curation_select(dedup.exact_dedup(gated))
+
+
+QUERIES["ns_pipeline_curation_model"] = q_pipeline_curation_model
+
+
+def _curation_model_oracle() -> str:
+    """The rule-gate curation oracle with the NB and bigram-LM keep
+    sets composed in as prefixed CTE families (nb_*, lm_*) — each a
+    verbatim replay of the standalone ns_quality_nb / ns_lm_perplexity
+    model derivations."""
+    from ..operators.selection import GATE_MOD
+
+    gate_strat = _H.format(x="CAST(doc_id AS VARCHAR) || ':strat'")
+    gate_split = _H.format(x="CAST(doc_id AS VARCHAR) || ':split'")
+    return f"""WITH {_TOKS},
+{_LANGID_SCORED},
+nb_lab AS (SELECT doc_id, tk, {_GOPHER_PASS_SQL} AS pass FROM toks),
+nb_occ AS (
+  SELECT doc_id, pass, token, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, pass, unnest(tk) AS token FROM nb_lab)
+  GROUP BY doc_id, pass, token),
+nb_tc AS (
+  SELECT token,
+    CAST(SUM(CASE WHEN pass THEN tf ELSE 0 END) AS BIGINT) AS c_pos,
+    CAST(SUM(CASE WHEN pass THEN 0 ELSE tf END) AS BIGINT) AS c_neg
+  FROM nb_occ GROUP BY token),
+nb_tot AS (SELECT CAST(SUM(c_pos) AS DOUBLE) AS tp,
+  CAST(SUM(c_neg) AS DOUBLE) AS tn, CAST(count(*) AS DOUBLE) AS v
+  FROM nb_tc),
+nb_llr AS (SELECT token,
+  CAST(ROUND((ln((c_pos + 1.0) / (tp + v)) - ln((c_neg + 1.0) / (tn + v)))
+    * 1000000.0, 0) AS BIGINT) AS llr_q
+  FROM nb_tc CROSS JOIN nb_tot),
+nb_pr AS (SELECT CAST(ROUND((ln((np + 1.0) / (n + 2.0))
+    - ln((n - np + 1.0) / (n + 2.0))) * 1000000.0, 0) AS BIGINT)
+    AS prior_q
+  FROM (SELECT CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE)
+    AS np, CAST(count(*) AS DOUBLE) AS n FROM nb_lab)),
+nb_sc AS (SELECT nb_occ.doc_id, SUM(tf * llr_q) AS s
+  FROM nb_occ JOIN nb_llr USING (token) GROUP BY nb_occ.doc_id),
+nb_keep AS (
+  SELECT l.doc_id FROM nb_lab l LEFT JOIN nb_sc ON l.doc_id = nb_sc.doc_id
+  CROSS JOIN nb_pr WHERE (nb_pr.prior_q + COALESCE(nb_sc.s, 0)) > 0),
+lm_bg AS (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk), 1)),
+      i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS b
+    FROM toks)),
+lm_occ AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+  FROM lm_bg GROUP BY doc_id, w1, w2),
+lm_cb AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS cb
+  FROM lm_occ GROUP BY w1, w2),
+lm_ctx AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS ctx
+  FROM lm_cb GROUP BY w1),
+lm_voc AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+  FROM (SELECT unnest(tk) AS t FROM toks)),
+lm_logp AS (SELECT lm_cb.w1, lm_cb.w2,
+  CAST(ROUND(ln((lm_cb.cb + 1.0) / (lm_ctx.ctx + lm_voc.v))
+    * 1000000.0, 0) AS BIGINT) AS logp_q
+  FROM lm_cb JOIN lm_ctx ON lm_cb.w1 = lm_ctx.w1 CROSS JOIN lm_voc),
+lm_per AS (SELECT lm_occ.doc_id,
+  CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+  CAST(-SUM(tf * logp_q) AS BIGINT) AS nll_q
+  FROM lm_occ JOIN lm_logp
+    ON lm_occ.w1 = lm_logp.w1 AND lm_occ.w2 = lm_logp.w2
+  GROUP BY lm_occ.doc_id),
+lm_sco AS (SELECT t.doc_id,
+  COALESCE(p.n_bigrams, 0) AS n_bigrams,
+  CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+    THEN CAST(ROUND(CAST(p.nll_q AS DOUBLE) / p.n_bigrams, 0) AS BIGINT)
+    ELSE 0 END AS avg_q
+  FROM toks t LEFT JOIN lm_per p ON t.doc_id = p.doc_id),
+lm_mn AS (SELECT CAST(SUM(avg_q) AS DOUBLE) / count(*) AS mean_avg_q
+  FROM lm_sco WHERE n_bigrams > 0),
+lm_keep AS (SELECT doc_id FROM lm_sco CROSS JOIN lm_mn
+  WHERE NOT (n_bigrams > 0 AND CAST(avg_q AS DOUBLE) > mean_avg_q)),
+kept AS (
+  SELECT langed.* FROM langed
+  JOIN nb_keep USING (doc_id) JOIN lm_keep USING (doc_id)
+  WHERE quality_score >= {CURATION_MIN_QUALITY}
+    AND n_tokens >= {CURATION_MIN_TOKENS}
+    AND predicted_lang != 'und'
+),
+surv AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+      AS rn
+    FROM kept
+  ) WHERE rn = 1
+),
+sampled AS (
+  SELECT * FROM surv
+  WHERE {gate_strat} % {GATE_MOD} < {_strata_case_sql('predicted_lang')}
+)
+SELECT doc_id, lang, predicted_lang, n_tokens, quality_score,
+  {_split_case_sql()} AS split
+FROM (SELECT *, {gate_split} % {GATE_MOD} AS g FROM sampled)"""
+
+
+ORACLES["ns_pipeline_curation_model"] = _curation_model_oracle()
