@@ -861,3 +861,73 @@ def purge_bm25_store(
     return purge_retracted(
         spark, store_table, "doc_id", rebuild_fn=rebuild
     )
+
+
+def ingest_sq8_codes(
+    spark: SparkSession,
+    store_table: str,
+    new_emb: DataFrame,
+    *,
+    stats=None,
+    compact_threshold: int | None = 64,
+    compact_target: int = 8,
+    compact_keep_versions: int = 2,
+) -> int:
+    """SQ8 twin of :func:`ingest_pq_codes`: encode a batch to
+    byte-per-dimension codes and append them to a snapshot store. The
+    per-dimension (min, max) stats ARE the quantizer — a format
+    parameter — so the first ingest trains them on its batch (or takes
+    caller-trained ``stats``) and pins them write-once in the table
+    properties; every later batch encodes against the PINNED stats
+    (out-of-range values clamp, the FAISS stored-quantizer behavior)
+    and a caller passing different stats fails loudly. Same
+    redelivery/CAS/compaction lifecycle as the sibling stores."""
+    from . import vector
+
+    existing = snapshot.table_properties(store_table).get("sq8_stats")
+    if existing is not None:
+        pinned = [tuple(int(v) for v in s) for s in existing]
+        if stats is not None and [list(s) for s in stats] != [
+            list(s) for s in pinned
+        ]:
+            raise snapshot.SnapshotError(
+                f"sq8 store at {store_table} was trained with different "
+                "stats — encode against the store's pinned quantizer"
+            )
+        stats = pinned
+    elif stats is None:
+        stats = vector.sq8_stats(new_emb)
+    snapshot.ensure_table_properties(
+        store_table, {"sq8_stats": [list(s) for s in stats]}
+    )
+    codes = vector.sq8_encode(new_emb.dropDuplicates(["vec_id"]), stats)
+    return _ingest_rows(
+        spark, store_table, codes, "vec_id",
+        compact_threshold=compact_threshold,
+        compact_target=compact_target,
+        compact_keep_versions=compact_keep_versions,
+    )
+
+
+def sq8_store_probe(
+    spark: SparkSession,
+    store_table: str,
+    queries_emb: DataFrame,
+    query_ids,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k over the persisted SQ8 code store: codes + the pinned
+    quantizer from table properties; retracted vec_ids excluded
+    (live view). Store replay ≡ the inline tier when the quantizer
+    was trained on the same corpus (pytest pins it)."""
+    from . import vector
+
+    props = snapshot.table_properties(store_table)
+    if "sq8_stats" not in props:
+        raise snapshot.SnapshotError(
+            f"no sq8 quantizer pinned at {store_table} — not an SQ8 "
+            "code store (or a pre-props store; re-ingest)"
+        )
+    stats = [tuple(int(v) for v in s) for s in props["sq8_stats"]]
+    codes = read_store_live(spark, store_table, "vec_id")
+    return vector.sq8_store_topk(codes, queries_emb, query_ids, stats, k)

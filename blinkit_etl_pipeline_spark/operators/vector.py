@@ -2141,32 +2141,61 @@ def sq8_stats(emb: DataFrame, vec: str = "embedding") -> list[tuple[int, int]]:
     ]
 
 
-def sq8_recon(qvec: Column, stats: list[tuple[int, int]]) -> Column:
-    """SQ8 round-trip of a quantized vector: per-dimension affine code
-    ``round((x-min)·255/range)`` (one byte), reconstructed back onto
-    the integer lattice ``min + round(code·range/255)``. Every step is
-    exact-int arithmetic or a fixed-order IEEE op on exact-int inputs,
-    so codes and reconstructions are bit-identical across engines —
-    the same determinism contract as :func:`quantize`. Constant
-    dimensions (range 0) reconstruct to the minimum."""
+def _sq8_mins_rngs(stats: list[tuple[int, int]]) -> tuple[Column, Column]:
     mins = F.array(*[F.lit(int(mn)).cast("long") for mn, _ in stats])
     rngs = F.array(*[F.lit(int(mx - mn)).cast("long") for mn, mx in stats])
+    return mins, rngs
+
+
+def sq8_encode_col(qvec: Column, stats: list[tuple[int, int]]) -> Column:
+    """Per-dimension affine byte code ``round((x-min)·255/range)``,
+    clamped to [0, 255] — the clamp is a no-op for the training corpus
+    (codes are in range by construction) and the FAISS behavior for
+    out-of-range values arriving AFTER training (a stored quantizer
+    applied to new batches). Exact-int inputs through fixed-order IEEE
+    ops → bit-identical across engines."""
+    mins, rngs = _sq8_mins_rngs(stats)
     z = F.arrays_zip(qvec.alias("x"), mins.alias("mn"), rngs.alias("rg"))
     return F.transform(
         z,
         lambda s: F.when(
             s["rg"] > 0,
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(
+                    F.lit(255).cast("long"),
+                    F.round(
+                        (s["x"] - s["mn"]) * F.lit(255) / s["rg"], 0
+                    ).cast("long"),
+                ),
+            ),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def sq8_decode_col(codes: Column, stats: list[tuple[int, int]]) -> Column:
+    """Reconstruct SQ8 codes onto the integer lattice:
+    ``min + round(code·range/255)`` per dimension (constant dimensions
+    → the minimum). Shared by the inline tier and the code-store probe
+    so their answers agree by construction."""
+    mins, rngs = _sq8_mins_rngs(stats)
+    z = F.arrays_zip(codes.alias("c"), mins.alias("mn"), rngs.alias("rg"))
+    return F.transform(
+        z,
+        lambda s: F.when(
+            s["rg"] > 0,
             s["mn"]
-            + F.round(
-                F.round(
-                    (s["x"] - s["mn"]) * F.lit(255) / s["rg"], 0
-                )
-                * s["rg"]
-                / F.lit(255.0),
-                0,
-            ).cast("long"),
+            + F.round(s["c"] * s["rg"] / F.lit(255.0), 0).cast("long"),
         ).otherwise(s["mn"]),
     )
+
+
+def sq8_recon(qvec: Column, stats: list[tuple[int, int]]) -> Column:
+    """SQ8 round-trip of a quantized vector (encode → decode). Every
+    step is exact-int arithmetic or a fixed-order IEEE op on exact-int
+    inputs, so codes and reconstructions are bit-identical across
+    engines — the same determinism contract as :func:`quantize`."""
+    return sq8_decode_col(sq8_encode_col(qvec, stats), stats)
 
 
 def sq8_topk(
@@ -2192,7 +2221,18 @@ def sq8_topk(
     recon = q.select(
         F.col("vec_id").alias("neighbor_id"),
         sq8_recon(F.col("qvec"), stats).alias("rv"),
-    ).withColumn("rq", qdot(F.col("rv"), F.col("rv")))
+    )
+    return _sq8_score_topk(recon, q, query_ids, k)
+
+
+def _sq8_score_topk(
+    recon: DataFrame, q: DataFrame, query_ids: Sequence[int], k: int
+) -> DataFrame:
+    """Shared SQ8 scoring tail: asymmetric cosine of full-precision
+    queries against a reconstructed (neighbor_id, rv) corpus, ranked
+    per query. Used by the inline tier and the code-store probe so
+    both rank with identical arithmetic."""
+    recon = recon.withColumn("rq", qdot(F.col("rv"), F.col("rv")))
     queries = q.filter(
         F.col("vec_id").isin(*[int(i) for i in query_ids])
     ).select(
@@ -2227,3 +2267,34 @@ def sq8_topk(
             "rank",
         )
     )
+
+
+def sq8_encode(
+    emb: DataFrame, stats: list[tuple[int, int]], vec: str = "embedding"
+) -> DataFrame:
+    """(vec_id, codes): one byte per dimension against a TRAINED stats
+    vector — the ingest half of the SQ8 code store. Map-side only."""
+    q = with_q(emb, vec)
+    return q.select(
+        "vec_id",
+        sq8_encode_col(F.col("qvec"), stats).alias("codes"),
+    )
+
+
+def sq8_store_topk(
+    codes: DataFrame,
+    queries_emb: DataFrame,
+    query_ids: Sequence[int],
+    stats: list[tuple[int, int]],
+    k: int = 5,
+) -> DataFrame:
+    """Top-k over a PERSISTED SQ8 code store: history is touched as
+    byte codes only (≈ dim bytes/vector, 8× under the int64 lattice);
+    queries stay full-precision (asymmetric, ADC-style). Identical
+    ranking arithmetic to :func:`sq8_topk` over the same corpus —
+    the store replay property the BM25/PQ stores also hold."""
+    recon = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        sq8_decode_col(F.col("codes"), stats).alias("rv"),
+    )
+    return _sq8_score_topk(recon, with_q(queries_emb), query_ids, k)

@@ -803,3 +803,91 @@ def test_retraction_span_and_bm25_probes(spark, tmp_path):
     assert {r["doc_id"] for r in res3.collect()} == {
         r["doc_id"] for r in res2.collect()
     }
+
+
+def test_sq8_store_replays_inline_tier_and_honors_retraction(
+    spark, tmp_path
+):
+    """Codes ingested in two batches against a union-trained quantizer
+    answer identically to the inline SQ8 tier over the union; a
+    retracted vector disappears from the probe."""
+    import random
+
+    from blinkit_etl_pipeline_spark.operators import vector as V
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    stats = V.sq8_stats(emb)
+    store = str(tmp_path / "sq8store")
+    b1 = emb.filter(F.col("vec_id") < 30)
+    b2 = emb.filter(F.col("vec_id") >= 30)
+    incremental.ingest_sq8_codes(spark, store, b1, stats=stats)
+    incremental.ingest_sq8_codes(spark, store, b2)
+    # redelivery: no growth
+    v = incremental.ingest_sq8_codes(spark, store, b1)
+    assert snapshot.read_snapshot(spark, store).count() == 60
+    qids = list(range(4))
+    got = incremental.sq8_store_probe(spark, store, emb, qids, k=5)
+    want = V.sq8_topk(emb, qids, k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # conflicting quantizer on a later ingest fails loudly
+    import pytest
+
+    with pytest.raises(snapshot.SnapshotError, match="pinned|different"):
+        incremental.ingest_sq8_codes(
+            spark, store, b2, stats=[(s[0] + 1, s[1]) for s in stats]
+        )
+    # retraction: the top neighbor of query 0 vanishes from the probe
+    top = got.filter(F.col("query_id") == 0).collect()[0]["neighbor_id"]
+    incremental.retract_docs(spark, store, [int(top)], id_col="vec_id")
+    after = incremental.sq8_store_probe(spark, store, emb, qids, k=5)
+    assert int(top) not in {
+        r["neighbor_id"]
+        for r in after.filter(F.col("query_id") == 0).collect()
+    }
+
+
+def test_streaming_sq8_ingest_matches_inline_tier(spark, tmp_path):
+    """File-dropped embeddings encode to SQ8 byte codes against a
+    union-trained pinned quantizer; the store probe equals the inline
+    sq8_topk over the union, and redelivery is absorbed."""
+    import glob as _glob
+    import shutil
+
+    from blinkit_etl_pipeline_spark.operators import vector
+    from blinkit_etl_pipeline_spark.streaming import file_source, sq8_ingest
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    union = emb.filter(F.col("vec_id") < 50)
+    stats = vector.sq8_stats(union)
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "sq8store")
+
+    def drop(lo, hi, tag):
+        emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)) \
+            .coalesce(1).write.parquet(str(tmp_path / tag))
+        src = _glob.glob(str(tmp_path / tag / "part-*.parquet"))[0]
+        shutil.copy(src, str(raw / f"{tag}.parquet"))
+
+    drop(0, 30, "d1")
+    drop(30, 50, "d2")
+    schema = emb.schema
+    stream = file_source.stream_files(spark, str(raw), schema, fmt="parquet")
+    sq8_ingest.run_sq8_ingest(stream, ckpt, store, stats=stats)
+    assert snapshot.read_snapshot(spark, store).count() == 50
+    qids = range(4)
+    got = sorted(map(tuple, incremental.sq8_store_probe(
+        spark, store, union, qids, k=3
+    ).collect()))
+    want = sorted(map(tuple, vector.sq8_topk(union, qids, k=3).collect()))
+    assert got == want and len(got) == 12
+    # byte-copied redelivery
+    shutil.copy(str(raw / "d1.parquet"), str(raw / "d1_again.parquet"))
+    stream = file_source.stream_files(spark, str(raw), schema, fmt="parquet")
+    sq8_ingest.run_sq8_ingest(stream, ckpt, store, stats=stats)
+    assert snapshot.read_snapshot(spark, store).count() == 50
