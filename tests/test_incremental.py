@@ -891,3 +891,49 @@ def test_streaming_sq8_ingest_matches_inline_tier(spark, tmp_path):
     stream = file_source.stream_files(spark, str(raw), schema, fmt="parquet")
     sq8_ingest.run_sq8_ingest(stream, ckpt, store, stats=stats)
     assert snapshot.read_snapshot(spark, store).count() == 50
+
+
+def test_streaming_retract_ingest(spark, tmp_path):
+    """A file-dropped takedown feed tombstones ids exactly once;
+    redelivered drops are absorbed by retraction idempotence."""
+    import glob as _glob
+    import shutil
+
+    from blinkit_etl_pipeline_spark.streaming import (
+        file_source,
+        retract_ingest,
+    )
+
+    store = str(tmp_path / "sig")
+    docs = _docs(spark, [
+        (1, BASE), (2, BASE + " tonight"), (3, "other words entirely "
+                                              "about unrelated things"),
+    ])
+    incremental.ingest_and_find_dups(spark, store, docs)
+    raw = tmp_path / "feed"
+    raw.mkdir()
+    ids = spark.createDataFrame([(1,), (3,)], "doc_id long")
+    ids.coalesce(1).write.parquet(str(tmp_path / "t1"))
+    src = _glob.glob(str(tmp_path / "t1" / "part-*.parquet"))[0]
+    shutil.copy(src, str(raw / "t1.parquet"))
+    ckpt = str(tmp_path / "ckpt")
+    stream = file_source.stream_files(
+        spark, str(raw), ids.schema, fmt="parquet"
+    )
+    retract_ingest.run_retract_ingest(stream, ckpt, store)
+    live = {r["doc_id"] for r in
+            incremental.read_store_live(spark, store)
+            .select("doc_id").distinct().collect()}
+    assert live == {2}
+    # byte-copied redelivery: tombstone table does not grow
+    v_before = snapshot.current_version(
+        incremental._tombstone_table(store)
+    )
+    shutil.copy(src, str(raw / "t1_again.parquet"))
+    stream = file_source.stream_files(
+        spark, str(raw), ids.schema, fmt="parquet"
+    )
+    retract_ingest.run_retract_ingest(stream, ckpt, store)
+    assert snapshot.current_version(
+        incremental._tombstone_table(store)
+    ) == v_before
