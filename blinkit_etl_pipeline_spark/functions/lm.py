@@ -29,18 +29,13 @@ UDFs; zero corpus-quadratic shapes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import gopher_columns, tokens
 
 #: log-term quantization scale — same granularity as the BM25 scorer
 LOGQ_SCALE = 1000000.0
-
-
-def _lnq(x: Column) -> Column:
-    """``ROUND(ln(x)·10^6) :: long`` — the int64 log quantizer."""
-    return F.round(F.log(x) * F.lit(LOGQ_SCALE), 0).cast("long")
 
 
 def nb_quality_frame(docs: DataFrame, text: str = "text") -> DataFrame:
@@ -68,13 +63,16 @@ def nb_quality_frame(docs: DataFrame, text: str = "text") -> DataFrame:
         ).alias("__tk"),
         F.col(text).alias("__text"),
     )
+    # three consumers (occurrence explode, the prior agg, the final
+    # label join) read the tokenize+gopher map pass — persist so the
+    # O(corpus tokens) work runs once (the _resolve_idx pattern)
     lab = toked.select(
         "doc_id",
         gopher_columns(F.col("__text"), F.col("__tk"))["gopher_pass"].alias(
             "pass"
         ),
         "__tk",
-    )
+    ).persist()
     # (doc_id, pass, token, tf) in ONE pass — the label is functionally
     # dependent on the document, so no join is needed to attach it
     occ = (
@@ -178,12 +176,14 @@ def bigram_nll_frame(docs: DataFrame, text: str = "text") -> DataFrame:
 
     Returns (doc_id, n_bigrams, nll_q, avg_nll, flagged).
     """
+    # three consumers (bigram explode, vocabulary agg, the doc base) —
+    # persist the tokenize pass (the _resolve_idx pattern)
     toked = docs.select(
         "doc_id",
         F.coalesce(
             tokens(F.col(text)), F.array().cast("array<string>")
         ).alias("__tk"),
-    )
+    ).persist()
     # k-1 bigram structs per doc; sequence(1, 0) counts DOWN — guard
     bg = F.when(
         F.size("__tk") >= 2,

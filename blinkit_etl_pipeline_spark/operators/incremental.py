@@ -509,7 +509,21 @@ def ingest_and_find_dup_spans(
     # the window width is a FORMAT parameter: hashes of k-token windows
     # can only ever match hashes of k-token windows, so a mixed-k store
     # silently reports zero duplication — pin k write-once and fail
-    # loudly on any later ingest that disagrees
+    # loudly on any later ingest that disagrees. A store with committed
+    # rows but NO pin predates the props format: refuse to adopt this
+    # caller's k (it may not be the width history was built with — the
+    # exact corruption the pin exists to prevent); the operator must
+    # declare the historical width explicitly.
+    if (
+        "span_window_k" not in snapshot.table_properties(store_table)
+        and snapshot.current_version(store_table) is not None
+    ):
+        raise snapshot.SnapshotError(
+            f"span store at {store_table} predates the width pin — "
+            "declare its historical k explicitly via snapshot."
+            "ensure_table_properties(store, {'span_window_k': K}) "
+            "before ingesting"
+        )
     snapshot.ensure_table_properties(store_table, {"span_window_k": k})
 
     empty = spark.createDataFrame(
@@ -730,6 +744,25 @@ def retract_docs(
     atomic-create commit (``expected_version=0``), append races through
     its rebase loop. ``ids`` is a DataFrame with ``id_col`` or an
     iterable of ints. Returns the tombstone-table version."""
+    # guard the column name BEFORE writing anything: a doc_id-default
+    # retraction against a vec_id-keyed store would create a
+    # mismatched tombstone table that breaks every later probe/ingest
+    # (and never hide the intended ids)
+    if snapshot.current_version(store_table) is not None:
+        store_cols = snapshot.read_snapshot(spark, store_table).columns
+        if id_col not in store_cols:
+            raise snapshot.SnapshotError(
+                f"store at {store_table} has no {id_col!r} column "
+                f"(columns: {store_cols}) — pass the store's id column"
+            )
+    t = _tombstone_table(store_table)
+    if snapshot.current_version(t) is not None:
+        tb_cols = snapshot.read_snapshot(spark, t).columns
+        if id_col not in tb_cols:
+            raise snapshot.SnapshotError(
+                f"tombstone table at {t} is keyed by {tb_cols}, not "
+                f"{id_col!r}"
+            )
     if isinstance(ids, DataFrame):
         frame = ids.select(
             F.col(id_col).cast("long").alias(id_col)
@@ -738,7 +771,6 @@ def retract_docs(
         frame = spark.createDataFrame(
             [(int(i),) for i in ids], f"{id_col} long"
         ).distinct()
-    t = _tombstone_table(store_table)
     last_err: Exception | None = None
     for _ in range(snapshot.COMMIT_RETRIES):
         cur = snapshot.current_version(t)
@@ -895,6 +927,14 @@ def ingest_sq8_codes(
                 "stats — encode against the store's pinned quantizer"
             )
         stats = pinned
+    elif snapshot.current_version(store_table) is not None:
+        # committed rows but no pin: a pre-props store whose quantizer
+        # is unknown — training fresh stats here would mix quantizers
+        raise snapshot.SnapshotError(
+            f"sq8 store at {store_table} has rows but no pinned "
+            "quantizer — declare it explicitly via snapshot."
+            "ensure_table_properties(store, {'sq8_stats': ...})"
+        )
     elif stats is None:
         stats = vector.sq8_stats(new_emb)
     snapshot.ensure_table_properties(

@@ -538,55 +538,58 @@ def compact_snapshot(
     raise last_err
 
 
+PROPS_DIR = "props"
+
+
 def ensure_table_properties(table: str, props: dict) -> dict:
     """Write-once table properties (format parameters that must never
     vary over a store's lifetime — a span store's window width, an
-    index's hash family). First caller's dict lands via the same
-    link-CAS as manifests; every later call VERIFIES its values against
-    the stored ones and raises :class:`SnapshotError` on mismatch, so a
-    probe or append with incompatible parameters fails loudly instead
-    of silently matching nothing. Returns the stored properties."""
-    path = os.path.join(table, "props.json")
-    os.makedirs(table, exist_ok=True)
-    try:
+    SQ8 store's quantizer). Each KEY is its own link-CAS file under
+    ``props/``, so properties declared at different times all pin
+    independently (a single whole-dict file silently dropped keys
+    added after creation — review r7): the first caller of a key
+    lands it atomically; every later call VERIFIES its value and
+    raises :class:`SnapshotError` on mismatch, so a probe or append
+    with incompatible parameters fails loudly instead of silently
+    matching nothing. Returns ALL stored properties."""
+    pdir = os.path.join(table, PROPS_DIR)
+    os.makedirs(pdir, exist_ok=True)
+    for key, value in props.items():
+        path = os.path.join(pdir, f"{key}.json")
+        if not os.path.exists(path):
+            tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(value, f)
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                pass  # lost the race — winner's value is canonical
+            finally:
+                os.unlink(tmp)
         with open(path) as f:
             stored = json.load(f)
-    except FileNotFoundError:
-        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(props, f)
-        try:
-            os.link(tmp, path)
-        except FileExistsError:
-            pass  # lost the race — winner's dict is canonical, verify below
-        finally:
-            os.unlink(tmp)
-        with open(path) as f:
-            stored = json.load(f)
-    bad = {
-        k: (stored[k], v)
-        for k, v in props.items()
-        if k in stored and stored[k] != v
-    }
-    if bad:
-        raise SnapshotError(
-            f"table properties at {table} conflict with this call: "
-            + ", ".join(
-                f"{k}: store has {s!r}, caller passed {c!r}"
-                for k, (s, c) in bad.items()
+        if stored != value:
+            raise SnapshotError(
+                f"table property {key!r} at {table} conflicts with this "
+                f"call: store has {stored!r}, caller passed {value!r}"
             )
-        )
-    return stored
+    return table_properties(table)
 
 
 def table_properties(table: str) -> dict:
     """Stored write-once properties (empty for stores predating
     :func:`ensure_table_properties` or that never declared any)."""
-    try:
-        with open(os.path.join(table, "props.json")) as f:
-            return json.load(f)
-    except FileNotFoundError:
-        return {}
+    out: dict = {}
+    for p in glob.glob(os.path.join(table, PROPS_DIR, "*.json")):
+        name = os.path.basename(p)[:-5]
+        if name.startswith(".") or ".tmp-" in name:
+            continue
+        try:
+            with open(p) as f:
+                out[name] = json.load(f)
+        except (FileNotFoundError, ValueError):
+            continue  # racing creator's torn tmp — its link lands whole
+    return out
 
 
 def expire_snapshots(table: str, keep_last: int = 1) -> list[str]:
@@ -682,15 +685,21 @@ def expire_orphans(
     if current_version(table) is None:
         raise SnapshotError(f"no snapshot table at {table}")
     # Manifests record paths as the WRITER spelled them ('store/…' vs
-    # './store/…' vs absolute); compare realpaths so a GC caller using a
-    # different-but-equivalent spelling never misclassifies live data
-    # files as orphans.
-    referenced: set[str] = set()
+    # './store/…' vs absolute, possibly relative to a DIFFERENT working
+    # directory). The invariant part of every data path is its tail —
+    # data/<commit-uuid>/<file> under the table root — so membership is
+    # compared on that 3-component key: spelling- AND cwd-independent
+    # (realpath alone still misclassified when the GC ran from another
+    # cwd than the writer of a relative-path manifest).
+    def _tail_key(p: str) -> tuple[str, ...]:
+        return tuple(os.path.normpath(p).split(os.sep)[-3:])
+
+    referenced: set[tuple[str, ...]] = set()
     for p in glob.glob(os.path.join(table, MANIFEST_DIR, "v*.json")):
         v = int(os.path.basename(p)[1:-5])
         try:
             referenced.update(
-                os.path.realpath(e["path"])
+                _tail_key(e["path"])
                 for e in read_manifest(table, v)["files"]
             )
         except SnapshotError:
@@ -706,7 +715,7 @@ def expire_orphans(
     for f in sorted(
         glob.glob(os.path.join(table, DATA_DIR, "*", "*.parquet"))
     ):
-        if os.path.realpath(f) in referenced:
+        if _tail_key(f) in referenced:
             continue
         try:
             st = os.stat(f)

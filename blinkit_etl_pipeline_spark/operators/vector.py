@@ -2147,6 +2147,22 @@ def _sq8_mins_rngs(stats: list[tuple[int, int]]) -> tuple[Column, Column]:
     return mins, rngs
 
 
+def _sq8_width_guard(arr: Column, dim: int, what: str) -> Column:
+    """Fail loudly when a vector's width disagrees with the quantizer:
+    arrays_zip would otherwise NULL-pad the short side and the
+    when/otherwise arithmetic would silently emit garbage codes (the
+    same loud-guard contract as the PQ kernels' sub·m == dim check)."""
+    return F.when(F.size(arr) == F.lit(dim), arr).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"sq8: {what} width "),
+                F.size(arr).cast("string"),
+                F.lit(f" != quantizer dim {dim}"),
+            )
+        )
+    )
+
+
 def sq8_encode_col(qvec: Column, stats: list[tuple[int, int]]) -> Column:
     """Per-dimension affine byte code ``round((x-min)·255/range)``,
     clamped to [0, 255] — the clamp is a no-op for the training corpus
@@ -2155,6 +2171,7 @@ def sq8_encode_col(qvec: Column, stats: list[tuple[int, int]]) -> Column:
     applied to new batches). Exact-int inputs through fixed-order IEEE
     ops → bit-identical across engines."""
     mins, rngs = _sq8_mins_rngs(stats)
+    qvec = _sq8_width_guard(qvec, len(stats), "embedding")
     z = F.arrays_zip(qvec.alias("x"), mins.alias("mn"), rngs.alias("rg"))
     return F.transform(
         z,
@@ -2179,6 +2196,7 @@ def sq8_decode_col(codes: Column, stats: list[tuple[int, int]]) -> Column:
     → the minimum). Shared by the inline tier and the code-store probe
     so their answers agree by construction."""
     mins, rngs = _sq8_mins_rngs(stats)
+    codes = _sq8_width_guard(codes, len(stats), "codes")
     z = F.arrays_zip(codes.alias("c"), mins.alias("mn"), rngs.alias("rg"))
     return F.transform(
         z,
@@ -2297,4 +2315,7 @@ def sq8_store_topk(
         F.col("vec_id").alias("neighbor_id"),
         sq8_decode_col(F.col("codes"), stats).alias("rv"),
     )
-    return _sq8_score_topk(recon, with_q(queries_emb), query_ids, k)
+    q = with_q(queries_emb).withColumn(
+        "qvec", _sq8_width_guard(F.col("qvec"), len(stats), "query")
+    )
+    return _sq8_score_topk(recon, q, query_ids, k)

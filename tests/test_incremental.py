@@ -937,3 +937,78 @@ def test_streaming_retract_ingest(spark, tmp_path):
     assert snapshot.current_version(
         incremental._tombstone_table(store)
     ) == v_before
+
+
+def test_pre_props_stores_refuse_silent_adoption(spark, tmp_path):
+    """A store with committed rows but no pinned format parameter
+    (pre-props layout) must refuse ingest until the operator declares
+    the historical parameter explicitly — silently adopting the
+    caller's value is exactly the corruption the pin prevents."""
+    import pytest
+    import shutil
+
+    span_store = str(tmp_path / "span_legacy")
+    docs = _docs(spark, [(1, BASE)])
+    incremental.ingest_and_find_dup_spans(spark, span_store, docs, k=10)
+    shutil.rmtree(span_store + "/props")  # simulate a pre-props store
+    with pytest.raises(snapshot.SnapshotError, match="predates"):
+        incremental.ingest_and_find_dup_spans(
+            spark, span_store, _docs(spark, [(2, BASE)]), k=8
+        )
+    # declaring the historical width re-enables ingest
+    snapshot.ensure_table_properties(span_store, {"span_window_k": 10})
+    incremental.ingest_and_find_dup_spans(
+        spark, span_store, _docs(spark, [(2, BASE)]), k=10
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    sq8_store = str(tmp_path / "sq8_legacy")
+    incremental.ingest_sq8_codes(spark, sq8_store, emb)
+    shutil.rmtree(sq8_store + "/props")
+    with pytest.raises(snapshot.SnapshotError, match="no pinned"):
+        incremental.ingest_sq8_codes(spark, sq8_store, emb)
+
+
+def test_retract_docs_validates_id_column(spark, tmp_path):
+    """Retracting a vec_id-keyed store with the doc_id default must
+    fail loudly BEFORE any tombstone is written."""
+    import pytest
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    store = str(tmp_path / "sq8_idcol")
+    incremental.ingest_sq8_codes(spark, store, emb)
+    with pytest.raises(snapshot.SnapshotError, match="no 'doc_id'"):
+        incremental.retract_docs(spark, store, [1])
+    assert snapshot.current_version(
+        incremental._tombstone_table(store)
+    ) is None
+    incremental.retract_docs(spark, store, [1], id_col="vec_id")
+
+
+def test_sq8_width_mismatch_raises(spark):
+    """Encoding or querying with a width different from the pinned
+    quantizer fails loudly instead of NULL-padding into garbage."""
+    import pytest
+
+    from blinkit_etl_pipeline_spark.operators import vector as V
+
+    emb8 = spark.createDataFrame(
+        [(i, [float(i % 3)] * 8) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    emb4 = spark.createDataFrame(
+        [(i, [float(i % 3)] * 4) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    stats = V.sq8_stats(emb8)
+    with pytest.raises(Exception, match="width"):
+        V.sq8_encode(emb4, stats).collect()
+    codes = V.sq8_encode(emb8, stats)
+    with pytest.raises(Exception, match="width"):
+        V.sq8_store_topk(codes, emb4, [0], stats, k=2).collect()

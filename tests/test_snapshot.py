@@ -445,3 +445,52 @@ def test_table_properties_write_once_and_conflict(tmp_path):
     assert S.ensure_table_properties(t, {"k": 10})["fam"] == "xxh"
     with pytest.raises(S.SnapshotError, match="conflict"):
         S.ensure_table_properties(t, {"k": 8})
+
+
+def test_expire_orphans_cwd_independent(spark, tmp_path):
+    """A relative-path manifest written from one cwd must not be
+    misread by a GC running from another cwd — membership keys on the
+    data/<commit>/<file> tail, not on process-relative resolution."""
+    import json as _json
+
+    t = str(tmp_path / "relstore")
+    S.write_snapshot(_mk(spark, 0, 30, "a"), t, stats_col="k")
+    # rewrite the manifest as a writer-relative spelling (what a job
+    # launched from tmp_path with table='relstore' records)
+    mpath = S._manifest_path(t, 1)
+    with open(mpath) as f:
+        m = _json.load(f)
+    abs_paths = [e["path"] for e in m["files"]]
+    for e in m["files"]:
+        e["path"] = os.path.relpath(e["path"], str(tmp_path))
+        assert not os.path.isabs(e["path"])
+    os.remove(mpath)
+    with open(mpath, "w") as f:
+        _json.dump(m, f)
+    old_cwd = os.getcwd()
+    other = tmp_path / "elsewhere"
+    other.mkdir()
+    try:
+        os.chdir(other)  # GC runs from a DIFFERENT cwd than the writer
+        old = __import__("time").time() - 7200
+        for p in abs_paths:
+            os.utime(p, (old, old))
+            os.utime(os.path.dirname(p), (old, old))
+        removed = S.expire_orphans(t, older_than_seconds=3600)
+        assert removed == []
+        for p in abs_paths:
+            assert os.path.exists(p), "GC deleted a live, referenced file"
+    finally:
+        os.chdir(old_cwd)
+
+
+def test_table_properties_pin_keys_added_later(tmp_path):
+    """Each key pins independently: a key declared after the table's
+    first property still lands write-once and still conflicts."""
+    t = str(tmp_path / "props2")
+    S.ensure_table_properties(t, {"a": 1})
+    got = S.ensure_table_properties(t, {"b": [2, 3]})
+    assert got == {"a": 1, "b": [2, 3]}
+    with pytest.raises(S.SnapshotError, match="conflict"):
+        S.ensure_table_properties(t, {"b": [9, 9]})
+    assert S.table_properties(t) == {"a": 1, "b": [2, 3]}
