@@ -63,16 +63,19 @@ def nb_quality_frame(docs: DataFrame, text: str = "text") -> DataFrame:
         ).alias("__tk"),
         F.col(text).alias("__text"),
     )
-    # three consumers (occurrence explode, the prior agg, the final
-    # label join) read the tokenize+gopher map pass — persist so the
-    # O(corpus tokens) work runs once (the _resolve_idx pattern)
+    # lab has three consumers (occurrence explode, prior agg, final
+    # label join) but is deliberately NOT persisted: measured at sf10
+    # (500k docs), materializing corpus-wide token arrays costs ~3x
+    # more than recomputing the map-side tokenize per branch (1.1 s
+    # unpersisted vs 3.0 s persisted) — persist pays off for SHUFFLED
+    # indexes (_resolve_idx), not for cheap map-side projections
     lab = toked.select(
         "doc_id",
         gopher_columns(F.col("__text"), F.col("__tk"))["gopher_pass"].alias(
             "pass"
         ),
         "__tk",
-    ).persist()
+    )
     # (doc_id, pass, token, tf) in ONE pass — the label is functionally
     # dependent on the document, so no join is needed to attach it
     occ = (
@@ -176,14 +179,14 @@ def bigram_nll_frame(docs: DataFrame, text: str = "text") -> DataFrame:
 
     Returns (doc_id, n_bigrams, nll_q, avg_nll, flagged).
     """
-    # three consumers (bigram explode, vocabulary agg, the doc base) —
-    # persist the tokenize pass (the _resolve_idx pattern)
+    # toked is deliberately NOT persisted (see nb_quality_frame's lab
+    # note: map-side tokenize recompute beats corpus-array caching)
     toked = docs.select(
         "doc_id",
         F.coalesce(
             tokens(F.col(text)), F.array().cast("array<string>")
         ).alias("__tk"),
-    ).persist()
+    )
     # k-1 bigram structs per doc; sequence(1, 0) counts DOWN — guard
     bg = F.when(
         F.size("__tk") >= 2,
@@ -197,6 +200,9 @@ def bigram_nll_frame(docs: DataFrame, text: str = "text") -> DataFrame:
     ).otherwise(
         F.array().cast("array<struct<w1:string,w2:string>>")
     )
+    # occ feeds the model counts (cb) AND the scoring join; cb feeds
+    # ctx AND logp — Spark's ReusedExchange covers the shared shuffle,
+    # and measured persists here were neutral-to-negative (see lab note)
     occ = (
         toked.select("doc_id", F.explode(bg).alias("b"))
         .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
