@@ -703,3 +703,54 @@ def bm25_store_topk(
             "rank",
         )
     )
+
+
+def hashed_embedding_entries(
+    docs, dim: int = 64, text: str = "text"
+):
+    """Sparse feature-hashed document embeddings — the "hashing trick"
+    (Weinberger et al. 2009, Vowpal Wabbit's representation): every
+    token maps to ``idx = h32(token:hdim) mod dim`` with a sign from an
+    independent hash bit, and a document's embedding is the signed sum
+    of its term frequencies per index. A MODEL-FREE dense proxy that
+    bridges the text corpus to the vector stack (cosine ANN, SemDeDup,
+    clustering) when no learned embeddings exist — the classic
+    bootstrap for curation pipelines.
+
+    Returned SPARSE, as (doc_id, idx, val) integer entries (zero-sum
+    indexes dropped): sparse is the scale-correct shape — similarity
+    joins probe the inverted dimension index instead of materializing
+    dense arrays, and every value is an exact integer (signed tf sums),
+    so dot products and norms are cross-engine bit-exact with no
+    quantization step at all.
+
+    One tokenize pass + one hash aggregate; both hashes are the
+    cross-engine md5-prefix ``h32``.
+    """
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.coalesce(
+                    tokens(F.col(text)), F.array().cast("array<string>")
+                )
+            ).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    idx = h32(F.concat(F.col("token"), F.lit(":hdim"))) % F.lit(dim)
+    sign = F.when(
+        h32(F.concat(F.col("token"), F.lit(":hsign"))) % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        tf.select(
+            "doc_id",
+            idx.cast("int").alias("idx"),
+            (sign * F.col("tf")).cast("long").alias("sv"),
+        )
+        .groupBy("doc_id", "idx")
+        .agg(F.sum("sv").cast("long").alias("val"))
+        .filter(F.col("val") != 0)
+    )

@@ -5011,3 +5011,106 @@ FROM (SELECT *, {gate_split} % {GATE_MOD} AS g FROM sampled)"""
 
 
 ORACLES["ns_pipeline_curation_model"] = _curation_model_oracle()
+
+
+# ----------------------------------------------------------------------
+# r7: feature-hashed document embeddings (model-free text→vector bridge)
+# ----------------------------------------------------------------------
+
+HASH_EMBED_DIM = 64
+HASH_EMBED_QUERIES = 8
+
+
+def q_text_hash_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k over MODEL-FREE feature-hashed document embeddings
+    (``functions.text.hashed_embedding_entries`` — the hashing trick):
+    the bootstrap similarity search a curation pipeline runs before
+    any learned embedding exists. Similarity is computed SPARSE: the
+    (bounded) query entries broadcast against the corpus's inverted
+    dimension index — one corpus-linear join, no dense arrays, every
+    dot/norm an exact integer so ranking is cross-engine exact."""
+    from pyspark.sql import Window
+
+    e = T.hashed_embedding_entries(_docs(spark, sf_dir), HASH_EMBED_DIM)
+    nrm = e.groupBy("doc_id").agg(F.sum(F.col("val") * F.col("val")).alias("nq"))
+    q = e.filter(F.col("doc_id") < HASH_EMBED_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "idx", F.col("val").alias("qval")
+    )
+    dots = (
+        F.broadcast(q)
+        .join(e, "idx")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("qval") * F.col("val")).cast("long").alias("dot"))
+    )
+    sims = (
+        dots.join(
+            nrm.select(F.col("doc_id").alias("query_id"), F.col("nq").alias("qn")),
+            "query_id",
+        )
+        .join(
+            nrm.select(
+                F.col("doc_id").alias("neighbor_id"), F.col("nq").alias("nn")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("nn").cast("double")))
+            ).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+QUERIES["ns_text_hash_embed_ann"] = q_text_hash_embed_ann
+
+_HE_IDX = _H.format(x="token || ':hdim'")
+_HE_SIGN = _H.format(x="token || ':hsign'")
+
+ORACLES["ns_text_hash_embed_ann"] = f"""WITH {_TOKS},
+tfq AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest(tk) AS token FROM toks)
+  GROUP BY doc_id, token),
+ent AS (
+  SELECT doc_id, CAST(({_HE_IDX}) % {HASH_EMBED_DIM} AS INT) AS idx,
+    CAST(SUM(CASE WHEN ({_HE_SIGN}) % 2 = 0 THEN tf ELSE -tf END)
+      AS BIGINT) AS val
+  FROM tfq GROUP BY doc_id, idx
+  HAVING SUM(CASE WHEN ({_HE_SIGN}) % 2 = 0 THEN tf ELSE -tf END) != 0),
+nrm AS (SELECT doc_id, CAST(SUM(val * val) AS BIGINT) AS nq
+  FROM ent GROUP BY doc_id),
+q AS (SELECT doc_id AS query_id, idx, val AS qval FROM ent
+  WHERE doc_id < {HASH_EMBED_QUERIES}),
+dots AS (
+  SELECT q.query_id, c.doc_id AS neighbor_id,
+    CAST(SUM(q.qval * c.val) AS BIGINT) AS dot
+  FROM q JOIN ent c ON q.idx = c.idx AND c.doc_id != q.query_id
+  GROUP BY q.query_id, c.doc_id),
+sims AS (
+  SELECT query_id, neighbor_id,
+    dot / (sqrt(a.nq) * sqrt(b.nq)) AS cos_raw
+  FROM dots JOIN nrm a ON dots.query_id = a.doc_id
+            JOIN nrm b ON dots.neighbor_id = b.doc_id),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS INT)
+    AS "rank"
+  FROM sims)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine_sim, "rank"
+FROM ranked WHERE "rank" <= {ANN_K}"""

@@ -74,3 +74,39 @@ def test_bigram_nll_short_docs_never_flagged(spark):
         assert out[i]["n_bigrams"] == 0
         assert out[i]["nll_q"] == 0
         assert out[i]["flagged"] is False
+
+
+def test_hashed_embeddings_separate_similar_from_dissimilar(spark):
+    """Feature-hashed embeddings: near-identical docs land close in
+    cosine, unrelated docs far — and entries are deterministic."""
+    from blinkit_etl_pipeline_spark.functions.text import (
+        hashed_embedding_entries,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [
+        (0, a),
+        (1, a + " tonight"),
+        (2, "completely different vocabulary discussing spark shuffles "
+            "partitions exchanges broadcast joins and query plans"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    e = hashed_embedding_entries(docs, dim=64)
+    ent = {}
+    for r in e.collect():
+        ent.setdefault(r["doc_id"], {})[r["idx"]] = r["val"]
+
+    def cos(x, y):
+        dot = sum(v * y.get(i, 0) for i, v in x.items())
+        import math
+        return dot / (
+            math.sqrt(sum(v * v for v in x.values()))
+            * math.sqrt(sum(v * v for v in y.values()))
+        )
+
+    assert cos(ent[0], ent[1]) > 0.9
+    assert cos(ent[0], ent[2]) < 0.5
+    # deterministic across invocations
+    again = {(r["doc_id"], r["idx"], r["val"]) for r in
+             hashed_embedding_entries(docs, dim=64).collect()}
+    assert again == {(r["doc_id"], r["idx"], r["val"]) for r in e.collect()}
