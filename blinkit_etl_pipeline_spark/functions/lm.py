@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import gopher_columns, tokens
+from .text import gopher_columns, h32, tokens
 
 #: log-term quantization scale — same granularity as the BM25 scorer
 LOGQ_SCALE = 1000000.0
@@ -277,4 +277,152 @@ def bigram_nll_frame(docs: DataFrame, text: str = "text") -> DataFrame:
             (F.col("n_bigrams") > 0)
             & (F.col("avg_q").cast("double") > F.col("mean_avg_q"))
         ).alias("flagged"),
+    )
+
+
+#: DSIR hashed-feature space size (the paper uses 10^4; 1024 keeps the
+#: model table broadcast-small while leaving hash collisions realistic)
+DSIR_BUCKETS = 1024
+
+#: modulus for the hash-derived uniform behind the Gumbel perturbation
+DSIR_UNIFORM_MOD = 1 << 20
+
+
+def dsir_frame(
+    docs: DataFrame, text: str = "text", n_buckets: int = DSIR_BUCKETS
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023) over hashed n-gram features.
+
+    The pretraining-data selector real LLM pipelines run when they
+    want raw-web data that LOOKS like a target corpus: fit two
+    bag-of-hashed-ngrams unigram models — target ``p`` (here: the
+    corpus's own Gopher-pass documents, the same weak supervision as
+    :func:`nb_quality_frame`) and raw ``q`` (the whole corpus) — and
+    weight each document by its log importance ratio
+    ``log w(x) = Σ_b c_b(x) · (ln p̂_b − ln q̂_b)`` where ``c_b`` counts
+    the document's unigrams+bigrams hashed into ``n_buckets`` buckets
+    (add-one smoothing on both models).
+
+    Resampling is Gumbel-top-k with HASH-DERIVED noise so both engines
+    draw the same "randomness": ``u = (h32(doc_id||':dsir') mod M
+    + 0.5)/M``, ``g = -ln(-ln(u))``. Every log term (model ratios and
+    Gumbel) is int64-quantized before summation, so scores are exact
+    integers. ``selected`` marks scores above the corpus mean (one
+    broadcast row — the scale-safe half-corpus cut; a deployment
+    wanting exactly N survivors ranks ``score_q`` with
+    TakeOrderedAndProject, bounded by N).
+
+    Scale shape: one tokenize/explode pass, two hash aggregates, ONE
+    broadcast join from occurrence rows to the ``n_buckets``-row model
+    table (the feature hashing bounds the model regardless of corpus
+    vocabulary — that is the trick's point at 100 TB), one-row
+    broadcast totals. Zero UDFs, zero corpus-quadratic shapes.
+
+    Returns (doc_id, target, logw_q, gumbel_q, score_q, selected).
+    """
+    toked = docs.select(
+        "doc_id",
+        F.coalesce(
+            tokens(F.col(text)), F.array().cast("array<string>")
+        ).alias("__tk"),
+        F.col(text).alias("__text"),
+    )
+    lab = toked.select(
+        "doc_id",
+        gopher_columns(F.col("__text"), F.col("__tk"))["gopher_pass"].alias(
+            "target"
+        ),
+        "__tk",
+    )
+    bigrams = F.when(
+        F.size("__tk") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__tk") - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("__tk"), i),
+                F.element_at(F.col("__tk"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = lab.select(
+        "doc_id",
+        "target",
+        F.explode(F.concat(F.col("__tk"), bigrams)).alias("g"),
+    ).select(
+        "doc_id", "target", (h32(F.col("g")) % n_buckets).alias("bucket")
+    )
+    occ = grams.groupBy("doc_id", "target", "bucket").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    model = occ.groupBy("bucket").agg(
+        F.sum(F.when(F.col("target"), F.col("tf")).otherwise(0)).alias("c_t"),
+        F.sum("tf").alias("c_r"),
+    )
+    tot = model.agg(
+        F.sum("c_t").cast("double").alias("tt"),
+        F.sum("c_r").cast("double").alias("tr"),
+    )
+    lam = model.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            (
+                F.log(
+                    (F.col("c_t") + F.lit(1.0))
+                    / (F.col("tt") + F.lit(float(n_buckets)))
+                )
+                - F.log(
+                    (F.col("c_r") + F.lit(1.0))
+                    / (F.col("tr") + F.lit(float(n_buckets)))
+                )
+            )
+            * F.lit(LOGQ_SCALE),
+            0,
+        )
+        .cast("long")
+        .alias("lam_q"),
+    )
+    logw = (
+        occ.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("lam_q")).alias("logw_q"))
+    )
+    u = (
+        (
+            h32(F.concat(F.col("doc_id").cast("string"), F.lit(":dsir")))
+            % F.lit(DSIR_UNIFORM_MOD)
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(DSIR_UNIFORM_MOD))
+    scored = (
+        lab.select("doc_id", "target")
+        .join(logw, "doc_id", "left")
+        .select(
+            "doc_id",
+            "target",
+            F.coalesce("logw_q", F.lit(0)).cast("long").alias("logw_q"),
+            F.round(-F.log(-F.log(u)) * F.lit(LOGQ_SCALE), 0)
+            .cast("long")
+            .alias("gumbel_q"),
+        )
+        .withColumn(
+            "score_q",
+            (F.col("logw_q") + F.col("gumbel_q")).cast("long"),
+        )
+    )
+    mean = scored.agg(
+        (
+            F.sum("score_q").cast("double") / F.count("*").cast("double")
+        ).alias("mean_score")
+    )
+    return scored.crossJoin(F.broadcast(mean)).select(
+        "doc_id",
+        "target",
+        "logw_q",
+        "gumbel_q",
+        "score_q",
+        (F.col("score_q").cast("double") > F.col("mean_score")).alias(
+            "selected"
+        ),
     )

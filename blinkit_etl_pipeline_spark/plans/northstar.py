@@ -5114,3 +5114,66 @@ ranked AS (
   FROM sims)
 SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine_sim, "rank"
 FROM ranked WHERE "rank" <= {ANN_K}"""
+
+
+# ----------------------------------------------------------------------
+# r7: DSIR — importance resampling for pretraining-data selection
+# ----------------------------------------------------------------------
+
+
+def q_select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al., NeurIPS 2023): hashed n-gram importance
+    weights between a target model (the corpus's Gopher-pass docs) and
+    the raw model (the whole corpus), Gumbel-top-k resampling with
+    hash-derived noise. The feature hashing bounds the model table at
+    DSIR_BUCKETS rows regardless of corpus vocabulary — the broadcast-
+    join shape that makes this selector viable at 100 TB. See
+    functions/lm.py::dsir_frame."""
+    from ..functions import lm
+
+    return lm.dsir_frame(_docs(spark, sf_dir))
+
+
+QUERIES["ns_select_dsir"] = q_select_dsir
+
+_DSIR_B = 1024
+_DSIR_M = 1 << 20
+_DSIR_U = (
+    "((("
+    + _H.format(x="CAST(l.doc_id AS VARCHAR) || ':dsir'")
+    + f") % {_DSIR_M}) + 0.5) / {_DSIR_M}.0"
+)
+
+ORACLES["ns_select_dsir"] = f"""WITH {_TOKS},
+lab AS (SELECT doc_id, tk, {_GOPHER_PASS_SQL} AS target FROM toks),
+grams AS (
+  SELECT doc_id, target, ({_H.format(x='g')}) % {_DSIR_B} AS bucket FROM (
+    SELECT doc_id, target, unnest(list_concat(tk,
+      list_transform(range(1, greatest(len(tk), 1)),
+        i -> tk[i] || ' ' || tk[i + 1]))) AS g
+    FROM lab)),
+occ AS (SELECT doc_id, target, bucket, CAST(count(*) AS BIGINT) AS tf
+  FROM grams GROUP BY doc_id, target, bucket),
+model AS (SELECT bucket,
+    CAST(SUM(CASE WHEN target THEN tf ELSE 0 END) AS BIGINT) AS c_t,
+    CAST(SUM(tf) AS BIGINT) AS c_r
+  FROM occ GROUP BY bucket),
+tot AS (SELECT CAST(SUM(c_t) AS DOUBLE) AS tt,
+  CAST(SUM(c_r) AS DOUBLE) AS tr FROM model),
+lam AS (SELECT bucket,
+  CAST(ROUND((ln((c_t + 1.0) / (tt + {_DSIR_B})) -
+              ln((c_r + 1.0) / (tr + {_DSIR_B}))) * 1000000.0, 0)
+    AS BIGINT) AS lam_q
+  FROM model CROSS JOIN tot),
+logw AS (SELECT occ.doc_id, CAST(SUM(tf * lam_q) AS BIGINT) AS logw_q
+  FROM occ JOIN lam USING (bucket) GROUP BY occ.doc_id),
+scored AS (SELECT l.doc_id, l.target,
+    COALESCE(w.logw_q, 0) AS logw_q,
+    CAST(ROUND(-ln(-ln({_DSIR_U})) * 1000000.0, 0) AS BIGINT) AS gumbel_q
+  FROM lab l LEFT JOIN logw w ON l.doc_id = w.doc_id),
+sc2 AS (SELECT doc_id, target, logw_q, gumbel_q,
+    CAST(logw_q + gumbel_q AS BIGINT) AS score_q FROM scored),
+m AS (SELECT CAST(SUM(score_q) AS DOUBLE) / count(*) AS mean_score FROM sc2)
+SELECT doc_id, target, logw_q, gumbel_q, score_q,
+  CAST(score_q AS DOUBLE) > m.mean_score AS selected
+FROM sc2 CROSS JOIN m"""

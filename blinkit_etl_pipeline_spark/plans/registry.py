@@ -28,6 +28,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # plan changed this round).
 PRIORITY = [
     # --- r7 additions / changed oracles, never driver-checked as-is ---
+    "ns_select_dsir",
     "ns_text_hash_embed_ann",
     "ns_pipeline_curation_model",
     "ns_quality_nb",

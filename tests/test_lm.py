@@ -110,3 +110,32 @@ def test_hashed_embeddings_separate_similar_from_dissimilar(spark):
     again = {(r["doc_id"], r["idx"], r["val"]) for r in
              hashed_embedding_entries(docs, dim=64).collect()}
     assert again == {(r["doc_id"], r["idx"], r["val"]) for r in e.collect()}
+
+
+def test_dsir_upweights_target_like_documents(spark):
+    # target model = Gopher-pass prose; docs sharing its n-grams get
+    # higher importance weights than vocabulary-disjoint spam
+    rows = [(i, GOOD + f" extra{i}") for i in range(6)] + [
+        (10 + i, BAD + f" spam{i}") for i in range(6)
+    ]
+    out = {r["doc_id"]: r for r in lm.dsir_frame(_docs(spark, rows)).collect()}
+    assert len(out) == 12
+    prose_w = [out[i]["logw_q"] for i in range(6)]
+    spam_w = [out[10 + i]["logw_q"] for i in range(6)]
+    assert min(prose_w) > max(spam_w)
+    # the Gumbel perturbation is hash-derived: a rerun is bit-identical
+    again = {
+        r["doc_id"]: r for r in lm.dsir_frame(_docs(spark, rows)).collect()
+    }
+    assert all(
+        out[k]["score_q"] == again[k]["score_q"]
+        and out[k]["selected"] == again[k]["selected"]
+        for k in out
+    )
+
+
+def test_dsir_empty_doc_scores_gumbel_only(spark):
+    rows = [(0, GOOD), (1, GOOD + " more"), (2, "")]
+    out = {r["doc_id"]: r for r in lm.dsir_frame(_docs(spark, rows)).collect()}
+    assert out[2]["logw_q"] == 0
+    assert out[2]["score_q"] == out[2]["gumbel_q"]
