@@ -5177,3 +5177,106 @@ m AS (SELECT CAST(SUM(score_q) AS DOUBLE) / count(*) AS mean_score FROM sc2)
 SELECT doc_id, target, logw_q, gumbel_q, score_q,
   CAST(score_q AS DOUBLE) > m.mean_score AS selected
 FROM sc2 CROSS JOIN m"""
+
+
+# ----------------------------------------------------------------------
+# r7: PageRank — iterative graph centrality in exact integers
+# ----------------------------------------------------------------------
+
+PAGERANK_ITERATIONS = 8
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier interaction graph (an edge
+    per distinct customer/supplier order relationship, both
+    directions), 8 exact-integer iterations — the web-graph centrality
+    signal curation pipelines feed quality classifiers. Returns the
+    top-20 suppliers by rank. See operators/graph.py::pagerank for the
+    integer lattice and the per-iteration single-shuffle shape."""
+    from ..operators import graph
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # namespace the bipartite ids into one long space: customer 2k,
+    # supplier 2k+1
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = graph.pagerank(edges, iterations=PAGERANK_ITERATIONS)
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return (
+        ranks.filter(F.col("node") % 2 == 1)
+        .withColumn("supplier_key", F.expr("(node - 1) div 2"))
+        .join(supplier, F.col("s_suppkey") == F.col("supplier_key"))
+        .select(
+            "supplier_key",
+            F.col("s_name").alias("name"),
+            F.col("rank_q"),
+            F.round(
+                F.col("rank_q").cast("double") / F.lit(1e12), 6
+            ).alias("rank"),
+        )
+        .orderBy(F.col("rank_q").desc(), F.col("supplier_key"))
+        .limit(20)
+    )
+
+
+QUERIES["ns_graph_pagerank"] = q_graph_pagerank
+
+
+def _pagerank_oracle(iters: int = PAGERANK_ITERATIONS) -> str:
+    scale = 10**12
+    ctes = [
+        """pairs AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src,
+  l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+        "edges AS MATERIALIZED (SELECT src, dst FROM pairs"
+        " UNION ALL SELECT dst, src FROM pairs)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges"
+        " UNION SELECT DISTINCT dst AS node FROM edges)",
+        "outdeg AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS d"
+        " FROM edges GROUP BY src)",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)",
+        f"r0 AS MATERIALIZED (SELECT node, CAST({scale} // nn.n AS BIGINT) AS r"
+        " FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (SELECT e.dst AS node,
+  CAST(SUM((85 * r.r) // (100 * o.d)) AS BIGINT) AS s
+  FROM {p} r JOIN outdeg o ON r.node = o.node
+  JOIN edges e ON e.src = r.node GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (SELECT CAST(COALESCE(SUM(r.r), 0) AS BIGINT) AS dm
+  FROM {p} r LEFT JOIN outdeg o ON r.node = o.node WHERE o.node IS NULL)"""
+        )
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (SELECT nodes.node,
+  CAST((15 * {scale}) // (100 * nn.n) + (85 * d{i}.dm) // (100 * nn.n)
+    + COALESCE(c{i}.s, 0) AS BIGINT) AS r
+  FROM nodes CROSS JOIN nn CROSS JOIN d{i}
+  LEFT JOIN c{i} ON nodes.node = c{i}.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT (node - 1) // 2 AS supplier_key, s_name AS name, r AS rank_q,
+  ROUND(r / 1000000000000.0, 6) AS "rank"
+FROM r{iters} JOIN supplier ON s_suppkey = (node - 1) // 2
+WHERE node % 2 = 1
+ORDER BY rank_q DESC, supplier_key LIMIT 20"""
+    )
+
+
+ORACLES["ns_graph_pagerank"] = _pagerank_oracle()
