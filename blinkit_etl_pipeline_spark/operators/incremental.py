@@ -971,3 +971,116 @@ def sq8_store_probe(
     stats = [tuple(int(v) for v in s) for s in props["sq8_stats"]]
     codes = read_store_live(spark, store_table, "vec_id")
     return vector.sq8_store_topk(codes, queries_emb, query_ids, stats, k)
+
+
+# ----------------------------------------------------------------------
+# Incremental view maintenance: delta partial-aggregate store
+# ----------------------------------------------------------------------
+
+
+def ingest_agg_deltas(
+    spark: SparkSession,
+    store_table: str,
+    batch: DataFrame,
+    keys: list[str],
+    sums,
+    *,
+    batch_id: str,
+    compact_threshold: int | None = 64,
+    compact_target: int = 8,
+    compact_keep_versions: int = 2,
+) -> int:
+    """Maintain a materialized sum/count aggregate from one signed
+    delta batch (operators/ivm.py algebra): fold the batch to per-key
+    partials — work ∝ THIS batch, never ∝ history — and append them
+    under ``batch_id``. Redelivery is idempotent at BATCH granularity
+    (the guard anti-joins on ``batch_id``, so a redelivered feed
+    appends nothing); the append is the same atomic CAS commit every
+    index store uses. ``sums`` maps output column → int64-quantized
+    measure (quantize BEFORE the sum — see ivm module doc); a
+    ``__sign`` column (+1 insert / −1 delete) makes deletes exact
+    negations. Returns the committed store version."""
+    from . import ivm
+
+    partials = ivm.delta_partials(batch, keys, sums).withColumn(
+        "batch_id", F.lit(batch_id).cast("string")
+    )
+    return _ingest_rows(
+        spark, store_table, partials, "batch_id",
+        compact_threshold=compact_threshold,
+        compact_target=compact_target,
+        compact_keep_versions=compact_keep_versions,
+    )
+
+
+def read_agg_store(
+    spark: SparkSession,
+    store_table: str,
+    keys: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Merge-on-read of the materialized view: Σ partials per key —
+    one aggregate over a store sized by (keys × batches), never a
+    base-table scan. Keys whose live count folded to zero (fully
+    retracted) disappear, and fold-compaction marker rows (all-zero)
+    are absorbed by the same rule."""
+    from . import ivm
+
+    return ivm.merge_partials(
+        snapshot.read_snapshot(spark, store_table), keys, sum_cols
+    )
+
+
+def compact_agg_store(
+    spark: SparkSession,
+    store_table: str,
+    keys: list[str],
+    sum_cols: list[str],
+) -> int:
+    """Fold the partial history to ONE row per live key (the agg
+    store's real compaction — file-level compaction alone leaves row
+    count growing with batches). Seen batch ids survive as all-zero
+    marker rows (one per batch, ~bytes each), so the redelivery guard
+    stays exact across folds. CAS-committed with rebase retries like
+    every store rewrite; a concurrent ingest winning the race re-runs
+    the fold against its rows."""
+    from . import ivm
+
+    cur = snapshot.current_version(store_table)
+    if cur is None:
+        raise snapshot.SnapshotError(f"no snapshot table at {store_table}")
+    last_err: Exception | None = None
+    for _ in range(snapshot.COMMIT_RETRIES):
+        manifest = snapshot.read_manifest(store_table)
+        base = snapshot.read_snapshot(spark, store_table)
+        folded = ivm.merge_partials(base, keys, sum_cols).withColumn(
+            "batch_id", F.lit(None).cast("string")
+        )
+        key_fields = {
+            f.name: f.dataType
+            for f in base.schema.fields
+            if f.name in keys
+        }
+        markers = base.select("batch_id").distinct().select(
+            *[
+                F.lit(None).cast(key_fields[k]).alias(k)
+                for k in keys
+            ],
+            *[F.lit(0).cast("long").alias(c) for c in sum_cols],
+            F.lit(0).cast("long").alias(ivm.COUNT_COL),
+            "batch_id",
+        )
+        rows = folded.unionByName(markers).localCheckpoint(eager=True)
+        files = snapshot._write_data_files(
+            rows, store_table, manifest.get("stats_col")
+        )
+        try:
+            return snapshot._commit(
+                store_table,
+                files,
+                stats_col=manifest.get("stats_col"),
+                expected_version=manifest["version"],
+            )
+        except snapshot.CommitConflictError as e:
+            last_err = e
+    raise last_err

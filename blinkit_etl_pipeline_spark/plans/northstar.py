@@ -5280,3 +5280,97 @@ ORDER BY rank_q DESC, supplier_key LIMIT 20"""
 
 
 ORACLES["ns_graph_pagerank"] = _pagerank_oracle()
+
+
+# ----------------------------------------------------------------------
+# r7: incremental view maintenance — delta-partial revenue aggregate
+# ----------------------------------------------------------------------
+
+#: IVM demo cutoff: the delete batch retracts shipments after this
+IVM_CUTOFF = "2000-01-01 00:00:00"
+
+
+def q_incr_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of the pricing-summary aggregate
+    (TPC-H Q1's shape): three INSERT delta batches (lineitem split by
+    l_orderkey % 3) and one DELETE delta batch (shipments after
+    IVM_CUTOFF, sign −1) fold to per-key partials and merge — the
+    result must equal a direct aggregate over the surviving rows,
+    which is exactly what the oracle computes. Money/quantity are
+    cent-lattice int64s, so the partial merge is order/batch-split
+    invariant (operators/ivm.py). The persisted-store form of this
+    (idempotent batch ingest, fold compaction) lives in
+    operators/incremental.py and is pytest-pinned; at 100 TB a daily
+    refresh costs one delta_partials over the day's rows, never a
+    history scan."""
+    from functools import reduce
+
+    from ..operators import ivm
+
+    li = register_base(spark, sf_dir)["lineitem"]
+    keys = ["l_returnflag", "l_linestatus"]
+    sums = {
+        "sum_qty_q": F.round(F.col("l_quantity") * 100, 0).cast("long"),
+        "sum_base_q": F.round(F.col("l_extendedprice") * 100, 0).cast(
+            "long"
+        ),
+        "sum_disc_q": F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+        ).cast("long"),
+    }
+    parts = [
+        ivm.delta_partials(
+            li.filter(F.col("l_orderkey") % 3 == b).withColumn(
+                "__sign", F.lit(1)
+            ),
+            keys,
+            sums,
+        )
+        for b in range(3)
+    ]
+    parts.append(
+        ivm.delta_partials(
+            li.filter(
+                F.col("l_shipdate")
+                > F.lit(IVM_CUTOFF).cast("timestamp_ntz")
+            ).withColumn("__sign", F.lit(-1)),
+            keys,
+            sums,
+        )
+    )
+    merged = ivm.merge_partials(
+        reduce(lambda a, b: a.unionByName(b), parts),
+        keys,
+        ["sum_qty_q", "sum_base_q", "sum_disc_q"],
+    )
+    return merged.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("sum_qty_q") / 100.0, 2).alias("sum_qty"),
+        F.round(F.col("sum_base_q") / 100.0, 2).alias("sum_base_price"),
+        F.round(F.col("sum_disc_q") / 100.0, 2).alias("sum_disc_price"),
+        F.col(ivm.COUNT_COL).alias("count_order"),
+        F.round(
+            F.col("sum_qty_q") / (100.0 * F.col(ivm.COUNT_COL)), 6
+        ).alias("avg_qty"),
+    )
+
+
+QUERIES["ns_incr_revenue"] = q_incr_revenue
+
+# the oracle is the DIRECT aggregate over surviving rows — equality IS
+# the IVM correctness statement (delta merge ≡ recompute)
+ORACLES["ns_incr_revenue"] = f"""WITH q AS (
+  SELECT l_returnflag, l_linestatus,
+    CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS qq,
+    CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS pq,
+    CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+      AS dq
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '{IVM_CUTOFF}')
+SELECT l_returnflag, l_linestatus,
+  ROUND(SUM(qq) / 100.0, 2) AS sum_qty,
+  ROUND(SUM(pq) / 100.0, 2) AS sum_base_price,
+  ROUND(SUM(dq) / 100.0, 2) AS sum_disc_price,
+  CAST(count(*) AS BIGINT) AS count_order,
+  ROUND(SUM(qq) / (100.0 * count(*)), 6) AS avg_qty
+FROM q GROUP BY l_returnflag, l_linestatus"""

@@ -30,6 +30,7 @@ PRIORITY = [
     # --- r7 additions / changed oracles, never driver-checked as-is ---
     "ns_select_dsir",
     "ns_graph_pagerank",
+    "ns_incr_revenue",
     "ns_text_hash_embed_ann",
     "ns_pipeline_curation_model",
     "ns_quality_nb",

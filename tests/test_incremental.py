@@ -1012,3 +1012,136 @@ def test_sq8_width_mismatch_raises(spark):
     codes = V.sq8_encode(emb8, stats)
     with pytest.raises(Exception, match="width"):
         V.sq8_store_topk(codes, emb4, [0], stats, k=2).collect()
+
+
+# ----------------------------------------------------------------------
+# incremental view maintenance: delta partial-aggregate store
+# ----------------------------------------------------------------------
+
+
+def _sales_rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "cat string, amount_q bigint, __sign int"
+    )
+
+
+def _read_view(spark, store):
+    out = incremental.read_agg_store(spark, store, ["cat"], ["amt"])
+    return {
+        r["cat"]: (r["amt"], r["__pcount"]) for r in out.collect()
+    }
+
+
+def test_agg_store_incremental_equals_recompute(spark, tmp_path):
+    store = str(tmp_path / "aggstore")
+    sums = {"amt": F.col("amount_q")}
+    b1 = [("a", 100, 1), ("a", 50, 1), ("b", 30, 1)]
+    b2 = [("b", 70, 1), ("c", 10, 1)]
+    incremental.ingest_agg_deltas(
+        spark, store, _sales_rows(spark, b1), ["cat"], sums, batch_id="b1"
+    )
+    incremental.ingest_agg_deltas(
+        spark, store, _sales_rows(spark, b2), ["cat"], sums, batch_id="b2"
+    )
+    assert _read_view(spark, store) == {
+        "a": (150, 2),
+        "b": (100, 2),
+        "c": (10, 1),
+    }
+    # redelivered batch appends nothing (idempotent at batch grain)
+    incremental.ingest_agg_deltas(
+        spark, store, _sales_rows(spark, b2), ["cat"], sums, batch_id="b2"
+    )
+    assert _read_view(spark, store)["b"] == (100, 2)
+
+
+def test_agg_store_deletes_retract_exactly(spark, tmp_path):
+    store = str(tmp_path / "aggstore_del")
+    sums = {"amt": F.col("amount_q")}
+    ins = [("a", 100, 1), ("a", 50, 1), ("b", 30, 1)]
+    dels = [("a", 50, -1), ("b", 30, -1)]
+    incremental.ingest_agg_deltas(
+        spark, store, _sales_rows(spark, ins), ["cat"], sums, batch_id="i"
+    )
+    incremental.ingest_agg_deltas(
+        spark, store, _sales_rows(spark, dels), ["cat"], sums, batch_id="d"
+    )
+    view = _read_view(spark, store)
+    # a's deleted row is exactly negated; b folded to count 0 → gone
+    assert view == {"a": (100, 1)}
+
+
+def test_agg_store_fold_compaction_preserves_view_and_guard(
+    spark, tmp_path
+):
+    store = str(tmp_path / "aggstore_fold")
+    sums = {"amt": F.col("amount_q")}
+    for i in range(6):
+        rows = [("a", 10 + i, 1), ("k%d" % i, 5, 1)]
+        incremental.ingest_agg_deltas(
+            spark, store, _sales_rows(spark, rows), ["cat"], sums,
+            batch_id=f"b{i}",
+        )
+    before = _read_view(spark, store)
+    incremental.compact_agg_store(spark, store, ["cat"], ["amt"])
+    after = _read_view(spark, store)
+    assert before == after
+    # partial rows folded to one per live key (+ one marker per batch)
+    folded = snapshot.read_snapshot(spark, store)
+    data_rows = folded.filter(F.col("cat").isNotNull()).count()
+    assert data_rows == len(after)
+    markers = folded.filter(F.col("cat").isNull())
+    assert markers.count() == 6
+    # the redelivery guard survives the fold: old batch ids still bounce
+    incremental.ingest_agg_deltas(
+        spark, store,
+        _sales_rows(spark, [("a", 999, 1)]), ["cat"], sums,
+        batch_id="b3",
+    )
+    assert _read_view(spark, store) == after
+
+
+def test_streaming_agg_ingest_maintains_view(spark, tmp_path):
+    """Signed delta files drain into the agg store exactly once per
+    epoch; the live view tracks the running aggregate. Contract note:
+    unlike the id-guarded index stores, a byte-copied file redrop IS a
+    new delta (CDC feeds identify deltas by offset, not content) —
+    only epoch replay under one checkpoint lineage is absorbed."""
+    import glob as _glob
+    import shutil
+
+    from blinkit_etl_pipeline_spark.streaming import agg_ingest, file_source
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "saggstore")
+    schema = "cat string, amount_q bigint, __sign int"
+
+    def drop(rows, tag):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp_path / tag)
+        )
+        src = _glob.glob(str(tmp_path / tag / "part-*.parquet"))[0]
+        shutil.copy(src, str(raw / f"{tag}.parquet"))
+
+    sums = {"amt": F.col("amount_q")}
+    drop([("a", 100, 1), ("b", 30, 1)], "d1")
+    stream = file_source.stream_files(spark, str(raw), schema, fmt="parquet")
+    agg_ingest.run_agg_ingest(stream, ckpt, store, ["cat"], sums)
+    drop([("a", 50, 1), ("b", 30, -1)], "d2")
+    stream = file_source.stream_files(spark, str(raw), schema, fmt="parquet")
+    agg_ingest.run_agg_ingest(stream, ckpt, store, ["cat"], sums)
+    view = {
+        r["cat"]: (r["amt"], r["__pcount"])
+        for r in incremental.read_agg_store(
+            spark, store, ["cat"], ["amt"]
+        ).collect()
+    }
+    assert view == {"a": (150, 2)}  # b fully retracted
+    # no new files → no new epochs → unchanged
+    stream = file_source.stream_files(spark, str(raw), schema, fmt="parquet")
+    agg_ingest.run_agg_ingest(stream, ckpt, store, ["cat"], sums)
+    assert incremental.read_agg_store(
+        spark, store, ["cat"], ["amt"]
+    ).count() == 1
