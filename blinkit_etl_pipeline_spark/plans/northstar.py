@@ -5374,3 +5374,102 @@ SELECT l_returnflag, l_linestatus,
   CAST(count(*) AS BIGINT) AS count_order,
   ROUND(SUM(qq) / (100.0 * count(*)), 6) AS avg_qty
 FROM q GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_incr_category_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the reference's curated
+    revenue-by-category aggregate (IA1 shape, `operators/agg.py::
+    revenue_by_category`) — including its COUNT(DISTINCT) measures,
+    which plain signed sums cannot maintain. The classic fix
+    (Materialize's hierarchical reduction): persist partials at the
+    FINER grain (category, customer, order) — self-maintainable
+    sums/counts under insert/delete deltas through static dims
+    (ΔV = γ(Δfact ⋈ dims)) — and derive the distinct counts at read
+    time from the distinct-free cascade. Store size ∝ live (category,
+    customer, order) combinations (orders-sized, ≪ fact); refresh
+    cost ∝ the delta batch. Deltas: three lineitem insert batches +
+    one delete batch retracting post-IVM_CUTOFF shipments; the oracle
+    recomputes directly over survivors — equality IS the maintenance
+    proof."""
+    from functools import reduce
+
+    from ..operators import ivm
+
+    t = register_base(spark, sf_dir)
+    li, orders, part = t["lineitem"], t["orders"], t["part"]
+    keys = ["p_type", "o_custkey", "l_orderkey"]
+    sums = {
+        "rev_q": F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    }
+
+    def fact_delta(batch: DataFrame, sign: int) -> DataFrame:
+        return (
+            batch.join(
+                orders.select("o_orderkey", "o_custkey"),
+                batch["l_orderkey"] == F.col("o_orderkey"),
+            )
+            .join(
+                F.broadcast(part.select("p_partkey", "p_type")),
+                F.col("l_partkey") == F.col("p_partkey"),
+            )
+            .withColumn("__sign", F.lit(sign))
+        )
+
+    parts = [
+        ivm.delta_partials(
+            fact_delta(li.filter(F.col("l_orderkey") % 3 == b), 1),
+            keys,
+            sums,
+        )
+        for b in range(3)
+    ]
+    parts.append(
+        ivm.delta_partials(
+            fact_delta(
+                li.filter(
+                    F.col("l_shipdate")
+                    > F.lit(IVM_CUTOFF).cast("timestamp_ntz")
+                ),
+                -1,
+            ),
+            keys,
+            sums,
+        )
+    )
+    merged = ivm.merge_partials(
+        reduce(lambda a, b: a.unionByName(b), parts), keys, ["rev_q"]
+    )
+    per_customer = merged.groupBy("p_type", "o_custkey").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("rev_q").alias("rev_q"),
+    )
+    return per_customer.groupBy("p_type").agg(
+        F.sum("n_orders").cast("long").alias("total_orders"),
+        F.count("*").cast("long").alias("unique_customers"),
+        F.round(F.sum("rev_q") / 100.0, 2).alias("total_revenue"),
+        F.round(
+            F.sum("rev_q") / (100.0 * F.sum("n_orders")), 2
+        ).alias("avg_order_value"),
+    ).withColumnRenamed("p_type", "category")
+
+
+QUERIES["ns_incr_category_revenue"] = q_incr_category_revenue
+
+ORACLES["ns_incr_category_revenue"] = f"""WITH f AS (
+  SELECT p_type, o_custkey, l_orderkey,
+    CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS pq
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate <= TIMESTAMP '{IVM_CUTOFF}'),
+g1 AS (SELECT p_type, o_custkey, l_orderkey, CAST(SUM(pq) AS BIGINT) AS pq
+  FROM f GROUP BY p_type, o_custkey, l_orderkey),
+g2 AS (SELECT p_type, o_custkey, CAST(count(*) AS BIGINT) AS n,
+    CAST(SUM(pq) AS BIGINT) AS pq
+  FROM g1 GROUP BY p_type, o_custkey)
+SELECT p_type AS category,
+  CAST(SUM(n) AS BIGINT) AS total_orders,
+  CAST(count(*) AS BIGINT) AS unique_customers,
+  ROUND(SUM(pq) / 100.0, 2) AS total_revenue,
+  ROUND(SUM(pq) / (100.0 * SUM(n)), 2) AS avg_order_value
+FROM g2 GROUP BY p_type"""

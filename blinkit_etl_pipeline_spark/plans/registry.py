@@ -31,6 +31,7 @@ PRIORITY = [
     "ns_select_dsir",
     "ns_graph_pagerank",
     "ns_incr_revenue",
+    "ns_incr_category_revenue",
     "ns_text_hash_embed_ann",
     "ns_pipeline_curation_model",
     "ns_quality_nb",

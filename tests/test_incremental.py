@@ -1145,3 +1145,38 @@ def test_streaming_agg_ingest_maintains_view(spark, tmp_path):
     assert incremental.read_agg_store(
         spark, store, ["cat"], ["amt"]
     ).count() == 1
+
+
+def test_agg_store_hierarchical_distinct_counts(spark, tmp_path):
+    """COUNT(DISTINCT) maintenance via the finer-grain store
+    (ns_incr_category_revenue's shape): partials keyed (cat, cust,
+    order) stay self-maintainable; read-time cascade derives the
+    distinct counts; a delete delta retracts a customer's only order
+    and the distinct count follows."""
+    store = str(tmp_path / "hier")
+    schema = "cat string, cust bigint, ord bigint, amount_q bigint, __sign int"
+    keys = ["cat", "cust", "ord"]
+    sums = {"amt": F.col("amount_q")}
+
+    def ingest(rows, bid):
+        incremental.ingest_agg_deltas(
+            spark, store,
+            spark.createDataFrame(rows, schema), keys, sums, batch_id=bid,
+        )
+
+    ingest([("a", 1, 10, 100, 1), ("a", 1, 11, 50, 1),
+            ("a", 2, 12, 30, 1), ("b", 3, 13, 70, 1)], "b1")
+    ingest([("a", 2, 12, 30, -1)], "del")  # cust 2's only order
+    view = incremental.read_agg_store(spark, store, keys, ["amt"])
+    per_cust = view.groupBy("cat", "cust").agg(
+        F.count("*").alias("n"), F.sum("amt").alias("amt")
+    )
+    out = {
+        r["cat"]: (r["orders"], r["custs"], r["amt"])
+        for r in per_cust.groupBy("cat").agg(
+            F.sum("n").alias("orders"),
+            F.count("*").alias("custs"),
+            F.sum("amt").alias("amt"),
+        ).collect()
+    }
+    assert out == {"a": (2, 1, 150), "b": (1, 1, 70)}
