@@ -137,3 +137,56 @@ def table_stats(
         "min_value",
         "max_value",
     )
+
+
+def drift_psi(buckets: DataFrame) -> DataFrame:
+    """Population Stability Index per feature between a reference and
+    a current corpus slice — the drift monitor data pipelines run
+    between crawl snapshots before retraining (PSI ≳ 0.25 = major
+    shift, the classic credit-scoring rule of thumb).
+
+    Input: ``(feature, bucket, is_cur, cnt)`` — pre-bucketed counts
+    for both slices (categorical values, integer log-length bands,
+    hashed-token buckets ...). For each feature, over the UNION of its
+    observed buckets with add-one smoothing (so one-sided buckets
+    stay finite):
+
+    ``psi = Σ_b (p_b − q_b) · ln(p_b / q_b)``,
+    ``p`` current, ``q`` reference.
+
+    Each bucket term is int64-quantized (×10^9) before the sum — the
+    repo's exact-integer float discipline — so ``psi_q`` is
+    bit-stable. Scale shape: one hash aggregate to fold the slices,
+    one feature-sized broadcast of totals; buckets are bounded by
+    construction (hash/band spaces), so the whole frame is
+    model-sized, never corpus-sized.
+
+    Returns ``(feature, n_buckets, psi_q, psi, drifted)``.
+    """
+    folded = buckets.groupBy("feature", "bucket").agg(
+        F.sum(F.when(F.col("is_cur"), F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("c_cur"),
+        F.sum(F.when(~F.col("is_cur"), F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("c_ref"),
+    )
+    tot = folded.groupBy("feature").agg(
+        F.sum("c_cur").cast("double").alias("t_cur"),
+        F.sum("c_ref").cast("double").alias("t_ref"),
+        F.count("*").cast("double").alias("b"),
+    )
+    p = (F.col("c_cur") + F.lit(1.0)) / (F.col("t_cur") + F.col("b"))
+    q = (F.col("c_ref") + F.lit(1.0)) / (F.col("t_ref") + F.col("b"))
+    terms = folded.join(F.broadcast(tot), "feature").select(
+        "feature",
+        F.round((p - q) * (F.log(p) - F.log(q)) * F.lit(1e9), 0)
+        .cast("long")
+        .alias("term_q"),
+    )
+    return terms.groupBy("feature").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("term_q").cast("long").alias("psi_q"),
+        F.round(F.sum("term_q") / F.lit(1e9), 6).alias("psi"),
+        (F.sum("term_q") > F.lit(int(0.25 * 1e9))).alias("drifted"),
+    )

@@ -5473,3 +5473,96 @@ SELECT p_type AS category,
   ROUND(SUM(pq) / 100.0, 2) AS total_revenue,
   ROUND(SUM(pq) / (100.0 * SUM(n)), 2) AS avg_order_value
 FROM g2 GROUP BY p_type"""
+
+
+# ----------------------------------------------------------------------
+# r7: corpus drift monitoring (PSI between corpus slices)
+# ----------------------------------------------------------------------
+
+#: hashed-token PSI bucket space (bounded model size at any corpus)
+DRIFT_TOKEN_BUCKETS = 256
+
+
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability drift between two corpus slices (even- vs
+    odd-indexed sources — the stand-in for consecutive crawl
+    snapshots): PSI over the language mix, the log2 document-length
+    bands, and a 256-bucket hashed-token distribution. The monitor a
+    pipeline runs BEFORE retraining on a new snapshot; all three
+    features fold to bounded bucket tables, so the check costs one
+    tokenize pass + model-sized aggregates at any corpus size. See
+    operators/profile.py::drift_psi."""
+    from ..operators import profile
+
+    docs = _docs(spark, sf_dir)
+    is_cur = (
+        (F.substring(F.col("source"), 4, 10).cast("int") % 2) == 1
+    ).alias("is_cur")
+    one = F.lit(1).cast("long").alias("cnt")
+    lang_b = docs.select(
+        F.lit("lang").alias("feature"),
+        F.col("lang").alias("bucket"),
+        is_cur,
+        one,
+    )
+    len_b = docs.select(
+        F.lit("log_len").alias("feature"),
+        F.floor(F.log2(F.col("n_chars") + 1))
+        .cast("long")
+        .cast("string")
+        .alias("bucket"),
+        is_cur,
+        one,
+    )
+    tok_b = docs.select(
+        "source", F.explode(T.tokens(F.col("text"))).alias("token")
+    ).select(
+        F.lit("token").alias("feature"),
+        (T.h32(F.col("token")) % DRIFT_TOKEN_BUCKETS)
+        .cast("string")
+        .alias("bucket"),
+        is_cur,
+        one,
+    )
+    return profile.drift_psi(
+        lang_b.unionByName(len_b).unionByName(tok_b)
+    )
+
+
+QUERIES["ns_corpus_drift"] = q_corpus_drift
+
+_DRIFT_CUR = "(CAST(substr(source, 4) AS INT) % 2) = 1"
+
+ORACLES["ns_corpus_drift"] = f"""WITH {_TOKS},
+b AS (
+  SELECT 'lang' AS feature, lang AS bucket, {_DRIFT_CUR} AS is_cur,
+    CAST(1 AS BIGINT) AS cnt FROM documents
+  UNION ALL
+  SELECT 'log_len', CAST(CAST(floor(log2(n_chars + 1)) AS BIGINT)
+    AS VARCHAR), {_DRIFT_CUR}, CAST(1 AS BIGINT) FROM documents
+  UNION ALL
+  SELECT 'token', CAST(({_H.format(x='tok')}) % {DRIFT_TOKEN_BUCKETS}
+    AS VARCHAR), {_DRIFT_CUR}, CAST(1 AS BIGINT)
+  FROM (SELECT t.doc_id, d.source, unnest(t.tk) AS tok
+        FROM toks t JOIN documents d ON t.doc_id = d.doc_id)),
+folded AS (
+  SELECT feature, bucket,
+    CAST(SUM(CASE WHEN is_cur THEN cnt ELSE 0 END) AS BIGINT) AS c_cur,
+    CAST(SUM(CASE WHEN is_cur THEN 0 ELSE cnt END) AS BIGINT) AS c_ref
+  FROM b GROUP BY feature, bucket),
+tot AS (
+  SELECT feature, CAST(SUM(c_cur) AS DOUBLE) AS t_cur,
+    CAST(SUM(c_ref) AS DOUBLE) AS t_ref,
+    CAST(count(*) AS DOUBLE) AS bb
+  FROM folded GROUP BY feature),
+terms AS (
+  SELECT folded.feature,
+    CAST(ROUND((((c_cur + 1.0) / (t_cur + bb)) - ((c_ref + 1.0) / (t_ref + bb)))
+      * (ln((c_cur + 1.0) / (t_cur + bb)) - ln((c_ref + 1.0) / (t_ref + bb)))
+      * 1000000000.0, 0) AS BIGINT) AS term_q
+  FROM folded JOIN tot ON folded.feature = tot.feature)
+SELECT feature, CAST(count(*) AS BIGINT) AS n_buckets,
+  CAST(SUM(term_q) AS BIGINT) AS psi_q,
+  ROUND(SUM(term_q) / 1000000000.0, 6) AS psi,
+  SUM(term_q) > 250000000 AS drifted
+FROM terms GROUP BY feature"""

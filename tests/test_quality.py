@@ -605,3 +605,32 @@ def test_span_dedup_short_docs_untouched(spark):
     assert rows[1]["clean_text"] == "a b"  # exact dup, but < k tokens
     assert rows[3]["clean_text"] == ""
     assert rows[3]["n_tokens"] == 0
+
+
+# ----------------------------------------------------------------------
+# corpus drift (operators/profile.py::drift_psi)
+# ----------------------------------------------------------------------
+
+
+def test_drift_psi_zero_for_identical_slices(spark):
+    from blinkit_etl_pipeline_spark.operators import profile
+
+    rows = [("f", b, cur, 50) for b in ["a", "b", "c"] for cur in (True, False)]
+    out = profile.drift_psi(
+        spark.createDataFrame(
+            rows, "feature string, bucket string, is_cur boolean, cnt long"
+        )
+    ).collect()
+    assert len(out) == 1 and out[0]["psi_q"] == 0 and not out[0]["drifted"]
+
+
+def test_drift_psi_flags_disjoint_distributions(spark):
+    from blinkit_etl_pipeline_spark.operators import profile
+
+    rows = [("f", "a", False, 100), ("f", "b", True, 100)]
+    out = profile.drift_psi(
+        spark.createDataFrame(
+            rows, "feature string, bucket string, is_cur boolean, cnt long"
+        )
+    ).collect()[0]
+    assert out["drifted"] and out["psi"] > 1.0 and out["n_buckets"] == 2
