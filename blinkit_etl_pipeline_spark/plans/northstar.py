@@ -5566,3 +5566,101 @@ SELECT feature, CAST(count(*) AS BIGINT) AS n_buckets,
   ROUND(SUM(term_q) / 1000000000.0, 6) AS psi,
   SUM(term_q) > 250000000 AS drifted
 FROM terms GROUP BY feature"""
+
+
+# ----------------------------------------------------------------------
+# r7: declarative data-quality verification (Deequ shape)
+# ----------------------------------------------------------------------
+
+
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-suite verification over the raw zone (the Deequ/
+    Great-Expectations gate the reference never runs): orders gets
+    key-uniqueness, completeness, accepted-status, price-range and
+    priority-shape checks; lineitem gets foreign-key inclusion into
+    orders plus discount/quantity ranges. All row-local constraints
+    per table share ONE aggregate; uniqueness adds one key-grouped
+    aggregate; the FK check is one broadcast anti-join — see
+    operators/expect.py. Verdicts are exact counts, so the frame is
+    oracle-checkable and versionable."""
+    from ..operators import expect as E
+
+    t = register_base(spark, sf_dir)
+    orders, li = t["orders"], t["lineitem"]
+    o_res = E.verify(
+        spark,
+        orders,
+        [
+            E.unique("o_orderkey"),
+            E.complete("o_custkey"),
+            E.in_set("o_orderstatus", "O", "F", "P"),
+            E.in_range("o_totalprice", 0.0, 1000000.0),
+            E.matches("o_orderpriority", "^[1-5]-"),
+        ],
+    ).withColumn("tbl", F.lit("orders"))
+    l_res = E.verify(
+        spark,
+        li,
+        [
+            E.references("l_orderkey", orders.select("o_orderkey"), "o_orderkey"),
+            E.in_range("l_discount", 0.0, 0.1),
+            E.in_range("l_quantity", 1.0, 50.0),
+        ],
+    ).withColumn("tbl", F.lit("lineitem"))
+    return o_res.unionByName(l_res).select(
+        "tbl", "constraint", "column", "violations", "total", "ratio",
+        "passed",
+    )
+
+
+QUERIES["ns_data_quality"] = q_data_quality
+
+ORACLES["ns_data_quality"] = """WITH uq AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY o_orderkey),
+fk AS (
+  SELECT CAST(count(*) AS BIGINT) AS v FROM lineitem l
+  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey IS NULL),
+rows_ AS (
+  SELECT 'orders' AS tbl, 'unique' AS "constraint", 'o_orderkey' AS "column",
+    (SELECT CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n ELSE 0 END), 0)
+      AS BIGINT) FROM uq) AS violations,
+    (SELECT CAST(SUM(n) AS BIGINT) FROM uq) AS total
+  UNION ALL
+  SELECT 'orders', 'complete', 'o_custkey',
+    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+    CAST(count(*) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'orders', 'in_set', 'o_orderstatus',
+    CAST(SUM(CASE WHEN o_orderstatus IS NULL
+      OR o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT),
+    CAST(count(*) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'orders', 'in_range', 'o_totalprice',
+    CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0.0
+      OR o_totalprice > 1000000.0 THEN 1 ELSE 0 END) AS BIGINT),
+    CAST(count(*) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'orders', 'matches', 'o_orderpriority',
+    CAST(SUM(CASE WHEN o_orderpriority IS NULL
+      OR NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END)
+      AS BIGINT),
+    CAST(count(*) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'lineitem', 'references', 'l_orderkey',
+    (SELECT v FROM fk), CAST(count(*) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'lineitem', 'in_range', 'l_discount',
+    CAST(SUM(CASE WHEN l_discount IS NULL OR l_discount < 0.0
+      OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT),
+    CAST(count(*) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'lineitem', 'in_range', 'l_quantity',
+    CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1.0
+      OR l_quantity > 50.0 THEN 1 ELSE 0 END) AS BIGINT),
+    CAST(count(*) AS BIGINT) FROM lineitem)
+SELECT tbl, "constraint", "column", violations, total,
+  ROUND(violations / CAST(total AS DOUBLE), 6) AS ratio,
+  violations = 0 AS passed
+FROM rows_"""

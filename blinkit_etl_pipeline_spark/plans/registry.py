@@ -33,6 +33,7 @@ PRIORITY = [
     "ns_incr_revenue",
     "ns_incr_category_revenue",
     "ns_corpus_drift",
+    "ns_data_quality",
     "ns_text_hash_embed_ann",
     "ns_pipeline_curation_model",
     "ns_quality_nb",
