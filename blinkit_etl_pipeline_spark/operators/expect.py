@@ -105,15 +105,20 @@ def verify(spark: SparkSession, df: DataFrame, constraints) -> DataFrame:
                 .alias(f"__v{i}")
             )
         row = df.agg(*aggs)
+        # unpivot the ONE aggregate row with stack() — selecting each
+        # constraint as its own frame would duplicate the whole-table
+        # scan once per constraint (caught by the plan audit: 10 scans
+        # for 8 constraints before this)
+        parts = []
         for i, c in enumerate(local):
-            frames.append(
-                row.select(
-                    F.lit(c.kind).alias("constraint"),
-                    F.lit(c.column).alias("column"),
-                    F.col(f"__v{i}").alias("violations"),
-                    F.col("__total").alias("total"),
-                )
+            parts += [f"'{c.kind}'", f"'{c.column}'", f"__v{i}"]
+        frames.append(
+            row.selectExpr(
+                f"stack({len(local)}, {', '.join(parts)})"
+                " AS (constraint, column, violations)",
+                "__total AS total",
             )
+        )
     for c in constraints:
         if c.kind == "unique":
             dup = (

@@ -33,6 +33,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 # Hand-written scale notes for the queries whose plan shape is a design
 # decision (not just whatever Catalyst picked).
 NOTES = {
+    "ns_select_dsir": "DSIR: one tokenize pass, 1024-bucket broadcast model join, hash-derived Gumbel",
+    "ns_graph_pagerank": "8 chained-shuffle propagation rounds over a persisted (src,dst,outdeg) edge table; linear lineage (no dangling)",
+    "ns_incr_revenue": "IVM: 4 delta-partial aggs merged; cent-lattice int64 sums make batch split order-free",
+    "ns_incr_category_revenue": "hierarchical IVM: fine-grain (cat,cust,order) partials; distinct counts derived by cascade at read",
+    "ns_corpus_drift": "PSI: one tokenize pass folds to bounded bucket tables; model-sized aggs only",
+    "ns_data_quality": "row-local constraints share ONE aggregate; unique adds one key agg; FK is one broadcast anti-join",
     "sales_fact": "3-table fact build; part/orders dims broadcast, lineitem never shuffles",
     "revenue_by_category": "distinct-free cascade: 3 hash aggs, no Expand, all partial map-side",
     "customer_metrics": "IA1 + analytic SQL in one plan; single agg chain",
@@ -70,7 +76,7 @@ NOTES = {
     "ns_events_sliding": "composed from tumbling partials: NO Expand; bucket fan-out Generate sits above the first agg",
     "ns_ann_ivfpq_residual_topk": "residual IVFPQ (by_residual): per-(query, probed-list) ADC tables, residual encode in the same fused pass",
     "ns_ann_ivfpq_residual_recall": "QA gauge vs exact L2; read against ns_ann_ivfpq_recall to price residual encoding",
-    "ns_hybrid_rrf_topk": "BM25 inverted probe (int64-quantized term sums) + brute cosine, fused by RRF; only vocabulary-sharing docs ever scored",
+    "ns_hybrid_rrf_topk": "BM25 inverted probe (int64-quantized term sums) + IVFPQ dense leg, fused by RRF; no corpus-linear scan on either leg",
     "ns_corpus_card": "one scan + one partial-agg groupBy; quality bucketed/averaged on 1e6-quantized int64 (order-free exact)",
     "ns_ann_ivfpq_curve": "QA gauge: nprobe sweep of the reranked IVFPQ tier vs exact-L2 truth; deployment picks its operating point here",
 }
