@@ -1,0 +1,129 @@
+"""Slowly-changing-dimension (Type 2) construction and maintenance.
+
+The classic warehouse operator the reference's curated layer stops
+short of (its curated tables are stateless aggregates — see
+``/root/reference/code-files/athena-queries/*.sql``): turn a change
+feed into validity-interval history rows, and keep that history
+current as new change batches arrive.
+
+- :func:`scd2_build` — full rebuild from a change feed: consecutive
+  same-value changes are compressed, each surviving change opens a
+  version with ``[valid_from, valid_to)`` validity, the newest version
+  per key has ``valid_to IS NULL`` and ``is_current = true``.
+- :func:`scd2_apply` — incremental maintenance: fold a new batch of
+  change events into an existing SCD2 dimension. Only keys present in
+  the batch are touched (their history is recomputed from their own
+  rows — key-partition-scoped work, the CDC-merge shape of
+  ``operators/merge.py``); untouched keys' rows pass through
+  unchanged. Invariant (pytest-pinned): ``apply(build(feed₁), feed₂)
+  ≡ build(feed₁ ∪ feed₂)`` for any split of the feed, so batch
+  boundaries never change the dimension.
+
+Scale shape (100 TB framing): one shuffle per build, on the dimension
+key (window ``lag``/``lead`` + two project/filter passes share the
+same partitioning — Catalyst plans a single Exchange). ``scd2_apply``
+shuffles only ``O(existing versions of touched keys + batch rows)``;
+the untouched dimension never moves. No driver state, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_build(
+    changes: DataFrame,
+    key: str,
+    attr: str,
+    ts: str,
+    tiebreak: str,
+) -> DataFrame:
+    """SCD Type-2 history from a change feed.
+
+    ``changes`` rows are observations ``(key, attr, ts, tiebreak)``;
+    ``tiebreak`` makes ordering total when two observations of one key
+    share a timestamp (feeds at scale always have ties). A row opens a
+    new version only when its ``attr`` differs from the key's previous
+    observation — consecutive duplicates are compressed away, so a
+    noisy feed that re-reports an unchanged state does not grow the
+    dimension.
+
+    Returns ``(key, state, valid_from, valid_to, version, is_current)``
+    with half-open validity: version ``i`` is live for
+    ``valid_from <= t < valid_to``; the newest version has
+    ``valid_to IS NULL``.
+    """
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    chg = (
+        changes.select(key, attr, ts, tiebreak)
+        .withColumn("__prev", F.lag(attr).over(w))
+        .filter(F.col("__prev").isNull() | (F.col(attr) != F.col("__prev")))
+    )
+    # the change rows keep the feed's (ts, tiebreak) order, so the
+    # version window reuses the same partitioning — one Exchange total
+    return chg.select(
+        F.col(key),
+        F.col(attr).alias("state"),
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w).alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def scd2_apply(
+    dim: DataFrame,
+    batch: DataFrame,
+    key: str,
+    attr: str,
+    ts: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Fold a new change batch into an existing SCD2 dimension.
+
+    Touched keys (those appearing in ``batch``) have their history
+    recomputed from their existing version rows plus the new
+    observations — late/out-of-order batch rows are therefore handled
+    exactly (a change that lands between two existing versions splits
+    the interval), not just appended. Untouched keys pass through
+    without moving. Equivalent to a full :func:`scd2_build` over the
+    union feed, at the cost of only the touched keys' rows.
+
+    Existing versions re-enter the rebuild as synthetic observations
+    ``(key, state, valid_from)`` whose tiebreak is the zero-padded
+    version number, so versions sharing a timestamp keep their
+    original relative order. Re-delivering an already-applied batch is
+    a no-op: the duplicate observation carries the same state as the
+    version it created, so it compresses away wherever it sorts.
+    (The one unresolvable ambiguity — two observations with DIFFERENT
+    states at the exact same ``(key, ts)`` split across batches — is
+    ordered by tiebreak-string comparison; feeds with a total
+    ``(ts, tiebreak)`` order per key are exact.)
+    """
+    touched = batch.select(key).distinct()
+    keep = dim.join(F.broadcast(touched), key, "left_anti")
+    existing_obs = dim.join(F.broadcast(touched), key, "left_semi").select(
+        F.col(key),
+        F.col("state").alias(attr),
+        F.col("valid_from").alias(ts),
+        F.lpad(F.col("version").cast("string"), 20, "0").alias(tiebreak),
+    )
+    new_obs = batch.select(
+        F.col(key),
+        F.col(attr),
+        F.col(ts),
+        F.col(tiebreak).cast("string").alias(tiebreak),
+    )
+    rebuilt = scd2_build(
+        existing_obs.unionByName(new_obs), key, attr, ts, tiebreak
+    )
+    return keep.unionByName(rebuilt)
+
+
+def scd2_lookup(dim: DataFrame, key: str, at: Column) -> DataFrame:
+    """Filter an SCD2 dimension to the versions live at time ``at``
+    (half-open interval containment) — the point-in-time join side."""
+    return dim.filter(
+        (F.col("valid_from") <= at)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > at))
+    )

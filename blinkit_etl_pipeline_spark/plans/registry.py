@@ -157,9 +157,10 @@ def all_queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
     out.update(parity.QUERIES)
     try:
-        from . import northstar
+        from . import northstar, warehouse
 
         out.update(northstar.QUERIES)
+        out.update(warehouse.QUERIES)
     except ImportError:
         pass
     return _prioritized(out)
@@ -169,9 +170,10 @@ def all_oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(parity.ORACLES)
     try:
-        from . import northstar
+        from . import northstar, warehouse
 
         out.update(northstar.ORACLES)
+        out.update(warehouse.ORACLES)
     except ImportError:
         pass
     return _prioritized(out)

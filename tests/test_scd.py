@@ -1,0 +1,120 @@
+"""SCD Type-2 build + incremental apply: compression, interval
+correctness, batch-split invariance, idempotent redelivery."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from blinkit_etl_pipeline_spark.operators import scd
+
+
+def _ts(s: int):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def _feed(spark, rows):
+    return spark.createDataFrame(
+        [(k, a, _ts(t), str(tb).zfill(4)) for (k, a, t, tb) in rows],
+        "k long, a string, ts timestamp, tb string",
+    )
+
+
+def _rows(df):
+    return sorted(
+        (
+            r.k,
+            r.state,
+            r.valid_from,
+            r.valid_to,
+            r.version,
+            r.is_current,
+        )
+        for r in df.collect()
+    )
+
+
+def test_build_compresses_and_intervals(spark):
+    feed = _feed(
+        spark,
+        [
+            (1, "A", 0, 1),
+            (1, "A", 10, 2),  # unchanged -> compressed away
+            (1, "B", 20, 3),
+            (1, "A", 30, 4),  # back to A -> NEW version (type 2)
+            (2, "X", 5, 5),
+        ],
+    )
+    got = _rows(scd.scd2_build(feed, "k", "a", "ts", "tb"))
+    assert got == [
+        (1, "A", _ts(0), _ts(20), 1, False),
+        (1, "A", _ts(30), None, 3, True),
+        (1, "B", _ts(20), _ts(30), 2, False),
+        (2, "X", _ts(5), None, 1, True),
+    ]
+
+
+def test_build_same_ts_tiebreak(spark):
+    feed = _feed(spark, [(1, "B", 0, 2), (1, "A", 0, 1)])
+    got = _rows(scd.scd2_build(feed, "k", "a", "ts", "tb"))
+    # tiebreak 0001 (A) precedes 0002 (B): A opens, B supersedes at
+    # the same instant (zero-duration first version)
+    assert got == [
+        (1, "A", _ts(0), _ts(0), 1, False),
+        (1, "B", _ts(0), None, 2, True),
+    ]
+
+
+def test_apply_equals_full_build(spark):
+    rows = [
+        (1, "A", 0, 1),
+        (1, "B", 20, 2),
+        (2, "X", 5, 3),
+        (1, "C", 40, 4),
+        (2, "X", 50, 5),  # unchanged -> still one version
+        (3, "Q", 60, 6),
+    ]
+    full = scd.scd2_build(_feed(spark, rows), "k", "a", "ts", "tb")
+    dim1 = scd.scd2_build(_feed(spark, rows[:3]), "k", "a", "ts", "tb")
+    applied = scd.scd2_apply(
+        dim1, _feed(spark, rows[3:]), "k", "a", "ts", "tb"
+    )
+    assert _rows(applied) == _rows(full)
+
+
+def test_apply_out_of_order_batch_splits_interval(spark):
+    rows = [(1, "A", 0, 1), (1, "C", 40, 2)]
+    late = [(1, "B", 20, 3)]  # lands BETWEEN the two existing versions
+    dim = scd.scd2_build(_feed(spark, rows), "k", "a", "ts", "tb")
+    applied = scd.scd2_apply(dim, _feed(spark, late), "k", "a", "ts", "tb")
+    full = scd.scd2_build(_feed(spark, rows + late), "k", "a", "ts", "tb")
+    assert _rows(applied) == _rows(full)
+
+
+def test_apply_idempotent_redelivery(spark):
+    rows = [(1, "A", 0, 1), (1, "B", 20, 2), (2, "X", 5, 3)]
+    batch = _feed(spark, [(1, "C", 40, 4)])
+    dim = scd.scd2_build(_feed(spark, rows), "k", "a", "ts", "tb")
+    once = scd.scd2_apply(dim, batch, "k", "a", "ts", "tb")
+    twice = scd.scd2_apply(once, batch, "k", "a", "ts", "tb")
+    assert _rows(once) == _rows(twice)
+
+
+def test_apply_leaves_untouched_keys_alone(spark):
+    rows = [(1, "A", 0, 1), (2, "X", 5, 2)]
+    dim = scd.scd2_build(_feed(spark, rows), "k", "a", "ts", "tb")
+    applied = scd.scd2_apply(
+        dim, _feed(spark, [(1, "B", 9, 3)]), "k", "a", "ts", "tb"
+    )
+    before = [r for r in _rows(dim) if r[0] == 2]
+    after = [r for r in _rows(applied) if r[0] == 2]
+    assert before == after
+
+
+def test_lookup_point_in_time(spark):
+    feed = _feed(spark, [(1, "A", 0, 1), (1, "B", 20, 2), (2, "X", 5, 3)])
+    dim = scd.scd2_build(feed, "k", "a", "ts", "tb")
+    live = scd.scd2_lookup(dim, "k", F.lit(_ts(10)).cast("timestamp"))
+    got = sorted((r.k, r.state) for r in live.collect())
+    assert got == [(1, "A"), (2, "X")]
