@@ -364,3 +364,157 @@ def cms_probe(cells: DataFrame, items: DataFrame, value_col: str) -> DataFrame:
             .alias("cms_estimate")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) theta sketches: distinct counts AND set
+# intersections — the operation HLL registers cannot answer
+# ---------------------------------------------------------------------------
+
+#: sketch size — ~6.5% relative error on distinct estimates (1/sqrt(k-1))
+KMV_K = 256
+
+#: hash-space size for the 48-bit md5-prefix hash (12 hex chars)
+KMV_SPACE = 1 << 48
+
+
+def h48(col) -> "F.Column":
+    """Cross-engine 48-bit hash (md5-prefix, like functions.text.h32 but
+    wide enough that kth-order-statistic estimates keep ~5 digits)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame, group_col: str, value_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` smallest distinct 48-bit hashes
+    of ``value_col``, as rows ``(g, h, r)`` with ``r`` the ascending
+    rank. The ``rank <= k`` filter over the window compiles to
+    ``WindowGroupLimit`` (Spark 3.5+): each map task keeps only its
+    local top-k, so the shuffle carries O(k · groups) rows no matter
+    the corpus size — the sketch property, visible in the plan."""
+    dv = df.select(
+        F.col(group_col).alias("g"),
+        h48(F.col(value_col).cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    return dv.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
+
+
+def kmv_overlap(
+    df: DataFrame, group_col: str, value_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Pairwise distinct-set overlap between every two groups, from KMV
+    sketches — the theta-sketch intersection (audience overlap, cross-
+    source contamination mass) that inclusion-exclusion over HLL cannot
+    give reliably.
+
+    Estimators (all exact integer arithmetic, ``div`` truncation —
+    DuckDB ``//`` agrees on non-negative operands):
+
+    - ``est(g)   = n_g``                          if the sketch is exact
+      (fewer than k distinct values), else ``(k-1)·2^48 div max_h``.
+    - union sketch of a pair = k smallest of the two sketches' hash
+      union (valid because each side holds ALL its hashes ≤ its own
+      theta, and the union's theta is ≤ either side's).
+    - ``est_inter = rho`` when the union sketch is exact, else
+      ``rho · (est_union div k)`` where ``rho`` counts kept union
+      hashes present in BOTH sides (the grouped product is computed
+      divided-first to stay in int64 for any theta).
+
+    ``exact_inter`` (one distinct + one self equi-join on the value)
+    rides along as the error gauge, the pattern of the HLL/CMS queries.
+    Returns ``(type_a, type_b, est_a, est_b, est_union, est_inter,
+    exact_inter)`` for every ``type_a < type_b``.
+
+    Scale shape: sketches are O(k·groups) rows after WindowGroupLimit;
+    every pair computation is over ≤ 2k rows per pair. The exact gauge
+    is the only corpus-sized leg (equi-join on value), and it is
+    severable — a production run drops it.
+    """
+    est_expr = (
+        f"CASE WHEN n < {k} THEN n "
+        f"ELSE ({k - 1} * {KMV_SPACE}) div mx END"
+    )
+    sk = kmv_sketch(df, group_col, value_col, k)
+    per = sk.groupBy("g").agg(
+        F.count("*").alias("n"), F.max("h").alias("mx")
+    )
+    est_g = per.select("g", F.expr(est_expr).cast("long").alias("est"))
+    pairs = (
+        per.select(F.col("g").alias("ga"))
+        .crossJoin(F.broadcast(per.select(F.col("g").alias("gb"))))
+        .filter(F.col("ga") < F.col("gb"))
+    )
+    a = sk.select(F.col("g").alias("ga"), "h")
+    b = sk.select(F.col("g").alias("gb"), "h")
+    u = (
+        pairs.join(a, "ga")
+        .select("ga", "gb", "h", F.lit(1).alias("fa"), F.lit(0).alias("fb"))
+        .unionByName(
+            pairs.join(b, "gb").select(
+                "ga", "gb", "h", F.lit(0).alias("fa"), F.lit(1).alias("fb")
+            )
+        )
+        .groupBy("ga", "gb", "h")
+        .agg(F.max("fa").alias("fa"), F.max("fb").alias("fb"))
+    )
+    wu = Window.partitionBy("ga", "gb").orderBy("h")
+    kept = u.withColumn("r", F.row_number().over(wu)).filter(
+        F.col("r") <= k
+    )
+    stats = kept.groupBy("ga", "gb").agg(
+        F.count("*").alias("n"),
+        F.max("h").alias("mx"),
+        F.sum(
+            F.when((F.col("fa") == 1) & (F.col("fb") == 1), 1).otherwise(0)
+        ).alias("rho"),
+    )
+    pair_est = stats.select(
+        "ga",
+        "gb",
+        F.expr(est_expr).cast("long").alias("est_union"),
+        F.expr(
+            f"CASE WHEN n < {k} THEN rho "
+            f"ELSE rho * ((({k - 1} * {KMV_SPACE}) div mx) div {k}) END"
+        )
+        .cast("long")
+        .alias("est_inter"),
+    )
+    dv = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).distinct()
+    exact = (
+        dv.select(F.col("g").alias("ga"), "v")
+        .join(dv.select(F.col("g").alias("gb"), "v"), "v")
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count("*").cast("long").alias("exact_inter"))
+    )
+    return (
+        pair_est.join(
+            est_g.select(
+                F.col("g").alias("ga"), F.col("est").alias("est_a")
+            ),
+            "ga",
+        )
+        .join(
+            est_g.select(
+                F.col("g").alias("gb"), F.col("est").alias("est_b")
+            ),
+            "gb",
+        )
+        .join(exact, ["ga", "gb"], "left")
+        .select(
+            F.col("ga").alias("type_a"),
+            F.col("gb").alias("type_b"),
+            "est_a",
+            "est_b",
+            "est_union",
+            "est_inter",
+            F.coalesce("exact_inter", F.lit(0)).cast("long").alias(
+                "exact_inter"
+            ),
+        )
+    )

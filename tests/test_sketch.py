@@ -155,3 +155,42 @@ def test_cms_probe_matches_heavy_hitter_estimates(spark):
     for v in (0, 7, 39):
         assert probed[v] == hh[v]
     assert probed[999_999] >= 0  # unseen: collision-bounded, never null
+
+
+def test_kmv_sketch_exact_below_k_and_plan_has_group_limit(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(40)] + [("b", i) for i in range(10, 30)],
+        "g string, v long",
+    )
+    sk = sketch.kmv_sketch(df, "g", "v", k=256)
+    # below k the sketch IS the distinct set
+    sizes = {r.g: r.n for r in sk.groupBy("g").count().withColumnRenamed("count", "n").collect()}
+    assert sizes == {"a": 40, "b": 20}
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # map-side partial top-k
+
+
+def test_kmv_overlap_exact_when_small_and_estimates_when_large(spark):
+    # small groups: estimates degrade to exact values
+    df = spark.createDataFrame(
+        [("a", i) for i in range(40)] + [("b", i) for i in range(30, 60)],
+        "g string, v long",
+    )
+    row = sketch.kmv_overlap(df, "g", "v", k=256).collect()[0]
+    assert (row.est_a, row.est_b, row.est_union) == (40, 30, 60)
+    assert row.est_inter == row.exact_inter == 10
+    # large overlapping groups: estimate within 20% of truth (k=256)
+    big = spark.createDataFrame(
+        [("a", i) for i in range(20000)]
+        + [("b", i) for i in range(10000, 30000)],
+        "g string, v long",
+    )
+    r = sketch.kmv_overlap(big, "g", "v", k=256).collect()[0]
+    assert r.exact_inter == 10000
+    for est, truth in [
+        (r.est_a, 20000),
+        (r.est_b, 20000),
+        (r.est_union, 30000),
+        (r.est_inter, 10000),
+    ]:
+        assert abs(est - truth) / truth < 0.20, (est, truth)
