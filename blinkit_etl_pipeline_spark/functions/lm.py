@@ -426,3 +426,133 @@ def dsir_frame(
             "selected"
         ),
     )
+
+
+def kn_nll_frame(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Interpolated Kneser-Ney bigram NLL per document — the smoothing
+    KenLM actually ships (what real perplexity-filter pipelines run),
+    upgrading :func:`bigram_nll_frame`'s add-one model.
+
+    With absolute discount ``d = 3/4`` and every scored bigram seen in
+    training (the model is trained on the scored corpus itself, so
+    ``c(w1,w2) >= 1`` — no zero-count branch):
+
+    ``P(w2|w1) = (c - d)/ctx(w1) + d·N1+(w1·)/ctx(w1) · Pcont(w2)``,
+    ``Pcont(w2) = N1+(·w2)/B`` (fraction of bigram TYPES ending in w2).
+
+    Over common denominator ``4·ctx·B`` the probability is the exact
+    integer ratio ``((4c-3)·B + 3·n1(w1)·nb(w2)) / (4·ctx·B)``, so
+    ``lnP`` is quantized as ``ROUND(ln(num)·10^6) - ROUND(ln(den)·10^6)``
+    — both engines take ``ln`` of the same exact integers (all below
+    2^53, exact in doubles) and per-document sums are exact int64.
+
+    Model tables: the bigram-type frame ``cb`` plus three projections
+    of it (ctx, n1 by w1 — one aggregate; nb by w2; B one row). Same
+    scale shape as the add-one model: one explode pass, hash
+    aggregates, one model equi-join; zero UDFs.
+
+    Returns (doc_id, n_bigrams, kn_nll_q, avg_kn_nll, flagged).
+    """
+    toked = docs.select(
+        "doc_id",
+        F.coalesce(
+            tokens(F.col(text)), F.array().cast("array<string>")
+        ).alias("__tk"),
+    )
+    bg = F.when(
+        F.size("__tk") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__tk") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("__tk"), i).alias("w1"),
+                F.element_at(F.col("__tk"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    occ = (
+        toked.select("doc_id", F.explode(bg).alias("b"))
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    cb = occ.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
+    # ctx and n1 fold in ONE aggregate (same key), nb in a second
+    byw1 = cb.groupBy("w1").agg(
+        F.sum("cb").alias("ctx"), F.count("*").cast("long").alias("n1")
+    )
+    nb = cb.groupBy("w2").agg(F.count("*").cast("long").alias("nb"))
+    btot = cb.agg(F.count("*").cast("long").alias("btypes"))
+    logp = (
+        cb.join(byw1, "w1")
+        .join(nb, "w2")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            (
+                F.round(
+                    F.log(
+                        (
+                            (F.lit(4) * F.col("cb") - F.lit(3))
+                            * F.col("btypes")
+                            + F.lit(3) * F.col("n1") * F.col("nb")
+                        ).cast("double")
+                    )
+                    * F.lit(LOGQ_SCALE),
+                    0,
+                ).cast("long")
+                - F.round(
+                    F.log(
+                        (
+                            F.lit(4) * F.col("ctx") * F.col("btypes")
+                        ).cast("double")
+                    )
+                    * F.lit(LOGQ_SCALE),
+                    0,
+                ).cast("long")
+            ).alias("logp_q"),
+        )
+    )
+    per_doc = (
+        occ.join(logp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            (-F.sum(F.col("tf") * F.col("logp_q"))).cast("long").alias(
+                "kn_nll_q"
+            ),
+        )
+    )
+    base = toked.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("kn_nll_q", F.lit(0)).cast("long").alias("kn_nll_q"),
+    )
+    scored = base.withColumn(
+        "avg_q",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.round(
+                F.col("kn_nll_q").cast("double")
+                / F.col("n_bigrams").cast("double"),
+                0,
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    mean = scored.filter(F.col("n_bigrams") > 0).agg(
+        (
+            F.sum("avg_q").cast("double") / F.count("*").cast("double")
+        ).alias("mean_avg_q")
+    )
+    return scored.crossJoin(F.broadcast(mean)).select(
+        "doc_id",
+        "n_bigrams",
+        "kn_nll_q",
+        F.round(
+            F.col("avg_q").cast("double") / F.lit(LOGQ_SCALE), 6
+        ).alias("avg_kn_nll"),
+        (
+            (F.col("n_bigrams") > 0)
+            & (F.col("avg_q").cast("double") > F.col("mean_avg_q"))
+        ).alias("flagged"),
+    )

