@@ -1090,3 +1090,76 @@ def span_dedup(docs: DataFrame, k: int = 10) -> DataFrame:
             ),
         ).alias("clean_text"),
     )
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    prefix_len: int = 96,
+    max_dist: int = 16,
+    idx: DataFrame | ShingleIndex | None = None,
+) -> DataFrame:
+    """Record-linkage tier: LSH-blocked candidates verified by BOUNDED
+    edit distance — the classic entity-resolution shape (blocking pass
+    + expensive pairwise verify), with Levenshtein as the verifier the
+    set-based Jaccard/MinHash tiers cannot express (it sees
+    transpositions, typos and small insertions as CLOSE even when the
+    shingle sets diverge).
+
+    Candidates come from the same 16-perm/4-band MinHash join as
+    :func:`minhash_lsh_pairs` (never all-pairs); the verify compares
+    ``prefix_len``-char text prefixes with Spark's thresholded
+    ``levenshtein(l, r, max_dist)`` — O(prefix·max_dist) per pair and
+    early-exits at the bound (returns -1), so a false candidate costs
+    the band probe plus a capped scan, not a full O(L²) DP table.
+
+    Returns ``(doc_a, doc_b, edit_distance)`` for candidate pairs with
+    prefix distance ≤ ``max_dist``.
+    """
+    idx = _resolve_idx(idx, docs, n, None, "edit_distance_pairs")
+    sigs = idx.select("doc_id", h32(F.col("shingle")).alias("sh32")).groupBy(
+        "doc_id"
+    ).agg(*_minhash_agg_cols())
+    bands = band_frame(sigs)
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    pfx = docs.select(
+        "doc_id", F.substring(F.col("text"), 1, prefix_len).alias("pfx")
+    )
+    dist = F.levenshtein(F.col("pa"), F.col("pb"), max_dist)
+    return (
+        candidates.join(
+            pfx.select(
+                F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pa")
+            ),
+            "doc_a",
+        )
+        .join(
+            pfx.select(
+                F.col("doc_id").alias("doc_b"), F.col("pfx").alias("pb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.alias("edit_distance"),
+        )
+        .filter(
+            (F.col("edit_distance") >= 0)
+            & (F.col("edit_distance") <= max_dist)
+        )
+        .withColumn("edit_distance", F.col("edit_distance").cast("long"))
+    )

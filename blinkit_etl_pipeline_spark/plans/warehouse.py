@@ -199,3 +199,46 @@ FROM scored CROSS JOIN m"""
 
 
 ORACLES["ns_lm_kn_perplexity"] = _kn_oracle()
+
+
+# ---------------------------------------------------------------------------
+# LSH-blocked edit-distance matching (ns_dedup_edit_distance)
+# ---------------------------------------------------------------------------
+
+_EDIT_PFX = 96
+_EDIT_MAX = 16
+
+
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution tier: MinHash-banded candidate blocking +
+    bounded-Levenshtein verify on 96-char prefixes (threshold arg
+    early-exits the DP at the bound). The distance Jaccard tiers can't
+    express; never all-pairs. See operators/dedup.py::
+    edit_distance_pairs."""
+    from ..operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.edit_distance_pairs(
+        docs, prefix_len=_EDIT_PFX, max_dist=_EDIT_MAX
+    )
+
+
+QUERIES["ns_dedup_edit_distance"] = q_dedup_edit_distance
+
+
+def _edit_oracle() -> str:
+    from .northstar import _MINHASH_CTES, _TOKS, _sh_cte
+
+    return f"""WITH {_TOKS},
+{_sh_cte(3)},
+{_MINHASH_CTES},
+pfx AS (SELECT doc_id, substr(text, 1, {_EDIT_PFX}) AS pfx FROM documents)
+SELECT c.doc_a, c.doc_b,
+  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_distance
+FROM cand c
+JOIN pfx a ON c.doc_a = a.doc_id
+JOIN pfx b ON c.doc_b = b.doc_id
+WHERE levenshtein(a.pfx, b.pfx) <= {_EDIT_MAX}"""
+
+
+ORACLES["ns_dedup_edit_distance"] = _edit_oracle()

@@ -634,3 +634,46 @@ def test_drift_psi_flags_disjoint_distributions(spark):
         )
     ).collect()[0]
     assert out["drifted"] and out["psi"] > 1.0 and out["n_buckets"] == 2
+
+
+def test_edit_distance_pairs_sees_typos_jaccard_misses(spark):
+    """Three scattered typos shred 3-gram shingles (each kills up to 3)
+    but cost exactly 3 edits — the tier's reason to exist."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill and the birds sing in the "
+        "green garden under a bright morning sun near the old stone "
+        "wall by the river bend"
+    )
+    typod = base.replace("quick", "quisk").replace(
+        "watches", "watchas"
+    ).replace("garden", "gardon")
+    other = (
+        "completely different content about spark physical plans and "
+        "shuffle exchanges with adaptive query execution and broadcast "
+        "hash joins over partitioned parquet tables in a distributed "
+        "cluster running many executors"
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, typod), (3, other)], "doc_id long, text string"
+    )
+    rows = dedup.edit_distance_pairs(
+        docs, prefix_len=300, max_dist=10
+    ).collect()
+    got = {(r.doc_a, r.doc_b): r.edit_distance for r in rows}
+    assert (1, 2) in got and got[(1, 2)] == 3
+    assert all(3 not in pair for pair in got)
+
+
+def test_edit_distance_bounded_verify_drops_far_pairs(spark):
+    """Pairs past max_dist vanish even when blocking proposes them
+    (identical shingle tail, mangled prefix)."""
+    tail = " shared identical ending " + "common words repeated " * 20
+    docs = spark.createDataFrame(
+        [(1, "aaaa bbbb cccc" + tail), (2, "zzzz yyyy xxxx" + tail)],
+        "doc_id long, text string",
+    )
+    rows = dedup.edit_distance_pairs(
+        docs, prefix_len=14, max_dist=5
+    ).collect()
+    assert rows == []  # prefix distance 12 > 5 -> dropped
