@@ -242,3 +242,57 @@ WHERE levenshtein(a.pfx, b.pfx) <= {_EDIT_MAX}"""
 
 
 ORACLES["ns_dedup_edit_distance"] = _edit_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private aggregate release (ns_privacy_dp_release)
+# ---------------------------------------------------------------------------
+
+_DP_CLIP = 1000
+
+
+def q_privacy_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε=1 Laplace release of per-(lang, source) document counts and
+    clipped n_chars sums — the private-statistics twin of the k-anon
+    gate. Noise is hash-derived (both engines draw the identical
+    sample); see operators/privacy.py::dp_release."""
+    from ..operators import privacy
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return privacy.dp_release(
+        docs, ["lang", "source"], "n_chars", _DP_CLIP, eps_inv=1
+    )
+
+
+QUERIES["ns_privacy_dp_release"] = q_privacy_dp_release
+
+
+def _dp_noise_sql(seed_expr: str, b: int) -> str:
+    n_const = (1 << 48) + 2
+    lnq = "CAST(ROUND(ln(CAST({x} AS DOUBLE)) * 1000000.0, 0) AS BIGINT)"
+    v = f"(('0x' || substr(md5({seed_expr}), 1, 12))::BIGINT + 1)"
+    d = f"(2 * {v} - {n_const})"
+    sign = f"(CASE WHEN {d} > 0 THEN -1 WHEN {d} < 0 THEN 1 ELSE 0 END)"
+    m = f"({n_const} - ABS({d}))"
+    return (
+        f"({sign} * {b} * ({lnq.format(x=m)} - {lnq.format(x=n_const)}))"
+    )
+
+
+def _dp_oracle() -> str:
+    gkey = "'dp-v1' || chr(31) || lang || chr(31) || source"
+    noise_n = _dp_noise_sql(f"{gkey} || chr(31) || 'n'", 1)
+    noise_s = _dp_noise_sql(f"{gkey} || chr(31) || 's'", _DP_CLIP)
+    return f"""WITH agg AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+    CAST(SUM(LEAST(GREATEST(n_chars, 0), {_DP_CLIP})) AS BIGINT)
+      AS clipped_sum
+  FROM documents GROUP BY lang, source)
+SELECT lang, source, n,
+  ROUND(CAST(n * 1000000 + {noise_n} AS DOUBLE) / 1000000.0, 6) AS dp_n,
+  ROUND(CAST(clipped_sum * 1000000 + {noise_s} AS DOUBLE) / 1000000.0, 6)
+    AS dp_sum
+FROM agg"""
+
+
+ORACLES["ns_privacy_dp_release"] = _dp_oracle()

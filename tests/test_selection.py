@@ -363,3 +363,46 @@ def test_triplet_mine_invariants(spark):
         assert n in ids and n != a and n not in partners[a]
     again = selection.triplet_mine(docs, pairs).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_dp_release_noise_is_calibrated_laplace(spark):
+    from blinkit_etl_pipeline_spark.operators import privacy
+
+    # 400 singleton groups -> 400 independent Laplace(1) draws on dp_n
+    df = spark.createDataFrame(
+        [(f"g{i}", 50) for i in range(400)], "g string, v long"
+    )
+    out = privacy.dp_release(df, ["g"], "v", 100, eps_inv=1).collect()
+    noises = [r.dp_n - r.n for r in out]
+    assert min(noises) < 0 < max(noises)  # two-sided
+    assert abs(sum(noises) / len(noises)) < 0.25  # centered
+    med = sorted(abs(x) for x in noises)[len(noises) // 2]
+    assert 0.4 < med < 1.1  # Laplace(1) median |x| = ln 2 ~ 0.693
+
+
+def test_dp_release_clips_contributions(spark):
+    from blinkit_etl_pipeline_spark.operators import privacy
+
+    df = spark.createDataFrame(
+        [("a", 10**9), ("a", 7), ("a", -5)], "g string, v long"
+    )
+    row = privacy.dp_release(df, ["g"], "v", 100, eps_inv=1).collect()[0]
+    # clipped sum = 100 + 7 + 0; Laplace(100) noise, |noise| < 100*40
+    assert abs(row.dp_sum - 107) < 4000
+    assert row.n == 3
+
+
+def test_dp_release_seeded_determinism_and_eps_scaling(spark):
+    from blinkit_etl_pipeline_spark.operators import privacy
+
+    df = spark.createDataFrame([("a", 5)] * 20, "g string, v long")
+    r1 = privacy.dp_release(df, ["g"], "v", 10, eps_inv=1).collect()[0]
+    r2 = privacy.dp_release(df, ["g"], "v", 10, eps_inv=1).collect()[0]
+    assert (r1.dp_n, r1.dp_sum) == (r2.dp_n, r2.dp_sum)
+    r3 = privacy.dp_release(
+        df, ["g"], "v", 10, eps_inv=1, seed="dp-v2"
+    ).collect()[0]
+    assert (r3.dp_n, r3.dp_sum) != (r1.dp_n, r1.dp_sum)
+    # eps_inv multiplies the SAME draw exactly (integer b, shared seed)
+    r10 = privacy.dp_release(df, ["g"], "v", 10, eps_inv=10).collect()[0]
+    assert abs((r10.dp_n - r10.n) - 10 * (r1.dp_n - r1.n)) < 1e-6
