@@ -16,8 +16,12 @@ current as new change batches arrive.
   rows — key-partition-scoped work, the CDC-merge shape of
   ``operators/merge.py``); untouched keys' rows pass through
   unchanged. Invariant (pytest-pinned): ``apply(build(feed₁), feed₂)
-  ≡ build(feed₁ ∪ feed₂)`` for any split of the feed, so batch
-  boundaries never change the dimension.
+  ≡ build(feed₁ ∪ feed₂)`` for any batch split that preserves each
+  key's observation order (see the :func:`scd2_apply` contract for
+  the one out-of-order edge compression makes irreducible).
+- :func:`scd2_apply_partitioned` / ``streaming/scd_ingest.py`` — the
+  deployment shape: hash-bucketed dim on disk, copy-on-write of only
+  the touched buckets, streamed via foreachBatch.
 
 Scale shape (100 TB framing): one shuffle per build, on the dimension
 key (window ``lag``/``lead`` + two project/filter passes share the
@@ -83,11 +87,21 @@ def scd2_apply(
 
     Touched keys (those appearing in ``batch``) have their history
     recomputed from their existing version rows plus the new
-    observations — late/out-of-order batch rows are therefore handled
-    exactly (a change that lands between two existing versions splits
-    the interval), not just appended. Untouched keys pass through
-    without moving. Equivalent to a full :func:`scd2_build` over the
-    union feed, at the cost of only the touched keys' rows.
+    observations; untouched keys pass through without moving.
+
+    Equivalence contract: when each key's observations arrive in
+    ``(ts, tiebreak)`` order ACROSS batches (the per-key ordering CDC
+    feeds like Debezium guarantee), the fold is exactly
+    ``scd2_build`` over the union feed — for ANY batch split. A late
+    out-of-order row is still placed exactly (it splits the interval
+    it lands in), with one irreducible information loss: an
+    observation that was compressed away as a consecutive duplicate
+    ("A re-asserted while already A") is no longer in the dim, so a
+    late row landing BEFORE it cannot resurrect the re-assertion as
+    its own version. Exactness under arbitrary reordering would
+    require keeping every raw observation — the opposite of the
+    compression this operator exists for (dbt snapshots and classic
+    Kimball loaders share this contract).
 
     Existing versions re-enter the rebuild as synthetic observations
     ``(key, state, valid_from)`` whose tiebreak is the zero-padded
@@ -127,3 +141,62 @@ def scd2_lookup(dim: DataFrame, key: str, at: Column) -> DataFrame:
         (F.col("valid_from") <= at)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > at))
     )
+
+
+def scd2_apply_partitioned(
+    spark,
+    path: str,
+    batch: DataFrame,
+    key: str,
+    attr: str,
+    ts: str,
+    tiebreak: str,
+    n_buckets: int = 64,
+) -> list[int]:
+    """Copy-on-write :func:`scd2_apply` against a hive-partitioned
+    dimension on disk — the deployment shape: the dim is bucketed by
+    ``hash(key) % n_buckets`` (immutable per key, so a key's versions
+    always live in one partition), and a change batch rewrites ONLY the
+    buckets its keys hash into. The untouched dimension never moves —
+    at 100 TB a CDC batch touching 3 buckets costs 3 partition jobs,
+    not a table rewrite. Same explicit per-partition overwrite as
+    operators/merge.py::merge_into_partitioned (a bucket whose merge
+    result is empty still gets cleared, no dynamic-overwrite
+    resurrection).
+
+    Redelivery-idempotent BY CONSTRUCTION (not by guard): re-applying
+    a batch re-presents observations that compress into the versions
+    they already created (see :func:`scd2_apply`). A nonexistent
+    ``path`` bootstraps from the first batch. Returns touched buckets.
+    """
+    from .merge import _escape_partition_value
+
+    def bcol(df: DataFrame):
+        return F.pmod(
+            F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets)
+        ).cast("int")
+
+    bb = batch.withColumn("__bucket", bcol(batch))
+    touched = sorted(
+        int(r["__bucket"]) for r in bb.select("__bucket").distinct().collect()
+    )
+    if not touched:
+        return []
+    try:
+        dim = spark.read.parquet(path)
+    except Exception:  # fresh table: bootstrap from the first batch
+        full = scd2_build(bb.drop("__bucket"), key, attr, ts, tiebreak)
+        full.withColumn("__bucket", bcol(full)).write.partitionBy(
+            "__bucket"
+        ).parquet(path)
+        return touched
+    base = dim.filter(F.col("__bucket").isin(touched)).drop("__bucket")
+    new = scd2_apply(base, bb.drop("__bucket"), key, attr, ts, tiebreak)
+    new = new.withColumn("__bucket", bcol(new))
+    # break lineage from the path being overwritten
+    new = new.localCheckpoint(eager=True)
+    for t in touched:
+        new.filter(F.col("__bucket") == t).drop("__bucket").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/__bucket={_escape_partition_value(t)}")
+    return touched

@@ -28,6 +28,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # plan changed this round).
 PRIORITY = [
     # --- r7 additions / changed oracles, never driver-checked as-is ---
+    "ns_scd2_user_state",
+    "ns_sketch_kmv_overlap",
+    "ns_lm_kn_perplexity",
+    "ns_dedup_edit_distance",
     "ns_select_dsir",
     "ns_graph_pagerank",
     "ns_incr_revenue",

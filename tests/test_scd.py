@@ -118,3 +118,116 @@ def test_lookup_point_in_time(spark):
     live = scd.scd2_lookup(dim, "k", F.lit(_ts(10)).cast("timestamp"))
     got = sorted((r.k, r.state) for r in live.collect())
     assert got == [(1, "A"), (2, "X")]
+
+
+def test_apply_partitioned_equals_full_build_in_order(spark, tmp_path):
+    """Per-key in-order delivery (the CDC contract): any batch split of
+    a feed with repeated/duplicate states folds to the full rebuild."""
+    import random
+
+    from blinkit_etl_pipeline_spark.operators.scd import (
+        scd2_apply_partitioned,
+        scd2_build,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (k, rng.choice("ABC"), t * 10 + k, t * 100 + k)
+        for k in range(1, 21)
+        for t in range(5)
+    ]
+    ordered = sorted(rows, key=lambda r: (r[2], r[3]))  # global ts order
+    path = str(tmp_path / "dim")
+    for i in range(0, len(ordered), 25):
+        scd2_apply_partitioned(
+            spark, path, _feed(spark, ordered[i : i + 25]),
+            "k", "a", "ts", "tb", n_buckets=8,
+        )
+    got = spark.read.parquet(path).drop("__bucket")
+    full = scd2_build(_feed(spark, rows), "k", "a", "ts", "tb")
+    assert _rows(got) == _rows(full)
+
+
+def test_apply_partitioned_rewrites_only_touched_buckets(spark, tmp_path):
+    import glob
+    import os
+
+    from blinkit_etl_pipeline_spark.operators.scd import (
+        scd2_apply_partitioned,
+    )
+
+    path = str(tmp_path / "dim")
+    scd2_apply_partitioned(
+        spark, path,
+        _feed(spark, [(k, "A", 0, k) for k in range(1, 30)]),
+        "k", "a", "ts", "tb", n_buckets=8,
+    )
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{path}/__bucket=*/*.parquet")
+    }
+    touched = scd2_apply_partitioned(
+        spark, path, _feed(spark, [(1, "B", 5, 99)]),
+        "k", "a", "ts", "tb", n_buckets=8,
+    )
+    assert len(touched) == 1
+    kept_dirs = [
+        p for p in before
+        if f"__bucket={touched[0]}/" not in p
+    ]
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{path}/__bucket=*/*.parquet")
+    }
+    for p in kept_dirs:
+        assert after[p] == before[p]  # untouched bucket files untouched
+
+
+def test_streaming_scd2_ingest_equals_batch_build(spark, tmp_path):
+    from blinkit_etl_pipeline_spark.operators.scd import scd2_build
+    from blinkit_etl_pipeline_spark.streaming.scd_ingest import (
+        run_scd2_ingest,
+    )
+
+    rows = [
+        (k, "ABC"[t % 3], t * 10 + k, t * 100 + k)
+        for k in range(1, 11)
+        for t in range(4)
+    ]
+    feed = _feed(spark, rows)
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    # three file drops split by tiebreak hash -> out-of-order arrivals;
+    # exact here because the A/B/C cycle never produces the
+    # consecutive-duplicate + late-row interaction the contract excludes
+    for i in range(3):
+        feed.filter(F.crc32(F.col("tb")) % 3 == i).coalesce(1).write.parquet(
+            str(raw / f"drop{i}")
+        )
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(raw / "drop*"))
+    )
+    dim_path = str(tmp_path / "dim")
+    run_scd2_ingest(
+        stream, str(tmp_path / "ckpt"), dim_path,
+        "k", "a", "ts", "tb", n_buckets=4, timeout_sec=120,
+    )
+    got = spark.read.parquet(dim_path).drop("__bucket")
+    assert _rows(got) == _rows(scd2_build(feed, "k", "a", "ts", "tb"))
+
+
+def test_apply_out_of_order_compression_loss_is_the_documented_one(spark):
+    """The contract's one irreducible loss, pinned: a consecutive-
+    duplicate observation compressed at apply time cannot be
+    resurrected by a later-arriving row that lands before it."""
+    first = [(1, "A", 0, 1), (1, "A", 20, 2)]  # second A compresses away
+    late = [(1, "B", 10, 3)]  # lands between them, arrives later
+    dim = scd.scd2_build(_feed(spark, first), "k", "a", "ts", "tb")
+    applied = scd.scd2_apply(dim, _feed(spark, late), "k", "a", "ts", "tb")
+    got = [(r.state, r.valid_from, r.valid_to) for r in sorted(
+        applied.collect(), key=lambda r: r.version)]
+    # full rebuild would give A[0,10) B[10,20) A[20,-); the compressed
+    # dim yields A[0,10) B[10,-) — B absorbs the lost re-assertion
+    assert got == [("A", _ts(0), _ts(10)), ("B", _ts(10), None)]
