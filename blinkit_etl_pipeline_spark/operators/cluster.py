@@ -1,0 +1,115 @@
+"""Exact-integer distributed k-means (Lloyd's algorithm), value-
+checkable cross-engine.
+
+The general-clustering face of the codebook machinery in
+``operators/vector.py`` (IVF/PQ train on floats and pin artifacts; see
+``plans/codebook.py``): here every quantity lives on an integer
+lattice so the DuckDB oracle can DERIVE the whole training run and
+match bit-for-bit — the PageRank discipline (``operators/graph.py``)
+applied to clustering:
+
+- embeddings quantize to int64 (``ROUND(x·10^6)``),
+- distances are exact integer sums of squares (≤ 64·(4·10^6)² ≪ 2^63),
+- assignment ties break by ``(dist, cluster)`` lexicographic min,
+- centroid update is integer TRUNCATING division ``sum div n`` —
+  Spark ``div`` and DuckDB ``//`` both truncate toward zero, so the
+  1e-6-grid centroids agree exactly; an emptied cluster keeps its
+  previous centroid (deterministic in both engines).
+
+Scale shape: per iteration ONE map pass (assignment against k·dim
+broadcast literals — no join, no shuffle of the vectors) and ONE
+k-row aggregate (64 per-dim SUMs fold map-side; the shuffle carries
+k·partitions rows). Driver state is the k×dim centroid table per
+round — the documented gauge-scale round-trip of
+``vector.fps_codebook``; k and iters are fixed hyper-parameters, so
+the whole run is O(iters) jobs regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: embedding lattice scale (matches operators/vector.py::QSCALE)
+KM_QSCALE = 1000000.0
+
+
+def _trunc_div(s: int, n: int) -> int:
+    """Truncate-toward-zero integer division (Spark ``div``/DuckDB
+    ``//`` semantics; Python's ``//`` floors, which differs for
+    negative sums)."""
+    q = abs(s) // n
+    return q if s >= 0 else -q
+
+
+def _qcol(emb_col) -> F.Column:
+    return F.transform(
+        emb_col,
+        lambda v: F.round(v.cast("double") * F.lit(KM_QSCALE), 0).cast(
+            "long"
+        ),
+    )
+
+
+def _dist(ecol, centroid: list[int]) -> F.Column:
+    arr = F.array(*[F.lit(int(x)).cast("long") for x in centroid])
+    return F.aggregate(
+        F.zip_with(ecol, arr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(eq: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """(vec_id, e, cluster, dist_q): lexicographic (dist, j) argmin
+    against broadcast centroid literals — one map pass, no shuffle."""
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _dist(F.col("e"), c).alias("d"),
+                    F.lit(j).cast("long").alias("j"),
+                )
+                for j, c in enumerate(centroids)
+            ]
+        )
+    )
+    return eq.select(
+        "vec_id",
+        "e",
+        best["j"].alias("cluster"),
+        best["d"].alias("dist_q"),
+    )
+
+
+def kmeans_exact(
+    emb: DataFrame, k: int = 8, iters: int = 3, dim: int = 64
+) -> DataFrame:
+    """Run ``iters`` Lloyd rounds from the deterministic first-k-by-
+    vec_id init; return the final assignment ``(vec_id, cluster,
+    dist_q)``. Everything exact-integer (module doc)."""
+    eq = emb.select("vec_id", _qcol(F.col("embedding")).alias("e"))
+    init = eq.orderBy("vec_id").limit(k).collect()
+    if len(init) < k:
+        raise ValueError(f"kmeans_exact: need at least k={k} vectors")
+    centroids = [list(r["e"]) for r in init]
+    for _ in range(iters):
+        assigned = _assign(eq, centroids)
+        sums = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.element_at("e", i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new = list(centroids)  # emptied cluster keeps previous centroid
+        for r in sums:
+            j = int(r["cluster"])
+            n = int(r["n"])
+            new[j] = [_trunc_div(int(r[f"s{i}"]), n) for i in range(dim)]
+        centroids = new
+    return _assign(eq, centroids).select("vec_id", "cluster", "dist_q")

@@ -296,3 +296,77 @@ FROM agg"""
 
 
 ORACLES["ns_privacy_dp_release"] = _dp_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Exact-integer k-means clustering (ns_cluster_kmeans)
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 3
+_KM_DIM = 64
+
+
+def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means on the integer lattice: the DuckDB
+    oracle re-derives the ENTIRE training run (init, 3 update rounds,
+    final assignment) and matches value-exact — clustering with the
+    PageRank determinism discipline. One map pass + one k-row
+    aggregate per round; see operators/cluster.py."""
+    from ..operators import cluster
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cluster.kmeans_exact(emb, k=_KM_K, iters=_KM_ITERS, dim=_KM_DIM)
+
+
+QUERIES["ns_cluster_kmeans"] = q_cluster_kmeans
+
+
+def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITERS,
+                   dim: int = _KM_DIM) -> str:
+    def assign(name: str, cent: str) -> str:
+        return (
+            f"{name} AS MATERIALIZED (SELECT vec_id, e, j, d FROM ("
+            "SELECT *, row_number() OVER "
+            "(PARTITION BY vec_id ORDER BY d, j) AS rn FROM ("
+            f"SELECT eq.vec_id, eq.e, {cent}.j, "
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> (eq.e[i] - {cent}.c[i]) * (eq.e[i] - {cent}.c[i]))) AS d "
+            f"FROM eq CROSS JOIN {cent})) WHERE rn = 1)"
+        )
+
+    ctes = [
+        "eq AS MATERIALIZED (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(round(x::DOUBLE * 1000000.0) AS BIGINT)) AS e "
+        "FROM embeddings)",
+        "c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 "
+        f"AS j, e AS c FROM (SELECT vec_id, e FROM eq ORDER BY vec_id "
+        f"LIMIT {k}))",
+    ]
+    cur = "c0"
+    for t in range(iters):
+        ctes.append(assign(f"a{t}", cur))
+        ctes.append(
+            f"s{t} AS (SELECT j, r.range AS i, SUM(e[r.range]) AS s, "
+            f"count(*) AS n FROM a{t} CROSS JOIN range(1, {dim + 1}) r "
+            "GROUP BY j, r.range)"
+        )
+        ctes.append(
+            f"u{t} AS (SELECT j, list(s // n ORDER BY i) AS c FROM s{t} "
+            "GROUP BY j)"
+        )
+        ctes.append(
+            f"c{t + 1} AS MATERIALIZED (SELECT {cur}.j, "
+            f"COALESCE(u{t}.c, {cur}.c) AS c FROM {cur} "
+            f"LEFT JOIN u{t} USING (j))"
+        )
+        cur = f"c{t + 1}"
+    ctes.append(assign("af", cur))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT vec_id, CAST(j AS BIGINT) AS cluster, "
+        "CAST(d AS BIGINT) AS dist_q FROM af"
+    )
+
+
+ORACLES["ns_cluster_kmeans"] = _kmeans_oracle()
