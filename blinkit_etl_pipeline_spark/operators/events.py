@@ -347,3 +347,59 @@ def cohort_retention(events: DataFrame) -> DataFrame:
             "retention"
         ),
     )
+
+
+#: truncated-EWMA window length (hours of history per prediction)
+EWMA_LAGS = 8
+
+#: EWMA decay 3/4 as integer lag weights: w_i = 3^(i-1)·4^(8-i) for the
+#: i-th most recent observed hour; normalizer D = Σ w_i = 4^8 − 3^8
+EWMA_WEIGHTS = [3 ** (i - 1) * 4 ** (EWMA_LAGS - i)
+                for i in range(1, EWMA_LAGS + 1)]
+EWMA_DENOM = sum(EWMA_WEIGHTS)  # 58975
+
+
+def ewma_anomaly(events: DataFrame) -> DataFrame:
+    """Per-event-type hourly rate anomalies against a truncated EWMA
+    baseline — the standard streaming-telemetry alert, exact-integer
+    end to end (decay 3/4 over the last 8 OBSERVED hours; weights are
+    integer constants, the prediction is ``Σ wᵢ·x_{t−i}`` with
+    normalizer D kept on the comparison side, so no division at all).
+
+    ``anomaly`` flags hours whose count doubles (or halves) the EWMA
+    prediction: ``x·D > 2·pred`` or ``2·x·D < pred``. Hours before a
+    full 8-observation history are emitted with NULL prediction and
+    never flagged (warm-up). Gap semantics: lags are over observed
+    hours per type, so a silent hour ages out of the window rather
+    than entering it as zero — documented observed-hours EWMA.
+
+    One shuffle for the hourly aggregate; the lag window reuses the
+    same (event_type) partitioning. Returns (event_type, hour, n,
+    pred_q, anomaly).
+    """
+    from pyspark.sql import Window
+
+    hourly = (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    pred = None
+    for i, wt in enumerate(EWMA_WEIGHTS, start=1):
+        term = F.lag("n", i).over(w) * F.lit(wt)
+        pred = term if pred is None else pred + term
+    out = hourly.withColumn("pred_q", pred.cast("long"))
+    xd = F.col("n") * F.lit(EWMA_DENOM)
+    return out.select(
+        "event_type",
+        "hour",
+        "n",
+        "pred_q",
+        F.when(
+            F.col("pred_q").isNull(), F.lit(False)
+        ).otherwise(
+            (xd > 2 * F.col("pred_q")) | (2 * xd < F.col("pred_q"))
+        ).alias("anomaly"),
+    )

@@ -30,6 +30,8 @@ PRIORITY = [
     # --- r7 additions / changed oracles, never driver-checked as-is ---
     "ns_scd2_user_state",
     "ns_sketch_kmv_overlap",
+    "ns_privacy_dp_release",
+    "ns_cluster_kmeans",
     "ns_lm_kn_perplexity",
     "ns_dedup_edit_distance",
     "ns_select_dsir",

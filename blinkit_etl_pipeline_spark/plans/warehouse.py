@@ -370,3 +370,45 @@ def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITERS,
 
 
 ORACLES["ns_cluster_kmeans"] = _kmeans_oracle()
+
+
+# ---------------------------------------------------------------------------
+# EWMA rate-anomaly detection (ns_events_ewma_anomaly)
+# ---------------------------------------------------------------------------
+
+
+def q_events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-rate anomalies per type against a truncated-EWMA
+    baseline (decay 3/4, 8 observed hours, exact integer weights — no
+    division anywhere). See operators/events.py::ewma_anomaly."""
+    from ..operators import events as EV
+
+    return EV.ewma_anomaly(_events(spark, sf_dir))
+
+
+QUERIES["ns_events_ewma_anomaly"] = q_events_ewma_anomaly
+
+
+def _ewma_oracle() -> str:
+    from ..operators.events import EWMA_DENOM, EWMA_WEIGHTS
+
+    terms = " + ".join(
+        f"lag(n, {i}) OVER w * {wt}"
+        for i, wt in enumerate(EWMA_WEIGHTS, start=1)
+    )
+    return f"""WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+    CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+p AS (
+  SELECT event_type, hour, n, CAST({terms} AS BIGINT) AS pred_q
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour))
+SELECT event_type, hour, n, pred_q,
+  CASE WHEN pred_q IS NULL THEN FALSE
+    ELSE (n * {EWMA_DENOM} > 2 * pred_q
+          OR 2 * n * {EWMA_DENOM} < pred_q) END AS anomaly
+FROM p"""
+
+
+ORACLES["ns_events_ewma_anomaly"] = _ewma_oracle()

@@ -231,3 +231,29 @@ def test_apply_out_of_order_compression_loss_is_the_documented_one(spark):
     # full rebuild would give A[0,10) B[10,20) A[20,-); the compressed
     # dim yields A[0,10) B[10,-) — B absorbs the lost re-assertion
     assert got == [("A", _ts(0), _ts(10)), ("B", _ts(10), None)]
+
+
+def test_ewma_anomaly_flags_spike_not_steady_state(spark):
+    """Steady 10/hour -> spike of 100 flagged; steady hours and
+    warm-up (first 8) never flagged; halving flagged too."""
+    import datetime as dt
+
+    from blinkit_etl_pipeline_spark.operators.events import ewma_anomaly
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 12 steady hours at 10, hour 12 spikes to 100, hour 13 drops to 2
+    for h, n in list(enumerate([10] * 12 + [100, 2])):
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(hours=h, seconds=eid % 60),
+                         "click"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    out = {r.hour.hour: r for r in ewma_anomaly(ev).collect()}
+    assert all(out[h].pred_q is None for h in range(8))  # warm-up
+    assert not any(out[h].anomaly for h in range(12))
+    assert out[12].anomaly  # 100 vs EWMA ~10: doubled
+    assert out[13].anomaly  # 2 vs EWMA pulled up by the spike: halved
