@@ -46,6 +46,9 @@ def main() -> None:
         if not os.path.isdir(d):
             continue
         for name in names:
+            # time from construction: queries that train (k-means) run
+            # driver-round-trip jobs before returning the frame
+            t0 = time.time()
             df = qs[name](spark, d)
             force = df.agg(
                 F.sum(
@@ -53,7 +56,6 @@ def main() -> None:
                 ).alias("ck"),
                 F.count("*").alias("n"),
             )
-            t0 = time.time()
             row = force.collect()[0]
             out.setdefault(name, {})[sf] = {
                 "sec": round(time.time() - t0, 3),
