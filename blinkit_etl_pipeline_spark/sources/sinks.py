@@ -211,3 +211,32 @@ def rowgroup_stats(path: str, column: str) -> list[dict]:
                 }
             )
     return out
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+    *,
+    sorted_by_key: bool = True,
+) -> None:
+    """Persist as a BUCKETED (and bucket-sorted) catalog table —
+    the co-location contract that removes the shuffle from every
+    subsequent equi-join and aggregation on ``key``.
+
+    ``bucketBy(n, key)`` fixes ``hash(key) % n`` at WRITE time; two
+    tables bucketed the same way sort-merge-join with ZERO Exchange
+    (each task pairs bucket i with bucket i), and a ``groupBy(key)``
+    reads pre-clustered input. At 100 TB this is the difference
+    between re-shuffling the fact table on every query and paying the
+    shuffle ONCE at ingest — the same economics as the clustered index
+    stores in operators/snapshot.py, expressed through Spark's own
+    catalog so Catalyst plans it automatically (pytest pins the
+    exchange-free plan). Requires ``saveAsTable`` (bucket metadata
+    lives in the catalog, not the parquet footers).
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sorted_by_key:
+        w = w.sortBy(key)
+    w.format("parquet").saveAsTable(table)

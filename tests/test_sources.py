@@ -137,3 +137,45 @@ def test_parquet_schema_evolution_reads_unified(spark, tmp_path):
     rows = {r["id"]: r for r in merged.collect()}
     assert rows[1]["score"] is None and rows[3]["score"] == 9.5
     assert merged.count() == 3
+
+
+def test_bucketed_tables_join_and_agg_without_exchange(spark):
+    """The ingest-once/shuffle-never contract: two tables bucketed on
+    the join key sort-merge-join with ZERO Exchange, and a groupBy on
+    the bucket key aggregates exchange-free too."""
+    from blinkit_etl_pipeline_spark.sources.sinks import write_bucketed
+    from blinkit_etl_pipeline_spark.sources.testdata import register_base
+
+    from conftest import SF_SMOKE
+
+    t = register_base(spark, SF_SMOKE)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # forbid broadcast so the planner must choose SMJ
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(t["orders"], "bkt_orders", "o_orderkey", 8)
+        write_bucketed(
+            t["lineitem"].withColumnRenamed("l_orderkey", "o_orderkey"),
+            "bkt_lineitem", "o_orderkey", 8,
+        )
+        a = spark.table("bkt_orders")
+        b = spark.table("bkt_lineitem")
+        joined = a.join(b, "o_orderkey").select("o_orderkey", "l_quantity")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle at all
+        # same rows as the plain parquet join
+        expect = (
+            t["orders"].join(
+                t["lineitem"],
+                t["orders"].o_orderkey == t["lineitem"].l_orderkey,
+            ).count()
+        )
+        assert joined.count() == expect
+        agg = spark.table("bkt_lineitem").groupBy("o_orderkey").count()
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in aplan  # pre-clustered aggregation
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
