@@ -32,6 +32,8 @@ PRIORITY = [
     "ns_sketch_kmv_overlap",
     "ns_privacy_dp_release",
     "ns_cluster_kmeans",
+    "ns_events_ewma_anomaly",
+    "ns_scd2_pit_enrich",
     "ns_lm_kn_perplexity",
     "ns_dedup_edit_distance",
     "ns_select_dsir",

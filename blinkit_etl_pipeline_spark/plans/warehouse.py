@@ -412,3 +412,69 @@ FROM p"""
 
 
 ORACLES["ns_events_ewma_anomaly"] = _ewma_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time enrichment against the SCD2 dim (ns_scd2_pit_enrich)
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reason SCD2 dims exist: enrich a fact stream with the
+    dimension state AS OF each fact's timestamp. Purchases get the
+    user's browsing state (SCD2 over the non-purchase feed) live at
+    purchase time — half-open interval containment on an equi-keyed
+    sort-merge join (the range conditions ride the user_id join);
+    purchases before a user's first observation stay NULL (left)."""
+    from ..operators import scd
+
+    ev = _events(spark, sf_dir)
+    dim = scd.scd2_build(
+        ev.filter(F.col("event_type") != "purchase").select(
+            "user_id", "event_type", "ts", "event_id"
+        ),
+        "user_id", "event_type", "ts", "event_id",
+    )
+    # same-lineage self join: alias both sides so column resolution is
+    # positional-unambiguous (the raw frames share the events lineage)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .alias("p")
+    )
+    d = dim.alias("d")
+    cond = (
+        (F.col("p.user_id") == F.col("d.user_id"))
+        & (F.col("d.valid_from") <= F.col("p.ts"))
+        & (F.col("d.valid_to").isNull() | (F.col("d.valid_to") > F.col("p.ts")))
+    )
+    return p.join(d, cond, "left").select(
+        F.col("p.event_id").alias("event_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.ts").alias("ts"),
+        F.col("d.state").alias("state_at_purchase"),
+    )
+
+
+QUERIES["ns_scd2_pit_enrich"] = q_scd2_pit_enrich
+
+ORACLES["ns_scd2_pit_enrich"] = """WITH np AS (
+  SELECT user_id, event_type AS state, ts, event_id FROM events
+  WHERE event_type <> 'purchase'),
+ord AS (
+  SELECT user_id, state, ts, event_id,
+    lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM np),
+chg AS (
+  SELECT user_id, state, ts, event_id FROM ord
+  WHERE prev IS NULL OR state <> prev),
+dim AS (
+  SELECT user_id, state, ts AS valid_from,
+    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM chg)
+SELECT p.event_id, p.user_id, p.ts, dim.state AS state_at_purchase
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+LEFT JOIN dim ON dim.user_id = p.user_id
+  AND dim.valid_from <= p.ts
+  AND (dim.valid_to IS NULL OR dim.valid_to > p.ts)"""
