@@ -48,6 +48,15 @@ def h32(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
+def h48(col: Column | str) -> Column:
+    """Cross-engine 48-bit string hash (md5-prefix, 12 hex chars):
+    wide enough for order-statistic estimators (KMV sketches) and
+    hash-derived uniforms (DP Laplace draws). DuckDB mirror:
+    ``('0x' || substr(md5(x), 1, 12))::BIGINT``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("long")
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization, empties dropped (array<string>)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -375,6 +375,32 @@ def band_frame(sigs: DataFrame, keys: tuple[str, ...] = ("doc_id",)) -> DataFram
     ).select(*keys, "bk.band", "bk.key")
 
 
+def _lsh_candidates(idx) -> DataFrame:
+    """``(doc_a, doc_b)`` candidate pairs from the 16-perm/4-band
+    MinHash band join over a shingle index — the shared blocking pass
+    of every LSH-candidate tier (Jaccard verify, edit-distance
+    verify). One definition so banding changes cannot silently
+    diverge between tiers (r7 review)."""
+    sigs = idx.select("doc_id", h32(F.col("shingle")).alias("sh32")).groupBy(
+        "doc_id"
+    ).agg(*_minhash_agg_cols())
+    bands = band_frame(sigs)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.35,
     idx: DataFrame | ShingleIndex | None = None,
@@ -393,21 +419,7 @@ def minhash_lsh_pairs(
     # set sizes — a locally-built one is persisted so the
     # tokenize+shingle explode runs once.
     idx = _resolve_idx(idx, docs, n, None, "minhash_lsh_pairs")
-    sigs = idx.select("doc_id", h32(F.col("shingle")).alias("sh32")).groupBy(
-        "doc_id"
-    ).agg(*_minhash_agg_cols())
-    bands = band_frame(sigs)
-    a, b = bands.alias("a"), bands.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    candidates = _lsh_candidates(idx)
     # Verify candidates only: exact Jaccard computed per candidate pair
     # (the candidate set is small, so these joins broadcast), NOT the
     # all-pairs shingle self-join — at scale that is the whole point of
@@ -1117,24 +1129,7 @@ def edit_distance_pairs(
     prefix distance ≤ ``max_dist``.
     """
     idx = _resolve_idx(idx, docs, n, None, "edit_distance_pairs")
-    sigs = idx.select("doc_id", h32(F.col("shingle")).alias("sh32")).groupBy(
-        "doc_id"
-    ).agg(*_minhash_agg_cols())
-    bands = band_frame(sigs)
-    a, b = bands.alias("a"), bands.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
+    candidates = _lsh_candidates(idx)
     pfx = docs.select(
         "doc_id", F.substring(F.col("text"), 1, prefix_len).alias("pfx")
     )

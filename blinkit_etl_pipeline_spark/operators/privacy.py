@@ -86,10 +86,9 @@ def _laplace_q(seed_col, b: int) -> F.Column:
 
     Both ``ln`` arguments are integers in [2, 2^48+2] (< 2^53, exact
     as doubles). Returned pre-multiplied by 10^6 (int64)."""
-    v = (
-        F.conv(F.substring(F.md5(seed_col), 1, 12), 16, 10).cast("long")
-        + F.lit(1)
-    )
+    from ..functions.text import h48
+
+    v = h48(seed_col) + F.lit(1)
     n = F.lit(DP_SPACE + 2).cast("long")
     d = F.lit(2).cast("long") * v - n
     sign = F.when(d > 0, F.lit(-1)).when(d < 0, F.lit(1)).otherwise(F.lit(0))
@@ -140,8 +139,19 @@ def dp_release(
         .cast("long")
         .alias("clipped_sum"),
     )
+    # NULL-safe, collision-free group key: NULL encodes as \x00 and a
+    # real value as \x01+value, so (NULL,'x') and ('x',NULL) never
+    # share a noise draw and NULL groups don't silently drop out of
+    # the concat (concat_ws skips NULLs; the oracle's || would null
+    # the whole key) — r7 review finding
+    def _part(c: str) -> F.Column:
+        col = F.col(c).cast("string")
+        return F.when(col.isNull(), F.lit("\x00")).otherwise(
+            F.concat(F.lit("\x01"), col)
+        )
+
     gkey = F.concat_ws(
-        "\x1f", F.lit(seed), *[F.col(c).cast("string") for c in group_cols]
+        "\x1f", F.lit(seed), *[_part(c) for c in group_cols]
     )
     noise_n = _laplace_q(F.concat(gkey, F.lit("\x1fn")), eps_inv)
     noise_s = _laplace_q(

@@ -53,10 +53,15 @@ def scd2_build(
     noisy feed that re-reports an unchanged state does not grow the
     dimension.
 
-    Returns ``(key, state, valid_from, valid_to, version, is_current)``
-    with half-open validity: version ``i`` is live for
+    Returns ``(key, state, valid_from, opened_by, valid_to, version,
+    is_current)`` with half-open validity: version ``i`` is live for
     ``valid_from <= t < valid_to``; the newest version has
-    ``valid_to IS NULL``.
+    ``valid_to IS NULL``. ``opened_by`` is the tiebreak of the
+    observation that opened the version, retained (in its original
+    type) so :func:`scd2_apply` can re-enter existing versions as
+    their exact original observations — the ordering provenance that
+    makes incremental maintenance equal the full rebuild even for
+    same-timestamp ties.
     """
     w = Window.partitionBy(key).orderBy(ts, tiebreak)
     chg = (
@@ -70,6 +75,7 @@ def scd2_build(
         F.col(key),
         F.col(attr).alias("state"),
         F.col(ts).alias("valid_from"),
+        F.col(tiebreak).alias("opened_by"),
         F.lead(ts).over(w).alias("valid_to"),
         F.row_number().over(w).cast("long").alias("version"),
     ).withColumn("is_current", F.col("valid_to").isNull())
@@ -103,16 +109,15 @@ def scd2_apply(
     compression this operator exists for (dbt snapshots and classic
     Kimball loaders share this contract).
 
-    Existing versions re-enter the rebuild as synthetic observations
-    ``(key, state, valid_from)`` whose tiebreak is the zero-padded
-    version number, so versions sharing a timestamp keep their
-    original relative order. Re-delivering an already-applied batch is
-    a no-op: the duplicate observation carries the same state as the
-    version it created, so it compresses away wherever it sorts.
-    (The one unresolvable ambiguity — two observations with DIFFERENT
-    states at the exact same ``(key, ts)`` split across batches — is
-    ordered by tiebreak-string comparison; feeds with a total
-    ``(ts, tiebreak)`` order per key are exact.)
+    Existing versions re-enter the rebuild as their EXACT original
+    opening observations ``(key, state, valid_from, opened_by)`` —
+    the dim retains each version's tiebreak in its original type, so
+    equal-timestamp ordering is identical to the full rebuild's (no
+    string casting, no synthetic tiebreaks; the r7 review caught both
+    '10'<'9' collation and synthetic-padding collisions in an earlier
+    spelling). Re-delivering an already-applied batch is a no-op: the
+    duplicate observation sorts exactly where its original did and
+    compresses away.
     """
     touched = batch.select(key).distinct()
     keep = dim.join(F.broadcast(touched), key, "left_anti")
@@ -120,13 +125,13 @@ def scd2_apply(
         F.col(key),
         F.col("state").alias(attr),
         F.col("valid_from").alias(ts),
-        F.lpad(F.col("version").cast("string"), 20, "0").alias(tiebreak),
+        F.col("opened_by").alias(tiebreak),
     )
     new_obs = batch.select(
         F.col(key),
         F.col(attr),
         F.col(ts),
-        F.col(tiebreak).cast("string").alias(tiebreak),
+        F.col(tiebreak),
     )
     rebuilt = scd2_build(
         existing_obs.unionByName(new_obs), key, attr, ts, tiebreak
@@ -134,7 +139,7 @@ def scd2_apply(
     return keep.unionByName(rebuilt)
 
 
-def scd2_lookup(dim: DataFrame, key: str, at: Column) -> DataFrame:
+def scd2_lookup(dim: DataFrame, at: Column) -> DataFrame:
     """Filter an SCD2 dimension to the versions live at time ``at``
     (half-open interval containment) — the point-in-time join side."""
     return dim.filter(
@@ -167,16 +172,22 @@ def scd2_apply_partitioned(
     Redelivery-idempotent BY CONSTRUCTION (not by guard): re-applying
     a batch re-presents observations that compress into the versions
     they already created (see :func:`scd2_apply`). A nonexistent
-    ``path`` bootstraps from the first batch. Returns touched buckets.
+    ``path`` bootstraps from the first batch; the bootstrap write is
+    ``mode("overwrite")`` so a crash that left a partial/unreadable
+    output dir (e.g. only ``_temporary``) is healed by the replay
+    instead of wedging it on errorifexists (r7 review finding).
+    Returns touched buckets.
     """
+    from pyspark.errors import AnalysisException
+
     from .merge import _escape_partition_value
 
-    def bcol(df: DataFrame):
+    def bcol() -> F.Column:
         return F.pmod(
             F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets)
         ).cast("int")
 
-    bb = batch.withColumn("__bucket", bcol(batch))
+    bb = batch.withColumn("__bucket", bcol())
     touched = sorted(
         int(r["__bucket"]) for r in bb.select("__bucket").distinct().collect()
     )
@@ -184,15 +195,17 @@ def scd2_apply_partitioned(
         return []
     try:
         dim = spark.read.parquet(path)
-    except Exception:  # fresh table: bootstrap from the first batch
+    except AnalysisException:
+        # fresh table (path missing) OR a crashed bootstrap's partial
+        # dir (schema inference fails): both bootstrap from the batch
         full = scd2_build(bb.drop("__bucket"), key, attr, ts, tiebreak)
-        full.withColumn("__bucket", bcol(full)).write.partitionBy(
-            "__bucket"
-        ).parquet(path)
+        full.withColumn("__bucket", bcol()).write.mode(
+            "overwrite"
+        ).partitionBy("__bucket").parquet(path)
         return touched
     base = dim.filter(F.col("__bucket").isin(touched)).drop("__bucket")
     new = scd2_apply(base, bb.drop("__bucket"), key, attr, ts, tiebreak)
-    new = new.withColumn("__bucket", bcol(new))
+    new = new.withColumn("__bucket", bcol())
     # break lineage from the path being overwritten
     new = new.localCheckpoint(eager=True)
     for t in touched:

@@ -34,7 +34,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import h32
+from ..functions.text import h32, h48
 
 HLL_P = 9
 HLL_M = 1 << HLL_P  # 512 registers
@@ -376,13 +376,6 @@ KMV_K = 256
 
 #: hash-space size for the 48-bit md5-prefix hash (12 hex chars)
 KMV_SPACE = 1 << 48
-
-
-def h48(col) -> "F.Column":
-    """Cross-engine 48-bit hash (md5-prefix, like functions.text.h32 but
-    wide enough that kth-order-statistic estimates keep ~5 digits)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("long")
 
 
 def kmv_sketch(

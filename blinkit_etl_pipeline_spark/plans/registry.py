@@ -161,13 +161,25 @@ def _prioritized(items: dict) -> dict:
     return front
 
 
+# NOTE: northstar and warehouse import in SEPARATE guarded blocks so a
+# failure loading one cannot silently drop the other's queries from
+# the registry (r7 review finding); the guard exists only for
+# environments missing numpy/pandas (the Arrow kernels northstar
+# pulls in), which the driver environment always has.
+
+
 def all_queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
     out.update(parity.QUERIES)
     try:
-        from . import northstar, warehouse
+        from . import northstar
 
         out.update(northstar.QUERIES)
+    except ImportError:
+        pass
+    try:
+        from . import warehouse
+
         out.update(warehouse.QUERIES)
     except ImportError:
         pass
@@ -178,9 +190,14 @@ def all_oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(parity.ORACLES)
     try:
-        from . import northstar, warehouse
+        from . import northstar
 
         out.update(northstar.ORACLES)
+    except ImportError:
+        pass
+    try:
+        from . import warehouse
+
         out.update(warehouse.ORACLES)
     except ImportError:
         pass

@@ -50,7 +50,7 @@ ORACLES["ns_scd2_user_state"] = """WITH ord AS (
 chg AS (
   SELECT user_id, state, ts, event_id FROM ord
   WHERE prev IS NULL OR state <> prev)
-SELECT user_id, state, ts AS valid_from,
+SELECT user_id, state, ts AS valid_from, event_id AS opened_by,
   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
   CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
     AS BIGINT) AS version,
@@ -280,7 +280,16 @@ def _dp_noise_sql(seed_expr: str, b: int) -> str:
 
 
 def _dp_oracle() -> str:
-    gkey = "'dp-v1' || chr(31) || lang || chr(31) || source"
+    def part(c: str) -> str:
+        return (
+            f"CASE WHEN {c} IS NULL THEN chr(0) "
+            f"ELSE chr(1) || CAST({c} AS VARCHAR) END"
+        )
+
+    gkey = (
+        f"'dp-v1' || chr(31) || {part('lang')} || chr(31) "
+        f"|| {part('source')}"
+    )
     noise_n = _dp_noise_sql(f"{gkey} || chr(31) || 'n'", 1)
     noise_s = _dp_noise_sql(f"{gkey} || chr(31) || 's'", _DP_CLIP)
     return f"""WITH agg AS (

@@ -115,7 +115,7 @@ def test_apply_leaves_untouched_keys_alone(spark):
 def test_lookup_point_in_time(spark):
     feed = _feed(spark, [(1, "A", 0, 1), (1, "B", 20, 2), (2, "X", 5, 3)])
     dim = scd.scd2_build(feed, "k", "a", "ts", "tb")
-    live = scd.scd2_lookup(dim, "k", F.lit(_ts(10)).cast("timestamp"))
+    live = scd.scd2_lookup(dim, F.lit(_ts(10)).cast("timestamp"))
     got = sorted((r.k, r.state) for r in live.collect())
     assert got == [(1, "A"), (2, "X")]
 
@@ -257,3 +257,55 @@ def test_ewma_anomaly_flags_spike_not_steady_state(spark):
     assert not any(out[h].anomaly for h in range(12))
     assert out[12].anomaly  # 100 vs EWMA ~10: doubled
     assert out[13].anomaly  # 2 vs EWMA pulled up by the spike: halved
+
+
+def test_apply_equal_ts_long_tiebreaks_match_build(spark):
+    """r7 review regression: numeric tiebreaks 9 vs 10 at the same ts
+    must order numerically in apply exactly as in build (an earlier
+    spelling cast them to strings: '10' < '9')."""
+    feed = spark.createDataFrame(
+        [(1, "B", _ts(5), 9), (1, "C", _ts(5), 10)],
+        "k long, a string, ts timestamp, tb long",
+    )
+    full = scd.scd2_build(feed, "k", "a", "ts", "tb")
+    applied = scd.scd2_apply(
+        full.limit(0), feed, "k", "a", "ts", "tb"
+    )
+    assert _rows(applied) == _rows(full)
+    cur = [r.state for r in full.collect() if r.is_current]
+    assert cur == ["C"]  # tb=10 sorts AFTER tb=9 numerically
+
+
+def test_apply_equal_ts_string_tiebreaks_keep_original_order(spark):
+    """r7 review regression: an existing version's ORIGINAL tiebreak
+    (not a synthetic padded one) orders against a new same-ts row."""
+    first = spark.createDataFrame(
+        [(1, "A", _ts(5), "000")], "k long, a string, ts timestamp, tb string"
+    )
+    late = spark.createDataFrame(
+        [(1, "B", _ts(5), "0000")], "k long, a string, ts timestamp, tb string"
+    )
+    dim = scd.scd2_build(first, "k", "a", "ts", "tb")
+    applied = scd.scd2_apply(dim, late, "k", "a", "ts", "tb")
+    full = scd.scd2_build(first.unionByName(late), "k", "a", "ts", "tb")
+    assert _rows(applied) == _rows(full)
+    cur = [r.state for r in applied.collect() if r.is_current]
+    assert cur == ["B"]  # '000' < '0000' -> A opened first
+
+
+def test_apply_partitioned_bootstrap_replay_heals_partial_dir(spark, tmp_path):
+    """r7 review regression: a crashed bootstrap leaves an unreadable
+    dir; the replay must overwrite it, not wedge on errorifexists."""
+    import os
+
+    from blinkit_etl_pipeline_spark.operators.scd import (
+        scd2_apply_partitioned,
+    )
+
+    path = str(tmp_path / "dim")
+    os.makedirs(f"{path}/_temporary")  # simulate the crash artifact
+    batch = _feed(spark, [(1, "A", 0, 1), (2, "B", 5, 2)])
+    scd2_apply_partitioned(spark, path, batch, "k", "a", "ts", "tb",
+                           n_buckets=4)
+    got = spark.read.parquet(path)
+    assert got.count() == 2

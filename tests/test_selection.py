@@ -406,3 +406,20 @@ def test_dp_release_seeded_determinism_and_eps_scaling(spark):
     # eps_inv multiplies the SAME draw exactly (integer b, shared seed)
     r10 = privacy.dp_release(df, ["g"], "v", 10, eps_inv=10).collect()[0]
     assert abs((r10.dp_n - r10.n) - 10 * (r1.dp_n - r1.n)) < 1e-6
+
+
+def test_dp_release_null_groups_get_independent_nonnull_noise(spark):
+    """r7 review regression: NULL group values must neither null the
+    noise key (concat_ws skips NULLs) nor collide (NULL,'x') with
+    ('x',NULL)."""
+    from blinkit_etl_pipeline_spark.operators import privacy
+
+    df = spark.createDataFrame(
+        [(None, "x", 5), ("x", None, 5)],
+        "g1 string, g2 string, v long",
+    )
+    rows = privacy.dp_release(df, ["g1", "g2"], "v", 10).collect()
+    assert len(rows) == 2
+    noises = [round(r.dp_n - r.n, 6) for r in rows]
+    assert all(n is not None and abs(n) > 0 for n in noises)
+    assert noises[0] != noises[1]  # no seed collision
