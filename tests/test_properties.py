@@ -358,3 +358,65 @@ def test_interval_parser_rejects_non_positive(spark):
     )
     with pytest.raises(Exception):  # built-in rejects negative width
         sliding_rollup(ev, width="-1 hour", slide="30 minutes").collect()
+
+
+@settings(**_SETTINGS)
+@given(
+    feed=st.lists(
+        st.tuples(
+            st.integers(1, 4),          # key
+            st.sampled_from("ABС"),     # state (incl. a non-ASCII char)
+            st.integers(0, 50),         # ts seconds
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    cut=st.integers(0, 40),
+)
+def test_scd2_apply_equals_build_for_any_in_order_split(spark, feed, cut):
+    """apply(build(prefix), suffix) == build(all) for every in-order
+    split — including duplicate states, same-ts ties (tiebreak =
+    arrival index), and an empty side."""
+    from blinkit_etl_pipeline_spark.operators import scd
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (k, a, base + dt.timedelta(seconds=t), i)
+        for i, (k, a, t) in enumerate(sorted(feed, key=lambda r: r[2]))
+    ]
+    schema = "k long, a string, ts timestamp, tb long"
+
+    def mk(rs):
+        return spark.createDataFrame(rs, schema) if rs else (
+            spark.createDataFrame([], schema)
+        )
+
+    cut = min(cut, len(rows))
+    full = scd.scd2_build(mk(rows), "k", "a", "ts", "tb")
+    applied = scd.scd2_apply(
+        scd.scd2_build(mk(rows[:cut]), "k", "a", "ts", "tb"),
+        mk(rows[cut:]),
+        "k", "a", "ts", "tb",
+    )
+    got = sorted(map(lambda r: tuple(r), applied.collect()), key=lambda t: (t[0], t[5]))
+    want = sorted(map(lambda r: tuple(r), full.collect()), key=lambda t: (t[0], t[5]))
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    a=st.sets(st.integers(0, 400), min_size=1, max_size=120),
+    b=st.sets(st.integers(0, 400), min_size=1, max_size=120),
+)
+def test_kmv_exact_below_k_for_any_sets(spark, a, b):
+    """With |A∪B| < k every KMV estimate degrades to the exact value."""
+    from blinkit_etl_pipeline_spark.operators import sketch
+
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = sketch.kmv_overlap(df, "g", "v", k=256).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.est_a, r.est_b) == (len(a), len(b))
+    assert r.est_union == len(a | b)
+    assert r.est_inter == r.exact_inter == len(a & b)
