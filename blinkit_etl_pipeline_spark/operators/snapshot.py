@@ -184,6 +184,7 @@ def _commit(
     *,
     stats_col: str | None,
     expected_version: int | None = None,
+    schema: str | None = None,
 ) -> int:
     """Compare-and-swap commit: claim version N+1 by hard-linking the
     fully-written manifest into place — ``os.link`` fails atomically if
@@ -207,6 +208,8 @@ def _commit(
         "stats_col": stats_col,
         "files": files,
     }
+    if schema is not None:
+        manifest["schema"] = schema
     mpath = _manifest_path(table, version)
     tmp = mpath + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
@@ -239,6 +242,48 @@ def _commit(
 COMMIT_RETRIES = 5
 
 
+def _schema_union(prev_json: str | None, df_schema) -> str:
+    """Iceberg-style additive schema evolution: the version's schema is
+    the previous schema plus any NEW columns the incoming frame adds
+    (appended at the end). A type change on an existing column raises
+    loudly — silent widening/narrowing is how readers corrupt history.
+    Recorded in the manifest so reads are deterministic (bare parquet
+    inference samples ONE footer: whether an evolved column appears
+    would otherwise depend on file order)."""
+    from pyspark.sql.types import StructType
+
+    if prev_json is None:
+        return df_schema.json()
+    prev = StructType.fromJson(json.loads(prev_json))
+    have = {f.name: f for f in prev.fields}
+    out = list(prev.fields)
+    for f in df_schema.fields:
+        g = have.get(f.name)
+        if g is None:
+            out.append(f)
+        elif g.dataType != f.dataType:
+            raise SnapshotError(
+                f"schema evolution type conflict on column {f.name!r}: "
+                f"table has {g.dataType.simpleString()}, incoming frame "
+                f"has {f.dataType.simpleString()}"
+            )
+    return StructType(out).json()
+
+
+def _read_files(spark: SparkSession, manifest: dict, paths) -> DataFrame:
+    """Scan manifest-listed files under the version's RECORDED schema
+    (older files lacking an evolved column yield NULLs for it); fall
+    back to inference for pre-schema manifests."""
+    from pyspark.sql.types import StructType
+
+    sj = manifest.get("schema")
+    reader = spark.read
+    if sj is not None:
+        reader = reader.schema(StructType.fromJson(json.loads(sj)))
+    return reader.parquet(*paths)
+
+
+
 def write_snapshot(
     df: DataFrame, table: str, *, stats_col: str | None = None
 ) -> int:
@@ -247,12 +292,13 @@ def write_snapshot(
     Content doesn't depend on the base, so a lost version race only
     needs re-allocation — data files are written once."""
     files = _write_data_files(df, table, stats_col)
+    schema = df.schema.json()
     for _ in range(COMMIT_RETRIES):
         try:
-            return _commit(table, files, stats_col=stats_col)
+            return _commit(table, files, stats_col=stats_col, schema=schema)
         except CommitConflictError:
             continue
-    return _commit(table, files, stats_col=stats_col)
+    return _commit(table, files, stats_col=stats_col, schema=schema)
 
 
 def append_snapshot(
@@ -284,6 +330,7 @@ def append_snapshot(
                 list(manifest["files"]) + new_files,
                 stats_col=manifest.get("stats_col"),
                 expected_version=manifest["version"],
+                schema=_schema_union(manifest.get("schema"), df.schema),
             )
         except CommitConflictError as e:
             last_err = e
@@ -299,7 +346,7 @@ def read_snapshot(
     paths = [e["path"] for e in manifest["files"]]
     if not paths:
         raise SnapshotError(f"version {manifest['version']} lists no files")
-    return spark.read.parquet(*paths)
+    return _read_files(spark, manifest, paths)
 
 
 def _pruned_entries(manifest: dict, values) -> list[dict] | None:
@@ -335,7 +382,7 @@ def read_snapshot_pruned(
     if not entries:
         # preserve schema: scan the full version, keep zero rows
         return read_snapshot(spark, table, version).limit(0)
-    return spark.read.parquet(*[e["path"] for e in entries])
+    return _read_files(spark, manifest, [e["path"] for e in entries])
 
 
 def rollback_snapshot(table: str, version: int) -> int:
@@ -384,11 +431,19 @@ def rollback_snapshot(table: str, version: int) -> int:
     for _ in range(COMMIT_RETRIES):
         try:
             return _commit(
-                table, files, stats_col=manifest.get("stats_col")
+                table,
+                files,
+                stats_col=manifest.get("stats_col"),
+                schema=manifest.get("schema"),
             )
         except CommitConflictError:
             continue
-    return _commit(table, files, stats_col=manifest.get("stats_col"))
+    return _commit(
+        table,
+        files,
+        stats_col=manifest.get("stats_col"),
+        schema=manifest.get("schema"),
+    )
 
 
 def merge_snapshot(
@@ -477,7 +532,7 @@ def _merge_once(
         touched = {e["path"] for e in entries}
     untouched = [e for e in entries if e["path"] not in touched]
     if touched:
-        base = spark.read.parquet(*sorted(touched))
+        base = _read_files(spark, manifest, sorted(touched))
     else:
         base = read_snapshot(spark, table).limit(0)
     merged = merge_fn(
@@ -489,6 +544,7 @@ def _merge_once(
         untouched + new_files,
         stats_col=stats_col,
         expected_version=manifest["version"],
+        schema=_schema_union(manifest.get("schema"), merged.schema),
     )
     return version, sorted(touched)
 
@@ -521,7 +577,10 @@ def compact_snapshot(
         entries = manifest["files"]
         if len(entries) <= target_files:
             return manifest["version"], len(entries), len(entries)
-        df = spark.read.parquet(*[e["path"] for e in entries])
+        # read under the RECORDED schema: bare inference samples one
+        # footer and could silently drop an evolved column from the
+        # compacted rewrite
+        df = _read_files(spark, manifest, [e["path"] for e in entries])
         files = _write_data_files(
             df, table, manifest.get("stats_col"), num_files=target_files
         )
@@ -531,6 +590,7 @@ def compact_snapshot(
                 files,
                 stats_col=manifest.get("stats_col"),
                 expected_version=manifest["version"],
+                schema=manifest.get("schema"),
             )
             return version, len(entries), len(files)
         except CommitConflictError as e:

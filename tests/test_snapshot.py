@@ -494,3 +494,84 @@ def test_table_properties_pin_keys_added_later(tmp_path):
     with pytest.raises(S.SnapshotError, match="conflict"):
         S.ensure_table_properties(t, {"b": [9, 9]})
     assert S.table_properties(t) == {"a": 1, "b": [2, 3]}
+
+
+def test_schema_evolution_append_and_time_travel(spark, tmp_path):
+    """Additive evolution: an appended batch's new column joins the
+    recorded schema (old rows NULL, deterministically — bare parquet
+    inference samples one footer and is file-order-dependent); the old
+    VERSION still reads with its own narrower schema."""
+    from blinkit_etl_pipeline_spark.operators import snapshot as S
+
+    t = str(tmp_path / "store")
+    v1 = S.write_snapshot(
+        spark.createDataFrame([(1, "a")], "id long, x string"), t
+    )
+    S.append_snapshot(
+        spark.createDataFrame(
+            [(2, "b", 99)], "id long, x string, extra long"
+        ),
+        t,
+    )
+    cur = S.read_snapshot(spark, t)
+    assert cur.columns == ["id", "x", "extra"]
+    assert sorted(map(tuple, cur.collect())) == [
+        (1, "a", None), (2, "b", 99)
+    ]
+    old = S.read_snapshot(spark, t, version=v1)
+    assert old.columns == ["id", "x"]
+
+
+def test_schema_evolution_type_conflict_raises(spark, tmp_path):
+    from blinkit_etl_pipeline_spark.operators import snapshot as S
+
+    t = str(tmp_path / "store")
+    S.write_snapshot(spark.createDataFrame([(1, "a")], "id long, x string"), t)
+    try:
+        S.append_snapshot(
+            spark.createDataFrame([(2, 3.5)], "id long, x double"), t
+        )
+        raise AssertionError("expected SnapshotError")
+    except S.SnapshotError as e:
+        assert "type conflict" in str(e) and "'x'" in str(e)
+
+
+def test_schema_evolution_survives_compaction(spark, tmp_path):
+    """Compaction reads under the recorded schema: the evolved column
+    must survive the rewrite even if inference would have sampled an
+    old footer (the latent bug the schema record closes)."""
+    from blinkit_etl_pipeline_spark.operators import snapshot as S
+
+    t = str(tmp_path / "store")
+    S.write_snapshot(spark.createDataFrame([(1, "a")], "id long, x string"), t)
+    for i in range(3):
+        S.append_snapshot(
+            spark.createDataFrame(
+                [(10 + i, "y", i)], "id long, x string, extra long"
+            ),
+            t,
+        )
+    S.compact_snapshot(spark, t, target_files=1)
+    cur = S.read_snapshot(spark, t)
+    assert cur.columns == ["id", "x", "extra"]
+    got = sorted(map(tuple, cur.collect()))
+    assert got == [(1, "a", None), (10, "y", 0), (11, "y", 1), (12, "y", 2)]
+
+
+def test_pre_schema_manifests_still_read(spark, tmp_path):
+    """Backward compat: manifests written before the schema field
+    (simulated by stripping it) fall back to parquet inference."""
+    import json as J
+
+    from blinkit_etl_pipeline_spark.operators import snapshot as S
+
+    t = str(tmp_path / "store")
+    S.write_snapshot(
+        spark.createDataFrame([(1, "a")], "id long, x string"), t
+    )
+    mpath = S._manifest_path(t, 1)
+    m = J.load(open(mpath))
+    m.pop("schema")
+    J.dump(m, open(mpath, "w"))
+    out = S.read_snapshot(spark, t)
+    assert sorted(map(tuple, out.collect())) == [(1, "a")]
