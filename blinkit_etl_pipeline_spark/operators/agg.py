@@ -172,3 +172,144 @@ def product_inventory_discrepancies(recon: DataFrame) -> DataFrame:
         .withColumn("max_severity", F.expr(SEVERITY_FROM_RANK))
         .drop("max_severity_rank")
     )
+
+
+def basket_lift(lineitem: DataFrame, min_support: int = 2) -> DataFrame:
+    """Market-basket association mining (the reference's retail
+    domain): item-pair co-occurrence with support counts and exact
+    integer lift — which products sell TOGETHER beyond what their
+    individual popularity predicts.
+
+    ``lift(a,b) = P(ab) / (P(a)·P(b)) = n_ab·N / (n_a·n_b)`` over
+    distinct (order, part) incidences; emitted as ``lift_ppm`` (×10^6,
+    truncating div — exact integer cross-engine). ``min_support``
+    bounds the answer to pairs seen in ≥ that many orders.
+
+    Scale shape: one distinct + self equi-join ON THE ORDER KEY —
+    pair fan-out is per-basket-size² (bounded by the widest basket,
+    never corpus²); per-item counts are a part-table-sized frame that
+    broadcasts into the final joins; the order total is a one-row
+    broadcast.
+    """
+    li = lineitem.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    tot = li.agg(F.count_distinct("o").alias("n_orders"))
+    item = li.groupBy("p").agg(F.count("*").cast("long").alias("n_p"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .groupBy(
+            F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                item.select(
+                    F.col("p").alias("part_a"), F.col("n_p").alias("n_a")
+                )
+            ),
+            "part_a",
+        )
+        .join(
+            F.broadcast(
+                item.select(
+                    F.col("p").alias("part_b"), F.col("n_p").alias("n_b")
+                )
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr("n_ab * n_orders * 1000000 div (n_a * n_b)")
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+    )
+
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary) with
+    quartile scores from the 256-bin histogram sketch — the classic
+    retail segmentation WITHOUT the global sort ``ntile`` would cost
+    at warehouse scale (the histogram folds the corpus to ≤256 rows
+    per measure; cutpoints are one broadcast row).
+
+    Monetary is quantized to integer cents BEFORE bucketing (the
+    double SUM's last-ulp depends on summation order; rounding to the
+    cent kills it, so bin edges are derived from exact integers in
+    both engines). Scores are 1-4 per measure (strictly-greater
+    comparison against the 25/50/75% cutpoints); recency is inverted
+    (recent = high score). ``rfm_cell = 100r + 10f + m`` is the
+    segment key marketing reads (444 = champions).
+    """
+    from .sketch import histogram_quantiles
+
+    maxd = orders.agg(F.max("o_orderdate").alias("_maxd"))
+    base = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count("*").cast("long").alias("frequency"),
+            F.round(F.sum("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "custkey",
+            F.datediff(F.col("_maxd"), F.col("_last"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+        .withColumn("_g", F.lit(0))
+    )
+    out = base
+    band = {}
+    for col in ("recency_days", "frequency", "monetary_cents"):
+        cuts = histogram_quantiles(
+            base, ["_g"], col, quantiles=(0.25, 0.5, 0.75)
+        )
+        row = cuts.groupBy("_g").agg(
+            *[
+                F.max(
+                    F.when(F.col("q") == q, F.col("quantile_estimate"))
+                ).alias(f"_c{int(q * 100)}_{col}")
+                for q in (0.25, 0.5, 0.75)
+            ]
+        )
+        out = out.join(F.broadcast(row), "_g")
+        band[col] = (
+            F.lit(1)
+            + (F.col(col) > F.col(f"_c25_{col}")).cast("int")
+            + (F.col(col) > F.col(f"_c50_{col}")).cast("int")
+            + (F.col(col) > F.col(f"_c75_{col}")).cast("int")
+        ).cast("long")
+    r_score = (F.lit(5) - band["recency_days"]).cast("long")
+    f_score = band["frequency"]
+    m_score = band["monetary_cents"]
+    return out.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        r_score.alias("r_score"),
+        f_score.alias("f_score"),
+        m_score.alias("m_score"),
+        (r_score * 100 + f_score * 10 + m_score).cast("long").alias(
+            "rfm_cell"
+        ),
+    )

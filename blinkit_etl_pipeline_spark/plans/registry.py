@@ -34,6 +34,8 @@ PRIORITY = [
     "ns_cluster_kmeans",
     "ns_events_ewma_anomaly",
     "ns_scd2_pit_enrich",
+    "ns_basket_lift",
+    "ns_customer_rfm",
     "ns_lm_kn_perplexity",
     "ns_dedup_edit_distance",
     "ns_select_dsir",

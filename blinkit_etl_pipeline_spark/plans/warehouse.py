@@ -487,3 +487,107 @@ FROM (SELECT event_id, user_id, ts FROM events
 LEFT JOIN dim ON dim.user_id = p.user_id
   AND dim.valid_from <= p.ts
   AND (dim.valid_to IS NULL OR dim.valid_to > p.ts)"""
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association lift (ns_basket_lift)
+# ---------------------------------------------------------------------------
+
+
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-pair co-occurrence + exact-integer lift over order
+    baskets — the reference domain's cross-sell analysis. Pair
+    fan-out is per-basket, never corpus²; see
+    operators/agg.py::basket_lift."""
+    from ..operators.agg import basket_lift
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return basket_lift(li, min_support=2)
+
+
+QUERIES["ns_basket_lift"] = q_basket_lift
+
+ORACLES["ns_basket_lift"] = """WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+tot AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM li),
+item AS (SELECT p, CAST(count(*) AS BIGINT) AS n_p FROM li GROUP BY p),
+pairs AS (
+  SELECT a.p AS part_a, b.p AS part_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p
+  HAVING count(*) >= 2)
+SELECT part_a, part_b, n_ab, na.n_p AS n_a, nb.n_p AS n_b,
+  CAST((n_ab * n_orders * 1000000) // (na.n_p * nb.n_p) AS BIGINT)
+    AS lift_ppm
+FROM pairs
+JOIN item na ON na.p = part_a
+JOIN item nb ON nb.p = part_b
+CROSS JOIN tot"""
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation via sketch quantiles (ns_customer_rfm)
+# ---------------------------------------------------------------------------
+
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/frequency/monetary quartile scores per customer, with
+    cutpoints from the 256-bin histogram sketch instead of a global
+    ntile sort. See operators/agg.py::rfm_segments."""
+    from ..operators.agg import rfm_segments
+
+    return rfm_segments(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+
+
+QUERIES["ns_customer_rfm"] = q_customer_rfm
+
+
+def _rfm_oracle() -> str:
+    from ..operators.sketch import histogram_quantiles_sql
+
+    def cuts(col: str) -> str:
+        inner = histogram_quantiles_sql(
+            "base", ["_g"], col, quantiles=(0.25, 0.5, 0.75)
+        )
+        return (
+            f"cuts_{col} AS (SELECT _g, "
+            f"MAX(CASE WHEN q = 0.25 THEN quantile_estimate END) AS _c25, "
+            f"MAX(CASE WHEN q = 0.5 THEN quantile_estimate END) AS _c50, "
+            f"MAX(CASE WHEN q = 0.75 THEN quantile_estimate END) AS _c75 "
+            f"FROM ({inner}) GROUP BY _g)"
+        )
+
+    def band(col: str) -> str:
+        return (
+            f"(1 + CASE WHEN {col} > cuts_{col}._c25 THEN 1 ELSE 0 END"
+            f" + CASE WHEN {col} > cuts_{col}._c50 THEN 1 ELSE 0 END"
+            f" + CASE WHEN {col} > cuts_{col}._c75 THEN 1 ELSE 0 END)"
+        )
+
+    r = f"(5 - {band('recency_days')})"
+    f_ = band("frequency")
+    m = band("monetary_cents")
+    return f"""WITH maxd AS (SELECT max(o_orderdate) AS d FROM orders),
+base AS (
+  SELECT o_custkey AS custkey,
+    CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+      CAST((SELECT d FROM maxd) AS DATE)) AS BIGINT) AS recency_days,
+    CAST(count(*) AS BIGINT) AS frequency,
+    CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT) AS monetary_cents,
+    0 AS _g
+  FROM orders GROUP BY o_custkey),
+{cuts('recency_days')},
+{cuts('frequency')},
+{cuts('monetary_cents')}
+SELECT custkey, recency_days, frequency, monetary_cents,
+  CAST({r} AS BIGINT) AS r_score,
+  CAST({f_} AS BIGINT) AS f_score,
+  CAST({m} AS BIGINT) AS m_score,
+  CAST({r} * 100 + {f_} * 10 + {m} AS BIGINT) AS rfm_cell
+FROM base
+JOIN cuts_recency_days USING (_g)
+JOIN cuts_frequency USING (_g)
+JOIN cuts_monetary_cents USING (_g)"""
+
+
+ORACLES["ns_customer_rfm"] = _rfm_oracle()
