@@ -377,14 +377,23 @@ def ewma_anomaly(events: DataFrame) -> DataFrame:
     same (event_type) partitioning. Returns (event_type, hour, n,
     pred_q, anomaly).
     """
-    from pyspark.sql import Window
-
     hourly = (
         events.groupBy(
             "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
         )
         .agg(F.count("*").cast("long").alias("n"))
     )
+    return ewma_flags(hourly)
+
+
+def ewma_flags(hourly: DataFrame) -> DataFrame:
+    """The EWMA flagging pass alone, over a prepared ``(event_type,
+    hour, n)`` frame — shared by the batch query and the streaming
+    store-fed twin (streaming/anomaly_ingest.py), whose hourly counts
+    are maintained incrementally and fold additively, so the streamed
+    flags equal the batch answer for ANY arrival order."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("event_type").orderBy("hour")
     pred = None
     for i, wt in enumerate(EWMA_WEIGHTS, start=1):

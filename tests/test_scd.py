@@ -309,3 +309,47 @@ def test_apply_partitioned_bootstrap_replay_heals_partial_dir(spark, tmp_path):
                            n_buckets=4)
     got = spark.read.parquet(path)
     assert got.count() == 2
+
+
+def test_streaming_ewma_ingest_equals_batch_any_order(spark, tmp_path):
+    """Hourly counts fold additively: the store-fed flags equal the
+    batch answer for ANY arrival order (no in-order contract here)."""
+    import datetime as dt
+
+    from blinkit_etl_pipeline_spark.operators.events import ewma_anomaly
+    from blinkit_etl_pipeline_spark.streaming.anomaly_ingest import (
+        ewma_flags_from_store,
+        run_ewma_ingest,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h, n in enumerate([10] * 12 + [100, 2]):
+        for _ in range(n):
+            rows.append(
+                (eid, base + dt.timedelta(hours=h, seconds=eid % 60),
+                 "click")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    for i in range(3):  # hash-split drops: out-of-order hours per drop
+        ev.filter(F.crc32(F.col("event_id").cast("string")) % 3 == i)\
+            .coalesce(1).write.parquet(str(raw / f"drop{i}"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(raw / "drop*"))
+    )
+    store = str(tmp_path / "store")
+    run_ewma_ingest(stream, str(tmp_path / "ckpt"), store, timeout_sec=120)
+    got = sorted(
+        map(tuple, ewma_flags_from_store(spark, store).collect())
+    )
+    want = sorted(map(tuple, ewma_anomaly(ev).collect()))
+    assert got == want
+    assert any(r[4] for r in got)  # the spike still flags
