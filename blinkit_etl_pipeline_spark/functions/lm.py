@@ -443,8 +443,14 @@ def kn_nll_frame(docs: DataFrame, text: str = "text") -> DataFrame:
     Over common denominator ``4·ctx·B`` the probability is the exact
     integer ratio ``((4c-3)·B + 3·n1(w1)·nb(w2)) / (4·ctx·B)``, so
     ``lnP`` is quantized as ``ROUND(ln(num)·10^6) - ROUND(ln(den)·10^6)``
-    — both engines take ``ln`` of the same exact integers (all below
-    2^53, exact in doubles) and per-document sums are exact int64.
+    — both engines take ``ln`` of the same exact integers and
+    per-document sums are exact int64. The num/den products are
+    computed in DECIMAL(38,0) (oracle: HUGEINT), because at web scale
+    ``(4c-3)·B`` exceeds int64 (c·B ≈ 1e12·1e10) and non-ANSI integer
+    arithmetic would silently wrap. Above 2^53 the integer→double
+    conversion before ``ln`` rounds, identically in both engines
+    (round-to-nearest), so cross-engine equality survives; exactness
+    of the *ratio itself* is only claimed below 2^53.
 
     Model tables: the bigram-type frame ``cb`` plus three projections
     of it (ctx, n1 by w1 — one aggregate; nb by w2; B one row). Same
@@ -493,9 +499,15 @@ def kn_nll_frame(docs: DataFrame, text: str = "text") -> DataFrame:
                 F.round(
                     F.log(
                         (
-                            (F.lit(4) * F.col("cb") - F.lit(3))
+                            (
+                                F.lit(4)
+                                * F.col("cb").cast("decimal(38,0)")
+                                - F.lit(3)
+                            )
                             * F.col("btypes")
-                            + F.lit(3) * F.col("n1") * F.col("nb")
+                            + F.lit(3)
+                            * F.col("n1").cast("decimal(38,0)")
+                            * F.col("nb")
                         ).cast("double")
                     )
                     * F.lit(LOGQ_SCALE),
@@ -504,7 +516,9 @@ def kn_nll_frame(docs: DataFrame, text: str = "text") -> DataFrame:
                 - F.round(
                     F.log(
                         (
-                            F.lit(4) * F.col("ctx") * F.col("btypes")
+                            F.lit(4)
+                            * F.col("ctx").cast("decimal(38,0)")
+                            * F.col("btypes")
                         ).cast("double")
                     )
                     * F.lit(LOGQ_SCALE),

@@ -232,7 +232,16 @@ def basket_lift(lineitem: DataFrame, min_support: int = 2) -> DataFrame:
             "n_ab",
             "n_a",
             "n_b",
-            F.expr("n_ab * n_orders * 1000000 div (n_a * n_b)")
+            # numerator can exceed int64 once n_ab·n_orders passes
+            # ~9.2e12 (a popular pair at a few million orders), and
+            # Spark integer arithmetic silently wraps outside ANSI
+            # mode — widen to DECIMAL(38,0) before multiplying
+            # (IntegralDivide on decimals; the oracle mirrors it with
+            # HUGEINT //, verified equal for the full int64 range)
+            F.expr(
+                "CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
+            )
             .cast("long")
             .alias("lift_ppm"),
         )

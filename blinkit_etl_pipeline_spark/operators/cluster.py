@@ -51,6 +51,24 @@ def _qcol(emb_col) -> F.Column:
     )
 
 
+def _width_guard(arr: F.Column, dim: int) -> F.Column:
+    """Fail loudly on EVERY row whose embedding width disagrees with
+    ``dim`` (the vector._sq8_width_guard contract): a ragged vector
+    elsewhere than the first k would otherwise NULL its zip_with
+    distances, and structs with NULL d sort FIRST under array_min —
+    the row would be silently assigned cluster 0 with NULL dist_q and
+    its out-of-range dims would drop out of the centroid sums."""
+    return F.when(F.size(arr) == F.lit(dim), arr).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("kmeans_exact: embedding width "),
+                F.size(arr).cast("string"),
+                F.lit(f" != dim {dim}"),
+            )
+        )
+    )
+
+
 def _dist(ecol, centroid: list[int]) -> F.Column:
     arr = F.array(*[F.lit(int(x)).cast("long") for x in centroid])
     return F.aggregate(
@@ -96,17 +114,13 @@ def kmeans_exact(
     IO at the 100 TB framing). It is unpersisted before returning:
     the caller's single action on the result performs the one honest
     final scan."""
-    eq = emb.select("vec_id", _qcol(F.col("embedding")).alias("e")).persist()
+    eq = emb.select(
+        "vec_id",
+        _width_guard(_qcol(F.col("embedding")), dim).alias("e"),
+    ).persist()
     init = eq.orderBy("vec_id").limit(k).collect()
     if len(init) < k:
         raise ValueError(f"kmeans_exact: need at least k={k} vectors")
-    bad = next((len(r["e"]) for r in init if len(r["e"]) != dim), None)
-    if bad is not None:
-        # fail fast: a dim mismatch would otherwise surface as NULL
-        # distances after the first centroid update (zip_with pads)
-        raise ValueError(
-            f"kmeans_exact: embedding length {bad} != dim {dim}"
-        )
     centroids = [list(r["e"]) for r in init]
     for _ in range(iters):
         assigned = _assign(eq, centroids)

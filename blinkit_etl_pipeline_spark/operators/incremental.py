@@ -638,10 +638,15 @@ def span_store_probe(
             "the store's k"
         )
     # two consumers (the driver-side key collect and the containment
-    # join) — persist so the window explode runs once
+    # join): persist across the collect, then release BEFORE returning
+    # — a long-lived session probing repeatedly would otherwise leak
+    # one cached block set per call. The caller's final action replays
+    # the probe-side explode once (bounded by the probe docs, the same
+    # gauge as the collected key list — not a corpus scan).
     wins = window_hash_frame(probe, k).persist()
     keys = [int(r["h"]) for r in wins.select("h").distinct().collect()]
     if not keys:
+        wins.unpersist(blocking=False)
         return zeros
     hist = (
         read_store_live(spark, store_table, "doc_id", prune_values=keys)
@@ -664,6 +669,7 @@ def span_store_probe(
             _n_toks.alias("dup_tokens"),
         )
     )
+    wins.unpersist(blocking=False)
     return (
         base.join(spans, "doc_id", "left")
         .select(

@@ -148,6 +148,58 @@ def scd2_lookup(dim: DataFrame, at: Column) -> DataFrame:
     )
 
 
+def _heal_bucket_swaps(path: str) -> None:
+    """Roll an interrupted bucket swap forward or backward so a crash
+    never leaves a bucket with the old data deleted and the new data
+    absent (the non-atomic-overwrite durability gap: delete-then-write
+    loses the bucket's ENTIRE history — including keys not in the
+    batch — and redelivery rebuilds only from the batch's own rows).
+
+    Swap protocol per bucket (see :func:`scd2_apply_partitioned`):
+    write ``.new-__bucket=T`` (Spark job, ends with ``_SUCCESS``) →
+    rename live dir to ``.old-__bucket=T`` → rename ``.new`` to live →
+    delete ``.old``. Spark's file index skips dot-prefixed dirs, so
+    readers never see the staging names. Crash states are unambiguous:
+
+    - ``.old`` present + live present  → crash after the forward
+      rename; live IS the new data → drop ``.old``.
+    - ``.old`` present + live missing → crash inside the swap; the
+      ``.new`` dir was fully committed (``_SUCCESS``) before the swap
+      began → roll FORWARD (rename ``.new`` to live); if ``.new`` is
+      absent/incomplete, roll back (rename ``.old`` to live).
+    - ``.new`` present otherwise → pre-swap leftover; drop it (no live
+      data was touched; the interrupted batch gets redelivered).
+
+    Local-posix rename semantics; an HDFS/object-store deployment runs
+    the identical protocol through ``FileSystem.rename`` (same
+    same-directory atomic rename contract).
+    """
+    import os
+    import shutil
+
+    if not os.path.isdir(path):
+        return
+    for name in os.listdir(path):
+        if not name.startswith(".old-__bucket="):
+            continue
+        live_name = name[len(".old-"):]
+        live = os.path.join(path, live_name)
+        old = os.path.join(path, name)
+        new = os.path.join(path, ".new-" + live_name)
+        if os.path.isdir(live):
+            shutil.rmtree(old)
+        elif os.path.isdir(new) and os.path.exists(
+            os.path.join(new, "_SUCCESS")
+        ):
+            os.rename(new, live)
+            shutil.rmtree(old)
+        else:
+            os.rename(old, live)
+    for name in os.listdir(path):
+        if name.startswith(".new-__bucket="):
+            shutil.rmtree(os.path.join(path, name))
+
+
 def scd2_apply_partitioned(
     spark,
     path: str,
@@ -164,10 +216,17 @@ def scd2_apply_partitioned(
     always live in one partition), and a change batch rewrites ONLY the
     buckets its keys hash into. The untouched dimension never moves —
     at 100 TB a CDC batch touching 3 buckets costs 3 partition jobs,
-    not a table rewrite. Same explicit per-partition overwrite as
-    operators/merge.py::merge_into_partitioned (a bucket whose merge
-    result is empty still gets cleared, no dynamic-overwrite
-    resurrection).
+    not a table rewrite. Explicit per-bucket replacement (a bucket
+    whose merge result is empty still gets cleared, no
+    dynamic-overwrite resurrection), committed through an atomic
+    staged-rename swap: each bucket's new contents land in a
+    dot-prefixed staging dir first, then swap into place with two
+    renames — the live dir is never in a deleted-but-not-rewritten
+    state, and :func:`_heal_bucket_swaps` (run on every call, before
+    the dim read) rolls any interrupted swap forward/backward (r7
+    ADVICE: the previous delete-then-write overwrite could lose a
+    bucket's entire history, including keys NOT in the batch, to a
+    mid-write crash).
 
     Redelivery-idempotent BY CONSTRUCTION (not by guard): re-applying
     a batch re-presents observations that compress into the versions
@@ -193,6 +252,7 @@ def scd2_apply_partitioned(
     )
     if not touched:
         return []
+    _heal_bucket_swaps(path)
     try:
         dim = spark.read.parquet(path)
     except AnalysisException:
@@ -208,8 +268,23 @@ def scd2_apply_partitioned(
     new = new.withColumn("__bucket", bcol())
     # break lineage from the path being overwritten
     new = new.localCheckpoint(eager=True)
+    import os
+    import shutil
+
     for t in touched:
+        esc = _escape_partition_value(t)
+        live = os.path.join(path, f"__bucket={esc}")
+        stage = os.path.join(path, f".new-__bucket={esc}")
+        trash = os.path.join(path, f".old-__bucket={esc}")
+        # stage the full new bucket FIRST (crash here: live untouched,
+        # stale stage healed on the next call), then swap with two
+        # renames — the heal protocol covers every intermediate state
         new.filter(F.col("__bucket") == t).drop("__bucket").write.mode(
             "overwrite"
-        ).parquet(f"{path}/__bucket={_escape_partition_value(t)}")
+        ).parquet(stage)
+        if os.path.isdir(live):
+            os.rename(live, trash)
+        os.rename(stage, live)
+        if os.path.isdir(trash):
+            shutil.rmtree(trash)
     return touched

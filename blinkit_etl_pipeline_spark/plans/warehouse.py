@@ -171,9 +171,9 @@ byw1 AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS ctx,
 nbt AS (SELECT w2, CAST(count(*) AS BIGINT) AS nb FROM cb GROUP BY w2),
 btot AS (SELECT CAST(count(*) AS BIGINT) AS btypes FROM cb),
 logp AS (SELECT cb.w1, cb.w2,
-  CAST(ROUND(ln(CAST((4 * cb.cb - 3) * btypes
-      + 3 * byw1.n1 * nbt.nb AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
-  - CAST(ROUND(ln(CAST(4 * byw1.ctx * btypes AS DOUBLE))
+  CAST(ROUND(ln(CAST((4 * CAST(cb.cb AS HUGEINT) - 3) * btypes
+      + 3 * CAST(byw1.n1 AS HUGEINT) * nbt.nb AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+  - CAST(ROUND(ln(CAST(4 * CAST(byw1.ctx AS HUGEINT) * btypes AS DOUBLE))
       * 1000000.0, 0) AS BIGINT) AS logp_q
   FROM cb JOIN byw1 ON cb.w1 = byw1.w1
   JOIN nbt ON cb.w2 = nbt.w2 CROSS JOIN btot),
@@ -517,7 +517,8 @@ pairs AS (
   GROUP BY a.p, b.p
   HAVING count(*) >= 2)
 SELECT part_a, part_b, n_ab, na.n_p AS n_a, nb.n_p AS n_b,
-  CAST((n_ab * n_orders * 1000000) // (na.n_p * nb.n_p) AS BIGINT)
+  CAST((CAST(n_ab AS HUGEINT) * n_orders * 1000000)
+       // (CAST(na.n_p AS HUGEINT) * nb.n_p) AS BIGINT)
     AS lift_ppm
 FROM pairs
 JOIN item na ON na.p = part_a

@@ -9,7 +9,13 @@ Exactly-once story: the file-source checkpoint deduplicates inputs,
 and the fold itself is redelivery-idempotent BY CONSTRUCTION — a
 replayed epoch's observations compress into the versions they already
 created (scd2_apply doc), so a crash between the partition writes and
-the checkpoint commit cannot double-apply. Out-of-order arrivals are
+the checkpoint commit cannot double-apply. Single-apply durability is
+covered too: each touched bucket commits through the staged-rename
+swap (scd2_apply_partitioned + _heal_bucket_swaps), so a crash in the
+middle of ONE bucket's rewrite can no longer lose that bucket's
+history — the live dir is never deleted before its replacement is
+fully written, and the next call rolls any interrupted swap forward.
+Out-of-order arrivals are
 handled exactly (a late change splits the interval it lands in), so no
 watermark is needed — the dimension is always the full-history answer
 over everything ingested so far.

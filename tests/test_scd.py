@@ -353,3 +353,77 @@ def test_streaming_ewma_ingest_equals_batch_any_order(spark, tmp_path):
     want = sorted(map(tuple, ewma_anomaly(ev).collect()))
     assert got == want
     assert any(r[4] for r in got)  # the spike still flags
+
+
+def test_apply_partitioned_heals_interrupted_swap(spark, tmp_path):
+    """Crash-state recovery for the staged-rename bucket commit: a
+    crash between the two swap renames (live gone, .new fully staged)
+    must roll FORWARD — the bucket's full history, including keys NOT
+    in the crashed batch, survives. The old delete-then-write overwrite
+    lost it permanently (r7 ADVICE)."""
+    import os
+    import shutil
+
+    from blinkit_etl_pipeline_spark.operators.scd import (
+        scd2_apply_partitioned,
+        scd2_build,
+    )
+
+    path = str(tmp_path / "dim")
+    b1 = [(1, "A", 0, 1), (2, "X", 0, 2)]
+    b2 = [(1, "B", 10, 3)]
+    b3 = [(2, "Y", 20, 4)]
+    scd2_apply_partitioned(
+        spark, path, _feed(spark, b1), "k", "a", "ts", "tb", n_buckets=1
+    )
+    live = os.path.join(path, "__bucket=0")
+    saved = str(tmp_path / "saved")
+    shutil.copytree(live, saved)  # pre-b2 bucket contents
+    scd2_apply_partitioned(
+        spark, path, _feed(spark, b2), "k", "a", "ts", "tb", n_buckets=1
+    )
+    # reconstruct the exact mid-swap crash state: live renamed away
+    # (.old = pre-b2 data), .new = fully staged post-b2 data
+    os.rename(live, os.path.join(path, ".new-__bucket=0"))
+    os.rename(saved, os.path.join(path, ".old-__bucket=0"))
+    scd2_apply_partitioned(
+        spark, path, _feed(spark, b3), "k", "a", "ts", "tb", n_buckets=1
+    )
+    got = spark.read.parquet(path).drop("__bucket")
+    full = scd2_build(_feed(spark, b1 + b2 + b3), "k", "a", "ts", "tb")
+    assert _rows(got) == _rows(full)
+    assert not [
+        n for n in os.listdir(path) if n.startswith((".new-", ".old-"))
+    ]
+
+
+def test_apply_partitioned_heals_trailing_swap_states(spark, tmp_path):
+    """The two post-forward-rename crash states: (.old + live present)
+    drops the trash; a stale pre-swap .new (live present, no .old) is
+    discarded without touching live data."""
+    import os
+    import shutil
+
+    from blinkit_etl_pipeline_spark.operators.scd import (
+        scd2_apply_partitioned,
+        scd2_build,
+    )
+
+    path = str(tmp_path / "dim")
+    b1 = [(1, "A", 0, 1), (2, "X", 0, 2)]
+    b2 = [(1, "B", 10, 3)]
+    scd2_apply_partitioned(
+        spark, path, _feed(spark, b1), "k", "a", "ts", "tb", n_buckets=1
+    )
+    live = os.path.join(path, "__bucket=0")
+    shutil.copytree(live, os.path.join(path, ".old-__bucket=0"))
+    shutil.copytree(live, os.path.join(path, ".new-__bucket=0"))
+    scd2_apply_partitioned(
+        spark, path, _feed(spark, b2), "k", "a", "ts", "tb", n_buckets=1
+    )
+    got = spark.read.parquet(path).drop("__bucket")
+    full = scd2_build(_feed(spark, b1 + b2), "k", "a", "ts", "tb")
+    assert _rows(got) == _rows(full)
+    assert not [
+        n for n in os.listdir(path) if n.startswith((".new-", ".old-"))
+    ]
