@@ -262,8 +262,22 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
     comparison against the 25/50/75% cutpoints); recency is inverted
     (recent = high score). ``rfm_cell = 100r + 10f + m`` is the
     segment key marketing reads (444 = champions).
+
+    Plan shape (r8, fixing the r7 perf-weak finding): the three
+    measures' cutpoints come from ONE
+    :func:`~.sketch.histogram_quantiles_multi` call — the measures
+    unpivot inside the scan, so the customer-level aggregate is read
+    twice for all cutpoints instead of twice PER measure; ``base``
+    (the one real shuffle, corpus → one row per customer) is persisted
+    across the sketch's two passes and the final scoring join, so the
+    orders source is scanned once total. The r7 per-measure loop cost
+    18 exchanges / 4 source scans; this plan has 2 exchanges in the
+    AQE-final plan. ``base``'s cache is part of the returned plan
+    (InMemoryRelation), so it is caller-owned — the dedup siblings'
+    contract (``simhash``'s persisted signatures): a session looping
+    over many RFM builds clears it between runs.
     """
-    from .sketch import histogram_quantiles
+    from .sketch import histogram_quantiles_multi
 
     maxd = orders.agg(F.max("o_orderdate").alias("_maxd"))
     base = (
@@ -285,28 +299,35 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
             "monetary_cents",
         )
         .withColumn("_g", F.lit(0))
+        .persist()
     )
-    out = base
-    band = {}
-    for col in ("recency_days", "frequency", "monetary_cents"):
-        cuts = histogram_quantiles(
-            base, ["_g"], col, quantiles=(0.25, 0.5, 0.75)
-        )
-        row = cuts.groupBy("_g").agg(
-            *[
-                F.max(
-                    F.when(F.col("q") == q, F.col("quantile_estimate"))
-                ).alias(f"_c{int(q * 100)}_{col}")
-                for q in (0.25, 0.5, 0.75)
-            ]
-        )
-        out = out.join(F.broadcast(row), "_g")
-        band[col] = (
+    measures = ("recency_days", "frequency", "monetary_cents")
+    cuts = histogram_quantiles_multi(
+        base, ["_g"], list(measures), quantiles=(0.25, 0.5, 0.75)
+    )
+    # fold the ≤ 9 cutpoint rows to ONE broadcast row: _c{25,50,75}_{m}
+    row = cuts.groupBy("_g").agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("q") == q) & (F.col("measure") == m),
+                    F.col("quantile_estimate"),
+                )
+            ).alias(f"_c{int(q * 100)}_{m}")
+            for m in measures
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+    out = base.join(F.broadcast(row), "_g")
+    band = {
+        col: (
             F.lit(1)
             + (F.col(col) > F.col(f"_c25_{col}")).cast("int")
             + (F.col(col) > F.col(f"_c50_{col}")).cast("int")
             + (F.col(col) > F.col(f"_c75_{col}")).cast("int")
         ).cast("long")
+        for col in measures
+    }
     r_score = (F.lit(5) - band["recency_days"]).cast("long")
     f_score = band["frequency"]
     m_score = band["monetary_cents"]

@@ -1322,6 +1322,23 @@ def q_sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_quantiles_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile cutpoints for THREE lineitem measures (quantity,
+    extendedprice, discount) per return flag in ONE pass over the
+    source — the multi-measure histogram sketch
+    (operators/sketch.py::histogram_quantiles_multi, the generalized
+    form of the r8 ``ns_customer_rfm`` plan fix): measures unpivot
+    inside the scan, so N measures cost the same two source reads as
+    one."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return sketch.histogram_quantiles_multi(
+        li,
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        quantiles=(0.25, 0.5, 0.75),
+    )
+
+
 # ----------------------------------------------------------------------
 # Event analytics
 # ----------------------------------------------------------------------
@@ -3270,6 +3287,7 @@ QUERIES = {
     "ns_media_frame_sample": q_media_frame_sample,
     "ns_sketch_hll_users": q_sketch_hll_users,
     "ns_sketch_value_quantiles": q_sketch_value_quantiles,
+    "ns_sketch_quantiles_multi": q_sketch_quantiles_multi,
 }
 
 ORACLES["ns_asof_attribution"] = """WITH clicks AS (
@@ -3321,6 +3339,12 @@ ORACLES["ns_sketch_hll_users"] = sketch.hll_distinct_sql(
 )
 ORACLES["ns_sketch_value_quantiles"] = sketch.histogram_quantiles_sql(
     "events", ["event_type"], "value"
+)
+ORACLES["ns_sketch_quantiles_multi"] = sketch.histogram_quantiles_multi_sql(
+    "lineitem",
+    ["l_returnflag"],
+    ["l_quantity", "l_extendedprice", "l_discount"],
+    quantiles=(0.25, 0.5, 0.75),
 )
 
 # --- repetition / PII / selection oracles -----------------------------

@@ -27,16 +27,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # plus the full r5 cohort (which includes ns_text_bm25, whose scorer
 # plan changed this round).
 PRIORITY = [
-    # --- r7 additions / changed oracles, never driver-checked as-is ---
+    # --- r8 additions / changed plans+oracles, never driver-checked as-is ---
+    "ns_sketch_quantiles_multi",
+    "ns_customer_rfm",
+    "ns_basket_lift",
+    "ns_lm_kn_perplexity",
+    "ns_cluster_kmeans",
+    # --- r7 additions / changed oracles ---
     "ns_scd2_user_state",
     "ns_sketch_kmv_overlap",
     "ns_privacy_dp_release",
-    "ns_cluster_kmeans",
     "ns_events_ewma_anomaly",
     "ns_scd2_pit_enrich",
-    "ns_basket_lift",
-    "ns_customer_rfm",
-    "ns_lm_kn_perplexity",
     "ns_dedup_edit_distance",
     "ns_select_dsir",
     "ns_graph_pagerank",

@@ -194,3 +194,38 @@ def test_kmv_overlap_exact_when_small_and_estimates_when_large(spark):
         (r.est_inter, 10000),
     ]:
         assert abs(est - truth) / truth < 0.20, (est, truth)
+
+
+def test_histogram_quantiles_multi_matches_per_measure(spark):
+    """The one-pass N-measure unpivot must reproduce the per-measure
+    sketch bit-for-bit (integral measures < 2^53 are exact in the
+    double cast), and its plan must bound exchanges: two source-side
+    aggregates + the bounded histogram window — never one pair per
+    measure (the r7 ns_customer_rfm 18-exchange anti-pattern)."""
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    measures = ["l_quantity", "l_extendedprice", "l_discount"]
+    multi = sketch.histogram_quantiles_multi(
+        li, ["l_returnflag"], measures, quantiles=(0.25, 0.5, 0.75)
+    )
+    got = {
+        (r["l_returnflag"], r["measure"], r["q"]): r["quantile_estimate"]
+        for r in multi.collect()
+    }
+    for m in measures:
+        single = sketch.histogram_quantiles(
+            li.select("l_returnflag", F.col(m).cast("double").alias(m)),
+            ["l_returnflag"],
+            m,
+            quantiles=(0.25, 0.5, 0.75),
+        )
+        for r in single.collect():
+            assert (
+                got[(r["l_returnflag"], m, r["q"])]
+                == r["quantile_estimate"]
+            ), (m, r)
+    # plan guard: measure count must not multiply source aggregates
+    # (count the AQE-final tree only; toString appends the pre-AQE
+    # "== Initial Plan ==" section, double-printing every exchange)
+    plan = multi._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") <= 4
