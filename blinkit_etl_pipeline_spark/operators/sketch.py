@@ -510,6 +510,217 @@ def cms_probe(cells: DataFrame, items: DataFrame, value_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bottom-k quantile sketch: MERGEABLE quantiles (the operation the
+# fixed-bin histogram cannot answer without re-scanning history)
+# ---------------------------------------------------------------------------
+
+#: sample size — empirical-quantile error ~ sqrt(q(1-q)/k) w.h.p.
+#: (k=512 → ±2.2% rank error at the median)
+BKQ_K = 512
+
+
+def bkq_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    value_col: str,
+    k: int = BKQ_K,
+) -> DataFrame:
+    """Per-group bottom-k quantile sketch: the ``k`` rows whose 48-bit
+    row-identity hashes are smallest, as ``(group..., h, v)``.
+
+    Hashing the ROW ID (not the value) makes the kept rows a uniform
+    random sample of the group, so the sample's empirical quantiles
+    estimate the group's — and, unlike KLL / t-digest (whose
+    compactions are order-dependent, so two engines — or two merge
+    orders — produce different summaries), bottom-k is a pure
+    semilattice: ``sketch(A ∪ B) = bottomk(sketch(A) ∪ sketch(B))``
+    EXACTLY, for any split of the rows. That losslessness is what lets
+    per-day/per-partition sketches compose without re-scanning history
+    (:func:`bkq_cumulative_quantiles`) while staying value-checkable
+    by the DuckDB oracle (the deterministic-mergeable trade: a KLL
+    sketch of the same k has tighter worst-case rank error, but no
+    deterministic lossless merge).
+
+    Scale shape: the ``row_number() <= k`` filter compiles to
+    ``WindowGroupLimit`` (map-side partial top-k, the
+    :func:`kmv_sketch` property) — the shuffle carries O(k · groups)
+    rows regardless of corpus size. NULL values are excluded (a NULL
+    carries no quantile information; the sample stays uniform over
+    non-NULL rows). Ordering is total (``h`` then ``v``) so hash
+    collisions cannot make the kept set nondeterministic.
+    ``id_col`` must identify rows uniquely within the sketched frame —
+    duplicated ids shadow each other (only one survives the bottom-k),
+    biasing the sample.
+    """
+    w = Window.partitionBy(*group_cols).orderBy("h", "v")
+    base = df.select(
+        *group_cols,
+        h48(F.col(id_col).cast("string")).alias("h"),
+        F.col(value_col).cast("double").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    return (
+        base.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .drop("r")
+    )
+
+
+def bkq_merge(
+    sketches: DataFrame, group_cols: Sequence[str], k: int = BKQ_K
+) -> DataFrame:
+    """Fold a union of bottom-k sketches (over DISJOINT row sets —
+    days, partitions, sources) back to one sketch per group: keep the
+    k smallest ``h`` again. Lossless: the result equals the sketch of
+    the concatenated raw data (bottom-k of a union is the bottom-k of
+    the sides' bottom-ks), pinned by the merge property test."""
+    w = Window.partitionBy(*group_cols).orderBy("h", "v")
+    return (
+        sketches.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .drop("r")
+    )
+
+
+def bkq_quantiles(
+    sk: DataFrame,
+    group_cols: Sequence[str],
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Empirical quantiles of a bottom-k sketch: per group, the value
+    at rank ``ceil(q·n)`` of the ≤ k sampled values (exact-integer
+    rank arithmetic; groups smaller than k are sampled exactly, so
+    their estimate IS the true quantile_disc). Output: group cols +
+    ``q`` + ``n_sample`` + ``quantile_estimate`` (ROUND 6)."""
+    wv = Window.partitionBy(*group_cols).orderBy("v", "h")
+    ranked = sk.withColumn("vr", F.row_number().over(wv))
+    cnt = sk.groupBy(*group_cols).agg(
+        F.count("*").cast("bigint").alias("n_sample")
+    )
+    qdf = F.broadcast(
+        sk.sparkSession.createDataFrame(
+            [(float(q),) for q in quantiles], "q double"
+        )
+    )
+    return (
+        ranked.join(F.broadcast(cnt), list(group_cols))
+        .crossJoin(qdf)
+        .filter(
+            F.col("vr")
+            == F.ceil(F.col("q") * F.col("n_sample")).cast("bigint")
+        )
+        .select(
+            *group_cols,
+            "q",
+            "n_sample",
+            F.round(F.col("v"), 6).alias("quantile_estimate"),
+        )
+    )
+
+
+def bkq_cumulative_quantiles(
+    df: DataFrame,
+    date_col: str,
+    id_col: str,
+    value_col: str,
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+    k: int = BKQ_K,
+) -> DataFrame:
+    """Quantiles-to-date via SKETCH MERGE — the
+    :func:`hll_cumulative_distinct` pattern for order statistics:
+    per-day bottom-k sketches (bounded: ≤ k rows/day whatever the
+    volume) merge into every later day with a ≤-join over SKETCH rows
+    only, then :func:`bkq_quantiles` runs per day. History stays cold
+    — day D's update touches O(k·D) sketch rows, never the raw data.
+    """
+    daily = bkq_sketch(df, [date_col], id_col, value_col, k)
+    days = df.select(date_col).distinct()
+    merged = bkq_merge(
+        daily.withColumnRenamed(date_col, "__sk_day").join(
+            days, F.col("__sk_day") <= F.col(date_col)
+        ).drop("__sk_day"),
+        [date_col],
+        k,
+    )
+    return bkq_quantiles(merged, [date_col], quantiles)
+
+
+def bkq_quantiles_sql(
+    table: str,
+    group_cols: Sequence[str],
+    id_col: str,
+    value_col: str,
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+    k: int = BKQ_K,
+) -> str:
+    """DuckDB oracle for ``bkq_quantiles(bkq_sketch(...))`` — same
+    hash, same total order, same rank arithmetic."""
+    g = ", ".join(group_cols)
+    qvals = ", ".join(f"({float(q)})" for q in quantiles)
+    return f"""
+WITH base AS (
+  SELECT {g},
+    ('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 12))::BIGINT AS h,
+    CAST({value_col} AS DOUBLE) AS v
+  FROM {table} WHERE {value_col} IS NOT NULL
+), sk AS (
+  SELECT {g}, h, v FROM (
+    SELECT {g}, h, v,
+      row_number() OVER (PARTITION BY {g} ORDER BY h, v) AS r
+    FROM base) WHERE r <= {k}
+), ranked AS (
+  SELECT {g}, h, v,
+    row_number() OVER (PARTITION BY {g} ORDER BY v, h) AS vr,
+    CAST(COUNT(*) OVER (PARTITION BY {g}) AS BIGINT) AS n_sample
+  FROM sk
+)
+SELECT {g}, q.q, n_sample, ROUND(v, 6) AS quantile_estimate
+FROM ranked CROSS JOIN (VALUES {qvals}) AS q(q)
+WHERE vr = CAST(ceil(q.q * n_sample) AS BIGINT)
+""".strip()
+
+
+def bkq_cumulative_quantiles_sql(
+    table: str,
+    date_col: str,
+    id_col: str,
+    value_col: str,
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+    k: int = BKQ_K,
+) -> str:
+    """DuckDB oracle for :func:`bkq_cumulative_quantiles`."""
+    qvals = ", ".join(f"({float(q)})" for q in quantiles)
+    return f"""
+WITH base AS (
+  SELECT {date_col},
+    ('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 12))::BIGINT AS h,
+    CAST({value_col} AS DOUBLE) AS v
+  FROM {table} WHERE {value_col} IS NOT NULL
+), daily AS (
+  SELECT {date_col}, h, v FROM (
+    SELECT {date_col}, h, v,
+      row_number() OVER (PARTITION BY {date_col} ORDER BY h, v) AS r
+    FROM base) WHERE r <= {k}
+), days AS (SELECT DISTINCT {date_col} FROM {table}),
+merged AS (
+  SELECT {date_col}, h, v FROM (
+    SELECT d.{date_col}, s.h, s.v,
+      row_number() OVER (PARTITION BY d.{date_col} ORDER BY s.h, s.v) AS r
+    FROM daily s JOIN days d ON s.{date_col} <= d.{date_col}) t({date_col}, h, v, r)
+  WHERE r <= {k}
+), ranked AS (
+  SELECT {date_col}, v,
+    row_number() OVER (PARTITION BY {date_col} ORDER BY v, h) AS vr,
+    CAST(COUNT(*) OVER (PARTITION BY {date_col}) AS BIGINT) AS n_sample
+  FROM merged
+)
+SELECT {date_col}, q.q, n_sample, ROUND(v, 6) AS quantile_estimate
+FROM ranked CROSS JOIN (VALUES {qvals}) AS q(q)
+WHERE vr = CAST(ceil(q.q * n_sample) AS BIGINT)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # KMV (k-minimum-values) theta sketches: distinct counts AND set
 # intersections — the operation HLL registers cannot answer
 # ---------------------------------------------------------------------------

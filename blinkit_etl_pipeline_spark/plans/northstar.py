@@ -1322,6 +1322,32 @@ def q_sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_bkq_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type quantiles from the MERGEABLE bottom-k sample
+    sketch (operators/sketch.py::bkq_sketch — the deterministic
+    lossless-merge alternative to KLL/t-digest): the row_number <= k
+    filter compiles to WindowGroupLimit, so the shuffle carries
+    O(k·groups) rows at any corpus size."""
+    ev = _events(spark, sf_dir)
+    sk = sketch.bkq_sketch(ev, ["event_type"], "event_id", "value")
+    return sketch.bkq_quantiles(
+        sk, ["event_type"], quantiles=(0.25, 0.5, 0.75, 0.95)
+    )
+
+
+def q_sketch_bkq_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value quantiles THROUGH day D by merging per-day bottom-k
+    sketches (operators/sketch.py::bkq_cumulative_quantiles) — the
+    hll_cumulative pattern for order statistics: day D's update folds
+    O(k·D) sketch rows; raw history is never re-scanned."""
+    ev = _events(spark, sf_dir).select(
+        F.to_date("ts").alias("day"), "event_id", "value"
+    )
+    return sketch.bkq_cumulative_quantiles(
+        ev, "day", "event_id", "value", quantiles=(0.5, 0.9)
+    )
+
+
 def q_sketch_quantiles_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartile cutpoints for THREE lineitem measures (quantity,
     extendedprice, discount) per return flag in ONE pass over the
@@ -3288,6 +3314,8 @@ QUERIES = {
     "ns_sketch_hll_users": q_sketch_hll_users,
     "ns_sketch_value_quantiles": q_sketch_value_quantiles,
     "ns_sketch_quantiles_multi": q_sketch_quantiles_multi,
+    "ns_sketch_bkq_quantiles": q_sketch_bkq_quantiles,
+    "ns_sketch_bkq_cumulative": q_sketch_bkq_cumulative,
 }
 
 ORACLES["ns_asof_attribution"] = """WITH clicks AS (
@@ -3345,6 +3373,20 @@ ORACLES["ns_sketch_quantiles_multi"] = sketch.histogram_quantiles_multi_sql(
     ["l_returnflag"],
     ["l_quantity", "l_extendedprice", "l_discount"],
     quantiles=(0.25, 0.5, 0.75),
+)
+ORACLES["ns_sketch_bkq_quantiles"] = sketch.bkq_quantiles_sql(
+    "events",
+    ["event_type"],
+    "event_id",
+    "value",
+    quantiles=(0.25, 0.5, 0.75, 0.95),
+)
+ORACLES["ns_sketch_bkq_cumulative"] = sketch.bkq_cumulative_quantiles_sql(
+    "(SELECT CAST(ts AS DATE) AS day, event_id, value FROM events) src",
+    "day",
+    "event_id",
+    "value",
+    quantiles=(0.5, 0.9),
 )
 
 # --- repetition / PII / selection oracles -----------------------------

@@ -229,3 +229,60 @@ def test_histogram_quantiles_multi_matches_per_measure(spark):
     plan = multi._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") <= 4
+
+
+def _bkq_rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_bkq_merge_is_lossless_for_any_split(spark):
+    """The property KLL/t-digest lack and the reason bottom-k was
+    chosen: for ANY partitioning of the rows into batches,
+    merge(sketch(batch_i)) == sketch(all) EXACTLY — so per-day sketches
+    compose without re-scan and without drift."""
+    ev = _events(spark).select("event_type", "event_id", "value")
+    whole = sketch.bkq_sketch(ev, ["event_type"], "event_id", "value", k=64)
+    for nsplits in (2, 5):
+        parts = [
+            sketch.bkq_sketch(
+                ev.filter(
+                    F.crc32(F.col("event_id").cast("string")) % nsplits == i
+                ),
+                ["event_type"], "event_id", "value", k=64,
+            )
+            for i in range(nsplits)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        merged = sketch.bkq_merge(u, ["event_type"], k=64)
+        assert _bkq_rows(merged) == _bkq_rows(whole), nsplits
+
+
+def test_bkq_quantiles_bracket_truth_and_plan_group_limit(spark):
+    """Sample quantiles land within ~4/sqrt(k) rank error of the exact
+    quantile, exactly when the group fits in k; and the sketch's
+    row_number<=k filter must compile to WindowGroupLimit (map-side
+    partial top-k — the O(k·groups) shuffle contract)."""
+    ev = _events(spark).select("event_type", "event_id", "value")
+    k = 256
+    sk = sketch.bkq_sketch(ev, ["event_type"], "event_id", "value", k=k)
+    assert "WindowGroupLimit" in sk._jdf.queryExecution().executedPlan().toString()
+    got = {
+        (r["event_type"], r["q"]): r["quantile_estimate"]
+        for r in sketch.bkq_quantiles(sk, ["event_type"], (0.5,)).collect()
+    }
+    # exact rank interval the estimate's value must fall inside
+    import math
+    tol = 4.0 / math.sqrt(k)
+    vals = {}
+    for r in ev.filter(F.col("value").isNotNull()).collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for et, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        lo = xs[max(0, math.floor((0.5 - tol) * n) - 1)]
+        hi = xs[min(n - 1, math.ceil((0.5 + tol) * n))]
+        assert lo <= got[(et, 0.5)] <= hi, (et, lo, got[(et, 0.5)], hi)
+        if n <= k:  # exact regime: estimate IS quantile_disc
+            assert got[(et, 0.5)] == round(xs[math.ceil(0.5 * n) - 1], 6)
