@@ -108,10 +108,17 @@ def pagerank(
         # sums s alone: one (broadcastable, received-node-sized) join
         # plus one groupBy per iteration, against a once-persisted
         # (src, dst, outdeg) edge table. Iteration 1 is join-free —
-        # the uniform r_0 is a literal.
+        # the uniform r_0 is a literal. The edge table is
+        # pre-partitioned by src (r8, the docstring's promised
+        # refinement): every per-iteration rank⋈edge join then reuses
+        # the cached partitioning, so when the rank vector outgrows
+        # AQE's broadcast threshold each round shuffles ONLY the rank
+        # vector + the contribution aggregate — the edge table (the
+        # 100 TB side) never moves again after this one repartition.
         ew = (
             e.select(F.col("src").alias("node"), "dst")
             .join(outdeg.select(F.col("src").alias("node"), "d"), "node")
+            .repartition("node")
             .persist()
         )
         s = (
@@ -148,7 +155,7 @@ def pagerank(
             .cast("long")
             .alias("rank_q"),
         )
-    for _ in range(iterations):
+    for _ in range(iterations):  # dangling-node general path
         joined = ranks.join(
             outdeg, ranks["node"] == outdeg["src"], "left"
         ).select(ranks["node"].alias("node"), "r", "d")
@@ -182,3 +189,308 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select("node", F.col("r").alias("rank_q"))
+
+
+# ----------------------------------------------------------------------
+# Incremental PageRank maintenance (delta propagation)
+# ----------------------------------------------------------------------
+#
+# A crawl refresh changes a sliver of the edge set; recomputing all
+# `iterations` power rounds over the full graph for every batch is the
+# anti-pattern IVM already killed for aggregates. Because every
+# quantity here is an exact integer, the update can propagate rank
+# DELTAS instead: iteration i's received-mass vector s_i changes only
+# at nodes fed by (a) srcs whose edge set / outdegree changed or
+# (b) srcs whose s_{i-1} changed — so each round joins the edge table
+# against the AFFECTED src set only, and the work is proportional to
+# the churned neighborhood, not the corpus. The truncating-division
+# contribution is NOT linear in s, so the delta is computed as
+# new-contribution minus old-contribution per affected src — exact,
+# never approximated; the maintained ranks are BIT-EQUAL to a fresh
+# run on the final edge set (pytest + oracle pin it).
+#
+# Contract (guards raise otherwise): the node set must not change
+# (a node appearing/disappearing moves r_0 = SCALE//N for EVERY node —
+# a dense delta; callers fall back to `pagerank`), no node may become
+# dangling, and deletes must not exceed existing multiplicity. State
+# between batches = the per-iteration mass vectors (node, it, s) —
+# exactly the shape the persisted agg-store maintains with signed
+# deltas (operators/incremental.py::ingest_agg_deltas), which is how
+# the streaming twin stores it.
+
+
+def edge_table(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node=src, dst, d) — the per-edge table with outdegree beside
+    it, the join side every iteration probes."""
+    e = edges.select(
+        F.col(src).cast("long").alias("node"),
+        F.col(dst).cast("long").alias("dst"),
+    )
+    d = e.groupBy("node").agg(F.count("*").cast("long").alias("d"))
+    return e.join(d, "node")
+
+
+def pagerank_state(
+    edges: DataFrame, iterations: int = 8
+) -> tuple[DataFrame, int]:
+    """Run the no-dangling fast path and MATERIALIZE every
+    per-iteration received-mass vector: returns ``((node, it, s) for
+    it=1..iterations, n)``. This is the bootstrap for delta
+    maintenance — it pays `iterations` jobs (each s_i is
+    localCheckpoint'ed: s_i is consumed twice, by s_{i+1} and by the
+    returned state) where `pagerank` submits one chained plan; the
+    price buys batch-over-batch updates that never re-run the full
+    power method. Raises on dangling nodes (module contract)."""
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    dangling = (
+        nodes.join(
+            e.select(F.col("src").alias("node")).distinct(),
+            "node",
+            "left_anti",
+        )
+        .limit(1)
+        .count()
+    )
+    if dangling:
+        raise ValueError(
+            "pagerank_state: graph has dangling nodes — delta "
+            "maintenance propagates received-mass deltas only and "
+            "cannot track the global dangling-mass term; use pagerank()"
+        )
+    n = nodes.count()
+    ew = edge_table(e).repartition("node").persist()
+    base = ((DAMP_DEN - DAMP_NUM) * RANK_SCALE) // (DAMP_DEN * n)
+    s = (
+        ew.select(
+            F.col("dst").alias("node"),
+            F.expr(
+                f"({DAMP_NUM} * CAST({RANK_SCALE // n} AS BIGINT))"
+                f" div ({DAMP_DEN} * d)"
+            ).alias("c"),
+        )
+        .groupBy("node")
+        .agg(F.sum("c").cast("long").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    state = s.select("node", F.lit(1).alias("it"), "s")
+    for i in range(2, iterations + 1):
+        s = (
+            ew.join(s, "node", "left")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"({DAMP_NUM} * (CAST({base} AS BIGINT)"
+                    f" + coalesce(s, 0))) div ({DAMP_DEN} * d)"
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("s"))
+            .localCheckpoint(eager=True)
+        )
+        state = state.unionByName(s.select("node", F.lit(i).alias("it"), "s"))
+    ew.unpersist(blocking=False)
+    return state.withColumn("it", F.col("it").cast("int")), n
+
+
+def pagerank_delta(
+    old_edges: DataFrame,
+    state: DataFrame,
+    n: int,
+    delta_edges: DataFrame,
+    iterations: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Fold one signed edge batch (``src, dst, __sign`` with +1 insert
+    / -1 delete) into a maintained PageRank: returns ``(ranks, new
+    state)`` where ``ranks`` is (node, rank_q) bit-equal to
+    ``pagerank(old_edges ⊎ delta)`` and ``new state`` is the signed
+    DELTA rows ``(node, it, s)`` to fold into the state store (the
+    ivm convention: new s_i = old s_i + Δs_i, so the store ingests
+    the deltas as-is).
+
+    Per iteration: TWO probes of the edge table (old and new), each
+    an equi-join against the affected-src set — with the edge store
+    clustered by src those probes open only the churned files. The
+    affected set for round i+1 = changed srcs ∪ support(Δs_i); on a
+    well-connected graph it can grow to all nodes (the honest worst
+    case — influence really does spread), but the cost NEVER exceeds
+    one full edge pass per round, i.e. the full recompute is the
+    ceiling, and localized churn stays localized.
+    """
+    e_old = old_edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    dl = delta_edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col("__sign").cast("long").alias("__sign"),
+    ).persist()
+    old_nodes = (
+        e_old.select(F.col("src").alias("node"))
+        .union(e_old.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    new_endpoint = (
+        dl.filter(F.col("__sign") > 0)
+        .select(F.col("src").alias("node"))
+        .union(dl.filter(F.col("__sign") > 0).select(F.col("dst").alias("node")))
+        .distinct()
+        .join(old_nodes, "node", "left_anti")
+        .limit(1)
+        .count()
+    )
+    if new_endpoint:
+        raise ValueError(
+            "pagerank_delta: batch introduces new nodes — N changes, "
+            "so every node's teleport term moves (dense delta); run "
+            "pagerank()/pagerank_state() on the full edge set instead"
+        )
+    ew_old = edge_table(e_old).persist()
+    # new edge multiset: old ⊎ inserts ∖ deletes (multiplicity-exact);
+    # degrees are derived FROM the folded multiset, never from sign
+    # sums, so they cannot drift from the edges they divide
+    signed = (
+        e_old.select("src", "dst", F.lit(1).cast("long").alias("__sign"))
+        .unionByName(dl)
+        .groupBy("src", "dst")
+        .agg(F.sum("__sign").cast("long").alias("m"))
+        .persist()
+    )
+    if signed.filter(F.col("m") < 0).limit(1).count():
+        raise ValueError(
+            "pagerank_delta: batch deletes an edge more times than it "
+            "exists — contract violation (redelivery bug upstream?); "
+            "refusing to clamp silently"
+        )
+    e_new = (
+        signed.filter(F.col("m") > 0)
+        .select(
+            "src",
+            "dst",
+            F.explode(F.sequence(F.lit(1), F.col("m"))).alias("_i"),
+        )
+        .drop("_i")
+    )
+    ew_new = edge_table(e_new).repartition("node").persist()
+    # a src that lost its whole out-edge list becomes dangling
+    emptied = (
+        ew_old.select("node")
+        .distinct()
+        .join(ew_new.select("node").distinct(), "node", "left_anti")
+        .limit(1)
+        .count()
+    )
+    if emptied:
+        raise ValueError(
+            "pagerank_delta: batch empties a node's out-edge list "
+            "(node becomes dangling) — contract violation; run the "
+            "full pagerank() instead"
+        )
+    signed.unpersist(blocking=False)
+    base = ((DAMP_DEN - DAMP_NUM) * RANK_SCALE) // (DAMP_DEN * n)
+    r0 = RANK_SCALE // n
+    changed = dl.select(F.col("src").alias("node")).distinct().persist()
+    st = {
+        int(r["it"]): None for r in state.select("it").distinct().collect()
+    }
+    if sorted(st) != list(range(1, iterations + 1)):
+        raise ValueError(
+            f"pagerank_delta: state iterations {sorted(st)} != "
+            f"1..{iterations} — bootstrap with pagerank_state(..., "
+            f"{iterations})"
+        )
+    aff = changed
+    ds = None  # Δs_{i-1}
+    delta_state = None
+    for i in range(1, iterations + 1):
+        s_prev = state.filter(F.col("it") == i - 1).select("node", "s")
+        if i == 1:
+            # s_0 is the uniform r0 - base for every node: a literal
+            new_c = ew_new.join(aff, "node").select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"({DAMP_NUM} * CAST({r0} AS BIGINT))"
+                    f" div ({DAMP_DEN} * d)"
+                ).alias("c"),
+            )
+            old_c = ew_old.join(aff, "node").select(
+                F.col("dst").alias("node"),
+                (
+                    -F.expr(
+                        f"({DAMP_NUM} * CAST({r0} AS BIGINT))"
+                        f" div ({DAMP_DEN} * d)"
+                    )
+                ).alias("c"),
+            )
+        else:
+            sp = s_prev.withColumnRenamed("s", "_sp")
+            dsp = ds.withColumnRenamed("ds", "_dsp")
+            new_c = (
+                ew_new.join(aff, "node")
+                .join(sp, "node", "left")
+                .join(dsp, "node", "left")
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr(
+                        f"({DAMP_NUM} * (CAST({base} AS BIGINT)"
+                        " + coalesce(_sp, 0) + coalesce(_dsp, 0)))"
+                        f" div ({DAMP_DEN} * d)"
+                    ).alias("c"),
+                )
+            )
+            old_c = (
+                ew_old.join(aff, "node")
+                .join(sp, "node", "left")
+                .select(
+                    F.col("dst").alias("node"),
+                    (
+                        -F.expr(
+                            f"({DAMP_NUM} * (CAST({base} AS BIGINT)"
+                            " + coalesce(_sp, 0)))"
+                            f" div ({DAMP_DEN} * d)"
+                        )
+                    ).alias("c"),
+                )
+            )
+        ds = (
+            new_c.unionByName(old_c)
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("ds"))
+            .filter(F.col("ds") != 0)
+            .localCheckpoint(eager=True)
+        )
+        drow = ds.select("node", F.lit(i).cast("int").alias("it"), F.col("ds").alias("s"))
+        delta_state = (
+            drow if delta_state is None else delta_state.unionByName(drow)
+        )
+        if i < iterations:
+            aff = (
+                changed.unionByName(ds.select("node")).distinct().persist()
+            )
+    s_last = state.filter(F.col("it") == iterations).select("node", "s")
+    ranks = (
+        old_nodes.join(s_last, "node", "left")
+        .join(ds.withColumnRenamed("ds", "_dsl"), "node", "left")
+        .select(
+            "node",
+            (
+                F.lit(base)
+                + F.coalesce("s", F.lit(0))
+                + F.coalesce("_dsl", F.lit(0))
+            )
+            .cast("long")
+            .alias("rank_q"),
+        )
+    )
+    for fr in (dl, ew_old, ew_new, changed):
+        fr.unpersist(blocking=False)
+    return ranks, delta_state

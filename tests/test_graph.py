@@ -49,3 +49,117 @@ def test_pagerank_deterministic_across_runs(spark):
         for r in graph.pagerank(_edges(spark, rows), iterations=5).collect()
     }
     assert a == b
+
+
+def _signed(spark, rows):
+    return spark.createDataFrame(
+        rows, "src bigint, dst bigint, __sign bigint"
+    )
+
+
+# a strongly-covered base graph (every node has an out-edge): two
+# triangles bridged, plus a parallel edge (multiplicity is semantic)
+_BASE = [
+    (1, 2), (2, 3), (3, 1),
+    (4, 5), (5, 6), (6, 4),
+    (3, 4), (4, 1),
+    (1, 2),  # parallel
+]
+_ITERS = 5
+
+
+def test_pagerank_delta_matches_full_recompute(spark):
+    """Delta propagation is exact: folding a mixed insert/delete batch
+    into the maintained state reproduces the full run on the final
+    edge set BIT-EQUAL (ranks and every per-iteration vector)."""
+    e0 = _edges(spark, _BASE)
+    state, n = graph.pagerank_state(e0, iterations=_ITERS)
+    delta = _signed(
+        spark,
+        [
+            (1, 2, -1),   # drop the parallel copy (outdeg change)
+            (3, 4, -1),   # drop the bridge
+            (2, 6, 1),    # new cross edge
+            (5, 1, 1),    # new back edge
+            (5, 1, 1),    # ... with multiplicity 2
+        ],
+    )
+    ranks, dstate = graph.pagerank_delta(e0, state, n, delta, _ITERS)
+    final = _BASE[:]
+    final.remove((1, 2))
+    final.remove((3, 4))
+    final += [(2, 6), (5, 1), (5, 1)]
+    want = {
+        r["node"]: r["rank_q"]
+        for r in graph.pagerank(_edges(spark, final), iterations=_ITERS).collect()
+    }
+    got = {r["node"]: r["rank_q"] for r in ranks.collect()}
+    assert got == want
+    # folded state == fresh bootstrap on the final graph
+    fresh, _ = graph.pagerank_state(_edges(spark, final), iterations=_ITERS)
+    folded = {}
+    for r in state.collect():
+        folded[(r["node"], r["it"])] = folded.get((r["node"], r["it"]), 0) + r["s"]
+    for r in dstate.collect():
+        folded[(r["node"], r["it"])] = folded.get((r["node"], r["it"]), 0) + r["s"]
+    folded = {k: v for k, v in folded.items() if v != 0}
+    want_state = {
+        (r["node"], r["it"]): r["s"] for r in fresh.collect() if r["s"] != 0
+    }
+    assert folded == want_state
+
+
+def test_pagerank_delta_guards(spark):
+    import pytest
+
+    e0 = _edges(spark, _BASE)
+    state, n = graph.pagerank_state(e0, iterations=_ITERS)
+    with pytest.raises(ValueError, match="new nodes"):
+        graph.pagerank_delta(
+            e0, state, n, _signed(spark, [(1, 99, 1)]), _ITERS
+        )
+    with pytest.raises(ValueError, match="more times than it exists"):
+        graph.pagerank_delta(
+            e0, state, n, _signed(spark, [(3, 4, -1), (3, 4, -1)]), _ITERS
+        )
+    with pytest.raises(ValueError, match="empties"):
+        # node 6's only out-edge
+        graph.pagerank_delta(
+            e0, state, n, _signed(spark, [(6, 4, -1)]), _ITERS
+        )
+    with pytest.raises(ValueError, match="dangling"):
+        graph.pagerank_state(_edges(spark, [(1, 2), (2, 3)]), iterations=2)
+
+
+def test_pagerank_store_twin_equals_batch_and_redelivery_noop(spark, tmp_path):
+    """The agg-store composition (streaming/pagerank_ingest.py): edge
+    batches folded through the persisted stores yield the same ranks
+    as one batch run on the final edge set; redelivering an epoch
+    changes nothing (batch-id guard)."""
+    from blinkit_etl_pipeline_spark.streaming import pagerank_ingest as pi
+
+    edge_store = str(tmp_path / "edges")
+    state_store = str(tmp_path / "state")
+    boot = _signed(spark, [(s, d, 1) for (s, d) in _BASE])
+    pi.apply_edge_batch(
+        spark, edge_store, state_store, boot, "epoch-0", iterations=_ITERS
+    )
+    d1 = _signed(spark, [(1, 2, -1), (2, 6, 1)])
+    pi.apply_edge_batch(spark, edge_store, state_store, d1, "epoch-1")
+    d2 = _signed(spark, [(3, 4, -1), (5, 1, 1), (5, 1, 1)])
+    pi.apply_edge_batch(spark, edge_store, state_store, d2, "epoch-2")
+    # crash-replay: redeliver epoch 2 — the guard must discard it
+    pi.apply_edge_batch(spark, edge_store, state_store, d2, "epoch-2")
+    final = _BASE[:]
+    final.remove((1, 2))
+    final.remove((3, 4))
+    final += [(2, 6), (5, 1), (5, 1)]
+    want = {
+        r["node"]: r["rank_q"]
+        for r in graph.pagerank(_edges(spark, final), iterations=_ITERS).collect()
+    }
+    got = {
+        r["node"]: r["rank_q"]
+        for r in pi.pagerank_from_store(spark, edge_store, state_store).collect()
+    }
+    assert got == want
