@@ -250,23 +250,38 @@ def pagerank_state(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    dangling = (
+    # N and the dangling probe fold into ONE driver job (job count is
+    # the gauge-scale cost of the state path — see pagerank_delta doc)
+    probe = (
         nodes.join(
-            e.select(F.col("src").alias("node")).distinct(),
+            e.select(F.col("src").alias("node")).distinct().withColumn(
+                "__has_out", F.lit(1)
+            ),
             "node",
-            "left_anti",
+            "left",
         )
-        .limit(1)
-        .count()
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("__has_out").isNull(), 1).otherwise(0)
+            ).cast("long").alias("dangling"),
+        )
+        .collect()[0]
     )
-    if dangling:
+    if int(probe["dangling"]):
         raise ValueError(
             "pagerank_state: graph has dangling nodes — delta "
             "maintenance propagates received-mass deltas only and "
             "cannot track the global dangling-mass term; use pagerank()"
         )
-    n = nodes.count()
+    n = int(probe["n"])
+    # pre-materialize the partitioned edge table: the round jobs below
+    # would otherwise race to populate its cache (measured A/B: a
+    # single union-of-branches job is SLOWER than per-round
+    # checkpoints here — exchange reuse does not dedupe across the
+    # union branches, so each branch re-pays its whole chain)
     ew = edge_table(e).repartition("node").persist()
+    ew.count()
     base = ((DAMP_DEN - DAMP_NUM) * RANK_SCALE) // (DAMP_DEN * n)
     s = (
         ew.select(
@@ -280,7 +295,7 @@ def pagerank_state(
         .agg(F.sum("c").cast("long").alias("s"))
         .localCheckpoint(eager=True)
     )
-    state = s.select("node", F.lit(1).alias("it"), "s")
+    parts = [s.select("node", F.lit(1).alias("it"), "s")]
     for i in range(2, iterations + 1):
         s = (
             ew.join(s, "node", "left")
@@ -295,9 +310,14 @@ def pagerank_state(
             .agg(F.sum("c").cast("long").alias("s"))
             .localCheckpoint(eager=True)
         )
-        state = state.unionByName(s.select("node", F.lit(i).alias("it"), "s"))
+        parts.append(s.select("node", F.lit(i).alias("it"), "s"))
+    from functools import reduce
+
+    state = reduce(lambda a, b: a.unionByName(b), parts).withColumn(
+        "it", F.col("it").cast("int")
+    )
     ew.unpersist(blocking=False)
-    return state.withColumn("it", F.col("it").cast("int")), n
+    return state, n
 
 
 def pagerank_delta(
@@ -339,21 +359,6 @@ def pagerank_delta(
         .distinct()
         .persist()
     )
-    new_endpoint = (
-        dl.filter(F.col("__sign") > 0)
-        .select(F.col("src").alias("node"))
-        .union(dl.filter(F.col("__sign") > 0).select(F.col("dst").alias("node")))
-        .distinct()
-        .join(old_nodes, "node", "left_anti")
-        .limit(1)
-        .count()
-    )
-    if new_endpoint:
-        raise ValueError(
-            "pagerank_delta: batch introduces new nodes — N changes, "
-            "so every node's teleport term moves (dense delta); run "
-            "pagerank()/pagerank_state() on the full edge set instead"
-        )
     ew_old = edge_table(e_old).persist()
     # new edge multiset: old ⊎ inserts ∖ deletes (multiplicity-exact);
     # degrees are derived FROM the folded multiset, never from sign
@@ -365,12 +370,6 @@ def pagerank_delta(
         .agg(F.sum("__sign").cast("long").alias("m"))
         .persist()
     )
-    if signed.filter(F.col("m") < 0).limit(1).count():
-        raise ValueError(
-            "pagerank_delta: batch deletes an edge more times than it "
-            "exists — contract violation (redelivery bug upstream?); "
-            "refusing to clamp silently"
-        )
     e_new = (
         signed.filter(F.col("m") > 0)
         .select(
@@ -381,15 +380,78 @@ def pagerank_delta(
         .drop("_i")
     )
     ew_new = edge_table(e_new).repartition("node").persist()
-    # a src that lost its whole out-edge list becomes dangling
-    emptied = (
-        ew_old.select("node")
-        .distinct()
-        .join(ew_new.select("node").distinct(), "node", "left_anti")
-        .limit(1)
-        .count()
+
+    # All four contract guards fold into ONE driver job (a union of
+    # one-row counts) — driver round-trips, not data, dominate the
+    # delta path's cost at gauge scale, so guards must not each pay
+    # their own job.
+    def _flag(name: str, df: DataFrame, cap: bool = True) -> DataFrame:
+        probe = df.limit(1) if cap else df
+        return probe.agg(
+            F.lit(name).alias("flag"),
+            F.count("*").cast("long").alias("c"),
+        )
+
+    flags_df = (
+        _flag(
+            "new_node",
+            dl.filter(F.col("__sign") > 0)
+            .select(F.col("src").alias("node"))
+            .union(
+                dl.filter(F.col("__sign") > 0).select(
+                    F.col("dst").alias("node")
+                )
+            )
+            .distinct()
+            .join(old_nodes, "node", "left_anti"),
+        )
+        .unionByName(_flag("over_delete", signed.filter(F.col("m") < 0)))
+        .unionByName(
+            _flag(
+                "emptied",
+                ew_old.select("node")
+                .distinct()
+                .join(ew_new.select("node").distinct(), "node", "left_anti"),
+            )
+        )
+        .unionByName(
+            _flag(
+                "bad_state_it",
+                state.select("it").distinct().filter(
+                    ~F.col("it").between(1, iterations)
+                ),
+            )
+        )
+        .unionByName(
+            _flag(
+                "state_its",
+                state.select("it").distinct().filter(
+                    F.col("it").between(1, iterations)
+                ),
+                cap=False,
+            )
+        )
     )
-    if emptied:
+    flags = {r["flag"]: int(r["c"]) for r in flags_df.collect()}
+    if flags.get("bad_state_it") or flags.get("state_its") != iterations:
+        raise ValueError(
+            "pagerank_delta: state does not cover iterations "
+            f"1..{iterations} exactly — bootstrap with "
+            f"pagerank_state(..., {iterations})"
+        )
+    if flags.get("new_node"):
+        raise ValueError(
+            "pagerank_delta: batch introduces new nodes — N changes, "
+            "so every node's teleport term moves (dense delta); run "
+            "pagerank()/pagerank_state() on the full edge set instead"
+        )
+    if flags.get("over_delete"):
+        raise ValueError(
+            "pagerank_delta: batch deletes an edge more times than it "
+            "exists — contract violation (redelivery bug upstream?); "
+            "refusing to clamp silently"
+        )
+    if flags.get("emptied"):
         raise ValueError(
             "pagerank_delta: batch empties a node's out-edge list "
             "(node becomes dangling) — contract violation; run the "
@@ -399,15 +461,6 @@ def pagerank_delta(
     base = ((DAMP_DEN - DAMP_NUM) * RANK_SCALE) // (DAMP_DEN * n)
     r0 = RANK_SCALE // n
     changed = dl.select(F.col("src").alias("node")).distinct().persist()
-    st = {
-        int(r["it"]): None for r in state.select("it").distinct().collect()
-    }
-    if sorted(st) != list(range(1, iterations + 1)):
-        raise ValueError(
-            f"pagerank_delta: state iterations {sorted(st)} != "
-            f"1..{iterations} — bootstrap with pagerank_state(..., "
-            f"{iterations})"
-        )
     aff = changed
     ds = None  # Δs_{i-1}
     delta_state = None

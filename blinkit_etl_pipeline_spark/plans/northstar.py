@@ -5372,15 +5372,24 @@ def q_graph_pagerank_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≡0 mod 4. Each delta round probes the edge table only at affected
     srcs — work ∝ churned neighborhood, full recompute is the ceiling
     — and the result is BIT-EQUAL to the power method on the final
-    edge set, which is exactly what the oracle recomputes. Depth 4
-    keeps the maintenance gauge affordable; the mechanism is
-    depth-independent. Streaming twin: streaming/pagerank_ingest.py
+    edge set, which is exactly what the oracle recomputes. Depth 4 on
+    a sixteenth of the order graph keeps the maintenance gauge
+    affordable (the bootstrap+delta pair costs ~2 full runs on a
+    dense graph — tools/scale_iterative_r8.py carries the full-depth
+    full-graph scale rows); the mechanism is depth- and
+    size-independent. Streaming twin: streaming/pagerank_ingest.py
     persists the same state through the IVM agg store."""
     from ..operators import graph
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.expr("o_orderkey % 16 = 0")
+    )
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    # the joined+distinct pair table feeds EVERY downstream consumer
+    # (initial edges, both churn sets, the delta, and the operators'
+    # own node/degree probes) — materialize it once or each consumer
+    # re-pays the orders⋈lineitem join (measured 3× the whole query)
     pairs = (
         orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
         .select(
@@ -5388,6 +5397,7 @@ def q_graph_pagerank_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
     def bidir(p: DataFrame) -> DataFrame:
@@ -5436,7 +5446,8 @@ def _pagerank_incr_oracle(iters: int = PAGERANK_INCR_ITERATIONS) -> str:
     ctes = [
         """pairs AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src,
   l_suppkey * 2 + 1 AS dst
-  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_orderkey % 16 = 0)""",
         "x2 AS MATERIALIZED (SELECT src, dst FROM pairs WHERE (src // 2) % 4 = 0)",
         "edges AS MATERIALIZED (SELECT src, dst FROM pairs"
         " UNION ALL SELECT dst, src FROM pairs"
