@@ -979,6 +979,132 @@ def sq8_store_probe(
     return vector.sq8_store_topk(codes, queries_emb, query_ids, stats, k)
 
 
+def ingest_bkq_sketch(
+    spark: SparkSession,
+    store_table: str,
+    batch: DataFrame,
+    date_col: str,
+    id_col: str,
+    value_col: str,
+    *,
+    k: int | None = None,
+    compact_threshold: int | None = 64,
+    compact_target: int = 8,
+    compact_keep_versions: int = 2,
+) -> int:
+    """Persist one batch's per-day bottom-k quantile sketches
+    (operators/sketch.py::bkq_sketch) into a snapshot store — the
+    deployed shape of the mergeable-quantiles pattern: the store
+    accumulates ≤ k candidate rows per (day, batch); reads fold them
+    with the LOSSLESS bottom-k merge, so quantiles-to-date never
+    re-scan raw history. ``k`` is a FORMAT parameter pinned write-once
+    in table properties (a store folded to k rows/day cannot answer a
+    larger k later); the first ingest sets it (default
+    ``sketch.BKQ_K``), later callers must match or omit it.
+
+    Redelivery: the standard id guard on ``h`` (the 48-bit row-id
+    hash). Rows a fold (:func:`compact_bkq_store`) discarded can
+    re-enter on a redelivered old batch — harmless BY the merge
+    algebra: bottom-k of the union is unchanged by re-adding rows
+    that lost the bottom-k once (they lose it again at read)."""
+    from .sketch import BKQ_K, bkq_sketch
+
+    pinned = snapshot.table_properties(store_table).get("bkq_k")
+    if pinned is not None and k is not None and int(pinned) != k:
+        raise snapshot.SnapshotError(
+            f"bkq store at {store_table} was built with k={pinned}; "
+            f"ingesting with k={k} would mix sample sizes — pass the "
+            "store's k or omit it"
+        )
+    use_k = int(pinned) if pinned is not None else (k or BKQ_K)
+    rows = bkq_sketch(
+        batch.select(
+            F.col(date_col).alias("day"),
+            F.col(id_col).alias("__id"),
+            F.col(value_col).alias("__val"),
+        ),
+        ["day"],
+        "__id",
+        "__val",
+        k=use_k,
+    )
+    version = _ingest_rows(
+        spark, store_table, rows, "h",
+        compact_threshold=compact_threshold,
+        compact_target=compact_target,
+        compact_keep_versions=compact_keep_versions,
+    )
+    snapshot.ensure_table_properties(store_table, {"bkq_k": use_k})
+    return version
+
+
+def compact_bkq_store(spark: SparkSession, store_table: str) -> int:
+    """Fold the candidate history to the k smallest rows per day —
+    the bkq analogue of :func:`compact_agg_store` (file-level
+    compaction alone leaves row count growing with batches). Lossless
+    for every read by the bottom-k merge algebra. CAS-committed with
+    rebase retries."""
+    from .sketch import bkq_merge
+
+    props = snapshot.table_properties(store_table)
+    if "bkq_k" not in props:
+        raise snapshot.SnapshotError(
+            f"no bkq_k pinned at {store_table} — not a bkq sketch store"
+        )
+    k = int(props["bkq_k"])
+    last_err: Exception | None = None
+    for _ in range(snapshot.COMMIT_RETRIES):
+        manifest = snapshot.read_manifest(store_table)
+        base = snapshot.read_snapshot(spark, store_table)
+        folded = bkq_merge(base, ["day"], k).localCheckpoint(eager=True)
+        files = snapshot._write_data_files(
+            folded, store_table, manifest.get("stats_col")
+        )
+        try:
+            return snapshot._commit(
+                store_table,
+                files,
+                stats_col=manifest.get("stats_col"),
+                expected_version=manifest["version"],
+            )
+        except snapshot.CommitConflictError as e:
+            last_err = e
+    raise snapshot.SnapshotError(
+        f"compact_bkq_store: lost the commit race "
+        f"{snapshot.COMMIT_RETRIES} times at {store_table}"
+    ) from last_err
+
+
+def bkq_store_cumulative_quantiles(
+    spark: SparkSession,
+    store_table: str,
+    quantiles=(0.5, 0.9),
+) -> DataFrame:
+    """Quantiles-through-day-D from the persisted sketches: fold the
+    stored candidates per day, merge each day's sketch into every
+    later day (≤-join over SKETCH rows only — O(k·days²) work no
+    matter the ingested volume), then rank. Equals the batch
+    ``bkq_cumulative_quantiles`` over everything ingested (pytest)."""
+    from .sketch import bkq_merge, bkq_quantiles
+
+    props = snapshot.table_properties(store_table)
+    k = int(props["bkq_k"])
+    sk = bkq_merge(
+        snapshot.read_snapshot(spark, store_table).select("day", "h", "v"),
+        ["day"],
+        k,
+    )
+    days = sk.select("day").distinct()
+    merged = bkq_merge(
+        sk.withColumnRenamed("day", "__sk_day")
+        .join(days, F.col("__sk_day") <= F.col("day"))
+        .drop("__sk_day"),
+        ["day"],
+        k,
+    )
+    return bkq_quantiles(merged, ["day"], quantiles)
+
+
 # ----------------------------------------------------------------------
 # Incremental view maintenance: delta partial-aggregate store
 # ----------------------------------------------------------------------

@@ -190,3 +190,30 @@ def drift_psi(buckets: DataFrame) -> DataFrame:
         F.round(F.sum("term_q") / F.lit(1e9), 6).alias("psi"),
         (F.sum("term_q") > F.lit(int(0.25 * 1e9))).alias("drifted"),
     )
+
+
+def numeric_quantiles(
+    df: DataFrame,
+    columns: Sequence[str],
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Per-column quantile profile for the numeric columns — the
+    planner/quality stat :func:`table_stats` stops short of, computed
+    the way that function computes its HLLs: ALL columns in one pass,
+    never a per-column loop. Delegates to
+    ``sketch.histogram_quantiles_multi`` (two source scans total for
+    any column count; the r8 generalization of the ns_customer_rfm
+    plan fix), so adding the tenth profiled column costs the same
+    scans as the first.
+
+    Output: (column, q, quantile_estimate) — tall, like the profiler's
+    other frames.
+    """
+    from .sketch import histogram_quantiles_multi
+
+    out = histogram_quantiles_multi(
+        df.withColumn("_g", F.lit(0)), ["_g"], list(columns), quantiles
+    )
+    return out.select(
+        F.col("measure").alias("column"), "q", "quantile_estimate"
+    )

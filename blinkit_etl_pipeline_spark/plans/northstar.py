@@ -1356,6 +1356,22 @@ def q_sketch_bkq_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_numeric_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile profile of four lineitem numerics in one two-scan pass
+    (operators/profile.py::numeric_quantiles → the multi-measure
+    histogram sketch) — the ANALYZE-style stat table_stats stops
+    short of, and the profiler-side consumer of the r8 one-pass
+    sketch."""
+    from ..operators import profile
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return profile.numeric_quantiles(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
 def q_sketch_quantiles_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartile cutpoints for THREE lineitem measures (quantity,
     extendedprice, discount) per return flag in ONE pass over the
@@ -3324,6 +3340,7 @@ QUERIES = {
     "ns_sketch_quantiles_multi": q_sketch_quantiles_multi,
     "ns_sketch_bkq_quantiles": q_sketch_bkq_quantiles,
     "ns_sketch_bkq_cumulative": q_sketch_bkq_cumulative,
+    "ns_profile_numeric_quantiles": q_profile_numeric_quantiles,
 }
 
 ORACLES["ns_asof_attribution"] = """WITH clicks AS (
@@ -3388,6 +3405,17 @@ ORACLES["ns_sketch_bkq_quantiles"] = sketch.bkq_quantiles_sql(
     "event_id",
     "value",
     quantiles=(0.25, 0.5, 0.75, 0.95),
+)
+ORACLES["ns_profile_numeric_quantiles"] = (
+    'SELECT measure AS "column", q, quantile_estimate FROM ('
+    + sketch.histogram_quantiles_multi_sql(
+        "(SELECT 0 AS _g, l_quantity, l_extendedprice, l_discount,"
+        " l_tax FROM lineitem) t",
+        ["_g"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        quantiles=(0.25, 0.5, 0.75),
+    )
+    + ") z"
 )
 ORACLES["ns_sketch_bkq_cumulative"] = sketch.bkq_cumulative_quantiles_sql(
     "(SELECT CAST(ts AS DATE) AS day, event_id, value FROM events) src",

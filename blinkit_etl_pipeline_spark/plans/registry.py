@@ -29,6 +29,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 PRIORITY = [
     # --- r8 additions / changed plans+oracles, never driver-checked as-is ---
     "ns_graph_pagerank_incr",
+    "ns_profile_numeric_quantiles",
     "ns_sketch_bkq_quantiles",
     "ns_sketch_bkq_cumulative",
     "ns_sketch_quantiles_multi",

@@ -286,3 +286,67 @@ def test_bkq_quantiles_bracket_truth_and_plan_group_limit(spark):
         assert lo <= got[(et, 0.5)] <= hi, (et, lo, got[(et, 0.5)], hi)
         if n <= k:  # exact regime: estimate IS quantile_disc
             assert got[(et, 0.5)] == round(xs[math.ceil(0.5 * n) - 1], 6)
+
+
+def test_bkq_store_twin_equals_batch_any_order(spark, tmp_path):
+    """Persisted daily sketches through the streaming ingest must
+    reproduce the batch quantiles-to-date for ANY file/arrival order
+    (the lossless merge, end-to-end through the store); redelivery is
+    a no-op and the fold compaction changes nothing."""
+    import datetime as _dt
+
+    from blinkit_etl_pipeline_spark.operators import incremental
+    from blinkit_etl_pipeline_spark.streaming import bkq_ingest
+
+    rows = []
+    for d in range(4):
+        day = _dt.date(2024, 2, d + 1)
+        for i in range(150):
+            rows.append((day, d * 1000 + i, float((i * 37 + d * 11) % 500)))
+    ev = spark.createDataFrame(rows, "day date, event_id long, value double")
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    for i in range(3):  # hash-split drops: out-of-order days per drop
+        ev.filter(F.crc32(F.col("event_id").cast("string")) % 3 == i)\
+            .coalesce(1).write.parquet(str(raw / f"drop{i}"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(raw / "drop*"))
+    )
+    store = str(tmp_path / "store")
+    bkq_ingest.run_bkq_ingest(
+        stream, str(tmp_path / "ckpt"), store, k=32, timeout_sec=120
+    )
+    want = sorted(
+        map(tuple, sketch.bkq_cumulative_quantiles(
+            ev, "day", "event_id", "value", quantiles=(0.5, 0.9), k=32
+        ).collect())
+    )
+    got = sorted(
+        map(tuple, bkq_ingest.quantiles_from_store(spark, store).collect())
+    )
+    assert got == want
+    # redelivery of a full drop: h-guard absorbs it
+    drop0 = spark.read.parquet(str(raw / "drop0"))
+    incremental.ingest_bkq_sketch(
+        spark, store, drop0, "day", "event_id", "value"
+    )
+    assert sorted(
+        map(tuple, bkq_ingest.quantiles_from_store(spark, store).collect())
+    ) == want
+    # k mismatch fails loudly
+    import pytest as _pytest
+
+    from blinkit_etl_pipeline_spark.operators import snapshot
+    with _pytest.raises(snapshot.SnapshotError, match="k=32"):
+        incremental.ingest_bkq_sketch(
+            spark, store, drop0, "day", "event_id", "value", k=64
+        )
+    # fold compaction: answers unchanged, rows bounded by k per day
+    incremental.compact_bkq_store(spark, store)
+    assert sorted(
+        map(tuple, bkq_ingest.quantiles_from_store(spark, store).collect())
+    ) == want
+    n = snapshot.read_snapshot(spark, store).count()
+    assert n <= 32 * 4
