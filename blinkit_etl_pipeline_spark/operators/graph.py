@@ -461,7 +461,13 @@ def pagerank_delta(
     base = ((DAMP_DEN - DAMP_NUM) * RANK_SCALE) // (DAMP_DEN * n)
     r0 = RANK_SCALE // n
     changed = dl.select(F.col("src").alias("node")).distinct().persist()
+    # the caller's state is consumed up to twice per round (s_prev in
+    # both contribution legs) plus once for s_last; in the store-
+    # backed twin it is a full merge-on-read fold, so cache it for
+    # the duration and release with the other inputs (r8 review)
+    state = state.persist()
     aff = changed
+    affs: list[DataFrame] = []  # per-round persists, released at exit
     ds = None  # Δs_{i-1}
     delta_state = None
     for i in range(1, iterations + 1):
@@ -529,6 +535,7 @@ def pagerank_delta(
             aff = (
                 changed.unionByName(ds.select("node")).distinct().persist()
             )
+            affs.append(aff)
     s_last = state.filter(F.col("it") == iterations).select("node", "s")
     ranks = (
         old_nodes.join(s_last, "node", "left")
@@ -544,6 +551,11 @@ def pagerank_delta(
             .alias("rank_q"),
         )
     )
-    for fr in (dl, ew_old, ew_new, changed):
+    # every ds is localCheckpoint-materialized, so the returned frames
+    # no longer depend on these caches; the caller's action recomputes
+    # only s_last/old_nodes (the kmeans unpersist-before-return
+    # precedent) — without this a long-lived ingest session leaks
+    # iterations-1 aff frames per batch (r8 review)
+    for fr in (dl, ew_old, ew_new, changed, old_nodes, state, *affs):
         fr.unpersist(blocking=False)
     return ranks, delta_state

@@ -1002,11 +1002,17 @@ def ingest_bkq_sketch(
     larger k later); the first ingest sets it (default
     ``sketch.BKQ_K``), later callers must match or omit it.
 
-    Redelivery: the standard id guard on ``h`` (the 48-bit row-id
-    hash). Rows a fold (:func:`compact_bkq_store`) discarded can
-    re-enter on a redelivered old batch — harmless BY the merge
-    algebra: bottom-k of the union is unchanged by re-adding rows
-    that lost the bottom-k once (they lose it again at read)."""
+    Redelivery: the id guard runs on ``__sid = day|h`` — DAY-scoped,
+    because the same source id legitimately recurs on later days
+    (per-entity daily metrics) and an h-only guard would silently
+    drop its later observations (r8 review finding). Rows a fold
+    (:func:`compact_bkq_store`) discarded can re-enter on a
+    redelivered old batch — harmless BY the merge algebra: bottom-k
+    of the union is unchanged by re-adding rows that lost the
+    bottom-k once (they lose it again at read). ``k`` pins BEFORE the
+    first data commit (the span/sq8 store convention) so a crash
+    between the two can never leave committed sketches with an
+    unpinned sample size."""
     from .sketch import BKQ_K, bkq_sketch
 
     pinned = snapshot.table_properties(store_table).get("bkq_k")
@@ -1017,6 +1023,7 @@ def ingest_bkq_sketch(
             "store's k or omit it"
         )
     use_k = int(pinned) if pinned is not None else (k or BKQ_K)
+    snapshot.ensure_table_properties(store_table, {"bkq_k": use_k})
     rows = bkq_sketch(
         batch.select(
             F.col(date_col).alias("day"),
@@ -1027,15 +1034,16 @@ def ingest_bkq_sketch(
         "__id",
         "__val",
         k=use_k,
+    ).withColumn(
+        "__sid",
+        F.concat(F.col("day").cast("string"), F.lit("|"), F.col("h")),
     )
-    version = _ingest_rows(
-        spark, store_table, rows, "h",
+    return _ingest_rows(
+        spark, store_table, rows, "__sid",
         compact_threshold=compact_threshold,
         compact_target=compact_target,
         compact_keep_versions=compact_keep_versions,
     )
-    snapshot.ensure_table_properties(store_table, {"bkq_k": use_k})
-    return version
 
 
 def compact_bkq_store(spark: SparkSession, store_table: str) -> int:
@@ -1088,6 +1096,10 @@ def bkq_store_cumulative_quantiles(
     from .sketch import bkq_merge, bkq_quantiles
 
     props = snapshot.table_properties(store_table)
+    if "bkq_k" not in props:
+        raise snapshot.SnapshotError(
+            f"no bkq_k pinned at {store_table} — not a bkq sketch store"
+        )
     k = int(props["bkq_k"])
     sk = bkq_merge(
         snapshot.read_snapshot(spark, store_table).select("day", "h", "v"),

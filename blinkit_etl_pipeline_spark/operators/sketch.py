@@ -156,8 +156,12 @@ def histogram_quantiles(
         F.count(value_col).cast("bigint").alias("_n"),
     )
     width = (F.col("_hi") - F.col("_lo")) / F.lit(float(QUANTILE_BINS))
+    # drop NULL values before binning (same rationale as the multi-
+    # measure twin: a NULL bin inflates cumulative counts, and the
+    # two engines order NULL bins differently)
     binned = (
-        df.join(F.broadcast(stats), list(group_cols))
+        df.filter(F.col(value_col).isNotNull())
+        .join(F.broadcast(stats), list(group_cols))
         .withColumn(
             "bin",
             F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
@@ -231,8 +235,14 @@ def histogram_quantiles_multi(
             ]
         )
     ).alias("mv")
-    unp = df.select(*group_cols, mv).select(
-        *group_cols, "mv.measure", "mv.v"
+    # NULL measures carry no quantile information and would otherwise
+    # form a NULL bin that inflates every real bin's cumulative count
+    # (Spark windows sort NULLS FIRST, DuckDB NULLS LAST — a silent
+    # cross-engine divergence; r8 review finding)
+    unp = (
+        df.select(*group_cols, mv)
+        .select(*group_cols, "mv.measure", "mv.v")
+        .filter(F.col("v").isNotNull())
     )
     keys = [*group_cols, "measure"]
     stats = unp.groupBy(*keys).agg(
@@ -304,7 +314,7 @@ def histogram_quantiles_multi_sql(
     b = QUANTILE_BINS
     unp = " UNION ALL ".join(
         f"SELECT {g}, '{m}' AS measure, CAST({m} AS DOUBLE) AS v"
-        f" FROM {table}"
+        f" FROM {table} WHERE {m} IS NOT NULL"
         for m in measures
     )
     return f"""
@@ -359,6 +369,7 @@ WITH stats AS (
       least(floor(({value_col} - s.lo) / ((s.hi - s.lo) / {b}.0)), {b - 1})
     END AS INT) AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
   FROM {table} t JOIN stats s USING ({g})
+  WHERE t.{value_col} IS NOT NULL
   GROUP BY t.{g}, 2
 ), cum AS (
   SELECT {g}, bin, cnt,

@@ -350,3 +350,37 @@ def test_bkq_store_twin_equals_batch_any_order(spark, tmp_path):
     ) == want
     n = snapshot.read_snapshot(spark, store).count()
     assert n <= 32 * 4
+
+
+def test_histogram_quantiles_ignore_null_values(spark):
+    """NULL measures must not form a phantom bin (Spark sorts NULL
+    bins FIRST, DuckDB LAST — an r8 review finding): estimates over a
+    column with NULLs must equal estimates over the same column with
+    the NULL rows dropped, in both the single- and multi-measure
+    sketches."""
+    rows = [("g", float(i)) for i in range(100)] + [("g", None)] * 40
+    df = spark.createDataFrame(rows, "grp string, x double")
+    clean = df.filter(F.col("x").isNotNull())
+    got_s = sorted(
+        map(tuple, sketch.histogram_quantiles(df, ["grp"], "x").collect())
+    )
+    want_s = sorted(
+        map(tuple, sketch.histogram_quantiles(clean, ["grp"], "x").collect())
+    )
+    assert got_s == want_s
+    got_m = sorted(
+        map(
+            tuple,
+            sketch.histogram_quantiles_multi(df, ["grp"], ["x"]).collect(),
+        )
+    )
+    want_m = sorted(
+        map(
+            tuple,
+            sketch.histogram_quantiles_multi(
+                clean, ["grp"], ["x"]
+            ).collect(),
+        )
+    )
+    assert got_m == want_m
+    assert all(r[-1] is not None for r in got_m)
