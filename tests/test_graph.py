@@ -163,3 +163,51 @@ def test_pagerank_store_twin_equals_batch_and_redelivery_noop(spark, tmp_path):
         for r in pi.pagerank_from_store(spark, edge_store, state_store).collect()
     }
     assert got == want
+
+
+def test_pagerank_store_replay_after_partial_epoch(spark, tmp_path):
+    """The crash window the commit ORDER exists for: state deltas
+    committed, edges not, crash, epoch replayed. The replay must
+    detect the state commit, skip the (now-garbage) delta
+    recomputation, finish ONLY the edge commit, and converge to the
+    batch answer."""
+    from blinkit_etl_pipeline_spark.operators import incremental
+    from blinkit_etl_pipeline_spark.streaming import pagerank_ingest as pi
+    from pyspark.sql import functions as F
+
+    edge_store = str(tmp_path / "edges")
+    state_store = str(tmp_path / "state")
+    boot = _signed(spark, [(s, d, 1) for (s, d) in _BASE])
+    pi.apply_edge_batch(
+        spark, edge_store, state_store, boot, "epoch-0", iterations=_ITERS
+    )
+    d1 = _signed(spark, [(1, 2, -1), (2, 6, 1)])
+    # reproduce the partial epoch BY HAND: compute the delta exactly as
+    # apply_edge_batch would, commit ONLY the state store, "crash"
+    old = pi.live_edges(spark, edge_store)
+    state = incremental.read_agg_store(
+        spark, state_store, ["node", "it"], ["s"]
+    ).select("node", "it", "s")
+    from blinkit_etl_pipeline_spark.operators import snapshot
+
+    n_pinned = int(snapshot.table_properties(state_store)["pagerank_n"])
+    _ranks, dstate = graph.pagerank_delta(old, state, n_pinned, d1, _ITERS)
+    incremental.ingest_agg_deltas(
+        spark, state_store,
+        dstate.withColumn("__sign", F.lit(1)),
+        ["node", "it"], {"s": F.col("s")}, batch_id="epoch-1",
+    )
+    # replay the whole epoch through the public entry point
+    pi.apply_edge_batch(spark, edge_store, state_store, d1, "epoch-1")
+    final = _BASE[:]
+    final.remove((1, 2))
+    final.append((2, 6))
+    want = {
+        r["node"]: r["rank_q"]
+        for r in graph.pagerank(_edges(spark, final), iterations=_ITERS).collect()
+    }
+    got = {
+        r["node"]: r["rank_q"]
+        for r in pi.pagerank_from_store(spark, edge_store, state_store).collect()
+    }
+    assert got == want
