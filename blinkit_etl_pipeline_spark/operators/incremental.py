@@ -979,6 +979,59 @@ def sq8_store_probe(
     return vector.sq8_store_topk(codes, queries_emb, query_ids, stats, k)
 
 
+def ingest_cms_cells(
+    spark: SparkSession,
+    store_table: str,
+    batch: DataFrame,
+    value_col: str,
+    *,
+    batch_id: str,
+    compact_threshold: int | None = 64,
+    compact_target: int = 8,
+    compact_keep_versions: int = 2,
+) -> int:
+    """Maintain a persisted Count-Min sketch from batches — streaming
+    heavy-hitter state in ≤ d·w counters total: CMS cells are PLAIN
+    SUMS over (seed, cell), so the IVM agg store maintains them
+    as-is (``ingest_agg_deltas`` with keys (seed, cell)): per batch,
+    one map-side fold of THIS batch's values to ≤ d·w partials,
+    batch-id idempotent redelivery, CAS append, fold compaction via
+    :func:`compact_agg_store`. The sketch never grows with the data —
+    the 100 TB frequency-state answer, now durable across sessions."""
+    from .sketch import cms_cells
+
+    cells = cms_cells(batch, value_col).withColumn(
+        "__sign", F.lit(1).cast("int")
+    )
+    return ingest_agg_deltas(
+        spark,
+        store_table,
+        cells,
+        ["seed", "cell"],
+        {"counter_sum": F.col("counter")},
+        batch_id=batch_id,
+        compact_threshold=compact_threshold,
+        compact_target=compact_target,
+        compact_keep_versions=compact_keep_versions,
+    )
+
+
+def cms_store_probe(
+    spark: SparkSession, store_table: str, items: DataFrame, value_col: str
+) -> DataFrame:
+    """Frequency estimates for an item list against the MAINTAINED
+    sketch — the production lookup (`sketch.cms_probe`) over the
+    merge-on-read fold of all ingested batches. Because cells are
+    additive, the folded store equals the one-shot sketch of every
+    batch concatenated, for ANY batch split/arrival order (pytest)."""
+    from .sketch import cms_probe
+
+    cells = read_agg_store(
+        spark, store_table, ["seed", "cell"], ["counter_sum"]
+    ).select("seed", "cell", F.col("counter_sum").alias("counter"))
+    return cms_probe(cells, items, value_col)
+
+
 def ingest_bkq_sketch(
     spark: SparkSession,
     store_table: str,

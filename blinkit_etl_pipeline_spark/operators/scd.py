@@ -173,6 +173,16 @@ def _heal_bucket_swaps(path: str) -> None:
     Local-posix rename semantics; an HDFS/object-store deployment runs
     the identical protocol through ``FileSystem.rename`` (same
     same-directory atomic rename contract).
+
+    Concurrent-READER caveat: between the two swap renames a reader's
+    partition discovery can see the bucket absent (a microsecond
+    window, but real) — a batch session racing the writer may read a
+    dim missing one bucket. This is strictly better than the previous
+    delete-then-write (whose window spanned the whole bucket rewrite
+    job), and acceptable under the module's single-writer +
+    read-mostly contract; a deployment needing stronger read isolation
+    should publish the dim through the snapshot store's versioned
+    manifests instead (readers pin a version; see operators/snapshot).
     """
     import os
     import shutil
