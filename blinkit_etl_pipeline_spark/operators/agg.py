@@ -268,14 +268,18 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
     :func:`~.sketch.histogram_quantiles_multi` call — the measures
     unpivot inside the scan, so the customer-level aggregate is read
     twice for all cutpoints instead of twice PER measure; ``base``
-    (the one real shuffle, corpus → one row per customer) is persisted
-    across the sketch's two passes and the final scoring join, so the
-    orders source is scanned once total. The r7 per-measure loop cost
-    18 exchanges / 4 source scans; this plan has 2 exchanges in the
-    AQE-final plan. ``base``'s cache is part of the returned plan
-    (InMemoryRelation), so it is caller-owned — the dedup siblings'
-    contract (``simhash``'s persisted signatures): a session looping
-    over many RFM builds clears it between runs.
+    (the one real shuffle, corpus → one row per customer) is
+    materialized ONCE via a lazy ``localCheckpoint`` and shared by the
+    sketch's two passes and the final scoring join, so the orders
+    source is scanned once total. The r7 per-measure loop cost 18
+    exchanges / 4 source scans. RDD-level checkpoint blocks (unlike a
+    ``persist()`` CacheManager entry, which outlives the frame until
+    an explicit unpersist — the r8 leak) are released by the
+    ContextCleaner when the returned plan is garbage-collected, so a
+    session looping over RFM builds leaks nothing. The trade:
+    lineage truncation, i.e. an executor loss mid-query cannot
+    recompute the one-shuffle subtree — the same trade the iterative
+    operators (pagerank, k-means) already make for their state.
     """
     from .sketch import histogram_quantiles_multi
 
@@ -299,7 +303,7 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
             "monetary_cents",
         )
         .withColumn("_g", F.lit(0))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     measures = ("recency_days", "frequency", "monetary_cents")
     cuts = histogram_quantiles_multi(

@@ -1077,6 +1077,10 @@ def ingest_bkq_sketch(
         )
     use_k = int(pinned) if pinned is not None else (k or BKQ_K)
     snapshot.ensure_table_properties(store_table, {"bkq_k": use_k})
+    # hash identity is (day, id) — the cumulative read path merges
+    # days, so an id recurring on later days must draw an independent
+    # hash each day (an id-only hash keeps the same low-hash entities
+    # every day, clustering the cumulative sample by entity)
     rows = bkq_sketch(
         batch.select(
             F.col(date_col).alias("day"),
@@ -1087,6 +1091,7 @@ def ingest_bkq_sketch(
         "__id",
         "__val",
         k=use_k,
+        hash_cols=("day", "__id"),
     ).withColumn(
         "__sid",
         F.concat(F.col("day").cast("string"), F.lit("|"), F.col("h")),
@@ -1142,11 +1147,13 @@ def bkq_store_cumulative_quantiles(
     quantiles=(0.5, 0.9),
 ) -> DataFrame:
     """Quantiles-through-day-D from the persisted sketches: fold the
-    stored candidates per day, merge each day's sketch into every
-    later day (≤-join over SKETCH rows only — O(k·days²) work no
-    matter the ingested volume), then rank. Equals the batch
-    ``bkq_cumulative_quantiles`` over everything ingested (pytest)."""
-    from .sketch import bkq_merge, bkq_quantiles
+    stored candidates per day, prefix-merge each day's sketch into
+    every later day with the log-depth scan
+    (``sketch.bkq_prefix_merge`` — O(k·D·log D) sketch rows instead of
+    the ≤-join's O(k·D²), no matter the ingested volume), then rank.
+    Equals the batch ``bkq_cumulative_quantiles`` over everything
+    ingested (pytest)."""
+    from .sketch import bkq_merge, bkq_prefix_merge, bkq_quantiles
 
     props = snapshot.table_properties(store_table)
     if "bkq_k" not in props:
@@ -1154,19 +1161,9 @@ def bkq_store_cumulative_quantiles(
             f"no bkq_k pinned at {store_table} — not a bkq sketch store"
         )
     k = int(props["bkq_k"])
-    sk = bkq_merge(
-        snapshot.read_snapshot(spark, store_table).select("day", "h", "v"),
-        ["day"],
-        k,
-    )
-    days = sk.select("day").distinct()
-    merged = bkq_merge(
-        sk.withColumnRenamed("day", "__sk_day")
-        .join(days, F.col("__sk_day") <= F.col("day"))
-        .drop("__sk_day"),
-        ["day"],
-        k,
-    )
+    stored = snapshot.read_snapshot(spark, store_table).select("day", "h", "v")
+    sk = bkq_merge(stored, ["day"], k)
+    merged = bkq_prefix_merge(sk, "day", stored.select("day"), k)
     return bkq_quantiles(merged, ["day"], quantiles)
 
 

@@ -536,6 +536,9 @@ def bkq_sketch(
     id_col: str,
     value_col: str,
     k: int = BKQ_K,
+    *,
+    hash_cols: Sequence[str] | None = None,
+    assert_unique_ids: bool = False,
 ) -> DataFrame:
     """Per-group bottom-k quantile sketch: the ``k`` rows whose 48-bit
     row-identity hashes are smallest, as ``(group..., h, v)``.
@@ -560,16 +563,59 @@ def bkq_sketch(
     carries no quantile information; the sample stays uniform over
     non-NULL rows). Ordering is total (``h`` then ``v``) so hash
     collisions cannot make the kept set nondeterministic.
+
     ``id_col`` must identify rows uniquely within the sketched frame —
-    duplicated ids shadow each other (only one survives the bottom-k),
-    biasing the sample.
+    duplicated ids share ONE hash, so their rows enter or miss the
+    bottom-k as a correlated BLOCK (cluster sampling on a single
+    draw): one low hash floods the sample with every copy, one high
+    hash drops them all, either way the sample is no longer uniform
+    over rows. ``assert_unique_ids=True`` enforces this loudly: one extra
+    count-vs-count-distinct probe over the frame (a corpus scan — the
+    reason it is opt-in) raises :class:`ValueError` instead of
+    silently skewing quantiles. ``hash_cols`` overrides the identity
+    the row hash is taken over (default ``[id_col]``) — the
+    cumulative/store paths pass ``(date, id)`` so per-day draws stay
+    independent when the same entity id legitimately recurs on later
+    days (an id-only hash would keep the SAME low-hash entities every
+    day, clustering the sample by entity instead of uniform over rows).
     """
-    w = Window.partitionBy(*group_cols).orderBy("h", "v")
+    cols = list(hash_cols) if hash_cols is not None else [id_col]
+    if len(cols) == 1:
+        ident = F.col(cols[0]).cast("string")
+    else:
+        # chr(31) joint — F.concat (not concat_ws) so a NULL component
+        # NULLs the hash instead of silently collapsing identities
+        parts: list = []
+        for i, c in enumerate(cols):
+            if i:
+                parts.append(F.lit("\x1f"))
+            parts.append(F.col(c).cast("string"))
+        ident = F.concat(*parts)
     base = df.select(
         *group_cols,
-        h48(F.col(id_col).cast("string")).alias("h"),
+        h48(ident).alias("h"),
         F.col(value_col).cast("double").alias("v"),
     ).filter(F.col("v").isNotNull())
+    if assert_unique_ids:
+        # distinct over the raw identity string, not h, so a 48-bit
+        # hash collision can never false-positive the guard
+        probe = (
+            df.filter(F.col(value_col).cast("double").isNotNull())
+            .agg(
+                F.count("*").alias("n"),
+                F.count_distinct(ident).alias("nd"),
+            )
+            .collect()[0]
+        )
+        if probe["n"] != probe["nd"]:
+            raise ValueError(
+                f"bkq_sketch: hash identity {cols} is not unique over "
+                f"the sketched rows ({probe['n']} rows, {probe['nd']} "
+                "distinct identities) — duplicated ids share one hash "
+                "and enter the bottom-k as a correlated block, biasing "
+                "the quantile sample"
+            )
+    w = Window.partitionBy(*group_cols).orderBy("h", "v")
     return (
         base.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= k)
@@ -629,6 +675,63 @@ def bkq_quantiles(
     )
 
 
+def bkq_prefix_merge(
+    daily: DataFrame,
+    date_col: str,
+    days: DataFrame,
+    k: int = BKQ_K,
+) -> DataFrame:
+    """Prefix-merged sketches: for every day D in ``days``, the
+    bottom-k merge of all ``daily`` sketch rows with day ≤ D — as a
+    **log-depth Hillis–Steele scan** over day indices instead of the
+    naive (day, later-day) ≤-join. The ≤-join materializes O(k·D²)
+    sketch rows (≈1.7 B at a decade of daily partitions, k=512); the
+    scan shuffles O(k·D) rows per round for ⌈log₂ D⌉ rounds —
+    O(k·D·log D) total, each round one WindowGroupLimit-shaped merge.
+
+    Correctness invariant: entering round j (step = 2^j), ``cur(i)``
+    holds the merged sketch of days (i−2^j, i] (truncated at 0); the
+    round unions in ``cur(i−2^j)`` covering (i−2^{j+1}, i−2^j] —
+    always DISJOINT adjacent blocks, so the multiset union never
+    double-counts a row and the lossless bottom-k semilattice merge
+    applies exactly. After ⌈log₂ D⌉ rounds every prefix is complete.
+
+    The day→index map is a D-row driver collect (model-sized — days of
+    history, the cutpoint-row convention), broadcast back; no global
+    window. ``days`` supplies the output day set — a day with no
+    sketch rows of its own (all-NULL values) still gets the prefix of
+    earlier days, matching the ≤-join semantics. Each round
+    localCheckpoints (the iterative-operator convention) so the final
+    job is one bounded stage, not ⌈log₂ D⌉ chained window lineages.
+    """
+    spark = daily.sparkSession
+    day_vals = [r[0] for r in days.distinct().orderBy(date_col).collect()]
+    d_count = len(day_vals)
+    if d_count == 0:
+        return daily.select(date_col, "h", "v")
+    idx = F.broadcast(
+        spark.createDataFrame(
+            [(v, i + 1) for i, v in enumerate(day_vals)],
+            days.select(F.col(date_col)).withColumn(
+                "__di", F.lit(1)
+            ).schema,
+        )
+    )
+    cur = daily.join(idx, date_col).select(
+        F.col("__di"), F.col("h"), F.col("v")
+    )
+    step = 1
+    while step < d_count:
+        shifted = cur.withColumn("__di", F.col("__di") + F.lit(step)).filter(
+            F.col("__di") <= F.lit(d_count)
+        )
+        cur = bkq_merge(cur.unionByName(shifted), ["__di"], k).localCheckpoint(
+            eager=False
+        )
+        step *= 2
+    return cur.join(idx, "__di").select(date_col, "h", "v")
+
+
 def bkq_cumulative_quantiles(
     df: DataFrame,
     date_col: str,
@@ -640,19 +743,24 @@ def bkq_cumulative_quantiles(
     """Quantiles-to-date via SKETCH MERGE — the
     :func:`hll_cumulative_distinct` pattern for order statistics:
     per-day bottom-k sketches (bounded: ≤ k rows/day whatever the
-    volume) merge into every later day with a ≤-join over SKETCH rows
-    only, then :func:`bkq_quantiles` runs per day. History stays cold
-    — day D's update touches O(k·D) sketch rows, never the raw data.
+    volume) fold into every later day with the log-depth
+    :func:`bkq_prefix_merge` scan, then :func:`bkq_quantiles` runs per
+    day. History stays cold — day D's update touches O(k·log D) sketch
+    rows beyond its own, never the raw data.
+
+    Row identity hashes **(day, id)** — not id alone — so an entity id
+    recurring on later days draws an independent hash each day; an
+    id-only hash would keep the SAME low-hash entities' rows every
+    day, clustering the cumulative sample by entity and biasing the
+    quantile estimates whenever values are entity-correlated. (The
+    per-group :func:`bkq_sketch` default is unchanged: there the
+    caller's id contract is uniqueness within the frame.)
     """
-    daily = bkq_sketch(df, [date_col], id_col, value_col, k)
-    days = df.select(date_col).distinct()
-    merged = bkq_merge(
-        daily.withColumnRenamed(date_col, "__sk_day").join(
-            days, F.col("__sk_day") <= F.col(date_col)
-        ).drop("__sk_day"),
-        [date_col],
-        k,
+    daily = bkq_sketch(
+        df, [date_col], id_col, value_col, k, hash_cols=(date_col, id_col)
     )
+    days = df.select(date_col).distinct()
+    merged = bkq_prefix_merge(daily, date_col, days, k)
     return bkq_quantiles(merged, [date_col], quantiles)
 
 
@@ -699,12 +807,17 @@ def bkq_cumulative_quantiles_sql(
     quantiles: Sequence[float] = (0.25, 0.5, 0.75),
     k: int = BKQ_K,
 ) -> str:
-    """DuckDB oracle for :func:`bkq_cumulative_quantiles`."""
+    """DuckDB oracle for :func:`bkq_cumulative_quantiles` — mirrors
+    the (day, id) hash identity (chr(31)-joined) and, being the
+    correctness SPEC only, keeps the naive ≤-join the Spark side
+    replaced with the log-depth prefix scan (same result by the
+    lossless-merge property)."""
     qvals = ", ".join(f"({float(q)})" for q in quantiles)
     return f"""
 WITH base AS (
   SELECT {date_col},
-    ('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 12))::BIGINT AS h,
+    ('0x' || substr(md5(CAST({date_col} AS VARCHAR) || chr(31)
+      || CAST({id_col} AS VARCHAR)), 1, 12))::BIGINT AS h,
     CAST({value_col} AS DOUBLE) AS v
   FROM {table} WHERE {value_col} IS NOT NULL
 ), daily AS (

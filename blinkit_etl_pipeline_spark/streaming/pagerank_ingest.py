@@ -110,6 +110,18 @@ def apply_edge_batch(
         if not _seen(spark, state_store, batch_id):
             # (a replayed crashed bootstrap skips straight to edges)
             state, n = graph.pagerank_state(edges, iterations)
+            # Pin format props BEFORE the state commit (module
+            # convention, see ingest_bkq_sketch): a crash between the
+            # ingest and a later pin would leave the state 'seen' but
+            # unpinned — every subsequent epoch would KeyError on
+            # pagerank_n forever. ensure_table_properties is
+            # idempotent link-CAS, so a replay re-pinning the same
+            # values (insert-only bootstrap ⇒ same graph ⇒ same n)
+            # is safe.
+            snapshot.ensure_table_properties(
+                state_store,
+                {"pagerank_n": n, "pagerank_iterations": iterations},
+            )
             incremental.ingest_agg_deltas(
                 spark,
                 state_store,
@@ -117,10 +129,6 @@ def apply_edge_batch(
                 _STATE_KEYS,
                 {"s": F.col("s")},
                 batch_id=batch_id,
-            )
-            snapshot.ensure_table_properties(
-                state_store,
-                {"pagerank_n": n, "pagerank_iterations": iterations},
             )
         incremental.ingest_agg_deltas(
             spark,

@@ -211,3 +211,51 @@ def test_pagerank_store_replay_after_partial_epoch(spark, tmp_path):
         for r in pi.pagerank_from_store(spark, edge_store, state_store).collect()
     }
     assert got == want
+
+
+def test_pagerank_bootstrap_crash_between_pin_and_state_commit(spark, tmp_path):
+    """r9 (ADVICE): props pin BEFORE the state commit. The survivable
+    crash window is now pin-done/state-missing — a replayed bootstrap
+    must re-pin the same values idempotently (insert-only bootstrap ⇒
+    same graph ⇒ same n), commit state + edges, and serve correct
+    ranks. (The old order left a state-committed/unpinned store:
+    every later epoch died on KeyError('pagerank_n') forever.)"""
+    from blinkit_etl_pipeline_spark.operators import snapshot
+    from blinkit_etl_pipeline_spark.streaming import pagerank_ingest as pi
+
+    edge_store = str(tmp_path / "edges")
+    state_store = str(tmp_path / "state")
+    boot = _signed(spark, [(s, d, 1) for (s, d) in _BASE])
+    # simulate the crash: the pin landed, nothing else did
+    n = (
+        boot.selectExpr("src AS node")
+        .union(boot.selectExpr("dst AS node"))
+        .distinct()
+        .count()
+    )
+    snapshot.ensure_table_properties(
+        state_store, {"pagerank_n": n, "pagerank_iterations": _ITERS}
+    )
+    # replay the bootstrap through the public entry point
+    pi.apply_edge_batch(
+        spark, edge_store, state_store, boot, "epoch-0", iterations=_ITERS
+    )
+    # and one normal delta epoch on top must work (no KeyError wedge)
+    d1 = _signed(spark, [(1, 2, -1), (2, 6, 1)])
+    pi.apply_edge_batch(spark, edge_store, state_store, d1, "epoch-1")
+    final = _BASE[:]
+    final.remove((1, 2))
+    final.append((2, 6))
+    want = {
+        r["node"]: r["rank_q"]
+        for r in graph.pagerank(
+            _edges(spark, final), iterations=_ITERS
+        ).collect()
+    }
+    got = {
+        r["node"]: r["rank_q"]
+        for r in pi.pagerank_from_store(
+            spark, edge_store, state_store
+        ).collect()
+    }
+    assert got == want

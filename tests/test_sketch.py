@@ -384,3 +384,111 @@ def test_histogram_quantiles_ignore_null_values(spark):
     )
     assert got_m == want_m
     assert all(r[-1] is not None for r in got_m)
+
+
+def test_bkq_prefix_merge_equals_leq_join_any_day_count(spark):
+    """The log-depth Hillis–Steele prefix scan (r9, replacing the
+    O(k·D²) ≤-join) must reproduce the ≤-join's merged sketches
+    EXACTLY for every day count — including non-powers-of-two, D=1,
+    and a day with no sketch rows of its own (all-NULL values), which
+    must still receive the prefix of earlier days."""
+    import datetime as _dt
+
+    k = 8
+    base = _dt.date(2024, 1, 1)
+    for d_count in (1, 2, 3, 5, 8, 9):
+        rows = []
+        for d in range(d_count):
+            day = base + _dt.timedelta(days=d)
+            for i in range(20):
+                # day index 3 carries only NULL values
+                v = None if d == 3 else float((i * 7 + d * 13) % 50)
+                rows.append((day, f"id-{d}-{i}", v))
+        df = spark.createDataFrame(rows, "day date, id string, value double")
+        daily = sketch.bkq_sketch(
+            df, ["day"], "id", "value", k=k, hash_cols=("day", "id")
+        )
+        days = df.select("day").distinct()
+        want = _bkq_rows(
+            sketch.bkq_merge(
+                daily.withColumnRenamed("day", "__sk_day")
+                .join(days, F.col("__sk_day") <= F.col("day"))
+                .drop("__sk_day"),
+                ["day"],
+                k,
+            ).select("day", "h", "v")
+        )
+        got = _bkq_rows(
+            sketch.bkq_prefix_merge(daily, "day", days, k).select(
+                "day", "h", "v"
+            )
+        )
+        assert got == want, d_count
+
+
+def test_bkq_unique_id_guard_and_duplicate_bias(spark):
+    """bkq_sketch's sample premise needs unique row ids: duplicated
+    ids share ONE hash, so their rows enter (or miss) the bottom-k as
+    a correlated block — cluster sampling on a single draw. The
+    opt-in assert mode must fail loudly on such a frame; the silent
+    default demonstrably biases (this test pins the flood the guard
+    exists for: md5('dup') is the 2nd-smallest of the 61 hashes, so
+    all 60 copies flood the k=64 sample)."""
+    import pytest
+
+    # 60 unique-id rows valued 0, plus 60 rows SHARING one id valued 100
+    rows = [(f"u{i}", 0.0) for i in range(60)] + [("dup", 100.0)] * 60
+    df = spark.createDataFrame(rows, "id string, value double").withColumn(
+        "g", F.lit("g")
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        sketch.bkq_sketch(
+            df, ["g"], "id", "value", k=64, assert_unique_ids=True
+        )
+    sk = sketch.bkq_sketch(df, ["g"], "id", "value", k=64)
+    kept = sk.collect()
+    # the duplicate block floods: 60 of the 64 kept rows are the one
+    # id's copies (93.75% of the sample for 50% of the rows) — the
+    # discrete true median is 0.0 (rank 60 of 120), the sample says 100
+    assert len(kept) == 64
+    assert sum(1 for r in kept if r["v"] == 100.0) == 60
+    med = sketch.bkq_quantiles(sk, ["g"], (0.5,)).collect()[0]
+    assert med["quantile_estimate"] == 100.0  # the bias, pinned
+
+
+def test_bkq_cumulative_day_scoped_hash_draws_independently(spark):
+    """r9 (ADVICE): the cumulative path hashes (day, id) so an entity
+    id recurring on later days draws an independent hash per day —
+    an id-only hash would keep the SAME low-hash entities every day,
+    clustering the merged sample by entity. Pin: the same id's hash
+    differs across days in the daily sketches the cumulative path
+    builds, and the estimator stays calibrated on an entity-correlated
+    stream (every entity re-observed daily)."""
+    import datetime as _dt
+
+    base = _dt.date(2024, 3, 1)
+    rows = []
+    for d in range(4):
+        for e in range(200):
+            # entity e reports value e every day — perfectly
+            # entity-correlated values
+            rows.append((base + _dt.timedelta(days=d), f"e{e}", float(e)))
+    df = spark.createDataFrame(rows, "day date, id string, value double")
+    daily = sketch.bkq_sketch(
+        df, ["day"], "id", "value", k=64, hash_cols=("day", "id")
+    )
+    h_by_day = daily.filter(F.col("v") == 0.0).select("h").distinct().count()
+    n_days = daily.filter(F.col("v") == 0.0).count()
+    assert n_days >= 2 and h_by_day == n_days  # independent draws
+    got = {
+        r["q"]: r["quantile_estimate"]
+        for r in sketch.bkq_cumulative_quantiles(
+            df, "day", "id", "value", quantiles=(0.5,), k=64
+        )
+        .filter(F.col("day") == base + _dt.timedelta(days=3))
+        .collect()
+    }
+    # true median of the cumulative rows is 99.5-ish (values 0..199
+    # uniform); a k=64 sample has ~±12.5% rank error — the
+    # entity-clustered failure mode would park far from the middle
+    assert 60.0 <= got[0.5] <= 140.0
