@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 @dataclass(frozen=True)
 class Constraint:
     """One declarative expectation. ``kind`` ∈ {complete, in_range,
-    in_set, matches, unique, references}."""
+    in_set, matches, unique, references, quantile}."""
 
     kind: str
     column: str
@@ -42,6 +42,7 @@ class Constraint:
     pattern: str | None = None
     ref: DataFrame | None = field(default=None, compare=False)
     ref_col: str | None = None
+    q: float | None = None
 
 
 def complete(column: str) -> Constraint:
@@ -68,6 +69,14 @@ def references(column: str, ref: DataFrame, ref_col: str) -> Constraint:
     return Constraint("references", column, ref=ref, ref_col=ref_col)
 
 
+def has_quantile(column: str, q: float, lo: float, hi: float) -> Constraint:
+    """Deequ-style distribution expectation: the ``q``-quantile of
+    ``column`` (histogram-sketch estimate — the suite's scale answer,
+    never a global sort) must land in ``[lo, hi]``. A drifted data
+    day moves quantiles long before it breaks row-local ranges."""
+    return Constraint("quantile", column, lo=lo, hi=hi, q=q)
+
+
 def _violation(c: Constraint) -> Column:
     col = F.col(c.column)
     if c.kind == "complete":
@@ -86,8 +95,15 @@ def verify(spark: SparkSession, df: DataFrame, constraints) -> DataFrame:
 
     Pass shape: all row-local constraints share a single aggregate
     over ``df``; each ``unique`` adds one distinct-key aggregate; each
-    ``references`` adds one anti-join count. Results are unioned as
-    one-row frames (constraint-count-sized — never data-sized).
+    ``references`` adds one anti-join count; ALL ``quantile``
+    constraints together add the two histogram-sketch scans of
+    ``profile.numeric_quantiles`` (the multi-measure one-pass sketch —
+    the tenth quantile check costs the same scans as the first).
+    Results are unioned as one-row frames (constraint-count-sized —
+    never data-sized). A quantile verdict row reports
+    ``violations``/``total`` as 1/1 or 0/1 (the constraint judges one
+    statistic, not rows); its constraint label carries the q
+    (``quantile_0.5``).
     """
     constraints = list(constraints)
     frames: list[DataFrame] = []
@@ -166,6 +182,42 @@ def verify(spark: SparkSession, df: DataFrame, constraints) -> DataFrame:
                     "total",
                 )
             )
+    qc = [c for c in constraints if c.kind == "quantile"]
+    if qc:
+        from .profile import numeric_quantiles
+
+        cols = sorted({c.column for c in qc})
+        qs = sorted({float(c.q) for c in qc})
+        prof = numeric_quantiles(df, cols, qs)
+        spec = spark.createDataFrame(
+            [
+                (
+                    f"quantile_{c.q}",
+                    c.column,
+                    float(c.q),
+                    float(c.lo),
+                    float(c.hi),
+                )
+                for c in qc
+            ],
+            "constraint string, column string, q double, lo double,"
+            " hi double",
+        )
+        est = F.col("quantile_estimate")
+        frames.append(
+            spec.join(prof, ["column", "q"], "left").select(
+                "constraint",
+                "column",
+                F.when(
+                    est.isNull() | (est < F.col("lo")) | (est > F.col("hi")),
+                    1,
+                )
+                .otherwise(0)
+                .cast("long")
+                .alias("violations"),
+                F.lit(1).cast("long").alias("total"),
+            )
+        )
     out = frames[0]
     for fdf in frames[1:]:
         out = out.unionByName(fdf)

@@ -5849,6 +5849,77 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution expectations (operators/expect.py::has_quantile —
+    the Deequ has-quantile check the r8 suite stopped short of):
+    quantile bands over three lineitem numerics, one of them a
+    deliberately failing band (p95 of l_quantity is ~48, the band
+    says [1, 5]) so both verdict branches are exercised, plus two
+    row-local constraints riding the same suite. ALL quantile checks
+    share the two histogram-sketch scans of
+    profile.numeric_quantiles — the tenth band costs the same scans
+    as the first; no global sort at any scale."""
+    from ..operators import expect as E
+
+    li = register_base(spark, sf_dir)["lineitem"]
+    return E.verify(
+        spark,
+        li,
+        [
+            E.has_quantile("l_quantity", 0.5, 20.0, 31.0),
+            E.has_quantile("l_extendedprice", 0.25, 10000.0, 30000.0),
+            E.has_quantile("l_discount", 0.9, 0.05, 0.10),
+            E.has_quantile("l_quantity", 0.95, 1.0, 5.0),
+            E.complete("l_quantity"),
+            E.in_range("l_discount", 0.0, 0.1),
+        ],
+    )
+
+
+QUERIES["ns_quality_quantiles"] = q_quality_quantiles
+
+ORACLES["ns_quality_quantiles"] = (
+    """WITH prof AS (
+  SELECT measure AS "column", q, quantile_estimate FROM ("""
+    + sketch.histogram_quantiles_multi_sql(
+        "(SELECT 0 AS _g, l_quantity, l_extendedprice, l_discount"
+        " FROM lineitem) t",
+        ["_g"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        quantiles=(0.25, 0.5, 0.9, 0.95),
+    )
+    + """) z),
+spec("constraint", "column", q, lo, hi) AS (VALUES
+  ('quantile_0.5', 'l_quantity', 0.5, 20.0, 31.0),
+  ('quantile_0.25', 'l_extendedprice', 0.25, 10000.0, 30000.0),
+  ('quantile_0.9', 'l_discount', 0.9, 0.05, 0.10),
+  ('quantile_0.95', 'l_quantity', 0.95, 1.0, 5.0)),
+qrows AS (
+  SELECT s."constraint", s."column",
+    CAST(CASE WHEN p.quantile_estimate IS NULL
+      OR p.quantile_estimate < s.lo
+      OR p.quantile_estimate > s.hi THEN 1 ELSE 0 END AS BIGINT)
+      AS violations,
+    CAST(1 AS BIGINT) AS total
+  FROM spec s LEFT JOIN prof p
+    ON p."column" = s."column" AND p.q = s.q),
+loc AS (
+  SELECT 'complete' AS "constraint", 'l_quantity' AS "column",
+    CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS violations,
+    CAST(count(*) AS BIGINT) AS total FROM lineitem
+  UNION ALL
+  SELECT 'in_range', 'l_discount',
+    CAST(SUM(CASE WHEN l_discount IS NULL OR l_discount < 0.0
+      OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT),
+    CAST(count(*) AS BIGINT) FROM lineitem)
+SELECT "constraint", "column", violations, total,
+  ROUND(violations / CAST(total AS DOUBLE), 6) AS ratio,
+  violations = 0 AS passed
+FROM (SELECT * FROM loc UNION ALL SELECT * FROM qrows) u"""
+)
+
+
 QUERIES["ns_data_quality"] = q_data_quality
 
 ORACLES["ns_data_quality"] = """WITH uq AS (

@@ -27,7 +27,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # plus the full r5 cohort (which includes ns_text_bm25, whose scorer
 # plan changed this round).
 PRIORITY = [
-    # --- r8 additions / changed plans+oracles, never driver-checked as-is ---
+    # --- r9 additions / changed plans+oracles, never driver-checked as-is ---
+    "ns_quality_quantiles",
+    "ns_sketch_bkq_cumulative",
+    "ns_sketch_bkq_quantiles",
+    "ns_customer_rfm",
+    # --- r8 additions / changed plans+oracles ---
     "ns_graph_pagerank_incr",
     "ns_profile_numeric_quantiles",
     "ns_sketch_bkq_quantiles",

@@ -57,3 +57,42 @@ def test_clean_table_passes_everything(spark):
         spark, df, [E.unique("id"), E.complete("name")]
     ).collect()
     assert all(r["passed"] and r["violations"] == 0 for r in out)
+
+
+def test_quantile_constraints_one_sketch_pass(spark):
+    """r9 (verdict #6): has_quantile bands run through the suite —
+    in-band passes, out-of-band fails, and a quantile row judges the
+    STATISTIC (total=1), not rows. Values 1..100 uniform: the sketch
+    median is ~50, p90 ~90."""
+    rows = [(i, float(i)) for i in range(1, 101)]
+    df = _df(spark, rows, "id bigint, v double")
+    out = {
+        r["constraint"]: r
+        for r in E.verify(
+            spark,
+            df,
+            [
+                E.has_quantile("v", 0.5, 45.0, 55.0),
+                E.has_quantile("v", 0.9, 85.0, 95.0),
+                E.has_quantile("v", 0.5, 90.0, 99.0),  # out of band
+                E.complete("v"),
+            ],
+        ).collect()
+        if r["constraint"].startswith("quantile")
+        or r["constraint"] == "complete"
+    }
+    assert out["quantile_0.9"]["violations"] == 0
+    assert out["quantile_0.9"]["total"] == 1
+    assert out["quantile_0.9"]["passed"]
+    assert out["complete"]["violations"] == 0
+    all_rows = E.verify(
+        spark,
+        df,
+        [
+            E.has_quantile("v", 0.5, 45.0, 55.0),
+            E.has_quantile("v", 0.5, 90.0, 99.0),
+        ],
+    ).collect()
+    verdicts = sorted(r["violations"] for r in all_rows)
+    assert verdicts == [0, 1]  # in-band passes, out-of-band fails
+    assert all(r["total"] == 1 for r in all_rows)
