@@ -57,6 +57,40 @@ HEADLINE = [
 ]
 
 
+def _latest_round_artifact() -> dict[str, float]:
+    """Per-query medians to spot-check regressions against: the last
+    full local artifact (BENCH_local_last.json — every query) overlaid
+    with the newest parseable driver artifact (BENCH_r*.json — its
+    tail capture keeps only the headline queries, but those are the
+    judge's gate, so the driver's numbers win where both exist).
+    Empty dict if neither exists (first round)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out: dict[str, float] = {}
+
+    def _queries_of(path: str) -> dict[str, float]:
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            if isinstance(doc, dict) and isinstance(doc.get("parsed"), dict):
+                doc = doc["parsed"]
+            return {
+                k: float(v) for k, v in (doc.get("queries") or {}).items()
+            }
+        except (OSError, ValueError, TypeError, AttributeError):
+            return {}
+
+    out.update(_queries_of(os.path.join(here, "BENCH_local_last.json")))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                       reverse=True):
+        qs = _queries_of(path)
+        if qs:
+            out.update(qs)
+            break
+    return out
+
+
 def _warmup(spark, sf_dir: str) -> None:
     """Steady-state warmup: JVM/codegen init, file-index + view registry.
 
@@ -125,6 +159,42 @@ def main() -> None:
         round(sum(s[i] for s in samples.values()), 3) for i in range(n_runs)
     ]
     total = round(sum(timings.values()), 3)
+
+    # Regression spot-check protocol (VERDICT r8 task #2): the machine
+    # window can inflate a median-of-3 by 1.25-2× between rounds, and a
+    # noisy sample once crossed the judge's per-query 2× gate
+    # (ns_events_sliding, r8). Any query whose median moved >1.5× vs
+    # the last recorded driver artifact is automatically re-measured —
+    # median-of-5, after the full sweep when the session is quietest —
+    # and both numbers land in the artifact, so window noise is
+    # attested IN the output instead of masquerading as a regression.
+    prior = _latest_round_artifact()
+    respot: dict[str, dict] = {}
+    flagged = sorted(
+        (
+            n
+            for n in timings
+            if n in prior
+            and prior[n] >= 0.05
+            and timings[n] / prior[n] > 1.5
+        ),
+        key=lambda n: -(timings[n] / prior[n]),
+    )[:5]
+    for name in flagged:
+        spark.catalog.clearCache()
+        again = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            again.append(time.perf_counter() - t0)
+        respot[name] = {
+            "prior": prior[name],
+            "median3": timings[name],
+            "respot_median5": round(sorted(again)[2], 3),
+        }
+        spark.catalog.clearCache()
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full = json.dumps(
         {
@@ -135,6 +205,7 @@ def main() -> None:
             "sf": sf_val,
             "stat": "median_of_3",
             "run_totals": run_totals,
+            "respot": respot,
         },
         separators=(",", ":"),
     )
@@ -156,6 +227,7 @@ def main() -> None:
             "n_queries": len(timings),
             "stat": "median_of_3",
             "run_totals": run_totals,
+            "respot": respot,
             "full": "BENCH_local_last.json",
         },
         separators=(",", ":"),
