@@ -343,56 +343,98 @@ def pagerank_delta(
     ivm convention: new s_i = old s_i + Δs_i, so the store ingests
     the deltas as-is).
 
-    Per iteration: TWO probes of the edge table (old and new), each
-    an equi-join against the affected-src set — with the edge store
-    clustered by src those probes open only the churned files. The
-    affected set for round i+1 = changed srcs ∪ support(Δs_i); on a
+    Cost shape (r9 redesign, VERDICT r8 task #1 — "work ∝ churned
+    neighborhood", now true in the PLAN, not just the prose): the
+    old implementation pre-built BOTH full edge tables (global
+    multiplicity fold, two degree joins, distinct probes — ~8 full
+    shuffle passes before the first round), which made the delta path
+    cost ~1.5-2.4x a full rerun regardless of churn locality. Now
+    NOTHING corpus-sized is ever shuffled:
+
+    - per round, the edge set is PROBED at the affected srcs (one
+      broadcast-hash scan of the cached edge list — no shuffle, no
+      sort) and degrees/multiplicity folds are computed on the
+      frontier-sized probe result, never globally;
+    - the node-sized state vector is semi-reduced by the frontier
+      before it goes near an edge row, and the reduced probe is
+      broadcast into both contribution legs (one BroadcastExchange,
+      reused);
+    - the guards run on the round-1 probe (deletes can only exist at
+      changed srcs) plus one scan-shaped membership check against the
+      old node set.
+
+    The only O(N∪E)-shuffle stages left are the one-time ``old_nodes``
+    distinct (needed to ASSEMBLE the full output rank vector — the
+    rerun pays the same in its output stage) and the caller's final
+    consumption. Each round therefore shuffles O(|affected|) rows; the
+    affected set for round i+1 = changed srcs ∪ support(Δs_i). On a
     well-connected graph it can grow to all nodes (the honest worst
-    case — influence really does spread), but the cost NEVER exceeds
-    one full edge pass per round, i.e. the full recompute is the
-    ceiling, and localized churn stays localized.
+    case — influence really does spread, and the frontier broadcasts
+    approach node-sized); that dense regime is exactly what
+    :func:`pagerank_maintain`'s pre-flight fraction routes to the
+    full recompute instead. On the bounded-degree localized-churn
+    class the operator exists for (web/citation graphs), the frontier
+    stays a sliver and the delta path beats the rerun outright
+    (tools/scale_pagerank_incr_r9.py; PLANS.md r9). On a cluster the
+    cached edge-list scans become file-pruned reads of the
+    src-clustered edge store. (A one-broadcast-per-round "src
+    profile" variant was measured SLOWER — the profile's chained
+    full-outer joins serialize inside one broadcast build, losing to
+    five small independent broadcasts; measure, don't pattern-match.)
     """
     e_old = old_edges.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
-    )
+    ).persist()
     dl = delta_edges.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
         F.col("__sign").cast("long").alias("__sign"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     old_nodes = (
         e_old.select(F.col("src").alias("node"))
         .union(e_old.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
-    ew_old = edge_table(e_old).persist()
-    # new edge multiset: old ⊎ inserts ∖ deletes (multiplicity-exact);
-    # degrees are derived FROM the folded multiset, never from sign
-    # sums, so they cannot drift from the edges they divide
-    signed = (
-        e_old.select("src", "dst", F.lit(1).cast("long").alias("__sign"))
-        .unionByName(dl)
-        .groupBy("src", "dst")
-        .agg(F.sum("__sign").cast("long").alias("m"))
-        .persist()
+    changed = (
+        dl.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
-    e_new = (
-        signed.filter(F.col("m") > 0)
-        .select(
-            "src",
-            "dst",
-            F.explode(F.sequence(F.lit(1), F.col("m"))).alias("_i"),
-        )
-        .drop("_i")
-    )
-    ew_new = edge_table(e_new).repartition("node").persist()
+    # the caller's state is probed once per round (semi-reduced by the
+    # frontier) plus once for s_last; in the store-backed twin it is a
+    # full merge-on-read fold, so cache it for the duration and
+    # release with the other inputs (r8 review)
+    state = state.persist()
 
-    # All four contract guards fold into ONE driver job (a union of
-    # one-row counts) — driver round-trips, not data, dominate the
-    # delta path's cost at gauge scale, so guards must not each pay
-    # their own job.
+    def _probe(aff_b):
+        """Old edges at the affected srcs — broadcast-hash scan of the
+        cached edge list, frontier-sized output, shared by both legs
+        and the fold via a lazy-checkpoint leaf."""
+        return e_old.join(
+            aff_b.withColumnRenamed("node", "src"), "src"
+        ).localCheckpoint(eager=False)
+
+    def _fold(p_old):
+        """Frontier-fold: new edge multiset at the affected srcs.
+        Valid because every delete/insert src is in `changed` ⊆ every
+        round's frontier."""
+        return (
+            p_old.withColumn("__sign", F.lit(1).cast("long"))
+            .unionByName(dl)
+            .groupBy("src", "dst")
+            .agg(F.sum("__sign").cast("long").alias("m"))
+        )
+
+    changed_b = F.broadcast(changed)
+    p1 = _probe(changed_b)
+    fold1 = _fold(p1).localCheckpoint(eager=False)
+
+    # All contract guards fold into ONE driver job (a union of one-row
+    # counts), every leg frontier-sized or a scan of a cached input —
+    # driver round-trips, not data, dominate the delta path's cost at
+    # gauge scale, so guards must not each pay their own job.
     def _flag(name: str, df: DataFrame, cap: bool = True) -> DataFrame:
         probe = df.limit(1) if cap else df
         return probe.agg(
@@ -400,26 +442,36 @@ def pagerank_delta(
             F.count("*").cast("long").alias("c"),
         )
 
-    flags_df = (
-        _flag(
-            "new_node",
-            dl.filter(F.col("__sign") > 0)
-            .select(F.col("src").alias("node"))
-            .union(
-                dl.filter(F.col("__sign") > 0).select(
-                    F.col("dst").alias("node")
-                )
-            )
-            .distinct()
-            .join(old_nodes, "node", "left_anti"),
+    dl_nodes = (
+        dl.filter(F.col("__sign") > 0)
+        .select(F.col("src").alias("node"))
+        .union(
+            dl.filter(F.col("__sign") > 0).select(F.col("dst").alias("node"))
         )
-        .unionByName(_flag("over_delete", signed.filter(F.col("m") < 0)))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    old_deg1 = p1.groupBy("src").agg(F.count("*").cast("long").alias("d0"))
+    flags_df = (
+        # membership probe: scan old_nodes' cache against the tiny
+        # broadcast batch-node set; fewer matches than batch nodes
+        # means the batch mentions a node the graph has never seen
+        _flag("dl_nodes", dl_nodes, cap=False)
+        .unionByName(
+            _flag(
+                "dl_nodes_known",
+                old_nodes.join(F.broadcast(dl_nodes), "node"),
+                cap=False,
+            )
+        )
+        .unionByName(_flag("over_delete", fold1.filter(F.col("m") < 0)))
         .unionByName(
             _flag(
                 "emptied",
-                ew_old.select("node")
-                .distinct()
-                .join(ew_new.select("node").distinct(), "node", "left_anti"),
+                fold1.groupBy("src")
+                .agg(F.sum("m").cast("long").alias("dn"))
+                .join(F.broadcast(old_deg1), "src")
+                .filter((F.col("d0") > 0) & (F.col("dn") == 0)),
             )
         )
         .unionByName(
@@ -447,7 +499,7 @@ def pagerank_delta(
             f"1..{iterations} exactly — bootstrap with "
             f"pagerank_state(..., {iterations})"
         )
-    if flags.get("new_node"):
+    if flags.get("dl_nodes_known") != flags.get("dl_nodes"):
         raise ValueError(
             "pagerank_delta: batch introduces new nodes — N changes, "
             "so every node's teleport term moves (dense delta); run "
@@ -465,30 +517,41 @@ def pagerank_delta(
             "(node becomes dangling) — contract violation; run the "
             "full pagerank() instead"
         )
-    signed.unpersist(blocking=False)
     base = ((DAMP_DEN - DAMP_NUM) * RANK_SCALE) // (DAMP_DEN * n)
     r0 = RANK_SCALE // n
-    changed = dl.select(F.col("src").alias("node")).distinct().persist()
-    # the caller's state is consumed up to twice per round (s_prev in
-    # both contribution legs) plus once for s_last; in the store-
-    # backed twin it is a full merge-on-read fold, so cache it for
-    # the duration and release with the other inputs (r8 review)
-    state = state.persist()
     aff = changed
     ds = None  # Δs_{i-1}
     delta_state = None
     for i in range(1, iterations + 1):
-        s_prev = state.filter(F.col("it") == i - 1).select("node", "s")
+        aff_b = F.broadcast(aff)
+        p_old = p1 if i == 1 else _probe(aff_b)
+        folded = fold1 if i == 1 else _fold(p_old)
+        # frontier-sized degree tables and expanded new-edge probe
+        d_old = F.broadcast(
+            p_old.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+        )
+        d_new = F.broadcast(
+            folded.groupBy("src").agg(F.sum("m").cast("long").alias("d"))
+        )
+        p_new = (
+            folded.filter(F.col("m") > 0)
+            .select(
+                "src",
+                "dst",
+                F.explode(F.sequence(F.lit(1), F.col("m"))).alias("_i"),
+            )
+            .drop("_i")
+        )
         if i == 1:
             # s_0 is the uniform r0 - base for every node: a literal
-            new_c = ew_new.join(aff, "node").select(
+            new_c = p_new.join(d_new, "src").select(
                 F.col("dst").alias("node"),
                 F.expr(
                     f"({DAMP_NUM} * CAST({r0} AS BIGINT))"
                     f" div ({DAMP_DEN} * d)"
                 ).alias("c"),
             )
-            old_c = ew_old.join(aff, "node").select(
+            old_c = p_old.join(d_old, "src").select(
                 F.col("dst").alias("node"),
                 (
                     -F.expr(
@@ -498,12 +561,24 @@ def pagerank_delta(
                 ).alias("c"),
             )
         else:
-            sp = s_prev.withColumnRenamed("s", "_sp")
-            dsp = ds.withColumnRenamed("ds", "_dsp")
+            # semi-reduce the node-sized state probe BY the frontier
+            # first (one cached scan), then broadcast the frontier-
+            # sized result into both legs (identical subtree —
+            # BroadcastExchange reuse sends it once)
+            sp_aff = F.broadcast(
+                state.filter(F.col("it") == i - 1)
+                .select(F.col("node").alias("src"), F.col("s").alias("_sp"))
+                .join(aff_b.withColumnRenamed("node", "src"), "src")
+            )
+            dsp = F.broadcast(
+                ds.select(
+                    F.col("node").alias("src"), F.col("ds").alias("_dsp")
+                )
+            )
             new_c = (
-                ew_new.join(aff, "node")
-                .join(sp, "node", "left")
-                .join(dsp, "node", "left")
+                p_new.join(d_new, "src")
+                .join(sp_aff, "src", "left")
+                .join(dsp, "src", "left")
                 .select(
                     F.col("dst").alias("node"),
                     F.expr(
@@ -514,8 +589,8 @@ def pagerank_delta(
                 )
             )
             old_c = (
-                ew_old.join(aff, "node")
-                .join(sp, "node", "left")
+                p_old.join(d_old, "src")
+                .join(sp_aff, "src", "left")
                 .select(
                     F.col("dst").alias("node"),
                     (
@@ -573,6 +648,6 @@ def pagerank_delta(
     # s_last/old_nodes (the kmeans unpersist-before-return precedent)
     # — without this a long-lived ingest session leaks caches per
     # batch (r8 review)
-    for fr in (dl, ew_old, ew_new, changed, old_nodes, state):
+    for fr in (e_old, old_nodes, state):
         fr.unpersist(blocking=False)
     return ranks, delta_state
