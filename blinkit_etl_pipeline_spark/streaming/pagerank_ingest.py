@@ -161,7 +161,15 @@ def apply_edge_batch(
     state = incremental.read_agg_store(
         spark, state_store, _STATE_KEYS, ["s"]
     ).select("node", "it", "s")
-    _ranks, dstate = graph.pagerank_delta(old, state, n, batch, iters)
+    # r9: route by the pre-flight changed-src fraction — localized
+    # churn pays the frontier-proportional delta propagation, dense
+    # churn re-bootstraps and ingests the state DIFF; both paths
+    # return signed deltas against the current state, so the store
+    # fold below is identical either way (and bit-equal to a fresh
+    # run on the new edge set)
+    _ranks, dstate, _method = graph.pagerank_maintain(
+        old, state, n, batch, iters
+    )
     incremental.ingest_agg_deltas(
         spark,
         state_store,

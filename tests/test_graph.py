@@ -259,3 +259,67 @@ def test_pagerank_bootstrap_crash_between_pin_and_state_commit(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_pagerank_maintain_routes_and_both_paths_bit_equal(spark):
+    """r9 (VERDICT r8 task #1): the pre-flight changed-src fraction
+    routes localized churn to the delta path and dense churn to the
+    re-bootstrap — and BOTH paths are bit-equal to the power method
+    on the new edge set, returning foldable signed state deltas."""
+    from pyspark.sql import functions as F
+
+    e0 = _edges(spark, _BASE)
+    state, n = graph.pagerank_state(e0, iterations=_ITERS)
+    d1 = _signed(spark, [(1, 2, -1), (2, 6, 1)])
+    final = _BASE[:]
+    final.remove((1, 2))
+    final.append((2, 6))
+    want = {
+        r["node"]: r["rank_q"]
+        for r in graph.pagerank(
+            _edges(spark, final), iterations=_ITERS
+        ).collect()
+    }
+    # 2 changed srcs of 6 graph srcs = 0.33: above the default 0.1 →
+    # recompute; with a permissive threshold → delta. Same answer.
+    ranks_rc, ds_rc, m_rc = graph.pagerank_maintain(
+        e0, state, n, d1, _ITERS
+    )
+    assert m_rc == "recompute"
+    ranks_dl, ds_dl, m_dl = graph.pagerank_maintain(
+        e0, state, n, d1, _ITERS, fallback_fraction=0.5
+    )
+    assert m_dl == "delta"
+    got_rc = {r["node"]: r["rank_q"] for r in ranks_rc.collect()}
+    got_dl = {r["node"]: r["rank_q"] for r in ranks_dl.collect()}
+    assert got_rc == want
+    assert got_dl == want
+    # the returned state deltas are equivalent: folding either into
+    # the old state yields the same maintained state
+    old = {(r["node"], r["it"]): r["s"] for r in state.collect()}
+
+    def fold(ds):
+        out = dict(old)
+        for r in ds.collect():
+            k = (r["node"], r["it"])
+            out[k] = out.get(k, 0) + r["s"]
+        return {k: v for k, v in out.items() if v != 0}
+
+    assert fold(ds_rc) == fold(ds_dl)
+
+
+def test_pagerank_maintain_recompute_guards(spark):
+    """The fallback path keeps the maintenance contract: over-deletes
+    and node-set changes raise instead of silently clamping."""
+    import pytest
+
+    e0 = _edges(spark, _BASE)
+    state, n = graph.pagerank_state(e0, iterations=_ITERS)
+    # delete an edge twice (only one (3,4) exists)
+    bad = _signed(spark, [(3, 4, -1), (3, 4, -1), (2, 6, 1), (1, 6, 1)])
+    with pytest.raises(ValueError, match="more times than"):
+        graph.pagerank_maintain(e0, state, n, bad, _ITERS)
+    # add a brand-new node (99) — N changes
+    new_node = _signed(spark, [(1, 99, 1), (99, 1, 1), (2, 6, 1)])
+    with pytest.raises(ValueError, match="node count changed"):
+        graph.pagerank_maintain(e0, state, n, new_node, _ITERS)
