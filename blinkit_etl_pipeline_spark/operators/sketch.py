@@ -720,15 +720,26 @@ def bkq_prefix_merge(
     cur = daily.join(idx, date_col).select(
         F.col("__di"), F.col("h"), F.col("v")
     )
+    # arity-4 scan: each round unions shifts at step, 2·step, 3·step —
+    # coverage (i−s, i] → (i−4s, i], still disjoint adjacent blocks, so
+    # the lossless-merge invariant is untouched while the round count
+    # halves vs binary (rounds, not rows, dominate the wall: each
+    # round is an AQE stage-job barrier over ≤ k·D tiny rows)
     step = 1
     while step < d_count:
-        shifted = cur.withColumn("__di", F.col("__di") + F.lit(step)).filter(
-            F.col("__di") <= F.lit(d_count)
-        )
-        cur = bkq_merge(cur.unionByName(shifted), ["__di"], k).localCheckpoint(
-            eager=False
-        )
-        step *= 2
+        branches = [cur]
+        for m in (1, 2, 3):
+            if m * step < d_count:
+                branches.append(
+                    cur.withColumn(
+                        "__di", F.col("__di") + F.lit(m * step)
+                    ).filter(F.col("__di") <= F.lit(d_count))
+                )
+        u = branches[0]
+        for b in branches[1:]:
+            u = u.unionByName(b)
+        cur = bkq_merge(u, ["__di"], k).localCheckpoint(eager=False)
+        step *= 4
     return cur.join(idx, "__di").select(date_col, "h", "v")
 
 
