@@ -181,8 +181,9 @@ def _heal_bucket_swaps(path: str) -> None:
     delete-then-write (whose window spanned the whole bucket rewrite
     job), and acceptable under the module's single-writer +
     read-mostly contract; a deployment needing stronger read isolation
-    should publish the dim through the snapshot store's versioned
-    manifests instead (readers pin a version; see operators/snapshot).
+    uses :func:`scd2_apply_snapshot` (r9), which publishes the dim
+    through the snapshot store's CAS manifests — readers resolve a
+    version once and never see a bucket absent.
     """
     import os
     import shutil
@@ -298,3 +299,131 @@ def scd2_apply_partitioned(
         if os.path.isdir(trash):
             shutil.rmtree(trash)
     return touched
+
+
+def scd2_apply_snapshot(
+    spark,
+    table: str,
+    batch: DataFrame,
+    key: str,
+    attr: str,
+    ts: str,
+    tiebreak: str,
+    n_buckets: int | None = None,
+) -> list[int]:
+    """MVCC variant of :func:`scd2_apply_partitioned` (VERDICT r8 task
+    #3): the bucketed dimension lives in a snapshot-store table whose
+    manifest tags every data file with its bucket, and each batch
+    commits ``untouched buckets' files (by reference) + the touched
+    buckets' fresh files`` as ONE CAS manifest version. Readers
+    resolve a manifest once and scan immutable files, so a concurrent
+    reader NEVER sees a bucket absent (the rename-swap variant's
+    documented microsecond window) — it sees the pre-commit version
+    until the commit lands, and can pin any historical version (time
+    travel), the Iceberg/Delta read-isolation model. Commit conflicts
+    rebase: the apply recomputes against the winner's manifest
+    (bounded ``COMMIT_RETRIES``), so two writers folding different
+    batches both land, serialized.
+
+    Same maintenance semantics as :func:`scd2_apply` (per-key rebuild
+    of touched keys, redelivery-idempotent by construction); the
+    bucket count is a write-once FORMAT property — bucket assignment
+    is immutable per key, so a store built with one count can never be
+    appended with another (the ``ingest_bkq_sketch`` k-pin
+    convention). Cost per batch: read touched buckets' files only
+    (manifest-level pruning — untouched buckets never leave disk),
+    one partitioned write of the touched buckets, one manifest link.
+
+    Returns the touched bucket ids.
+    """
+    import glob as _glob
+    import json as _json
+    import os
+    import uuid as _uuid
+
+    from pyspark.sql.types import StructType
+
+    from . import snapshot
+
+    pinned = snapshot.table_properties(table).get("scd2_buckets")
+    if pinned is not None and n_buckets is not None and int(pinned) != n_buckets:
+        raise snapshot.SnapshotError(
+            f"scd2 store at {table} was built with {pinned} buckets; "
+            f"applying with {n_buckets} would re-hash keys across "
+            "buckets — pass the store's count or omit it"
+        )
+    buckets = int(pinned) if pinned is not None else (n_buckets or 64)
+    snapshot.ensure_table_properties(table, {"scd2_buckets": buckets})
+
+    def bcol() -> Column:
+        return F.pmod(
+            F.xxhash64(F.col(key).cast("string")), F.lit(buckets)
+        ).cast("int")
+
+    def write_bucket_files(df: DataFrame) -> list[dict]:
+        commit_id = _uuid.uuid4().hex[:12]
+        out_dir = os.path.join(table, snapshot.DATA_DIR, commit_id)
+        df.write.partitionBy("__bucket").parquet(out_dir)
+        entries = []
+        for f in sorted(
+            _glob.glob(os.path.join(out_dir, "__bucket=*", "*.parquet"))
+        ):
+            b = int(os.path.basename(os.path.dirname(f)).split("=", 1)[1])
+            entries.append({"path": f, "bucket": b})
+        return entries
+
+    bb = batch.withColumn("__bucket", bcol())
+    touched = sorted(
+        int(r["__bucket"]) for r in bb.select("__bucket").distinct().collect()
+    )
+    if not touched:
+        return []
+    last_err: Exception | None = None
+    for _ in range(snapshot.COMMIT_RETRIES):
+        version = snapshot.current_version(table)
+        if version is None:
+            full = scd2_build(bb.drop("__bucket"), key, attr, ts, tiebreak)
+            schema = full.schema.json()
+            files = write_bucket_files(full.withColumn("__bucket", bcol()))
+            try:
+                snapshot._commit(
+                    table,
+                    files,
+                    stats_col=None,
+                    expected_version=0,
+                    schema=schema,
+                )
+                return touched
+            except snapshot.CommitConflictError as e:
+                last_err = e  # a racing creator won — rebase as apply
+                continue
+        manifest = snapshot.read_manifest(table, version)
+        keep = [
+            e for e in manifest["files"] if e.get("bucket") not in touched
+        ]
+        base_paths = [
+            e["path"] for e in manifest["files"] if e.get("bucket") in touched
+        ]
+        if base_paths:
+            base = snapshot._read_files(spark, manifest, base_paths)
+        else:
+            base = spark.createDataFrame(
+                [], StructType.fromJson(_json.loads(manifest["schema"]))
+            )
+        new = scd2_apply(base, bb.drop("__bucket"), key, attr, ts, tiebreak)
+        files = write_bucket_files(new.withColumn("__bucket", bcol()))
+        try:
+            snapshot._commit(
+                table,
+                keep + files,
+                stats_col=manifest.get("stats_col"),
+                expected_version=version,
+                schema=manifest.get("schema"),
+            )
+            return touched
+        except snapshot.CommitConflictError as e:
+            last_err = e
+    raise snapshot.SnapshotError(
+        f"scd2_apply_snapshot: lost the commit race "
+        f"{snapshot.COMMIT_RETRIES} times at {table}"
+    ) from last_err
