@@ -29,6 +29,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 PRIORITY = [
     # --- r9 additions / changed plans+oracles, never driver-checked as-is ---
     "ns_quality_quantiles",
+    "ns_snapshot_diff",
     "ns_sketch_bkq_cumulative",
     "ns_sketch_bkq_quantiles",
     "ns_customer_rfm",

@@ -592,3 +592,77 @@ JOIN cuts_monetary_cents USING (_g)"""
 
 
 ORACLES["ns_customer_rfm"] = _rfm_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Snapshot version diff over the MVCC SCD2 store (ns_snapshot_diff, r9)
+# ---------------------------------------------------------------------------
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What did version 2 change? — row-level diff between two
+    committed versions of the bucketed MVCC SCD2 dimension
+    (operators/scd.py::scd2_apply_snapshot + operators/snapshot.py::
+    snapshot_diff): bootstrap the dim from the pre-cutoff observation
+    feed (v1), fold the post-cutoff batch (v2, touched buckets only —
+    untouched buckets' files carried by reference), then diff.
+    Manifest-level cancellation means the diff READS only the files
+    unique to one version — the touched buckets — never the table;
+    the oracle recomputes both dimension states in SQL and takes the
+    multiset EXCEPT ALL both ways, so equality proves the pruned diff
+    is exact. The store is built in a fresh temp dir per run (the
+    gauge pattern: the build cost IS part of what is measured)."""
+    import tempfile
+
+    from ..operators import scd, snapshot
+
+    obs = _events(spark, sf_dir).filter(F.col("user_id") % 4 == 0).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    cutoff = "2024-01-21 00:00:00"
+    table = tempfile.mkdtemp(prefix="snapdiff-") + "/dim"
+    scd.scd2_apply_snapshot(
+        spark, table,
+        obs.filter(F.col("ts") <= F.lit(cutoff).cast("timestamp")),
+        "user_id", "event_type", "ts", "event_id", n_buckets=8,
+    )
+    scd.scd2_apply_snapshot(
+        spark, table,
+        obs.filter(F.col("ts") > F.lit(cutoff).cast("timestamp")),
+        "user_id", "event_type", "ts", "event_id",
+    )
+    return snapshot.snapshot_diff(spark, table, 1, 2)
+
+
+QUERIES["ns_snapshot_diff"] = q_snapshot_diff
+
+
+def _scd2_sql(src: str) -> str:
+    return f"""(
+  SELECT user_id, state, ts AS valid_from, event_id AS opened_by,
+    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS valid_to,
+    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS BIGINT) AS version,
+    (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+      AS is_current
+  FROM (
+    SELECT user_id, state, ts, event_id FROM (
+      SELECT user_id, event_type AS state, ts, event_id,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev
+      FROM {src})
+    WHERE prev IS NULL OR state <> prev))"""
+
+
+ORACLES["ns_snapshot_diff"] = f"""WITH obs AS (
+  SELECT user_id, event_type, ts, event_id FROM events
+  WHERE user_id % 4 = 0),
+b1 AS (SELECT * FROM obs WHERE ts <= TIMESTAMP '2024-01-21 00:00:00'),
+dim1 AS {_scd2_sql('b1')},
+dim2 AS {_scd2_sql('obs')}
+SELECT 'added' AS change, * FROM (
+  SELECT * FROM dim2 EXCEPT ALL SELECT * FROM dim1)
+UNION ALL
+SELECT 'removed' AS change, * FROM (
+  SELECT * FROM dim1 EXCEPT ALL SELECT * FROM dim2)"""

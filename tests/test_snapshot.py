@@ -575,3 +575,48 @@ def test_pre_schema_manifests_still_read(spark, tmp_path):
     J.dump(m, open(mpath, "w"))
     out = S.read_snapshot(spark, t)
     assert sorted(map(tuple, out.collect())) == [(1, "a")]
+
+
+def test_snapshot_diff_manifest_cancellation_and_schema_evolution(
+    spark, tmp_path
+):
+    """r9: snapshot_diff reads ONLY files unique to one version
+    (common immutable files cancel in the multiset arithmetic), is
+    exceptAll-exact, empty for identical versions, and aligns evolved
+    schemas with NULL fill."""
+    from blinkit_etl_pipeline_spark.operators import snapshot
+
+    table = str(tmp_path / "t")
+    df1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    snapshot.write_snapshot(df1, table)  # v1
+    # v2: append-only — v1's files carried by reference
+    extra = spark.createDataFrame([(4, "d"), (2, "b")], "id long, v string")
+    snapshot.append_snapshot(extra, table)  # v2
+    d12 = snapshot.snapshot_diff(spark, table, 1, 2)
+    got = sorted((r["change"], r["id"], r["v"]) for r in d12.collect())
+    assert got == [("added", 2, "b"), ("added", 4, "d")]
+    # the diff's plan reads only the appended files (cancellation):
+    # every v1 path is common to both manifests, so none may appear
+    m1 = {e["path"] for e in snapshot.read_manifest(table, 1)["files"]}
+    plan = d12._jdf.queryExecution().executedPlan().toString()
+    assert not any(p in plan for p in m1)
+    # rollback composes fresh links (new paths, same content) — the
+    # content diff between v2 and the rollback-to-v1 is exactly v1's
+    # multiset complement of v2
+    snapshot.rollback_snapshot(table, 1)  # v3 = content of v1
+    d23 = snapshot.snapshot_diff(spark, table, 2, 3)
+    got23 = sorted((r["change"], r["id"], r["v"]) for r in d23.collect())
+    assert got23 == [("removed", 2, "b"), ("removed", 4, "d")]
+    # identical versions → empty diff
+    assert snapshot.snapshot_diff(spark, table, 2, 2).count() == 0
+    # schema evolution: v4 appends a new column; removed old rows read
+    # the evolved column as NULL on the old side
+    evolved = spark.createDataFrame(
+        [(9, "z", 7.5)], "id long, v string, w double"
+    )
+    snapshot.append_snapshot(evolved, table)  # v4 = v3 files + new
+    d34 = snapshot.snapshot_diff(spark, table, 3, 4)
+    rows = {(r["change"], r["id"], r["v"], r["w"]) for r in d34.collect()}
+    assert rows == {("added", 9, "z", 7.5)}
