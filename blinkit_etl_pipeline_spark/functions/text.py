@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Marker stopwords per language for the n-gram/stopword language-ID
@@ -763,3 +763,113 @@ def hashed_embedding_entries(
         .agg(F.sum("sv").cast("long").alias("val"))
         .filter(F.col("val") != 0)
     )
+
+
+def _lnq(col: Column) -> Column:
+    """ln(x) quantized to the 1e-6 integer lattice — the cross-engine
+    spelling for log-scores (functions/lm.py discipline): quantize
+    each ln BEFORE any arithmetic, so scores are exact int64 and both
+    engines rank identically (no sum-order ulps, no rounding ties)."""
+    return F.round(F.log(col) * F.lit(1e6), 0).cast("long")
+
+
+def tfidf_keywords(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document — the classic corpus
+    summarizer/feature extractor. tf is the in-doc count; idf is
+    quantized ``lnq(N) − lnq(df)`` (defined ON the lattice, so the
+    score ``tf · idf_q`` is an exact integer both engines agree on).
+
+    Plan shape: one explode + (doc_id, token) partial-aggregated
+    groupBy for tf; df folds from the tf table (token-keyed partials,
+    never documents); N rides as a one-row broadcast. The per-doc
+    top-k is ``row_number() <= k`` — WindowGroupLimit, map-side
+    partial top-k, O(k·docs) shuffle rows. Ties break on token asc
+    (total order, deterministic).
+
+    Output: (doc_id, token, tf, score_q).
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    nd = docs.agg(F.count("*").cast("long").alias("__n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            (
+                F.col("tf") * (_lnq(F.col("__n")) - _lnq(F.col("df")))
+            ).cast("long").alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_q").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame, min_count: int = 5, top: int = 20
+) -> DataFrame:
+    """Top collocations by pointwise mutual information over adjacent
+    token bigrams — tokenizer-vocabulary and phrase-mining staple.
+    ``pmi_q = lnq(c12) − lnq(B) − lnq(c1) − lnq(c2) + 2·lnq(T)`` with
+    every ln on the 1e-6 integer lattice (see :func:`_lnq`), ``T`` =
+    total tokens, ``B`` = total bigrams — exact int64, rank-stable
+    across engines. ``min_count`` floors c12 (PMI's rare-pair
+    pathology); the global top-``top`` compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+
+    Output: (w1, w2, c12, pmi_q), ties broken on (w1, w2).
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    uni = toks.groupBy("token").agg(F.count("*").cast("long").alias("c"))
+    bg = docs.select(
+        F.explode(shingles(tokens(F.col("text")), 2)).alias("bg")
+    ).select(
+        F.split(F.col("bg"), " ").getItem(0).alias("w1"),
+        F.split(F.col("bg"), " ").getItem(1).alias("w2"),
+    )
+    c12 = bg.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("c12")
+    )
+    totals = F.broadcast(
+        uni.agg(F.sum("c").cast("long").alias("__t")).crossJoin(
+            bg.agg(F.count("*").cast("long").alias("__b"))
+        )
+    )
+    u1 = uni.select(F.col("token").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        c12.filter(F.col("c12") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(totals)
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            (
+                _lnq(F.col("c12"))
+                - _lnq(F.col("__b"))
+                - _lnq(F.col("c1"))
+                - _lnq(F.col("c2"))
+                + F.lit(2) * _lnq(F.col("__t"))
+            ).cast("long").alias("pmi_q"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_q").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(top)

@@ -5971,3 +5971,71 @@ SELECT tbl, "constraint", "column", violations, total,
   ROUND(violations / CAST(total AS DOUBLE), 6) AS ratio,
   violations = 0 AS passed
 FROM rows_"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keywords + PMI collocations (r9 text-analysis additions)
+# ---------------------------------------------------------------------------
+
+
+def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keywords per document (functions/text.py::
+    tfidf_keywords): idf on the 1e-6 ln lattice so scores are exact
+    int64; per-doc top-k compiles to WindowGroupLimit (O(k·docs)
+    shuffle rows, never the token table)."""
+    return T.tfidf_keywords(_docs(spark, sf_dir), k=5)
+
+
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-bigram collocations by quantized PMI
+    (functions/text.py::pmi_collocations) with count floor 5 — the
+    phrase-mining/tokenizer-vocab staple; global top-k is
+    TakeOrderedAndProject, all aggregates map-side partial."""
+    return T.pmi_collocations(_docs(spark, sf_dir), min_count=5, top=20)
+
+
+QUERIES["ns_text_keywords"] = q_text_keywords
+QUERIES["ns_text_pmi"] = q_text_pmi
+
+_LNQ = "CAST(ROUND(ln({x}) * 1e6, 0) AS BIGINT)"
+
+ORACLES["ns_text_keywords"] = f"""WITH {_TOKS},
+tok AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, token),
+dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+  FROM tf GROUP BY token),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+scored AS (
+  SELECT doc_id, tf.token, tf,
+    CAST(tf * ({_LNQ.format(x='(SELECT n FROM nd)')}
+      - {_LNQ.format(x='df')}) AS BIGINT) AS score_q
+  FROM tf JOIN dfq ON tf.token = dfq.token),
+r AS (SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_q DESC, token ASC) AS rk
+  FROM scored)
+SELECT doc_id, token, tf, score_q FROM r WHERE rk <= 5"""
+
+ORACLES["ns_text_pmi"] = f"""WITH {_TOKS},
+tok AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+uni AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY token),
+bg AS (
+  SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2
+  FROM (SELECT unnest(list_transform(
+      range(1, greatest(len(tk) - 1, 0) + 1),
+      i -> array_to_string(tk[i:i+1], ' '))) AS g FROM toks)),
+c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+  FROM bg GROUP BY w1, w2),
+tot AS (SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS t,
+  (SELECT CAST(count(*) AS BIGINT) FROM bg) AS b)
+SELECT w1, w2, c12,
+  CAST({_LNQ.format(x='c12')} - {_LNQ.format(x='(SELECT b FROM tot)')}
+    - {_LNQ.format(x='u1.c')} - {_LNQ.format(x='u2.c')}
+    + 2 * {_LNQ.format(x='(SELECT t FROM tot)')} AS BIGINT) AS pmi_q
+FROM c12
+JOIN uni u1 ON c12.w1 = u1.token
+JOIN uni u2 ON c12.w2 = u2.token
+WHERE c12 >= 5
+ORDER BY pmi_q DESC, w1 ASC, w2 ASC
+LIMIT 20"""

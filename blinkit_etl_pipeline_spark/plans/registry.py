@@ -30,16 +30,15 @@ PRIORITY = [
     # --- r9 additions / changed plans+oracles, never driver-checked as-is ---
     "ns_quality_quantiles",
     "ns_snapshot_diff",
+    "ns_text_keywords",
+    "ns_text_pmi",
     "ns_sketch_bkq_cumulative",
     "ns_sketch_bkq_quantiles",
     "ns_customer_rfm",
     # --- r8 additions / changed plans+oracles ---
     "ns_graph_pagerank_incr",
     "ns_profile_numeric_quantiles",
-    "ns_sketch_bkq_quantiles",
-    "ns_sketch_bkq_cumulative",
     "ns_sketch_quantiles_multi",
-    "ns_customer_rfm",
     "ns_basket_lift",
     "ns_lm_kn_perplexity",
     "ns_cluster_kmeans",

@@ -677,3 +677,50 @@ def test_edit_distance_bounded_verify_drops_far_pairs(spark):
         docs, prefix_len=14, max_dist=5
     ).collect()
     assert rows == []  # prefix distance 12 > 5 -> dropped
+
+
+def test_tfidf_keywords_rank_rare_terms_higher(spark):
+    """r9: a term appearing in one doc outranks an equally-frequent
+    term appearing everywhere (idf), per-doc top-k is deterministic,
+    and the WindowGroupLimit shape is in the plan."""
+    from blinkit_etl_pipeline_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare rare common common"),
+            (2, "common common common zeta"),
+            (3, "common other other"),
+        ],
+        "doc_id long, text string",
+    )
+    out = T.tfidf_keywords(docs, k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    rows = {(r["doc_id"], r["token"]): r["score_q"] for r in out.collect()}
+    # doc 1: 'rare' (tf=2, df=1) must beat 'common' (tf=3, df=3)
+    assert rows[(1, "rare")] > rows[(1, "common")]
+    # 'common' is in every doc: idf_q = lnq(3)-lnq(3) = 0 -> score 0
+    assert rows[(1, "common")] == 0
+    assert all(len([k for k in rows if k[0] == d]) == 2 for d in (1, 2, 3))
+
+
+def test_pmi_collocations_finds_glued_pair(spark):
+    """A bigram that always co-occurs gets the top PMI; pairs under
+    the count floor are excluded."""
+    from blinkit_etl_pipeline_spark.functions import text as T
+
+    # 'new york' appears 6x and its parts appear ONLY together;
+    # 'the cat' also 6x but 'the' also precedes 'dog' (diluted);
+    # 'one two' appears twice — under the count floor
+    glued = " ".join(["new york"] * 6)
+    spread = " ".join(["the cat"] * 6 + ["the dog"] * 6 + ["one two"] * 2)
+    docs = spark.createDataFrame(
+        [(1, glued), (2, spread)], "doc_id long, text string"
+    )
+    out = T.pmi_collocations(docs, min_count=5, top=10).collect()
+    assert out[0]["w1"] == "new" and out[0]["w2"] == "york"
+    pairs = {(r["w1"], r["w2"]) for r in out}
+    assert ("one", "two") not in pairs  # count floor
+    # 'the cat' present but scores below the glued pair
+    the_cat = [r for r in out if (r["w1"], r["w2"]) == ("the", "cat")]
+    assert the_cat and the_cat[0]["pmi_q"] < out[0]["pmi_q"]
