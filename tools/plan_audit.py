@@ -38,6 +38,13 @@ NOTES = {
     "ns_incr_revenue": "IVM: 4 delta-partial aggs merged; cent-lattice int64 sums make batch split order-free",
     "ns_incr_category_revenue": "hierarchical IVM: fine-grain (cat,cust,order) partials; distinct counts derived by cascade at read",
     "ns_corpus_drift": "PSI: one tokenize pass folds to bounded bucket tables; model-sized aggs only",
+    "ns_customer_rfm": "r9: base is a lazy-checkpoint leaf (orders scanned ONCE at materialization — the scan lives behind the LogicalRDD, invisible to this explain); sketch folds + scoring join read the leaf",
+    "ns_graph_pagerank_incr": "r9 probe-first delta: rounds broadcast-probe the cached edge list at affected srcs; nothing corpus-sized shuffles (rounds compiled into checkpoint leaves, see PLANS r9 section)",
+    "ns_sketch_bkq_cumulative": "r9: arity-4 Hillis-Steele prefix scan over day indices (O(k*D*logD) sketch rows) — rounds live behind checkpoint leaves",
+    "ns_snapshot_diff": "manifest-level cancellation: reads ONLY files unique to one version (touched SCD2 buckets); exceptAll both ways",
+    "ns_quality_quantiles": "ALL quantile bands share the 2-scan multi-measure sketch; row-local constraints share ONE aggregate",
+    "ns_text_keywords": "idf on the 1e-6 ln lattice; per-doc top-k is WindowGroupLimit (O(k*docs) shuffle rows)",
+    "ns_text_pmi": "quantized-PMI; global top-k is TakeOrderedAndProject; all aggs map-side partial",
     "ns_data_quality": "row-local constraints share ONE aggregate; unique adds one key agg; FK is one broadcast anti-join",
     "sales_fact": "3-table fact build; part/orders dims broadcast, lineitem never shuffles",
     "revenue_by_category": "distinct-free cascade: 3 hash aggs, no Expand, all partial map-side",
