@@ -82,8 +82,17 @@ def _latest_round_artifact() -> dict[str, float]:
             return {}
 
     out.update(_queries_of(os.path.join(here, "BENCH_local_last.json")))
-    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
-                       reverse=True):
+    # strictly-numbered driver artifacts only, NUMERICALLY newest first
+    # (a lexicographic reverse sort ranks BENCH_r5_local.json above
+    # BENCH_r08.json and breaks at r10 — review r9)
+    import re
+
+    numbered = []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(path))
+        if m:
+            numbered.append((int(m.group(1)), path))
+    for _, path in sorted(numbered, reverse=True):
         qs = _queries_of(path)
         if qs:
             out.update(qs)

@@ -328,12 +328,21 @@ def pagerank_state(
     return state, n
 
 
+class FrontierExplosionError(ValueError):
+    """The affected set grew past ``frontier_cap`` after one
+    propagation round — the delta path's frontier broadcasts would
+    approach node-sized. :func:`pagerank_maintain` catches this and
+    reroutes to the full recompute."""
+
+
 def pagerank_delta(
     old_edges: DataFrame,
     state: DataFrame,
     n: int,
     delta_edges: DataFrame,
     iterations: int = 8,
+    *,
+    frontier_cap: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Fold one signed edge batch (``src, dst, __sign`` with +1 insert
     / -1 delete) into a maintained PageRank: returns ``(ranks, new
@@ -625,6 +634,26 @@ def pagerank_delta(
                 .distinct()
                 .localCheckpoint(eager=False)
             )
+        if i <= 2 and frontier_cap is not None:
+            # hub guard (r9 review): the frontier broadcasts are only
+            # safe while the affected set stays a sliver — a changed
+            # src whose DSTS include a high-out-degree hub blows the
+            # frontier up at the second expansion (the hub enters
+            # support(Δs₁), its spokes enter support(Δs₂)), so measure
+            # the first TWO expansions (two extra job barriers, only
+            # when a cap is set) and let pagerank_maintain reroute. A
+            # deeper multi-hop explosion still fails LOUDLY on Spark's
+            # broadcast limit rather than corrupting results —
+            # documented trade.
+            f1 = (aff if i < iterations else ds).count()
+            if f1 > frontier_cap:
+                for fr in (e_old, old_nodes, state):
+                    fr.unpersist(blocking=False)
+                raise FrontierExplosionError(
+                    f"pagerank_delta: affected set after one round is "
+                    f"{f1} nodes (> frontier_cap={frontier_cap}) — "
+                    "churn is not localized; use the full recompute"
+                )
     delta_state = delta_state.localCheckpoint(eager=True)
     s_last = state.filter(F.col("it") == iterations).select("node", "s")
     ranks = (
@@ -661,6 +690,8 @@ def pagerank_maintain(
     iterations: int = 8,
     *,
     fallback_fraction: float = 0.1,
+    n_srcs: int | None = None,
+    frontier_cap: int | None = 4_000_000,
 ) -> tuple[DataFrame, DataFrame, str]:
     """Route one signed edge batch between :func:`pagerank_delta` and
     a full re-bootstrap on a CHEAP pre-flight estimate (VERDICT r8
@@ -687,7 +718,15 @@ def pagerank_maintain(
     ~0.4 and clearly prefers the rerun. The pre-flight sees round-0
     churn only (frontier growth is graph-dependent), which is exactly
     why it must stay cheap and conservative rather than simulate
-    propagation.
+    propagation — AND why it is backstopped: a small changed set
+    touching a high-out-degree hub explodes the frontier at the first
+    propagation round, so the delta path runs under ``frontier_cap``
+    (one post-round-1 count) and a :class:`FrontierExplosionError`
+    reroutes to the recompute here (r9 review: without this, the
+    frontier broadcasts would fail on Spark's broadcast limit instead
+    of degrading). ``n_srcs`` lets a store-backed caller pin the
+    (contract-invariant) graph src count so the pre-flight costs one
+    tiny batch-side aggregate instead of a corpus scan per batch.
     """
     e_old = old_edges.select(
         F.col("src").cast("long").alias("src"),
@@ -698,23 +737,38 @@ def pagerank_maintain(
         F.col("dst").cast("long").alias("dst"),
         F.col("__sign").cast("long").alias("__sign"),
     )
-    probe = (
-        e_old.select(F.col("src").alias("k"))
-        .withColumn("_w", F.lit("g"))
-        .unionByName(
-            dl.select(F.col("src").alias("k")).withColumn(
-                "_w", F.lit("b")
+    # ``n_srcs``: the graph's distinct-src count is INVARIANT under the
+    # maintenance contract (new/emptied nodes raise), so a store-backed
+    # caller pins it once and the pre-flight degrades to one tiny
+    # batch-side aggregate — without it, the probe scans the full old
+    # edge set every batch (r9 review: the streaming caller was paying
+    # a corpus-sized count_distinct per epoch to route a 2-edge batch)
+    if n_srcs is None:
+        probe = (
+            e_old.select(F.col("src").alias("k"))
+            .withColumn("_w", F.lit("g"))
+            .unionByName(
+                dl.select(F.col("src").alias("k")).withColumn(
+                    "_w", F.lit("b")
+                )
             )
+            .groupBy("_w")
+            .agg(F.count_distinct("k").alias("c"))
+            .collect()
         )
-        .groupBy("_w")
-        .agg(F.count_distinct("k").alias("c"))
-        .collect()
-    )
-    counts = {r["_w"]: int(r["c"]) for r in probe}
-    frac = counts.get("b", 0) / max(counts.get("g", 1), 1)
+        counts = {r["_w"]: int(r["c"]) for r in probe}
+        frac = counts.get("b", 0) / max(counts.get("g", 1), 1)
+    else:
+        b = dl.select("src").distinct().count()
+        frac = b / max(int(n_srcs), 1)
     if frac <= fallback_fraction:
-        ranks, dstate = pagerank_delta(e_old, state, n, dl, iterations)
-        return ranks, dstate, "delta"
+        try:
+            ranks, dstate = pagerank_delta(
+                e_old, state, n, dl, iterations, frontier_cap=frontier_cap
+            )
+            return ranks, dstate, "delta"
+        except FrontierExplosionError:
+            pass  # hub case: fall through to the recompute path
     # dense churn: fold the multiset once, re-bootstrap, diff states.
     # The delta-path guards still apply — fold-level over-delete check
     # here; new/emptied nodes surface as an N change or a dangling

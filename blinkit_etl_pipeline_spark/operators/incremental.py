@@ -1068,15 +1068,32 @@ def ingest_bkq_sketch(
     unpinned sample size."""
     from .sketch import BKQ_K, bkq_sketch
 
-    pinned = snapshot.table_properties(store_table).get("bkq_k")
+    props = snapshot.table_properties(store_table)
+    pinned = props.get("bkq_k")
     if pinned is not None and k is not None and int(pinned) != k:
         raise snapshot.SnapshotError(
             f"bkq store at {store_table} was built with k={pinned}; "
             f"ingesting with k={k} would mix sample sizes — pass the "
             "store's k or omit it"
         )
+    # the hash REGIME is a format parameter too (r9 review): a store
+    # whose history hashed id-only cannot take (day,id)-hashed batches
+    # — redelivered pre-upgrade batches would miss the __sid guard and
+    # double-enter under two hashes, doubling their selection odds
+    if (
+        snapshot.current_version(store_table) is not None
+        and props.get("bkq_hash") != "day-id"
+    ):
+        raise snapshot.SnapshotError(
+            f"bkq store at {store_table} predates the (day,id) hash "
+            "regime — mixed-regime history would no longer equal the "
+            "batch recompute; rebuild the store (or replay its source) "
+            "under the current format"
+        )
     use_k = int(pinned) if pinned is not None else (k or BKQ_K)
-    snapshot.ensure_table_properties(store_table, {"bkq_k": use_k})
+    snapshot.ensure_table_properties(
+        store_table, {"bkq_k": use_k, "bkq_hash": "day-id"}
+    )
     # hash identity is (day, id) — the cumulative read path merges
     # days, so an id recurring on later days must draw an independent
     # hash each day (an id-only hash keeps the same low-hash entities

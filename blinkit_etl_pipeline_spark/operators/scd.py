@@ -398,6 +398,19 @@ def scd2_apply_snapshot(
                 last_err = e  # a racing creator won — rebase as apply
                 continue
         manifest = snapshot.read_manifest(table, version)
+        untagged = [e["path"] for e in manifest["files"] if "bucket" not in e]
+        if untagged:
+            # a table created by write_snapshot/append_snapshot has no
+            # bucket tags: 'not in touched' would KEEP every file while
+            # the rebuild reads NONE of them — old history and a fresh
+            # contradictory history for every batch key would coexist
+            # silently (r9 review). Refuse loudly instead.
+            raise snapshot.SnapshotError(
+                f"table at {table} has {len(untagged)} manifest entries "
+                "without bucket tags — not an scd2_apply_snapshot store; "
+                "bootstrap a new table with scd2_apply_snapshot instead "
+                f"(first untagged: {untagged[0]})"
+            )
         keep = [
             e for e in manifest["files"] if e.get("bucket") not in touched
         ]

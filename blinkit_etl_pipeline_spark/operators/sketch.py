@@ -705,13 +705,33 @@ def bkq_prefix_merge(
     job is one bounded stage, not ⌈log₂ D⌉ chained window lineages.
     """
     spark = daily.sparkSession
-    day_vals = [r[0] for r in days.distinct().orderBy(date_col).collect()]
+    # index domain = requested days ∪ the sketch's own days, so a
+    # sketch row whose day is absent from `days` still folds into
+    # every LATER requested prefix (≤-join semantics; an inner join on
+    # the requested set alone silently dropped such history — r9
+    # review). Output is restricted to the requested set at the end.
+    out_days = [r[0] for r in days.distinct().orderBy(date_col).collect()]
+    sk_days = [r[0] for r in daily.select(date_col).distinct().collect()]
+    day_vals = sorted(set(out_days) | set(sk_days))
     d_count = len(day_vals)
     if d_count == 0:
         return daily.select(date_col, "h", "v")
     idx = F.broadcast(
         spark.createDataFrame(
             [(v, i + 1) for i, v in enumerate(day_vals)],
+            days.select(F.col(date_col)).withColumn(
+                "__di", F.lit(1)
+            ).schema,
+        )
+    )
+    out_set = set(out_days)
+    idx_out = F.broadcast(
+        spark.createDataFrame(
+            [
+                (v, i + 1)
+                for i, v in enumerate(day_vals)
+                if v in out_set
+            ],
             days.select(F.col(date_col)).withColumn(
                 "__di", F.lit(1)
             ).schema,
@@ -740,7 +760,7 @@ def bkq_prefix_merge(
             u = u.unionByName(b)
         cur = bkq_merge(u, ["__di"], k).localCheckpoint(eager=False)
         step *= 4
-    return cur.join(idx, "__di").select(date_col, "h", "v")
+    return cur.join(idx_out, "__di").select(date_col, "h", "v")
 
 
 def bkq_cumulative_quantiles(

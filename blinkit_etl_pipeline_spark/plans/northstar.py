@@ -5398,8 +5398,11 @@ def q_graph_pagerank_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies for customers ≡1 mod 5), then fold ONE signed batch that
     deletes those copies and inserts parallel copies for customers
     ≡0 mod 4. Each delta round probes the edge table only at affected
-    srcs — work ∝ churned neighborhood, full recompute is the ceiling
-    — and the result is BIT-EQUAL to the power method on the final
+    srcs — work ∝ churned neighborhood (dense churn is routed to a
+    recompute by pagerank_maintain's pre-flight + frontier cap; this
+    gauge calls pagerank_delta directly to exercise the delta
+    machinery on its worst-case graph) — and the result is BIT-EQUAL
+    to the power method on the final
     edge set, which is exactly what the oracle recomputes. Depth 4 on
     a sixteenth of the order graph keeps the maintenance gauge
     affordable (the bootstrap+delta pair costs ~2 full runs on a

@@ -117,10 +117,17 @@ def apply_edge_batch(
             # pagerank_n forever. ensure_table_properties is
             # idempotent link-CAS, so a replay re-pinning the same
             # values (insert-only bootstrap ⇒ same graph ⇒ same n)
-            # is safe.
+            # is safe. pagerank_srcs is contract-invariant (new /
+            # emptied nodes raise), pinned so later epochs' pre-flight
+            # routing never re-scans the folded edge store (r9 review).
+            n_srcs = edges.select("src").distinct().count()
             snapshot.ensure_table_properties(
                 state_store,
-                {"pagerank_n": n, "pagerank_iterations": iterations},
+                {
+                    "pagerank_n": n,
+                    "pagerank_iterations": iterations,
+                    "pagerank_srcs": n_srcs,
+                },
             )
             incremental.ingest_agg_deltas(
                 spark,
@@ -167,8 +174,14 @@ def apply_edge_batch(
     # return signed deltas against the current state, so the store
     # fold below is identical either way (and bit-equal to a fresh
     # run on the new edge set)
+    srcs_prop = props.get("pagerank_srcs")
     _ranks, dstate, _method = graph.pagerank_maintain(
-        old, state, n, batch, iters
+        old,
+        state,
+        n,
+        batch,
+        iters,
+        n_srcs=int(srcs_prop) if srcs_prop is not None else None,
     )
     incremental.ingest_agg_deltas(
         spark,

@@ -323,3 +323,45 @@ def test_pagerank_maintain_recompute_guards(spark):
     new_node = _signed(spark, [(1, 99, 1), (99, 1, 1), (2, 6, 1)])
     with pytest.raises(ValueError, match="node count changed"):
         graph.pagerank_maintain(e0, state, n, new_node, _ITERS)
+
+
+def test_pagerank_maintain_frontier_cap_reroutes_hub_explosion(spark):
+    """r9 review: a tiny changed set touching a high-out-degree hub
+    passes the round-0 pre-flight but explodes the frontier at the
+    first propagation round — the cap must reroute to the recompute,
+    still bit-equal to the power method on the new edge set."""
+    from pyspark.sql import functions as F
+
+    # hub 0 points at 200 spokes; every spoke points back (no dangling)
+    edges = [(0, i) for i in range(1, 201)] + [(i, 0) for i in range(1, 201)]
+    e0 = _edges(spark, edges)
+    state, n = graph.pagerank_state(e0, iterations=3)
+    # one changed src (1 of 201 srcs = 0.5% — passes pre-flight)
+    # rewires its edge away from the hub: the hub's received mass
+    # moves substantially, so its 200 spokes all enter support(Δs₂) —
+    # the second-expansion explosion the cap exists for. (A ±1-unit
+    # delta would NOT explode: the integer lattice truncates it away —
+    # the churn must move real mass.)
+    d1 = _signed(spark, [(1, 0, -1), (1, 2, 1)])
+    ranks, ds, method = graph.pagerank_maintain(
+        e0, state, n, d1, 3, frontier_cap=50
+    )
+    assert method == "recompute"
+    new_edges = edges[:]
+    new_edges.remove((1, 0))
+    new_edges.append((1, 2))
+    want = {
+        r["node"]: r["rank_q"]
+        for r in graph.pagerank(
+            _edges(spark, new_edges), iterations=3
+        ).collect()
+    }
+    got = {r["node"]: r["rank_q"] for r in ranks.collect()}
+    assert got == want
+    # without the cap the delta path handles it fine (cost, not
+    # correctness, is what the cap protects)
+    ranks2, _, m2 = graph.pagerank_maintain(
+        e0, state, n, d1, 3, frontier_cap=None, fallback_fraction=0.1
+    )
+    assert m2 == "delta"
+    assert {r["node"]: r["rank_q"] for r in ranks2.collect()} == want

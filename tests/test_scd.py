@@ -494,3 +494,23 @@ def test_snapshot_store_bucket_pin_and_idempotent_redelivery(spark, tmp_path):
     before = _rows(snapshot.read_snapshot(spark, table))
     scd.scd2_apply_snapshot(spark, table, f1, "k", "a", "ts", "tb")
     assert _rows(snapshot.read_snapshot(spark, table)) == before
+
+
+def test_snapshot_apply_refuses_untagged_store(spark, tmp_path):
+    """r9 review: applying onto a plain snapshot table (no bucket
+    tags) must raise loudly instead of silently keeping old files
+    while rebuilding from an empty base."""
+    import pytest
+
+    from blinkit_etl_pipeline_spark.operators import snapshot
+
+    table = str(tmp_path / "plain")
+    dim = scd.scd2_build(
+        _feed(spark, [(1, "A", 0, 1)]), "k", "a", "ts", "tb"
+    )
+    snapshot.write_snapshot(dim, table)
+    with pytest.raises(snapshot.SnapshotError, match="bucket tags"):
+        scd.scd2_apply_snapshot(
+            spark, table, _feed(spark, [(1, "B", 5, 2)]),
+            "k", "a", "ts", "tb",
+        )

@@ -492,3 +492,72 @@ def test_bkq_cumulative_day_scoped_hash_draws_independently(spark):
     # uniform); a k=64 sample has ~±12.5% rank error — the
     # entity-clustered failure mode would park far from the middle
     assert 60.0 <= got[0.5] <= 140.0
+
+
+def test_bkq_prefix_merge_days_superset_folds_external_history(spark):
+    """r9 review: sketch rows whose day is absent from the requested
+    output set must still fold into LATER requested prefixes (the
+    ≤-join semantics) — e.g. asking only for the last day still
+    merges all earlier days' sketches."""
+    import datetime as _dt
+
+    base = _dt.date(2024, 5, 1)
+    rows = [
+        (base + _dt.timedelta(days=d), f"id-{d}-{i}", float(d * 10 + i))
+        for d in range(4)
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "day date, id string, value double")
+    daily = sketch.bkq_sketch(
+        df, ["day"], "id", "value", k=64, hash_cols=("day", "id")
+    )
+    last = df.select("day").filter(
+        F.col("day") == base + _dt.timedelta(days=3)
+    )
+    got = _bkq_rows(
+        sketch.bkq_prefix_merge(daily, "day", last, 64).select(
+            "day", "h", "v"
+        )
+    )
+    want = _bkq_rows(
+        sketch.bkq_merge(
+            daily.withColumn(
+                "day", F.lit(base + _dt.timedelta(days=3))
+            ),
+            ["day"],
+            64,
+        ).select("day", "h", "v")
+    )
+    assert got == want and len(got) == 20  # all four days' rows present
+
+
+def test_bkq_store_hash_regime_pin(spark, tmp_path):
+    """r9 review: a store whose history predates the (day, id) hash
+    regime must refuse new ingests loudly — mixed-regime rows would
+    double-enter under two hashes and bias the cumulative sample."""
+    import datetime as _dt
+    import os
+
+    import pytest
+
+    from blinkit_etl_pipeline_spark.operators import incremental, snapshot
+
+    store = str(tmp_path / "bkq")
+    df = spark.createDataFrame(
+        [(_dt.date(2024, 1, 1), i, float(i)) for i in range(50)],
+        "day date, event_id long, value double",
+    )
+    incremental.ingest_bkq_sketch(
+        spark, store, df, "day", "event_id", "value", k=16
+    )
+    assert snapshot.table_properties(store)["bkq_hash"] == "day-id"
+    # simulate a pre-regime store: drop the pin, keep the data
+    os.unlink(os.path.join(store, snapshot.PROPS_DIR, "bkq_hash.json"))
+    df2 = spark.createDataFrame(
+        [(_dt.date(2024, 1, 2), i, float(i)) for i in range(50)],
+        "day date, event_id long, value double",
+    )
+    with pytest.raises(snapshot.SnapshotError, match="hash"):
+        incremental.ingest_bkq_sketch(
+            spark, store, df2, "day", "event_id", "value"
+        )
