@@ -680,6 +680,8 @@ def bkq_prefix_merge(
     date_col: str,
     days: DataFrame,
     k: int = BKQ_K,
+    *,
+    join_threshold: int = 128,
 ) -> DataFrame:
     """Prefix-merged sketches: for every day D in ``days``, the
     bottom-k merge of all ``daily`` sketch rows with day ≤ D — as a
@@ -705,12 +707,26 @@ def bkq_prefix_merge(
     job is one bounded stage, not ⌈log₂ D⌉ chained window lineages.
     """
     spark = daily.sparkSession
+    out_days = [r[0] for r in days.distinct().orderBy(date_col).collect()]
+    if len(out_days) <= join_threshold:
+        # HYBRID (r9 bench respot finding: the scan REGRESSED the
+        # ~30-day bench query 0.95→3.1 s): at small day counts the
+        # O(k·D²) ≤-join is a few hundred thousand rows in one stage —
+        # cheaper than the scan's ⌈log₄D⌉ stage barriers plus a second
+        # driver collect. The scan takes over where the join explodes
+        # (365 days: 5.3 s vs 31.3 s; 3650: 8.8 s vs DNF).
+        return bkq_merge(
+            daily.withColumnRenamed(date_col, "__sk_day").join(
+                days.distinct(), F.col("__sk_day") <= F.col(date_col)
+            ).drop("__sk_day"),
+            [date_col],
+            k,
+        ).select(date_col, "h", "v")
     # index domain = requested days ∪ the sketch's own days, so a
     # sketch row whose day is absent from `days` still folds into
     # every LATER requested prefix (≤-join semantics; an inner join on
     # the requested set alone silently dropped such history — r9
     # review). Output is restricted to the requested set at the end.
-    out_days = [r[0] for r in days.distinct().orderBy(date_col).collect()]
     sk_days = [r[0] for r in daily.select(date_col).distinct().collect()]
     day_vals = sorted(set(out_days) | set(sk_days))
     d_count = len(day_vals)

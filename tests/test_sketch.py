@@ -419,10 +419,10 @@ def test_bkq_prefix_merge_equals_leq_join_any_day_count(spark):
             ).select("day", "h", "v")
         )
         got = _bkq_rows(
-            sketch.bkq_prefix_merge(daily, "day", days, k).select(
-                "day", "h", "v"
-            )
-        )
+            sketch.bkq_prefix_merge(
+                daily, "day", days, k, join_threshold=0
+            ).select("day", "h", "v")
+        )  # force the SCAN branch (default hybrid would take the join)
         assert got == want, d_count
 
 
@@ -514,7 +514,12 @@ def test_bkq_prefix_merge_days_superset_folds_external_history(spark):
     last = df.select("day").filter(
         F.col("day") == base + _dt.timedelta(days=3)
     )
-    got = _bkq_rows(
+    got_scan = _bkq_rows(
+        sketch.bkq_prefix_merge(
+            daily, "day", last, 64, join_threshold=0
+        ).select("day", "h", "v")
+    )
+    got_join = _bkq_rows(
         sketch.bkq_prefix_merge(daily, "day", last, 64).select(
             "day", "h", "v"
         )
@@ -528,7 +533,8 @@ def test_bkq_prefix_merge_days_superset_folds_external_history(spark):
             64,
         ).select("day", "h", "v")
     )
-    assert got == want and len(got) == 20  # all four days' rows present
+    assert got_scan == want and got_join == want
+    assert len(want) == 20  # all four days' rows present
 
 
 def test_bkq_store_hash_regime_pin(spark, tmp_path):
