@@ -868,6 +868,13 @@ def snapshot_diff(
         return out.select(cols)
 
     o, n = _align(o), _align(n)
+    # checkpoint leaves before the union: the two exceptAll subtrees
+    # are structurally symmetric (A∖B vs B∖A) and Spark's exchange
+    # reuse was observed colliding such twins inside one union plan,
+    # emitting phantom rows for unchanged content (r9, see
+    # scd._classify_changes); leaves also evaluate each side once
+    o = o.localCheckpoint(eager=False)
+    n = n.localCheckpoint(eager=False)
     added = n.exceptAll(o).withColumn("change", F.lit("added"))
     removed = o.exceptAll(n).withColumn("change", F.lit("removed"))
     return added.unionByName(removed).select("change", *cols)

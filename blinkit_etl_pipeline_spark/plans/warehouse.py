@@ -666,3 +666,62 @@ SELECT 'added' AS change, * FROM (
 UNION ALL
 SELECT 'removed' AS change, * FROM (
   SELECT * FROM dim1 EXCEPT ALL SELECT * FROM dim2)"""
+
+
+# ---------------------------------------------------------------------------
+# SCD2 CDC-out change feed (ns_scd2_changes, r9)
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed change feed between two dimension states (operators/
+    scd.py::scd2_changes_frames — the derived Delta-CDF shape):
+    multiset-diff the version rows of the pre-cutoff dim vs the full
+    dim, then classify into insert / delete / update pre+post images
+    by the version's opening identity. The store twin
+    (scd2_changes over scd2_apply_snapshot versions) inherits
+    manifest-level cancellation and is pytest-pinned equal."""
+    from ..operators import scd
+
+    obs = _events(spark, sf_dir).filter(F.col("user_id") % 4 == 0).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    cutoff = F.lit("2024-01-21 00:00:00").cast("timestamp")
+    dim1 = scd.scd2_build(
+        obs.filter(F.col("ts") <= cutoff),
+        "user_id", "event_type", "ts", "event_id",
+    )
+    dim2 = scd.scd2_build(obs, "user_id", "event_type", "ts", "event_id")
+    return scd.scd2_changes_frames(dim1, dim2, "user_id")
+
+
+QUERIES["ns_scd2_changes"] = q_scd2_changes
+
+_CHG_IDENT = (
+    "p.user_id = x.user_id AND p.state = x.state AND "
+    "p.valid_from = x.valid_from AND p.opened_by = x.opened_by"
+)
+
+ORACLES["ns_scd2_changes"] = f"""WITH obs AS (
+  SELECT user_id, event_type, ts, event_id FROM events
+  WHERE user_id % 4 = 0),
+b1 AS (SELECT * FROM obs WHERE ts <= TIMESTAMP '2024-01-21 00:00:00'),
+dim1 AS {_scd2_sql('b1')},
+dim2 AS {_scd2_sql('obs')},
+added AS (SELECT * FROM dim2 EXCEPT ALL SELECT * FROM dim1),
+removed AS (SELECT * FROM dim1 EXCEPT ALL SELECT * FROM dim2),
+paired AS (
+  SELECT user_id, state, valid_from, opened_by FROM added
+  INTERSECT
+  SELECT user_id, state, valid_from, opened_by FROM removed)
+SELECT 'insert' AS change_type, * FROM added x
+  WHERE NOT EXISTS (SELECT 1 FROM paired p WHERE {_CHG_IDENT})
+UNION ALL
+SELECT 'delete', * FROM removed x
+  WHERE NOT EXISTS (SELECT 1 FROM paired p WHERE {_CHG_IDENT})
+UNION ALL
+SELECT 'update_preimage', * FROM removed x
+  WHERE EXISTS (SELECT 1 FROM paired p WHERE {_CHG_IDENT})
+UNION ALL
+SELECT 'update_postimage', * FROM added x
+  WHERE EXISTS (SELECT 1 FROM paired p WHERE {_CHG_IDENT})"""

@@ -514,3 +514,40 @@ def test_snapshot_apply_refuses_untagged_store(spark, tmp_path):
             spark, table, _feed(spark, [(1, "B", 5, 2)]),
             "k", "a", "ts", "tb",
         )
+
+
+def test_scd2_changes_classification_and_store_twin(spark, tmp_path):
+    """r9: the CDC-out feed classifies correctly — closing a current
+    version emits an update pre/post pair, the new version an insert;
+    a frame diff and the store-version diff (manifest-pruned) agree."""
+    from blinkit_etl_pipeline_spark.operators import snapshot
+
+    f1 = _feed(spark, [(1, "A", 0, 1), (2, "X", 0, 2)])
+    f2 = _feed(spark, [(1, "B", 10, 3)])
+    dim1 = scd.scd2_build(f1, "k", "a", "ts", "tb")
+    dim2 = scd.scd2_build(f1.unionByName(f2), "k", "a", "ts", "tb")
+    out = scd.scd2_changes_frames(dim1, dim2, "k").collect()
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r["change_type"], []).append(r)
+    # key 1: version A was closed (update pair), version B inserted;
+    # key 2 untouched — nothing emitted for it
+    assert {r["k"] for r in out} == {1}
+    assert len(by_type["insert"]) == 1
+    assert by_type["insert"][0]["state"] == "B"
+    assert by_type["insert"][0]["is_current"]
+    pre = by_type["update_preimage"][0]
+    post = by_type["update_postimage"][0]
+    assert pre["state"] == post["state"] == "A"
+    assert pre["is_current"] and not post["is_current"]
+    assert pre["valid_to"] is None and post["valid_to"] == _ts(10)
+    assert "delete" not in by_type
+    # store twin: same feed through the MVCC store, diff by version
+    table = str(tmp_path / "dim")
+    scd.scd2_apply_snapshot(spark, table, f1, "k", "a", "ts", "tb",
+                            n_buckets=4)
+    scd.scd2_apply_snapshot(spark, table, f2, "k", "a", "ts", "tb")
+    got_store = sorted(
+        map(tuple, scd.scd2_changes(spark, table, 1, 2, "k").collect())
+    )
+    assert got_store == sorted(map(tuple, out))
