@@ -249,7 +249,16 @@ def pagerank_state(
     final state union materializes every round exactly once in ONE
     job. Gauge-scale cost is driver job round-trips (r8 lesson), so
     collapsing iterations+2 job barriers to 2 (probe + state) cut the
-    sf0.1 bootstrap 3.6 s → 2.0 s with bit-equal output."""
+    sf0.1 bootstrap 3.6 s → 2.0 s with bit-equal output.
+
+    SCALE GATE (measured): above ~8M state rows the one-job collapse
+    exhausts the unified pool — checkpoint blocks pin as they
+    materialize mid-job, starving execution memory
+    (SparkOutOfMemoryError at sf10-dense, ~21M state rows) — so big
+    graphs switch back to per-round EAGER checkpoints (one job per
+    round spreads the pinning across job boundaries; the r8 shape,
+    proven at sf10). ``n`` is driver-known before the choice, so the
+    gate is free."""
     e = edges.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
@@ -284,11 +293,27 @@ def pagerank_state(
             "cannot track the global dangling-mass term; use pagerank()"
         )
     n = int(probe["n"])
-    # the partitioned edge table is a lazy-checkpoint leaf shared BY
-    # RDD IDENTITY across every round — computed once inside the one
-    # state job, GC-cleaned with the returned frame (no persist/
-    # unpersist bracket to leak)
-    ew = edge_table(e).repartition("node").localCheckpoint(eager=False)
+    # one-job collapse only while the pinned state fits comfortably —
+    # see the SCALE GATE note in the docstring
+    lazy = n * iterations <= 8_000_000
+    if lazy:
+        # the partitioned edge table is a lazy-checkpoint leaf shared
+        # BY RDD IDENTITY across every round — computed once inside
+        # the one state job, GC-cleaned with the returned frame (no
+        # persist/unpersist bracket to leak)
+        ew = edge_table(e).repartition("node").localCheckpoint(eager=False)
+    else:
+        # big regime: checkpoint blocks are PINNED (unevictable) —
+        # a 117M-edge table as a checkpoint leaf starved round
+        # aggregations into AGGREGATE_OUT_OF_MEMORY at sf10-dense.
+        # A plain persist is EVICTABLE (Spark trades cache for
+        # execution memory and recomputes from lineage), the r8 shape
+        # proven at this scale; released at exit. The count
+        # materializes the cache in its own simple job so round 1's
+        # agg does not pay cache-write + shuffle + agg heap pressure
+        # in one stage (r8 did exactly this).
+        ew = edge_table(e).repartition("node").persist()
+        ew.count()
     base = ((DAMP_DEN - DAMP_NUM) * RANK_SCALE) // (DAMP_DEN * n)
     s = (
         ew.select(
@@ -300,7 +325,7 @@ def pagerank_state(
         )
         .groupBy("node")
         .agg(F.sum("c").cast("long").alias("s"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=not lazy)
     )
     parts = [s.select("node", F.lit(1).alias("it"), "s")]
     for i in range(2, iterations + 1):
@@ -315,16 +340,20 @@ def pagerank_state(
             )
             .groupBy("node")
             .agg(F.sum("c").cast("long").alias("s"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=not lazy)
         )
         parts.append(s.select("node", F.lit(i).alias("it"), "s"))
     from functools import reduce
 
-    state = (
-        reduce(lambda a, b: a.unionByName(b), parts)
-        .withColumn("it", F.col("it").cast("int"))
-        .localCheckpoint(eager=True)  # ONE job materializes all rounds
+    state = reduce(lambda a, b: a.unionByName(b), parts).withColumn(
+        "it", F.col("it").cast("int")
     )
+    if lazy:
+        # ONE job materializes all rounds (RDD-identity sharing)
+        state = state.localCheckpoint(eager=True)
+    else:
+        # rounds are already eagerly materialized — release the cache
+        ew.unpersist(blocking=False)
     return state, n
 
 
@@ -634,17 +663,18 @@ def pagerank_delta(
                 .distinct()
                 .localCheckpoint(eager=False)
             )
-        if i <= 2 and frontier_cap is not None:
-            # hub guard (r9 review): the frontier broadcasts are only
-            # safe while the affected set stays a sliver — a changed
-            # src whose DSTS include a high-out-degree hub blows the
-            # frontier up at the second expansion (the hub enters
-            # support(Δs₁), its spokes enter support(Δs₂)), so measure
-            # the first TWO expansions (two extra job barriers, only
-            # when a cap is set) and let pagerank_maintain reroute. A
-            # deeper multi-hop explosion still fails LOUDLY on Spark's
-            # broadcast limit rather than corrupting results —
-            # documented trade.
+        if frontier_cap is not None:
+            # frontier guard (r9 review + sf10 measurement): the
+            # frontier broadcasts and whole-probe checkpoints are only
+            # safe while the affected set stays a sliver, and the
+            # explosion round is graph-dependent (a hub fans out at
+            # expansion two; the dense order graph saturates at three),
+            # so when a cap is set EVERY round pays one count barrier —
+            # the insurance is cheap exactly when the localized-churn
+            # claim holds (tiny frames), and when it doesn't we want
+            # out before the block store does (measured: sf10-dense
+            # exhausts it). Callers wanting raw uncapped machinery
+            # (the worst-case gauge) pass frontier_cap=None.
             f1 = (aff if i < iterations else ds).count()
             if f1 > frontier_cap:
                 for fr in (e_old, old_nodes, state):
@@ -762,13 +792,26 @@ def pagerank_maintain(
         b = dl.select("src").distinct().count()
         frac = b / max(int(n_srcs), 1)
     if frac <= fallback_fraction:
+        # the effective cap is ALSO fraction-aware: once the frontier
+        # covers a sizable share of the graph, every round's probe is
+        # edge-table-sized through broadcast machinery — worse than
+        # the rerun it was meant to beat (measured: 2.1-2.5× the
+        # bootstrap on the dense order graph at sf0.1-sf1, block-store
+        # exhaustion at sf10). 15% of n, floored at 10k nodes (below
+        # which the broadcasts are trivially safe), capped by the
+        # absolute broadcast bound.
+        cap = (
+            None
+            if frontier_cap is None
+            else min(frontier_cap, max(int(n * 0.15), 256))
+        )
         try:
             ranks, dstate = pagerank_delta(
-                e_old, state, n, dl, iterations, frontier_cap=frontier_cap
+                e_old, state, n, dl, iterations, frontier_cap=cap
             )
             return ranks, dstate, "delta"
         except FrontierExplosionError:
-            pass  # hub case: fall through to the recompute path
+            pass  # hub/dense case: fall through to the recompute path
     # dense churn: fold the multiset once, re-bootstrap, diff states.
     # The delta-path guards still apply — fold-level over-delete check
     # here; new/emptied nodes surface as an N change or a dangling

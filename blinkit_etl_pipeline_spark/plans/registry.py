@@ -30,6 +30,7 @@ PRIORITY = [
     # --- r9 additions / changed plans+oracles, never driver-checked as-is ---
     "ns_quality_quantiles",
     "ns_snapshot_diff",
+    "ns_scd2_changes",
     "ns_text_keywords",
     "ns_text_pmi",
     "ns_sketch_bkq_cumulative",

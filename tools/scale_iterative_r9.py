@@ -1,0 +1,107 @@
+"""r9 refresh of the iterative-family scale rows: pagerank / k-means
+walls at sf0.1 / sf1.0 / sf10, plus the maintained-PageRank story on
+the DENSE order graph — the delta machinery's worst case:
+
+- raw ``pagerank_delta`` at sf0.1 / sf1.0 only (measured 2.1-2.5× the
+  bootstrap there; at sf10-dense the per-round whole-edge-table
+  probes exhaust the local block store BY DESIGN — the router exists
+  to keep the delta path out of this regime, so the tool measures the
+  router instead of crashing);
+- ``pagerank_maintain`` at every scale (the deployment path): records
+  which route it took and what it cost.
+
+Timing starts at query construction (the r7 scale-tool rule).
+Usage: python tools/scale_iterative_r9.py   (expects /tmp/sfscale/*)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from blinkit_etl_pipeline_spark.operators import graph  # noqa: E402
+from blinkit_etl_pipeline_spark.plans.registry import all_queries  # noqa: E402
+from blinkit_etl_pipeline_spark.session import get_session  # noqa: E402
+
+SFS = {
+    "sf0.1": "/root/testdata/sf0.1",
+    "sf1.0": "/tmp/sfscale/sf1.0",
+    "sf10": "/tmp/sfscale/sf10",
+}
+
+RAW_DELTA_SFS = {"sf0.1", "sf1.0"}
+
+
+def _edges(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    return pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def main() -> None:
+    spark = get_session("scale-iterative-r9")
+    qs = all_queries()
+    out: dict[str, dict] = {}
+    for sf, d in SFS.items():
+        if not os.path.isdir(d):
+            continue
+        for name in ("ns_graph_pagerank", "ns_cluster_kmeans"):
+            t0 = time.time()
+            n = qs[name](spark, d).count()
+            out.setdefault(name, {})[sf] = {
+                "sec": round(time.time() - t0, 3), "rows": n
+            }
+            print(name, sf, out[name][sf], flush=True)
+            spark.catalog.clearCache()
+        e = _edges(spark, d).persist()
+        t0 = time.time()
+        state, n_nodes = graph.pagerank_state(e, iterations=8)
+        state = state.persist()
+        state.count()
+        boot = round(time.time() - t0, 3)
+        churn = e.filter(F.expr("(src div 2) % 50 = 1 AND src % 2 = 0"))
+        delta = churn.withColumn("__sign", F.lit(1).cast("long"))
+        row: dict = {"bootstrap_sec": boot, "delta_edges": delta.count()}
+        if sf in RAW_DELTA_SFS:
+            t0 = time.time()
+            ranks, _ds = graph.pagerank_delta(e, state, n_nodes, delta, 8)
+            row["raw_delta_rows"] = ranks.count()
+            row["raw_delta_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        # bidirectional graph: every node is a src, so the pinned
+        # src count the streaming twin stores in table props is just
+        # n — the pre-flight then costs one tiny batch-side aggregate
+        # (a corpus-scan pre-flight measurably OOMs at sf10 with the
+        # bootstrap's caches resident)
+        ranks, _ds, method = graph.pagerank_maintain(
+            e, state, n_nodes, delta, 8, n_srcs=n_nodes
+        )
+        row["maintain_rows"] = ranks.count()
+        row["maintain_sec"] = round(time.time() - t0, 3)
+        row["maintain_method"] = method
+        out.setdefault("pagerank_incr", {})[sf] = row
+        print("pagerank_incr", sf, row, flush=True)
+        state.unpersist()
+        e.unpersist()
+        spark.catalog.clearCache()
+    print(json.dumps(out, separators=(",", ":")))
+
+
+if __name__ == "__main__":
+    main()
