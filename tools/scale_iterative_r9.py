@@ -89,8 +89,17 @@ def main() -> None:
         # n — the pre-flight then costs one tiny batch-side aggregate
         # (a corpus-scan pre-flight measurably OOMs at sf10 with the
         # bootstrap's caches resident)
+        # at sf10-dense (117M edges) even ATTEMPTING the delta path
+        # is over the single-16g-JVM bar: its guard/probe aggregates
+        # compete with the resident bootstrap caches
+        # (AGGREGATE_OUT_OF_MEMORY, measured) — so the dense deployment
+        # sets the churn threshold below its expected churn and the
+        # router goes straight to the recompute. On a cluster the bar
+        # is per-executor, not global.
+        frac = 0.1 if sf in RAW_DELTA_SFS else 0.01
         ranks, _ds, method = graph.pagerank_maintain(
-            e, state, n_nodes, delta, 8, n_srcs=n_nodes
+            e, state, n_nodes, delta, 8, n_srcs=n_nodes,
+            fallback_fraction=frac,
         )
         row["maintain_rows"] = ranks.count()
         row["maintain_sec"] = round(time.time() - t0, 3)
