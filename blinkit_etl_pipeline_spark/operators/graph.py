@@ -722,6 +722,7 @@ def pagerank_maintain(
     fallback_fraction: float = 0.1,
     n_srcs: int | None = None,
     frontier_cap: int | None = 4_000_000,
+    delta_min_srcs: int = 2_000_000,
 ) -> tuple[DataFrame, DataFrame, str]:
     """Route one signed edge batch between :func:`pagerank_delta` and
     a full re-bootstrap on a CHEAP pre-flight estimate (VERDICT r8
@@ -757,6 +758,18 @@ def pagerank_maintain(
     of degrading). ``n_srcs`` lets a store-backed caller pin the
     (contract-invariant) graph src count so the pre-flight costs one
     tiny batch-side aggregate instead of a corpus scan per batch.
+
+    The routing is SIZE-aware as well as fraction-aware (r9 verdict
+    task #4): the measured delta-vs-rerun table (PLANS.md r9, ring
+    lattice, 0.1% churn) shows the delta path is BARRIER-bound below
+    ~10M edges (~1-2M srcs at bounded degree) — fixed ≈6 s + ~1.7 s/
+    round of broadcast-exchange latency ≈ rerun parity — and only
+    pulls ahead above that. A graph smaller than ``delta_min_srcs``
+    distinct srcs therefore routes to the recompute even under
+    localized churn: bit-equal either way, strictly cheaper below
+    the crossover. Pass ``delta_min_srcs=0`` to force the
+    fraction-only routing (tests, gauges, clusters where per-round
+    barriers are cheaper than local[32]'s).
     """
     e_old = old_edges.select(
         F.col("src").cast("long").alias("src"),
@@ -787,11 +800,13 @@ def pagerank_maintain(
             .collect()
         )
         counts = {r["_w"]: int(r["c"]) for r in probe}
-        frac = counts.get("b", 0) / max(counts.get("g", 1), 1)
+        graph_srcs = counts.get("g", 1)
+        frac = counts.get("b", 0) / max(graph_srcs, 1)
     else:
+        graph_srcs = int(n_srcs)
         b = dl.select("src").distinct().count()
-        frac = b / max(int(n_srcs), 1)
-    if frac <= fallback_fraction:
+        frac = b / max(graph_srcs, 1)
+    if frac <= fallback_fraction and graph_srcs >= delta_min_srcs:
         # the effective cap is ALSO fraction-aware: once the frontier
         # covers a sizable share of the graph, every round's probe is
         # edge-table-sized through broadcast machinery — worse than
@@ -803,7 +818,7 @@ def pagerank_maintain(
         cap = (
             None
             if frontier_cap is None
-            else min(frontier_cap, max(int(n * 0.15), 256))
+            else min(frontier_cap, max(int(n * 0.15), 10_000))
         )
         try:
             ranks, dstate = pagerank_delta(

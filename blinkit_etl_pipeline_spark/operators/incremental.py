@@ -1087,8 +1087,9 @@ def ingest_bkq_sketch(
         raise snapshot.SnapshotError(
             f"bkq store at {store_table} predates the (day,id) hash "
             "regime — mixed-regime history would no longer equal the "
-            "batch recompute; rebuild the store (or replay its source) "
-            "under the current format"
+            "batch recompute; replay its source through "
+            "rebuild_bkq_store() to migrate (one-shot; moves the old "
+            "store aside)"
         )
     use_k = int(pinned) if pinned is not None else (k or BKQ_K)
     snapshot.ensure_table_properties(
@@ -1156,6 +1157,59 @@ def compact_bkq_store(spark: SparkSession, store_table: str) -> int:
         f"compact_bkq_store: lost the commit race "
         f"{snapshot.COMMIT_RETRIES} times at {store_table}"
     ) from last_err
+
+
+def rebuild_bkq_store(
+    spark: SparkSession,
+    store_table: str,
+    source: DataFrame,
+    date_col: str,
+    id_col: str,
+    value_col: str,
+    *,
+    k: int | None = None,
+) -> int:
+    """One-shot migration for stores that predate the ``(day, id)``
+    hash regime (the r9 format gate's loud raise names this helper).
+
+    The store CANNOT be converted in place: it retains only each
+    day's bottom-k candidates under the OLD hash — rows that lost
+    that selection are gone, and re-hashing survivors would bias the
+    sample toward the old regime's winners. An exact current-regime
+    store therefore requires replaying the SOURCE. This helper moves
+    the old store directory aside to ``<store>.pre-day-id`` (kept,
+    not deleted — the operator removes it after validating reads;
+    readers pinned to old versions keep working against the moved
+    path) and ingests ``source`` fresh under the current format.
+    ``k`` defaults to the old store's pinned ``bkq_k`` so the rebuilt
+    store answers the same quantile grid. Returns the new store's
+    committed version."""
+    import os
+
+    if snapshot.current_version(store_table) is None:
+        raise snapshot.SnapshotError(
+            f"no bkq store at {store_table} — nothing to migrate; "
+            "ingest normally"
+        )
+    props = snapshot.table_properties(store_table)
+    if props.get("bkq_hash") == "day-id":
+        raise snapshot.SnapshotError(
+            f"bkq store at {store_table} is already on the (day,id) "
+            "regime — refusing to rebuild over it"
+        )
+    if k is None and props.get("bkq_k") is not None:
+        k = int(props["bkq_k"])
+    backup = store_table.rstrip("/") + ".pre-day-id"
+    if os.path.exists(backup):
+        raise snapshot.SnapshotError(
+            f"migration backup already exists at {backup} — a prior "
+            "rebuild was interrupted or not cleaned up; resolve it "
+            "first"
+        )
+    os.rename(store_table, backup)
+    return ingest_bkq_sketch(
+        spark, store_table, source, date_col, id_col, value_col, k=k
+    )
 
 
 def bkq_store_cumulative_quantiles(

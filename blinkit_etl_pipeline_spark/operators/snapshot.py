@@ -752,7 +752,15 @@ def expire_orphans(
     # (realpath alone still misclassified when the GC ran from another
     # cwd than the writer of a relative-path manifest).
     def _tail_key(p: str) -> tuple[str, ...]:
-        return tuple(os.path.normpath(p).split(os.sep)[-3:])
+        # Key on everything AFTER the last 'data' component: commit
+        # dir, any nested partition dirs (scd2_apply_snapshot writes
+        # data/<commit>/__bucket=N/<file>), and the file name — depth-
+        # tolerant, so bucketed and flat writers compare identically.
+        parts = os.path.normpath(p).split(os.sep)
+        for i in range(len(parts) - 1, -1, -1):
+            if parts[i] == DATA_DIR:
+                return tuple(parts[i + 1 :])
+        return tuple(parts[-3:])
 
     referenced: set[tuple[str, ...]] = set()
     for p in glob.glob(os.path.join(table, MANIFEST_DIR, "v*.json")):
@@ -766,14 +774,19 @@ def expire_orphans(
             continue  # concurrent expire removed it mid-scan
     cutoff = time.time() - older_than_seconds
     dir_mtime: dict[str, float] = {}
-    for d in glob.glob(os.path.join(table, DATA_DIR, "*")):
-        try:
-            dir_mtime[d] = os.stat(d).st_mtime
-        except FileNotFoundError:
-            pass
+    for root_d, dirs, _fs in os.walk(os.path.join(table, DATA_DIR)):
+        for dn in dirs:
+            d = os.path.join(root_d, dn)
+            try:
+                dir_mtime[d] = os.stat(d).st_mtime
+            except FileNotFoundError:
+                pass
     removed: list[str] = []
     for f in sorted(
-        glob.glob(os.path.join(table, DATA_DIR, "*", "*.parquet"))
+        glob.glob(
+            os.path.join(table, DATA_DIR, "**", "*.parquet"),
+            recursive=True,
+        )
     ):
         if _tail_key(f) in referenced:
             continue
@@ -789,7 +802,9 @@ def expire_orphans(
             removed.append(f)
         except FileNotFoundError:
             pass
-    for d in glob.glob(os.path.join(table, DATA_DIR, "*")):
+    # Deepest-first so a bucketed commit's __bucket=N children empty
+    # and go before their (then-empty) parent commit dir is considered.
+    for d in sorted(dir_mtime, key=lambda p: -p.count(os.sep)):
         # The age threshold applies to DIRECTORIES too: a rollback (or a
         # just-started Spark write) makedirs its commit dir and then
         # populates it — an empty-but-young dir is in-flight, not spent.

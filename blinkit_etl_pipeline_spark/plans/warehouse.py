@@ -8,6 +8,8 @@ sorted-column value hash compares exactly.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -610,8 +612,13 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique to one version — the touched buckets — never the table;
     the oracle recomputes both dimension states in SQL and takes the
     multiset EXCEPT ALL both ways, so equality proves the pruned diff
-    is exact. The store is built in a fresh temp dir per run (the
-    gauge pattern: the build cost IS part of what is measured)."""
+    is exact. The store rebuilds in a per-SESSION scratch dir (keyed
+    by Spark application id) that each invocation wipes before
+    building — the returned frame reads the store lazily, so the dir
+    can't be removed on return, but repeated bench runs (median-of-3
+    + respots) now reuse one path instead of leaking a store per run
+    (r9 ADVICE)."""
+    import shutil
     import tempfile
 
     from ..operators import scd, snapshot
@@ -620,7 +627,12 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "ts", "event_id"
     )
     cutoff = "2024-01-21 00:00:00"
-    table = tempfile.mkdtemp(prefix="snapdiff-") + "/dim"
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"snapdiff-{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    table = os.path.join(scratch, "dim")
     scd.scd2_apply_snapshot(
         spark, table,
         obs.filter(F.col("ts") <= F.lit(cutoff).cast("timestamp")),

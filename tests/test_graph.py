@@ -287,7 +287,7 @@ def test_pagerank_maintain_routes_and_both_paths_bit_equal(spark):
     )
     assert m_rc == "recompute"
     ranks_dl, ds_dl, m_dl = graph.pagerank_maintain(
-        e0, state, n, d1, _ITERS, fallback_fraction=0.5
+        e0, state, n, d1, _ITERS, fallback_fraction=0.5, delta_min_srcs=0
     )
     assert m_dl == "delta"
     got_rc = {r["node"]: r["rank_q"] for r in ranks_rc.collect()}
@@ -344,7 +344,7 @@ def test_pagerank_maintain_frontier_cap_reroutes_hub_explosion(spark):
     # the churn must move real mass.)
     d1 = _signed(spark, [(1, 0, -1), (1, 2, 1)])
     ranks, ds, method = graph.pagerank_maintain(
-        e0, state, n, d1, 3, frontier_cap=50
+        e0, state, n, d1, 3, frontier_cap=50, delta_min_srcs=0
     )
     assert method == "recompute"
     new_edges = edges[:]
@@ -361,7 +361,57 @@ def test_pagerank_maintain_frontier_cap_reroutes_hub_explosion(spark):
     # without the cap the delta path handles it fine (cost, not
     # correctness, is what the cap protects)
     ranks2, _, m2 = graph.pagerank_maintain(
-        e0, state, n, d1, 3, frontier_cap=None, fallback_fraction=0.1
+        e0,
+        state,
+        n,
+        d1,
+        3,
+        frontier_cap=None,
+        fallback_fraction=0.1,
+        delta_min_srcs=0,
     )
     assert m2 == "delta"
     assert {r["node"]: r["rank_q"] for r in ranks2.collect()} == want
+
+
+def test_pagerank_maintain_size_axis_routes_small_graphs_to_recompute(
+    spark,
+):
+    """r10 (VERDICT r9 task #4): routing keys on graph SIZE as well as
+    churn fraction — below ``delta_min_srcs`` the delta path is
+    barrier-bound parity at best (PLANS.md r9 ring-lattice table), so
+    localized churn on a small graph still takes the recompute. Both
+    axes pinned here: (size small, churn local) → recompute under the
+    default floor; same call with the floor disabled → delta; and a
+    pinned ``n_srcs`` (the store-backed caller shape) routes
+    identically to the probed one. Bit-equal across all of them."""
+    e0 = _edges(spark, _BASE)
+    state, n = graph.pagerank_state(e0, iterations=_ITERS)
+    d1 = _signed(spark, [(1, 2, -1), (2, 6, 1)])
+    # churn-local (fraction 0.33 <= 0.5) but graph is 6 srcs << 2M:
+    # the default size floor must win and route to recompute
+    ranks_sz, _, m_sz = graph.pagerank_maintain(
+        e0, state, n, d1, _ITERS, fallback_fraction=0.5
+    )
+    assert m_sz == "recompute"
+    # identical routing when the src count is PINNED (streaming shape)
+    _, _, m_pin = graph.pagerank_maintain(
+        e0, state, n, d1, _ITERS, fallback_fraction=0.5, n_srcs=6
+    )
+    assert m_pin == "recompute"
+    # floor disabled → the fraction axis decides → delta
+    ranks_dl, _, m_dl = graph.pagerank_maintain(
+        e0, state, n, d1, _ITERS, fallback_fraction=0.5, delta_min_srcs=0
+    )
+    assert m_dl == "delta"
+    final = _BASE[:]
+    final.remove((1, 2))
+    final.append((2, 6))
+    want = {
+        r["node"]: r["rank_q"]
+        for r in graph.pagerank(
+            _edges(spark, final), iterations=_ITERS
+        ).collect()
+    }
+    assert {r["node"]: r["rank_q"] for r in ranks_sz.collect()} == want
+    assert {r["node"]: r["rank_q"] for r in ranks_dl.collect()} == want

@@ -567,3 +567,66 @@ def test_bkq_store_hash_regime_pin(spark, tmp_path):
         incremental.ingest_bkq_sketch(
             spark, store, df2, "day", "event_id", "value"
         )
+
+
+def test_rebuild_bkq_store_migrates_pre_regime_store(spark, tmp_path):
+    """r10 (r9 ADVICE): the loud format-gate raise points at a
+    working escape hatch — rebuild_bkq_store replays the SOURCE under
+    the current (day,id) regime, moves the old store aside (kept for
+    pinned readers), inherits the pinned k, and the rebuilt store's
+    reads equal the batch recompute. Guard rails: no store → raise;
+    already-migrated store → raise; leftover backup → raise."""
+    import datetime as _dt
+    import os
+
+    import pytest
+
+    from blinkit_etl_pipeline_spark.operators import incremental, snapshot
+    from blinkit_etl_pipeline_spark.streaming import bkq_ingest
+
+    store = str(tmp_path / "bkq")
+    with pytest.raises(snapshot.SnapshotError, match="nothing to migrate"):
+        incremental.rebuild_bkq_store(
+            spark, store, None, "day", "event_id", "value"
+        )
+    src = spark.createDataFrame(
+        [
+            (_dt.date(2024, 1, d), i, float((i * 31 + d * 7) % 200))
+            for d in (1, 2)
+            for i in range(60)
+        ],
+        "day date, event_id long, value double",
+    )
+    incremental.ingest_bkq_sketch(
+        spark, store, src, "day", "event_id", "value", k=16
+    )
+    with pytest.raises(snapshot.SnapshotError, match="already on"):
+        incremental.rebuild_bkq_store(
+            spark, store, src, "day", "event_id", "value"
+        )
+    # simulate a pre-regime store: drop the pin, keep the data
+    os.unlink(os.path.join(store, snapshot.PROPS_DIR, "bkq_hash.json"))
+    incremental.rebuild_bkq_store(
+        spark, store, src, "day", "event_id", "value"
+    )
+    assert os.path.isdir(store + ".pre-day-id")
+    props = snapshot.table_properties(store)
+    assert props["bkq_hash"] == "day-id" and int(props["bkq_k"]) == 16
+    want = sorted(
+        map(
+            tuple,
+            sketch.bkq_cumulative_quantiles(
+                src, "day", "event_id", "value", quantiles=(0.5, 0.9), k=16
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(tuple, bkq_ingest.quantiles_from_store(spark, store).collect())
+    )
+    assert got == want
+    # a second interrupted-migration attempt trips the backup guard
+    os.unlink(os.path.join(store, snapshot.PROPS_DIR, "bkq_hash.json"))
+    with pytest.raises(snapshot.SnapshotError, match="backup"):
+        incremental.rebuild_bkq_store(
+            spark, store, src, "day", "event_id", "value"
+        )
