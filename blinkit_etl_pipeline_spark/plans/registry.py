@@ -27,6 +27,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # plus the full r5 cohort (which includes ns_text_bm25, whose scorer
 # plan changed this round).
 PRIORITY = [
+    # --- r10 additions, never driver-checked ---
+    "ns_incr_campaign_summary",
+    "ns_incr_delivery_partner",
+    "ns_incr_category_impact",
+    "ns_incr_product_discrepancies",
     # --- r9 additions / changed plans+oracles, never driver-checked as-is ---
     "ns_quality_quantiles",
     "ns_snapshot_diff",

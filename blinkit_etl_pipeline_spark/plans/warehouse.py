@@ -737,3 +737,270 @@ SELECT 'update_preimage', * FROM removed x
 UNION ALL
 SELECT 'update_postimage', * FROM added x
   WHERE EXISTS (SELECT 1 FROM paired p WHERE {_CHG_IDENT})"""
+
+
+# ---------------------------------------------------------------------------
+# r10: event-driven incremental curated tables (IA2–IA5, VERDICT r9 #1)
+# ---------------------------------------------------------------------------
+# Each gauge maintains one of the reference's implied curated tables
+# through the IVM partial algebra (operators/curated.py): three insert
+# delta slices + one delete slice retracting a time range fold to
+# per-key quantized partials and merge; the oracle recomputes the same
+# quantized aggregate DIRECTLY over the surviving rows — equality IS
+# the maintenance proof (delta merge ≡ recompute), the ns_incr_revenue
+# pattern. The persisted-store + file-router form is pytest-pinned
+# (tests/test_streaming.py::test_curated_maintenance_routes_drops).
+
+MKT_CUTOFF = "2024-01-21 00:00:00"
+ORD_CUTOFF = "2000-01-01 00:00:00"
+INV_CUTOFF = "2000-01-01"
+
+
+def _curated_batches(src: DataFrame, split_col, delete_pred) -> list:
+    """3 insert slices (hash split — merge is split-invariant) + 1
+    delete slice; the source frame is a lazy-checkpoint leaf so the
+    four consumers share one materialization (r8 gauge lesson)."""
+    src = src.localCheckpoint(eager=False)
+    batches = [
+        src.filter(F.crc32(split_col.cast("string")) % 3 == b).withColumn(
+            "__sign", F.lit(1)
+        )
+        for b in range(3)
+    ]
+    batches.append(src.filter(delete_pred).withColumn("__sign", F.lit(-1)))
+    return batches
+
+
+def q_incr_campaign_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IA2 maintained incrementally: per-day marketing KPI rows arrive
+    in three hash-split insert drops, then post-cutoff days retract —
+    the merged store view must equal the direct curated aggregate over
+    surviving days (the oracle). All measures ride integer lattices
+    (cents for money, 1e-6 for ratios), so the partial merge is
+    batch-split/order invariant. At 100 TB a marketing file drop costs
+    one map-side KPI pass over the drop + a store-grain merge."""
+    from ..operators import curated
+    from ..pipelines import marketing_roi
+    from ..sources.testdata import register_blinkit
+
+    t = register_blinkit(spark, sf_dir)
+    kpis = marketing_roi.marketing_kpis(t["b_marketing"]).select(
+        "campaign_id", "campaign_name", "channel", "date", "spend",
+        "revenue_generated", "conversions", "ctr", "conversion_rate",
+        "roas_calculated",
+    )
+    batches = _curated_batches(
+        kpis,
+        F.col("campaign_id"),
+        F.col("date") > F.lit(MKT_CUTOFF).cast("timestamp"),
+    )
+    return curated.curated_delta_view("campaign_summary", batches)
+
+
+QUERIES["ns_incr_campaign_summary"] = q_incr_campaign_summary
+
+
+def _mkt_oracle() -> str:
+    from ..sources.testdata import oracle_with_clause
+    from .parity import MARKETING_KPIS_CTE
+
+    return (
+        oracle_with_clause("b_marketing")
+        + ",\n"
+        + MARKETING_KPIS_CTE
+        + f""",
+q AS (
+  SELECT campaign_id, campaign_name, channel,
+    CAST(ROUND(spend * 100, 0) AS BIGINT) AS sq,
+    CAST(ROUND(revenue_generated * 100, 0) AS BIGINT) AS rq,
+    CAST(conversions AS BIGINT) AS cv,
+    CAST(ROUND(ctr * 1000000.0, 0) AS BIGINT) AS cq,
+    CAST(ROUND(conversion_rate * 1000000.0, 0) AS BIGINT) AS vq,
+    CAST(ROUND(roas_calculated * 1000000.0, 0) AS BIGINT) AS aq
+  FROM marketing_kpis
+  WHERE date <= TIMESTAMP '{MKT_CUTOFF}')
+SELECT campaign_id, campaign_name, channel,
+  ROUND(SUM(sq) / 100.0, 2) AS total_spend,
+  ROUND(SUM(rq) / 100.0, 2) AS total_revenue,
+  CAST(SUM(cv) AS BIGINT) AS total_conversions,
+  ROUND(SUM(cq) / (1000000.0 * COUNT(*)), 4) AS avg_ctr,
+  ROUND(SUM(vq) / (1000000.0 * COUNT(*)), 4) AS avg_conversion_rate,
+  ROUND(SUM(aq) / (1000000.0 * COUNT(*)), 4) AS avg_roas,
+  ROUND(CASE WHEN SUM(sq) > 0
+        THEN (SUM(rq) - SUM(sq)) * 100.0 / SUM(sq)
+        ELSE CAST(0 AS DOUBLE) END, 2) AS overall_roi
+FROM q GROUP BY campaign_id, campaign_name, channel"""
+    )
+
+
+ORACLES["ns_incr_campaign_summary"] = _mkt_oracle()
+
+
+def q_incr_delivery_partner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IA3 maintained incrementally: order rows (unique order_id — the
+    slice contract) arrive in three insert drops, post-cutoff orders
+    retract; store grain IS the output grain, so maintenance is one
+    map-side quantize + partial sum per drop."""
+    from ..operators import curated
+    from ..sources.testdata import register_blinkit
+
+    t = register_blinkit(spark, sf_dir)
+    orders = t["b_orders"].select(
+        "order_id", "delivery_partner_id", "order_date", "is_delayed",
+        "delivery_time_hours", "distance_km",
+    )
+    batches = _curated_batches(
+        orders,
+        F.col("order_id"),
+        F.col("order_date") > F.lit(ORD_CUTOFF).cast("timestamp_ntz"),
+    )
+    return curated.curated_delta_view("delivery_partner", batches)
+
+
+QUERIES["ns_incr_delivery_partner"] = q_incr_delivery_partner
+
+
+def _delivery_oracle() -> str:
+    from ..sources.testdata import oracle_with_clause
+
+    return (
+        oracle_with_clause("b_orders")
+        + f""",
+q AS (
+  SELECT delivery_partner_id,
+    CAST(is_delayed AS BIGINT) AS dl,
+    CAST(ROUND(delivery_time_hours * 1000000.0, 0) AS BIGINT) AS tq,
+    CAST(ROUND(distance_km * 1000000.0, 0) AS BIGINT) AS dq
+  FROM b_orders
+  WHERE order_id IS NOT NULL AND delivery_partner_id IS NOT NULL
+    AND order_date <= TIMESTAMP '{ORD_CUTOFF}')
+SELECT delivery_partner_id,
+  CAST(COUNT(*) AS BIGINT) AS total_deliveries,
+  CAST(SUM(dl) AS BIGINT) AS delayed_deliveries,
+  ROUND((SUM(dl) / COUNT(*)) * 100, 2) AS delay_percentage,
+  ROUND(SUM(tq) / (1000000.0 * COUNT(*)), 2) AS avg_delivery_time,
+  ROUND(SUM(dq) / (1000000.0 * COUNT(*)), 2) AS avg_distance
+FROM q GROUP BY delivery_partner_id"""
+    )
+
+
+ORACLES["ns_incr_delivery_partner"] = _delivery_oracle()
+
+
+def _recon_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipelines import inventory_recon
+    from ..sources.testdata import register_blinkit
+
+    t = register_blinkit(spark, sf_dir)
+    return inventory_recon.reconcile(
+        t["b_inventory_old"], t["b_inventory_new"], t["b_products"]
+    ).select(
+        "product_id", "product_name", "category", "date",
+        "has_discrepancy", "severity_rank", "stock_variance",
+        "damaged_variance", "financial_impact",
+    )
+
+
+def q_incr_category_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IA4 maintained incrementally — the COUNT(DISTINCT product_id)
+    case: partials persist at the FINER (category, product_id) grain
+    and the distinct count derives at read time as a count over live
+    per-product groups (hierarchical cascade, the
+    ns_incr_category_revenue precedent). The recon join partitions by
+    (product_id, date), so a per-date-slice drop reconciles wholly
+    within itself — the property that makes the event-driven
+    decomposition exact."""
+    from ..operators import curated
+
+    recon = _recon_src(spark, sf_dir)
+    batches = _curated_batches(
+        recon,
+        F.col("product_id"),
+        F.col("date") > F.lit(INV_CUTOFF).cast("date"),
+    )
+    return curated.curated_delta_view("category_impact", batches)
+
+
+QUERIES["ns_incr_category_impact"] = q_incr_category_impact
+
+
+def _recon_oracle(body: str) -> str:
+    from ..sources.testdata import oracle_with_clause
+    from .parity import INVENTORY_RECON_CTE
+
+    return (
+        oracle_with_clause(
+            "b_inventory_old", "b_inventory_new", "b_products"
+        )
+        + ",\n"
+        + INVENTORY_RECON_CTE
+        + body
+    )
+
+
+ORACLES["ns_incr_category_impact"] = _recon_oracle(
+    f""",
+q AS (
+  SELECT category, product_id,
+    CAST(ROUND(financial_impact * 100, 0) AS BIGINT) AS fq,
+    CAST(stock_variance AS BIGINT) AS sv,
+    CAST(damaged_variance AS BIGINT) AS dv
+  FROM inventory_recon
+  WHERE has_discrepancy = 1 AND date <= DATE '{INV_CUTOFF}'),
+g1 AS (
+  SELECT category, product_id, CAST(SUM(fq) AS BIGINT) AS fq,
+    CAST(SUM(sv) AS BIGINT) AS sv, CAST(SUM(dv) AS BIGINT) AS dv,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM q GROUP BY category, product_id)
+SELECT category,
+  ROUND(SUM(fq) / 100.0, 2) AS total_impact,
+  CAST(COUNT(*) AS BIGINT) AS affected_products,
+  ROUND(SUM(sv) / SUM(n), 4) AS avg_stock_variance,
+  ROUND(SUM(dv) / SUM(n), 4) AS avg_damaged_variance
+FROM g1 GROUP BY category"""
+)
+
+
+def q_incr_product_discrepancies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IA5 maintained incrementally — the MAX(severity_rank) case:
+    severity_rank lives IN the store key (count per distinct rank,
+    the value-multiset min/max IVM fix), so the max over live ranks
+    stays exact under retraction; fully-retracted ranks fold to count
+    0 and vanish."""
+    from ..operators import curated
+
+    recon = _recon_src(spark, sf_dir)
+    batches = _curated_batches(
+        recon,
+        F.col("product_id"),
+        F.col("date") > F.lit(INV_CUTOFF).cast("date"),
+    )
+    return curated.curated_delta_view("product_discrepancies", batches)
+
+
+QUERIES["ns_incr_product_discrepancies"] = q_incr_product_discrepancies
+
+ORACLES["ns_incr_product_discrepancies"] = _recon_oracle(
+    f""",
+q AS (
+  SELECT product_id, product_name, category, severity_rank,
+    CAST(ROUND(financial_impact * 100, 0) AS BIGINT) AS fq,
+    CAST(stock_variance AS BIGINT) AS sv,
+    CAST(damaged_variance AS BIGINT) AS dv
+  FROM inventory_recon
+  WHERE has_discrepancy = 1 AND date <= DATE '{INV_CUTOFF}'),
+g1 AS (
+  SELECT product_id, product_name, category, severity_rank,
+    CAST(SUM(fq) AS BIGINT) AS fq, CAST(SUM(sv) AS BIGINT) AS sv,
+    CAST(SUM(dv) AS BIGINT) AS dv, CAST(COUNT(*) AS BIGINT) AS n
+  FROM q GROUP BY product_id, product_name, category, severity_rank)
+SELECT product_id, product_name, category,
+  CAST(SUM(n) AS BIGINT) AS discrepancy_occurrences,
+  CAST(SUM(sv) AS BIGINT) AS total_stock_variance,
+  CAST(SUM(dv) AS BIGINT) AS total_damaged_variance,
+  ROUND(SUM(fq) / 100.0, 2) AS total_impact,
+  CASE MAX(severity_rank) WHEN 4 THEN 'Critical' WHEN 3 THEN 'High'
+       WHEN 2 THEN 'Medium' WHEN 1 THEN 'Low' ELSE 'None'
+  END AS max_severity
+FROM g1 GROUP BY product_id, product_name, category"""
+)

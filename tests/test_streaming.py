@@ -531,3 +531,257 @@ def test_file_stream_backpressure_bounds_batches_and_drains(spark, tmp_path):
     )
     file_source.run_available_now(stream, ckpt, process)
     assert sum(batch_rows) == rows_per_file * n_files
+
+
+def test_curated_maintenance_routes_drops(spark, tmp_path):
+    """r10 (VERDICT r9 task #1): the event-driven contract end-to-end —
+    a file lands under its source prefix, ONLY the routed curated
+    stores refresh (marketing → campaign_summary; orders →
+    delivery_partner; inventory → both inventory tables), each store's
+    read equals the batch recompute over everything dropped, and a
+    re-run with no new files (plus a redelivered batch id) changes
+    nothing."""
+    import datetime as _dt
+
+    from blinkit_etl_pipeline_spark.operators import curated, snapshot
+    from blinkit_etl_pipeline_spark.pipelines import (
+        inventory_recon,
+        marketing_roi,
+    )
+    from blinkit_etl_pipeline_spark.streaming import curated_ingest
+
+    raw = tmp_path / "raw"
+    for src in ("marketing", "orders", "inventory"):
+        (raw / src).mkdir(parents=True)
+    d1 = _dt.datetime(2024, 3, 1)
+    d2 = _dt.datetime(2024, 3, 2)
+    mk_schema = (
+        "campaign_id string, campaign_name string, channel string, "
+        "date timestamp, impressions long, clicks long, "
+        "conversions long, spend double, revenue_generated double"
+    )
+    # day-1 drop: includes a within-slice duplicate (campaign,date) row
+    # (the dedup grain) and a zero-impressions row (the div guards)
+    mk1 = spark.createDataFrame(
+        [
+            ("c1", "Camp 1", "social", d1, 1000, 50, 5, 20.0, 90.0),
+            ("c1", "Camp 1", "social", d1, 1000, 50, 5, 20.0, 90.0),
+            ("c2", "Camp 2", "search", d1, 0, 0, 0, 0.0, 0.0),
+        ],
+        mk_schema,
+    )
+    mk2 = spark.createDataFrame(
+        [
+            ("c1", "Camp 1", "social", d2, 2000, 80, 8, 40.0, 260.0),
+            ("c2", "Camp 2", "search", d2, 500, 10, 1, 5.0, 2.5),
+        ],
+        mk_schema,
+    )
+    ord_schema = (
+        "order_id string, delivery_partner_id string, is_delayed int, "
+        "delivery_time_hours double, distance_km double"
+    )
+    orders = spark.createDataFrame(
+        [
+            ("o1", "dp_1", 1, 2.5, 10.0),
+            ("o2", "dp_1", 0, 1.25, 4.0),
+            ("o3", "dp_2", 0, 3.0, 7.5),
+            ("o4", None, 1, 9.0, 1.0),  # prepare() drops it
+        ],
+        ord_schema,
+    )
+    inv_schema = (
+        "product_id string, date date, stock_received int, "
+        "damaged_stock int, snapshot string"
+    )
+    inv = spark.createDataFrame(
+        [
+            ("p1", d1.date(), 100, 2, "old"),
+            ("p1", d1.date(), 40, 2, "new"),   # variance -60 → High
+            ("p2", d1.date(), 30, 1, "old"),
+            ("p2", d1.date(), 30, 1, "new"),   # no discrepancy
+            ("p3", d1.date(), 10, 0, "old"),
+            ("p3", d1.date(), 15, 3, "new"),   # +5/+3 → Low, both
+        ],
+        inv_schema,
+    )
+    products = spark.createDataFrame(
+        [
+            ("p1", "Prod 1", "catA", 10.0),
+            ("p2", "Prod 2", "catA", 5.0),
+            ("p3", "Prod 3", "catB", 2.0),
+        ],
+        "product_id string, product_name string, category string, "
+        "price double",
+    )
+    mk1.coalesce(1).write.parquet(str(raw / "marketing" / "drop1"))
+    orders.coalesce(1).write.parquet(str(raw / "orders" / "drop1"))
+    inv.coalesce(1).write.parquet(str(raw / "inventory" / "drop1"))
+    schemas = {
+        "marketing": mk1.schema,
+        "orders": orders.schema,
+        "inventory": inv.schema,
+    }
+    stores = str(tmp_path / "stores")
+    ckpt = str(tmp_path / "ckpt")
+
+    def versions():
+        return {
+            t: snapshot.current_version(
+                curated_ingest.store_path(stores, t)
+            )
+            for r in curated_ingest.ROUTES.values()
+            for t in r
+        }
+
+    curated_ingest.run_curated_maintenance(
+        spark, str(raw), ckpt, stores, schemas, products=products,
+        timeout_sec=120,
+    )
+    v1 = versions()
+    assert all(v is not None for v in v1.values())
+    # sweep 2: ONLY a marketing file lands → only its store refreshes
+    mk2.coalesce(1).write.parquet(str(raw / "marketing" / "drop2"))
+    curated_ingest.run_curated_maintenance(
+        spark, str(raw), ckpt, stores, schemas, products=products,
+        timeout_sec=120,
+    )
+    v2 = versions()
+    assert v2["campaign_summary"] > v1["campaign_summary"]
+    for t in ("delivery_partner", "category_impact", "product_discrepancies"):
+        assert v2[t] == v1[t], t
+    # each store's read equals the batch recompute over every drop
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    want_campaign = curated.curated_delta_view(
+        "campaign_summary",
+        [marketing_roi.marketing_kpis(mk1.unionByName(mk2))],
+    )
+    got_campaign = curated.read_curated(
+        spark, curated_ingest.store_path(stores, "campaign_summary"),
+        "campaign_summary",
+    )
+    assert rows(got_campaign) == rows(want_campaign)
+    assert rows(
+        curated.read_curated(
+            spark,
+            curated_ingest.store_path(stores, "delivery_partner"),
+            "delivery_partner",
+        )
+    ) == rows(curated.curated_delta_view("delivery_partner", [orders]))
+    recon = inventory_recon.reconcile(
+        inv.filter(F.col("snapshot") == "old").drop("snapshot"),
+        inv.filter(F.col("snapshot") == "new").drop("snapshot"),
+        products,
+    )
+    for t in ("category_impact", "product_discrepancies"):
+        assert rows(
+            curated.read_curated(
+                spark, curated_ingest.store_path(stores, t), t
+            )
+        ) == rows(curated.curated_delta_view(t, [recon])), t
+    # a third sweep with nothing new: checkpoints absorb it
+    curated_ingest.run_curated_maintenance(
+        spark, str(raw), ckpt, stores, schemas, products=products,
+        timeout_sec=120,
+    )
+    assert versions() == v2
+    # redelivered batch id at the operator level: the store guard eats it
+    curated.ingest_curated_deltas(
+        spark,
+        curated_ingest.store_path(stores, "delivery_partner"),
+        "delivery_partner",
+        orders,
+        batch_id="orders-epoch-0",
+    )
+    assert rows(
+        curated.read_curated(
+            spark,
+            curated_ingest.store_path(stores, "delivery_partner"),
+            "delivery_partner",
+        )
+    ) == rows(curated.curated_delta_view("delivery_partner", [orders]))
+
+
+def test_curated_store_retraction_and_max_rank(spark, tmp_path):
+    """The IA5 value-multiset fix under retraction: deleting the rows
+    that carried a product's highest severity_rank must DEMOTE its
+    max_severity (a stored MAX could never back down), and a fully
+    retracted product vanishes; IA4's distinct-product count follows
+    the live per-product groups."""
+    import datetime as _dt
+
+    from blinkit_etl_pipeline_spark.operators import curated
+    from blinkit_etl_pipeline_spark.pipelines import inventory_recon
+
+    d1, d2 = _dt.date(2024, 3, 1), _dt.date(2024, 3, 2)
+    inv_rows = [
+        # p1 day1: variance +200 → Critical; p1 day2: +20 → Medium
+        ("p1", d1, 0, 0, "old"), ("p1", d1, 200, 0, "new"),
+        ("p1", d2, 0, 0, "old"), ("p1", d2, 20, 0, "new"),
+        # p2 day1: +5 → Low (sole discrepancy)
+        ("p2", d1, 0, 0, "old"), ("p2", d1, 5, 0, "new"),
+    ]
+    schema = (
+        "product_id string, date date, stock_received int, "
+        "damaged_stock int, snapshot string"
+    )
+    inv = spark.createDataFrame(inv_rows, schema)
+    products = spark.createDataFrame(
+        [("p1", "Prod 1", "catA", 1.0), ("p2", "Prod 2", "catA", 1.0)],
+        "product_id string, product_name string, category string, "
+        "price double",
+    )
+
+    def recon_of(df):
+        return inventory_recon.reconcile(
+            df.filter(F.col("snapshot") == "old").drop("snapshot"),
+            df.filter(F.col("snapshot") == "new").drop("snapshot"),
+            products,
+        )
+
+    store = str(tmp_path / "pd")
+    full = recon_of(inv)
+    curated.ingest_curated_deltas(
+        spark, store, "product_discrepancies", full, batch_id="b0"
+    )
+    got0 = {
+        r["product_id"]: r["max_severity"]
+        for r in curated.read_curated(
+            spark, store, "product_discrepancies"
+        ).collect()
+    }
+    assert got0 == {"p1": "Critical", "p2": "Low"}
+    # retract p1's day-1 slice (the Critical) and ALL of p2
+    retract = recon_of(
+        inv.filter(
+            ((F.col("product_id") == "p1") & (F.col("date") == d1))
+            | (F.col("product_id") == "p2")
+        )
+    ).withColumn("__sign", F.lit(-1))
+    curated.ingest_curated_deltas(
+        spark, store, "product_discrepancies", retract, batch_id="b1"
+    )
+    got1 = {
+        r["product_id"]: r["max_severity"]
+        for r in curated.read_curated(
+            spark, store, "product_discrepancies"
+        ).collect()
+    }
+    assert got1 == {"p1": "Medium"}  # demoted; p2 fully gone
+    # IA4 cascade over the same deltas: affected_products tracks lives
+    store4 = str(tmp_path / "ci")
+    curated.ingest_curated_deltas(
+        spark, store4, "category_impact", full, batch_id="b0"
+    )
+    curated.ingest_curated_deltas(
+        spark, store4, "category_impact", retract, batch_id="b1"
+    )
+    got4 = {
+        r["category"]: r["affected_products"]
+        for r in curated.read_curated(
+            spark, store4, "category_impact"
+        ).collect()
+    }
+    assert got4 == {"catA": 1}
