@@ -565,6 +565,164 @@ def cosine_neardup_pairs(
     )
 
 
+def _bucket_directed_fn():
+    """applyInPandas kernel: score every DIRECTED pair (u → v, u ≠ v)
+    within one (t, bucket) — the seed edges of :func:`knn_graph`, where
+    each node needs its own candidate list (so both directions matter,
+    unlike the unordered near-dup pairs). Row-tiled like
+    :func:`_bucket_pair_fn`; cross-table duplicates eliminated in the
+    kernel by first-collision ownership, so the output IS the unique
+    directed collision set (the oracle's DISTINCT) with no dedup
+    shuffle."""
+    import pandas as pd
+
+    def fn(pdf):
+        import numpy as np
+
+        n = len(pdf)
+        empty = pd.DataFrame({"u": [], "v": [], "cos_raw": []}).astype(
+            {"u": "int64", "v": "int64", "cos_raw": "float64"}
+        )
+        if n < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        sq = np.sqrt(pdf["qq"].to_numpy(dtype="float64"))
+        M = _np_stack(pdf["qvec"])
+        t = int(pdf["t"].iloc[0])
+        ab = (
+            np.stack(pdf["all_buckets"].to_numpy())[:, :t] if t > 0 else None
+        )
+        rows = max(1, _BLOCK_CELLS // n)
+        outs = []
+        for b0 in range(0, n, rows):
+            b1 = min(n, b0 + rows)
+            cos = (M[b0:b1] @ M.T) / (sq[b0:b1, None] * sq[None, :])
+            la, ib = np.nonzero(np.ones_like(cos, dtype=bool))
+            ga = la + b0
+            keep = ga != ib
+            la, ga, ib = la[keep], ga[keep], ib[keep]
+            if ab is not None and len(ga):
+                own = ~(ab[ga] == ab[ib]).any(axis=1)  # first-collision
+                la, ga, ib = la[own], ga[own], ib[own]
+            if len(ga):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "u": ids[ga],
+                            "v": ids[ib],
+                            "cos_raw": cos[la, ib],
+                        }
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return fn
+
+
+def _directed_topk(pairs: DataFrame, k: int) -> DataFrame:
+    """Per-node top-k by (cos_raw DESC, v ASC) — compiles to
+    WindowGroupLimit (map-side partial top-k), so shuffle volume is
+    O(k·nodes) however wide the candidate stream."""
+    w = Window.partitionBy("u").orderBy(
+        F.col("cos_raw").desc(), F.col("v").asc()
+    )
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = 5,
+    iters: int = 1,
+    nbits: int = 4,
+    dim: int = 64,
+    ntables: int = 8,
+) -> DataFrame:
+    """k-NN graph construction — LSH-seeded NN-Descent (VERDICT r9
+    task #5): the neighbor-graph primitive that feeds SemDeDup
+    seeding, triplet hard-negative mining, and graph-ANN serving.
+
+    Shape (Dong et al.'s NN-Descent, expressed as equi-joins — never
+    all-pairs):
+
+    1. **Seed**: every directed same-bucket pair across ``ntables``
+       sign-LSH tables, scored per (t, bucket) in one BLAS block each
+       (:func:`_bucket_directed_fn`, first-collision ownership = exact
+       kernel-local dedup); per-node top-k via WindowGroupLimit.
+    2. **Refine** (``iters`` rounds): NN-Descent's local-join —
+       neighbors-of-neighbors over the UNDIRECTED current graph
+       (``u→v`` joins ``v→w`` ⇒ candidate ``u→w``) — minus the pairs
+       already scored; score only the new candidates (O(n·k²) rows per
+       round, each one integer fold); merge and re-take top-k.
+
+    Deterministic and oracle-replayable end-to-end: cosines are IEEE
+    doubles from exact integer dots (the :func:`quantize` lattice),
+    ties break (cos DESC, neighbor ASC), and the kernel's ownership
+    dedup equals the oracle's DISTINCT. Returns (node_id, neighbor_id,
+    cosine_sim, rank), k rows per node with ≥1 collision.
+
+    Scale: candidate volume is Σ bucket² (bounded by LSH balance —
+    the documented OR-amplification trade) + n·k² per refine round;
+    state per round is the graph itself (k·n rows), checkpointed so
+    rounds share materialization. No corpus-sized collect, no
+    cartesian anywhere.
+    """
+    e = with_q(emb).localCheckpoint(eager=False)
+    buckets = bucket_frame(e, nbits, ntables, dim)
+    seeds = buckets.groupBy("t", "bucket").applyInPandas(
+        _bucket_directed_fn(), schema="u long, v long, cos_raw double"
+    )
+    knn = _directed_topk(seeds, k).select("u", "v", "cos_raw")
+    ea = e.select(
+        F.col("vec_id").alias("u"),
+        F.col("qvec").alias("_qa"),
+        F.col("qq").alias("_qqa"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("v"),
+        F.col("qvec").alias("_qb"),
+        F.col("qq").alias("_qqb"),
+    )
+    for _ in range(iters):
+        knn = knn.localCheckpoint(eager=False)
+        und = (
+            knn.select("u", "v")
+            .union(knn.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+        )
+        cand = (
+            und.alias("a")
+            .join(und.alias("b"), F.col("a.v") == F.col("b.u"))
+            .select(F.col("a.u").alias("u"), F.col("b.v").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        new = cand.join(knn.select("u", "v"), ["u", "v"], "left_anti")
+        scored = (
+            new.join(ea, "u")
+            .join(eb, "v")
+            .select(
+                "u",
+                "v",
+                qcos(
+                    qdot(F.col("_qa"), F.col("_qb")),
+                    F.col("_qqa"),
+                    F.col("_qqb"),
+                ).alias("cos_raw"),
+            )
+        )
+        knn = _directed_topk(knn.unionByName(scored), k).select(
+            "u", "v", "cos_raw"
+        )
+    return _directed_topk(knn, k).select(
+        F.col("u").alias("node_id"),
+        F.col("v").alias("neighbor_id"),
+        F.round("cos_raw", 6).alias("cosine_sim"),
+        "rank",
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query_ids: Sequence[int],

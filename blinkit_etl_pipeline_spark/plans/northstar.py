@@ -6042,3 +6042,136 @@ JOIN uni u2 ON c12.w2 = u2.token
 WHERE c12 >= 5
 ORDER BY pmi_q DESC, w1 ASC, w2 ASC
 LIMIT 20"""
+
+
+# ----------------------------------------------------------------------
+# r10: k-NN graph construction — LSH-seeded NN-Descent (VERDICT r9 #5)
+# ----------------------------------------------------------------------
+
+KNN_GRAPH_K = ANN_K
+KNN_GRAPH_ITERS = 1
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph over the embedding corpus (operators/vector.py::
+    knn_graph): sign-LSH collisions seed each node's candidate list,
+    one NN-Descent local-join round (neighbors-of-neighbors, scored
+    only where new) refines it — all equi-joins, never all-pairs. The
+    oracle replays the identical deterministic construction (same
+    seeded planes, same integer-lattice cosines, same tie order), so
+    equality pins every seed pair, every refinement candidate, and
+    every rank. Feeds SemDeDup seeding and triplet mining."""
+    return vector.knn_graph(
+        _emb(spark, sf_dir),
+        k=KNN_GRAPH_K,
+        iters=KNN_GRAPH_ITERS,
+        nbits=ANN_NBITS,
+        ntables=ANN_NTABLES,
+    )
+
+
+QUERIES["ns_knn_graph"] = q_knn_graph
+
+
+def _knn_ctes(k: int = KNN_GRAPH_K) -> str:
+    """Graph-construction CTE chain shared by the graph + recall
+    oracles — DuckDB replay of vector.knn_graph at iters=1, ending in
+    ``final(u, v, cos_raw, rn)``."""
+    cosr = _COSR.format(a="ea.qv", b="eb.qv", qa="ea.qq", qb="eb.qq")
+    return f"""{_mb_cte()},
+seed_pairs AS (
+  SELECT DISTINCT a.vec_id AS u, b.vec_id AS v
+  FROM mb a JOIN mb b ON a.t = b.t AND a.bucket = b.bucket
+  WHERE a.vec_id != b.vec_id),
+seeds AS (
+  SELECT u, v, {cosr} AS cos_raw
+  FROM seed_pairs JOIN e ea ON ea.vec_id = u JOIN e eb ON eb.vec_id = v),
+knn0 AS (
+  SELECT u, v, cos_raw FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY u ORDER BY cos_raw DESC, v ASC) AS rn
+    FROM seeds) WHERE rn <= {k}),
+und AS (SELECT u, v FROM knn0 UNION SELECT v, u FROM knn0),
+cand AS (
+  SELECT DISTINCT a.u AS u, b.v AS v
+  FROM und a JOIN und b ON a.v = b.u WHERE a.u != b.v),
+newp AS (
+  SELECT c.u, c.v FROM cand c
+  LEFT JOIN knn0 n ON c.u = n.u AND c.v = n.v WHERE n.u IS NULL),
+scored AS (
+  SELECT u, v, {cosr} AS cos_raw
+  FROM newp JOIN e ea ON ea.vec_id = u JOIN e eb ON eb.vec_id = v),
+allp AS (
+  SELECT u, v, cos_raw FROM knn0
+  UNION ALL SELECT u, v, cos_raw FROM scored),
+final AS (
+  SELECT u, v, cos_raw, rn FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY u ORDER BY cos_raw DESC, v ASC) AS rn
+    FROM allp) WHERE rn <= {k})"""
+
+
+ORACLES["ns_knn_graph"] = f"""WITH {_EMB},
+{_knn_ctes()}
+SELECT u AS node_id, v AS neighbor_id,
+  ROUND(cos_raw, 6) AS cosine_sim, CAST(rn AS INT) AS "rank"
+FROM final"""
+
+
+def q_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gauge for the k-NN graph: per probe node, the fraction
+    of its EXACT top-k neighbors present among its graph edges. The
+    truth side is exact by definition (probe-limited brute force —
+    the one deliberately O(probes·corpus) plan, the recall-gauge
+    pattern); both engines compute graph ∩ truth, so the recall
+    numbers themselves are value-exact."""
+    emb = _emb(spark, sf_dir)
+    g = vector.knn_graph(
+        emb,
+        k=KNN_GRAPH_K,
+        iters=KNN_GRAPH_ITERS,
+        nbits=ANN_NBITS,
+        ntables=ANN_NTABLES,
+    )
+    gq = g.filter(
+        F.col("node_id") < len(ANN_QUERY_IDS)
+    ).select(F.col("node_id").alias("query_id"), "neighbor_id")
+    truth = vector.brute_force_topk(
+        emb, ANN_QUERY_IDS, k=KNN_GRAPH_K
+    ).select("query_id", "neighbor_id")
+    hits = gq.join(truth, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count("*").cast("long").alias("hits"))
+    base = truth.select("query_id").distinct()
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+        F.round(
+            F.coalesce(F.col("hits"), F.lit(0)) / KNN_GRAPH_K, 4
+        ).alias("recall"),
+    )
+
+
+QUERIES["ns_knn_graph_recall"] = q_knn_graph_recall
+
+ORACLES["ns_knn_graph_recall"] = f"""WITH {_EMB},
+{_knn_ctes()},
+gq AS (SELECT u AS query_id, v AS neighbor_id FROM final
+  WHERE u < {len(ANN_QUERY_IDS)}),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        {_COSR.format(a='q.qv', b='c.qv', qa='q.qq', qb='c.qq')} DESC,
+        c.vec_id ASC) AS rn
+    FROM e q CROSS JOIN e c
+    WHERE q.vec_id < {len(ANN_QUERY_IDS)} AND c.vec_id != q.vec_id)
+  WHERE rn <= {KNN_GRAPH_K}),
+h AS (
+  SELECT t.query_id, CAST(count(g.neighbor_id) AS BIGINT) AS hits
+  FROM truth t LEFT JOIN gq g
+    ON g.query_id = t.query_id AND g.neighbor_id = t.neighbor_id
+  GROUP BY t.query_id)
+SELECT query_id, hits,
+  ROUND(hits / {KNN_GRAPH_K}, 4) AS recall
+FROM h"""

@@ -28,6 +28,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # plan changed this round).
 PRIORITY = [
     # --- r10 additions, never driver-checked ---
+    "ns_knn_graph",
+    "ns_knn_graph_recall",
     "ns_incr_campaign_summary",
     "ns_incr_delivery_partner",
     "ns_incr_category_impact",

