@@ -818,6 +818,46 @@ def tfidf_keywords(docs: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def pmi_score(
+    uni: DataFrame, c12: DataFrame, min_count: int = 5, top: int = 20
+) -> DataFrame:
+    """PMI scoring over pre-aggregated counts — shared by the batch
+    :func:`pmi_collocations` and the store read
+    (``incremental.pmi_from_store``). ``uni`` is (token, c) corpus
+    unigram counts, ``c12`` is (w1, w2, c12) adjacent-bigram counts;
+    totals derive from the aggregated frames (Σc, Σc12 — exact
+    integers, identical to counting the raw streams), so any additive
+    split of the corpus scores identically."""
+    totals = F.broadcast(
+        uni.agg(F.sum("c").cast("long").alias("__t")).crossJoin(
+            c12.agg(F.sum("c12").cast("long").alias("__b"))
+        )
+    )
+    u1 = uni.select(F.col("token").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        c12.filter(F.col("c12") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(totals)
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            (
+                _lnq(F.col("c12"))
+                - _lnq(F.col("__b"))
+                - _lnq(F.col("c1"))
+                - _lnq(F.col("c2"))
+                + F.lit(2) * _lnq(F.col("__t"))
+            ).cast("long").alias("pmi_q"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_q").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(top)
+
+
 def pmi_collocations(
     docs: DataFrame, min_count: int = 5, top: int = 20
 ) -> DataFrame:
@@ -845,31 +885,65 @@ def pmi_collocations(
     c12 = bg.groupBy("w1", "w2").agg(
         F.count("*").cast("long").alias("c12")
     )
-    totals = F.broadcast(
-        uni.agg(F.sum("c").cast("long").alias("__t")).crossJoin(
-            bg.agg(F.count("*").cast("long").alias("__b"))
+    return pmi_score(uni, c12, min_count, top)
+
+
+def bigram_frame(docs: DataFrame, text: str = "text") -> DataFrame:
+    """(doc_id, w1, w2, c12) — per-document adjacent-bigram counts,
+    one tokenize scan: the collocation index rows the bigram store
+    persists (``incremental.ingest_bigram_postings``). Doc-grained so
+    the store's redelivery guard works at the same granularity as the
+    BM25 postings store; Σ over docs equals the corpus bigram counts
+    exactly (integer additivity)."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(shingles(tokens(F.col(text)), 2)).alias("bg"),
         )
-    )
-    u1 = uni.select(F.col("token").alias("w1"), F.col("c").alias("c1"))
-    u2 = uni.select(F.col("token").alias("w2"), F.col("c").alias("c2"))
-    scored = (
-        c12.filter(F.col("c12") >= min_count)
-        .join(u1, "w1")
-        .join(u2, "w2")
-        .crossJoin(totals)
         .select(
-            "w1",
-            "w2",
-            "c12",
+            "doc_id",
+            F.split(F.col("bg"), " ").getItem(0).alias("w1"),
+            F.split(F.col("bg"), " ").getItem(1).alias("w2"),
+        )
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").cast("long").alias("c12"))
+    )
+
+
+def keywords_from_store(postings: DataFrame, k: int = 5) -> DataFrame:
+    """TF-IDF keywords answered from the PERSISTED postings store
+    (:func:`postings_frame` rows, the same store BM25 retrieval reads)
+    — corpus text is never touched: tf is the posting row, df folds
+    from token-keyed postings, N counts the per-doc length sentinels.
+    Identical lattice arithmetic and tie-breaks to
+    :func:`tfidf_keywords`, so a store covering the same corpus
+    returns identical rows (pytest pins it across drops +
+    redelivery)."""
+    tf = postings.filter(
+        F.col("token").isNotNull() & F.col("doc_id").isNotNull()
+    ).select("doc_id", "token", "tf")
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    nd = (
+        postings.filter(F.col("token").isNull() & F.col("doc_id").isNotNull())
+        .agg(F.count("*").cast("long").alias("__n"))
+    )
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
             (
-                _lnq(F.col("c12"))
-                - _lnq(F.col("__b"))
-                - _lnq(F.col("c1"))
-                - _lnq(F.col("c2"))
-                + F.lit(2) * _lnq(F.col("__t"))
-            ).cast("long").alias("pmi_q"),
+                F.col("tf") * (_lnq(F.col("__n")) - _lnq(F.col("df")))
+            ).cast("long").alias("score_q"),
         )
     )
-    return scored.orderBy(
-        F.col("pmi_q").desc(), F.col("w1").asc(), F.col("w2").asc()
-    ).limit(top)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_q").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )

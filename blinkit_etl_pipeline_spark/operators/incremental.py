@@ -386,6 +386,69 @@ def ingest_bm25_postings(
     )
 
 
+def ingest_bigram_postings(
+    spark: SparkSession,
+    store_table: str,
+    new_docs: DataFrame,
+    *,
+    compact_threshold: int | None = 64,
+    compact_target: int = 8,
+    compact_keep_versions: int = 2,
+) -> int:
+    """Collocation-index companion to :func:`ingest_bm25_postings`
+    (VERDICT r9 task #7): persist a document batch's per-doc
+    adjacent-bigram counts (``functions.text.bigram_frame`` — one
+    tokenize scan, text never retained). Doc-grained redelivery guard
+    like the unigram store, so a redelivered drop indexes nothing; a
+    doc with <2 tokens simply contributes zero rows (its redelivery is
+    naturally a no-op). Together with the unigram postings store this
+    answers :func:`~blinkit_etl_pipeline_spark.functions.text.
+    pmi_collocations` from indexes alone — see :func:`pmi_from_store`."""
+    from ..functions.text import bigram_frame
+
+    rows = bigram_frame(new_docs.dropDuplicates(["doc_id"]))
+    return _ingest_rows(
+        spark, store_table, rows, "doc_id",
+        compact_threshold=compact_threshold,
+        compact_target=compact_target,
+        compact_keep_versions=compact_keep_versions,
+    )
+
+
+def pmi_from_store(
+    spark: SparkSession,
+    postings_store: str,
+    bigram_store: str,
+    min_count: int = 5,
+    top: int = 20,
+) -> DataFrame:
+    """PMI collocations answered from the PERSISTED indexes — the
+    store twin of ``functions.text.pmi_collocations``: corpus unigram
+    counts fold from the BM25 postings store (``c(token) = Σ tf`` —
+    the same store retrieval reads, no second unigram index), bigram
+    counts fold from the bigram store, totals derive from the folded
+    sums (exact integer additivity ⇒ equal to the batch operator over
+    everything ingested, any drop split/order — pytest). History is
+    touched as integer count rows only; cost tracks vocabulary, never
+    corpus bytes."""
+    from ..functions.text import pmi_score
+
+    postings = snapshot.read_snapshot(spark, postings_store)
+    uni = (
+        postings.filter(
+            F.col("token").isNotNull() & F.col("doc_id").isNotNull()
+        )
+        .groupBy("token")
+        .agg(F.sum("tf").cast("long").alias("c"))
+    )
+    c12 = (
+        snapshot.read_snapshot(spark, bigram_store)
+        .groupBy("w1", "w2")
+        .agg(F.sum("c12").cast("long").alias("c12"))
+    )
+    return pmi_score(uni, c12, min_count, top)
+
+
 def bm25_store_probe(
     spark: SparkSession,
     store_table: str,

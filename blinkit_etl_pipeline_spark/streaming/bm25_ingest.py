@@ -36,3 +36,28 @@ def run_bm25_ingest(
     return run_available_now(
         stream_docs, checkpoint_dir, process, timeout_sec=timeout_sec
     )
+
+
+def run_collocation_ingest(
+    stream_docs: DataFrame,
+    checkpoint_dir: str,
+    postings_store: str,
+    bigram_store: str,
+    *,
+    timeout_sec: int = 300,
+) -> StreamingQuery:
+    """Drain available document files into BOTH text indexes — the
+    unigram postings store (BM25 retrieval + TF-IDF keywords) and the
+    bigram store (PMI collocations) — from one drop stream. Each store
+    keeps its own doc-grained guard, so a crash between the two
+    ingests replays safely: the already-committed store skips the
+    batch, the other catches up."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        incremental.ingest_bm25_postings(sess, postings_store, batch_df)
+        incremental.ingest_bigram_postings(sess, bigram_store, batch_df)
+
+    return run_available_now(
+        stream_docs, checkpoint_dir, process, timeout_sec=timeout_sec
+    )

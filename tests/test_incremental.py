@@ -1180,3 +1180,69 @@ def test_agg_store_hierarchical_distinct_counts(spark, tmp_path):
         ).collect()
     }
     assert out == {"a": (2, 1, 150), "b": (1, 1, 70)}
+
+
+def test_keywords_and_pmi_from_store_match_batch(spark, tmp_path):
+    """r10 (VERDICT r9 task #7): TF-IDF keywords and PMI collocations
+    answered from the persisted text indexes must equal the batch
+    operators over the union of all drops — with df/N/T/B reflecting
+    the full ingested history — across three file drops plus a
+    byte-copied redelivery (the bm25_store_topk pattern)."""
+    import glob as _glob
+    import shutil
+
+    from blinkit_etl_pipeline_spark.functions.text import (
+        keywords_from_store,
+        pmi_collocations,
+        tfidf_keywords,
+    )
+    from blinkit_etl_pipeline_spark.streaming import bm25_ingest, file_source
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    pstore = str(tmp_path / "postings")
+    bstore = str(tmp_path / "bigrams")
+
+    def drop(lo, hi, tag):
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)) \
+            .coalesce(1).write.parquet(str(tmp_path / tag))
+        src = _glob.glob(str(tmp_path / tag / "part-*.parquet"))[0]
+        shutil.copy(src, str(raw / f"{tag}.parquet"))
+
+    drop(0, 30, "d1")
+    drop(30, 60, "d2")
+    schema = docs.schema
+    stream = file_source.stream_files(spark, str(raw), schema, fmt="parquet")
+    bm25_ingest.run_collocation_ingest(stream, ckpt, pstore, bstore)
+    drop(60, 90, "d3")
+    stream = file_source.stream_files(spark, str(raw), schema, fmt="parquet")
+    bm25_ingest.run_collocation_ingest(stream, ckpt, pstore, bstore)
+
+    union = docs.filter(F.col("doc_id") < 90)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    got_kw = rows(
+        keywords_from_store(snapshot.read_snapshot(spark, pstore), k=5)
+    )
+    want_kw = rows(tfidf_keywords(union, k=5))
+    assert got_kw == want_kw and len(got_kw) > 0
+    got_pmi = rows(
+        incremental.pmi_from_store(spark, pstore, bstore, min_count=2, top=20)
+    )
+    want_pmi = rows(pmi_collocations(union, min_count=2, top=20))
+    assert got_pmi == want_pmi and len(got_pmi) > 0
+
+    # byte-copied redelivery: both stores' doc guards keep them unchanged
+    shutil.copy(str(raw / "d2.parquet"), str(raw / "d2_again.parquet"))
+    stream = file_source.stream_files(spark, str(raw), schema, fmt="parquet")
+    bm25_ingest.run_collocation_ingest(stream, ckpt, pstore, bstore)
+    assert rows(
+        keywords_from_store(snapshot.read_snapshot(spark, pstore), k=5)
+    ) == want_kw
+    assert rows(
+        incremental.pmi_from_store(spark, pstore, bstore, min_count=2, top=20)
+    ) == want_pmi
