@@ -295,6 +295,138 @@ def ingest_ivfpq_codes(
     )
 
 
+def ivf_occupancy_buckets(
+    ref_emb: DataFrame,
+    cur_emb: DataFrame,
+    ivf_codebook,
+    dim: int = 64,
+) -> DataFrame:
+    """Coarse-list occupancy histograms of two corpus slices under ONE
+    codebook, shaped for :func:`profile.drift_psi` — the ANN index's
+    drift signal (VERDICT r9 task #3): embedding drift shows up as the
+    assignment distribution moving away from the codebook's training
+    slice, which is exactly what degrades probe routing. Model-sized
+    output (≤ 2k rows); each side is one zero-shuffle Arrow assignment
+    pass + a k-row aggregate."""
+    from . import vector
+
+    def occ(emb: DataFrame, is_cur: bool) -> DataFrame:
+        return (
+            vector.ivf_assign(emb, ivf_codebook, dim=dim)
+            .groupBy("centroid_id")
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .select(
+                F.lit("ivf_list").alias("feature"),
+                F.col("centroid_id").cast("string").alias("bucket"),
+                F.lit(is_cur).alias("is_cur"),
+                "cnt",
+            )
+        )
+
+    return occ(ref_emb, False).unionByName(occ(cur_emb, True))
+
+
+def rebuild_ivfpq_store(
+    spark: SparkSession,
+    store_table: str,
+    corpus_emb: DataFrame,
+    ivf_codebook,
+    pq_codebook,
+    *,
+    dim: int = 64,
+) -> int:
+    """Re-encode the FULL corpus under a (re-trained) coarse codebook
+    and CAS-rewrite the IVFPQ store as ONE new version: readers pinned
+    to (or holding frames resolved against) the pre-rebuild version
+    keep reading the old files untouched — MVCC isolation, the same
+    guarantee every store rewrite here gives — while new probes prune
+    by the NEW lists. Retracted ids stay retracted (tombstones
+    honored). The rewrite asserts the version it read (optimistic
+    CAS): a concurrent ingest landing mid-rebuild would interleave
+    codes from two codebooks, so the conflict raises loudly — quiesce
+    ingests around a rebuild (the Delta OPTIMIZE convention) or replay
+    the lost batch after it. Old files are reclaimed later by
+    ``snapshot.expire_snapshots`` / ``expire_orphans``."""
+    from . import vector
+
+    version = snapshot.current_version(store_table)
+    if version is None:
+        raise snapshot.SnapshotError(
+            f"no IVFPQ store at {store_table} — ingest before rebuilding"
+        )
+    codes = vector.pq_encode(
+        corpus_emb.dropDuplicates(["vec_id"]), pq_codebook, dim=dim,
+        ivf_codebook=ivf_codebook,
+    )
+    codes = _exclude_tombstoned(
+        spark, store_table, codes, "vec_id"
+    ).localCheckpoint(eager=True)
+    files = snapshot._write_data_files(codes, store_table, "centroid_id")
+    return snapshot._commit(
+        store_table,
+        files,
+        stats_col="centroid_id",
+        expected_version=version,
+    )
+
+
+def maintain_ivfpq_codebook(
+    spark: SparkSession,
+    store_table: str,
+    ref_emb: DataFrame,
+    corpus_emb: DataFrame,
+    ivf_codebook,
+    pq_codebook,
+    *,
+    psi_threshold: float = 0.1,
+    cur_emb: DataFrame | None = None,
+    k: int | None = None,
+    iters: int = 5,
+    dim: int = 64,
+):
+    """Drift-triggered ANN index maintenance, composed from pieces the
+    engine already ships: the PSI monitor (``profile.drift_psi``) over
+    coarse-list occupancy (:func:`ivf_occupancy_buckets`), the offline
+    spherical-k-means trainer (``vector.kmeans_codebook`` — the
+    ``tools/train_codebook.py`` artifact path), and the CAS store
+    rewrite (:func:`rebuild_ivfpq_store`).
+
+    ``ref_emb`` is the slice the current codebook was trained on (or a
+    retained sample of it); ``cur_emb`` is the slice the monitor
+    compares against it — the NEW arrivals since training (the
+    ``ns_corpus_drift`` slice-vs-slice shape; defaults to
+    ``corpus_emb``, which dilutes the signal when old mass dominates —
+    prefer the arrivals slice); ``corpus_emb`` is the full current
+    corpus the retrain runs on. PSI below ``psi_threshold`` (default
+    0.1 — the classic "moderate shift" band; 0.25 = major) keeps the
+    codebook and touches nothing; above it, retrain on the current
+    corpus, rewrite the store, and return the new artifact for the
+    caller to version (regenerate ``plans/codebook.py`` in the shipped
+    pattern).
+
+    Returns ``(codebook, psi, action)`` with action ∈ {"keep",
+    "rebuilt"}. Recall before/after on a deliberately drifted corpus
+    is pinned by pytest and recorded in PLANS.md (r10)."""
+    from . import profile
+    from . import vector
+
+    buckets = ivf_occupancy_buckets(
+        ref_emb, cur_emb if cur_emb is not None else corpus_emb,
+        ivf_codebook, dim,
+    )
+    row = profile.drift_psi(buckets).collect()[0]
+    psi = float(row["psi"])
+    if psi < psi_threshold:
+        return ivf_codebook, psi, "keep"
+    new_cb = vector.kmeans_codebook(
+        corpus_emb, k=k or len(ivf_codebook), iters=iters
+    )
+    rebuild_ivfpq_store(
+        spark, store_table, corpus_emb, new_cb, pq_codebook, dim=dim
+    )
+    return new_cb, psi, "rebuilt"
+
+
 #: tkey clustering constants for the postings store. Real token keys
 #: are xxhash64 values (full int64 range); the two reserved lanes sit
 #: at the extremes so range-clustered files separate them from almost

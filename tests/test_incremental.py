@@ -1246,3 +1246,101 @@ def test_keywords_and_pmi_from_store_match_batch(spark, tmp_path):
     assert rows(
         incremental.pmi_from_store(spark, pstore, bstore, min_count=2, top=20)
     ) == want_pmi
+
+
+def _drifted_ann_fixture(spark):
+    """Deterministic drifted-corpus fixture (r10, VERDICT r9 task #3):
+    ref = 100 corpus embeddings (trains codebook A); drift = 8 tight
+    clusters centered on A's Voronoi BOUNDARIES (midpoints of adjacent
+    centroid pairs) with skewed sizes — members straddle two stale
+    cells (degrading nprobe=1 routing) while occupancy skews (raising
+    PSI). Everything is seeded/exact, so the measured recalls are
+    bit-reproducible."""
+    import numpy as np
+
+    from blinkit_etl_pipeline_spark.operators import vector
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    ref = emb.filter(F.col("vec_id") < 100).select("vec_id", "embedding")
+    cb_a = vector.kmeans_codebook(ref, k=8, iters=5)
+    ca = np.array([v for _, v in cb_a])
+    centers = np.stack([ca[i] + ca[(i + 1) % 8] for i in range(8)])
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rng = np.random.default_rng(7)
+    rows, vid = [], 1000
+    for c, n in enumerate([10, 22, 34, 46, 58, 70, 82, 94]):
+        for _ in range(n):
+            v = centers[c] + 0.25 * rng.normal(size=64)
+            v = v / np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    drift = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    corpus = ref.unionByName(drift).localCheckpoint(eager=True)
+    qids = [r[0] for r in rows[::27]][:16]
+    return ref, drift, corpus, cb_a, qids
+
+
+def test_drift_triggered_ivfpq_maintenance(spark, tmp_path):
+    """r10 (VERDICT r9 task #3) end-to-end: occupancy PSI crosses the
+    threshold on the drifted corpus (and stays under it ref-vs-ref →
+    'keep', store untouched); the maintenance retrains the coarse
+    codebook and CAS-rewrites the store; probe recall drops under the
+    stale codebook and the rebuilt one recovers it; a reader pinned to
+    the pre-rebuild version still reads the OLD codes."""
+    from blinkit_etl_pipeline_spark.operators import vector
+    from blinkit_etl_pipeline_spark.plans.codebook import PQ_CODEBOOK
+
+    ref, drift, corpus, cb_a, qids = _drifted_ann_fixture(spark)
+    store = str(tmp_path / "ivfpq")
+    incremental.ingest_ivfpq_codes(spark, store, corpus, cb_a, PQ_CODEBOOK)
+    v1 = snapshot.current_version(store)
+    pinned = snapshot.read_snapshot(spark, store, v1)
+    old_rows = sorted(map(tuple, pinned.collect()))
+
+    # no drift → keep: ref against itself stays under the threshold
+    cb_keep, psi0, action0 = incremental.maintain_ivfpq_codebook(
+        spark, store, ref, ref, cb_a, PQ_CODEBOOK
+    )
+    assert action0 == "keep" and cb_keep is cb_a and psi0 < 0.1
+    assert snapshot.current_version(store) == v1
+
+    # drifted corpus → PSI over threshold → retrain + rewrite
+    cb_b, psi1, action1 = incremental.maintain_ivfpq_codebook(
+        spark, store, ref, corpus, cb_a, PQ_CODEBOOK, cur_emb=drift,
+        iters=8,
+    )
+    assert action1 == "rebuilt" and psi1 > 0.1
+    assert snapshot.current_version(store) == v1 + 1
+
+    # recall: stale routing loses what the retrained codebook recovers
+    truth = vector.brute_force_topk(corpus, qids, k=5).select(
+        "query_id", "neighbor_id"
+    )
+
+    def recall(cb):
+        got = vector.ivf_topk(corpus, qids, k=5, nprobe=1, codebook=cb)
+        return (
+            got.select("query_id", "neighbor_id")
+            .join(truth, ["query_id", "neighbor_id"])
+            .count()
+            / (len(qids) * 5)
+        )
+
+    r_stale, r_fresh = recall(cb_a), recall(cb_b)
+    assert r_fresh >= r_stale + 0.1, (r_stale, r_fresh)
+
+    # the rewritten store answers identically to on-the-fly encoding
+    # under the NEW codebook (store ≡ derivation, the store contract)
+    codes = snapshot.read_snapshot(spark, store)
+    got = sorted(map(tuple, vector.ivfpq_store_topk(
+        codes, corpus, qids, cb_b, PQ_CODEBOOK, k=5, nprobe=2
+    ).collect()))
+    want = sorted(map(tuple, vector.ivfpq_topk(
+        corpus, qids, cb_b, PQ_CODEBOOK, k=5, nprobe=2
+    ).collect()))
+    assert got == want
+    # MVCC: the pinned pre-rebuild version still reads the OLD codes
+    assert sorted(map(tuple, pinned.collect())) == old_rows
+    assert sorted(
+        map(tuple, snapshot.read_snapshot(spark, store, v1).collect())
+    ) == old_rows
