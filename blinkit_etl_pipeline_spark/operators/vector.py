@@ -565,15 +565,24 @@ def cosine_neardup_pairs(
     )
 
 
-def _bucket_directed_fn():
-    """applyInPandas kernel: score every DIRECTED pair (u → v, u ≠ v)
+def _bucket_directed_fn(seed_cap: int | None = None):
+    """applyInPandas kernel: score DIRECTED pairs (u → v, u ≠ v)
     within one (t, bucket) — the seed edges of :func:`knn_graph`, where
     each node needs its own candidate list (so both directions matter,
     unlike the unordered near-dup pairs). Row-tiled like
     :func:`_bucket_pair_fn`; cross-table duplicates eliminated in the
     kernel by first-collision ownership, so the output IS the unique
     directed collision set (the oracle's DISTINCT) with no dedup
-    shuffle."""
+    shuffle.
+
+    ``seed_cap`` bounds each node's seed candidates to a deterministic
+    hash-selected sample of ``cap`` bucket-mates (NN-Descent's sampled
+    local join): bucket cost drops from n_b² to n_b·cap, the scale
+    knob when buckets outgrow the full pairing (the refinement rounds
+    recover graph quality). Capped runs are NOT oracle-replayed (the
+    registry query uses the uncapped exact form); ownership dedup is
+    skipped under the cap — each table's sample differs, so the top-k
+    window absorbs the few cross-table duplicates instead."""
     import pandas as pd
 
     def fn(pdf):
@@ -592,25 +601,35 @@ def _bucket_directed_fn():
         ab = (
             np.stack(pdf["all_buckets"].to_numpy())[:, :t] if t > 0 else None
         )
-        rows = max(1, _BLOCK_CELLS // n)
+        if seed_cap is not None and n > seed_cap:
+            key = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            sel = np.argsort(key, kind="stable")[:seed_cap]
+        else:
+            sel = None
+        cols = M if sel is None else M[sel]
+        cidx = np.arange(n) if sel is None else sel
+        rows = max(1, _BLOCK_CELLS // max(len(cidx), 1))
         outs = []
         for b0 in range(0, n, rows):
             b1 = min(n, b0 + rows)
-            cos = (M[b0:b1] @ M.T) / (sq[b0:b1, None] * sq[None, :])
-            la, ib = np.nonzero(np.ones_like(cos, dtype=bool))
+            cos = (M[b0:b1] @ cols.T) / (
+                sq[b0:b1, None] * sq[None, cidx]
+            )
+            la, jb = np.nonzero(np.ones_like(cos, dtype=bool))
             ga = la + b0
+            ib = cidx[jb]
             keep = ga != ib
-            la, ga, ib = la[keep], ga[keep], ib[keep]
-            if ab is not None and len(ga):
+            la, jb, ga, ib = la[keep], jb[keep], ga[keep], ib[keep]
+            if sel is None and ab is not None and len(ga):
                 own = ~(ab[ga] == ab[ib]).any(axis=1)  # first-collision
-                la, ga, ib = la[own], ga[own], ib[own]
+                la, jb, ga, ib = la[own], jb[own], ga[own], ib[own]
             if len(ga):
                 outs.append(
                     pd.DataFrame(
                         {
                             "u": ids[ga],
                             "v": ids[ib],
-                            "cos_raw": cos[la, ib],
+                            "cos_raw": cos[la, jb],
                         }
                     )
                 )
@@ -638,6 +657,7 @@ def knn_graph(
     nbits: int = 4,
     dim: int = 64,
     ntables: int = 8,
+    seed_cap: int | None = None,
 ) -> DataFrame:
     """k-NN graph construction — LSH-seeded NN-Descent (VERDICT r9
     task #5): the neighbor-graph primitive that feeds SemDeDup
@@ -666,13 +686,23 @@ def knn_graph(
     the documented OR-amplification trade) + n·k² per refine round;
     state per round is the graph itself (k·n rows), checkpointed so
     rounds share materialization. No corpus-sized collect, no
-    cartesian anywhere.
+    cartesian anywhere. Two scale knobs when the corpus grows: raise
+    ``nbits`` so buckets stay bounded (the IVF-k analogue), and/or set
+    ``seed_cap`` to NN-Descent's sampled local join (per-bucket cost
+    n_b·cap instead of n_b² — see :func:`_bucket_directed_fn`;
+    refinement rounds recover the quality the sampled seeds give up).
     """
     e = with_q(emb).localCheckpoint(eager=False)
     buckets = bucket_frame(e, nbits, ntables, dim)
     seeds = buckets.groupBy("t", "bucket").applyInPandas(
-        _bucket_directed_fn(), schema="u long, v long, cos_raw double"
+        _bucket_directed_fn(seed_cap),
+        schema="u long, v long, cos_raw double",
     )
+    if seed_cap is not None:
+        # capped kernels skip ownership dedup (each table samples a
+        # different candidate set); identical-score duplicates must not
+        # occupy two top-k slots for one neighbor
+        seeds = seeds.dropDuplicates(["u", "v"])
     knn = _directed_topk(seeds, k).select("u", "v", "cos_raw")
     ea = e.select(
         F.col("vec_id").alias("u"),

@@ -501,4 +501,15 @@ def test_knn_graph_shape_and_refinement(spark):
     r0, r1 = recall(g0), recall(g1)
     assert r1 >= r0
     assert r1 > 0.5
+    # sampled-seed scale mode: per-node degree still ≤ k, no neighbor
+    # appears twice (capped kernels skip ownership dedup; the explicit
+    # dropDuplicates must absorb cross-table repeats), refinement still
+    # finds usable neighbors
+    gc = vector.knn_graph(emb, k=k, iters=2, seed_cap=8)
+    dup = gc.groupBy("node_id", "neighbor_id").count().filter(
+        F.col("count") > 1
+    )
+    assert dup.count() == 0
+    assert gc.groupBy("node_id").count().agg(F.max("count")).collect()[0][0] <= k
+    assert recall(gc) > 0.3
     g1.unpersist()
