@@ -565,7 +565,7 @@ def pmi_from_store(
     corpus bytes."""
     from ..functions.text import pmi_score
 
-    postings = snapshot.read_snapshot(spark, postings_store)
+    postings = read_store_live(spark, postings_store)
     uni = (
         postings.filter(
             F.col("token").isNotNull() & F.col("doc_id").isNotNull()
@@ -574,7 +574,7 @@ def pmi_from_store(
         .agg(F.sum("tf").cast("long").alias("c"))
     )
     c12 = (
-        snapshot.read_snapshot(spark, bigram_store)
+        read_store_live(spark, bigram_store)
         .groupBy("w1", "w2")
         .agg(F.sum("c12").cast("long").alias("c12"))
     )
@@ -1374,8 +1374,11 @@ def rebuild_bkq_store(
     store therefore requires replaying the SOURCE. This helper moves
     the old store directory aside to ``<store>.pre-day-id`` (kept,
     not deleted — the operator removes it after validating reads;
-    readers pinned to old versions keep working against the moved
-    path) and ingests ``source`` fresh under the current format.
+    re-point any forensic reader at the moved path) and ingests
+    ``source`` fresh under the current format. It is an OFFLINE
+    one-shot: quiesce readers and ingests for the store during the
+    migration — frames resolved against the original path break at
+    the rename.
     ``k`` defaults to the old store's pinned ``bkq_k`` so the rebuilt
     store answers the same quantile grid. Returns the new store's
     committed version."""

@@ -46,6 +46,12 @@ NOTES = {
     "ns_text_keywords": "idf on the 1e-6 ln lattice; per-doc top-k is WindowGroupLimit (O(k*docs) shuffle rows)",
     "ns_text_pmi": "quantized-PMI; global top-k is TakeOrderedAndProject; all aggs map-side partial",
     "ns_data_quality": "row-local constraints share ONE aggregate; unique adds one key agg; FK is one broadcast anti-join",
+    "ns_incr_campaign_summary": "r10 IVM: output-grain quantized partials (cents + 1e-6 ratio lattices); 4 delta aggs merge, all map-side partial",
+    "ns_incr_delivery_partner": "r10 IVM: store grain == output grain; one partial agg per delta slice, no joins",
+    "ns_incr_category_impact": "r10 IVM: fine-grain (category,product) partials; distinct-product count derived by cascade at read; recon checkpointed once for all 4 slices",
+    "ns_incr_product_discrepancies": "r10 IVM: severity_rank IN the store key (value-multiset) makes MAX retraction-exact; recon checkpointed once",
+    "ns_knn_graph": "r10: LSH-seeded NN-Descent — per-(t,bucket) BLAS seed kernels (ownership dedup, no dedup shuffle), n*k^2 local-join round, WindowGroupLimit top-k",
+    "ns_knn_graph_recall": "probe-limited exact truth (deliberate O(probes*corpus) leg) joined against the graph edges",
     "sales_fact": "3-table fact build; part/orders dims broadcast, lineitem never shuffles",
     "revenue_by_category": "distinct-free cascade: 3 hash aggs, no Expand, all partial map-side",
     "customer_metrics": "IA1 + analytic SQL in one plan; single agg chain",
