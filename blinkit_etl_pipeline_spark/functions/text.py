@@ -794,8 +794,18 @@ def tfidf_keywords(docs: DataFrame, k: int = 5) -> DataFrame:
     tf = toks.groupBy("doc_id", "token").agg(
         F.count("*").cast("long").alias("tf")
     )
-    dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
     nd = docs.agg(F.count("*").cast("long").alias("__n"))
+    return _tfidf_score(tf, nd, k)
+
+
+def _tfidf_score(tf: DataFrame, nd: DataFrame, k: int) -> DataFrame:
+    """TF-IDF scoring + per-doc top-k over pre-counted (doc_id, token,
+    tf) rows and a one-row doc count ``nd(__n)`` — shared by the batch
+    :func:`tfidf_keywords` and the store read
+    (:func:`keywords_from_store`), so the lattice arithmetic and
+    tie-break can never de-synchronize the twins (the
+    :func:`pmi_score` factoring, applied here too)."""
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
     scored = (
         tf.join(dfreq, "token")
         .crossJoin(F.broadcast(nd))
@@ -922,28 +932,8 @@ def keywords_from_store(postings: DataFrame, k: int = 5) -> DataFrame:
     tf = postings.filter(
         F.col("token").isNotNull() & F.col("doc_id").isNotNull()
     ).select("doc_id", "token", "tf")
-    dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
     nd = (
         postings.filter(F.col("token").isNull() & F.col("doc_id").isNotNull())
         .agg(F.count("*").cast("long").alias("__n"))
     )
-    scored = (
-        tf.join(dfreq, "token")
-        .crossJoin(F.broadcast(nd))
-        .select(
-            "doc_id",
-            "token",
-            "tf",
-            (
-                F.col("tf") * (_lnq(F.col("__n")) - _lnq(F.col("df")))
-            ).cast("long").alias("score_q"),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("score_q").desc(), F.col("token").asc()
-    )
-    return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= k)
-        .drop("__r")
-    )
+    return _tfidf_score(tf, nd, k)

@@ -362,11 +362,15 @@ def rebuild_ivfpq_store(
         spark, store_table, codes, "vec_id"
     ).localCheckpoint(eager=True)
     files = snapshot._write_data_files(codes, store_table, "centroid_id")
+    # record the rewrite's schema like every other committer — a
+    # schemaless manifest would fall back to single-footer inference
+    # and restart the evolution chain on the next append (r10 review)
     return snapshot._commit(
         store_table,
         files,
         stats_col="centroid_id",
         expected_version=version,
+        schema=codes.schema.json(),
     )
 
 

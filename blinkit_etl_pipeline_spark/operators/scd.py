@@ -35,10 +35,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# Widest `paired` set _classify_changes will broadcast: 4 key-ish
-# columns/row → ~tens of MB at this cap, comfortably driver-safe;
-# wider diffs fall back to a shuffle join.
-_PAIRED_BROADCAST_MAX_ROWS = 2_000_000
+# Widest `paired` set _classify_changes will broadcast, as a BYTE
+# budget — a row cap alone under-protects when the state column holds
+# wide values (r10 review: 1.5M rows × 1 KB JSON payloads is a
+# multi-GB forced broadcast). 64 MB of measured column bytes keeps the
+# driver comfortably safe; wider diffs fall back to a shuffle join.
+_PAIRED_BROADCAST_MAX_BYTES = 64 << 20
 
 
 def scd2_build(
@@ -480,11 +482,22 @@ def _classify_changes(
     # (measured 2.4× on the pagerank delta path before forcing). But a
     # wide diff — a batch re-observing most keys — makes `paired`
     # dimension-sized, and an UNCONDITIONAL broadcast then risks driver
-    # OOM. The count is one job over the already-checkpointed leaves
-    # (the legs reuse them by RDD identity), so gating is cheap.
+    # OOM. Gate on MEASURED column bytes (not rows: the state column's
+    # width is unbounded); one job over the already-checkpointed
+    # leaves (the legs reuse them by RDD identity), so gating is cheap.
+    pair_bytes = paired.agg(
+        F.sum(
+            sum(
+                F.coalesce(
+                    F.octet_length(F.col(c).cast("string")), F.lit(0)
+                )
+                for c in ident
+            )
+        ).alias("b")
+    ).collect()[0]["b"]
     pair_side = (
         F.broadcast(paired)
-        if paired.count() <= _PAIRED_BROADCAST_MAX_ROWS
+        if (pair_bytes or 0) <= _PAIRED_BROADCAST_MAX_BYTES
         else paired
     )
     legs = [

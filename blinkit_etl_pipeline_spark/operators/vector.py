@@ -620,7 +620,13 @@ def _bucket_directed_fn(seed_cap: int | None = None):
             ib = cidx[jb]
             keep = ga != ib
             la, jb, ga, ib = la[keep], jb[keep], ga[keep], ib[keep]
-            if sel is None and ab is not None and len(ga):
+            # ownership dedup is valid ONLY when every table pairs
+            # exhaustively: under seed_cap, an earlier table whose
+            # (larger) bucket sampled AROUND this pair never emitted it,
+            # so suppressing it here would lose the seed entirely (r10
+            # review) — capped mode leaves dedup to the downstream
+            # dropDuplicates even in small buckets
+            if seed_cap is None and ab is not None and len(ga):
                 own = ~(ab[ga] == ab[ib]).any(axis=1)  # first-collision
                 la, jb, ga, ib = la[own], jb[own], ga[own], ib[own]
             if len(ga):
@@ -703,7 +709,8 @@ def knn_graph(
         # different candidate set); identical-score duplicates must not
         # occupy two top-k slots for one neighbor
         seeds = seeds.dropDuplicates(["u", "v"])
-    knn = _directed_topk(seeds, k).select("u", "v", "cos_raw")
+    ranked = _directed_topk(seeds, k)
+    knn = ranked.select("u", "v", "cos_raw")
     ea = e.select(
         F.col("vec_id").alias("u"),
         F.col("qvec").alias("_qa"),
@@ -742,10 +749,12 @@ def knn_graph(
                 ).alias("cos_raw"),
             )
         )
-        knn = _directed_topk(knn.unionByName(scored), k).select(
-            "u", "v", "cos_raw"
-        )
-    return _directed_topk(knn, k).select(
+        ranked = _directed_topk(knn.unionByName(scored), k)
+        knn = ranked.select("u", "v", "cos_raw")
+    # `ranked` is the final round's top-k WITH its rank — re-windowing
+    # the k·n-row graph just to regain the column would pay one more
+    # full shuffle+sort per call (r10 review)
+    return ranked.select(
         F.col("u").alias("node_id"),
         F.col("v").alias("neighbor_id"),
         F.round("cos_raw", 6).alias("cosine_sim"),
