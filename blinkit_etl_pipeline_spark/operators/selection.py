@@ -403,3 +403,57 @@ def triplet_mine(
             F.col("cand").cast("long").alias("negative_id"),
         )
     )
+
+
+def triplet_mine_knn(
+    emb: DataFrame,
+    k: int = 5,
+    iters: int = 1,
+    nbits: int = 4,
+    ntables: int = 8,
+) -> DataFrame:
+    """(anchor, positive, HARD negative) triplets mined from the k-NN
+    graph (r10 — the composition :func:`~blinkit_etl_pipeline_spark.
+    operators.vector.knn_graph` was built to feed): where
+    :func:`triplet_mine`'s modular probing draws negatives uniformly
+    (easy negatives — far from the anchor almost surely), the graph
+    variant draws each anchor's negative from INSIDE its neighborhood:
+
+    - ``positive``  = the anchor's rank-1 graph neighbor (most
+      similar, ties already broken by the graph's deterministic
+      order);
+    - ``negative``  = the LAST-ranked neighbor in the anchor's top-k
+      list (rank > 1) — semantically close enough to collide in the
+      LSH buckets / local joins, yet the least similar of the
+      neighborhood: the classic in-batch hard negative, the gradient
+      signal easy negatives stop providing once training converges.
+
+    Anchors with fewer than two graph edges yield no row. Everything
+    inherits the graph's determinism (integer-lattice cosines, fixed
+    tie order), so the DuckDB oracle replays seed pairs, refinement,
+    ranks, and both picks value-exactly.
+
+    Scale shape = the graph build (never all-pairs) + two k·n-row
+    window passes; no new shuffles beyond :func:`knn_graph` itself.
+    Returns (anchor_id, positive_id, pos_cos, negative_id, neg_cos).
+    """
+    from .vector import knn_graph
+
+    g = knn_graph(emb, k=k, iters=iters, nbits=nbits, ntables=ntables)
+    pos = g.filter(F.col("rank") == 1).select(
+        F.col("node_id").alias("anchor_id"),
+        F.col("neighbor_id").alias("positive_id"),
+        F.col("cosine_sim").alias("pos_cos"),
+    )
+    wn = Window.partitionBy("node_id").orderBy(F.col("rank").desc())
+    neg = (
+        g.filter(F.col("rank") > 1)
+        .withColumn("rb", F.row_number().over(wn))
+        .filter(F.col("rb") == 1)
+        .select(
+            F.col("node_id").alias("anchor_id"),
+            F.col("neighbor_id").alias("negative_id"),
+            F.col("cosine_sim").alias("neg_cos"),
+        )
+    )
+    return pos.join(neg, "anchor_id")

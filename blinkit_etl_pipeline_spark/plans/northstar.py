@@ -6175,3 +6175,39 @@ h AS (
 SELECT query_id, hits,
   ROUND(hits / {KNN_GRAPH_K}, 4) AS recall
 FROM h"""
+
+
+def q_triplet_mine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative triplet mining from the k-NN graph
+    (operators/selection.py::triplet_mine_knn — the composition the
+    graph operator feeds): positive = rank-1 neighbor, negative = the
+    least-similar member of the anchor's own neighborhood. The oracle
+    replays the full graph construction plus both picks."""
+    from ..operators import selection
+
+    return selection.triplet_mine_knn(
+        _emb(spark, sf_dir),
+        k=KNN_GRAPH_K,
+        iters=KNN_GRAPH_ITERS,
+        nbits=ANN_NBITS,
+        ntables=ANN_NTABLES,
+    )
+
+
+QUERIES["ns_triplet_mine_knn"] = q_triplet_mine_knn
+
+ORACLES["ns_triplet_mine_knn"] = f"""WITH {_EMB},
+{_knn_ctes()},
+pos AS (
+  SELECT u AS anchor_id, v AS positive_id,
+    ROUND(cos_raw, 6) AS pos_cos
+  FROM final WHERE rn = 1),
+neg AS (
+  SELECT u AS anchor_id, v AS negative_id,
+    ROUND(cos_raw, 6) AS neg_cos
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY u ORDER BY rn DESC) AS rb
+    FROM final WHERE rn > 1) WHERE rb = 1)
+SELECT anchor_id, positive_id, pos_cos, negative_id, neg_cos
+FROM pos JOIN neg USING (anchor_id)"""

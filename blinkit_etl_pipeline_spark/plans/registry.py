@@ -30,6 +30,7 @@ PRIORITY = [
     # --- r10 additions, never driver-checked ---
     "ns_knn_graph",
     "ns_knn_graph_recall",
+    "ns_triplet_mine_knn",
     "ns_incr_campaign_summary",
     "ns_incr_delivery_partner",
     "ns_incr_category_impact",

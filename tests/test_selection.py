@@ -423,3 +423,35 @@ def test_dp_release_null_groups_get_independent_nonnull_noise(spark):
     noises = [round(r.dp_n - r.n, 6) for r in rows]
     assert all(n is not None and abs(n) > 0 for n in noises)
     assert noises[0] != noises[1]  # no seed collision
+
+
+def test_triplet_mine_knn_hard_negative_invariants(spark):
+    """r10: the graph-mined triplet keeps the contrastive contract —
+    positive strictly at rank 1, negative the least-similar member of
+    the SAME neighborhood (hard, not uniform): pos_cos >= neg_cos for
+    every anchor, both ids are real graph neighbors, and anchors with
+    one edge yield no row."""
+    from conftest import SF_SMOKE
+
+    from blinkit_etl_pipeline_spark.operators import selection, vector
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    t = selection.triplet_mine_knn(emb, k=5, iters=1).cache()
+    assert t.filter(F.col("pos_cos") < F.col("neg_cos")).count() == 0
+    assert t.filter(
+        F.col("positive_id") == F.col("negative_id")
+    ).count() == 0
+    g = vector.knn_graph(emb, k=5, iters=1).select(
+        F.col("node_id").alias("anchor_id"),
+        F.col("neighbor_id").alias("positive_id"),
+    )
+    assert t.join(g, ["anchor_id", "positive_id"], "left_anti").count() == 0
+    # every multi-edge anchor mines exactly one triplet
+    degrees = (
+        vector.knn_graph(emb, k=5, iters=1)
+        .groupBy("node_id")
+        .count()
+    )
+    want = degrees.filter(F.col("count") >= 2).count()
+    assert t.count() == want
+    t.unpersist()
