@@ -431,6 +431,201 @@ def maintain_ivfpq_codebook(
     return new_cb, psi, "rebuilt"
 
 
+def _knn_cross_fn():
+    """applyInPandas kernel for the incremental k-NN ingest: within one
+    (t, bucket) group holding stored rows (``__new = 0``) and this
+    batch's rows (``__new = 1``), score every directed pair with at
+    least one NEW side — new→all (the new node's candidates) and
+    old→new (the new node entering old nodes' lists). Old→old pairs
+    were scored when the later of the two arrived; re-scoring them
+    would make ingest cost corpus-quadratic. No ownership dedup (the
+    store read dedups (u, v) — see :func:`knn_graph_from_store`)."""
+    import pandas as pd
+
+    from .vector import _np_stack
+
+    def fn(pdf):
+        import numpy as np
+
+        empty = pd.DataFrame({"u": [], "v": [], "cos_raw": []}).astype(
+            {"u": "int64", "v": "int64", "cos_raw": "float64"}
+        )
+        new_mask = pdf["__new"].to_numpy() == 1
+        if not new_mask.any() or len(pdf) < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        sq = np.sqrt(pdf["qq"].to_numpy(dtype="float64"))
+        M = _np_stack(pdf["qvec"])
+        N = M[new_mask]
+        cos = (N @ M.T) / (sq[new_mask][:, None] * sq[None, :])
+        new_ids = ids[new_mask]
+        la, ib = np.nonzero(np.ones_like(cos, dtype=bool))
+        keep = new_ids[la] != ids[ib]
+        la, ib = la[keep], ib[keep]
+        out = [
+            pd.DataFrame(
+                {"u": new_ids[la], "v": ids[ib], "cos_raw": cos[la, ib]}
+            )
+        ]
+        old_cols = ~new_mask[ib]  # reverse direction only toward OLD
+        if old_cols.any():
+            lo, io = la[old_cols], ib[old_cols]
+            out.append(
+                pd.DataFrame(
+                    {"u": ids[io], "v": new_ids[lo], "cos_raw": cos[lo, io]}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return fn
+
+
+def ingest_knn_graph(
+    spark: SparkSession,
+    vec_store: str,
+    graph_store: str,
+    new_emb: DataFrame,
+    *,
+    k: int = 5,
+    nbits: int = 4,
+    ntables: int = 8,
+    dim: int = 64,
+    compact_threshold: int | None = 64,
+    compact_target: int = 8,
+) -> int:
+    """Incremental k-NN graph maintenance (r10) — the graph member of
+    the streaming index family (LSH signatures, PQ/SQ8 codes, BM25
+    postings): each embedding batch appends its bucket rows to a
+    vector store (clustered by ``tb = t·2^nbits + bucket``, so probes
+    open only colliding buckets' files) and its DIRECTED candidate
+    edges to a graph store. Exactness is the top-k merge semilattice
+    (the bottom-k sketch argument): per-node top-k over any union of
+    candidate appends equals top-k over all candidates, so
+    :func:`knn_graph_from_store` ≡ ``vector.knn_graph(union, iters=0)``
+    for ANY batch split/arrival order (pytest).
+
+    Per batch: new×bucket-mates scored per (t, bucket) group in one
+    BLAS block (old→old pairs never re-scored — each colliding pair is
+    generated exactly when its LATER member arrives), candidates
+    folded to ≤k per involved node before the append. Redelivery: the
+    vector store's vec_id guard empties a replayed batch, which skips
+    the edge append too; the edge append landing BEFORE the vector
+    commit means a crash between them re-appends the same edges on
+    replay — absorbed at read by the (u, v) dedup, exact because
+    duplicate pairs carry identical lattice cosines. Refinement
+    (NN-Descent rounds) runs at read time on the folded graph when
+    wanted — state stays seed-exact and loss-free."""
+    from . import vector
+    from .vector import bucket_frame, with_q
+
+    q = with_q(new_emb.dropDuplicates(["vec_id"]))
+    rows = (
+        bucket_frame(q, nbits, ntables, dim)
+        .withColumn(
+            "tb",
+            (F.col("t") * (1 << nbits) + F.col("bucket")).cast("int"),
+        )
+        .select("vec_id", "qvec", "qq", "t", "bucket", "tb")
+    )
+    exists = snapshot.current_version(vec_store) is not None
+    if exists:
+        seen = (
+            snapshot.read_snapshot(spark, vec_store)
+            .select("vec_id")
+            .distinct()
+        )
+        rows = rows.join(seen, "vec_id", "left_anti")
+    rows = rows.localCheckpoint(eager=True)
+    if rows.isEmpty():
+        return snapshot.current_version(graph_store) or 0
+    probed = sorted(
+        int(r["tb"]) for r in rows.select("tb").distinct().collect()
+    )
+    tagged = rows.withColumn("__new", F.lit(1))
+    if exists:
+        stored = snapshot.read_snapshot_pruned(
+            spark, vec_store, probed
+        ).withColumn("__new", F.lit(0))
+        tagged = tagged.unionByName(stored)
+    cand = tagged.groupBy("t", "bucket").applyInPandas(
+        _knn_cross_fn(), schema="u long, v long, cos_raw double"
+    )
+    edges = (
+        vector._directed_topk(cand.dropDuplicates(["u", "v"]), k)
+        .select("u", "v", "cos_raw")
+        .localCheckpoint(eager=True)
+    )
+    if snapshot.current_version(graph_store) is None:
+        gv = snapshot.write_snapshot(edges, graph_store)
+    else:
+        gv = snapshot.append_snapshot(edges, graph_store)
+    if exists:
+        snapshot.append_snapshot(rows, vec_store, stats_col="tb")
+    else:
+        snapshot.write_snapshot(rows, vec_store, stats_col="tb")
+    if compact_threshold is not None:
+        m = snapshot.read_manifest(graph_store)
+        if len(m["files"]) >= compact_threshold:
+            compact_knn_store(spark, graph_store, k)
+    return gv
+
+
+def knn_graph_from_store(
+    spark: SparkSession, graph_store: str, k: int = 5
+) -> DataFrame:
+    """The maintained k-NN graph: (u, v) dedup (crash-replay appends
+    carry identical cosines) + per-node top-k fold over the candidate
+    history — equals ``vector.knn_graph(all ingested, iters=0)``
+    (pytest). Output matches the batch operator's schema."""
+    from . import vector
+
+    edges = snapshot.read_snapshot(spark, graph_store).dropDuplicates(
+        ["u", "v"]
+    )
+    return vector._directed_topk(edges, k).select(
+        F.col("u").alias("node_id"),
+        F.col("v").alias("neighbor_id"),
+        F.round("cos_raw", 6).alias("cosine_sim"),
+        "rank",
+    )
+
+
+def compact_knn_store(
+    spark: SparkSession, graph_store: str, k: int
+) -> int:
+    """Fold the candidate history to ≤k rows per node — lossless by
+    the top-k merge semilattice (the compact_bkq_store argument).
+    CAS-committed with rebase retries."""
+    from . import vector
+
+    last_err: Exception | None = None
+    for _ in range(snapshot.COMMIT_RETRIES):
+        manifest = snapshot.read_manifest(graph_store)
+        base = snapshot.read_snapshot(spark, graph_store)
+        folded = (
+            vector._directed_topk(base.dropDuplicates(["u", "v"]), k)
+            .select("u", "v", "cos_raw")
+            .localCheckpoint(eager=True)
+        )
+        files = snapshot._write_data_files(
+            folded, graph_store, manifest.get("stats_col")
+        )
+        try:
+            return snapshot._commit(
+                graph_store,
+                files,
+                stats_col=manifest.get("stats_col"),
+                expected_version=manifest["version"],
+                schema=manifest.get("schema"),
+            )
+        except snapshot.CommitConflictError as e:
+            last_err = e
+    raise snapshot.SnapshotError(
+        f"compact_knn_store: lost the commit race "
+        f"{snapshot.COMMIT_RETRIES} times at {graph_store}"
+    ) from last_err
+
+
 #: tkey clustering constants for the postings store. Real token keys
 #: are xxhash64 values (full int64 range); the two reserved lanes sit
 #: at the extremes so range-clustered files separate them from almost

@@ -1344,3 +1344,64 @@ def test_drift_triggered_ivfpq_maintenance(spark, tmp_path):
     assert sorted(
         map(tuple, snapshot.read_snapshot(spark, store, v1).collect())
     ) == old_rows
+
+
+def test_streaming_knn_graph_store_equals_batch_seeds(spark, tmp_path):
+    """r10: the incremental k-NN graph — candidate edges accumulated
+    across embedding drops fold to EXACTLY the batch seed graph
+    (vector.knn_graph(union, iters=0)) for this arrival order, a
+    redelivered drop changes nothing, and compaction bounds the store
+    at ≤k rows per node without changing reads (the top-k merge
+    semilattice, end-to-end through the store)."""
+    import glob as _glob
+    import shutil
+
+    from blinkit_etl_pipeline_spark.operators import vector
+    from blinkit_etl_pipeline_spark.streaming import file_source, knn_ingest
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    vstore = str(tmp_path / "vecs")
+    gstore = str(tmp_path / "graph")
+
+    def drop(pred, tag):
+        emb.filter(pred).coalesce(1).write.parquet(str(tmp_path / tag))
+        src = _glob.glob(str(tmp_path / tag / "part-*.parquet"))[0]
+        shutil.copy(src, str(raw / f"{tag}.parquet"))
+
+    drop(F.col("vec_id") % 3 == 0, "d1")
+    drop(F.col("vec_id") % 3 == 1, "d2")
+    stream = file_source.stream_files(
+        spark, str(raw), emb.schema, fmt="parquet"
+    )
+    knn_ingest.run_knn_ingest(stream, ckpt, vstore, gstore, k=5)
+    drop(F.col("vec_id") % 3 == 2, "d3")
+    stream = file_source.stream_files(
+        spark, str(raw), emb.schema, fmt="parquet"
+    )
+    knn_ingest.run_knn_ingest(stream, ckpt, vstore, gstore, k=5)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    want = rows(vector.knn_graph(emb, k=5, iters=0))
+    got = rows(incremental.knn_graph_from_store(spark, gstore, k=5))
+    assert got == want and len(got) > 0
+
+    # byte-copied redelivery: the vec_id guard skips the whole drop
+    shutil.copy(str(raw / "d2.parquet"), str(raw / "d2_again.parquet"))
+    stream = file_source.stream_files(
+        spark, str(raw), emb.schema, fmt="parquet"
+    )
+    knn_ingest.run_knn_ingest(stream, ckpt, vstore, gstore, k=5)
+    assert rows(incremental.knn_graph_from_store(spark, gstore, k=5)) == want
+
+    # compaction: reads unchanged, rows bounded by k per node
+    incremental.compact_knn_store(spark, gstore, k=5)
+    assert rows(incremental.knn_graph_from_store(spark, gstore, k=5)) == want
+    per_node = (
+        snapshot.read_snapshot(spark, gstore).groupBy("u").count()
+    )
+    assert per_node.agg(F.max("count")).collect()[0][0] <= 5
