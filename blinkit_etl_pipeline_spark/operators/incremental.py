@@ -487,6 +487,7 @@ def ingest_knn_graph(
     new_emb: DataFrame,
     *,
     k: int = 5,
+    store_k: int | None = None,
     nbits: int = 4,
     ntables: int = 8,
     dim: int = 64,
@@ -514,10 +515,21 @@ def ingest_knn_graph(
     replay — absorbed at read by the (u, v) dedup, exact because
     duplicate pairs carry identical lattice cosines. Refinement
     (NN-Descent rounds) runs at read time on the folded graph when
-    wanted — state stays seed-exact and loss-free."""
+    wanted — state stays seed-exact and loss-free.
+
+    Retraction (takedown) is the sibling stores' tombstone contract:
+    ``retract_docs(vec_store, ids, id_col='vec_id')`` — reads exclude
+    every edge touching a retracted id, and retracted ids never
+    re-enter. Because the store folds candidates, a takedown can leave
+    a node with < k servable neighbors (its discarded candidates are
+    gone); ``store_k`` (default ``k + 3``) keeps per-node slack so
+    reads stay EXACT vs the surviving corpus as long as no node's
+    list loses more than the slack to takedowns (documented trade —
+    re-ingest/backfill restores depth otherwise)."""
     from . import vector
     from .vector import bucket_frame, with_q
 
+    store_k = (k + 3) if store_k is None else max(store_k, k)
     q = with_q(new_emb.dropDuplicates(["vec_id"]))
     rows = (
         bucket_frame(q, nbits, ntables, dim)
@@ -535,6 +547,7 @@ def ingest_knn_graph(
             .distinct()
         )
         rows = rows.join(seen, "vec_id", "left_anti")
+    rows = _exclude_tombstoned(spark, vec_store, rows, "vec_id")
     rows = rows.localCheckpoint(eager=True)
     if rows.isEmpty():
         return snapshot.current_version(graph_store) or 0
@@ -551,7 +564,7 @@ def ingest_knn_graph(
         _knn_cross_fn(), schema="u long, v long, cos_raw double"
     )
     edges = (
-        vector._directed_topk(cand.dropDuplicates(["u", "v"]), k)
+        vector._directed_topk(cand.dropDuplicates(["u", "v"]), store_k)
         .select("u", "v", "cos_raw")
         .localCheckpoint(eager=True)
     )
@@ -566,22 +579,41 @@ def ingest_knn_graph(
     if compact_threshold is not None:
         m = snapshot.read_manifest(graph_store)
         if len(m["files"]) >= compact_threshold:
-            compact_knn_store(spark, graph_store, k)
+            compact_knn_store(spark, graph_store, store_k)
     return gv
 
 
 def knn_graph_from_store(
-    spark: SparkSession, graph_store: str, k: int = 5
+    spark: SparkSession,
+    graph_store: str,
+    k: int = 5,
+    vec_store: str | None = None,
 ) -> DataFrame:
     """The maintained k-NN graph: (u, v) dedup (crash-replay appends
     carry identical cosines) + per-node top-k fold over the candidate
     history — equals ``vector.knn_graph(all ingested, iters=0)``
-    (pytest). Output matches the batch operator's schema."""
+    (pytest). ``vec_store`` — when given — applies the takedown
+    contract: edges touching a retracted vec_id on EITHER side are
+    excluded before the fold (exact vs the surviving corpus within the
+    ingest's ``store_k`` slack). Output matches the batch operator's
+    schema."""
     from . import vector
 
     edges = snapshot.read_snapshot(spark, graph_store).dropDuplicates(
         ["u", "v"]
     )
+    if vec_store is not None:
+        tb = tombstones(spark, vec_store, "vec_id")
+        if tb is not None:
+            edges = edges.join(
+                F.broadcast(tb.withColumnRenamed("vec_id", "u")),
+                "u",
+                "left_anti",
+            ).join(
+                F.broadcast(tb.withColumnRenamed("vec_id", "v")),
+                "v",
+                "left_anti",
+            )
     return vector._directed_topk(edges, k).select(
         F.col("u").alias("node_id"),
         F.col("v").alias("neighbor_id"),

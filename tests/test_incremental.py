@@ -1405,3 +1405,41 @@ def test_streaming_knn_graph_store_equals_batch_seeds(spark, tmp_path):
         snapshot.read_snapshot(spark, gstore).groupBy("u").count()
     )
     assert per_node.agg(F.max("count")).collect()[0][0] <= 5
+
+
+def test_knn_store_takedown_contract(spark, tmp_path):
+    """r10: retraction on the knn vector store — reads exclude every
+    edge touching a retracted vec_id, retracted ids never re-enter,
+    and within the ingest's store_k slack (default k+3) the
+    post-takedown read is EXACT vs the batch graph over survivors
+    (r retracted ids remove ≤ r candidates from any node's list, so
+    r ≤ slack guarantees it)."""
+    from blinkit_etl_pipeline_spark.operators import vector
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    vstore = str(tmp_path / "vecs")
+    gstore = str(tmp_path / "graph")
+    incremental.ingest_knn_graph(spark, vstore, gstore, emb, k=5)
+    gone = [7, 42]
+    incremental.retract_docs(spark, vstore, gone, id_col="vec_id")
+    got = incremental.knn_graph_from_store(
+        spark, gstore, k=5, vec_store=vstore
+    )
+    assert got.filter(
+        F.col("node_id").isin(gone) | F.col("neighbor_id").isin(gone)
+    ).count() == 0
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    survivors = emb.filter(~F.col("vec_id").isin(gone))
+    assert rows(got) == rows(vector.knn_graph(survivors, k=5, iters=0))
+    # a retracted id in a later batch is refused re-entry
+    incremental.ingest_knn_graph(
+        spark, vstore, gstore, emb.filter(F.col("vec_id").isin(gone)), k=5
+    )
+    assert rows(
+        incremental.knn_graph_from_store(
+            spark, gstore, k=5, vec_store=vstore
+        )
+    ) == rows(vector.knn_graph(survivors, k=5, iters=0))
