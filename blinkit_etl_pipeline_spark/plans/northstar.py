@@ -17,6 +17,8 @@ sums into HUGEINT, which pandas renders as float).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -6211,3 +6213,61 @@ neg AS (
     FROM final WHERE rn > 1) WHERE rb = 1)
 SELECT anchor_id, positive_id, pos_cos, negative_id, neg_cos
 FROM pos JOIN neg USING (anchor_id)"""
+
+
+def q_knn_graph_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental k-NN graph store end-to-end (operators/
+    incremental.py::ingest_knn_graph): two embedding drops ingest into
+    per-session scratch stores (each batch scores only new-sided pairs
+    against the colliding buckets' files), and the merge-on-read fold
+    must equal the one-shot seed graph over the union — the top-k
+    merge semilattice, checked value-exactly by the oracle's replay of
+    the batch construction (iters=0). The store rebuild per run IS the
+    gauge (the ns_snapshot_diff pattern: build cost is measured)."""
+    import shutil
+    import tempfile
+
+    from ..operators import incremental
+
+    emb = _emb(spark, sf_dir)
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"knnstore-{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    vstore = os.path.join(scratch, "vecs")
+    gstore = os.path.join(scratch, "graph")
+    for m in (0, 1):
+        incremental.ingest_knn_graph(
+            spark,
+            vstore,
+            gstore,
+            emb.filter(F.col("vec_id") % 2 == m),
+            k=KNN_GRAPH_K,
+            nbits=ANN_NBITS,
+            ntables=ANN_NTABLES,
+        )
+    return incremental.knn_graph_from_store(
+        spark, gstore, k=KNN_GRAPH_K, vec_store=vstore
+    )
+
+
+QUERIES["ns_knn_graph_store"] = q_knn_graph_store
+
+ORACLES["ns_knn_graph_store"] = f"""WITH {_EMB},
+{_mb_cte()},
+seed_pairs AS (
+  SELECT DISTINCT a.vec_id AS u, b.vec_id AS v
+  FROM mb a JOIN mb b ON a.t = b.t AND a.bucket = b.bucket
+  WHERE a.vec_id != b.vec_id),
+seeds AS (
+  SELECT u, v,
+    {_COSR.format(a='ea.qv', b='eb.qv', qa='ea.qq', qb='eb.qq')}
+      AS cos_raw
+  FROM seed_pairs JOIN e ea ON ea.vec_id = u JOIN e eb ON eb.vec_id = v)
+SELECT u AS node_id, v AS neighbor_id,
+  ROUND(cos_raw, 6) AS cosine_sim, CAST(rn AS INT) AS "rank"
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY u ORDER BY cos_raw DESC, v ASC) AS rn
+  FROM seeds) WHERE rn <= {KNN_GRAPH_K}"""
