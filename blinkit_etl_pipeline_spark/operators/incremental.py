@@ -622,6 +622,60 @@ def knn_graph_from_store(
     )
 
 
+def knn_graph_refine(
+    spark: SparkSession,
+    graph_store: str,
+    vec_store: str,
+    k: int = 5,
+    iters: int = 1,
+) -> DataFrame:
+    """NN-Descent refinement FROM PERSISTED STATE (r11 candidate,
+    landed r10): fold the stored seed candidates to the per-node top-k
+    (exactly :func:`knn_graph_from_store`'s read, kept UNROUNDED so
+    ranking stays engine-exact through the rounds), reconstruct the
+    (vec_id, qvec, qq) frame from the vector store's t=0 copies, and
+    run the SAME local-join rounds the batch operator runs
+    (``vector.nn_descent_rounds`` — one shared implementation). Given
+    any drop split, the result is bit-equal to
+    ``vector.knn_graph(union, k, iters)`` (pytest): the store read
+    reproduces the batch seed graph (top-k merge semilattice), and
+    identical seeds + identical rounds ⇒ identical graph. Takedowns
+    apply before refinement (edges and vectors of retracted ids are
+    excluded), so refinement never resurrects a retracted node."""
+    from . import vector
+
+    edges = snapshot.read_snapshot(spark, graph_store).dropDuplicates(
+        ["u", "v"]
+    )
+    vecs = (
+        snapshot.read_snapshot(spark, vec_store)
+        .filter(F.col("t") == 0)
+        .select("vec_id", "qvec", "qq")
+    )
+    vecs = _exclude_tombstoned(spark, vec_store, vecs, "vec_id")
+    tb = tombstones(spark, vec_store, "vec_id")
+    if tb is not None:
+        edges = edges.join(
+            F.broadcast(tb.withColumnRenamed("vec_id", "u")),
+            "u",
+            "left_anti",
+        ).join(
+            F.broadcast(tb.withColumnRenamed("vec_id", "v")),
+            "v",
+            "left_anti",
+        )
+    ranked = vector._directed_topk(edges, k)
+    ranked = vector.nn_descent_rounds(
+        vecs.localCheckpoint(eager=False), ranked, k, iters
+    )
+    return ranked.select(
+        F.col("u").alias("node_id"),
+        F.col("v").alias("neighbor_id"),
+        F.round("cos_raw", 6).alias("cosine_sim"),
+        "rank",
+    )
+
+
 def compact_knn_store(
     spark: SparkSession, graph_store: str, k: int
 ) -> int:

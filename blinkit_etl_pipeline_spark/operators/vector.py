@@ -710,6 +710,27 @@ def knn_graph(
         # occupy two top-k slots for one neighbor
         seeds = seeds.dropDuplicates(["u", "v"])
     ranked = _directed_topk(seeds, k)
+    ranked = nn_descent_rounds(e, ranked, k, iters)
+    return ranked.select(
+        F.col("u").alias("node_id"),
+        F.col("v").alias("neighbor_id"),
+        F.round("cos_raw", 6).alias("cosine_sim"),
+        "rank",
+    )
+
+
+def nn_descent_rounds(
+    e: DataFrame, ranked: DataFrame, k: int, iters: int
+) -> DataFrame:
+    """NN-Descent's local-join refinement, shared by the batch
+    :func:`knn_graph` and the store read path
+    (``incremental.knn_graph_refine``): per round, expand
+    neighbors-of-neighbors over the UNDIRECTED current graph, score
+    only pairs not already present (one integer fold each), merge, and
+    re-take the per-node top-k. ``e`` is a (vec_id, qvec, qq) frame;
+    ``ranked`` the current top-k graph (u, v, cos_raw, rank). Returns
+    the final round's ranked graph (identical input ⇒ bit-identical
+    output, whichever path built the seeds)."""
     knn = ranked.select("u", "v", "cos_raw")
     ea = e.select(
         F.col("vec_id").alias("u"),
@@ -751,15 +772,10 @@ def knn_graph(
         )
         ranked = _directed_topk(knn.unionByName(scored), k)
         knn = ranked.select("u", "v", "cos_raw")
-    # `ranked` is the final round's top-k WITH its rank — re-windowing
-    # the k·n-row graph just to regain the column would pay one more
-    # full shuffle+sort per call (r10 review)
-    return ranked.select(
-        F.col("u").alias("node_id"),
-        F.col("v").alias("neighbor_id"),
-        F.round("cos_raw", 6).alias("cosine_sim"),
-        "rank",
-    )
+    # `ranked` carries the final round's rank — re-windowing the
+    # k·n-row graph just to regain the column would pay one more full
+    # shuffle+sort per call (r10 review)
+    return ranked
 
 
 def lsh_topk(

@@ -1443,3 +1443,34 @@ def test_knn_store_takedown_contract(spark, tmp_path):
             spark, gstore, k=5, vec_store=vstore
         )
     ) == rows(vector.knn_graph(survivors, k=5, iters=0))
+
+
+def test_knn_graph_refine_from_store_equals_batch(spark, tmp_path):
+    """r10: read-time NN-Descent over persisted state — refining the
+    store's seed graph must be BIT-equal to the batch
+    vector.knn_graph(union, iters) for the same k/iters (shared rounds
+    implementation over identical seeds), including after a takedown
+    (refinement never resurrects a retracted node)."""
+    from blinkit_etl_pipeline_spark.operators import vector
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    vstore = str(tmp_path / "vecs")
+    gstore = str(tmp_path / "graph")
+    for m in (0, 1):
+        incremental.ingest_knn_graph(
+            spark, vstore, gstore, emb.filter(F.col("vec_id") % 2 == m),
+            k=5,
+        )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    got = incremental.knn_graph_refine(spark, gstore, vstore, k=5, iters=1)
+    want = vector.knn_graph(emb, k=5, iters=1)
+    assert rows(got) == rows(want)
+    # takedown, then refine: the retracted id appears nowhere
+    incremental.retract_docs(spark, vstore, [3], id_col="vec_id")
+    got2 = incremental.knn_graph_refine(spark, gstore, vstore, k=5, iters=1)
+    assert got2.filter(
+        (F.col("node_id") == 3) | (F.col("neighbor_id") == 3)
+    ).count() == 0
