@@ -829,20 +829,29 @@ def _tfidf_score(tf: DataFrame, nd: DataFrame, k: int) -> DataFrame:
 
 
 def pmi_score(
-    uni: DataFrame, c12: DataFrame, min_count: int = 5, top: int = 20
+    uni: DataFrame,
+    c12: DataFrame,
+    min_count: int = 5,
+    top: int = 20,
+    totals: DataFrame | None = None,
 ) -> DataFrame:
     """PMI scoring over pre-aggregated counts — shared by the batch
-    :func:`pmi_collocations` and the store read
-    (``incremental.pmi_from_store``). ``uni`` is (token, c) corpus
+    :func:`pmi_collocations`, the store read
+    (``incremental.pmi_from_store``), and the pruned term probe
+    (``incremental.collocations_for_terms``). ``uni`` is (token, c)
     unigram counts, ``c12`` is (w1, w2, c12) adjacent-bigram counts;
-    totals derive from the aggregated frames (Σc, Σc12 — exact
+    ``totals`` — when given — is a one-row (__t, __b) frame supplying
+    the CORPUS token/bigram totals (the probe's frames cover only the
+    probed vocabulary, so totals must come from stats partials);
+    default derives them from the aggregated frames (Σc, Σc12 — exact
     integers, identical to counting the raw streams), so any additive
     split of the corpus scores identically."""
-    totals = F.broadcast(
-        uni.agg(F.sum("c").cast("long").alias("__t")).crossJoin(
-            c12.agg(F.sum("c12").cast("long").alias("__b"))
+    if totals is None:
+        totals = F.broadcast(
+            uni.agg(F.sum("c").cast("long").alias("__t")).crossJoin(
+                c12.agg(F.sum("c12").cast("long").alias("__b"))
+            )
         )
-    )
     u1 = uni.select(F.col("token").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("token").alias("w2"), F.col("c").alias("c2"))
     scored = (

@@ -803,6 +803,18 @@ def ingest_bm25_postings(
     )
 
 
+#: reserved bkey lane for the bigram store's per-batch stats partials
+BIGRAM_BKEY_STATS = (1 << 63) - 1
+
+
+def _bigram_bkey() -> F.Column:
+    return (
+        F.when(F.col("doc_id").isNull(), F.lit(BIGRAM_BKEY_STATS))
+        .otherwise(F.xxhash64(F.col("w1")))
+        .cast("long")
+    )
+
+
 def ingest_bigram_postings(
     spark: SparkSession,
     store_table: str,
@@ -820,12 +832,38 @@ def ingest_bigram_postings(
     doc with <2 tokens simply contributes zero rows (its redelivery is
     naturally a no-op). Together with the unigram postings store this
     answers :func:`~blinkit_etl_pipeline_spark.functions.text.
-    pmi_collocations` from indexes alone — see :func:`pmi_from_store`."""
+    pmi_collocations` from indexes alone — see :func:`pmi_from_store`.
+
+    Layout (r10, the postings store's tkey pattern): every row carries
+    ``bkey`` — xxhash64(w1) for bigram rows, the reserved extreme for
+    the per-batch stats partial — and the store clusters files BY bkey
+    range, so :func:`collocations_for_terms` opens only the files
+    whose leading-word range its probe touches. Each post-guard batch
+    appends ONE stats partial (``doc_id IS NULL, c12 = batch's total
+    bigram count``) in the same atomic commit, so the corpus bigram
+    total ``B`` is answerable from partials instead of a corpus-linear
+    fold."""
     from ..functions.text import bigram_frame
 
     rows = bigram_frame(new_docs.dropDuplicates(["doc_id"]))
+
+    def _augment(guarded: DataFrame) -> DataFrame:
+        batch_stats = guarded.agg(
+            F.coalesce(F.sum("c12"), F.lit(0)).cast("long").alias("c12")
+        ).select(
+            F.lit(None).cast("long").alias("doc_id"),
+            F.lit(None).cast("string").alias("w1"),
+            F.lit(None).cast("string").alias("w2"),
+            "c12",
+        )
+        return guarded.unionByName(batch_stats).withColumn(
+            "bkey", _bigram_bkey()
+        )
+
     return _ingest_rows(
         spark, store_table, rows, "doc_id",
+        stats_col="bkey",
+        augment_fn=_augment,
         compact_threshold=compact_threshold,
         compact_target=compact_target,
         compact_keep_versions=compact_keep_versions,
@@ -860,10 +898,92 @@ def pmi_from_store(
     )
     c12 = (
         read_store_live(spark, bigram_store)
+        .filter(F.col("doc_id").isNotNull())  # drop stats partials
         .groupBy("w1", "w2")
         .agg(F.sum("c12").cast("long").alias("c12"))
     )
     return pmi_score(uni, c12, min_count, top)
+
+
+def collocations_for_terms(
+    spark: SparkSession,
+    postings_store: str,
+    bigram_store: str,
+    terms,
+    min_count: int = 5,
+    top: int = 20,
+) -> DataFrame:
+    """Term-scoped collocation lookup answered ENTIRELY from pruned
+    index files (r10) — "what follows these words?" without a corpus
+    scan: PMI-ranked bigrams whose LEADING word is in ``terms``,
+    value-identical to ``pmi_collocations(corpus)`` restricted to
+    those bigrams (pytest).
+
+    Probe shape, all manifest-level file pruning:
+
+    - bigram rows: prune the bigram store by ``xxhash64(term)``
+      (bkey-clustered files) → only the probed leading words' files
+      open; the observed partner set ``w2s`` is probe-bounded.
+    - unigram counts for terms ∪ partners: prune the BM25 postings
+      store by their tkeys (the store retrieval already prunes by).
+    - totals: ``T`` = Σ dl over the postings store's per-batch stats
+      partials (their reserved tkey lane prunes to stats files);
+      ``B`` = Σ c12 over the bigram store's stats partials — neither
+      total ever folds corpus-linear rows.
+    """
+    from ..functions.text import pmi_score
+
+    terms = sorted({str(t) for t in terms})
+    if not terms:
+        raise ValueError("collocations_for_terms: empty term list")
+    bkeys = [
+        r["k"]
+        for r in spark.createDataFrame(
+            [(t,) for t in terms], "w string"
+        ).select(F.xxhash64("w").alias("k")).collect()
+    ]
+    bg = read_store_live(
+        spark, bigram_store, prune_values=sorted(bkeys)
+    ).filter(F.col("doc_id").isNotNull() & F.col("w1").isin(terms))
+    c12 = bg.groupBy("w1", "w2").agg(
+        F.sum("c12").cast("long").alias("c12")
+    ).localCheckpoint(eager=True)
+    partners = sorted(
+        {r["w2"] for r in c12.select("w2").distinct().collect()}
+        | set(terms)
+    )
+    tkeys = [
+        r["k"]
+        for r in spark.createDataFrame(
+            [(t,) for t in partners], "w string"
+        ).select(F.xxhash64("w").alias("k")).collect()
+    ]
+    postings = read_store_live(
+        spark, postings_store, prune_values=sorted(tkeys)
+    )
+    uni = (
+        postings.filter(
+            F.col("token").isin(partners) & F.col("doc_id").isNotNull()
+        )
+        .groupBy("token")
+        .agg(F.sum("tf").cast("long").alias("c"))
+    )
+    t_total = (
+        snapshot.read_snapshot_pruned(
+            spark, postings_store, [BM25_TKEY_STATS]
+        )
+        .filter(F.col("doc_id").isNull() & F.col("token").isNull())
+        .agg(F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("__t"))
+    )
+    b_total = (
+        snapshot.read_snapshot_pruned(
+            spark, bigram_store, [BIGRAM_BKEY_STATS]
+        )
+        .filter(F.col("doc_id").isNull())
+        .agg(F.coalesce(F.sum("c12"), F.lit(0)).cast("long").alias("__b"))
+    )
+    totals = F.broadcast(t_total.crossJoin(b_total))
+    return pmi_score(uni, c12, min_count, top, totals=totals)
 
 
 def bm25_store_probe(

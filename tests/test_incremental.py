@@ -1474,3 +1474,54 @@ def test_knn_graph_refine_from_store_equals_batch(spark, tmp_path):
     assert got2.filter(
         (F.col("node_id") == 3) | (F.col("neighbor_id") == 3)
     ).count() == 0
+
+
+def test_collocations_for_terms_pruned_probe(spark, tmp_path):
+    """r10: term-scoped collocation lookup from the pruned indexes —
+    value-identical to the batch PMI restricted to bigrams led by the
+    probe terms, with totals drawn from stats partials (never a
+    corpus-linear fold) and the bigram read opening only the probed
+    bkey range's files."""
+    from blinkit_etl_pipeline_spark.functions.text import pmi_collocations
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter(F.col("doc_id") < 90)
+    pstore = str(tmp_path / "postings")
+    bstore = str(tmp_path / "bigrams")
+    for m in (0, 1, 2):
+        batch = docs.filter(F.col("doc_id") % 3 == m)
+        incremental.ingest_bm25_postings(spark, pstore, batch)
+        incremental.ingest_bigram_postings(spark, bstore, batch)
+    # pick probe terms that actually lead bigrams
+    want_all = pmi_collocations(docs, min_count=2, top=10_000)
+    terms = sorted(
+        {r["w1"] for r in want_all.select("w1").limit(50).collect()}
+    )[:3]
+    assert terms
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    got = incremental.collocations_for_terms(
+        spark, pstore, bstore, terms, min_count=2, top=20
+    )
+    want = (
+        want_all.filter(F.col("w1").isin(terms))
+        .orderBy(
+            F.col("pmi_q").desc(), F.col("w1").asc(), F.col("w2").asc()
+        )
+        .limit(20)
+    )
+    assert rows(got) == rows(want) and got.count() > 0
+    # the probe's bigram read is file-pruned: probed bkeys select a
+    # strict subset of the store's files
+    m = snapshot.read_manifest(bstore)
+    bkeys = [
+        r["k"]
+        for r in spark.createDataFrame([(t,) for t in terms], "w string")
+        .select(F.xxhash64("w").alias("k"))
+        .collect()
+    ]
+    pruned = snapshot._pruned_entries(m, sorted(bkeys))
+    assert pruned is not None and len(pruned) < len(m["files"])
