@@ -307,3 +307,47 @@ def compact_curated_store(
     return incremental.compact_agg_store(
         spark, store_table, list(spec.keys), spec.sum_cols
     )
+
+
+def read_curated_at(
+    spark: SparkSession, store_table: str, table: str, version: int
+) -> DataFrame:
+    """The curated table AS OF a pinned store version — time travel
+    over the partial store (merge-on-read against that version's
+    manifest; immutable files make it stable under later ingests)."""
+    from . import snapshot
+
+    spec = SPECS[table]
+    merged = ivm.merge_partials(
+        snapshot.read_snapshot(spark, store_table, version),
+        list(spec.keys),
+        spec.sum_cols,
+    )
+    return spec.finalize(merged)
+
+
+def curated_changes(
+    spark: SparkSession,
+    store_table: str,
+    table: str,
+    v_old: int,
+    v_new: int,
+) -> DataFrame:
+    """CDC-OUT between two committed versions of a maintained curated
+    table (r10) — "what did that drop change in the dashboard?"
+    without replaying the drop: multiset diff of the finalized views,
+    ``change='added'`` rows present only at ``v_new``, ``'removed'``
+    only at ``v_old`` (an updated key emits one of each — its pre- and
+    post-images). Work ∝ the two merge-on-read folds (store-sized,
+    never base-table-sized); downstream consumers (cache invalidation,
+    alerting, reverse ETL) get exactly the changed rows."""
+    old = read_curated_at(spark, store_table, table, v_old)
+    new = read_curated_at(spark, store_table, table, v_new)
+    return (
+        new.exceptAll(old)
+        .withColumn("change", F.lit("added"))
+        .unionByName(
+            old.exceptAll(new).withColumn("change", F.lit("removed"))
+        )
+        .select("change", *new.columns)
+    )

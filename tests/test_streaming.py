@@ -785,3 +785,60 @@ def test_curated_store_retraction_and_max_rank(spark, tmp_path):
         ).collect()
     }
     assert got4 == {"catA": 1}
+
+
+def test_curated_changes_cdc_between_versions(spark, tmp_path):
+    """r10: CDC between curated-store versions — a second drop's diff
+    contains exactly the touched partners' pre/post images (labeled
+    removed/added), untouched keys emit nothing, and the pinned-version
+    read (time travel) still equals the pre-drop table."""
+    from blinkit_etl_pipeline_spark.operators import curated, snapshot
+
+    store = str(tmp_path / "dp")
+    schema = (
+        "order_id string, delivery_partner_id string, is_delayed int, "
+        "delivery_time_hours double, distance_km double"
+    )
+    b1 = spark.createDataFrame(
+        [
+            ("o1", "dp_1", 1, 2.0, 10.0),
+            ("o2", "dp_1", 0, 1.0, 4.0),
+            ("o3", "dp_2", 0, 3.0, 7.5),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [("o4", "dp_1", 0, 5.0, 2.0)], schema  # touches dp_1 only
+    )
+    curated.ingest_curated_deltas(
+        spark, store, "delivery_partner", b1, batch_id="b1"
+    )
+    v1 = snapshot.current_version(store)
+    at_v1 = sorted(
+        map(
+            tuple,
+            curated.read_curated_at(
+                spark, store, "delivery_partner", v1
+            ).collect(),
+        )
+    )
+    curated.ingest_curated_deltas(
+        spark, store, "delivery_partner", b2, batch_id="b2"
+    )
+    v2 = snapshot.current_version(store)
+    chg = curated.curated_changes(
+        spark, store, "delivery_partner", v1, v2
+    ).collect()
+    assert {r["delivery_partner_id"] for r in chg} == {"dp_1"}
+    by = {r["change"]: r for r in chg}
+    assert by["removed"]["total_deliveries"] == 2
+    assert by["added"]["total_deliveries"] == 3
+    # time travel: the pinned version is unchanged by the later drop
+    assert sorted(
+        map(
+            tuple,
+            curated.read_curated_at(
+                spark, store, "delivery_partner", v1
+            ).collect(),
+        )
+    ) == at_v1
