@@ -261,9 +261,39 @@ def spot_knn(spark) -> None:
         )
 
 
+def spot_knnstore(spark) -> None:
+    import shutil
+    import tempfile
+    import time as _t
+
+    from blinkit_etl_pipeline_spark.operators import incremental
+
+    scratch = tempfile.mkdtemp(prefix="knnstore-scale-")
+    vstore, gstore = f"{scratch}/vecs", f"{scratch}/graph"
+    emb = spark.read.parquet(f"{SF1}/embeddings.parquet")
+    walls = []
+    for m in range(4):
+        batch = emb.filter(F.col("vec_id") % 4 == m)
+        t0 = _t.perf_counter()
+        incremental.ingest_knn_graph(
+            spark, vstore, gstore, batch, k=5, nbits=6
+        )
+        walls.append(_t.perf_counter() - t0)
+    t0 = _t.perf_counter()
+    n = incremental.knn_graph_from_store(spark, gstore, k=5).count()
+    t_read = _t.perf_counter() - t0
+    print(
+        f"RESULT knnstore n=20000 drops=4 ingest_walls="
+        f"{[round(w, 2) for w in walls]} read={t_read:.2f}s edges={n}",
+        flush=True,
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
 def main() -> None:
     which = set(sys.argv[1:]) or {
-        "snapdiff", "maintain", "quality", "keywords", "pmi", "incr", "knn"
+        "snapdiff", "maintain", "quality", "keywords", "pmi", "incr",
+        "knn", "knnstore",
     }
     spark = get_session("scale-spot-r10")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -275,6 +305,7 @@ def main() -> None:
         ("pmi", spot_pmi),
         ("incr", spot_incr),
         ("knn", spot_knn),
+        ("knnstore", spot_knnstore),
     ):
         if name in which:
             fn(spark)
