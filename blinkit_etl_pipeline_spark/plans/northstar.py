@@ -6271,3 +6271,91 @@ FROM (
   SELECT *, row_number() OVER (
     PARTITION BY u ORDER BY cos_raw DESC, v ASC) AS rn
   FROM seeds) WHERE rn <= {KNN_GRAPH_K}"""
+
+
+# ----------------------------------------------------------------------
+# r10: pruned term-scoped collocation probe over the text indexes
+# ----------------------------------------------------------------------
+
+COLLOC_PROBE_TERMS = 3
+COLLOC_MIN_COUNT = 2
+COLLOC_TOP = 20
+
+
+def q_text_collocations_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-scoped collocation lookup end-to-end through the persisted
+    text indexes (incremental.collocations_for_terms): documents
+    ingest into per-session scratch postings + bigram stores (two
+    drops — the store build IS part of the gauge), the probe terms are
+    the corpus's most frequent tokens (derived from the store, ties on
+    token asc), and the probe answers from PRUNED index files only —
+    bigram files by leading-word hash, posting files by token hash,
+    totals from stats partials. The oracle recomputes the identical
+    PMI restricted to the same derived terms over the raw corpus —
+    equality proves the pruned path loses nothing."""
+    import shutil
+    import tempfile
+
+    from ..operators import incremental as inc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"collocprobe-{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    pstore = os.path.join(scratch, "postings")
+    bstore = os.path.join(scratch, "bigrams")
+    for m in (0, 1):
+        batch = docs.filter(F.col("doc_id") % 2 == m)
+        inc.ingest_bm25_postings(spark, pstore, batch)
+        inc.ingest_bigram_postings(spark, bstore, batch)
+    from ..operators import snapshot
+
+    uni = (
+        snapshot.read_snapshot(spark, pstore)
+        .filter(F.col("token").isNotNull() & F.col("doc_id").isNotNull())
+        .groupBy("token")
+        .agg(F.sum("tf").cast("long").alias("c"))
+    )
+    terms = [
+        r["token"]
+        for r in uni.orderBy(
+            F.col("c").desc(), F.col("token").asc()
+        ).limit(COLLOC_PROBE_TERMS).collect()
+    ]
+    return inc.collocations_for_terms(
+        spark, pstore, bstore, terms,
+        min_count=COLLOC_MIN_COUNT, top=COLLOC_TOP,
+    )
+
+
+QUERIES["ns_text_collocations_probe"] = q_text_collocations_probe
+
+ORACLES["ns_text_collocations_probe"] = f"""WITH {_TOKS},
+tok AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+uni AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY token),
+terms AS (SELECT token FROM uni
+  ORDER BY c DESC, token ASC LIMIT {COLLOC_PROBE_TERMS}),
+bg AS (
+  SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2
+  FROM (SELECT unnest(list_transform(
+      range(1, greatest(len(tk) - 1, 0) + 1),
+      i -> array_to_string(tk[i:i+1], ' '))) AS g FROM toks)),
+c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+  FROM bg WHERE w1 IN (SELECT token FROM terms) GROUP BY w1, w2),
+tot AS (SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS t,
+  (SELECT CAST(count(*) AS BIGINT) FROM bg) AS b)
+SELECT w1, w2, c12,
+  CAST({_LNQ.format(x='c12')} - {_LNQ.format(x='(SELECT b FROM tot)')}
+    - {_LNQ.format(x='u1.c')} - {_LNQ.format(x='u2.c')}
+    + 2 * {_LNQ.format(x='(SELECT t FROM tot)')} AS BIGINT) AS pmi_q
+FROM c12
+JOIN uni u1 ON c12.w1 = u1.token
+JOIN uni u2 ON c12.w2 = u2.token
+WHERE c12 >= {COLLOC_MIN_COUNT}
+ORDER BY pmi_q DESC, w1 ASC, w2 ASC
+LIMIT {COLLOC_TOP}"""

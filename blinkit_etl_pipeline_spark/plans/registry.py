@@ -32,6 +32,7 @@ PRIORITY = [
     "ns_knn_graph_recall",
     "ns_triplet_mine_knn",
     "ns_knn_graph_store",
+    "ns_text_collocations_probe",
     "ns_incr_campaign_summary",
     "ns_incr_delivery_partner",
     "ns_incr_category_impact",
