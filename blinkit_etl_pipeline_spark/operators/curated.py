@@ -37,6 +37,19 @@ ivm module doc; cents lattice for money, 1e-6 lattice for ratios):
   THE KEY makes the store the value-multiset (count per distinct
   rank, the classic min/max IVM fix): max over live ranks is exact
   under any retraction history.
+- **revenue_by_category** (IA1, ``agg.revenue_by_category``): stored
+  at the FINER (category, customer_id, order_id) grain so both
+  COUNT(DISTINCT)s derive at read time from live groups (the
+  ``ns_incr_category_revenue`` cascade; order_id functionally
+  determines customer_id).
+- **area_feedback** (``agg.area_feedback_metrics``, the feedback
+  job's curated table): grain (area); rating and sentiment_score are
+  exact small ints, so the averages are exact int64-sum/count
+  divisions — bit-identical to the batch ``AVG`` in both engines.
+
+With these two, every curated table the batch runner writes has an
+incremental twin — ``runner.handle_new_file_incremental`` composes
+them with the C1 routing table into the event-driven mode.
 
 Delta-slice contract (what a "file drop" may contain): the upstream
 transforms dedup on (campaign_id, date), require unique order_id, and
@@ -189,6 +202,78 @@ def _category_finalize(merged: DataFrame) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# IA1: curated_revenue_by_category (distinct-cascade over sales_fact)
+# ----------------------------------------------------------------------
+
+
+def _sales_sums() -> Mapping[str, Column]:
+    return {
+        "lt_q": _cents("line_total"),
+        "pm_q": _cents("profit_margin"),
+    }
+
+
+def _sales_finalize(merged: DataFrame) -> DataFrame:
+    # COUNT(DISTINCT order_id)/COUNT(DISTINCT customer_id) are not
+    # signed sums: partials persist at the finer (category, customer,
+    # order) grain and both distincts derive from the live groups —
+    # the ns_incr_category_revenue hierarchical cascade, valid because
+    # order_id functionally determines customer_id (agg.py:48 doc).
+    per_customer = merged.groupBy("category", "customer_id").agg(
+        F.count("*").cast("long").alias("_n_orders"),
+        F.sum("lt_q").alias("_lt"),
+        F.sum("pm_q").alias("_pm"),
+    )
+    return per_customer.groupBy("category").agg(
+        F.sum("_n_orders").cast("long").alias("total_orders"),
+        F.count("*").cast("long").alias("unique_customers"),
+        F.round(F.sum("_lt") / 100.0, 2).alias("total_revenue"),
+        F.round(F.sum("_pm") / 100.0, 2).alias("total_profit"),
+        F.round(F.sum("_lt") / (100.0 * F.sum("_n_orders")), 2).alias(
+            "avg_order_value"
+        ),
+    )
+
+
+# ----------------------------------------------------------------------
+# curated_area_feedback_metrics (the feedback job's curated table)
+# ----------------------------------------------------------------------
+
+
+def _feedback_prepare(batch: DataFrame) -> DataFrame:
+    return batch.filter(F.col("feedback_id").isNotNull())
+
+
+def _feedback_sums() -> Mapping[str, Column]:
+    # rating (1–5 int) and sentiment_score (−1/0/1 int) are exact
+    # integers already — no lattice needed; averages derive as exact
+    # int64-sum / count divisions at read time.
+    return {
+        "rating_s": F.col("rating"),
+        "pos": F.when(
+            F.col("sentiment_normalized") == "Positive", 1
+        ).otherwise(0),
+        "neg": F.when(
+            F.col("sentiment_normalized") == "Negative", 1
+        ).otherwise(0),
+        "sent_s": F.col("sentiment_score"),
+    }
+
+
+def _feedback_finalize(merged: DataFrame) -> DataFrame:
+    n = F.col(ivm.COUNT_COL)
+    return merged.select(
+        "area",
+        n.alias("total_feedback"),
+        (F.col("rating_s") / n).alias("avg_rating"),
+        F.col("pos").cast("bigint").alias("positive_count"),
+        F.col("neg").cast("bigint").alias("negative_count"),
+        (F.col("sent_s") / n).alias("avg_sentiment_score"),
+        (F.col("pos") / n).alias("satisfaction_rate"),
+    )
+
+
+# ----------------------------------------------------------------------
 # IA5: curated_product_inventory_discrepancies (rank-in-key max)
 # ----------------------------------------------------------------------
 
@@ -211,6 +296,17 @@ def _product_finalize(merged: DataFrame) -> DataFrame:
 
 
 SPECS: dict[str, CuratedSpec] = {
+    "revenue_by_category": CuratedSpec(
+        keys=("category", "customer_id", "order_id"),
+        sums=_sales_sums,
+        finalize=_sales_finalize,
+    ),
+    "area_feedback": CuratedSpec(
+        keys=("area",),
+        sums=_feedback_sums,
+        finalize=_feedback_finalize,
+        prepare=_feedback_prepare,
+    ),
     "campaign_summary": CuratedSpec(
         keys=("campaign_id", "campaign_name", "channel"),
         sums=_campaign_sums,

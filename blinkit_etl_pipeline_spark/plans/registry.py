@@ -27,6 +27,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # plus the full r5 cohort (which includes ns_text_bm25, whose scorer
 # plan changed this round).
 PRIORITY = [
+    # --- r10 addendum additions, never driver-checked ---
+    "ns_incr_sales_revenue",
+    "ns_incr_area_feedback",
     # --- r10 additions, never driver-checked ---
     "ns_knn_graph",
     "ns_knn_graph_recall",

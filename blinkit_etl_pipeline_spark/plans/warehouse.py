@@ -1004,3 +1004,144 @@ SELECT product_id, product_name, category,
   END AS max_severity
 FROM g1 GROUP BY product_id, product_name, category"""
 )
+
+# ---------------------------------------------------------------------------
+# r10 addendum: IA1 + area_feedback incremental twins — with these, every
+# curated table the batch runner writes is IVM-maintained, and the
+# runner's incremental mode (runner.handle_new_file_incremental) routes
+# file drops through exactly these specs (pytest-pinned end-to-end in
+# tests/test_curated_runner.py).
+# ---------------------------------------------------------------------------
+
+SALES_CUTOFF = "2000-01-01 00:00:00"
+FB_CUTOFF = "2024-01-21 00:00:00"
+
+
+def q_incr_sales_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IA1 maintained incrementally over the Blinkit sales fact — the
+    double-COUNT(DISTINCT) case (orders AND customers): partials
+    persist at the finer (category, customer, order) grain, both
+    distincts derive from the read-time cascade (order_id functionally
+    determines customer_id — agg.py:48). Three hash-split insert
+    drops + a retraction of post-cutoff orders; the oracle recomputes
+    the identical quantized cascade over survivors."""
+    from ..operators import curated
+    from ..pipelines import sales_revenue
+    from ..sources.testdata import register_blinkit
+
+    t = register_blinkit(spark, sf_dir)
+    fact = sales_revenue.sales_fact(
+        t["b_orders"], t["b_order_items"], t["b_products"]
+    ).select(
+        "category", "customer_id", "order_id", "order_date",
+        "line_total", "profit_margin",
+    )
+    batches = _curated_batches(
+        fact,
+        F.col("order_id"),
+        F.col("order_date") > F.lit(SALES_CUTOFF).cast("timestamp_ntz"),
+    )
+    return curated.curated_delta_view("revenue_by_category", batches)
+
+
+QUERIES["ns_incr_sales_revenue"] = q_incr_sales_revenue
+
+
+def _sales_oracle() -> str:
+    from ..sources.testdata import oracle_with_clause
+    from .parity import SALES_FACT_CTE
+
+    return (
+        oracle_with_clause("b_orders", "b_order_items", "b_products")
+        + ",\n"
+        + SALES_FACT_CTE
+        + f""",
+q AS (
+  SELECT category, customer_id, order_id,
+    CAST(ROUND(line_total * 100, 0) AS BIGINT) AS lq,
+    CAST(ROUND(profit_margin * 100, 0) AS BIGINT) AS pq
+  FROM sales_fact
+  WHERE order_date <= TIMESTAMP '{SALES_CUTOFF}'),
+g1 AS (
+  SELECT category, customer_id, order_id,
+    CAST(SUM(lq) AS BIGINT) AS lq, CAST(SUM(pq) AS BIGINT) AS pq
+  FROM q GROUP BY category, customer_id, order_id),
+g2 AS (
+  SELECT category, customer_id, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(lq) AS BIGINT) AS lq, CAST(SUM(pq) AS BIGINT) AS pq
+  FROM g1 GROUP BY category, customer_id)
+SELECT category,
+  CAST(SUM(n) AS BIGINT) AS total_orders,
+  CAST(COUNT(*) AS BIGINT) AS unique_customers,
+  ROUND(SUM(lq) / 100.0, 2) AS total_revenue,
+  ROUND(SUM(pq) / 100.0, 2) AS total_profit,
+  ROUND(SUM(lq) / (100.0 * SUM(n)), 2) AS avg_order_value
+FROM g2 GROUP BY category"""
+    )
+
+
+ORACLES["ns_incr_sales_revenue"] = _sales_oracle()
+
+
+def q_incr_area_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feedback job's curated table maintained incrementally:
+    enriched feedback rows (the SAME pipeline transform the batch job
+    runs) arrive in three hash-split drops, post-cutoff feedback
+    retracts. rating and sentiment_score are exact small ints, so the
+    averages are exact int64-sum/count divisions — bit-identical to
+    the batch AVG in both engines."""
+    from ..operators import curated
+    from ..pipelines import customer_feedback
+    from ..sources import readers
+    from ..sources.testdata import register_blinkit
+
+    t = register_blinkit(spark, sf_dir)
+    enriched = customer_feedback.enriched_feedback(
+        t["b_feedback"], t["b_customers"], t["b_orders"],
+        readers.rating_icons(spark),
+    ).select(
+        "feedback_id", "feedback_date", "area", "rating",
+        "sentiment_normalized", "sentiment_score",
+    )
+    batches = _curated_batches(
+        enriched,
+        F.col("feedback_id"),
+        F.col("feedback_date") > F.lit(FB_CUTOFF).cast("timestamp"),
+    )
+    return curated.curated_delta_view("area_feedback", batches)
+
+
+QUERIES["ns_incr_area_feedback"] = q_incr_area_feedback
+
+
+def _feedback_oracle() -> str:
+    from ..sources.testdata import oracle_with_clause
+    from .parity import ENRICHED_FEEDBACK_CTE, RATING_ICONS_CTE
+
+    return (
+        oracle_with_clause("b_feedback", "b_customers", "b_orders")
+        + ",\n"
+        + RATING_ICONS_CTE
+        + ",\n"
+        + ENRICHED_FEEDBACK_CTE
+        + f""",
+q AS (
+  SELECT area, CAST(rating AS BIGINT) AS rating,
+    CAST(sentiment_score AS BIGINT) AS score,
+    CASE WHEN sentiment_normalized = 'Positive' THEN 1 ELSE 0 END AS pos,
+    CASE WHEN sentiment_normalized = 'Negative' THEN 1 ELSE 0 END AS neg
+  FROM enriched_feedback
+  WHERE feedback_id IS NOT NULL
+    AND feedback_date <= TIMESTAMP '{FB_CUTOFF}')
+SELECT area,
+  CAST(COUNT(*) AS BIGINT) AS total_feedback,
+  CAST(SUM(rating) AS BIGINT) / COUNT(*) AS avg_rating,
+  CAST(SUM(pos) AS BIGINT) AS positive_count,
+  CAST(SUM(neg) AS BIGINT) AS negative_count,
+  CAST(SUM(score) AS BIGINT) / COUNT(*) AS avg_sentiment_score,
+  CAST(SUM(pos) AS BIGINT) / COUNT(*) AS satisfaction_rate
+FROM q GROUP BY area"""
+    )
+
+
+ORACLES["ns_incr_area_feedback"] = _feedback_oracle()
