@@ -27,7 +27,7 @@ batch side always has its own).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import snapshot
@@ -1952,3 +1952,121 @@ def compact_agg_store(
         except snapshot.CommitConflictError as e:
             last_err = e
     raise last_err
+
+
+def graph_search_from_store(
+    spark: SparkSession,
+    graph_store: str,
+    vec_store: str,
+    query_ids,
+    *,
+    k: int = 5,
+    beam: int = 8,
+    rounds: int = 2,
+) -> DataFrame:
+    """ANN serving FROM PERSISTED STATE (r10 addendum): entry points
+    come from the vector store's own bucket rows — the query rows'
+    (t, bucket) keys select colliding files via manifest pruning
+    (``read_snapshot_pruned``), so seeding opens only the probed
+    buckets' files, the ns_knn_graph_store flat-probe shape — then the
+    SAME traversal rounds the batch operator runs
+    (``vector.graph_search_rounds``, one shared implementation) walk
+    the folded graph. Seed candidates here (any-table collision
+    between query and stored vectors) are BY CONSTRUCTION the
+    candidate set ``vector.lsh_topk`` computes over the ingested
+    union, so given equal (k, beam, rounds) and the store's seed
+    graph, the result is bit-equal to ``vector.graph_search_topk``
+    over the union (pytest). Takedowns apply before seeding and
+    before the walk — a retracted id can neither seed nor be reached.
+
+    The query-row lookup (vec_id ∈ query_ids) is one column-pruned
+    scan of the vector store (it clusters by tb, not vec_id); a
+    deployment serving out-of-corpus queries would hash the query
+    vectors driver-side instead and skip the lookup entirely."""
+    from . import vector
+
+    qids = [int(i) for i in query_ids]
+    vecs = snapshot.read_snapshot(spark, vec_store)
+    vecs = _exclude_tombstoned(spark, vec_store, vecs, "vec_id")
+    qrows = vecs.filter(F.col("vec_id").isin(qids)).localCheckpoint(
+        eager=True
+    )
+    probed = sorted(
+        int(r["tb"]) for r in qrows.select("tb").distinct().collect()
+    )
+    stored = _exclude_tombstoned(
+        spark,
+        vec_store,
+        snapshot.read_snapshot_pruned(spark, vec_store, probed),
+        "vec_id",
+    )
+    seeds = (
+        F.broadcast(
+            qrows.select(
+                F.col("vec_id").alias("query_id"), "t", "bucket"
+            )
+        )
+        .join(stored.select("vec_id", "t", "bucket"), ["t", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    # beam-fold the seed candidates exactly as the batch path does
+    # (lsh_topk ranks its candidate set on raw cosine before the cut)
+    e = (
+        vecs.filter(F.col("t") == 0)
+        .select("vec_id", "qvec", "qq")
+        .localCheckpoint(eager=False)
+    )
+    qe = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("_sqv"),
+        F.col("qq").alias("_sqq"),
+    )
+    scored = (
+        F.broadcast(seeds)
+        .join(qe, "query_id")
+        .join(
+            e.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("qvec").alias("_scv"),
+                F.col("qq").alias("_scq"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            vector.qcos(
+                vector.qdot(F.col("_sqv"), F.col("_scv")),
+                F.col("_sqq"),
+                F.col("_scq"),
+            ).alias("cos_raw"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    beam_seeds = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= beam)
+        .select("query_id", "neighbor_id")
+    )
+    edges = snapshot.read_snapshot(spark, graph_store).dropDuplicates(
+        ["u", "v"]
+    )
+    tb = tombstones(spark, vec_store, "vec_id")
+    if tb is not None:
+        edges = edges.join(
+            F.broadcast(tb.withColumnRenamed("vec_id", "u")),
+            "u",
+            "left_anti",
+        ).join(
+            F.broadcast(tb.withColumnRenamed("vec_id", "v")),
+            "v",
+            "left_anti",
+        )
+    graph_edges = vector._directed_topk(edges, k).select("u", "v")
+    return vector.graph_search_rounds(
+        e, graph_edges, beam_seeds, k, beam, rounds
+    )

@@ -2532,3 +2532,146 @@ def sq8_store_topk(
         "qvec", _sq8_width_guard(F.col("qvec"), len(stats), "query")
     )
     return _sq8_score_topk(recon, q, query_ids, k)
+
+
+# ----------------------------------------------------------------------
+# Graph-traversal ANN search (r10 addendum) — serving over the k-NN graph
+# ----------------------------------------------------------------------
+
+
+def _gs_score(pairs: DataFrame, qe: DataFrame, ce: DataFrame) -> DataFrame:
+    """Exact lattice cosine for a bounded (query_id, neighbor_id) pair
+    frame. Both joins keep the pair side broadcast (≤ |Q|·beam·k rows;
+    the localCheckpoint-leaf corpus side carries no stats, so AQE
+    can't discover the asymmetry itself — the r9 pagerank lesson), so
+    the corpus frame is probed in place, never shuffled."""
+    return (
+        F.broadcast(F.broadcast(pairs).join(qe, "query_id"))
+        .join(ce, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            qcos(
+                qdot(F.col("_gqv"), F.col("_gcv")),
+                F.col("_gqq"),
+                F.col("_gcq"),
+            ).alias("cos_raw"),
+        )
+    )
+
+
+def graph_search_rounds(
+    e: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    beam: int,
+    rounds: int,
+) -> DataFrame:
+    """Greedy beam search over a k-NN graph — the serving-side
+    traversal shared by :func:`graph_search_topk` (batch graph) and
+    ``incremental.graph_search_from_store`` (persisted graph), so the
+    two paths are bit-equal by construction given equal inputs.
+
+    ``e`` is a (vec_id, qvec, qq) frame covering queries and corpus;
+    ``edges`` the graph's (u, v) pairs (expanded UNDIRECTED here — the
+    standard k-NN-graph search relaxation); ``seeds`` the entry-point
+    (query_id, neighbor_id) pairs. Per round: the per-query top-`beam`
+    frontier expands one hop, pairs never scored before get one exact
+    lattice cosine each, and the candidate pool absorbs them. Returns
+    the per-query top-k with display rounding.
+
+    Scale: after seeding, per-round work is |Q|·beam·k scored pairs —
+    INDEPENDENT of corpus size; the corpus-sized edge and vector
+    frames are only ever probed by broadcast-hash joins against
+    frontier-sized sides (forced hints — checkpoint leaves carry no
+    stats). Determinism: exact integer-lattice cosines, ties
+    (cos DESC, neighbor ASC), so a SQL oracle replays every round."""
+    qids = seeds.select(
+        F.col("query_id").alias("vec_id")
+    ).distinct()
+    qe = e.join(F.broadcast(qids), "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("_gqv"),
+        F.col("qq").alias("_gqq"),
+    )
+    ce = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qvec").alias("_gcv"),
+        F.col("qq").alias("_gcq"),
+    )
+    und = (
+        edges.select("u", "v")
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    state = _gs_score(seeds.select("query_id", "neighbor_id"), qe, ce)
+    for _ in range(rounds):
+        state = state.localCheckpoint(eager=False)
+        frontier = (
+            state.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= beam)
+            .select("query_id", F.col("neighbor_id").alias("u"))
+        )
+        cand = (
+            F.broadcast(frontier)
+            .join(und, "u")
+            .select("query_id", F.col("v").alias("neighbor_id"))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .distinct()
+        )
+        new = cand.join(
+            state.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        state = state.unionByName(_gs_score(new, qe, ce))
+    return (
+        state.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+def graph_search_topk(
+    emb: DataFrame,
+    graph: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    beam: int = 8,
+    rounds: int = 2,
+    nbits: int = 4,
+    dim: int = 64,
+    ntables: int = 8,
+) -> DataFrame:
+    """ANN serving via graph traversal — the search half of the k-NN
+    graph tier (:func:`knn_graph` builds, this walks): sign-LSH
+    collisions give each query its entry points (the one corpus-bounded
+    stage, a single broadcast-probe scan — :func:`lsh_topk`'s shape),
+    then `rounds` hops of greedy beam expansion over the graph recover
+    the true neighbors LSH pruned away. The HNSW/NSG serving pattern
+    re-expressed as bounded equi-join rounds: no index walk state on
+    the driver, no corpus rescan after seeding.
+
+    ``graph`` is a (node_id, neighbor_id, …) frame from
+    :func:`knn_graph` (or the store read). Deterministic and
+    oracle-replayable end-to-end; the registry pins result exactness
+    (`ns_ann_graph_topk`) and recall vs brute force
+    (`ns_ann_graph_recall`)."""
+    e = with_q(emb).localCheckpoint(eager=False)
+    seeds = lsh_topk(
+        emb, query_ids, k=beam, nbits=nbits, dim=dim, ntables=ntables
+    ).select("query_id", "neighbor_id")
+    edges = graph.select(
+        F.col("node_id").alias("u"), F.col("neighbor_id").alias("v")
+    )
+    return graph_search_rounds(e, edges, seeds, k, beam, rounds)

@@ -6359,3 +6359,178 @@ JOIN uni u2 ON c12.w2 = u2.token
 WHERE c12 >= {COLLOC_MIN_COUNT}
 ORDER BY pmi_q DESC, w1 ASC, w2 ASC
 LIMIT {COLLOC_TOP}"""
+
+
+# ----------------------------------------------------------------------
+# r10 addendum: graph-traversal ANN search (the k-NN graph's serving half)
+# ----------------------------------------------------------------------
+
+GS_BEAM = 8
+GS_ROUNDS = 2
+
+
+def q_ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via graph traversal (operators/vector.py::graph_search_topk):
+    sign-LSH collisions give each query its entry points (one
+    broadcast-probe corpus scan), then two greedy beam-expansion hops
+    over the NN-Descent graph recover neighbors LSH pruned away — the
+    HNSW serving pattern as bounded equi-join rounds, per-round work
+    |Q|·beam·k regardless of corpus size. The oracle replays the graph
+    construction AND every traversal round (same lattice cosines, same
+    tie order), so equality pins each hop's frontier, candidate set,
+    and rank."""
+    emb = _emb(spark, sf_dir)
+    g = vector.knn_graph(
+        emb,
+        k=KNN_GRAPH_K,
+        iters=KNN_GRAPH_ITERS,
+        nbits=ANN_NBITS,
+        ntables=ANN_NTABLES,
+    )
+    return vector.graph_search_topk(
+        emb,
+        g,
+        ANN_QUERY_IDS,
+        k=ANN_K,
+        beam=GS_BEAM,
+        rounds=GS_ROUNDS,
+        nbits=ANN_NBITS,
+        ntables=ANN_NTABLES,
+    )
+
+
+QUERIES["ns_ann_graph_topk"] = q_ann_graph_topk
+
+
+def _gs_ctes(
+    beam: int = GS_BEAM,
+    rounds: int = GS_ROUNDS,
+    nq: int = len(ANN_QUERY_IDS),
+) -> str:
+    """Traversal CTE chain appended after ``_knn_ctes`` (whose
+    ``final`` is the graph): LSH seed candidates → top-beam entry
+    points → per-round frontier / one-hop expansion / not-yet-scored
+    filter / exact scoring / pool union — ending in
+    ``gs_s{rounds}(query_id, neighbor_id, cos_raw)``."""
+    cosq = _COSR.format(a="qe.qv", b="ce.qv", qa="qe.qq", qb="ce.qq")
+    parts = [
+        f"""gs_cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM mb q JOIN mb c ON q.t = c.t AND q.bucket = c.bucket
+  WHERE q.vec_id < {nq} AND c.vec_id != q.vec_id),
+gs_sc0 AS (
+  SELECT query_id, neighbor_id, {cosq} AS cos_raw
+  FROM gs_cand JOIN e qe ON qe.vec_id = gs_cand.query_id
+               JOIN e ce ON ce.vec_id = gs_cand.neighbor_id),
+gs_s0 AS (
+  SELECT query_id, neighbor_id, cos_raw FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
+    FROM gs_sc0) WHERE rn <= {beam}),
+gs_und AS (SELECT u, v FROM final UNION SELECT v, u FROM final)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""gs_f{p} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
+    FROM gs_s{p}) WHERE rn <= {beam}),
+gs_c{r} AS (
+  SELECT DISTINCT f.query_id, g.v AS neighbor_id
+  FROM gs_f{p} f JOIN gs_und g ON f.neighbor_id = g.u
+  WHERE g.v != f.query_id),
+gs_n{r} AS (
+  SELECT c.query_id, c.neighbor_id FROM gs_c{r} c
+  LEFT JOIN gs_s{p} s ON s.query_id = c.query_id
+    AND s.neighbor_id = c.neighbor_id
+  WHERE s.query_id IS NULL),
+gs_sc{r} AS (
+  SELECT n.query_id, n.neighbor_id, {cosq} AS cos_raw
+  FROM gs_n{r} n JOIN e qe ON qe.vec_id = n.query_id
+               JOIN e ce ON ce.vec_id = n.neighbor_id),
+gs_s{r} AS (
+  SELECT * FROM gs_s{p} UNION ALL SELECT * FROM gs_sc{r})"""
+        )
+    return ",\n".join(parts)
+
+
+ORACLES["ns_ann_graph_topk"] = f"""WITH {_EMB},
+{_knn_ctes()},
+{_gs_ctes()}
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine_sim,
+  CAST(rn AS INT) AS "rank"
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
+  FROM gs_s{GS_ROUNDS}) WHERE rn <= {ANN_K}"""
+
+
+def q_ann_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gauge for graph-traversal serving: exact top-k (the one
+    deliberately O(probes·corpus) truth side) vs the walk's top-k —
+    both engines compute walk ∩ truth, so the recall numbers are
+    value-exact. At this corpus the walk recovers neighbors the
+    LSH-only probe misses (ns_ann_lsh_topk's documented trade)."""
+    emb = _emb(spark, sf_dir)
+    g = vector.knn_graph(
+        emb,
+        k=KNN_GRAPH_K,
+        iters=KNN_GRAPH_ITERS,
+        nbits=ANN_NBITS,
+        ntables=ANN_NTABLES,
+    )
+    res = vector.graph_search_topk(
+        emb,
+        g,
+        ANN_QUERY_IDS,
+        k=ANN_K,
+        beam=GS_BEAM,
+        rounds=GS_ROUNDS,
+        nbits=ANN_NBITS,
+        ntables=ANN_NTABLES,
+    ).select("query_id", "neighbor_id")
+    truth = vector.brute_force_topk(emb, ANN_QUERY_IDS, k=ANN_K).select(
+        "query_id", "neighbor_id"
+    )
+    hits = res.join(truth, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count("*").cast("long").alias("hits"))
+    base = truth.select("query_id").distinct()
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+        F.round(
+            F.coalesce(F.col("hits"), F.lit(0)) / ANN_K, 4
+        ).alias("recall"),
+    )
+
+
+QUERIES["ns_ann_graph_recall"] = q_ann_graph_recall
+
+ORACLES["ns_ann_graph_recall"] = f"""WITH {_EMB},
+{_knn_ctes()},
+{_gs_ctes()},
+gq AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
+    FROM gs_s{GS_ROUNDS}) WHERE rn <= {ANN_K}),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        {_COSR.format(a='q.qv', b='c.qv', qa='q.qq', qb='c.qq')} DESC,
+        c.vec_id ASC) AS rn
+    FROM e q CROSS JOIN e c
+    WHERE q.vec_id < {len(ANN_QUERY_IDS)} AND c.vec_id != q.vec_id)
+  WHERE rn <= {ANN_K}),
+h AS (
+  SELECT t.query_id, CAST(count(g.neighbor_id) AS BIGINT) AS hits
+  FROM truth t LEFT JOIN gq g
+    ON g.query_id = t.query_id AND g.neighbor_id = t.neighbor_id
+  GROUP BY t.query_id)
+SELECT query_id, hits,
+  ROUND(hits / {ANN_K}, 4) AS recall
+FROM h"""

@@ -28,6 +28,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # plan changed this round).
 PRIORITY = [
     # --- r10 addendum additions, never driver-checked ---
+    "ns_ann_graph_topk",
+    "ns_ann_graph_recall",
     "ns_incr_sales_revenue",
     "ns_incr_area_feedback",
     # --- r10 additions, never driver-checked ---

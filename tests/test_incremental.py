@@ -1525,3 +1525,51 @@ def test_collocations_for_terms_pruned_probe(spark, tmp_path):
     ]
     pruned = snapshot._pruned_entries(m, sorted(bkeys))
     assert pruned is not None and len(pruned) < len(m["files"])
+
+
+def test_graph_search_from_store_equals_batch(spark, tmp_path):
+    """r10 addendum: ANN serving from persisted state — seeds come
+    from the vector store's pruned bucket files, the walk runs the
+    shared traversal rounds, and the result is BIT-equal to the batch
+    graph_search_topk over the ingested union with the store's seed
+    graph (identical candidate sets by construction). After a
+    takedown, the retracted id neither seeds nor is reachable, and
+    the search equals the batch walk over survivors."""
+    from blinkit_etl_pipeline_spark.operators import vector
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    vstore = str(tmp_path / "vecs")
+    gstore = str(tmp_path / "graph")
+    for m in (0, 1):
+        incremental.ingest_knn_graph(
+            spark, vstore, gstore, emb.filter(F.col("vec_id") % 2 == m),
+            k=5,
+        )
+    qids = list(range(10))
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    got = incremental.graph_search_from_store(
+        spark, gstore, vstore, qids, k=5, beam=8, rounds=2
+    )
+    want = vector.graph_search_topk(
+        emb, vector.knn_graph(emb, k=5, iters=0), qids,
+        k=5, beam=8, rounds=2,
+    )
+    assert rows(got) == rows(want) and got.count() > 0
+
+    gone = [3, 42]
+    incremental.retract_docs(spark, vstore, gone, id_col="vec_id")
+    got2 = incremental.graph_search_from_store(
+        spark, gstore, vstore, qids, k=5, beam=8, rounds=2
+    )
+    assert got2.filter(
+        F.col("query_id").isin(gone) | F.col("neighbor_id").isin(gone)
+    ).count() == 0
+    survivors = emb.filter(~F.col("vec_id").isin(gone))
+    want2 = vector.graph_search_topk(
+        survivors, vector.knn_graph(survivors, k=5, iters=0),
+        [q for q in qids if q not in gone], k=5, beam=8, rounds=2,
+    )
+    assert rows(got2) == rows(want2)

@@ -513,3 +513,37 @@ def test_knn_graph_shape_and_refinement(spark):
     assert gc.groupBy("node_id").count().agg(F.max("count")).collect()[0][0] <= k
     assert recall(gc) > 0.3
     g1.unpersist()
+
+
+def test_graph_search_recall_and_determinism(spark):
+    """r10 addendum: graph-traversal serving — the beam walk over the
+    k-NN graph must (a) be deterministic, (b) return exactly k ranked
+    rows per query with ranks consistent with cosine order, and (c)
+    recall at least what its own LSH entry points recall (the walk
+    only ever ADDS scored candidates to the pool)."""
+    emb = _emb(spark)
+    qids = list(range(12))
+    g = vector.knn_graph(emb, k=5, iters=1)
+    res = vector.graph_search_topk(emb, g, qids, k=5, beam=8, rounds=2)
+    rows = sorted(map(tuple, res.collect()))
+    assert rows == sorted(map(tuple, vector.graph_search_topk(
+        emb, g, qids, k=5, beam=8, rounds=2
+    ).collect()))
+    per_q = {}
+    for qid, nid, cos, rank in rows:
+        assert nid != qid
+        per_q.setdefault(qid, []).append((rank, cos))
+    for qid, rc in per_q.items():
+        assert len(rc) == 5, qid
+        by_rank = [c for _, c in sorted(rc)]
+        assert by_rank == sorted(by_rank, reverse=True), qid
+
+    truth = vector.brute_force_topk(emb, qids, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    def recall(df):
+        return df.select("query_id", "neighbor_id").join(
+            truth, ["query_id", "neighbor_id"]
+        ).count()
+
+    assert recall(res) >= recall(vector.lsh_topk(emb, qids, k=5))
