@@ -2070,3 +2070,117 @@ def graph_search_from_store(
     return vector.graph_search_rounds(
         e, graph_edges, beam_seeds, k, beam, rounds
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental COUNT DISTINCT via HLL-register stores (r10 addendum)
+# ---------------------------------------------------------------------------
+
+
+def ingest_hll_registers(
+    spark: SparkSession,
+    store_table: str,
+    batch: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    batch_id: str,
+    compact_threshold: int | None = 64,
+    compact_target: int = 8,
+    compact_keep_versions: int = 2,
+) -> int:
+    """Maintain per-group COUNT(DISTINCT) sketches from append-only
+    drops — the 100 TB answer when the exact distinct-cascade
+    (``curated.SPECS['revenue_by_category']``'s finer-grain store)
+    stops being affordable: store size there grows with live key
+    COMBINATIONS, while HLL registers bound it at ≤512 rows per group
+    whatever the cardinality. Each drop folds to its (group, bucket,
+    max rank) register partials — work ∝ the drop — and appends under
+    ``batch_id`` (idempotent redelivery, CAS commit, the agg-store
+    lifecycle). Registers are a MAX-semilattice (the bkq/knn fold
+    argument), so merge-on-read over any batch split equals the
+    one-shot sketch — value-exactly, since the deterministic h32 hash
+    is shared with the oracle. Inserts only: max() cannot retract
+    (the documented HLL trade; exact deletes need the cascade)."""
+    from . import sketch
+
+    regs = sketch.hll_registers(
+        batch, list(group_cols), value_col
+    ).withColumn("batch_id", F.lit(batch_id).cast("string"))
+    return _ingest_rows(
+        spark, store_table, regs, "batch_id",
+        compact_threshold=compact_threshold,
+        compact_target=compact_target,
+        compact_keep_versions=compact_keep_versions,
+    )
+
+
+def hll_distinct_from_store(
+    spark: SparkSession, store_table: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group distinct estimate from the persisted registers:
+    max-fold the partial history (store-sized — ≤512·groups·batches
+    rows pre-compaction, never a base-table scan), then the SAME
+    estimator the batch path uses (``sketch.
+    hll_estimate_from_registers``) — equal to ``sketch.hll_distinct``
+    over everything ingested (pytest + the ns_incr_hll_users
+    oracle)."""
+    from . import sketch
+
+    regs = (
+        snapshot.read_snapshot(spark, store_table)
+        .filter(F.col("bucket").isNotNull())  # compaction markers
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("m_rank").alias("m_rank"))
+    )
+    return sketch.hll_estimate_from_registers(regs, list(group_cols))
+
+
+def compact_hll_store(
+    spark: SparkSession, store_table: str, group_cols: list[str]
+) -> int:
+    """Fold the register history to one row per (group, bucket) —
+    lossless by the max semilattice. Seen batch ids survive as
+    null-bucket marker rows (the agg-store convention), so the
+    redelivery guard stays exact across folds."""
+    cur = snapshot.current_version(store_table)
+    if cur is None:
+        raise snapshot.SnapshotError(f"no snapshot table at {store_table}")
+    last_err: Exception | None = None
+    for _ in range(snapshot.COMMIT_RETRIES):
+        manifest = snapshot.read_manifest(store_table)
+        base = snapshot.read_snapshot(spark, store_table)
+        live = base.filter(F.col("bucket").isNotNull())
+        folded = (
+            live.groupBy(*group_cols, "bucket")
+            .agg(F.max("m_rank").alias("m_rank"))
+            .withColumn("batch_id", F.lit(None).cast("string"))
+        )
+        key_fields = {
+            f.name: f.dataType
+            for f in base.schema.fields
+            if f.name in group_cols
+        }
+        markers = base.select("batch_id").distinct().select(
+            *[
+                F.lit(None).cast(key_fields[k]).alias(k)
+                for k in group_cols
+            ],
+            F.lit(None).cast("int").alias("bucket"),
+            F.lit(None).cast("int").alias("m_rank"),
+            "batch_id",
+        )
+        rows = folded.unionByName(markers).localCheckpoint(eager=True)
+        files = snapshot._write_data_files(
+            rows, store_table, manifest.get("stats_col")
+        )
+        try:
+            return snapshot._commit(
+                store_table,
+                files,
+                stats_col=manifest.get("stats_col"),
+                expected_version=manifest["version"],
+            )
+        except snapshot.CommitConflictError as e:
+            last_err = e
+    raise last_err

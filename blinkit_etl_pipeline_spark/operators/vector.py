@@ -2625,7 +2625,9 @@ def graph_search_rounds(
             .distinct()
         )
         new = cand.join(
-            state.select("query_id", "neighbor_id"),
+            # pool side is |Q|·(beam + hops·beam·k) rows — broadcast
+            # the anti-join too or it costs an SMJ exchange pair
+            F.broadcast(state.select("query_id", "neighbor_id")),
             ["query_id", "neighbor_id"],
             "left_anti",
         )

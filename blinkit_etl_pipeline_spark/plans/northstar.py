@@ -6534,3 +6534,54 @@ h AS (
 SELECT query_id, hits,
   ROUND(hits / {ANN_K}, 4) AS recall
 FROM h"""
+
+
+# ----------------------------------------------------------------------
+# r10 addendum: incremental COUNT DISTINCT — HLL-register store
+# ----------------------------------------------------------------------
+
+
+def q_incr_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users maintained INCREMENTALLY
+    (incremental.ingest_hll_registers): three event drops fold their
+    own (group, bucket, max-rank) register partials into a per-session
+    scratch store — the store build IS the gauge (the
+    ns_knn_graph_store pattern) — and the merge-on-read estimate must
+    equal the one-shot batch sketch over the union (registers are a
+    max-semilattice). This is the distinct-count maintenance path for
+    when the exact finer-grain cascade (ns_incr_sales_revenue's store)
+    outgrows its key space: ≤512 register rows per group at ANY
+    cardinality, drop-sized refresh, no retraction support (documented
+    trade)."""
+    import shutil
+    import tempfile
+
+    from ..operators import incremental as inc
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"hllstore-{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    store = os.path.join(scratch, "hll_users")
+    for m in (0, 1, 2):
+        inc.ingest_hll_registers(
+            spark,
+            store,
+            ev.filter(F.col("event_id") % 3 == m),
+            ["event_type"],
+            "user_id",
+            batch_id=f"drop-{m}",
+        )
+    out = inc.hll_distinct_from_store(spark, store, ["event_type"])
+    return out
+
+
+QUERIES["ns_incr_hll_users"] = q_incr_hll_users
+
+# the oracle is the ONE-SHOT batch sketch over all rows — equality IS
+# the merge-correctness statement (register max-fold ≡ recompute)
+ORACLES["ns_incr_hll_users"] = sketch.hll_distinct_sql(
+    "events", ["event_type"], "user_id"
+)

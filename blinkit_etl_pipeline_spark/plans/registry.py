@@ -29,6 +29,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 PRIORITY = [
     # --- r10 addendum additions, never driver-checked ---
     "ns_ann_graph_topk",
+    "ns_incr_hll_users",
     "ns_ann_graph_recall",
     "ns_incr_sales_revenue",
     "ns_incr_area_feedback",

@@ -1573,3 +1573,123 @@ def test_graph_search_from_store_equals_batch(spark, tmp_path):
         [q for q in qids if q not in gone], k=5, beam=8, rounds=2,
     )
     assert rows(got2) == rows(want2)
+
+
+def test_hll_register_store_lifecycle(spark, tmp_path):
+    """r10 addendum: incremental COUNT DISTINCT — the register store's
+    merge-on-read must equal the one-shot batch sketch over everything
+    ingested for ANY batch split (max semilattice), a redelivered
+    batch_id appends nothing, and compaction folds the history to
+    ≤512 rows per group without changing reads."""
+    from blinkit_etl_pipeline_spark.operators import sketch
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", "event_type", "user_id")
+    )
+    store = str(tmp_path / "hll_users")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    want = rows(sketch.hll_distinct(ev, ["event_type"], "user_id"))
+    for m in (0, 1, 2):
+        incremental.ingest_hll_registers(
+            spark, store, ev.filter(F.col("event_id") % 3 == m),
+            ["event_type"], "user_id", batch_id=f"d{m}",
+        )
+    got = incremental.hll_distinct_from_store(
+        spark, store, ["event_type"]
+    )
+    assert rows(got) == want and len(want) > 0
+
+    # redelivery: same batch_id (even with different rows) is a no-op
+    v = snapshot.current_version(store)
+    incremental.ingest_hll_registers(
+        spark, store, ev, ["event_type"], "user_id", batch_id="d1",
+    )
+    assert snapshot.current_version(store) == v
+    assert rows(
+        incremental.hll_distinct_from_store(spark, store, ["event_type"])
+    ) == want
+
+    # compaction: reads unchanged, ≤512 register rows per group, and
+    # the redelivery guard still knows the folded batch ids
+    incremental.compact_hll_store(spark, store, ["event_type"])
+    assert rows(
+        incremental.hll_distinct_from_store(spark, store, ["event_type"])
+    ) == want
+    per_group = (
+        snapshot.read_snapshot(spark, store)
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("event_type")
+        .count()
+    )
+    assert per_group.agg(F.max("count")).collect()[0][0] <= 512
+    incremental.ingest_hll_registers(
+        spark, store, ev, ["event_type"], "user_id", batch_id="d2",
+    )
+    assert rows(
+        incremental.hll_distinct_from_store(spark, store, ["event_type"])
+    ) == want
+
+
+def test_streaming_hll_ingest_equals_batch(spark, tmp_path):
+    """r10 addendum: the streaming HLL twin — event file drops drained
+    through two AvailableNow sweeps fold to EXACTLY the batch sketch
+    over everything that arrived, and a crash-replayed sweep (same
+    checkpoint, no new files) changes nothing."""
+    import glob as _glob
+    import shutil
+
+    from blinkit_etl_pipeline_spark.operators import sketch
+    from blinkit_etl_pipeline_spark.streaming import file_source, hll_ingest
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", "event_type", "user_id")
+    )
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "hll")
+
+    def drop(pred, tag):
+        ev.filter(pred).coalesce(1).write.parquet(str(tmp_path / tag))
+        src = _glob.glob(str(tmp_path / tag / "part-*.parquet"))[0]
+        shutil.copy(src, str(raw / f"{tag}.parquet"))
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    drop(F.col("event_id") % 3 == 0, "d1")
+    stream = file_source.stream_files(
+        spark, str(raw), ev.schema, fmt="parquet"
+    )
+    hll_ingest.run_hll_ingest(
+        stream, ckpt, store, ["event_type"], "user_id"
+    )
+    drop(F.col("event_id") % 3 == 1, "d2")
+    drop(F.col("event_id") % 3 == 2, "d3")
+    stream = file_source.stream_files(
+        spark, str(raw), ev.schema, fmt="parquet"
+    )
+    hll_ingest.run_hll_ingest(
+        stream, ckpt, store, ["event_type"], "user_id"
+    )
+    want = rows(sketch.hll_distinct(ev, ["event_type"], "user_id"))
+    assert rows(
+        hll_ingest.distinct_from_store(spark, store, ["event_type"])
+    ) == want
+    # replayed sweep with nothing new: checkpoint absorbs it
+    v = snapshot.current_version(store)
+    stream = file_source.stream_files(
+        spark, str(raw), ev.schema, fmt="parquet"
+    )
+    hll_ingest.run_hll_ingest(
+        stream, ckpt, store, ["event_type"], "user_id"
+    )
+    assert snapshot.current_version(store) == v
+    assert rows(
+        hll_ingest.distinct_from_store(spark, store, ["event_type"])
+    ) == want
