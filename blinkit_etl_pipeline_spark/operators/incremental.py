@@ -2184,3 +2184,109 @@ def compact_hll_store(
         except snapshot.CommitConflictError as e:
             last_err = e
     raise last_err
+
+
+# ---------------------------------------------------------------------------
+# Incremental frequency sketches via CMS-counter stores (r10 addendum)
+# ---------------------------------------------------------------------------
+
+
+def ingest_cms_cells(
+    spark: SparkSession,
+    store_table: str,
+    batch: DataFrame,
+    value_col: str,
+    *,
+    batch_id: str,
+    compact_threshold: int | None = 64,
+    compact_target: int = 8,
+    compact_keep_versions: int = 2,
+) -> int:
+    """Maintain a Count-Min frequency sketch from signed delta drops:
+    each batch folds to its own (seed, cell, Σsign) counter partials —
+    ≤ d·w = 1024 rows whatever the drop size — and appends under
+    ``batch_id`` (idempotent redelivery, CAS commit). Counters are
+    LINEAR in the input multiset, so unlike the HLL register store
+    this one retracts exactly: a ``__sign = −1`` drop that negates
+    prior inserts leaves the merged sketch identical to one built on
+    the survivors (the ivm delete contract, pytest-pinned). The
+    merged sketch answers frequency probes at any corpus size from
+    ≤1024 live counters."""
+    from . import sketch
+
+    sign_col = "__sign" if "__sign" in batch.columns else None
+    cells = sketch.cms_cells(batch, value_col, sign_col).withColumn(
+        "batch_id", F.lit(batch_id).cast("string")
+    )
+    return _ingest_rows(
+        spark, store_table, cells, "batch_id",
+        compact_threshold=compact_threshold,
+        compact_target=compact_target,
+        compact_keep_versions=compact_keep_versions,
+    )
+
+
+def cms_cells_from_store(spark: SparkSession, store_table: str) -> DataFrame:
+    """The live sketch: Σ counters per (seed, cell) over the partial
+    history (≤ d·w·batches rows pre-compaction, corpus-independent);
+    zero-folded cells drop out (fully-retracted values + compaction
+    markers share the absorber)."""
+    cells = (
+        snapshot.read_snapshot(spark, store_table)
+        .groupBy("seed", "cell")
+        .agg(F.sum("counter").cast("bigint").alias("counter"))
+    )
+    return cells.filter(F.col("counter") != 0)
+
+
+def cms_probe_from_store(
+    spark: SparkSession, store_table: str, items: DataFrame, value_col: str
+) -> DataFrame:
+    """Frequency estimates for an item list against the maintained
+    sketch — ``sketch.cms_probe`` over the merged cells, the
+    production lookup path (broadcast sketch, no corpus access)."""
+    from . import sketch
+
+    return sketch.cms_probe(
+        cms_cells_from_store(spark, store_table), items, value_col
+    )
+
+
+def compact_cms_store(spark: SparkSession, store_table: str) -> int:
+    """Fold the counter history to ≤ d·w live rows — lossless by
+    counter linearity. Seen batch ids survive as zero-counter marker
+    rows (the agg-store convention), absorbed by the read's ≠0
+    filter."""
+    cur = snapshot.current_version(store_table)
+    if cur is None:
+        raise snapshot.SnapshotError(f"no snapshot table at {store_table}")
+    last_err: Exception | None = None
+    for _ in range(snapshot.COMMIT_RETRIES):
+        manifest = snapshot.read_manifest(store_table)
+        base = snapshot.read_snapshot(spark, store_table)
+        folded = (
+            base.groupBy("seed", "cell")
+            .agg(F.sum("counter").cast("bigint").alias("counter"))
+            .filter(F.col("counter") != 0)
+            .withColumn("batch_id", F.lit(None).cast("string"))
+        )
+        markers = base.select("batch_id").distinct().select(
+            F.lit(None).cast("int").alias("seed"),
+            F.lit(None).cast("int").alias("cell"),
+            F.lit(0).cast("bigint").alias("counter"),
+            "batch_id",
+        )
+        rows = folded.unionByName(markers).localCheckpoint(eager=True)
+        files = snapshot._write_data_files(
+            rows, store_table, manifest.get("stats_col")
+        )
+        try:
+            return snapshot._commit(
+                store_table,
+                files,
+                stats_col=manifest.get("stats_col"),
+                expected_version=manifest["version"],
+            )
+        except snapshot.CommitConflictError as e:
+            last_err = e
+    raise last_err

@@ -406,21 +406,38 @@ def _cms_cell(seed, value: "F.Column") -> "F.Column":
     ).cast("int")
 
 
-def cms_cells(df: DataFrame, value_col: str) -> DataFrame:
+def cms_cells(
+    df: DataFrame, value_col: str, sign_col: str | None = None
+) -> DataFrame:
     """The sketch itself: (seed, cell) → counter. A CMS is d×w integers
     TOTAL (here 4×256) regardless of input size: the explode emits
     (seed, cell) pairs that partial-aggregation collapses map-side, so
     the shuffle carries at most d·w rows per task — this is why CMS is
     the 100 TB answer for frequency estimation, like HLL for distincts.
+
+    ``sign_col`` (+1/−1 per row) turns the fold into a SIGNED counter
+    sum: counters are linear in the input multiset, so exact deletions
+    retract cleanly — the property the incremental CMS store
+    (``incremental.ingest_cms_cells``) builds on, and one HLL's max
+    registers cannot offer.
     """
     seed = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("seed")
-    pairs = df.select(F.col(value_col).alias("__v")).select(seed, "__v")
+    sign = (
+        F.col(sign_col).cast("long")
+        if sign_col is not None
+        else F.lit(1).cast("long")
+    )
+    pairs = df.select(
+        F.col(value_col).alias("__v"), sign.alias("__s")
+    ).select(seed, "__v", "__s")
     return (
         pairs.select(
-            "seed", _cms_cell(F.col("seed"), F.col("__v")).alias("cell")
+            "seed",
+            _cms_cell(F.col("seed"), F.col("__v")).alias("cell"),
+            "__s",
         )
         .groupBy("seed", "cell")
-        .agg(F.count("*").cast("bigint").alias("counter"))
+        .agg(F.sum("__s").cast("bigint").alias("counter"))
     )
 
 

@@ -6585,3 +6585,108 @@ QUERIES["ns_incr_hll_users"] = q_incr_hll_users
 ORACLES["ns_incr_hll_users"] = sketch.hll_distinct_sql(
     "events", ["event_type"], "user_id"
 )
+
+
+# ----------------------------------------------------------------------
+# r10 addendum: incremental frequency probe — CMS-counter store
+# ----------------------------------------------------------------------
+
+CMS_INCR_CUTOFF = "2024-01-21 00:00:00"
+CMS_PROBE_TOP = 20
+
+
+def q_incr_cms_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency probes from an INCREMENTALLY MAINTAINED Count-Min
+    sketch (incremental.ingest_cms_cells): three insert drops plus a
+    signed DELETE drop retracting post-cutoff events fold into a
+    scratch counter store (each drop ≤ d·w = 1024 counter partials —
+    the store build IS the gauge), probe items are the survivors' 20
+    most frequent users (count desc, user asc — derived, not pinned),
+    and the store's min-over-rows estimates must equal a one-shot CMS
+    over the surviving rows: counter linearity makes the retraction
+    EXACT, the capability the HLL register store (max semilattice)
+    cannot offer. Output carries the exact counts and overestimates
+    as error evidence."""
+    import shutil
+    import tempfile
+
+    from ..operators import incremental as inc
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "user_id")
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"cmsstore-{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    store = os.path.join(scratch, "cms_users")
+    cutoff = F.lit(CMS_INCR_CUTOFF).cast("timestamp")
+    for m in (0, 1, 2):
+        inc.ingest_cms_cells(
+            spark,
+            store,
+            ev.filter(F.col("event_id") % 3 == m).withColumn(
+                "__sign", F.lit(1)
+            ),
+            "user_id",
+            batch_id=f"drop-{m}",
+        )
+    inc.ingest_cms_cells(
+        spark,
+        store,
+        ev.filter(F.col("ts") > cutoff).withColumn("__sign", F.lit(-1)),
+        "user_id",
+        batch_id="retract-post-cutoff",
+    )
+    survivors = ev.filter(F.col("ts") <= cutoff)
+    items = (
+        survivors.groupBy(F.col("user_id").alias("value"))
+        .agg(F.count("*").cast("bigint").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("value").asc())
+        .limit(CMS_PROBE_TOP)
+    )
+    est = inc.cms_probe_from_store(spark, store, items, "value")
+    return (
+        items.join(est, "value")
+        .select(
+            "value",
+            "cms_estimate",
+            "exact_count",
+            (F.col("cms_estimate") - F.col("exact_count")).alias(
+                "overestimate"
+            ),
+        )
+    )
+
+
+QUERIES["ns_incr_cms_probe"] = q_incr_cms_probe
+
+_CMS_CELL_SQL = (
+    "CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || "
+    "CAST({v} AS VARCHAR)), 1, 8))::BIGINT % {w} AS INT)"
+)
+
+# the oracle is the ONE-SHOT sketch over the SURVIVING rows — equality
+# IS the retraction-correctness statement (signed counter merge ≡
+# recompute on survivors)
+ORACLES["ns_incr_cms_probe"] = f"""WITH surv AS (
+  SELECT user_id FROM events
+  WHERE ts <= TIMESTAMP '{CMS_INCR_CUTOFF}'),
+seeds AS (SELECT unnest(range(0, {sketch.CMS_D})) AS seed),
+cells AS (
+  SELECT seed, {_CMS_CELL_SQL.format(v='user_id', w=sketch.CMS_W)} AS cell,
+    CAST(count(*) AS BIGINT) AS counter
+  FROM surv CROSS JOIN seeds GROUP BY 1, 2),
+items AS (
+  SELECT user_id AS value, CAST(count(*) AS BIGINT) AS exact_count
+  FROM surv GROUP BY user_id
+  ORDER BY exact_count DESC, value ASC LIMIT {CMS_PROBE_TOP}),
+probes AS (
+  SELECT value, exact_count, seed,
+    {_CMS_CELL_SQL.format(v='value', w=sketch.CMS_W)} AS cell
+  FROM items CROSS JOIN seeds)
+SELECT value,
+  CAST(MIN(counter) AS BIGINT) AS cms_estimate,
+  exact_count,
+  CAST(MIN(counter) AS BIGINT) - exact_count AS overestimate
+FROM probes JOIN cells USING (seed, cell)
+GROUP BY value, exact_count"""

@@ -30,6 +30,7 @@ PRIORITY = [
     # --- r10 addendum additions, never driver-checked ---
     "ns_ann_graph_topk",
     "ns_incr_hll_users",
+    "ns_incr_cms_probe",
     "ns_ann_graph_recall",
     "ns_incr_sales_revenue",
     "ns_incr_area_feedback",

@@ -1693,3 +1693,72 @@ def test_streaming_hll_ingest_equals_batch(spark, tmp_path):
     assert rows(
         hll_ingest.distinct_from_store(spark, store, ["event_type"])
     ) == want
+
+
+def test_cms_counter_store_retraction_exact(spark, tmp_path):
+    """r10 addendum: the CMS counter store — signed drops maintain the
+    sketch EXACTLY under retraction (counter linearity): after a
+    delete drop negating prior inserts, the merged cells equal a
+    one-shot sketch over the survivors; redelivery is a no-op;
+    compaction folds to ≤ d·w live rows without changing probes."""
+    from blinkit_etl_pipeline_spark.operators import sketch
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", "ts", "user_id")
+    )
+    store = str(tmp_path / "cms")
+    cutoff = F.lit("2024-01-21 00:00:00").cast("timestamp")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    for m in (0, 1, 2):
+        incremental.ingest_cms_cells(
+            spark, store,
+            ev.filter(F.col("event_id") % 3 == m).withColumn(
+                "__sign", F.lit(1)
+            ),
+            "user_id", batch_id=f"d{m}",
+        )
+    incremental.ingest_cms_cells(
+        spark, store,
+        ev.filter(F.col("ts") > cutoff).withColumn("__sign", F.lit(-1)),
+        "user_id", batch_id="retract",
+    )
+    survivors = ev.filter(F.col("ts") <= cutoff)
+    want_cells = rows(sketch.cms_cells(survivors, "user_id"))
+    assert rows(
+        incremental.cms_cells_from_store(spark, store)
+    ) == want_cells and len(want_cells) > 0
+
+    items = survivors.select(
+        F.col("user_id").alias("value")
+    ).distinct().limit(50)
+    want_probe = rows(
+        sketch.cms_probe(
+            sketch.cms_cells(survivors, "user_id"), items, "value"
+        )
+    )
+    assert rows(
+        incremental.cms_probe_from_store(spark, store, items, "value")
+    ) == want_probe
+
+    # redelivery guard + compaction
+    v = snapshot.current_version(store)
+    incremental.ingest_cms_cells(
+        spark, store, ev.withColumn("__sign", F.lit(1)),
+        "user_id", batch_id="d1",
+    )
+    assert snapshot.current_version(store) == v
+    incremental.compact_cms_store(spark, store)
+    live = incremental.cms_cells_from_store(spark, store)
+    assert rows(live) == want_cells
+    assert live.count() <= sketch.CMS_D * sketch.CMS_W
+    incremental.ingest_cms_cells(
+        spark, store, ev.withColumn("__sign", F.lit(1)),
+        "user_id", batch_id="retract",
+    )
+    assert rows(
+        incremental.cms_cells_from_store(spark, store)
+    ) == want_cells
