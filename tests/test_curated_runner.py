@@ -199,6 +199,23 @@ def test_incremental_runner_event_contract(spark, blinkit, tmp_path):
     )
     assert _versions(root) == v4
 
+    # the six analyst queries (C-entry-point analytics) answered from
+    # the INCREMENTALLY maintained views equal the same SQL over the
+    # quantized batch recompute — the reference's dashboards, served
+    # from IVM stores end-to-end
+    got_analytics = {
+        name: _rows(df) for name, df in runner.run_analytics(spark).items()
+    }
+    for tbl in ALL_TABLES:
+        curated.curated_delta_view(tbl, [full[tbl]]).createOrReplaceTempView(
+            runner.CURATED_VIEWS[tbl]
+        )
+    want_analytics = {
+        name: _rows(df) for name, df in runner.run_analytics(spark).items()
+    }
+    assert got_analytics == want_analytics
+    assert all(len(v) > 0 for v in want_analytics.values())
+
 
 def test_incremental_runner_partial_failure(spark, blinkit, tmp_path):
     """C3: an unrecognized filename routes ALL jobs (the catch-all);

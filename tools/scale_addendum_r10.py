@@ -54,15 +54,18 @@ def spot_gsearch(spark) -> None:
         g = vector.knn_graph(
             emb, k=5, iters=0, nbits=nbits, seed_cap=cap
         ).localCheckpoint(eager=True)  # graph prebuilt: serve-side spot
-        t0 = time.perf_counter()
-        res = vector.graph_search_topk(
-            emb, g, QIDS, k=5, beam=8, rounds=2, nbits=nbits
-        )
-        rows = res.count()
-        t = time.perf_counter() - t0
+        walls = {}
+        for rounds in (0, 2):
+            t0 = time.perf_counter()
+            res = vector.graph_search_topk(
+                emb, g, QIDS, k=5, beam=8, rounds=rounds, nbits=nbits
+            )
+            rows = res.count()
+            walls[rounds] = time.perf_counter() - t0
         print(
             f"RESULT gsearch {tag} n={emb.count()} rows={rows} "
-            f"t={t:.2f}s",
+            f"t_seed_only={walls[0]:.2f}s t_full={walls[2]:.2f}s "
+            f"hops={walls[2] - walls[0]:.2f}s",
             flush=True,
         )
 
