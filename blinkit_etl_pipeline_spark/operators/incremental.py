@@ -2290,3 +2290,90 @@ def compact_cms_store(spark: SparkSession, store_table: str) -> int:
         except snapshot.CommitConflictError as e:
             last_err = e
     raise last_err
+
+
+def backfill_knn_depth(
+    spark: SparkSession,
+    vec_store: str,
+    graph_store: str,
+    *,
+    k: int = 5,
+    store_k: int | None = None,
+) -> int:
+    """Restore per-node candidate depth after takedowns exceed the
+    ingest slack (r10 addendum — closes :func:`ingest_knn_graph`'s
+    documented trade): a node whose stored list lost more than
+    ``store_k − k`` candidates to retraction can no longer serve an
+    exact top-k vs the surviving corpus. This pass finds exactly those
+    nodes (per-node count of tombstoned mates — the precise bound from
+    the top-k merge argument, so unaffected nodes cost nothing),
+    re-scores each against its LIVE bucket mates read from pruned
+    files only, and appends the folded candidates. After it, the store
+    read is exact vs ``vector.knn_graph(survivors, iters=0)`` for
+    EVERY node, whatever the takedown history (pytest). Appends ride
+    the same CAS protocol; re-runs and crash replays only add
+    duplicate rows with identical lattice cosines, absorbed by the
+    read's (u, v) dedup."""
+    from . import vector
+
+    store_k = (k + 3) if store_k is None else max(store_k, k)
+    current = snapshot.current_version(graph_store)
+    if current is None:
+        raise snapshot.SnapshotError(f"no snapshot table at {graph_store}")
+    tb = tombstones(spark, vec_store, "vec_id")
+    if tb is None:
+        return current
+    edges = snapshot.read_snapshot(spark, graph_store).dropDuplicates(
+        ["u", "v"]
+    )
+    affected = (
+        edges.join(
+            F.broadcast(tb.withColumnRenamed("vec_id", "u")),
+            "u",
+            "left_anti",
+        )
+        .join(
+            F.broadcast(tb.withColumnRenamed("vec_id", "v")),
+            "v",
+            "left_semi",
+        )
+        .groupBy("u")
+        .agg(F.count("*").alias("_lost"))
+        .filter(F.col("_lost") > store_k - k)
+        .select("u")
+        .localCheckpoint(eager=True)
+    )
+    if affected.isEmpty():
+        return current
+    live = _exclude_tombstoned(
+        spark, vec_store, snapshot.read_snapshot(spark, vec_store),
+        "vec_id",
+    )
+    arows = live.join(
+        F.broadcast(affected.withColumnRenamed("u", "vec_id")), "vec_id"
+    ).localCheckpoint(eager=True)
+    probed = sorted(
+        int(r["tb"]) for r in arows.select("tb").distinct().collect()
+    )
+    mates = _exclude_tombstoned(
+        spark,
+        vec_store,
+        snapshot.read_snapshot_pruned(spark, vec_store, probed),
+        "vec_id",
+    ).join(
+        F.broadcast(affected.withColumnRenamed("u", "vec_id")),
+        "vec_id",
+        "left_anti",
+    )
+    tagged = arows.withColumn("__new", F.lit(1)).unionByName(
+        mates.withColumn("__new", F.lit(0))
+    )
+    cand = tagged.groupBy("t", "bucket").applyInPandas(
+        _knn_cross_fn(), schema="u long, v long, cos_raw double"
+    )
+    repaired = (
+        vector._directed_topk(cand.dropDuplicates(["u", "v"]), store_k)
+        .select("u", "v", "cos_raw")
+        .localCheckpoint(eager=True)
+    )
+    return snapshot.append_snapshot(repaired, graph_store)

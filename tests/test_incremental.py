@@ -1762,3 +1762,59 @@ def test_cms_counter_store_retraction_exact(spark, tmp_path):
     assert rows(
         incremental.cms_cells_from_store(spark, store)
     ) == want_cells
+
+
+def test_backfill_knn_depth_restores_exactness(spark, tmp_path):
+    """r10 addendum: takedowns beyond the ingest slack break the knn
+    store's read exactness (the documented trade); backfill_knn_depth
+    finds exactly the over-drained nodes, re-scores them against live
+    pruned bucket mates, and restores read ≡ batch-over-survivors for
+    EVERY node. With no tombstones the pass is a no-op."""
+    from blinkit_etl_pipeline_spark.operators import vector
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    vstore = str(tmp_path / "vecs")
+    gstore = str(tmp_path / "graph")
+    # store_k = k: ZERO slack, so any retracted stored mate drains a node
+    incremental.ingest_knn_graph(
+        spark, vstore, gstore, emb, k=5, store_k=5,
+        compact_threshold=None,
+    )
+    v0 = snapshot.current_version(gstore)
+    assert incremental.backfill_knn_depth(
+        spark, vstore, gstore, k=5, store_k=5
+    ) == v0  # no tombstones: no-op
+
+    # retract ids that actually sit in stored neighbor lists
+    gone = [
+        int(r["v"])
+        for r in snapshot.read_snapshot(spark, gstore)
+        .select("v").distinct().limit(4).collect()
+    ]
+    incremental.retract_docs(spark, vstore, gone, id_col="vec_id")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    survivors = emb.filter(~F.col("vec_id").isin(gone))
+    want = rows(vector.knn_graph(survivors, k=5, iters=0))
+    got_before = rows(
+        incremental.knn_graph_from_store(
+            spark, gstore, k=5, vec_store=vstore
+        )
+    )
+    assert got_before != want  # zero slack: the drain is visible
+    incremental.backfill_knn_depth(spark, vstore, gstore, k=5, store_k=5)
+    got_after = rows(
+        incremental.knn_graph_from_store(
+            spark, gstore, k=5, vec_store=vstore
+        )
+    )
+    assert got_after == want
+    # idempotent: a second pass only appends identical-cosine rows
+    incremental.backfill_knn_depth(spark, vstore, gstore, k=5, store_k=5)
+    assert rows(
+        incremental.knn_graph_from_store(
+            spark, gstore, k=5, vec_store=vstore
+        )
+    ) == want
