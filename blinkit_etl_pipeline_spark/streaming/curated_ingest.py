@@ -10,8 +10,9 @@ pieces, and each refresh costs ∝ the drop:
 
 - the **file-source bookmark stream** (``file_source.py``,
   ``Trigger.AvailableNow`` + checkpoint = Glue-bookmark semantics):
-  one stream per source prefix (``marketing/ orders/ inventory/`` —
-  the Lambda's key-prefix match, expressed as three source paths);
+  one stream per source prefix (``marketing/ orders/ inventory/
+  feedback/`` — the Lambda's key-prefix match, expressed as source
+  paths);
 - the **per-pipeline transforms**, shared verbatim with the batch
   runner (``marketing_roi.marketing_kpis``,
   ``inventory_recon.reconcile``);
@@ -53,6 +54,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "marketing": ("campaign_summary",),
     "orders": ("delivery_partner",),
     "inventory": ("category_impact", "product_discrepancies"),
+    "feedback": ("area_feedback",),
 }
 
 
@@ -85,16 +87,24 @@ def run_curated_maintenance(
     schemas: dict[str, StructType],
     *,
     products: DataFrame | None = None,
+    customers: DataFrame | None = None,
+    orders_dim: DataFrame | None = None,
     fmt: str = "parquet",
     timeout_sec: int = 300,
 ) -> None:
     """One maintenance sweep: drain the files that arrived under
-    ``raw_dir/{marketing,orders,inventory}`` since the last sweep's
-    checkpoint and refresh ONLY the routed curated stores. Sources
-    with no new files commit nothing (their stores' versions are
-    untouched — the routing assertion the pytest pins). ``products``
-    is the dimension the inventory reconcile enriches against
-    (required if an inventory drop arrives)."""
+    ``raw_dir/{marketing,orders,inventory,feedback}`` since the last
+    sweep's checkpoint and refresh ONLY the routed curated stores.
+    Sources with no new files commit nothing (their stores' versions
+    are untouched — the routing assertion the pytest pins).
+    ``products`` is the dimension the inventory reconcile enriches
+    against (required if an inventory drop arrives); ``customers`` /
+    ``orders_dim`` are the dimensions a feedback drop enriches
+    against (the batch job's three left joins, run on the drop). The
+    multi-input sales pipeline routes through the batch runner's
+    incremental entry point (``runner.handle_new_file_incremental``)
+    instead — a file stream carries one source, not a join of
+    three."""
 
     def mk_process(source: str):
         def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -105,6 +115,19 @@ def run_curated_maintenance(
                 rows = marketing_roi.marketing_kpis(batch_df)
             elif source == "orders":
                 rows = batch_df
+            elif source == "feedback":
+                if customers is None or orders_dim is None:
+                    raise ValueError(
+                        "feedback drop arrived but customers/orders "
+                        "dimensions were not supplied"
+                    )
+                from ..pipelines import customer_feedback
+                from ..sources import readers
+
+                rows = customer_feedback.enriched_feedback(
+                    batch_df, customers, orders_dim,
+                    readers.rating_icons(sess),
+                )
             else:  # inventory: both snapshots in one drop, tagged
                 if products is None:
                     raise ValueError(

@@ -842,3 +842,87 @@ def test_curated_changes_cdc_between_versions(spark, tmp_path):
             ).collect(),
         )
     ) == at_v1
+
+
+def test_curated_maintenance_feedback_route(spark, tmp_path):
+    """r10 addendum: the feedback source prefix routes to the
+    area_feedback store — a feedback file drop enriches against the
+    supplied dims (the batch job's joins, run on the drop) and
+    refreshes ONLY its own store; the store read equals the batch
+    recompute over everything dropped."""
+    from blinkit_etl_pipeline_spark.operators import curated, snapshot
+    from blinkit_etl_pipeline_spark.pipelines import customer_feedback
+    from blinkit_etl_pipeline_spark.sources import readers
+    from blinkit_etl_pipeline_spark.streaming import curated_ingest
+
+    raw = tmp_path / "raw"
+    (raw / "feedback").mkdir(parents=True)
+    fb_schema = (
+        "feedback_id string, order_id string, customer_id string, "
+        "rating int, sentiment string, feedback_date timestamp"
+    )
+    import datetime as _dt
+
+    d = _dt.datetime(2024, 3, 1, 12, 0)
+    fb1 = spark.createDataFrame(
+        [
+            ("f1", "o1", "c1", 5, "excellent", d),
+            ("f1", "o1", "c1", 5, "excellent", d),  # in-slice dup
+            ("f2", "o2", "c2", 1, "bad", d),
+            ("f3", "o9", "c9", 3, "meh", d),  # unknown dims → nulls
+        ],
+        fb_schema,
+    )
+    fb2 = spark.createDataFrame(
+        [("f4", "o2", "c1", 4, "good", d)], fb_schema
+    )
+    customers = spark.createDataFrame(
+        [("c1", "North", "segA"), ("c2", "South", "segB")],
+        "customer_id string, area string, customer_segment string",
+    )
+    orders = spark.createDataFrame(
+        [("o1", d, "Delivered"), ("o2", d, "Delayed")],
+        "order_id string, order_date timestamp, delivery_status string",
+    )
+    fb1.coalesce(1).write.parquet(str(raw / "feedback" / "drop1"))
+    stores = str(tmp_path / "stores")
+    ckpt = str(tmp_path / "ckpt")
+    curated_ingest.run_curated_maintenance(
+        spark, str(raw), ckpt, stores, {"feedback": fb1.schema},
+        customers=customers, orders_dim=orders, timeout_sec=120,
+    )
+    v1 = snapshot.current_version(
+        curated_ingest.store_path(stores, "area_feedback")
+    )
+    assert v1 is not None
+    for other in ("campaign_summary", "delivery_partner"):
+        assert snapshot.current_version(
+            curated_ingest.store_path(stores, other)
+        ) is None
+    fb2.coalesce(1).write.parquet(str(raw / "feedback" / "drop2"))
+    curated_ingest.run_curated_maintenance(
+        spark, str(raw), ckpt, stores, {"feedback": fb1.schema},
+        customers=customers, orders_dim=orders, timeout_sec=120,
+    )
+
+    def rows(df):
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda t: tuple(map(str, t)),
+        )
+
+    want = curated.curated_delta_view(
+        "area_feedback",
+        [
+            customer_feedback.enriched_feedback(
+                fb1.unionByName(fb2), customers, orders,
+                readers.rating_icons(spark),
+            )
+        ],
+    )
+    got = curated.read_curated(
+        spark,
+        curated_ingest.store_path(stores, "area_feedback"),
+        "area_feedback",
+    )
+    assert rows(got) == rows(want)
