@@ -1958,11 +1958,15 @@ def graph_search_from_store(
     spark: SparkSession,
     graph_store: str,
     vec_store: str,
-    query_ids,
+    query_ids=None,
     *,
     k: int = 5,
     beam: int = 8,
     rounds: int = 2,
+    queries_emb: DataFrame | None = None,
+    nbits: int = 4,
+    ntables: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
     """ANN serving FROM PERSISTED STATE (r10 addendum): entry points
     come from the vector store's own bucket rows — the query rows'
@@ -1980,17 +1984,56 @@ def graph_search_from_store(
     before the walk — a retracted id can neither seed nor be reached.
 
     The query-row lookup (vec_id ∈ query_ids) is one column-pruned
-    scan of the vector store (it clusters by tb, not vec_id); a
-    deployment serving out-of-corpus queries would hash the query
-    vectors driver-side instead and skip the lookup entirely."""
+    scan of the vector store (it clusters by tb, not vec_id).
+    ``queries_emb`` serves OUT-OF-CORPUS queries instead: a (vec_id,
+    embedding) frame whose vectors hash driver-side against the shared
+    seeded planes (``nbits``/``ntables``/``dim`` must match the
+    ingest), skipping the lookup scan entirely — file pruning then
+    opens only the external queries' colliding buckets."""
     from . import vector
 
-    qids = [int(i) for i in query_ids]
     vecs = snapshot.read_snapshot(spark, vec_store)
     vecs = _exclude_tombstoned(spark, vec_store, vecs, "vec_id")
-    qrows = vecs.filter(F.col("vec_id").isin(qids)).localCheckpoint(
-        eager=True
-    )
+    queries_e = None
+    if queries_emb is not None:
+        import numpy as np
+
+        from .vector import _planes_matrix, with_q
+
+        qcollect = sorted(
+            with_q(queries_emb).select("vec_id", "qvec", "qq").collect(),
+            key=lambda r: r["vec_id"],
+        )
+        if not qcollect:
+            raise ValueError("queries_emb is empty")
+        P = _planes_matrix(nbits, ntables, dim)
+        weights = np.array(
+            [1 << j for j in range(nbits)], dtype=np.int64
+        )
+        QM = np.array([list(r["qvec"]) for r in qcollect])
+        bits = (QM @ P) > 0
+        qrows_py = []
+        for i, r in enumerate(qcollect):
+            for t in range(ntables):
+                bucket = int(
+                    bits[i, t * nbits : (t + 1) * nbits] @ weights
+                )
+                qrows_py.append(
+                    (int(r["vec_id"]), t, bucket, t * (1 << nbits) + bucket)
+                )
+        qrows = spark.createDataFrame(
+            qrows_py, "vec_id long, t int, bucket int, tb int"
+        ).localCheckpoint(eager=True)
+        queries_e = (
+            with_q(queries_emb)
+            .select("vec_id", "qvec", "qq")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        qids = [int(i) for i in query_ids]
+        qrows = vecs.filter(F.col("vec_id").isin(qids)).localCheckpoint(
+            eager=True
+        )
     probed = sorted(
         int(r["tb"]) for r in qrows.select("tb").distinct().collect()
     )
@@ -2018,7 +2061,7 @@ def graph_search_from_store(
         .select("vec_id", "qvec", "qq")
         .localCheckpoint(eager=False)
     )
-    qe = e.select(
+    qe = (queries_e if queries_e is not None else e).select(
         F.col("vec_id").alias("query_id"),
         F.col("qvec").alias("_sqv"),
         F.col("qq").alias("_sqq"),
@@ -2068,7 +2111,8 @@ def graph_search_from_store(
         )
     graph_edges = vector._directed_topk(edges, k).select("u", "v")
     return vector.graph_search_rounds(
-        e, graph_edges, beam_seeds, k, beam, rounds
+        e, graph_edges, beam_seeds, k, beam, rounds,
+        queries_e=queries_e,
     )
 
 

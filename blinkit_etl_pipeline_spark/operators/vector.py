@@ -780,12 +780,13 @@ def nn_descent_rounds(
 
 def lsh_topk(
     emb: DataFrame,
-    query_ids: Sequence[int],
+    query_ids: Sequence[int] | None,
     k: int = 5,
     nbits: int = 4,
     dim: int = 64,
     ntables: int = 8,
     bucket_expr: Column | None = None,
+    queries_emb: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table sign-LSH (OR-amplification).
 
@@ -812,10 +813,23 @@ def lsh_topk(
     variant (recall comparisons pit :func:`axis_sign_bucket` against RP
     planes); that path keeps the grouped per-bucket kernel since the
     bucket is an arbitrary JVM expression, not replayable driver-side.
-    """
+
+    ``queries_emb`` (r10 addendum) serves OUT-OF-CORPUS queries: a
+    (vec_id, embedding) frame whose rows are collected as the probe
+    set instead of corpus members — the production serving case, where
+    queries arrive from outside the indexed corpus. Ids that also
+    exist in the corpus are still self-excluded by id (mutually
+    exclusive with ``bucket_expr``, which needs its queries bucketed
+    inside the corpus frame)."""
     import pandas as pd
 
-    qids = frozenset(int(i) for i in query_ids)
+    if queries_emb is not None and bucket_expr is not None:
+        raise ValueError("queries_emb requires the RP-plane bucketer")
+    qids = (
+        frozenset(int(i) for i in query_ids)
+        if query_ids is not None
+        else frozenset()
+    )
     q = with_q(emb)
     if bucket_expr is not None:
         bucketed = (
@@ -874,10 +888,13 @@ def lsh_topk(
     else:
         import numpy as np
 
+        qsrc = (
+            with_q(queries_emb)
+            if queries_emb is not None
+            else q.filter(F.col("vec_id").isin(list(qids)))
+        )
         qrows = sorted(
-            q.filter(F.col("vec_id").isin(list(qids)))
-            .select("vec_id", "qvec", "qq")
-            .collect(),
+            qsrc.select("vec_id", "qvec", "qq").collect(),
             key=lambda r: r["vec_id"],
         )
         if not qrows:
@@ -2567,6 +2584,7 @@ def graph_search_rounds(
     k: int,
     beam: int,
     rounds: int,
+    queries_e: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy beam search over a k-NN graph — the serving-side
     traversal shared by :func:`graph_search_topk` (batch graph) and
@@ -2586,11 +2604,16 @@ def graph_search_rounds(
     frames are only ever probed by broadcast-hash joins against
     frontier-sized sides (forced hints — checkpoint leaves carry no
     stats). Determinism: exact integer-lattice cosines, ties
-    (cos DESC, neighbor ASC), so a SQL oracle replays every round."""
+    (cos DESC, neighbor ASC), so a SQL oracle replays every round.
+
+    ``queries_e`` — a (vec_id, qvec, qq) frame for the QUERY side when
+    queries are not corpus members (out-of-corpus serving); default
+    derives the query vectors from ``e`` by seed id."""
+    qsrc = queries_e if queries_e is not None else e
     qids = seeds.select(
         F.col("query_id").alias("vec_id")
     ).distinct()
-    qe = e.join(F.broadcast(qids), "vec_id").select(
+    qe = qsrc.join(F.broadcast(qids), "vec_id").select(
         F.col("vec_id").alias("query_id"),
         F.col("qvec").alias("_gqv"),
         F.col("qq").alias("_gqq"),
@@ -2677,3 +2700,37 @@ def graph_search_topk(
         F.col("node_id").alias("u"), F.col("neighbor_id").alias("v")
     )
     return graph_search_rounds(e, edges, seeds, k, beam, rounds)
+
+
+def graph_search_embed(
+    emb: DataFrame,
+    graph: DataFrame,
+    queries_emb: DataFrame,
+    k: int = 5,
+    beam: int = 8,
+    rounds: int = 2,
+    nbits: int = 4,
+    dim: int = 64,
+    ntables: int = 8,
+) -> DataFrame:
+    """Out-of-corpus graph serving (r10 addendum): ``queries_emb`` is
+    a (vec_id, embedding) frame of EXTERNAL query vectors — the
+    production case, where queries arrive from a request stream rather
+    than the indexed corpus. Entry points come from the same one-pass
+    broadcast-probe LSH scan (the external vectors hash driver-side
+    against the shared seeded planes), the walk is
+    :func:`graph_search_rounds` with the query side scored from
+    ``queries_emb``. A query that duplicates a corpus vector returns
+    that vector at rank 1 with cosine 1.0 and the member's own
+    neighbors after it (pytest)."""
+    e = with_q(emb).localCheckpoint(eager=False)
+    seeds = lsh_topk(
+        emb, None, k=beam, nbits=nbits, dim=dim, ntables=ntables,
+        queries_emb=queries_emb,
+    ).select("query_id", "neighbor_id")
+    edges = graph.select(
+        F.col("node_id").alias("u"), F.col("neighbor_id").alias("v")
+    )
+    return graph_search_rounds(
+        e, edges, seeds, k, beam, rounds, queries_e=with_q(queries_emb)
+    )

@@ -1818,3 +1818,54 @@ def test_backfill_knn_depth_restores_exactness(spark, tmp_path):
             spark, gstore, k=5, vec_store=vstore
         )
     ) == want
+
+
+def test_graph_search_out_of_corpus(spark, tmp_path):
+    """r10 addendum: external query vectors (not corpus members) —
+    the production serving case. A query duplicating a corpus vector
+    must return that member at rank 1 with cosine 1.0; the store path
+    (driver-side bucket hashing + pruned seed files) must be bit-equal
+    to the batch walk over the ingested union."""
+    from blinkit_etl_pipeline_spark.operators import vector
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qext = emb.filter(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    g0 = vector.knn_graph(emb, k=5, iters=0)
+    got = vector.graph_search_embed(
+        emb, g0, qext, k=5, beam=8, rounds=2
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    batch = rows(got)
+    assert len(batch) == 4 * 5
+    rank1 = {
+        (qid, nid, cos)
+        for qid, nid, cos, rank in batch
+        if rank == 1
+    }
+    assert rank1 == {
+        (1_000_000 + i, i, 1.0) for i in range(4)
+    }
+    # determinism
+    assert rows(
+        vector.graph_search_embed(emb, g0, qext, k=5, beam=8, rounds=2)
+    ) == batch
+
+    vstore = str(tmp_path / "vecs")
+    gstore = str(tmp_path / "graph")
+    for m in (0, 1):
+        incremental.ingest_knn_graph(
+            spark, vstore, gstore, emb.filter(F.col("vec_id") % 2 == m),
+            k=5,
+        )
+    got_store = rows(
+        incremental.graph_search_from_store(
+            spark, gstore, vstore, queries_emb=qext,
+            k=5, beam=8, rounds=2,
+        )
+    )
+    assert got_store == batch
