@@ -46,6 +46,8 @@ ivm module doc; cents lattice for money, 1e-6 lattice for ratios):
   job's curated table): grain (area); rating and sentiment_score are
   exact small ints, so the averages are exact int64-sum/count
   divisions — bit-identical to the batch ``AVG`` in both engines.
+  rating is nullable, so its non-null count is its own partial
+  (``AVG`` skips nulls; dividing by the row count would diverge).
 
 With these two, every curated table the batch runner writes has an
 incremental twin — ``runner.handle_new_file_incremental`` composes
@@ -64,6 +66,7 @@ prior inserts (the ivm contract).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable, Mapping
 from dataclasses import dataclass
 
@@ -247,9 +250,13 @@ def _feedback_prepare(batch: DataFrame) -> DataFrame:
 def _feedback_sums() -> Mapping[str, Column]:
     # rating (1–5 int) and sentiment_score (−1/0/1 int) are exact
     # integers already — no lattice needed; averages derive as exact
-    # int64-sum / count divisions at read time.
+    # int64-sum / count divisions at read time. rating is NULLABLE
+    # (the batch AVG skips nulls), so its non-null count rides along
+    # as its own partial; sentiment_score is never null by
+    # construction (derive.with_sentiment_score's CASE has a default).
     return {
-        "rating_s": F.col("rating"),
+        "rating_s": F.coalesce(F.col("rating"), F.lit(0)),
+        "rating_n": F.when(F.col("rating").isNotNull(), 1).otherwise(0),
         "pos": F.when(
             F.col("sentiment_normalized") == "Positive", 1
         ).otherwise(0),
@@ -265,7 +272,11 @@ def _feedback_finalize(merged: DataFrame) -> DataFrame:
     return merged.select(
         "area",
         n.alias("total_feedback"),
-        (F.col("rating_s") / n).alias("avg_rating"),
+        # try_divide: 0/0 → NULL under ANSI, matching AVG over an
+        # all-null group
+        F.try_divide(F.col("rating_s"), F.col("rating_n")).alias(
+            "avg_rating"
+        ),
         F.col("pos").cast("bigint").alias("positive_count"),
         F.col("neg").cast("bigint").alias("negative_count"),
         (F.col("sent_s") / n).alias("avg_sentiment_score"),
@@ -331,6 +342,13 @@ SPECS: dict[str, CuratedSpec] = {
         prepare=_discrepant,
     ),
 }
+
+
+def store_path(store_root: str, table: str) -> str:
+    """Canonical on-disk layout of a curated table's IVM store —
+    single-sourced here so the batch runner and the streaming router
+    can never disagree on where a table's store lives."""
+    return os.path.join(store_root, table)
 
 
 def curated_delta_view(table: str, batches: list[DataFrame]) -> DataFrame:

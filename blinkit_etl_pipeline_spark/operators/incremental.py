@@ -1579,59 +1579,6 @@ def sq8_store_probe(
     return vector.sq8_store_topk(codes, queries_emb, query_ids, stats, k)
 
 
-def ingest_cms_cells(
-    spark: SparkSession,
-    store_table: str,
-    batch: DataFrame,
-    value_col: str,
-    *,
-    batch_id: str,
-    compact_threshold: int | None = 64,
-    compact_target: int = 8,
-    compact_keep_versions: int = 2,
-) -> int:
-    """Maintain a persisted Count-Min sketch from batches — streaming
-    heavy-hitter state in ≤ d·w counters total: CMS cells are PLAIN
-    SUMS over (seed, cell), so the IVM agg store maintains them
-    as-is (``ingest_agg_deltas`` with keys (seed, cell)): per batch,
-    one map-side fold of THIS batch's values to ≤ d·w partials,
-    batch-id idempotent redelivery, CAS append, fold compaction via
-    :func:`compact_agg_store`. The sketch never grows with the data —
-    the 100 TB frequency-state answer, now durable across sessions."""
-    from .sketch import cms_cells
-
-    cells = cms_cells(batch, value_col).withColumn(
-        "__sign", F.lit(1).cast("int")
-    )
-    return ingest_agg_deltas(
-        spark,
-        store_table,
-        cells,
-        ["seed", "cell"],
-        {"counter_sum": F.col("counter")},
-        batch_id=batch_id,
-        compact_threshold=compact_threshold,
-        compact_target=compact_target,
-        compact_keep_versions=compact_keep_versions,
-    )
-
-
-def cms_store_probe(
-    spark: SparkSession, store_table: str, items: DataFrame, value_col: str
-) -> DataFrame:
-    """Frequency estimates for an item list against the MAINTAINED
-    sketch — the production lookup (`sketch.cms_probe`) over the
-    merge-on-read fold of all ingested batches. Because cells are
-    additive, the folded store equals the one-shot sketch of every
-    batch concatenated, for ANY batch split/arrival order (pytest)."""
-    from .sketch import cms_probe
-
-    cells = read_agg_store(
-        spark, store_table, ["seed", "cell"], ["counter_sum"]
-    ).select("seed", "cell", F.col("counter_sum").alias("counter"))
-    return cms_probe(cells, items, value_col)
-
-
 def ingest_bkq_sketch(
     spark: SparkSession,
     store_table: str,
@@ -1998,7 +1945,7 @@ def graph_search_from_store(
     if queries_emb is not None:
         import numpy as np
 
-        from .vector import _planes_matrix, with_q
+        from .vector import table_buckets_py, with_q
 
         qcollect = sorted(
             with_q(queries_emb).select("vec_id", "qvec", "qq").collect(),
@@ -2006,21 +1953,18 @@ def graph_search_from_store(
         )
         if not qcollect:
             raise ValueError("queries_emb is empty")
-        P = _planes_matrix(nbits, ntables, dim)
-        weights = np.array(
-            [1 << j for j in range(nbits)], dtype=np.int64
-        )
         QM = np.array([list(r["qvec"]) for r in qcollect])
-        bits = (QM @ P) > 0
-        qrows_py = []
-        for i, r in enumerate(qcollect):
-            for t in range(ntables):
-                bucket = int(
-                    bits[i, t * nbits : (t + 1) * nbits] @ weights
-                )
-                qrows_py.append(
-                    (int(r["vec_id"]), t, bucket, t * (1 << nbits) + bucket)
-                )
+        B = table_buckets_py(QM, nbits, ntables, dim)
+        qrows_py = [
+            (
+                int(r["vec_id"]),
+                t,
+                int(B[i, t]),
+                t * (1 << nbits) + int(B[i, t]),
+            )
+            for i, r in enumerate(qcollect)
+            for t in range(ntables)
+        ]
         qrows = spark.createDataFrame(
             qrows_py, "vec_id long, t int, bucket int, tb int"
         ).localCheckpoint(eager=True)
@@ -2030,6 +1974,11 @@ def graph_search_from_store(
             .localCheckpoint(eager=True)
         )
     else:
+        if query_ids is None:
+            raise ValueError(
+                "graph_search_from_store needs query_ids (corpus "
+                "members) or queries_emb (external vectors)"
+            )
         qids = [int(i) for i in query_ids]
         qrows = vecs.filter(F.col("vec_id").isin(qids)).localCheckpoint(
             eager=True
@@ -2120,6 +2069,44 @@ def graph_search_from_store(
 # Incremental COUNT DISTINCT via HLL-register stores (r10 addendum)
 # ---------------------------------------------------------------------------
 
+def _compact_folded(
+    spark: SparkSession, store_table: str, fold_fn, marker_fn
+) -> int:
+    """Shared fold-compaction scaffold for the semilattice sketch
+    stores (HLL registers, CMS counters): CAS-committed rewrite with
+    rebase retries; ``fold_fn(base)`` produces the folded live rows
+    (batch_id NULL), ``marker_fn(base)`` the per-batch guard markers
+    that keep redelivery exact across folds. A concurrent ingest
+    winning the race re-runs the fold against its rows."""
+    cur = snapshot.current_version(store_table)
+    if cur is None:
+        raise snapshot.SnapshotError(f"no snapshot table at {store_table}")
+    last_err: Exception | None = None
+    for _ in range(snapshot.COMMIT_RETRIES):
+        manifest = snapshot.read_manifest(store_table)
+        base = snapshot.read_snapshot(spark, store_table)
+        rows = (
+            fold_fn(base)
+            .withColumn("batch_id", F.lit(None).cast("string"))
+            .unionByName(marker_fn(base))
+            .localCheckpoint(eager=True)
+        )
+        files = snapshot._write_data_files(
+            rows, store_table, manifest.get("stats_col")
+        )
+        try:
+            return snapshot._commit(
+                store_table,
+                files,
+                stats_col=manifest.get("stats_col"),
+                expected_version=manifest["version"],
+            )
+        except snapshot.CommitConflictError as e:
+            last_err = e
+    raise last_err
+
+
+
 
 def ingest_hll_registers(
     spark: SparkSession,
@@ -2187,25 +2174,21 @@ def compact_hll_store(
     lossless by the max semilattice. Seen batch ids survive as
     null-bucket marker rows (the agg-store convention), so the
     redelivery guard stays exact across folds."""
-    cur = snapshot.current_version(store_table)
-    if cur is None:
-        raise snapshot.SnapshotError(f"no snapshot table at {store_table}")
-    last_err: Exception | None = None
-    for _ in range(snapshot.COMMIT_RETRIES):
-        manifest = snapshot.read_manifest(store_table)
-        base = snapshot.read_snapshot(spark, store_table)
-        live = base.filter(F.col("bucket").isNotNull())
-        folded = (
-            live.groupBy(*group_cols, "bucket")
+
+    def fold(base: DataFrame) -> DataFrame:
+        return (
+            base.filter(F.col("bucket").isNotNull())
+            .groupBy(*group_cols, "bucket")
             .agg(F.max("m_rank").alias("m_rank"))
-            .withColumn("batch_id", F.lit(None).cast("string"))
         )
+
+    def markers(base: DataFrame) -> DataFrame:
         key_fields = {
             f.name: f.dataType
             for f in base.schema.fields
             if f.name in group_cols
         }
-        markers = base.select("batch_id").distinct().select(
+        return base.select("batch_id").distinct().select(
             *[
                 F.lit(None).cast(key_fields[k]).alias(k)
                 for k in group_cols
@@ -2214,20 +2197,8 @@ def compact_hll_store(
             F.lit(None).cast("int").alias("m_rank"),
             "batch_id",
         )
-        rows = folded.unionByName(markers).localCheckpoint(eager=True)
-        files = snapshot._write_data_files(
-            rows, store_table, manifest.get("stats_col")
-        )
-        try:
-            return snapshot._commit(
-                store_table,
-                files,
-                stats_col=manifest.get("stats_col"),
-                expected_version=manifest["version"],
-            )
-        except snapshot.CommitConflictError as e:
-            last_err = e
-    raise last_err
+
+    return _compact_folded(spark, store_table, fold, markers)
 
 
 # ---------------------------------------------------------------------------
@@ -2299,41 +2270,24 @@ def cms_probe_from_store(
 def compact_cms_store(spark: SparkSession, store_table: str) -> int:
     """Fold the counter history to ≤ d·w live rows — lossless by
     counter linearity. Seen batch ids survive as zero-counter marker
-    rows (the agg-store convention), absorbed by the read's ≠0
-    filter."""
-    cur = snapshot.current_version(store_table)
-    if cur is None:
-        raise snapshot.SnapshotError(f"no snapshot table at {store_table}")
-    last_err: Exception | None = None
-    for _ in range(snapshot.COMMIT_RETRIES):
-        manifest = snapshot.read_manifest(store_table)
-        base = snapshot.read_snapshot(spark, store_table)
-        folded = (
+    rows, absorbed by the read's ≠0 filter."""
+
+    def fold(base: DataFrame) -> DataFrame:
+        return (
             base.groupBy("seed", "cell")
             .agg(F.sum("counter").cast("bigint").alias("counter"))
             .filter(F.col("counter") != 0)
-            .withColumn("batch_id", F.lit(None).cast("string"))
         )
-        markers = base.select("batch_id").distinct().select(
+
+    def markers(base: DataFrame) -> DataFrame:
+        return base.select("batch_id").distinct().select(
             F.lit(None).cast("int").alias("seed"),
             F.lit(None).cast("int").alias("cell"),
             F.lit(0).cast("bigint").alias("counter"),
             "batch_id",
         )
-        rows = folded.unionByName(markers).localCheckpoint(eager=True)
-        files = snapshot._write_data_files(
-            rows, store_table, manifest.get("stats_col")
-        )
-        try:
-            return snapshot._commit(
-                store_table,
-                files,
-                stats_col=manifest.get("stats_col"),
-                expected_version=manifest["version"],
-            )
-        except snapshot.CommitConflictError as e:
-            last_err = e
-    raise last_err
+
+    return _compact_folded(spark, store_table, fold, markers)
 
 
 def backfill_knn_depth(

@@ -254,6 +254,27 @@ def _planes_matrix(nbits: int, ntables: int, dim: int, seed: int = RP_SEED):
     return np.array(planes, dtype=np.float64).T  # dim × (nbits·ntables)
 
 
+def table_buckets_py(M, nbits: int, ntables: int, dim: int):
+    """Driver-/kernel-side multi-table sign-LSH buckets for a quantized
+    row matrix (n × dim) → n × ntables int64 — the SAME planes and
+    bit-weight convention :func:`bucket_frame` compiles JVM-side.
+    Single-sourced so every probe path (lsh_topk's scan, the knn
+    store's external-query seeding) agrees bit-for-bit on bucket
+    identity; a divergent copy would silently probe the wrong files."""
+    import numpy as np
+
+    P = _planes_matrix(nbits, ntables, dim)
+    weights = np.array([1 << j for j in range(nbits)], dtype=np.int64)
+    bits = (M @ P) > 0  # exact integer projections
+    return np.stack(
+        [
+            bits[:, t * nbits : (t + 1) * nbits] @ weights
+            for t in range(ntables)
+        ],
+        axis=1,
+    )
+
+
 def bucket_frame(
     q: DataFrame, nbits: int, ntables: int, dim: int, seed: int = RP_SEED
 ) -> DataFrame:
@@ -899,18 +920,9 @@ def lsh_topk(
         )
         if not qrows:
             raise ValueError("none of the query_ids exist in the corpus")
-        P = _planes_matrix(nbits, ntables, dim)
-        weights = np.array([1 << j for j in range(nbits)], dtype=np.int64)
 
         def table_buckets(M: "np.ndarray") -> "np.ndarray":
-            bits = (M @ P) > 0  # exact integer projections
-            return np.stack(
-                [
-                    bits[:, t * nbits : (t + 1) * nbits] @ weights
-                    for t in range(ntables)
-                ],
-                axis=1,
-            )  # n × ntables
+            return table_buckets_py(M, nbits, ntables, dim)
 
         qid_v = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
         QM = np.array([list(r["qvec"]) for r in qrows], dtype=np.float64)

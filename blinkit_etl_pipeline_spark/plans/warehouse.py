@@ -1135,7 +1135,7 @@ q AS (
     AND feedback_date <= TIMESTAMP '{FB_CUTOFF}')
 SELECT area,
   CAST(COUNT(*) AS BIGINT) AS total_feedback,
-  CAST(SUM(rating) AS BIGINT) / COUNT(*) AS avg_rating,
+  CAST(SUM(rating) AS BIGINT) / COUNT(rating) AS avg_rating,
   CAST(SUM(pos) AS BIGINT) AS positive_count,
   CAST(SUM(neg) AS BIGINT) AS negative_count,
   CAST(SUM(score) AS BIGINT) / COUNT(*) AS avg_sentiment_score,

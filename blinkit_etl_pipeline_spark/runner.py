@@ -323,9 +323,9 @@ INCR_DELTAS: dict[str, Callable[[SparkSession, dict], DataFrame]] = {
 
 
 def curated_store_path(store_root: str, table: str) -> str:
-    import os
+    from .operators import curated
 
-    return os.path.join(store_root, table)
+    return curated.store_path(store_root, table)
 
 
 def handle_new_file_incremental(
@@ -364,12 +364,20 @@ def handle_new_file_incremental(
             report.statuses[job] = "failed"
             report.errors[job] = f"{type(exc).__name__}: {exc}"
     if "succeeded" in set(report.statuses.values()):
+        from .operators import snapshot
+
         for job, status in report.statuses.items():
             if status != "succeeded":
                 continue
             for table in CURATED_TABLES[job]:
+                path = curated_store_path(store_root, table)
+                # a first-ever drop can legitimately fold to zero delta
+                # rows (e.g. an inventory drop with no discrepancies):
+                # the job succeeded but no store exists yet to publish
+                if snapshot.current_version(path) is None:
+                    continue
                 curated.read_curated(
-                    spark, curated_store_path(store_root, table), table
+                    spark, path, table
                 ).createOrReplaceTempView(CURATED_VIEWS[table])
     return report
 

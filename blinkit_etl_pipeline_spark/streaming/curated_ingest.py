@@ -58,8 +58,8 @@ ROUTES: dict[str, tuple[str, ...]] = {
 }
 
 
-def store_path(store_root: str, table: str) -> str:
-    return os.path.join(store_root, table)
+#: canonical store layout — shared with the batch runner
+store_path = curated.store_path
 
 
 def _ingest(

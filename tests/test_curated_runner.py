@@ -242,3 +242,28 @@ def test_incremental_runner_partial_failure(spark, blinkit, tmp_path):
         .collect()[0]["n"]
         > 0
     )
+
+
+def test_area_feedback_spec_matches_batch_avg_with_null_ratings(spark):
+    """The IVM spec must mirror the batch AVG's null semantics: AVG
+    skips null ratings while total_feedback counts every row — a
+    sum/row-count division would diverge (r10 review finding)."""
+    from blinkit_etl_pipeline_spark.operators import agg
+
+    rows = spark.createDataFrame(
+        [
+            ("f1", "North", 5, "Positive", 1),
+            ("f2", "North", None, "Negative", -1),
+            ("f3", "North", 2, "Neutral", 0),
+            ("f4", "South", None, "Unknown", 0),
+        ],
+        "feedback_id string, area string, rating int, "
+        "sentiment_normalized string, sentiment_score int",
+    )
+    got = _rows(curated.curated_delta_view("area_feedback", [rows]))
+    want = _rows(agg.area_feedback_metrics(rows))
+    assert got == want
+    by_area = {r[0]: r for r in got}
+    assert by_area["North"][1] == 3  # total_feedback counts null-rated
+    assert by_area["North"][2] == 3.5  # AVG over the 2 non-null ratings
+    assert by_area["South"][2] is None  # all-null group → NULL avg
