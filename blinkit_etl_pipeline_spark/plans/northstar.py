@@ -6406,52 +6406,55 @@ def _gs_ctes(
     beam: int = GS_BEAM,
     rounds: int = GS_ROUNDS,
     nq: int = len(ANN_QUERY_IDS),
+    sfx: str = "",
 ) -> str:
     """Traversal CTE chain appended after ``_knn_ctes`` (whose
     ``final`` is the graph): LSH seed candidates → top-beam entry
     points → per-round frontier / one-hop expansion / not-yet-scored
     filter / exact scoring / pool union — ending in
-    ``gs_s{rounds}(query_id, neighbor_id, cos_raw)``."""
+    ``gs_s{rounds}{sfx}(query_id, neighbor_id, cos_raw)``. ``sfx``
+    disambiguates CTE names when several beams replay in one query
+    (the operating-curve oracle)."""
     cosq = _COSR.format(a="qe.qv", b="ce.qv", qa="qe.qq", qb="ce.qq")
     parts = [
-        f"""gs_cand AS (
+        f"""gs_cand{sfx} AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
   FROM mb q JOIN mb c ON q.t = c.t AND q.bucket = c.bucket
   WHERE q.vec_id < {nq} AND c.vec_id != q.vec_id),
-gs_sc0 AS (
+gs_sc0{sfx} AS (
   SELECT query_id, neighbor_id, {cosq} AS cos_raw
-  FROM gs_cand JOIN e qe ON qe.vec_id = gs_cand.query_id
-               JOIN e ce ON ce.vec_id = gs_cand.neighbor_id),
-gs_s0 AS (
+  FROM gs_cand{sfx} JOIN e qe ON qe.vec_id = gs_cand{sfx}.query_id
+               JOIN e ce ON ce.vec_id = gs_cand{sfx}.neighbor_id),
+gs_s0{sfx} AS (
   SELECT query_id, neighbor_id, cos_raw FROM (
     SELECT *, row_number() OVER (
       PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
-    FROM gs_sc0) WHERE rn <= {beam}),
-gs_und AS (SELECT u, v FROM final UNION SELECT v, u FROM final)"""
+    FROM gs_sc0{sfx}) WHERE rn <= {beam}),
+gs_und{sfx} AS (SELECT u, v FROM final UNION SELECT v, u FROM final)"""
     ]
     for r in range(1, rounds + 1):
         p = r - 1
         parts.append(
-            f"""gs_f{p} AS (
+            f"""gs_f{p}{sfx} AS (
   SELECT query_id, neighbor_id FROM (
     SELECT *, row_number() OVER (
       PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
-    FROM gs_s{p}) WHERE rn <= {beam}),
-gs_c{r} AS (
+    FROM gs_s{p}{sfx}) WHERE rn <= {beam}),
+gs_c{r}{sfx} AS (
   SELECT DISTINCT f.query_id, g.v AS neighbor_id
-  FROM gs_f{p} f JOIN gs_und g ON f.neighbor_id = g.u
+  FROM gs_f{p}{sfx} f JOIN gs_und{sfx} g ON f.neighbor_id = g.u
   WHERE g.v != f.query_id),
-gs_n{r} AS (
-  SELECT c.query_id, c.neighbor_id FROM gs_c{r} c
-  LEFT JOIN gs_s{p} s ON s.query_id = c.query_id
+gs_n{r}{sfx} AS (
+  SELECT c.query_id, c.neighbor_id FROM gs_c{r}{sfx} c
+  LEFT JOIN gs_s{p}{sfx} s ON s.query_id = c.query_id
     AND s.neighbor_id = c.neighbor_id
   WHERE s.query_id IS NULL),
-gs_sc{r} AS (
+gs_sc{r}{sfx} AS (
   SELECT n.query_id, n.neighbor_id, {cosq} AS cos_raw
-  FROM gs_n{r} n JOIN e qe ON qe.vec_id = n.query_id
+  FROM gs_n{r}{sfx} n JOIN e qe ON qe.vec_id = n.query_id
                JOIN e ce ON ce.vec_id = n.neighbor_id),
-gs_s{r} AS (
-  SELECT * FROM gs_s{p} UNION ALL SELECT * FROM gs_sc{r})"""
+gs_s{r}{sfx} AS (
+  SELECT * FROM gs_s{p}{sfx} UNION ALL SELECT * FROM gs_sc{r}{sfx})"""
         )
     return ",\n".join(parts)
 
@@ -6690,3 +6693,95 @@ SELECT value,
   CAST(MIN(counter) AS BIGINT) - exact_count AS overestimate
 FROM probes JOIN cells USING (seed, cell)
 GROUP BY value, exact_count"""
+
+
+# ----------------------------------------------------------------------
+# r10 addendum: graph-serving operating curve — recall vs beam width
+# ----------------------------------------------------------------------
+
+GS_CURVE_BEAMS = (4, 8, 16)
+
+
+def q_ann_graph_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k vs beam width for the graph-traversal tier — the
+    operating curve a serving deployment picks its beam from (the
+    ns_ann_ivf_curve pattern applied to the graph tier): per sweep
+    point, search cost is |Q|·beam·k scored pairs per hop, so the
+    curve IS the recall-per-unit-cost trade. The graph and the exact
+    truth are built once (lazy checkpoints share materialization
+    across the sweep); the oracle replays every beam's full traversal.
+    """
+    emb = _emb(spark, sf_dir)
+    g = vector.knn_graph(
+        emb,
+        k=KNN_GRAPH_K,
+        iters=KNN_GRAPH_ITERS,
+        nbits=ANN_NBITS,
+        ntables=ANN_NTABLES,
+    ).localCheckpoint(eager=False)
+    truth = vector.brute_force_topk(
+        emb, ANN_QUERY_IDS, k=ANN_K
+    ).select("query_id", "neighbor_id").localCheckpoint(eager=False)
+    denom = float(len(ANN_QUERY_IDS) * ANN_K)
+    out = None
+    for b in GS_CURVE_BEAMS:
+        res = vector.graph_search_topk(
+            emb, g, ANN_QUERY_IDS,
+            k=ANN_K, beam=b, rounds=GS_ROUNDS,
+            nbits=ANN_NBITS, ntables=ANN_NTABLES,
+        ).select("query_id", "neighbor_id")
+        row = (
+            res.join(truth, ["query_id", "neighbor_id"])
+            .agg(F.count("*").cast("long").alias("hits"))
+            .select(
+                F.lit(b).alias("beam"),
+                "hits",
+                F.round(F.col("hits") / denom, 4).alias("avg_recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+QUERIES["ns_ann_graph_curve"] = q_ann_graph_curve
+
+
+def _gs_curve_sql() -> str:
+    nq, k = len(ANN_QUERY_IDS), ANN_K
+    blocks, selects = [], []
+    for b in GS_CURVE_BEAMS:
+        sfx = f"_b{b}"
+        blocks.append(_gs_ctes(beam=b, sfx=sfx))
+        blocks.append(
+            f"""topk{sfx} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
+    FROM gs_s{GS_ROUNDS}{sfx}) WHERE rn <= {k}),
+hits{sfx} AS (
+  SELECT CAST(count(*) AS BIGINT) AS c
+  FROM topk{sfx} JOIN truth USING (query_id, neighbor_id))"""
+        )
+        selects.append(
+            f"SELECT {b} AS beam, c AS hits, "
+            f"ROUND(c / {float(nq * k)}, 4) AS avg_recall "
+            f"FROM hits{sfx}"
+        )
+    truth_cte = f"""truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        {_COSR.format(a='q.qv', b='c.qv', qa='q.qq', qb='c.qq')} DESC,
+        c.vec_id ASC) AS rn
+    FROM e q CROSS JOIN e c
+    WHERE q.vec_id < {nq} AND c.vec_id != q.vec_id)
+  WHERE rn <= {k})"""
+    return (
+        f"WITH {_EMB},\n{_knn_ctes()},\n{truth_cte},\n"
+        + ",\n".join(blocks)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+ORACLES["ns_ann_graph_curve"] = _gs_curve_sql()

@@ -32,6 +32,7 @@ PRIORITY = [
     "ns_incr_hll_users",
     "ns_incr_cms_probe",
     "ns_ann_graph_recall",
+    "ns_ann_graph_curve",
     "ns_incr_sales_revenue",
     "ns_incr_area_feedback",
     # --- r10 additions, never driver-checked ---
