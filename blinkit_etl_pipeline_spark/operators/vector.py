@@ -2597,6 +2597,7 @@ def graph_search_rounds(
     beam: int,
     rounds: int,
     queries_e: DataFrame | None = None,
+    undirected: bool = False,
 ) -> DataFrame:
     """Greedy beam search over a k-NN graph — the serving-side
     traversal shared by :func:`graph_search_topk` (batch graph) and
@@ -2620,7 +2621,11 @@ def graph_search_rounds(
 
     ``queries_e`` — a (vec_id, qvec, qq) frame for the QUERY side when
     queries are not corpus members (out-of-corpus serving); default
-    derives the query vectors from ``e`` by seed id."""
+    derives the query vectors from ``e`` by seed id. ``undirected``
+    declares that ``edges`` is ALREADY the expanded distinct
+    undirected adjacency, skipping the graph-sized fold here — the
+    knob a serving deployment (or a beam sweep) uses to pay that
+    one-time cost once across many searches."""
     qsrc = queries_e if queries_e is not None else e
     qids = seeds.select(
         F.col("query_id").alias("vec_id")
@@ -2635,12 +2640,17 @@ def graph_search_rounds(
         F.col("qvec").alias("_gcv"),
         F.col("qq").alias("_gcq"),
     )
-    und = (
-        edges.select("u", "v")
-        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    if undirected:
+        und = edges.select("u", "v")
+    else:
+        und = (
+            edges.select("u", "v")
+            .union(
+                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id").asc()
     )
@@ -2679,6 +2689,25 @@ def graph_search_rounds(
     )
 
 
+def undirect_graph(graph: DataFrame) -> DataFrame:
+    """Expanded distinct undirected adjacency of a k-NN graph — build
+    (and checkpoint) once, then pass to the search entry points with
+    ``undirected=True`` so many searches share the one graph-sized
+    fold."""
+    edges = graph.select(
+        F.col("node_id").alias("u"), F.col("neighbor_id").alias("v")
+    )
+    return (
+        edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+        .select(
+            F.col("u").alias("node_id"), F.col("v").alias("neighbor_id")
+        )
+    )
+
+
 def graph_search_topk(
     emb: DataFrame,
     graph: DataFrame,
@@ -2689,6 +2718,7 @@ def graph_search_topk(
     nbits: int = 4,
     dim: int = 64,
     ntables: int = 8,
+    undirected: bool = False,
 ) -> DataFrame:
     """ANN serving via graph traversal — the search half of the k-NN
     graph tier (:func:`knn_graph` builds, this walks): sign-LSH
@@ -2711,7 +2741,9 @@ def graph_search_topk(
     edges = graph.select(
         F.col("node_id").alias("u"), F.col("neighbor_id").alias("v")
     )
-    return graph_search_rounds(e, edges, seeds, k, beam, rounds)
+    return graph_search_rounds(
+        e, edges, seeds, k, beam, rounds, undirected=undirected
+    )
 
 
 def graph_search_embed(

@@ -6722,13 +6722,15 @@ def q_ann_graph_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = vector.brute_force_topk(
         emb, ANN_QUERY_IDS, k=ANN_K
     ).select("query_id", "neighbor_id").localCheckpoint(eager=False)
+    # the graph-sized undirected fold is paid ONCE across the sweep
+    und = vector.undirect_graph(g).localCheckpoint(eager=False)
     denom = float(len(ANN_QUERY_IDS) * ANN_K)
     out = None
     for b in GS_CURVE_BEAMS:
         res = vector.graph_search_topk(
-            emb, g, ANN_QUERY_IDS,
+            emb, und, ANN_QUERY_IDS,
             k=ANN_K, beam=b, rounds=GS_ROUNDS,
-            nbits=ANN_NBITS, ntables=ANN_NTABLES,
+            nbits=ANN_NBITS, ntables=ANN_NTABLES, undirected=True,
         ).select("query_id", "neighbor_id")
         row = (
             res.join(truth, ["query_id", "neighbor_id"])
