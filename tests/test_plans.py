@@ -51,6 +51,14 @@ ARROW_WHITELIST = {
     "ns_hybrid_rrf_topk",
     "ns_hybrid_rrf_recall",
     "ns_pack_sequences",
+    # r10 addendum: graph-traversal serving seeds entry points via
+    # lsh_topk's broadcast-probe scan — the same deliberate Arrow BLAS
+    # kernel ns_ann_lsh_topk carries (the traversal rounds themselves
+    # are JVM-only; the graph-construction kernels hide behind
+    # checkpoint leaves, which is why ns_knn_graph needs no entry)
+    "ns_ann_graph_topk",
+    "ns_ann_graph_recall",
+    "ns_ann_graph_curve",
 }
 
 _PY_MARKERS = ("InPandas", "ArrowEval", "BatchEvalPython", "PythonUDF")
