@@ -6407,6 +6407,9 @@ def _gs_ctes(
     rounds: int = GS_ROUNDS,
     nq: int = len(ANN_QUERY_IDS),
     sfx: str = "",
+    qmb: str = "mb",
+    qe_table: str = "e",
+    qpred: str | None = None,
 ) -> str:
     """Traversal CTE chain appended after ``_knn_ctes`` (whose
     ``final`` is the graph): LSH seed candidates → top-beam entry
@@ -6414,17 +6417,22 @@ def _gs_ctes(
     filter / exact scoring / pool union — ending in
     ``gs_s{rounds}{sfx}(query_id, neighbor_id, cos_raw)``. ``sfx``
     disambiguates CTE names when several beams replay in one query
-    (the operating-curve oracle)."""
+    (the operating-curve oracle). ``qmb``/``qe_table``/``qpred`` swap
+    the QUERY side to an external-vector CTE (the out-of-corpus
+    gauge)."""
+    if qpred is None:
+        qpred = f"q.vec_id < {nq}"
     cosq = _COSR.format(a="qe.qv", b="ce.qv", qa="qe.qq", qb="ce.qq")
     parts = [
         f"""gs_cand{sfx} AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-  FROM mb q JOIN mb c ON q.t = c.t AND q.bucket = c.bucket
-  WHERE q.vec_id < {nq} AND c.vec_id != q.vec_id),
+  FROM {qmb} q JOIN mb c ON q.t = c.t AND q.bucket = c.bucket
+  WHERE {qpred} AND c.vec_id != q.vec_id),
 gs_sc0{sfx} AS (
   SELECT query_id, neighbor_id, {cosq} AS cos_raw
-  FROM gs_cand{sfx} JOIN e qe ON qe.vec_id = gs_cand{sfx}.query_id
-               JOIN e ce ON ce.vec_id = gs_cand{sfx}.neighbor_id),
+  FROM gs_cand{sfx}
+       JOIN {qe_table} qe ON qe.vec_id = gs_cand{sfx}.query_id
+       JOIN e ce ON ce.vec_id = gs_cand{sfx}.neighbor_id),
 gs_s0{sfx} AS (
   SELECT query_id, neighbor_id, cos_raw FROM (
     SELECT *, row_number() OVER (
@@ -6451,7 +6459,7 @@ gs_n{r}{sfx} AS (
   WHERE s.query_id IS NULL),
 gs_sc{r}{sfx} AS (
   SELECT n.query_id, n.neighbor_id, {cosq} AS cos_raw
-  FROM gs_n{r}{sfx} n JOIN e qe ON qe.vec_id = n.query_id
+  FROM gs_n{r}{sfx} n JOIN {qe_table} qe ON qe.vec_id = n.query_id
                JOIN e ce ON ce.vec_id = n.neighbor_id),
 gs_s{r}{sfx} AS (
   SELECT * FROM gs_s{p}{sfx} UNION ALL SELECT * FROM gs_sc{r}{sfx})"""
@@ -6787,3 +6795,126 @@ hits{sfx} AS (
 
 
 ORACLES["ns_ann_graph_curve"] = _gs_curve_sql()
+
+
+# ----------------------------------------------------------------------
+# r10 addendum: takedown + depth backfill, driver-visible
+# ----------------------------------------------------------------------
+
+KNN_BACKFILL_GONE = (1, 2, 3, 4)
+
+
+def q_knn_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The takedown-repair contract end-to-end
+    (incremental.backfill_knn_depth): a ZERO-SLACK knn store
+    (store_k = k) ingests the corpus, four ids are retracted — each
+    drained node's stored list now under-serves — and the backfill
+    pass re-pairs exactly the over-drained nodes against live pruned
+    bucket mates. The read after repair must equal the batch seed
+    graph over the SURVIVORS, which is precisely what the oracle
+    computes (the graph built on e minus the retracted ids). Store
+    build + takedown + repair all run per invocation — the build cost
+    IS the gauge (the ns_knn_graph_store pattern)."""
+    import shutil
+    import tempfile
+
+    from ..operators import incremental
+
+    emb = _emb(spark, sf_dir)
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"knnbackfill-{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    vstore = os.path.join(scratch, "vecs")
+    gstore = os.path.join(scratch, "graph")
+    incremental.ingest_knn_graph(
+        spark, vstore, gstore, emb,
+        k=KNN_GRAPH_K, store_k=KNN_GRAPH_K,
+        nbits=ANN_NBITS, ntables=ANN_NTABLES,
+        compact_threshold=None,
+    )
+    incremental.retract_docs(
+        spark, vstore, list(KNN_BACKFILL_GONE), id_col="vec_id"
+    )
+    incremental.backfill_knn_depth(
+        spark, vstore, gstore, k=KNN_GRAPH_K, store_k=KNN_GRAPH_K
+    )
+    return incremental.knn_graph_from_store(
+        spark, gstore, k=KNN_GRAPH_K, vec_store=vstore
+    )
+
+
+QUERIES["ns_knn_backfill"] = q_knn_backfill
+
+_GONE_SQL = ", ".join(str(i) for i in KNN_BACKFILL_GONE)
+
+ORACLES["ns_knn_backfill"] = f"""WITH {_EMB},
+es AS (SELECT * FROM e WHERE vec_id NOT IN ({_GONE_SQL})),
+{_mb_cte().replace("FROM e", "FROM es")},
+seed_pairs AS (
+  SELECT DISTINCT a.vec_id AS u, b.vec_id AS v
+  FROM mb a JOIN mb b ON a.t = b.t AND a.bucket = b.bucket
+  WHERE a.vec_id != b.vec_id),
+seeds AS (
+  SELECT u, v,
+    {_COSR.format(a='ea.qv', b='eb.qv', qa='ea.qq', qb='eb.qq')}
+      AS cos_raw
+  FROM seed_pairs JOIN es ea ON ea.vec_id = u JOIN es eb ON eb.vec_id = v)
+SELECT u AS node_id, v AS neighbor_id,
+  ROUND(cos_raw, 6) AS cosine_sim, CAST(rn AS INT) AS "rank"
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY u ORDER BY cos_raw DESC, v ASC) AS rn
+  FROM seeds) WHERE rn <= {KNN_GRAPH_K}"""
+
+
+# ----------------------------------------------------------------------
+# r10 addendum: out-of-corpus serving, driver-visible
+# ----------------------------------------------------------------------
+
+GS_EXT_NQ = 4
+GS_EXT_SHIFT = 1_000_000
+
+
+def q_ann_graph_external(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-corpus serving (vector.graph_search_embed): the queries
+    are EXTERNAL vectors — copies of corpus members 0..3 under shifted
+    ids, so the oracle can replay them from the same parquet — hashed
+    against the shared seeded planes for entry points, then walked
+    with the query side scored from the external frame. Each query's
+    rank-1 hit is its corpus twin at cosine 1.0 (the identity
+    property pytest also pins); every rank is oracle-exact."""
+    emb = _emb(spark, sf_dir)
+    qext = emb.filter(F.col("vec_id") < GS_EXT_NQ).select(
+        (F.col("vec_id") + GS_EXT_SHIFT).alias("vec_id"), "embedding"
+    )
+    g = vector.knn_graph(
+        emb,
+        k=KNN_GRAPH_K,
+        iters=KNN_GRAPH_ITERS,
+        nbits=ANN_NBITS,
+        ntables=ANN_NTABLES,
+    )
+    return vector.graph_search_embed(
+        emb, g, qext,
+        k=ANN_K, beam=GS_BEAM, rounds=GS_ROUNDS,
+        nbits=ANN_NBITS, ntables=ANN_NTABLES,
+    )
+
+
+QUERIES["ns_ann_graph_external"] = q_ann_graph_external
+
+ORACLES["ns_ann_graph_external"] = f"""WITH {_EMB},
+{_knn_ctes()},
+qe2 AS (SELECT vec_id + {GS_EXT_SHIFT} AS vec_id, qv, qq
+  FROM e WHERE vec_id < {GS_EXT_NQ}),
+qmb AS (SELECT vec_id + {GS_EXT_SHIFT} AS vec_id, qv, qq, t, bucket
+  FROM mb WHERE vec_id < {GS_EXT_NQ}),
+{_gs_ctes(qmb="qmb", qe_table="qe2", qpred="1=1")}
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine_sim,
+  CAST(rn AS INT) AS "rank"
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
+  FROM gs_s{GS_ROUNDS}) WHERE rn <= {ANN_K}"""

@@ -33,6 +33,8 @@ PRIORITY = [
     "ns_incr_cms_probe",
     "ns_ann_graph_recall",
     "ns_ann_graph_curve",
+    "ns_knn_backfill",
+    "ns_ann_graph_external",
     "ns_incr_sales_revenue",
     "ns_incr_area_feedback",
     # --- r10 additions, never driver-checked ---

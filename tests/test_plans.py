@@ -59,6 +59,9 @@ ARROW_WHITELIST = {
     "ns_ann_graph_topk",
     "ns_ann_graph_recall",
     "ns_ann_graph_curve",
+    "ns_ann_graph_external",
+    # NOT ns_knn_backfill: like ns_knn_graph_store, its kernels run at
+    # store-build time — the returned read plan scans the store
 }
 
 _PY_MARKERS = ("InPandas", "ArrowEval", "BatchEvalPython", "PythonUDF")
