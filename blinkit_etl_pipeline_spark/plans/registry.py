@@ -35,6 +35,7 @@ PRIORITY = [
     "ns_ann_graph_curve",
     "ns_knn_backfill",
     "ns_ann_graph_external",
+    "ns_incr_curated_cdc",
     "ns_incr_sales_revenue",
     "ns_incr_area_feedback",
     # --- r10 additions, never driver-checked ---

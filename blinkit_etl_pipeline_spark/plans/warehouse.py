@@ -1145,3 +1145,98 @@ FROM q GROUP BY area"""
 
 
 ORACLES["ns_incr_area_feedback"] = _feedback_oracle()
+
+
+def q_incr_curated_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-OUT between two committed versions of a maintained curated
+    table (operators/curated.py::curated_changes): marketing KPI rows
+    land as two date-sliced drops into a scratch campaign_summary
+    store (the store build IS the gauge), and the labeled diff between
+    the post-drop versions answers "what did that drop change in the
+    dashboard?" from two merge-on-read folds — never a base-table
+    replay. The oracle recomputes both finalized views directly and
+    EXCEPT ALLs them with the same labels (the scd2_changes pattern).
+    """
+    import shutil
+    import tempfile
+
+    from ..operators import curated
+    from ..pipelines import marketing_roi
+    from ..sources.testdata import register_blinkit
+
+    t = register_blinkit(spark, sf_dir)
+    kpis = marketing_roi.marketing_kpis(t["b_marketing"]).select(
+        "campaign_id", "campaign_name", "channel", "date", "spend",
+        "revenue_generated", "conversions", "ctr", "conversion_rate",
+        "roas_calculated",
+    ).localCheckpoint(eager=False)
+    cutoff = F.lit(MKT_CUTOFF).cast("timestamp")
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"curatedcdc-{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    store = os.path.join(scratch, "campaign_summary")
+    v1 = curated.ingest_curated_deltas(
+        spark, store, "campaign_summary",
+        kpis.filter(F.col("date") <= cutoff), batch_id="drop-1",
+    )
+    v2 = curated.ingest_curated_deltas(
+        spark, store, "campaign_summary",
+        kpis.filter(F.col("date") > cutoff), batch_id="drop-2",
+    )
+    return curated.curated_changes(
+        spark, store, "campaign_summary", v1, v2
+    )
+
+
+QUERIES["ns_incr_curated_cdc"] = q_incr_curated_cdc
+
+
+def _campaign_view_sql(src: str) -> str:
+    """The finalized campaign_summary view from quantized rows CTE
+    ``src`` — the SELECT the incremental-campaign oracle uses, shared
+    by both versions of the CDC diff."""
+    return f"""SELECT campaign_id, campaign_name, channel,
+  ROUND(SUM(sq) / 100.0, 2) AS total_spend,
+  ROUND(SUM(rq) / 100.0, 2) AS total_revenue,
+  CAST(SUM(cv) AS BIGINT) AS total_conversions,
+  ROUND(SUM(cq) / (1000000.0 * COUNT(*)), 4) AS avg_ctr,
+  ROUND(SUM(vq) / (1000000.0 * COUNT(*)), 4) AS avg_conversion_rate,
+  ROUND(SUM(aq) / (1000000.0 * COUNT(*)), 4) AS avg_roas,
+  ROUND(CASE WHEN SUM(sq) > 0
+        THEN (SUM(rq) - SUM(sq)) * 100.0 / SUM(sq)
+        ELSE CAST(0 AS DOUBLE) END, 2) AS overall_roi
+FROM {src} GROUP BY campaign_id, campaign_name, channel"""
+
+
+def _cdc_oracle() -> str:
+    from ..sources.testdata import oracle_with_clause
+    from .parity import MARKETING_KPIS_CTE
+
+    return (
+        oracle_with_clause("b_marketing")
+        + ",\n"
+        + MARKETING_KPIS_CTE
+        + f""",
+q AS (
+  SELECT campaign_id, campaign_name, channel, date,
+    CAST(ROUND(spend * 100, 0) AS BIGINT) AS sq,
+    CAST(ROUND(revenue_generated * 100, 0) AS BIGINT) AS rq,
+    CAST(conversions AS BIGINT) AS cv,
+    CAST(ROUND(ctr * 1000000.0, 0) AS BIGINT) AS cq,
+    CAST(ROUND(conversion_rate * 1000000.0, 0) AS BIGINT) AS vq,
+    CAST(ROUND(roas_calculated * 1000000.0, 0) AS BIGINT) AS aq
+  FROM marketing_kpis),
+q1 AS (SELECT * FROM q WHERE date <= TIMESTAMP '{MKT_CUTOFF}'),
+v1 AS ({_campaign_view_sql('q1')}),
+v2 AS ({_campaign_view_sql('q')}),
+added AS (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1),
+removed AS (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)
+SELECT 'added' AS change, * FROM added
+UNION ALL
+SELECT 'removed', * FROM removed"""
+    )
+
+
+ORACLES["ns_incr_curated_cdc"] = _cdc_oracle()
