@@ -583,6 +583,120 @@ def ingest_knn_graph(
     return gv
 
 
+def ingest_knn_graph_sq8(
+    spark: SparkSession,
+    vec_store: str,
+    graph_store: str,
+    new_emb: DataFrame,
+    *,
+    k: int = 5,
+    store_k: int | None = None,
+    stats=None,
+    nbits: int = 4,
+    ntables: int = 8,
+    dim: int = 64,
+    compact_threshold: int | None = 64,
+    compact_target: int = 8,
+) -> int:
+    """SQ8-payload variant of :func:`ingest_knn_graph` — the
+    memory-lean serving store (VERDICT r10 #2): the vector store
+    persists byte CODES (~dim bytes/vector, 8× under the int64
+    lattice) instead of ``qvec``/``qq``; buckets, edge scores, and
+    every later read derive from the codes alone. The quantizer is
+    pinned write-once in the table properties (:func:`_sq8_pin_stats`),
+    so reconstruction is identical across batches and readers.
+
+    Edge scoring is symmetric SDC (both sides reconstructed) — NOT
+    the asymmetric new-side-raw scoring the full store could afford —
+    because split-invariance demands it: a pair's score must not
+    depend on which member arrived later, and only the codes survive
+    arrival. With that, the top-k merge-semilattice argument carries
+    over unchanged: :func:`knn_graph_from_store` over this store ≡
+    ``vector.knn_graph_sq8(union, iters=0, stats=pinned)`` for ANY
+    batch split (pytest pins it, takedowns included). Lifecycle
+    (vec_id redelivery guard, tombstones, CAS, tb-clustered manifest
+    pruning, compaction) is shared with the full-precision sibling."""
+    from . import vector
+    from .vector import bucket_frame, with_q
+
+    store_k = (k + 3) if store_k is None else max(store_k, k)
+    q = with_q(new_emb.dropDuplicates(["vec_id"]))
+    stats = _sq8_pin_stats(vec_store, new_emb, stats)
+    coded = q.select(
+        "vec_id",
+        vector.sq8_encode_col(F.col("qvec"), stats).alias("codes"),
+    )
+    recon = coded.select(
+        "vec_id",
+        vector.sq8_decode_col(F.col("codes"), stats).alias("qvec"),
+    ).withColumn("qq", vector.qdot(F.col("qvec"), F.col("qvec")))
+    rows = (
+        bucket_frame(recon, nbits, ntables, dim)
+        .withColumn(
+            "tb",
+            (F.col("t") * (1 << nbits) + F.col("bucket")).cast("int"),
+        )
+        .join(coded, "vec_id")
+        .select("vec_id", "qvec", "qq", "t", "bucket", "tb", "codes")
+    )
+    exists = snapshot.current_version(vec_store) is not None
+    if exists:
+        seen = (
+            snapshot.read_snapshot(spark, vec_store)
+            .select("vec_id")
+            .distinct()
+        )
+        rows = rows.join(seen, "vec_id", "left_anti")
+    rows = _exclude_tombstoned(spark, vec_store, rows, "vec_id")
+    rows = rows.localCheckpoint(eager=True)
+    if rows.isEmpty():
+        return snapshot.current_version(graph_store) or 0
+    probed = sorted(
+        int(r["tb"]) for r in rows.select("tb").distinct().collect()
+    )
+    tagged = rows.select(
+        "vec_id", "qvec", "qq", "t", "bucket"
+    ).withColumn("__new", F.lit(1))
+    if exists:
+        stored = (
+            snapshot.read_snapshot_pruned(spark, vec_store, probed)
+            .select(
+                "vec_id",
+                vector.sq8_decode_col(F.col("codes"), stats).alias(
+                    "qvec"
+                ),
+                "t",
+                "bucket",
+            )
+            .withColumn("qq", vector.qdot(F.col("qvec"), F.col("qvec")))
+            .select("vec_id", "qvec", "qq", "t", "bucket")
+            .withColumn("__new", F.lit(0))
+        )
+        tagged = tagged.unionByName(stored)
+    cand = tagged.groupBy("t", "bucket").applyInPandas(
+        _knn_cross_fn(), schema="u long, v long, cos_raw double"
+    )
+    edges = (
+        vector._directed_topk(cand.dropDuplicates(["u", "v"]), store_k)
+        .select("u", "v", "cos_raw")
+        .localCheckpoint(eager=True)
+    )
+    if snapshot.current_version(graph_store) is None:
+        gv = snapshot.write_snapshot(edges, graph_store)
+    else:
+        gv = snapshot.append_snapshot(edges, graph_store)
+    vec_rows = rows.select("vec_id", "t", "bucket", "tb", "codes")
+    if exists:
+        snapshot.append_snapshot(vec_rows, vec_store, stats_col="tb")
+    else:
+        snapshot.write_snapshot(vec_rows, vec_store, stats_col="tb")
+    if compact_threshold is not None:
+        m = snapshot.read_manifest(graph_store)
+        if len(m["files"]) >= compact_threshold:
+            compact_knn_store(spark, graph_store, store_k)
+    return gv
+
+
 def knn_graph_from_store(
     spark: SparkSession,
     graph_store: str,
@@ -1501,25 +1615,17 @@ def purge_bm25_store(
     )
 
 
-def ingest_sq8_codes(
-    spark: SparkSession,
-    store_table: str,
-    new_emb: DataFrame,
-    *,
-    stats=None,
-    compact_threshold: int | None = 64,
-    compact_target: int = 8,
-    compact_keep_versions: int = 2,
-) -> int:
-    """SQ8 twin of :func:`ingest_pq_codes`: encode a batch to
-    byte-per-dimension codes and append them to a snapshot store. The
-    per-dimension (min, max) stats ARE the quantizer — a format
-    parameter — so the first ingest trains them on its batch (or takes
-    caller-trained ``stats``) and pins them write-once in the table
-    properties; every later batch encodes against the PINNED stats
-    (out-of-range values clamp, the FAISS stored-quantizer behavior)
-    and a caller passing different stats fails loudly. Same
-    redelivery/CAS/compaction lifecycle as the sibling stores."""
+def _sq8_pin_stats(
+    store_table: str, new_emb: DataFrame, stats
+) -> list[tuple[int, int]]:
+    """Resolve and pin an SQ8 store's quantizer: the per-dimension
+    (min, max) stats ARE a format parameter, so the first ingest
+    trains them on its batch (or takes caller-trained ``stats``) and
+    pins them write-once in the table properties; every later batch
+    encodes against the PINNED stats (out-of-range values clamp, the
+    FAISS stored-quantizer behavior) and a caller passing different
+    stats fails loudly. Shared by the code store and the SQ8 k-NN
+    vector store."""
     from . import vector
 
     existing = snapshot.table_properties(store_table).get("sq8_stats")
@@ -1546,6 +1652,31 @@ def ingest_sq8_codes(
     snapshot.ensure_table_properties(
         store_table, {"sq8_stats": [list(s) for s in stats]}
     )
+    return stats
+
+
+def ingest_sq8_codes(
+    spark: SparkSession,
+    store_table: str,
+    new_emb: DataFrame,
+    *,
+    stats=None,
+    compact_threshold: int | None = 64,
+    compact_target: int = 8,
+    compact_keep_versions: int = 2,
+) -> int:
+    """SQ8 twin of :func:`ingest_pq_codes`: encode a batch to
+    byte-per-dimension codes and append them to a snapshot store. The
+    per-dimension (min, max) stats ARE the quantizer — a format
+    parameter — so the first ingest trains them on its batch (or takes
+    caller-trained ``stats``) and pins them write-once in the table
+    properties; every later batch encodes against the PINNED stats
+    (out-of-range values clamp, the FAISS stored-quantizer behavior)
+    and a caller passing different stats fails loudly. Same
+    redelivery/CAS/compaction lifecycle as the sibling stores."""
+    from . import vector
+
+    stats = _sq8_pin_stats(store_table, new_emb, stats)
     codes = vector.sq8_encode(new_emb.dropDuplicates(["vec_id"]), stats)
     return _ingest_rows(
         spark, store_table, codes, "vec_id",
@@ -2004,12 +2135,32 @@ def graph_search_from_store(
         .distinct()
     )
     # beam-fold the seed candidates exactly as the batch path does
-    # (lsh_topk ranks its candidate set on raw cosine before the cut)
-    e = (
-        vecs.filter(F.col("t") == 0)
-        .select("vec_id", "qvec", "qq")
-        .localCheckpoint(eager=False)
-    )
+    # (lsh_topk ranks its candidate set on raw cosine before the cut).
+    # An SQ8-payload store (ingest_knn_graph_sq8 — quantizer pinned in
+    # the table properties) reconstructs its corpus lattice from the
+    # byte codes; corpus-member queries then score symmetric SDC, the
+    # batch twin being vector.graph_search_sq8_topk (bit-equal,
+    # pytest). External queries stay full-precision (ADC) either way.
+    sq8 = snapshot.table_properties(vec_store).get("sq8_stats")
+    if sq8 is not None:
+        stats = [tuple(int(v) for v in s) for s in sq8]
+        e = (
+            vecs.filter(F.col("t") == 0)
+            .select(
+                "vec_id",
+                vector.sq8_decode_col(F.col("codes"), stats).alias(
+                    "qvec"
+                ),
+            )
+            .withColumn("qq", vector.qdot(F.col("qvec"), F.col("qvec")))
+            .localCheckpoint(eager=False)
+        )
+    else:
+        e = (
+            vecs.filter(F.col("t") == 0)
+            .select("vec_id", "qvec", "qq")
+            .localCheckpoint(eager=False)
+        )
     qe = (queries_e if queries_e is not None else e).select(
         F.col("vec_id").alias("query_id"),
         F.col("qvec").alias("_sqv"),

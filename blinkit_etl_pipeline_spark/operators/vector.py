@@ -720,6 +720,27 @@ def knn_graph(
     refinement rounds recover the quality the sampled seeds give up).
     """
     e = with_q(emb).localCheckpoint(eager=False)
+    return knn_graph_on_frame(
+        e, k=k, iters=iters, nbits=nbits, dim=dim, ntables=ntables,
+        seed_cap=seed_cap,
+    )
+
+
+def knn_graph_on_frame(
+    e: DataFrame,
+    k: int = 5,
+    iters: int = 1,
+    nbits: int = 4,
+    dim: int = 64,
+    ntables: int = 8,
+    seed_cap: int | None = None,
+) -> DataFrame:
+    """:func:`knn_graph` over a PRE-QUANTIZED (vec_id, qvec, qq) frame
+    — the shared construction core. :func:`knn_graph` feeds it the
+    raw lattice; :func:`knn_graph_sq8` feeds the SQ8-reconstructed
+    lattice, so the quantized-payload graph is the same operator
+    applied to the reconstructed corpus (one code path, one oracle
+    shape)."""
     buckets = bucket_frame(e, nbits, ntables, dim)
     seeds = buckets.groupBy("t", "bucket").applyInPandas(
         _bucket_directed_fn(seed_cap),
@@ -2563,6 +2584,46 @@ def sq8_store_topk(
     return _sq8_score_topk(recon, q, query_ids, k)
 
 
+def sq8_recon_frame(
+    emb: DataFrame, stats: list[tuple[int, int]]
+) -> DataFrame:
+    """The SQ8-RECONSTRUCTED corpus as a (vec_id, qvec, qq) frame on
+    the integer lattice — what a deployment that persisted only byte
+    codes can ever see of its corpus. Feeding this frame to the
+    frame-level operators (:func:`knn_graph_on_frame`,
+    :func:`graph_search_rounds`) IS the quantized-payload tier: same
+    operators, reconstructed inputs, so batch twins and code-store
+    reads agree by exact-int construction."""
+    q = with_q(emb)
+    return q.select(
+        "vec_id", sq8_recon(F.col("qvec"), stats).alias("qvec")
+    ).withColumn("qq", qdot(F.col("qvec"), F.col("qvec")))
+
+
+def knn_graph_sq8(
+    emb: DataFrame,
+    k: int = 5,
+    iters: int = 1,
+    nbits: int = 4,
+    dim: int = 64,
+    ntables: int = 8,
+    seed_cap: int | None = None,
+    stats: list[tuple[int, int]] | None = None,
+) -> DataFrame:
+    """k-NN graph over the SQ8-RECONSTRUCTED corpus — the graph a
+    code-store deployment maintains: buckets, seed scores, and
+    refinement all derive from the byte codes alone (symmetric
+    SDC — both sides reconstructed), so any later reader holding only
+    the codes reproduces it bit-exactly, whatever the batch split
+    (the ``ingest_knn_graph_sq8`` store replays this at iters=0)."""
+    stats = sq8_stats(emb) if stats is None else stats
+    e = sq8_recon_frame(emb, stats).localCheckpoint(eager=False)
+    return knn_graph_on_frame(
+        e, k=k, iters=iters, nbits=nbits, dim=dim, ntables=ntables,
+        seed_cap=seed_cap,
+    )
+
+
 # ----------------------------------------------------------------------
 # Graph-traversal ANN search (r10 addendum) — serving over the k-NN graph
 # ----------------------------------------------------------------------
@@ -2777,4 +2838,98 @@ def graph_search_embed(
     )
     return graph_search_rounds(
         e, edges, seeds, k, beam, rounds, queries_e=with_q(queries_emb)
+    )
+
+
+def _beam_seeds_on_frame(
+    e: DataFrame,
+    query_ids,
+    beam: int,
+    nbits: int,
+    ntables: int,
+    dim: int,
+    queries_e: DataFrame | None = None,
+    qbuckets: DataFrame | None = None,
+) -> DataFrame:
+    """Entry points for a frame-level graph walk: sign-LSH collisions
+    between the query rows and the corpus frame ``e`` (a DISTINCT
+    equi-join on (t, bucket) — :func:`lsh_topk`'s candidate set),
+    scored on ``e``'s own lattice, cut to the per-query top-``beam``.
+    ``queries_e``/``qbuckets`` swap in out-of-corpus query vectors and
+    their driver-hashed bucket rows. Shared by the SQ8 batch twin and
+    (shape-wise) the store serving path, so seeds replay in SQL as
+    the ``gs_cand``/``gs_s0`` CTE pair."""
+    rows = bucket_frame(e, nbits, ntables, dim).select(
+        "vec_id", "t", "bucket"
+    )
+    if qbuckets is not None:
+        qrows = qbuckets.select(
+            F.col("vec_id").alias("query_id"), "t", "bucket"
+        )
+    else:
+        qids = [int(i) for i in query_ids]
+        qrows = rows.filter(F.col("vec_id").isin(qids)).select(
+            F.col("vec_id").alias("query_id"), "t", "bucket"
+        )
+    cand = (
+        F.broadcast(qrows)
+        .join(rows, ["t", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qsrc = queries_e if queries_e is not None else e
+    qe = qsrc.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("_gqv"),
+        F.col("qq").alias("_gqq"),
+    )
+    ce = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qvec").alias("_gcv"),
+        F.col("qq").alias("_gcq"),
+    )
+    scored = _gs_score(cand, qe, ce)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= beam)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def graph_search_sq8_topk(
+    emb: DataFrame,
+    graph: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    beam: int = 8,
+    rounds: int = 2,
+    nbits: int = 4,
+    dim: int = 64,
+    ntables: int = 8,
+    stats: list[tuple[int, int]] | None = None,
+    undirected: bool = False,
+) -> DataFrame:
+    """Graph-traversal ANN over SQ8 payloads — the memory-lean serving
+    combo a 100 TB deployment ships (VERDICT r10 #2): the k-NN graph
+    plus ~dim bytes/vector of codes, nothing full-precision at rest.
+    Corpus-member queries exist only as codes, so seeding and every
+    walk hop score reconstructed-vs-reconstructed (symmetric SDC, the
+    FAISS stored-quantizer behavior); entry points come from sign-LSH
+    collisions on the reconstructed lattice (one DISTINCT equi-join,
+    :func:`lsh_topk`'s candidate set). ``graph`` is the SQ8 graph
+    (:func:`knn_graph_sq8` or the store read). Per-hop work stays
+    |Q|·beam·k, corpus-independent; exact-int recon makes the whole
+    walk DuckDB-replayable (`ns_ann_graph_sq8_topk`)."""
+    stats = sq8_stats(emb) if stats is None else stats
+    e = sq8_recon_frame(emb, stats).localCheckpoint(eager=False)
+    seeds = _beam_seeds_on_frame(e, query_ids, beam, nbits, ntables, dim)
+    edges = graph.select(
+        F.col("node_id").alias("u"), F.col("neighbor_id").alias("v")
+    )
+    return graph_search_rounds(
+        e, edges, seeds, k, beam, rounds, undirected=undirected
     )

@@ -1821,15 +1821,20 @@ def _bucket_expr(
 
 
 def _mb_cte(
-    nbits: int = ANN_NBITS, ntables: int = ANN_NTABLES, dim: int = EMB_DIM
+    nbits: int = ANN_NBITS,
+    ntables: int = ANN_NTABLES,
+    dim: int = EMB_DIM,
+    etab: str = "e",
 ) -> str:
     """Multi-table bucket CTE ``mb(vec_id, qv, qq, t, bucket)`` — DuckDB
     replay of vector.bucket_frame (shared seeded matrix, table *t* =
-    planes [t·nbits, (t+1)·nbits))."""
+    planes [t·nbits, (t+1)·nbits)). ``etab`` repoints the corpus table
+    (the SQ8 tier buckets the RECONSTRUCTED lattice)."""
     planes = vector.rp_hyperplanes(dim, nbits * ntables)
     selects = [
-        "SELECT vec_id, qv, qq, {t} AS t, {b} AS bucket FROM e".format(
+        "SELECT vec_id, qv, qq, {t} AS t, {b} AS bucket FROM {e}".format(
             t=t,
+            e=etab,
             b=_bucket_expr("qv", nbits, dim, planes=planes[t * nbits : (t + 1) * nbits]),
         )
         for t in range(ntables)
@@ -6075,19 +6080,21 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ns_knn_graph"] = q_knn_graph
 
 
-def _knn_ctes(k: int = KNN_GRAPH_K) -> str:
+def _knn_ctes(k: int = KNN_GRAPH_K, etab: str = "e") -> str:
     """Graph-construction CTE chain shared by the graph + recall
     oracles — DuckDB replay of vector.knn_graph at iters=1, ending in
-    ``final(u, v, cos_raw, rn)``."""
+    ``final(u, v, cos_raw, rn)``. ``etab`` repoints the corpus table
+    (``er`` = the SQ8-reconstructed lattice for the quantized tier)."""
     cosr = _COSR.format(a="ea.qv", b="eb.qv", qa="ea.qq", qb="eb.qq")
-    return f"""{_mb_cte()},
+    return f"""{_mb_cte(etab=etab)},
 seed_pairs AS (
   SELECT DISTINCT a.vec_id AS u, b.vec_id AS v
   FROM mb a JOIN mb b ON a.t = b.t AND a.bucket = b.bucket
   WHERE a.vec_id != b.vec_id),
 seeds AS (
   SELECT u, v, {cosr} AS cos_raw
-  FROM seed_pairs JOIN e ea ON ea.vec_id = u JOIN e eb ON eb.vec_id = v),
+  FROM seed_pairs JOIN {etab} ea ON ea.vec_id = u
+       JOIN {etab} eb ON eb.vec_id = v),
 knn0 AS (
   SELECT u, v, cos_raw FROM (
     SELECT *, row_number() OVER (
@@ -6102,7 +6109,8 @@ newp AS (
   LEFT JOIN knn0 n ON c.u = n.u AND c.v = n.v WHERE n.u IS NULL),
 scored AS (
   SELECT u, v, {cosr} AS cos_raw
-  FROM newp JOIN e ea ON ea.vec_id = u JOIN e eb ON eb.vec_id = v),
+  FROM newp JOIN {etab} ea ON ea.vec_id = u
+       JOIN {etab} eb ON eb.vec_id = v),
 allp AS (
   SELECT u, v, cos_raw FROM knn0
   UNION ALL SELECT u, v, cos_raw FROM scored),
@@ -6410,6 +6418,7 @@ def _gs_ctes(
     qmb: str = "mb",
     qe_table: str = "e",
     qpred: str | None = None,
+    etab: str = "e",
 ) -> str:
     """Traversal CTE chain appended after ``_knn_ctes`` (whose
     ``final`` is the graph): LSH seed candidates → top-beam entry
@@ -6432,7 +6441,7 @@ gs_sc0{sfx} AS (
   SELECT query_id, neighbor_id, {cosq} AS cos_raw
   FROM gs_cand{sfx}
        JOIN {qe_table} qe ON qe.vec_id = gs_cand{sfx}.query_id
-       JOIN e ce ON ce.vec_id = gs_cand{sfx}.neighbor_id),
+       JOIN {etab} ce ON ce.vec_id = gs_cand{sfx}.neighbor_id),
 gs_s0{sfx} AS (
   SELECT query_id, neighbor_id, cos_raw FROM (
     SELECT *, row_number() OVER (
@@ -6460,7 +6469,7 @@ gs_n{r}{sfx} AS (
 gs_sc{r}{sfx} AS (
   SELECT n.query_id, n.neighbor_id, {cosq} AS cos_raw
   FROM gs_n{r}{sfx} n JOIN {qe_table} qe ON qe.vec_id = n.query_id
-               JOIN e ce ON ce.vec_id = n.neighbor_id),
+               JOIN {etab} ce ON ce.vec_id = n.neighbor_id),
 gs_s{r}{sfx} AS (
   SELECT * FROM gs_s{p}{sfx} UNION ALL SELECT * FROM gs_sc{r}{sfx})"""
         )
@@ -6918,3 +6927,127 @@ FROM (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
   FROM gs_s{GS_ROUNDS}) WHERE rn <= {ANN_K}"""
+
+
+# ----------------------------------------------------------------------
+# r11: SQ8-coded graph serving — the memory-lean combo (VERDICT r10 #2)
+# ----------------------------------------------------------------------
+
+
+def q_ann_graph_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-traversal ANN over SQ8 payloads (vector.knn_graph_sq8 +
+    vector.graph_search_sq8_topk): what a 100 TB deployment actually
+    ships — the k-NN graph plus ~dim bytes/vector of byte codes,
+    nothing full-precision at rest. Buckets, graph edges, and every
+    walk hop derive from the RECONSTRUCTED lattice (symmetric SDC:
+    corpus-member queries exist only as codes), so the persisted form
+    (ingest_knn_graph_sq8 + graph_search_from_store, pytest-bit-equal)
+    serves from 8× less vector state than the full-precision walk.
+    The oracle replays quantizer training, encode/decode round-trip,
+    bucket hashing on the reconstructed lattice, graph construction,
+    and both traversal hops — every rank value-exact."""
+    emb = _emb(spark, sf_dir)
+    stats = vector.sq8_stats(emb)
+    g = vector.knn_graph_sq8(
+        emb,
+        k=KNN_GRAPH_K,
+        iters=KNN_GRAPH_ITERS,
+        nbits=ANN_NBITS,
+        ntables=ANN_NTABLES,
+        stats=stats,
+    )
+    return vector.graph_search_sq8_topk(
+        emb, g, ANN_QUERY_IDS,
+        k=ANN_K, beam=GS_BEAM, rounds=GS_ROUNDS,
+        nbits=ANN_NBITS, ntables=ANN_NTABLES, stats=stats,
+    )
+
+
+QUERIES["ns_ann_graph_sq8_topk"] = q_ann_graph_sq8_topk
+
+#: the SQ8-reconstructed corpus as the walk's e-table: _SQ8_CTES
+#: trains the quantizer on `e` and reconstructs `rr`; `er` reshapes it
+#: to the (vec_id, qv, qq) contract the graph/walk CTEs expect.
+_ER_CTE = "er AS (SELECT vec_id, rv AS qv, rq AS qq FROM rr)"
+
+ORACLES["ns_ann_graph_sq8_topk"] = f"""WITH {_EMB},
+{_SQ8_CTES},
+{_ER_CTE},
+{_knn_ctes(etab="er")},
+{_gs_ctes(qe_table="er", etab="er")}
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine_sim,
+  CAST(rn AS INT) AS "rank"
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
+  FROM gs_s{GS_ROUNDS}) WHERE rn <= {ANN_K}"""
+
+
+def q_ann_graph_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gauge for the SQ8-coded walk vs the EXACT full-precision
+    top-k (the one deliberately O(probes·corpus) truth side) — prices
+    quantization + graph loss together, directly comparable to
+    ns_ann_graph_recall's full-vector walk row-for-row: the delta
+    between the two gauges IS the cost of serving from 8× less state.
+    Both engines compute walk ∩ truth, so the numbers are
+    value-exact."""
+    emb = _emb(spark, sf_dir)
+    stats = vector.sq8_stats(emb)
+    g = vector.knn_graph_sq8(
+        emb,
+        k=KNN_GRAPH_K,
+        iters=KNN_GRAPH_ITERS,
+        nbits=ANN_NBITS,
+        ntables=ANN_NTABLES,
+        stats=stats,
+    )
+    res = vector.graph_search_sq8_topk(
+        emb, g, ANN_QUERY_IDS,
+        k=ANN_K, beam=GS_BEAM, rounds=GS_ROUNDS,
+        nbits=ANN_NBITS, ntables=ANN_NTABLES, stats=stats,
+    ).select("query_id", "neighbor_id")
+    truth = vector.brute_force_topk(emb, ANN_QUERY_IDS, k=ANN_K).select(
+        "query_id", "neighbor_id"
+    )
+    hits = res.join(truth, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count("*").cast("long").alias("hits"))
+    base = truth.select("query_id").distinct()
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+        F.round(
+            F.coalesce(F.col("hits"), F.lit(0)) / ANN_K, 4
+        ).alias("recall"),
+    )
+
+
+QUERIES["ns_ann_graph_sq8_recall"] = q_ann_graph_sq8_recall
+
+ORACLES["ns_ann_graph_sq8_recall"] = f"""WITH {_EMB},
+{_SQ8_CTES},
+{_ER_CTE},
+{_knn_ctes(etab="er")},
+{_gs_ctes(qe_table="er", etab="er")},
+gq AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
+    FROM gs_s{GS_ROUNDS}) WHERE rn <= {ANN_K}),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        {_COSR.format(a='q.qv', b='c.qv', qa='q.qq', qb='c.qq')} DESC,
+        c.vec_id ASC) AS rn
+    FROM e q CROSS JOIN e c
+    WHERE q.vec_id < {len(ANN_QUERY_IDS)} AND c.vec_id != q.vec_id)
+  WHERE rn <= {ANN_K}),
+h AS (
+  SELECT t.query_id, CAST(count(g.neighbor_id) AS BIGINT) AS hits
+  FROM truth t LEFT JOIN gq g
+    ON g.query_id = t.query_id AND g.neighbor_id = t.neighbor_id
+  GROUP BY t.query_id)
+SELECT query_id, hits,
+  ROUND(hits / {ANN_K}, 4) AS recall
+FROM h"""

@@ -27,6 +27,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # plus the full r5 cohort (which includes ns_text_bm25, whose scorer
 # plan changed this round).
 PRIORITY = [
+    # --- r11 additions, never driver-checked ---
+    "ns_ann_graph_sq8_topk",
+    "ns_ann_graph_sq8_recall",
     # --- r10 addendum additions, never driver-checked ---
     "ns_ann_graph_topk",
     "ns_incr_hll_users",
