@@ -7051,3 +7051,86 @@ h AS (
 SELECT query_id, hits,
   ROUND(hits / {ANN_K}, 4) AS recall
 FROM h"""
+
+
+# ----------------------------------------------------------------------
+# r11: drift monitoring from maintained stores (VERDICT r10 #3)
+# ----------------------------------------------------------------------
+
+
+def _drift_partials(docs: DataFrame) -> DataFrame:
+    """One slice's PSI bucket partials — (feature, bucket, cnt) over
+    the same three features ns_corpus_drift monitors (language mix,
+    log2 length bands, 256-bucket hashed tokens) — shaped for
+    incremental.ingest_drift_buckets."""
+    one = F.lit(1).cast("long").alias("cnt")
+    lang_b = docs.select(
+        F.lit("lang").alias("feature"),
+        F.col("lang").alias("bucket"),
+        one,
+    )
+    len_b = docs.select(
+        F.lit("log_len").alias("feature"),
+        F.floor(F.log2(F.col("n_chars") + 1))
+        .cast("long")
+        .cast("string")
+        .alias("bucket"),
+        one,
+    )
+    tok_b = docs.select(
+        F.explode(T.tokens(F.col("text"))).alias("token")
+    ).select(
+        F.lit("token").alias("feature"),
+        (T.h32(F.col("token")) % DRIFT_TOKEN_BUCKETS)
+        .cast("string")
+        .alias("bucket"),
+        one,
+    )
+    return lang_b.unionByName(len_b).unionByName(tok_b)
+
+
+def q_incr_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift monitoring from MAINTAINED state (incremental.
+    ingest_drift_buckets + drift_from_store): the even-source slice's
+    bucket partials are ingested and its version PINNED as the
+    reference (the moment a codebook/model trains); the odd slice
+    arrives as a second drop; the PSI read then costs two model-sized
+    store reads — reference histogram at the pin, arrivals by linear
+    subtraction — with NO corpus re-bucketing pass. Equality with
+    ns_corpus_drift's recompute (the oracle is literally the same
+    SQL) is the maintenance-loop correctness statement. A redelivered
+    drop changes nothing (batch_id guard)."""
+    import shutil
+    import tempfile
+
+    from ..operators import incremental as inc
+
+    docs = _docs(spark, sf_dir)
+    parity = F.substring(F.col("source"), 4, 10).cast("int") % 2
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"driftstore-{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    store = os.path.join(scratch, "drift")
+    ref_v = inc.ingest_drift_buckets(
+        spark, store, _drift_partials(docs.filter(parity == 0)),
+        batch_id="ref-slice",
+    )
+    inc.ingest_drift_buckets(
+        spark, store, _drift_partials(docs.filter(parity == 1)),
+        batch_id="cur-slice",
+    )
+    # byte-identical redelivery: the batch_id guard absorbs it
+    inc.ingest_drift_buckets(
+        spark, store, _drift_partials(docs.filter(parity == 1)),
+        batch_id="cur-slice",
+    )
+    return inc.drift_from_store(spark, store, ref_v)
+
+
+QUERIES["ns_incr_drift"] = q_incr_drift
+
+# the oracle IS ns_corpus_drift's: the maintained-store read must
+# equal the slice-vs-slice recompute value-exactly
+ORACLES["ns_incr_drift"] = ORACLES["ns_corpus_drift"]

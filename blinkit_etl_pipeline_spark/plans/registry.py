@@ -30,6 +30,7 @@ PRIORITY = [
     # --- r11 additions, never driver-checked ---
     "ns_ann_graph_sq8_topk",
     "ns_ann_graph_sq8_recall",
+    "ns_incr_drift",
     # --- r10 addendum additions, never driver-checked ---
     "ns_ann_graph_topk",
     "ns_incr_hll_users",

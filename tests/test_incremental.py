@@ -1976,3 +1976,145 @@ def test_sq8_knn_store_trains_on_first_batch_and_serves_external(
     # what IS guaranteed: the twin is the rank-1 hit (max ADC cosine).
     rank1 = {(q, n) for q, n, cos, r in rows if r == 1}
     assert rank1 == {(1_000_000 + i, i) for i in range(3)}
+
+
+def test_drift_store_read_equals_recompute_retracts_and_compacts(
+    spark, tmp_path
+):
+    """r11 (VERDICT r10 #3): PSI from maintained bucket partials —
+    the store read (reference at the pinned version, arrivals by
+    linear subtraction) equals profile.drift_psi over recomputed
+    slice histograms; a redelivered drop is a no-op; a signed
+    retraction drop makes the read equal the survivors' recompute;
+    compaction folds live rows without changing reads, and the
+    PINNED reference version stays readable through it (MVCC)."""
+    from blinkit_etl_pipeline_spark.operators import profile
+    from blinkit_etl_pipeline_spark.plans.northstar import (
+        _drift_partials,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    parity = F.substring(F.col("source"), 4, 10).cast("int") % 2
+    ref_docs = docs.filter(parity == 0)
+    cur_docs = docs.filter(parity == 1)
+    store = str(tmp_path / "drift")
+    ref_v = incremental.ingest_drift_buckets(
+        spark, store, _drift_partials(ref_docs), batch_id="ref"
+    )
+    incremental.ingest_drift_buckets(
+        spark, store, _drift_partials(cur_docs), batch_id="cur"
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    def recompute(ref_d, cur_d):
+        pair = _drift_partials(ref_d).select(
+            "feature", "bucket", F.lit(False).alias("is_cur"), "cnt"
+        ).unionByName(
+            _drift_partials(cur_d).select(
+                "feature", "bucket", F.lit(True).alias("is_cur"), "cnt"
+            )
+        )
+        return profile.drift_psi(pair)
+
+    want = rows(recompute(ref_docs, cur_docs))
+    assert rows(
+        incremental.drift_from_store(spark, store, ref_v)
+    ) == want
+
+    # redelivery: same batch_id → guard absorbs it, read unchanged
+    incremental.ingest_drift_buckets(
+        spark, store, _drift_partials(cur_docs), batch_id="cur"
+    )
+    assert rows(
+        incremental.drift_from_store(spark, store, ref_v)
+    ) == want
+
+    # signed retraction: negate half the arrivals; read ≡ survivors
+    half = cur_docs.filter(F.col("doc_id") % 2 == 0)
+    incremental.ingest_drift_buckets(
+        spark, store,
+        _drift_partials(half).withColumn("cnt", -F.col("cnt")),
+        batch_id="retract-half",
+    )
+    survivors = cur_docs.filter(F.col("doc_id") % 2 == 1)
+    assert rows(
+        incremental.drift_from_store(spark, store, ref_v)
+    ) == rows(recompute(ref_docs, survivors))
+
+    # compaction: live rows fold, reads (latest AND pinned) unchanged
+    got_before = rows(incremental.drift_from_store(spark, store, ref_v))
+    incremental.compact_drift_store(spark, store)
+    assert rows(
+        incremental.drift_from_store(spark, store, ref_v)
+    ) == got_before
+    live = snapshot.read_snapshot(spark, store).filter(
+        F.col("bucket").isNotNull()
+    )
+    assert live.groupBy("feature", "bucket").count().agg(
+        F.max("count")
+    ).collect()[0][0] == 1
+
+
+def test_ivfpq_maintenance_gate_from_drift_store(spark, tmp_path):
+    """r11 (VERDICT r10 #3): the codebook-maintenance PSI gate served
+    from the drift store — occupancy partials ingested per drop, the
+    reference version pinned at training, the gate read from
+    drift_pair_from_store. Keep- and rebuild-decisions (and the PSI
+    value itself) match the recompute gate bit-for-bit, and the
+    rebuild path still rewrites the store."""
+    from blinkit_etl_pipeline_spark.operators import profile
+    from blinkit_etl_pipeline_spark.plans.codebook import PQ_CODEBOOK
+
+    ref, drift, corpus, cb_a, qids = _drifted_ann_fixture(spark)
+    dstore = str(tmp_path / "driftstore")
+    istore = str(tmp_path / "ivfpq")
+    incremental.ingest_ivfpq_codes(spark, istore, corpus, cb_a, PQ_CODEBOOK)
+    v_codes = snapshot.current_version(istore)
+
+    # keep case: arrivals distributed like the reference slice
+    keep_store = str(tmp_path / "driftstore-keep")
+    kv = incremental.ingest_drift_buckets(
+        spark, keep_store,
+        incremental.ivf_occupancy_partial(ref, cb_a),
+        batch_id="train-slice",
+    )
+    incremental.ingest_drift_buckets(
+        spark, keep_store,
+        incremental.ivf_occupancy_partial(ref, cb_a),
+        batch_id="arrivals-ref-like",
+    )
+    pair0 = incremental.drift_pair_from_store(spark, keep_store, kv)
+    cb_keep, psi0, action0 = incremental.maintain_ivfpq_codebook(
+        spark, istore, None, corpus, cb_a, PQ_CODEBOOK, buckets=pair0
+    )
+    want0 = profile.drift_psi(
+        incremental.ivf_occupancy_buckets(ref, ref, cb_a)
+    ).collect()[0]
+    assert action0 == "keep" and cb_keep is cb_a
+    assert psi0 == float(want0["psi"]) and psi0 < 0.1
+    assert snapshot.current_version(istore) == v_codes
+
+    # drifted arrivals land → gate reads the store → rebuild
+    ref_v = incremental.ingest_drift_buckets(
+        spark, dstore,
+        incremental.ivf_occupancy_partial(ref, cb_a),
+        batch_id="train-slice",
+    )
+    incremental.ingest_drift_buckets(
+        spark, dstore,
+        incremental.ivf_occupancy_partial(drift, cb_a),
+        batch_id="arrivals-drifted",
+    )
+    pair1 = incremental.drift_pair_from_store(spark, dstore, ref_v)
+    cb_b, psi1, action1 = incremental.maintain_ivfpq_codebook(
+        spark, istore, None, corpus, cb_a, PQ_CODEBOOK, buckets=pair1,
+        iters=8,
+    )
+    want1 = profile.drift_psi(
+        incremental.ivf_occupancy_buckets(ref, drift, cb_a)
+    ).collect()[0]
+    assert psi1 == float(want1["psi"])
+    assert action1 == "rebuilt" and psi1 > 0.1
+    assert snapshot.current_version(istore) == v_codes + 1
