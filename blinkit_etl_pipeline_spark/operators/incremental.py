@@ -2326,6 +2326,41 @@ def hll_distinct_from_store(
     return sketch.hll_estimate_from_registers(regs, list(group_cols))
 
 
+def hll_cumulative_from_store(
+    spark: SparkSession, store_table: str, date_col: str = "day"
+) -> DataFrame:
+    """Distinct-to-date served from the MAINTAINED register store
+    (VERDICT r10 #4) — upgrades ``sketch.hll_cumulative_distinct``
+    from recompute to maintained state: the store already holds
+    per-day register partials (``ingest_hll_registers`` with
+    ``group_cols=[day]``); fold them per (day, bucket), merge each
+    day's registers into every later day by register max (the ≤-join
+    over SKETCH rows — ≤512/day whatever the volume; history never
+    re-scans), and run the shared estimator. Because registers are a
+    max-semilattice, the read equals the batch cumulative over
+    everything ingested for ANY drop split/arrival order, redelivery
+    included (pytest + the `ns_incr_hll_cumulative` oracle). No exact
+    side here — first-appearance counting needs the raw history the
+    store exists to avoid (the batch gauge keeps it as error
+    evidence)."""
+    from . import sketch
+
+    regs = (
+        snapshot.read_snapshot(spark, store_table)
+        .filter(F.col("bucket").isNotNull())
+        .groupBy(date_col, "bucket")
+        .agg(F.max("m_rank").alias("m_rank"))
+    )
+    days = regs.select(date_col).distinct()
+    merged = (
+        regs.withColumnRenamed(date_col, "__reg_day")
+        .join(days, F.col("__reg_day") <= F.col(date_col))
+        .groupBy(date_col, "bucket")
+        .agg(F.max("m_rank").alias("m_rank"))
+    )
+    return sketch.hll_estimate_from_registers(merged, [date_col])
+
+
 def compact_hll_store(
     spark: SparkSession, store_table: str, group_cols: list[str]
 ) -> int:

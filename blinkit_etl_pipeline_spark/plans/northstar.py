@@ -7134,3 +7134,95 @@ QUERIES["ns_incr_drift"] = q_incr_drift
 # the oracle IS ns_corpus_drift's: the maintained-store read must
 # equal the slice-vs-slice recompute value-exactly
 ORACLES["ns_incr_drift"] = ORACLES["ns_corpus_drift"]
+
+
+# ----------------------------------------------------------------------
+# r11: distinct-to-date from the maintained HLL register store
+# ----------------------------------------------------------------------
+
+
+def q_incr_hll_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users THROUGH day D served from maintained state
+    (incremental.hll_cumulative_from_store): three event drops — split
+    by event id, so late data lands registers for old days — fold
+    per-day register partials into a scratch store (the
+    ns_incr_hll_users build-is-the-gauge pattern, one redelivery
+    absorbed by the batch_id guard); the read then prefix-merges
+    STORED registers (≤512/day) into later days and estimates. The
+    oracle recomputes the one-shot cumulative sketch over all events:
+    equality is the max-semilattice statement — store reads equal
+    recompute for any drop split or arrival order — which upgrades
+    ns_sketch_hll_cumulative's recompute to drop-priced maintenance."""
+    import shutil
+    import tempfile
+
+    from ..operators import incremental as inc
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", F.to_date("ts").alias("day"), "user_id"
+    )
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"hllcumstore-{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    store = os.path.join(scratch, "hll_daily")
+    for m in (0, 1, 2):
+        inc.ingest_hll_registers(
+            spark, store, ev.filter(F.col("event_id") % 3 == m),
+            ["day"], "user_id", batch_id=f"drop-{m}",
+        )
+    # byte-identical redelivery: the batch_id guard absorbs it
+    inc.ingest_hll_registers(
+        spark, store, ev.filter(F.col("event_id") % 3 == 1),
+        ["day"], "user_id", batch_id="drop-1",
+    )
+    return inc.hll_cumulative_from_store(spark, store, "day")
+
+
+QUERIES["ns_incr_hll_cumulative"] = q_incr_hll_cumulative
+
+# one-shot cumulative register replay (the ns_sketch_hll_cumulative
+# oracle minus its exact-side evidence): same registers, same ≤-join
+# merge, same estimate — the store read must reproduce it exactly
+ORACLES["ns_incr_hll_cumulative"] = f"""WITH src AS (
+  SELECT CAST(ts AS DATE) AS day, user_id FROM events
+),
+regs AS (
+  SELECT day, bucket, MAX(rank) AS m_rank FROM (
+    SELECT day,
+      CAST(floor(h / {float(sketch.HLL_REM_MOD)}) AS INT) AS bucket,
+      CAST(CASE WHEN h % {sketch.HLL_REM_MOD} = 0 THEN {sketch.HLL_REM_BITS + 1}
+           ELSE {sketch.HLL_REM_BITS + 1} - length(bin(h % {sketch.HLL_REM_MOD}))
+           END AS INT) AS rank
+    FROM (
+      SELECT day,
+        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM src
+    )
+  ) GROUP BY day, bucket
+),
+days AS (SELECT DISTINCT day FROM src),
+merged AS (
+  SELECT d.day, r.bucket, MAX(r.m_rank) AS m_rank
+  FROM regs r JOIN days d ON r.day <= d.day
+  GROUP BY d.day, r.bucket
+),
+per_group AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS hll_buckets_used,
+    SUM(pow(0.5, m_rank)) AS hsum
+  FROM merged GROUP BY day
+)
+SELECT day, hll_buckets_used,
+  ROUND(CASE WHEN (0.7213 / (1.0 + 1.079 / {sketch.HLL_M}.0))
+                  * {sketch.HLL_M}.0 * {sketch.HLL_M}.0
+                  / (hsum + ({sketch.HLL_M}.0 - hll_buckets_used))
+               <= 2.5 * {sketch.HLL_M}.0
+              AND {sketch.HLL_M}.0 - hll_buckets_used > 0
+         THEN {sketch.HLL_M}.0
+              * ln({sketch.HLL_M}.0 / ({sketch.HLL_M}.0 - hll_buckets_used))
+         ELSE (0.7213 / (1.0 + 1.079 / {sketch.HLL_M}.0))
+              * {sketch.HLL_M}.0 * {sketch.HLL_M}.0
+              / (hsum + ({sketch.HLL_M}.0 - hll_buckets_used)) END, 2)
+    AS hll_estimate
+FROM per_group"""

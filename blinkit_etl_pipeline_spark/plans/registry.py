@@ -31,6 +31,7 @@ PRIORITY = [
     "ns_ann_graph_sq8_topk",
     "ns_ann_graph_sq8_recall",
     "ns_incr_drift",
+    "ns_incr_hll_cumulative",
     # --- r10 addendum additions, never driver-checked ---
     "ns_ann_graph_topk",
     "ns_incr_hll_users",
