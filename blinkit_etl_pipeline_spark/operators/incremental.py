@@ -1521,6 +1521,60 @@ def retract_docs(
     raise last_err
 
 
+def takedown(spark: SparkSession, ids, stores) -> dict[str, int]:
+    """Cross-store takedown orchestration (VERDICT r10 #8): real
+    pipelines get ONE legal request, not one per index — fan the
+    retraction out to every persisted store touching the corpus in a
+    single call. ``stores`` is an iterable of ``(store_table,
+    id_col)``; each gets :func:`retract_docs` (idempotent, CAS-safe),
+    so a crash mid-fan-out is repaired by re-running the same call —
+    already-retracted stores append nothing. Graph stores ride their
+    vector store's tombstones (the knn contract) — list the VECTOR
+    store, not the edge table. Returns store → tombstone version."""
+    return {
+        store_table: retract_docs(spark, store_table, ids, id_col=id_col)
+        for store_table, id_col in stores
+    }
+
+
+def takedown_audit(spark: SparkSession, ids, stores) -> DataFrame:
+    """The proof a legal request wants: after :func:`takedown`, no
+    surviving LIVE row in any store references a retracted id.
+    ``stores`` is an iterable of ``(surface, store_table, id_col)``;
+    for each, the live merge-on-read view (:func:`read_store_live` —
+    the exact frame every probe consumes) is counted: ``live_ids`` =
+    distinct ids still served, ``retracted_refs`` = rows naming a
+    retracted id — which must be 0 everywhere (the registry gauge
+    `ns_takedown_audit` pins it value-exactly against a base-table
+    recompute of the survivor universe). Model-sized output: one row
+    per surface."""
+    id_list = [int(i) for i in ids]
+    frames = []
+    for surface, store_table, id_col in stores:
+        live = read_store_live(spark, store_table, id_col)
+        frames.append(
+            live.agg(
+                F.countDistinct(id_col).cast("long").alias("live_ids"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col(id_col).isin(id_list), 1).otherwise(0)
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("retracted_refs"),
+            ).select(
+                F.lit(surface).alias("surface"),
+                "live_ids",
+                "retracted_refs",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def read_store_live(
     spark: SparkSession,
     store_table: str,

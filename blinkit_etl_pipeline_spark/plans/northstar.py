@@ -7226,3 +7226,113 @@ SELECT day, hll_buckets_used,
               / (hsum + ({sketch.HLL_M}.0 - hll_buckets_used)) END, 2)
     AS hll_estimate
 FROM per_group"""
+
+
+# ----------------------------------------------------------------------
+# r11: cross-store takedown orchestration (VERDICT r10 #8)
+# ----------------------------------------------------------------------
+
+TD_DOC_N = 60
+TD_VEC_N = 200
+TD_GONE = [7, 21, 33]
+
+
+def q_takedown_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One legal request, every index (incremental.takedown +
+    takedown_audit): six store formats — MinHash signatures, span
+    windows, BM25 postings, bigram postings, the full-precision knn
+    vector store, and the SQ8-coded knn vector store — are built from
+    the same corpus slice in two drops each, then ONE takedown call
+    retracts the same doc set across all of them. The audit reads
+    every store's live merge-on-read view and reports (surviving
+    distinct ids, rows referencing a retracted id); the oracle
+    recomputes the survivor universe per surface from the base tables
+    (docs with ≥1 shingle / ≥k tokens / ≥1 token / ≥2 tokens;
+    embedding rows) and pins retracted_refs at zero — so equality
+    proves both that nothing retracted survives anywhere AND that
+    nothing else was lost."""
+    import shutil
+    import tempfile
+
+    from ..operators import incremental as inc
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < TD_DOC_N)
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < TD_VEC_N)
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"takedown-{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    s = {n: os.path.join(scratch, n) for n in (
+        "sig", "span", "bm25", "bigram", "knn_vec", "knn_graph",
+        "sq8_vec", "sq8_graph",
+    )}
+    for m in (0, 1):
+        dhalf = docs.filter(F.col("doc_id") % 2 == m)
+        ehalf = emb.filter(F.col("vec_id") % 2 == m)
+        inc.ingest_and_find_dups(spark, s["sig"], dhalf, n=NGRAM_N)
+        inc.ingest_and_find_dup_spans(spark, s["span"], dhalf, k=SPAN_K)
+        inc.ingest_bm25_postings(spark, s["bm25"], dhalf)
+        inc.ingest_bigram_postings(spark, s["bigram"], dhalf)
+        inc.ingest_knn_graph(spark, s["knn_vec"], s["knn_graph"], ehalf)
+        inc.ingest_knn_graph_sq8(
+            spark, s["sq8_vec"], s["sq8_graph"], ehalf
+        )
+    inc.takedown(spark, TD_GONE, [
+        (s["sig"], "doc_id"),
+        (s["span"], "doc_id"),
+        (s["bm25"], "doc_id"),
+        (s["bigram"], "doc_id"),
+        (s["knn_vec"], "vec_id"),
+        (s["sq8_vec"], "vec_id"),
+    ])
+    return inc.takedown_audit(spark, TD_GONE, [
+        ("sig", s["sig"], "doc_id"),
+        ("span", s["span"], "doc_id"),
+        ("bm25", s["bm25"], "doc_id"),
+        ("bigram", s["bigram"], "doc_id"),
+        ("knn_vec", s["knn_vec"], "vec_id"),
+        ("sq8_vec", s["sq8_vec"], "vec_id"),
+    ])
+
+
+QUERIES["ns_takedown_audit"] = q_takedown_audit
+
+_TD_GONE_SQL = ", ".join(str(i) for i in TD_GONE)
+_TD_DOCPRED = (
+    f"doc_id < {TD_DOC_N} AND doc_id NOT IN ({_TD_GONE_SQL})"
+)
+
+# survivor universe per surface, recomputed from base tables: a store
+# row exists iff the doc clears that format's minimum-content bar
+ORACLES["ns_takedown_audit"] = f"""WITH {_TOKS},
+{_sh_cte(NGRAM_N)}
+SELECT 'sig' AS surface,
+  (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM sh
+   WHERE {_TD_DOCPRED}) AS live_ids,
+  CAST(0 AS BIGINT) AS retracted_refs
+UNION ALL
+SELECT 'span',
+  (SELECT CAST(count(*) AS BIGINT) FROM toks
+   WHERE len(tk) >= {SPAN_K} AND {_TD_DOCPRED}),
+  CAST(0 AS BIGINT)
+UNION ALL
+SELECT 'bm25',
+  (SELECT CAST(count(*) AS BIGINT) FROM toks
+   WHERE len(tk) >= 1 AND {_TD_DOCPRED}),
+  CAST(0 AS BIGINT)
+UNION ALL
+SELECT 'bigram',
+  (SELECT CAST(count(*) AS BIGINT) FROM toks
+   WHERE len(tk) >= 2 AND {_TD_DOCPRED}),
+  CAST(0 AS BIGINT)
+UNION ALL
+SELECT 'knn_vec',
+  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+   WHERE vec_id < {TD_VEC_N} AND vec_id NOT IN ({_TD_GONE_SQL})),
+  CAST(0 AS BIGINT)
+UNION ALL
+SELECT 'sq8_vec',
+  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+   WHERE vec_id < {TD_VEC_N} AND vec_id NOT IN ({_TD_GONE_SQL})),
+  CAST(0 AS BIGINT)"""

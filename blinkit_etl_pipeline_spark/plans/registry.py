@@ -32,6 +32,7 @@ PRIORITY = [
     "ns_ann_graph_sq8_recall",
     "ns_incr_drift",
     "ns_incr_hll_cumulative",
+    "ns_takedown_audit",
     # --- r10 addendum additions, never driver-checked ---
     "ns_ann_graph_topk",
     "ns_incr_hll_users",

@@ -2165,3 +2165,64 @@ def test_hll_cumulative_from_store_equals_batch(spark, tmp_path):
     assert rows(
         incremental.hll_cumulative_from_store(spark, store, "day")
     ) == want
+
+
+def test_takedown_fans_out_to_all_store_formats(spark, tmp_path):
+    """r11 (VERDICT r10 #8): one takedown() call retracts a doc set
+    from six store formats at once; the audit's live view shows zero
+    surviving references anywhere; probes/reads of every format stop
+    serving the ids; re-running the same call is a no-op (crash-safe
+    repair semantics); and the knn GRAPH stores — riding their vector
+    stores' tombstones — drop every edge touching a retracted id."""
+    from blinkit_etl_pipeline_spark.operators import vector
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).filter(F.col("doc_id") < 40)
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).filter(F.col("vec_id") < 120)
+    s = {n: str(tmp_path / n) for n in (
+        "sig", "span", "bm25", "bigram", "kv", "kg", "sv", "sg",
+    )}
+    incremental.ingest_and_find_dups(spark, s["sig"], docs)
+    incremental.ingest_and_find_dup_spans(spark, s["span"], docs)
+    incremental.ingest_bm25_postings(spark, s["bm25"], docs)
+    incremental.ingest_bigram_postings(spark, s["bigram"], docs)
+    incremental.ingest_knn_graph(spark, s["kv"], s["kg"], emb)
+    incremental.ingest_knn_graph_sq8(spark, s["sv"], s["sg"], emb)
+
+    gone = [3, 11, 17]
+    targets = [
+        (s["sig"], "doc_id"), (s["span"], "doc_id"),
+        (s["bm25"], "doc_id"), (s["bigram"], "doc_id"),
+        (s["kv"], "vec_id"), (s["sv"], "vec_id"),
+    ]
+    v1 = incremental.takedown(spark, gone, targets)
+    # idempotent repair: the same request re-fans-out to no new rows
+    assert incremental.takedown(spark, gone, targets) == v1
+
+    audit = incremental.takedown_audit(spark, gone, [
+        ("sig", s["sig"], "doc_id"), ("span", s["span"], "doc_id"),
+        ("bm25", s["bm25"], "doc_id"), ("bigram", s["bigram"], "doc_id"),
+        ("knn_vec", s["kv"], "vec_id"), ("sq8_vec", s["sv"], "vec_id"),
+    ])
+    rows = {r["surface"]: r for r in audit.collect()}
+    assert len(rows) == 6
+    assert all(r["retracted_refs"] == 0 for r in rows.values())
+    assert all(r["live_ids"] > 0 for r in rows.values())
+    assert rows["knn_vec"]["live_ids"] == 120 - len(gone)
+
+    # every read path stops serving the ids
+    for gstore, vstore in ((s["kg"], s["kv"]), (s["sg"], s["sv"])):
+        g = incremental.knn_graph_from_store(
+            spark, gstore, k=5, vec_store=vstore
+        )
+        assert g.filter(
+            F.col("node_id").isin(gone) | F.col("neighbor_id").isin(gone)
+        ).count() == 0
+    probe = incremental.bm25_store_probe(
+        spark, s["bm25"],
+        docs.filter(F.col("doc_id") == 3).select("doc_id", "text"),
+    )
+    assert probe.filter(F.col("doc_id").isin(gone)).count() == 0
