@@ -83,6 +83,18 @@ def nb_quality_frame(docs: DataFrame, text: str = "text") -> DataFrame:
         .groupBy("doc_id", "pass", "token")
         .agg(F.count("*").cast("long").alias("tf"))
     )
+    return nb_from_parts(lab.select("doc_id", "pass"), occ)
+
+
+def nb_from_parts(lab: DataFrame, occ: DataFrame) -> DataFrame:
+    """:func:`nb_quality_frame`'s model + scoring over PRE-BUILT
+    parts: ``lab`` = (doc_id, pass) for every corpus doc, ``occ`` =
+    (doc_id, pass, token, tf). The batch path tokenizes to build them;
+    the release store path (operators/release.py) derives them from
+    the maintained attribute + postings stores — token counts are the
+    postings rows, labels live in the attributes store — so the NB
+    gate rescores without touching text. Identical arithmetic either
+    way (same ints in → same quantized model out)."""
     tc = occ.groupBy("token").agg(
         F.sum(F.when(F.col("pass"), F.col("tf")).otherwise(0)).alias(
             "c_pos"
@@ -209,12 +221,27 @@ def bigram_nll_frame(docs: DataFrame, text: str = "text") -> DataFrame:
         .groupBy("doc_id", "w1", "w2")
         .agg(F.count("*").cast("long").alias("tf"))
     )
-    cb = occ.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
-    ctx = cb.groupBy("w1").agg(F.sum("cb").alias("ctx"))
     vocab = (
         toked.select(F.explode("__tk").alias("t"))
         .agg(F.count_distinct("t").cast("double").alias("v"))
     )
+    return nll_from_parts(toked.select("doc_id"), occ, vocab)
+
+
+def nll_from_parts(
+    doc_base: DataFrame, occ: DataFrame, vocab: DataFrame
+) -> DataFrame:
+    """:func:`bigram_nll_frame`'s model + scoring over PRE-BUILT
+    parts: ``doc_base`` = (doc_id) for every corpus doc, ``occ`` =
+    per-doc bigram counts (doc_id, w1, w2, tf), ``vocab`` = one row
+    (v: double) counting distinct corpus tokens. The batch path
+    tokenizes; the release store path (operators/release.py) derives
+    occ from the bigram postings store and vocab from the unigram
+    postings store — the perplexity gate rescores against the live
+    corpus model with no text pass. Identical quantized arithmetic
+    either way."""
+    cb = occ.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
+    ctx = cb.groupBy("w1").agg(F.sum("cb").alias("ctx"))
     logp = (
         cb.join(ctx, "w1")
         .crossJoin(F.broadcast(vocab))
@@ -242,7 +269,7 @@ def bigram_nll_frame(docs: DataFrame, text: str = "text") -> DataFrame:
             ),
         )
     )
-    base = toked.select("doc_id").join(per_doc, "doc_id", "left").select(
+    base = doc_base.select("doc_id").join(per_doc, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
         F.coalesce("nll_q", F.lit(0)).cast("long").alias("nll_q"),

@@ -1,0 +1,251 @@
+"""Versioned incremental corpus releases — the LLM-data capstone
+(r11, VERDICT r10 #7): each document drop advances a maintained,
+versioned "release" — the curated training corpus — with takedowns,
+redeliveries, and labeled release-to-release CDC all served from
+persisted state.
+
+The composition (every piece ships standalone):
+
+- **attributes store** — one row per ingested doc with its row-local
+  curation attributes (lang, md5 text hash, token count, quality
+  score, language-ID, Gopher verdict); `_ingest_rows` lifecycle, so
+  redelivery/tombstones/CAS/compaction match every other index store.
+- **unigram postings store** (``incremental.ingest_bm25_postings``) —
+  per-doc token counts: the NB quality model's features AND the
+  corpus vocabulary.
+- **bigram postings store** (``incremental.ingest_bigram_postings``)
+  — per-doc bigram counts: the perplexity LM's features.
+
+The release READ (:func:`release_read`) re-derives the full
+model-gated curation pipeline (`ns_pipeline_curation_model`'s chain:
+rule gates → NB gate → perplexity gate → exact dedup → stratified
+sample → hash split) **from the stores alone — document text is never
+re-tokenized**. The model gates are corpus-dependent (NB trains on
+the corpus's own Gopher verdicts; the perplexity threshold is the
+corpus mean), so new drops can flip old verdicts: the read rescores
+every live doc against the CURRENT maintained counts — a store-sized
+join pass, not a text pass — which is exactly what makes the read
+equal the batch recompute over the union (pytest + `ns_incr_release`
+oracle). A takedown (:func:`release_takedown` — the
+``incremental.takedown`` fan-out) shifts the models automatically
+because they are derived from live postings.
+
+:func:`publish_release` materializes the read as a new full-overwrite
+version of a release snapshot table; :func:`release_cdc` labels the
+diff between two published versions (docs entering/leaving the
+corpus — the ns_incr_curated_cdc pattern at corpus grain).
+
+Scale: ingest is drop-priced (three store appends); the read is hash
+aggregates over postings rows + vocabulary-sized model joins + one
+dedup window — corpus-linear over STORE rows with no tokenize pass;
+publish adds one write of the selected corpus listing. Reference
+parity: none to cite — the reference (13-file Glue demo) has no
+curation pipeline; this follows CCNet/RefinedWeb composition.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import lm
+from ..functions import text as T
+from . import incremental, selection, snapshot
+
+#: rule-gate defaults — mirror plans/northstar's curation constants so
+#: the release read equals ns_pipeline_curation_model by default
+MIN_QUALITY = 0.55
+MIN_TOKENS = 20
+
+
+def stores(root: str) -> dict[str, str]:
+    """The release's store layout under one root."""
+    return {
+        "attrs": os.path.join(root, "attrs"),
+        "unigram": os.path.join(root, "unigram_postings"),
+        "bigram": os.path.join(root, "bigram_postings"),
+        "release": os.path.join(root, "release"),
+    }
+
+
+def attrs_frame(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Row-local curation attributes for one batch — everything the
+    release read needs about a doc EXCEPT its token/bigram counts
+    (those live in the postings stores): identity, md5 text hash (the
+    exact-dedup key), token count, quality score, language-ID, and
+    the Gopher verdict (the NB gate's weak-supervision label). One
+    tokenize pass, map-side only; text itself is NOT retained."""
+    toks = T.tokens(F.col(text))
+    q = T.quality_columns(F.col(text), toks)
+    lid = T.langid_columns(F.col(text), toks)
+    gopher = T.gopher_columns(F.col(text), toks)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.md5(F.col(text)).alias("text_hash"),
+        q["n_tokens"].alias("n_tokens"),
+        q["quality_score"].alias("quality_score"),
+        lid["predicted_lang"].alias("predicted_lang"),
+        gopher["gopher_pass"].alias("gopher_pass"),
+    )
+
+
+def ingest_release(
+    spark: SparkSession, root: str, new_docs: DataFrame
+) -> dict[str, int]:
+    """One drop → three store appends (attributes, unigram postings,
+    bigram postings), each under its own doc_id redelivery guard, so
+    a replayed drop is a no-op in all three and a partially-seen
+    batch indexes only its fresh docs everywhere. Returns store →
+    committed version."""
+    s = stores(root)
+    docs = new_docs.dropDuplicates(["doc_id"]).localCheckpoint(
+        eager=False
+    )
+    av = incremental._ingest_rows(
+        spark, s["attrs"], attrs_frame(docs), "doc_id",
+        compact_threshold=64, compact_target=8, compact_keep_versions=2,
+    )
+    uv = incremental.ingest_bm25_postings(spark, s["unigram"], docs)
+    bv = incremental.ingest_bigram_postings(spark, s["bigram"], docs)
+    return {"attrs": av, "unigram": uv, "bigram": bv}
+
+
+def release_takedown(spark: SparkSession, root: str, ids) -> dict[str, int]:
+    """One legal request, every release store — the
+    ``incremental.takedown`` fan-out over the three maintained stores.
+    The next :func:`release_read` rescores everything against the
+    survivor-derived models (counts shift automatically because they
+    fold from live postings)."""
+    s = stores(root)
+    return incremental.takedown(spark, ids, [
+        (s["attrs"], "doc_id"),
+        (s["unigram"], "doc_id"),
+        (s["bigram"], "doc_id"),
+    ])
+
+
+def release_read(
+    spark: SparkSession,
+    root: str,
+    *,
+    strata_rates: dict[str, float],
+    default_rate: float = 0.2,
+    min_quality: float = MIN_QUALITY,
+    min_tokens: int = MIN_TOKENS,
+) -> DataFrame:
+    """The current release, derived from maintained state only:
+
+    1. rule gates on stored attributes (quality / token count /
+       language-ID — map-side filters);
+    2. NB quality gate: features = live unigram postings, labels =
+       stored Gopher verdicts (``lm.nb_from_parts`` — the identical
+       arithmetic the batch gate runs);
+    3. perplexity gate: features = live bigram postings, vocabulary =
+       distinct live tokens (``lm.nll_from_parts``);
+    4. exact dedup (min doc_id per stored md5 hash among gated docs);
+    5. per-language stratified downsample + leak-free hash split
+       (deterministic id-hash gates).
+
+    Output schema matches ``ns_pipeline_curation_model``: (doc_id,
+    lang, predicted_lang, n_tokens, quality_score, split)."""
+    s = stores(root)
+    attrs = incremental.read_store_live(spark, s["attrs"], "doc_id")
+    post = incremental.read_store_live(
+        spark, s["unigram"], "doc_id"
+    ).filter(F.col("token").isNotNull() & F.col("doc_id").isNotNull())
+    big = incremental.read_store_live(
+        spark, s["bigram"], "doc_id"
+    ).filter(F.col("doc_id").isNotNull() & F.col("w1").isNotNull())
+
+    lab = attrs.select("doc_id", F.col("gopher_pass").alias("pass"))
+    occ_nb = post.select("doc_id", "token", "tf").join(lab, "doc_id")
+    nb_keep = (
+        lm.nb_from_parts(lab, occ_nb)
+        .filter(F.col("nb_pass"))
+        .select("doc_id")
+    )
+    vocab = post.agg(
+        F.count_distinct("token").cast("double").alias("v")
+    )
+    ppl_keep = (
+        lm.nll_from_parts(
+            attrs.select("doc_id"),
+            big.select("doc_id", "w1", "w2", F.col("c12").alias("tf")),
+            vocab,
+        )
+        .filter(~F.col("flagged"))
+        .select("doc_id")
+    )
+    gated = (
+        attrs.filter(
+            (F.col("quality_score") >= min_quality)
+            & (F.col("n_tokens") >= min_tokens)
+            & (F.col("predicted_lang") != "und")
+        )
+        .join(nb_keep, "doc_id")
+        .join(ppl_keep, "doc_id")
+    )
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    surv = (
+        gated.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return selection.hash_split(
+        selection.stratified_sample(
+            surv,
+            "predicted_lang",
+            strata_rates,
+            default_rate=default_rate,
+        )
+    ).select(
+        "doc_id", "lang", "predicted_lang", "n_tokens",
+        "quality_score", "split",
+    )
+
+
+def publish_release(
+    spark: SparkSession,
+    root: str,
+    *,
+    strata_rates: dict[str, float],
+    default_rate: float = 0.2,
+    min_quality: float = MIN_QUALITY,
+    min_tokens: int = MIN_TOKENS,
+) -> int:
+    """Materialize the current :func:`release_read` as a NEW
+    full-overwrite version of the release table — the corpus listing
+    a training run pins. Old versions stay readable (MVCC time
+    travel), so :func:`release_cdc` can label what any drop or
+    takedown changed."""
+    s = stores(root)
+    df = release_read(
+        spark, root,
+        strata_rates=strata_rates, default_rate=default_rate,
+        min_quality=min_quality, min_tokens=min_tokens,
+    ).localCheckpoint(eager=True)
+    return snapshot.write_snapshot(df, s["release"])
+
+
+def release_cdc(
+    spark: SparkSession, root: str, v_from: int, v_to: int
+) -> DataFrame:
+    """Labeled corpus diff between two published releases: which docs
+    entered (``in``) and left (``out``) the training corpus between
+    the pinned versions — EXCEPT-ALL over the two stored listings
+    (two store reads; no recompute). A doc whose attributes changed
+    split/score shows up as out+in, the standard CDC convention."""
+    s = stores(root)
+    a = snapshot.read_snapshot(spark, s["release"], v_from)
+    b = snapshot.read_snapshot(spark, s["release"], v_to)
+    cols = a.columns
+    return (
+        b.exceptAll(a).withColumn("change", F.lit("in"))
+        .unionByName(
+            a.exceptAll(b).withColumn("change", F.lit("out"))
+        )
+        .select("change", *cols)
+    )

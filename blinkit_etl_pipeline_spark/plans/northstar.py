@@ -5025,16 +5025,27 @@ def q_pipeline_curation_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ns_pipeline_curation_model"] = q_pipeline_curation_model
 
 
-def _curation_model_oracle() -> str:
+def _curation_model_oracle(docs_where: str = "") -> str:
     """The rule-gate curation oracle with the NB and bigram-LM keep
     sets composed in as prefixed CTE families (nb_*, lm_*) — each a
     verbatim replay of the standalone ns_quality_nb / ns_lm_perplexity
-    model derivations."""
+    model derivations. ``docs_where`` restricts the corpus (the
+    release gauges score the post-takedown survivor set: every
+    corpus-dependent stage — both model trainings, the perplexity
+    mean, the dedup — must see only survivors, which filtering the
+    root ``toks`` CTE guarantees since the whole chain derives from
+    it)."""
     from ..operators.selection import GATE_MOD
 
     gate_strat = _H.format(x="CAST(doc_id AS VARCHAR) || ':strat'")
     gate_split = _H.format(x="CAST(doc_id AS VARCHAR) || ':split'")
-    return f"""WITH {_TOKS},
+    assert _TOKS.endswith("FROM documents)")
+    toks_cte = (
+        _TOKS
+        if not docs_where
+        else _TOKS[: -len(")")] + f" WHERE {docs_where})"
+    )
+    return f"""WITH {toks_cte},
 {_LANGID_SCORED},
 nb_lab AS (SELECT doc_id, tk, {_GOPHER_PASS_SQL} AS pass FROM toks),
 nb_occ AS (
@@ -7336,3 +7347,108 @@ SELECT 'sq8_vec',
   (SELECT CAST(count(*) AS BIGINT) FROM embeddings
    WHERE vec_id < {TD_VEC_N} AND vec_id NOT IN ({_TD_GONE_SQL})),
   CAST(0 AS BIGINT)"""
+
+
+# ----------------------------------------------------------------------
+# r11: versioned incremental corpus release (VERDICT r10 #7)
+# ----------------------------------------------------------------------
+
+REL_GONE = [5, 8]
+_REL_GONE_SQL = ", ".join(str(i) for i in REL_GONE)
+
+
+def _release_root(spark: SparkSession) -> str:
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"release-{spark.sparkContext.applicationId}",
+    )
+
+
+def _release_build(spark: SparkSession, sf_dir: str):
+    """Shared scratch-release builder for the two release gauges:
+    three id-split drops (one redelivered), publish v1, one takedown,
+    publish v2 — the full lifecycle a real corpus release runs.
+    Returns (root, v1, v2)."""
+    import shutil
+
+    from ..operators import release as rel
+
+    docs = _docs(spark, sf_dir)
+    root = _release_root(spark)
+    shutil.rmtree(root, ignore_errors=True)
+    for m in (0, 1, 2):
+        rel.ingest_release(
+            spark, root, docs.filter(F.col("doc_id") % 3 == m)
+        )
+    # byte-identical redelivery: all three store guards absorb it
+    rel.ingest_release(spark, root, docs.filter(F.col("doc_id") % 3 == 1))
+    v1 = rel.publish_release(
+        spark, root,
+        strata_rates=STRATA_RATES, default_rate=STRATA_DEFAULT_RATE,
+    )
+    rel.release_takedown(spark, root, REL_GONE)
+    v2 = rel.publish_release(
+        spark, root,
+        strata_rates=STRATA_RATES, default_rate=STRATA_DEFAULT_RATE,
+    )
+    return root, v1, v2
+
+
+def q_incr_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-data capstone (operators/release.py): a VERSIONED
+    training-corpus release maintained from drops — attributes +
+    unigram/bigram postings stores advance per file drop (redelivery
+    absorbed), the release read re-derives the FULL model-gated
+    curation chain (rule gates → corpus-trained NB gate →
+    corpus-mean perplexity gate → exact dedup → stratified sample →
+    split) from the stores alone with no re-tokenization, and a
+    takedown shifts the corpus-dependent models automatically because
+    they fold from live postings. Returns the post-takedown release;
+    the oracle recomputes ns_pipeline_curation_model's chain over the
+    survivor corpus — equality proves maintained state ≡ batch
+    recompute through drops, a redelivery, AND a takedown."""
+    from ..operators import release as rel
+
+    root, _v1, _v2 = _release_build(spark, sf_dir)
+    return rel.release_read(
+        spark, root,
+        strata_rates=STRATA_RATES, default_rate=STRATA_DEFAULT_RATE,
+    )
+
+
+QUERIES["ns_incr_release"] = q_incr_release
+
+ORACLES["ns_incr_release"] = _curation_model_oracle(
+    f"doc_id NOT IN ({_REL_GONE_SQL})"
+)
+
+
+def q_incr_release_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled corpus CDC between two PUBLISHED releases (the
+    ns_incr_curated_cdc pattern at corpus grain): v1 = the release
+    over all drops, v2 = after a takedown. The diff is two store
+    reads — no recompute — and is NOT just the retracted docs: the
+    takedown shifts the NB and perplexity models, so other documents'
+    verdicts can flip, and the CDC surfaces exactly that (the oracle
+    EXCEPT-ALLs the two batch recomputes, so every knock-on flip is
+    value-checked)."""
+    from ..operators import release as rel
+
+    root, v1, v2 = _release_build(spark, sf_dir)
+    return rel.release_cdc(spark, root, v1, v2)
+
+
+QUERIES["ns_incr_release_cdc"] = q_incr_release_cdc
+
+_REL_FULL_SQL = _curation_model_oracle()
+_REL_SURV_SQL = _curation_model_oracle(
+    f"doc_id NOT IN ({_REL_GONE_SQL})"
+)
+
+ORACLES["ns_incr_release_cdc"] = f"""SELECT 'in' AS change, *
+FROM (({_REL_SURV_SQL}) EXCEPT ALL ({_REL_FULL_SQL}))
+UNION ALL
+SELECT 'out' AS change, *
+FROM (({_REL_FULL_SQL}) EXCEPT ALL ({_REL_SURV_SQL}))"""

@@ -33,6 +33,8 @@ PRIORITY = [
     "ns_incr_drift",
     "ns_incr_hll_cumulative",
     "ns_takedown_audit",
+    "ns_incr_release",
+    "ns_incr_release_cdc",
     # --- r10 addendum additions, never driver-checked ---
     "ns_ann_graph_topk",
     "ns_incr_hll_users",
