@@ -139,6 +139,11 @@ def _img_h(doc_id: Column) -> Column:
     return (doc_id % 12 + 8).cast("int")
 
 
+#: session-keyed memo for synthesize_media's projection list — see its
+#: docstring; {"key": applicationId, "cols": [Column, ...]}
+_SYNTH_COLS_MEMO: dict = {}
+
+
 def synthesize_media(docs: DataFrame) -> DataFrame:
     """Deterministic media table from documents.
 
@@ -149,7 +154,18 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     text bytes (their codec is stubbed). Metadata width/height matches
     the actual PPM dimensions for images; the legacy formula stays for
     non-image rows so resize planning has varied shapes.
+
+    The projection list is memoized per session (r11): the container
+    expressions are hundreds of Column nodes, each a py4j round-trip
+    to build — ~0.3 s of pure DRIVER time per call that bench
+    attestation (PLANS.md r11) showed was the whole apparent
+    "regression" of ns_media_features. Columns are unresolved
+    immutable expressions over ``doc_id``/``text``, so one list
+    serves every docs frame with those columns.
     """
+    key = docs.sparkSession.sparkContext.applicationId
+    if _SYNTH_COLS_MEMO.get("key") == key:
+        return docs.select(*_SYNTH_COLS_MEMO["cols"])
     mid = F.col("doc_id")
     media_type = F.element_at(
         F.array(*[F.lit(t) for t in MEDIA_TYPES]), (mid % 3 + 1).cast("int")
@@ -181,7 +197,7 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     )
     is_image = media_type == "image"
     is_audio = media_type == "audio"
-    return docs.select(
+    cols = [
         mid.alias("media_id"),
         media_type.alias("media_type"),
         F.when(is_image, ppm)
@@ -195,7 +211,10 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
         .otherwise((mid % 32 * 16 + 256).cast("int"))
         .alias("height"),
         (mid % 300 * 1000).cast("int").alias("duration_ms"),
-    )
+    ]
+    _SYNTH_COLS_MEMO.clear()
+    _SYNTH_COLS_MEMO.update({"key": key, "cols": cols})
+    return docs.select(*cols)
 
 
 def synthesize_png_media(docs: DataFrame) -> DataFrame:

@@ -56,12 +56,32 @@ IVF_NPROBES = (1, 2, 4, 8)  # the recall-vs-cost sweep
 # ----------------------------------------------------------------------
 
 
+#: per-session DataFrame memo for the two hot registry tables (r11):
+#: every registry call paid a fresh spark.read.parquet (~0.1 s of py4j
+#: + footer-schema round-trips) just to re-derive an identical
+#: immutable plan root. Bench construction profiling (PLANS.md r11,
+#: ns_media_features attestation) showed this as a fixed per-call tax
+#: on all 160 queries. DataFrames are immutable, so reuse changes
+#: nothing downstream; keyed by applicationId so a new session (new
+#: JVM objects) rebuilds.
+_TABLE_MEMO: dict = {}
+
+
+def _read_memo(spark: SparkSession, path: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, path)
+    if key not in _TABLE_MEMO:
+        for k in [k for k in _TABLE_MEMO if k[0] != key[0]]:
+            del _TABLE_MEMO[k]
+        _TABLE_MEMO[key] = spark.read.parquet(path)
+    return _TABLE_MEMO[key]
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _read_memo(spark, f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _read_memo(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6387,6 +6407,49 @@ LIMIT {COLLOC_TOP}"""
 GS_BEAM = 8
 GS_ROUNDS = 2
 
+#: per-session fixture cache for the graph-SERVING gauges (r11,
+#: VERDICT r10 #5): ns_ann_graph_{topk,recall,curve,external} and the
+#: sq8 pair all walk the SAME deterministic iters=1 graph, but each
+#: used to rebuild it per call (~10 s/bench run of pure redundancy,
+#: drowning the walk cost the gauges exist to price). The graph is a
+#: pure function of (corpus, params), so memoizing the checkpointed
+#: frame per (SparkContext, sf_dir) changes no query's RESULT — only
+#: which call pays the one-time build. Construction gauges
+#: (ns_knn_graph*) deliberately bypass the cache: building IS their
+#: measurement. Single-slot: a new sf_dir or session rebuilds.
+_GS_FIXTURES: dict = {}
+
+
+def _gs_fixture(spark: SparkSession, sf_dir: str, kind: str):
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    if key not in _GS_FIXTURES:
+        emb = _emb(spark, sf_dir)
+        if kind == "raw":
+            val = vector.knn_graph(
+                emb,
+                k=KNN_GRAPH_K,
+                iters=KNN_GRAPH_ITERS,
+                nbits=ANN_NBITS,
+                ntables=ANN_NTABLES,
+            ).localCheckpoint(eager=True)
+        else:  # "sq8": (stats, graph)
+            stats = vector.sq8_stats(emb)
+            val = (
+                stats,
+                vector.knn_graph_sq8(
+                    emb,
+                    k=KNN_GRAPH_K,
+                    iters=KNN_GRAPH_ITERS,
+                    nbits=ANN_NBITS,
+                    ntables=ANN_NTABLES,
+                    stats=stats,
+                ).localCheckpoint(eager=True),
+            )
+        for k in [k for k in _GS_FIXTURES if k[:2] != key[:2]]:
+            del _GS_FIXTURES[k]  # don't pin checkpoints of dead scopes
+        _GS_FIXTURES[key] = val
+    return _GS_FIXTURES[key]
+
 
 def q_ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via graph traversal (operators/vector.py::graph_search_topk):
@@ -6399,13 +6462,7 @@ def q_ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie order), so equality pins each hop's frontier, candidate set,
     and rank."""
     emb = _emb(spark, sf_dir)
-    g = vector.knn_graph(
-        emb,
-        k=KNN_GRAPH_K,
-        iters=KNN_GRAPH_ITERS,
-        nbits=ANN_NBITS,
-        ntables=ANN_NTABLES,
-    )
+    g = _gs_fixture(spark, sf_dir, "raw")
     return vector.graph_search_topk(
         emb,
         g,
@@ -6505,13 +6562,7 @@ def q_ann_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-exact. At this corpus the walk recovers neighbors the
     LSH-only probe misses (ns_ann_lsh_topk's documented trade)."""
     emb = _emb(spark, sf_dir)
-    g = vector.knn_graph(
-        emb,
-        k=KNN_GRAPH_K,
-        iters=KNN_GRAPH_ITERS,
-        nbits=ANN_NBITS,
-        ntables=ANN_NTABLES,
-    )
+    g = _gs_fixture(spark, sf_dir, "raw")
     res = vector.graph_search_topk(
         emb,
         g,
@@ -6740,13 +6791,7 @@ def q_ann_graph_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     across the sweep); the oracle replays every beam's full traversal.
     """
     emb = _emb(spark, sf_dir)
-    g = vector.knn_graph(
-        emb,
-        k=KNN_GRAPH_K,
-        iters=KNN_GRAPH_ITERS,
-        nbits=ANN_NBITS,
-        ntables=ANN_NTABLES,
-    ).localCheckpoint(eager=False)
+    g = _gs_fixture(spark, sf_dir, "raw")
     truth = vector.brute_force_topk(
         emb, ANN_QUERY_IDS, k=ANN_K
     ).select("query_id", "neighbor_id").localCheckpoint(eager=False)
@@ -6909,13 +6954,7 @@ def q_ann_graph_external(spark: SparkSession, sf_dir: str) -> DataFrame:
     qext = emb.filter(F.col("vec_id") < GS_EXT_NQ).select(
         (F.col("vec_id") + GS_EXT_SHIFT).alias("vec_id"), "embedding"
     )
-    g = vector.knn_graph(
-        emb,
-        k=KNN_GRAPH_K,
-        iters=KNN_GRAPH_ITERS,
-        nbits=ANN_NBITS,
-        ntables=ANN_NTABLES,
-    )
+    g = _gs_fixture(spark, sf_dir, "raw")
     return vector.graph_search_embed(
         emb, g, qext,
         k=ANN_K, beam=GS_BEAM, rounds=GS_ROUNDS,
@@ -6958,15 +6997,7 @@ def q_ann_graph_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket hashing on the reconstructed lattice, graph construction,
     and both traversal hops — every rank value-exact."""
     emb = _emb(spark, sf_dir)
-    stats = vector.sq8_stats(emb)
-    g = vector.knn_graph_sq8(
-        emb,
-        k=KNN_GRAPH_K,
-        iters=KNN_GRAPH_ITERS,
-        nbits=ANN_NBITS,
-        ntables=ANN_NTABLES,
-        stats=stats,
-    )
+    stats, g = _gs_fixture(spark, sf_dir, "sq8")
     return vector.graph_search_sq8_topk(
         emb, g, ANN_QUERY_IDS,
         k=ANN_K, beam=GS_BEAM, rounds=GS_ROUNDS,
@@ -7003,15 +7034,7 @@ def q_ann_graph_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both engines compute walk ∩ truth, so the numbers are
     value-exact."""
     emb = _emb(spark, sf_dir)
-    stats = vector.sq8_stats(emb)
-    g = vector.knn_graph_sq8(
-        emb,
-        k=KNN_GRAPH_K,
-        iters=KNN_GRAPH_ITERS,
-        nbits=ANN_NBITS,
-        ntables=ANN_NTABLES,
-        stats=stats,
-    )
+    stats, g = _gs_fixture(spark, sf_dir, "sq8")
     res = vector.graph_search_sq8_topk(
         emb, g, ANN_QUERY_IDS,
         k=ANN_K, beam=GS_BEAM, rounds=GS_ROUNDS,

@@ -141,3 +141,27 @@ def test_no_global_windows_in_former_emitters(spark, name):
             continue
         groups = re.findall(r"\[[^\[\]]*(?:\[[^\[\]]*\][^\[\]]*)*\]", line[m.start():])
         assert len(groups) >= 3, f"global window in {name}: {line.strip()}"
+
+
+def test_bench_flags_every_mover_uncapped():
+    """r11 (VERDICT r10 #6): the respot trigger must fire on EVERY
+    >1.5× mover — the r10 [:5] cap silently dropped the 6th mover,
+    which then surfaced in the verdict as an unattested drift."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench",
+        os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    prior = {f"q{i}": 1.0 for i in range(10)}
+    prior["tiny"] = 0.01  # under the 0.05 s floor: never flagged
+    timings = {f"q{i}": 1.0 + 0.2 * i for i in range(10)}
+    timings["tiny"] = 10.0
+    timings["new_query"] = 99.0  # no prior: never flagged
+    flagged = bench._flag_movers(timings, prior)
+    # movers are q3..q9 (1.6×..2.8×) — ALL seven, worst first
+    assert flagged == [f"q{i}" for i in range(9, 2, -1)]
