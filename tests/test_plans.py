@@ -60,6 +60,10 @@ ARROW_WHITELIST = {
     "ns_ann_graph_recall",
     "ns_ann_graph_curve",
     "ns_ann_graph_external",
+    # r11: the SQ8 walk's seeds bucket the RECONSTRUCTED lattice via
+    # the same bucket_frame Arrow kernel (vector._beam_seeds_on_frame)
+    "ns_ann_graph_sq8_topk",
+    "ns_ann_graph_sq8_recall",
     # NOT ns_knn_backfill: like ns_knn_graph_store, its kernels run at
     # store-build time — the returned read plan scans the store
 }

@@ -352,7 +352,72 @@ def spot_drift(spark) -> None:
           f"psi={float(rows[0]['psi']):.4f}")
 
 
+def spot_serve2m(spark) -> None:
+    """Serving wall at 2M vectors, with the store built DIRECTLY:
+    the full ingest_knn_graph pairing at 2M needs more shuffle-spill
+    disk than this box has (the 12-bit kernel emits ~8G candidate
+    cells before the top-k fold — fine on a cluster's shuffle tier,
+    not on one NVMe), so the vec store is one bucket_frame pass over
+    the corpus and the graph is the 200k store's folded graph LIFTED
+    to every replica (sign-flip diagonals preserve within-replica
+    cosines exactly, so each lifted copy IS that replica's true
+    within-replica k-NN graph; cross-replica affinity is decorrelated
+    by construction). What this spot measures — the serving walk —
+    is bit-honest: real bucket rows, real seeds, real beam rounds
+    over a 2M-node store."""
+    import glob as _glob
+
+    from blinkit_etl_pipeline_spark.operators import incremental, snapshot, vector
+    from blinkit_etl_pipeline_spark.operators.vector import bucket_frame, with_q
+
+    src = sorted(_glob.glob("/tmp/graphserve-sf10-200k-*/graph"))
+    if not src:
+        print("serve2m: run graphserve first (needs the 200k graph store)")
+        return
+    big = _emb2m(spark)
+    nbits = 12
+    root = tempfile.mkdtemp(prefix="serve2m-")
+    vs, gs = root + "/vecs", root + "/graph"
+    t0 = time.perf_counter()
+    rows = (
+        bucket_frame(with_q(big), nbits, 8, 64)
+        .withColumn(
+            "tb", (F.col("t") * (1 << nbits) + F.col("bucket")).cast("int")
+        )
+        .select("vec_id", "qvec", "qq", "t", "bucket", "tb")
+    )
+    snapshot.write_snapshot(rows, vs, stats_col="tb")
+    t_vec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    g200 = incremental.knn_graph_from_store(spark, src[0], k=5).select(
+        F.col("node_id").alias("u"), F.col("neighbor_id").alias("v"),
+        F.col("cosine_sim").alias("cos_raw"),
+    )
+    lifted = None
+    for r in range(10):
+        p_ = g200.select(
+            (F.col("u") + F.lit(r * 200_000)).alias("u"),
+            (F.col("v") + F.lit(r * 200_000)).alias("v"),
+            "cos_raw",
+        )
+        lifted = p_ if lifted is None else lifted.unionByName(p_)
+    snapshot.write_snapshot(lifted, gs)
+    t_graph = time.perf_counter() - t0
+    qids = [1, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53]
+    t0 = time.perf_counter()
+    n = incremental.graph_search_from_store(
+        spark, gs, vs, qids, k=5, beam=8, rounds=2, nbits=nbits
+    ).count()
+    t_serve = time.perf_counter() - t0
+    print(
+        f"serve2m: vec-store(2M)={t_vec:.1f}s graph-lift={t_graph:.1f}s "
+        f"serve16q={t_serve:.2f}s rows={n} "
+        f"vec_store={_store_bytes(vs) / 1e6:.0f}MB"
+    )
+
+
 SPOTS = {
+    "serve2m": spot_serve2m,
     "graphserve": spot_graphserve,
     "sq8serve": spot_sq8serve,
     "hllcms": spot_hllcms,
