@@ -488,6 +488,58 @@ def _knn_cross_fn():
     return fn
 
 
+def _knn_payload_frame(
+    spark: SparkSession, vec_store: str
+) -> DataFrame | None:
+    """The slim layout's payload twin as a live (vec_id, qvec, qq)
+    frame, or None when the vec store carries payloads itself. The
+    payload path is PINNED in the vec store's table properties at
+    first ingest (one source of truth — readers never guess); rows
+    dedup by vec_id (crash-replay appends are identical) and exclude
+    the VEC store's tombstones (one takedown covers both). SQ8
+    payloads decode here against the pinned quantizer, so every
+    consumer sees one lattice contract whatever the layout."""
+    props = snapshot.table_properties(vec_store)
+    ps = props.get("payload_store")
+    if ps is None:
+        return None
+    from . import vector
+
+    pay = snapshot.read_snapshot(spark, ps).dropDuplicates(["vec_id"])
+    pay = _exclude_tombstoned(spark, vec_store, pay, "vec_id")
+    sq8 = props.get("sq8_stats")
+    if sq8 is not None:
+        stats = [tuple(int(v) for v in s) for s in sq8]
+        return pay.select(
+            "vec_id",
+            vector.sq8_decode_col(F.col("codes"), stats).alias("qvec"),
+        ).withColumn("qq", vector.qdot(F.col("qvec"), F.col("qvec")))
+    return pay.select("vec_id", "qvec", "qq")
+
+
+def _pin_payload_store(vec_store: str, payload_store: str | None) -> None:
+    """Layout is a write-once format decision: mixing payload-carrying
+    and slim bucket rows in one store would break every reader, so the
+    first ingest pins it and later calls must agree."""
+    pinned = snapshot.table_properties(vec_store).get("payload_store")
+    if pinned is not None:
+        if payload_store != pinned:
+            raise snapshot.SnapshotError(
+                f"knn store at {vec_store} is pinned to payload twin "
+                f"{pinned!r} — pass the same payload_store"
+            )
+    elif payload_store is not None:
+        if snapshot.current_version(vec_store) is not None:
+            raise snapshot.SnapshotError(
+                f"knn store at {vec_store} already holds "
+                "payload-carrying rows — cannot switch to a slim "
+                "layout in place"
+            )
+        snapshot.ensure_table_properties(
+            vec_store, {"payload_store": payload_store}
+        )
+
+
 def ingest_knn_graph(
     spark: SparkSession,
     vec_store: str,
@@ -501,6 +553,7 @@ def ingest_knn_graph(
     dim: int = 64,
     compact_threshold: int | None = 64,
     compact_target: int = 8,
+    payload_store: str | None = None,
 ) -> int:
     """Incremental k-NN graph maintenance (r10) — the graph member of
     the streaming index family (LSH signatures, PQ/SQ8 codes, BM25
@@ -525,6 +578,20 @@ def ingest_knn_graph(
     (NN-Descent rounds) runs at read time on the folded graph when
     wanted — state stays seed-exact and loss-free.
 
+    ``payload_store`` (r11) opts into the SLIM layout a 100 TB
+    deployment ships: bucket rows carry KEYS only (vec_id, t, bucket,
+    tb) and each vector's payload lands ONCE in a twin store instead
+    of being duplicated across all ``ntables`` bucket rows — total
+    store bytes drop ~6× and the serving corpus frame becomes one
+    payload-store read instead of a scan of the ntables-wide bucket
+    table (the r11 serve2m growing term). The twin's path is pinned
+    write-once in the vec store's properties (readers discover it —
+    :func:`_knn_payload_frame`); layouts cannot mix in one store.
+    Twin appends commit BEFORE the vec store's (crash-replay appends
+    duplicate identical payload rows, absorbed by the read's vec_id
+    dedup — the edge-append argument). Reads, serving walks, and
+    depth backfills are bit-equal across layouts (pytest).
+
     Retraction (takedown) is the sibling stores' tombstone contract:
     ``retract_docs(vec_store, ids, id_col='vec_id')`` — reads exclude
     every edge touching a retracted id, and retracted ids never
@@ -538,6 +605,7 @@ def ingest_knn_graph(
     from .vector import bucket_frame, with_q
 
     store_k = (k + 3) if store_k is None else max(store_k, k)
+    _pin_payload_store(vec_store, payload_store)
     q = with_q(new_emb.dropDuplicates(["vec_id"]))
     rows = (
         bucket_frame(q, nbits, ntables, dim)
@@ -564,9 +632,15 @@ def ingest_knn_graph(
     )
     tagged = rows.withColumn("__new", F.lit(1))
     if exists:
-        stored = snapshot.read_snapshot_pruned(
-            spark, vec_store, probed
-        ).withColumn("__new", F.lit(0))
+        stored = snapshot.read_snapshot_pruned(spark, vec_store, probed)
+        if payload_store is not None:
+            # slim layout: pruned bucket rows carry keys only — attach
+            # the mates' payloads from the twin (one equi-join, mate-
+            # proportional; old→old pairs still never re-score)
+            stored = stored.join(
+                _knn_payload_frame(spark, vec_store), "vec_id"
+            ).select("vec_id", "qvec", "qq", "t", "bucket", "tb")
+        stored = stored.withColumn("__new", F.lit(0))
         tagged = tagged.unionByName(stored)
     cand = tagged.groupBy("t", "bucket").applyInPandas(
         _knn_cross_fn(), schema="u long, v long, cos_raw double"
@@ -576,14 +650,29 @@ def ingest_knn_graph(
         .select("u", "v", "cos_raw")
         .localCheckpoint(eager=True)
     )
+    if payload_store is not None:
+        # payload twin appends BEFORE the vec-store commit: a crash
+        # in between replays the batch (vec guard still open) and the
+        # duplicate payload rows are absorbed by the read's vec_id
+        # dedup — identical bytes, the edge-append argument
+        pay = rows.filter(F.col("t") == 0).select("vec_id", "qvec", "qq")
+        if snapshot.current_version(payload_store) is None:
+            snapshot.write_snapshot(pay, payload_store, stats_col="vec_id")
+        else:
+            snapshot.append_snapshot(pay, payload_store)
     if snapshot.current_version(graph_store) is None:
         gv = snapshot.write_snapshot(edges, graph_store)
     else:
         gv = snapshot.append_snapshot(edges, graph_store)
+    vec_rows = (
+        rows.select("vec_id", "t", "bucket", "tb")
+        if payload_store is not None
+        else rows
+    )
     if exists:
-        snapshot.append_snapshot(rows, vec_store, stats_col="tb")
+        snapshot.append_snapshot(vec_rows, vec_store, stats_col="tb")
     else:
-        snapshot.write_snapshot(rows, vec_store, stats_col="tb")
+        snapshot.write_snapshot(vec_rows, vec_store, stats_col="tb")
     if compact_threshold is not None:
         m = snapshot.read_manifest(graph_store)
         if len(m["files"]) >= compact_threshold:
@@ -605,12 +694,17 @@ def ingest_knn_graph_sq8(
     dim: int = 64,
     compact_threshold: int | None = 64,
     compact_target: int = 8,
+    payload_store: str | None = None,
 ) -> int:
     """SQ8-payload variant of :func:`ingest_knn_graph` — the
     memory-lean serving store (VERDICT r10 #2): the vector store
     persists byte CODES (~dim bytes/vector, 8× under the int64
     lattice) instead of ``qvec``/``qq``; buckets, edge scores, and
-    every later read derive from the codes alone. The quantizer is
+    every later read derive from the codes alone. ``payload_store``
+    opts into the slim layout (one codes row per vector in a twin,
+    key-only bucket rows — see :func:`ingest_knn_graph`): codes
+    stop being duplicated ``ntables``× and serving's corpus frame
+    reads ~dim bytes/vector total. The quantizer is
     pinned write-once in the table properties (:func:`_sq8_pin_stats`),
     so reconstruction is identical across batches and readers.
 
@@ -628,6 +722,7 @@ def ingest_knn_graph_sq8(
     from .vector import bucket_frame, with_q
 
     store_k = (k + 3) if store_k is None else max(store_k, k)
+    _pin_payload_store(vec_store, payload_store)
     q = with_q(new_emb.dropDuplicates(["vec_id"]))
     stats = _sq8_pin_stats(vec_store, new_emb, stats)
     coded = q.select(
@@ -666,21 +761,29 @@ def ingest_knn_graph_sq8(
         "vec_id", "qvec", "qq", "t", "bucket"
     ).withColumn("__new", F.lit(1))
     if exists:
-        stored = (
-            snapshot.read_snapshot_pruned(spark, vec_store, probed)
-            .select(
-                "vec_id",
-                vector.sq8_decode_col(F.col("codes"), stats).alias(
-                    "qvec"
-                ),
-                "t",
-                "bucket",
+        pruned = snapshot.read_snapshot_pruned(spark, vec_store, probed)
+        if payload_store is not None:
+            # slim layout: key-only bucket rows + the codes twin
+            # (payload frame decodes against the pinned quantizer)
+            stored = pruned.join(
+                _knn_payload_frame(spark, vec_store), "vec_id"
+            ).select("vec_id", "qvec", "qq", "t", "bucket")
+        else:
+            stored = (
+                pruned.select(
+                    "vec_id",
+                    vector.sq8_decode_col(F.col("codes"), stats).alias(
+                        "qvec"
+                    ),
+                    "t",
+                    "bucket",
+                )
+                .withColumn(
+                    "qq", vector.qdot(F.col("qvec"), F.col("qvec"))
+                )
+                .select("vec_id", "qvec", "qq", "t", "bucket")
             )
-            .withColumn("qq", vector.qdot(F.col("qvec"), F.col("qvec")))
-            .select("vec_id", "qvec", "qq", "t", "bucket")
-            .withColumn("__new", F.lit(0))
-        )
-        tagged = tagged.unionByName(stored)
+        tagged = tagged.unionByName(stored.withColumn("__new", F.lit(0)))
     cand = tagged.groupBy("t", "bucket").applyInPandas(
         _knn_cross_fn(), schema="u long, v long, cos_raw double"
     )
@@ -689,11 +792,22 @@ def ingest_knn_graph_sq8(
         .select("u", "v", "cos_raw")
         .localCheckpoint(eager=True)
     )
+    if payload_store is not None:
+        # twin append before the vec commit (see ingest_knn_graph)
+        pay = rows.filter(F.col("t") == 0).select("vec_id", "codes")
+        if snapshot.current_version(payload_store) is None:
+            snapshot.write_snapshot(pay, payload_store, stats_col="vec_id")
+        else:
+            snapshot.append_snapshot(pay, payload_store)
     if snapshot.current_version(graph_store) is None:
         gv = snapshot.write_snapshot(edges, graph_store)
     else:
         gv = snapshot.append_snapshot(edges, graph_store)
-    vec_rows = rows.select("vec_id", "t", "bucket", "tb", "codes")
+    vec_rows = (
+        rows.select("vec_id", "t", "bucket", "tb")
+        if payload_store is not None
+        else rows.select("vec_id", "t", "bucket", "tb", "codes")
+    )
     if exists:
         snapshot.append_snapshot(vec_rows, vec_store, stats_col="tb")
     else:
@@ -2203,8 +2317,15 @@ def graph_search_from_store(
     # byte codes; corpus-member queries then score symmetric SDC, the
     # batch twin being vector.graph_search_sq8_topk (bit-equal,
     # pytest). External queries stay full-precision (ADC) either way.
+    # A slim-layout store reads its corpus frame from the payload
+    # twin — ONE row per vector instead of scanning payloads
+    # duplicated across all ntables bucket rows (the serve2m growing
+    # term; _knn_payload_frame also handles the SQ8 decode).
+    pay = _knn_payload_frame(spark, vec_store)
     sq8 = snapshot.table_properties(vec_store).get("sq8_stats")
-    if sq8 is not None:
+    if pay is not None:
+        e = pay.localCheckpoint(eager=False)
+    elif sq8 is not None:
         stats = [tuple(int(v) for v in s) for s in sq8]
         e = (
             vecs.filter(F.col("t") == 0)
@@ -2756,18 +2877,51 @@ def backfill_knn_depth(
         spark, vec_store, snapshot.read_snapshot(spark, vec_store),
         "vec_id",
     )
+    pay = _knn_payload_frame(spark, vec_store)
+    if pay is not None:
+        # slim layout: bucket rows are key-only — attach payloads from
+        # the twin before the re-pair kernel (mate-proportional join)
+        live = live.select("vec_id", "t", "bucket", "tb").join(
+            pay, "vec_id"
+        ).select("vec_id", "qvec", "qq", "t", "bucket", "tb")
+    elif "codes" in live.columns and "qvec" not in live.columns:
+        # payload-carrying SQ8 store: decode against the pinned stats
+        sq8 = snapshot.table_properties(vec_store)["sq8_stats"]
+        stats = [tuple(int(v) for v in s) for s in sq8]
+        live = live.select(
+            "vec_id",
+            vector.sq8_decode_col(F.col("codes"), stats).alias("qvec"),
+            "t",
+            "bucket",
+            "tb",
+        ).withColumn("qq", vector.qdot(F.col("qvec"), F.col("qvec")))
     arows = live.join(
         F.broadcast(affected.withColumnRenamed("u", "vec_id")), "vec_id"
     ).localCheckpoint(eager=True)
     probed = sorted(
         int(r["tb"]) for r in arows.select("tb").distinct().collect()
     )
-    mates = _exclude_tombstoned(
+    pruned = _exclude_tombstoned(
         spark,
         vec_store,
         snapshot.read_snapshot_pruned(spark, vec_store, probed),
         "vec_id",
-    ).join(
+    )
+    if pay is not None:
+        pruned = pruned.select("vec_id", "t", "bucket", "tb").join(
+            pay, "vec_id"
+        ).select("vec_id", "qvec", "qq", "t", "bucket", "tb")
+    elif "codes" in pruned.columns and "qvec" not in pruned.columns:
+        sq8 = snapshot.table_properties(vec_store)["sq8_stats"]
+        stats = [tuple(int(v) for v in s) for s in sq8]
+        pruned = pruned.select(
+            "vec_id",
+            vector.sq8_decode_col(F.col("codes"), stats).alias("qvec"),
+            "t",
+            "bucket",
+            "tb",
+        ).withColumn("qq", vector.qdot(F.col("qvec"), F.col("qvec")))
+    mates = pruned.join(
         F.broadcast(affected.withColumnRenamed("u", "vec_id")),
         "vec_id",
         "left_anti",

@@ -6262,7 +6262,12 @@ def q_knn_graph_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     must equal the one-shot seed graph over the union — the top-k
     merge semilattice, checked value-exactly by the oracle's replay of
     the batch construction (iters=0). The store rebuild per run IS the
-    gauge (the ns_snapshot_diff pattern: build cost is measured)."""
+    gauge (the ns_snapshot_diff pattern: build cost is measured).
+    r11: the build uses the SLIM layout (key-only bucket rows +
+    payload twin — the deployment shape; ~6× fewer store bytes), so
+    this gauge now driver-attests that layout's full ingest+read
+    path; the oracle is unchanged because reads are bit-equal across
+    layouts (pytest pins it)."""
     import shutil
     import tempfile
 
@@ -6285,6 +6290,7 @@ def q_knn_graph_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=KNN_GRAPH_K,
             nbits=ANN_NBITS,
             ntables=ANN_NTABLES,
+            payload_store=os.path.join(scratch, "payload"),
         )
     return incremental.knn_graph_from_store(
         spark, gstore, k=KNN_GRAPH_K, vec_store=vstore

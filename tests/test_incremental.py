@@ -2226,3 +2226,109 @@ def test_takedown_fans_out_to_all_store_formats(spark, tmp_path):
         docs.filter(F.col("doc_id") == 3).select("doc_id", "text"),
     )
     assert probe.filter(F.col("doc_id").isin(gone)).count() == 0
+
+
+def test_slim_knn_layout_bit_equal_across_surfaces(spark, tmp_path):
+    """r11: the slim store layout (key-only bucket rows + payload
+    twin — the deployment shape) is bit-equal to the payload-carrying
+    layout on every surface: serving walk, takedown path, SQ8
+    variant, and depth backfill. The twin is pinned write-once; a
+    layout switch on a populated store fails loudly."""
+    import pytest as _pytest
+
+    from blinkit_etl_pipeline_spark.operators import vector
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qids = list(range(10))
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    vs, gs, ps = (str(tmp_path / n) for n in ("v", "g", "p"))
+    for m in (0, 1):
+        incremental.ingest_knn_graph(
+            spark, vs, gs, emb.filter(F.col("vec_id") % 2 == m),
+            k=5, payload_store=ps,
+        )
+    # slim rows carry keys only; the twin holds one payload per vec
+    cols = set(snapshot.read_snapshot(spark, vs).columns)
+    assert cols == {"vec_id", "t", "bucket", "tb"}
+    assert snapshot.read_snapshot(spark, ps).select(
+        "vec_id"
+    ).distinct().count() == emb.count()
+
+    got = incremental.graph_search_from_store(
+        spark, gs, vs, qids, k=5, beam=8, rounds=2
+    )
+    want = vector.graph_search_topk(
+        emb, vector.knn_graph(emb, k=5, iters=0), qids,
+        k=5, beam=8, rounds=2,
+    )
+    assert rows(got) == rows(want)
+
+    gone = [3, 42]
+    incremental.retract_docs(spark, vs, gone, id_col="vec_id")
+    surv = emb.filter(~F.col("vec_id").isin(gone))
+    got2 = incremental.graph_search_from_store(
+        spark, gs, vs, qids, k=5, beam=8, rounds=2
+    )
+    want2 = vector.graph_search_topk(
+        surv, vector.knn_graph(surv, k=5, iters=0),
+        [q for q in qids if q not in gone], k=5, beam=8, rounds=2,
+    )
+    assert rows(got2) == rows(want2)
+
+    # layout is write-once: dropping or changing the twin fails loudly
+    with _pytest.raises(snapshot.SnapshotError, match="payload"):
+        incremental.ingest_knn_graph(spark, vs, gs, emb.limit(1), k=5)
+    with _pytest.raises(snapshot.SnapshotError, match="payload"):
+        incremental.ingest_knn_graph(
+            spark, vs, gs, emb.limit(1), k=5,
+            payload_store=str(tmp_path / "other"),
+        )
+
+    # SQ8 slim twin ≡ SQ8 batch twin
+    stats = vector.sq8_stats(emb)
+    v2, g2, p2 = (str(tmp_path / n) for n in ("v2", "g2", "p2"))
+    for m in (0, 1):
+        incremental.ingest_knn_graph_sq8(
+            spark, v2, g2, emb.filter(F.col("vec_id") % 2 == m),
+            k=5, stats=stats, payload_store=p2,
+        )
+    got3 = incremental.graph_search_from_store(
+        spark, g2, v2, qids, k=5, beam=8, rounds=2
+    )
+    want3 = vector.graph_search_sq8_topk(
+        emb, vector.knn_graph_sq8(emb, k=5, iters=0, stats=stats),
+        qids, k=5, beam=8, rounds=2, stats=stats,
+    )
+    assert rows(got3) == rows(want3)
+
+
+def test_slim_knn_layout_backfill(spark, tmp_path):
+    """r11: depth backfill through the slim layout — the identify
+    fold and the re-pair kernel read payloads from the twin; after
+    repair the read equals the batch seed graph over survivors."""
+    from blinkit_etl_pipeline_spark.operators import vector
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    vs, gs, ps = (str(tmp_path / n) for n in ("v", "g", "p"))
+    incremental.ingest_knn_graph(
+        spark, vs, gs, emb, k=5, store_k=5, compact_threshold=None,
+        payload_store=ps,
+    )
+    gone = [
+        int(r["v"])
+        for r in snapshot.read_snapshot(spark, gs)
+        .select("v").distinct().limit(4).collect()
+    ]
+    incremental.retract_docs(spark, vs, gone, id_col="vec_id")
+    incremental.backfill_knn_depth(spark, vs, gs, k=5, store_k=5)
+    surv = emb.filter(~F.col("vec_id").isin(gone))
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(
+        incremental.knn_graph_from_store(spark, gs, k=5, vec_store=vs)
+    ) == rows(vector.knn_graph(surv, k=5, iters=0))

@@ -416,8 +416,69 @@ def spot_serve2m(spark) -> None:
     )
 
 
+def spot_serve2m_slim(spark) -> None:
+    """serve2m with the r11 SLIM layout (key-only bucket rows +
+    payload twin): same walk, same graph — the delta vs serve2m is
+    pure layout, isolating how much of the 2M serving wall was the
+    scan of payloads duplicated across ntables bucket rows."""
+    import glob as _glob
+
+    from blinkit_etl_pipeline_spark.operators import incremental, snapshot
+    from blinkit_etl_pipeline_spark.operators.vector import bucket_frame, with_q
+
+    src = sorted(_glob.glob("/tmp/graphserve-sf10-200k-*/graph"))
+    if not src:
+        print("serve2m_slim: run graphserve first")
+        return
+    big = _emb2m(spark)
+    nbits = 12
+    root = tempfile.mkdtemp(prefix="serve2mslim-")
+    vs, gs, ps = root + "/vecs", root + "/graph", root + "/payload"
+    t0 = time.perf_counter()
+    rows = (
+        bucket_frame(with_q(big), nbits, 8, 64)
+        .withColumn(
+            "tb", (F.col("t") * (1 << nbits) + F.col("bucket")).cast("int")
+        )
+    )
+    snapshot.write_snapshot(
+        rows.filter(F.col("t") == 0).select("vec_id", "qvec", "qq"),
+        ps, stats_col="vec_id",
+    )
+    snapshot.write_snapshot(
+        rows.select("vec_id", "t", "bucket", "tb"), vs, stats_col="tb"
+    )
+    snapshot.ensure_table_properties(vs, {"payload_store": ps})
+    t_vec = time.perf_counter() - t0
+    g200 = incremental.knn_graph_from_store(spark, src[0], k=5).select(
+        F.col("node_id").alias("u"), F.col("neighbor_id").alias("v"),
+        F.col("cosine_sim").alias("cos_raw"),
+    )
+    lifted = None
+    for r in range(10):
+        p_ = g200.select(
+            (F.col("u") + F.lit(r * 200_000)).alias("u"),
+            (F.col("v") + F.lit(r * 200_000)).alias("v"),
+            "cos_raw",
+        )
+        lifted = p_ if lifted is None else lifted.unionByName(p_)
+    snapshot.write_snapshot(lifted, gs)
+    qids = [1, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53]
+    t0 = time.perf_counter()
+    n = incremental.graph_search_from_store(
+        spark, gs, vs, qids, k=5, beam=8, rounds=2, nbits=nbits
+    ).count()
+    t_serve = time.perf_counter() - t0
+    print(
+        f"serve2m_slim: stores(2M)={t_vec:.1f}s serve16q={t_serve:.2f}s "
+        f"rows={n} slim+payload="
+        f"{(_store_bytes(vs) + _store_bytes(ps)) / 1e6:.0f}MB"
+    )
+
+
 SPOTS = {
     "serve2m": spot_serve2m,
+    "serve2m_slim": spot_serve2m_slim,
     "graphserve": spot_graphserve,
     "sq8serve": spot_sq8serve,
     "hllcms": spot_hllcms,
