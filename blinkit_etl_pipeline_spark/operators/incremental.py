@@ -517,6 +517,76 @@ def _knn_payload_frame(
     return pay.select("vec_id", "qvec", "qq")
 
 
+def _sq8_store_stats(vec_store: str) -> list[tuple[int, int]] | None:
+    """The pinned SQ8 quantizer, parsed — or None for full-precision
+    stores. One parser for the four consumers that used to inline it
+    (r11 review)."""
+    sq8 = snapshot.table_properties(vec_store).get("sq8_stats")
+    if sq8 is None:
+        return None
+    return [tuple(int(v) for v in s) for s in sq8]
+
+
+def _sq8_recon_select(frame: DataFrame, stats, *keys: str) -> DataFrame:
+    """(vec_id, qvec, qq, *keys) with qvec reconstructed from the
+    frame's ``codes`` — the store-side sibling of
+    ``vector.sq8_recon_frame``."""
+    from . import vector
+
+    return frame.select(
+        "vec_id",
+        vector.sq8_decode_col(F.col("codes"), stats).alias("qvec"),
+        *keys,
+    ).withColumn("qq", vector.qdot(F.col("qvec"), F.col("qvec")))
+
+
+def _knn_corpus_frame(spark: SparkSession, vec_store: str) -> DataFrame:
+    """The live (vec_id, qvec, qq) corpus frame of a knn vector store
+    in ANY layout — slim (payload twin), payload-carrying SQ8 (codes
+    decode against the pinned quantizer), or payload-carrying full
+    precision. Tombstones always applied. Every store reader that
+    needs the scoring lattice (serving, refinement) goes through
+    here, so a new layout lands once (r11 review)."""
+    pay = _knn_payload_frame(spark, vec_store)
+    if pay is not None:
+        return pay
+    vecs = snapshot.read_snapshot(spark, vec_store).filter(
+        F.col("t") == 0
+    )
+    stats = _sq8_store_stats(vec_store)
+    if stats is not None:
+        vecs = _sq8_recon_select(vecs, stats)
+    else:
+        vecs = vecs.select("vec_id", "qvec", "qq")
+    return _exclude_tombstoned(spark, vec_store, vecs, "vec_id")
+
+
+def _bucket_rows_with_payload(
+    spark: SparkSession, vec_store: str, rows: DataFrame
+) -> DataFrame:
+    """(vec_id, qvec, qq, t, bucket, tb) from a knn store's bucket
+    rows, whatever the layout: payload-carrying rows pass through
+    (SQ8 decodes), slim rows join the twin — the one place ingest
+    mate-scoring and depth backfill attach scoring payloads (r11
+    review). NOTE: the twin view is tombstone-excluded, so retracted
+    mates drop out of re-scoring here — reads exclude their edges
+    anyway (the takedown contract), so read results stay bit-equal
+    across layouts (pytest)."""
+    cols = set(rows.columns)
+    if "qvec" in cols:
+        return rows.select("vec_id", "qvec", "qq", "t", "bucket", "tb")
+    if "codes" in cols:
+        stats = _sq8_store_stats(vec_store)
+        return _sq8_recon_select(rows, stats, "t", "bucket", "tb").select(
+            "vec_id", "qvec", "qq", "t", "bucket", "tb"
+        )
+    return (
+        rows.select("vec_id", "t", "bucket", "tb")
+        .join(_knn_payload_frame(spark, vec_store), "vec_id")
+        .select("vec_id", "qvec", "qq", "t", "bucket", "tb")
+    )
+
+
 def _pin_payload_store(vec_store: str, payload_store: str | None) -> None:
     """Layout is a write-once format decision: mixing payload-carrying
     and slim bucket rows in one store would break every reader, so the
@@ -601,7 +671,6 @@ def ingest_knn_graph(
     reads stay EXACT vs the surviving corpus as long as no node's
     list loses more than the slack to takedowns (documented trade —
     re-ingest/backfill restores depth otherwise)."""
-    from . import vector
     from .vector import bucket_frame, with_q
 
     store_k = (k + 3) if store_k is None else max(store_k, k)
@@ -615,6 +684,40 @@ def ingest_knn_graph(
         )
         .select("vec_id", "qvec", "qq", "t", "bucket", "tb")
     )
+    return _ingest_knn_core(
+        spark, vec_store, graph_store, rows,
+        store_k=store_k,
+        payload_store=payload_store,
+        payload_cols=["vec_id", "qvec", "qq"],
+        vec_cols=None,
+        compact_threshold=compact_threshold,
+    )
+
+
+def _ingest_knn_core(
+    spark: SparkSession,
+    vec_store: str,
+    graph_store: str,
+    rows: DataFrame,
+    *,
+    store_k: int,
+    payload_store: str | None,
+    payload_cols: list[str],
+    vec_cols: list[str] | None,
+    compact_threshold: int | None,
+) -> int:
+    """The shared knn-store ingest lifecycle (r11 review: one
+    implementation so a protocol fix lands once — the _ingest_rows
+    principle): vec_id redelivery guard, tombstone exclusion, probed
+    buckets, mate scoring via the any-layout payload attach, directed
+    top-k fold, payload-twin/graph/vec commit ordering, compaction.
+    ``rows`` is the batch's fully-built bucket frame — (vec_id, qvec,
+    qq, t, bucket, tb) plus layout extras; ``payload_cols`` selects
+    the twin's row (full lattice or byte codes), ``vec_cols``
+    overrides the persisted bucket-row columns (None keeps the full
+    frame in non-slim mode)."""
+    from . import vector
+
     exists = snapshot.current_version(vec_store) is not None
     if exists:
         seen = (
@@ -630,17 +733,18 @@ def ingest_knn_graph(
     probed = sorted(
         int(r["tb"]) for r in rows.select("tb").distinct().collect()
     )
-    tagged = rows.withColumn("__new", F.lit(1))
+    tagged = rows.select(
+        "vec_id", "qvec", "qq", "t", "bucket", "tb"
+    ).withColumn("__new", F.lit(1))
     if exists:
-        stored = snapshot.read_snapshot_pruned(spark, vec_store, probed)
-        if payload_store is not None:
-            # slim layout: pruned bucket rows carry keys only — attach
-            # the mates' payloads from the twin (one equi-join, mate-
-            # proportional; old→old pairs still never re-score)
-            stored = stored.join(
-                _knn_payload_frame(spark, vec_store), "vec_id"
-            ).select("vec_id", "qvec", "qq", "t", "bucket", "tb")
-        stored = stored.withColumn("__new", F.lit(0))
+        # mates read from pruned files; the slim layout attaches their
+        # payloads from the twin (one equi-join, mate-proportional;
+        # old→old pairs still never re-score)
+        stored = _bucket_rows_with_payload(
+            spark,
+            vec_store,
+            snapshot.read_snapshot_pruned(spark, vec_store, probed),
+        ).withColumn("__new", F.lit(0))
         tagged = tagged.unionByName(stored)
     cand = tagged.groupBy("t", "bucket").applyInPandas(
         _knn_cross_fn(), schema="u long, v long, cos_raw double"
@@ -655,7 +759,7 @@ def ingest_knn_graph(
         # in between replays the batch (vec guard still open) and the
         # duplicate payload rows are absorbed by the read's vec_id
         # dedup — identical bytes, the edge-append argument
-        pay = rows.filter(F.col("t") == 0).select("vec_id", "qvec", "qq")
+        pay = rows.filter(F.col("t") == 0).select(*payload_cols)
         if snapshot.current_version(payload_store) is None:
             snapshot.write_snapshot(pay, payload_store, stats_col="vec_id")
         else:
@@ -664,11 +768,12 @@ def ingest_knn_graph(
         gv = snapshot.write_snapshot(edges, graph_store)
     else:
         gv = snapshot.append_snapshot(edges, graph_store)
-    vec_rows = (
-        rows.select("vec_id", "t", "bucket", "tb")
-        if payload_store is not None
-        else rows
-    )
+    if payload_store is not None:
+        vec_rows = rows.select("vec_id", "t", "bucket", "tb")
+    elif vec_cols is not None:
+        vec_rows = rows.select(*vec_cols)
+    else:
+        vec_rows = rows
     if exists:
         snapshot.append_snapshot(vec_rows, vec_store, stats_col="tb")
     else:
@@ -742,81 +847,14 @@ def ingest_knn_graph_sq8(
         .join(coded, "vec_id")
         .select("vec_id", "qvec", "qq", "t", "bucket", "tb", "codes")
     )
-    exists = snapshot.current_version(vec_store) is not None
-    if exists:
-        seen = (
-            snapshot.read_snapshot(spark, vec_store)
-            .select("vec_id")
-            .distinct()
-        )
-        rows = rows.join(seen, "vec_id", "left_anti")
-    rows = _exclude_tombstoned(spark, vec_store, rows, "vec_id")
-    rows = rows.localCheckpoint(eager=True)
-    if rows.isEmpty():
-        return snapshot.current_version(graph_store) or 0
-    probed = sorted(
-        int(r["tb"]) for r in rows.select("tb").distinct().collect()
+    return _ingest_knn_core(
+        spark, vec_store, graph_store, rows,
+        store_k=store_k,
+        payload_store=payload_store,
+        payload_cols=["vec_id", "codes"],
+        vec_cols=["vec_id", "t", "bucket", "tb", "codes"],
+        compact_threshold=compact_threshold,
     )
-    tagged = rows.select(
-        "vec_id", "qvec", "qq", "t", "bucket"
-    ).withColumn("__new", F.lit(1))
-    if exists:
-        pruned = snapshot.read_snapshot_pruned(spark, vec_store, probed)
-        if payload_store is not None:
-            # slim layout: key-only bucket rows + the codes twin
-            # (payload frame decodes against the pinned quantizer)
-            stored = pruned.join(
-                _knn_payload_frame(spark, vec_store), "vec_id"
-            ).select("vec_id", "qvec", "qq", "t", "bucket")
-        else:
-            stored = (
-                pruned.select(
-                    "vec_id",
-                    vector.sq8_decode_col(F.col("codes"), stats).alias(
-                        "qvec"
-                    ),
-                    "t",
-                    "bucket",
-                )
-                .withColumn(
-                    "qq", vector.qdot(F.col("qvec"), F.col("qvec"))
-                )
-                .select("vec_id", "qvec", "qq", "t", "bucket")
-            )
-        tagged = tagged.unionByName(stored.withColumn("__new", F.lit(0)))
-    cand = tagged.groupBy("t", "bucket").applyInPandas(
-        _knn_cross_fn(), schema="u long, v long, cos_raw double"
-    )
-    edges = (
-        vector._directed_topk(cand.dropDuplicates(["u", "v"]), store_k)
-        .select("u", "v", "cos_raw")
-        .localCheckpoint(eager=True)
-    )
-    if payload_store is not None:
-        # twin append before the vec commit (see ingest_knn_graph)
-        pay = rows.filter(F.col("t") == 0).select("vec_id", "codes")
-        if snapshot.current_version(payload_store) is None:
-            snapshot.write_snapshot(pay, payload_store, stats_col="vec_id")
-        else:
-            snapshot.append_snapshot(pay, payload_store)
-    if snapshot.current_version(graph_store) is None:
-        gv = snapshot.write_snapshot(edges, graph_store)
-    else:
-        gv = snapshot.append_snapshot(edges, graph_store)
-    vec_rows = (
-        rows.select("vec_id", "t", "bucket", "tb")
-        if payload_store is not None
-        else rows.select("vec_id", "t", "bucket", "tb", "codes")
-    )
-    if exists:
-        snapshot.append_snapshot(vec_rows, vec_store, stats_col="tb")
-    else:
-        snapshot.write_snapshot(vec_rows, vec_store, stats_col="tb")
-    if compact_threshold is not None:
-        m = snapshot.read_manifest(graph_store)
-        if len(m["files"]) >= compact_threshold:
-            compact_knn_store(spark, graph_store, store_k)
-    return gv
 
 
 def knn_graph_from_store(
@@ -883,12 +921,9 @@ def knn_graph_refine(
     edges = snapshot.read_snapshot(spark, graph_store).dropDuplicates(
         ["u", "v"]
     )
-    vecs = (
-        snapshot.read_snapshot(spark, vec_store)
-        .filter(F.col("t") == 0)
-        .select("vec_id", "qvec", "qq")
-    )
-    vecs = _exclude_tombstoned(spark, vec_store, vecs, "vec_id")
+    # any-layout corpus frame (slim twin / SQ8 decode / full) — the
+    # r11 review found this reader hard-coded to the original layout
+    vecs = _knn_corpus_frame(spark, vec_store)
     tb = tombstones(spark, vec_store, "vec_id")
     if tb is not None:
         edges = edges.join(
@@ -1825,6 +1860,16 @@ def _sq8_pin_stats(
         )
     elif stats is None:
         stats = vector.sq8_stats(new_emb)
+    if not stats:
+        # an empty training batch would write-once-pin a dim-0
+        # quantizer and permanently brick the store (every later
+        # encode fails its width guard) — refuse loudly instead
+        # (r11 review)
+        raise snapshot.SnapshotError(
+            f"sq8 store at {store_table}: cannot train a quantizer "
+            "on an empty batch — ingest a non-empty first batch or "
+            "pass trained stats"
+        )
     snapshot.ensure_table_properties(
         store_table, {"sq8_stats": [list(s) for s in stats]}
     )
@@ -2321,29 +2366,7 @@ def graph_search_from_store(
     # twin — ONE row per vector instead of scanning payloads
     # duplicated across all ntables bucket rows (the serve2m growing
     # term; _knn_payload_frame also handles the SQ8 decode).
-    pay = _knn_payload_frame(spark, vec_store)
-    sq8 = snapshot.table_properties(vec_store).get("sq8_stats")
-    if pay is not None:
-        e = pay.localCheckpoint(eager=False)
-    elif sq8 is not None:
-        stats = [tuple(int(v) for v in s) for s in sq8]
-        e = (
-            vecs.filter(F.col("t") == 0)
-            .select(
-                "vec_id",
-                vector.sq8_decode_col(F.col("codes"), stats).alias(
-                    "qvec"
-                ),
-            )
-            .withColumn("qq", vector.qdot(F.col("qvec"), F.col("qvec")))
-            .localCheckpoint(eager=False)
-        )
-    else:
-        e = (
-            vecs.filter(F.col("t") == 0)
-            .select("vec_id", "qvec", "qq")
-            .localCheckpoint(eager=False)
-        )
+    e = _knn_corpus_frame(spark, vec_store).localCheckpoint(eager=False)
     qe = (queries_e if queries_e is not None else e).select(
         F.col("vec_id").alias("query_id"),
         F.col("qvec").alias("_sqv"),
@@ -2873,55 +2896,30 @@ def backfill_knn_depth(
     )
     if affected.isEmpty():
         return current
-    live = _exclude_tombstoned(
-        spark, vec_store, snapshot.read_snapshot(spark, vec_store),
-        "vec_id",
-    )
-    pay = _knn_payload_frame(spark, vec_store)
-    if pay is not None:
-        # slim layout: bucket rows are key-only — attach payloads from
-        # the twin before the re-pair kernel (mate-proportional join)
-        live = live.select("vec_id", "t", "bucket", "tb").join(
-            pay, "vec_id"
-        ).select("vec_id", "qvec", "qq", "t", "bucket", "tb")
-    elif "codes" in live.columns and "qvec" not in live.columns:
-        # payload-carrying SQ8 store: decode against the pinned stats
-        sq8 = snapshot.table_properties(vec_store)["sq8_stats"]
-        stats = [tuple(int(v) for v in s) for s in sq8]
-        live = live.select(
+    live = _bucket_rows_with_payload(
+        spark,
+        vec_store,
+        _exclude_tombstoned(
+            spark, vec_store, snapshot.read_snapshot(spark, vec_store),
             "vec_id",
-            vector.sq8_decode_col(F.col("codes"), stats).alias("qvec"),
-            "t",
-            "bucket",
-            "tb",
-        ).withColumn("qq", vector.qdot(F.col("qvec"), F.col("qvec")))
+        ),
+    )
     arows = live.join(
         F.broadcast(affected.withColumnRenamed("u", "vec_id")), "vec_id"
     ).localCheckpoint(eager=True)
     probed = sorted(
         int(r["tb"]) for r in arows.select("tb").distinct().collect()
     )
-    pruned = _exclude_tombstoned(
+    mates = _bucket_rows_with_payload(
         spark,
         vec_store,
-        snapshot.read_snapshot_pruned(spark, vec_store, probed),
-        "vec_id",
-    )
-    if pay is not None:
-        pruned = pruned.select("vec_id", "t", "bucket", "tb").join(
-            pay, "vec_id"
-        ).select("vec_id", "qvec", "qq", "t", "bucket", "tb")
-    elif "codes" in pruned.columns and "qvec" not in pruned.columns:
-        sq8 = snapshot.table_properties(vec_store)["sq8_stats"]
-        stats = [tuple(int(v) for v in s) for s in sq8]
-        pruned = pruned.select(
+        _exclude_tombstoned(
+            spark,
+            vec_store,
+            snapshot.read_snapshot_pruned(spark, vec_store, probed),
             "vec_id",
-            vector.sq8_decode_col(F.col("codes"), stats).alias("qvec"),
-            "t",
-            "bucket",
-            "tb",
-        ).withColumn("qq", vector.qdot(F.col("qvec"), F.col("qvec")))
-    mates = pruned.join(
+        ),
+    ).join(
         F.broadcast(affected.withColumnRenamed("u", "vec_id")),
         "vec_id",
         "left_anti",

@@ -7358,8 +7358,11 @@ SELECT 'span',
   CAST(0 AS BIGINT)
 UNION ALL
 SELECT 'bm25',
+  -- every ingested doc gets a per-doc length SENTINEL row (that is
+  -- how N counts empty docs — postings_frame's contract), so the
+  -- live-id universe is ALL survivor docs, token-bearing or not
   (SELECT CAST(count(*) AS BIGINT) FROM toks
-   WHERE len(tk) >= 1 AND {_TD_DOCPRED}),
+   WHERE {_TD_DOCPRED}),
   CAST(0 AS BIGINT)
 UNION ALL
 SELECT 'bigram',
@@ -7386,12 +7389,18 @@ REL_GONE = [5, 8]
 _REL_GONE_SQL = ", ".join(str(i) for i in REL_GONE)
 
 
-def _release_root(spark: SparkSession) -> str:
+def _release_root(spark: SparkSession, sf_dir: str) -> str:
+    # the scratch root carries BOTH memo-key dimensions: an
+    # applicationId-only root would let a second sf_dir's rebuild
+    # clobber the stores behind the first's memoized (root, v1, v2)
+    # (r11 review)
+    import hashlib
     import tempfile
 
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     return os.path.join(
         tempfile.gettempdir(),
-        f"release-{spark.sparkContext.applicationId}",
+        f"release-{spark.sparkContext.applicationId}-{sfx}",
     )
 
 
@@ -7416,7 +7425,7 @@ def _release_build(spark: SparkSession, sf_dir: str):
     if key in _REL_BUILD_MEMO:
         return _REL_BUILD_MEMO[key]
     docs = _docs(spark, sf_dir)
-    root = _release_root(spark)
+    root = _release_root(spark, sf_dir)
     shutil.rmtree(root, ignore_errors=True)
     for m in (0, 1, 2):
         rel.ingest_release(

@@ -2332,3 +2332,60 @@ def test_slim_knn_layout_backfill(spark, tmp_path):
     assert rows(
         incremental.knn_graph_from_store(spark, gs, k=5, vec_store=vs)
     ) == rows(vector.knn_graph(surv, k=5, iters=0))
+
+
+def test_refine_reads_all_store_layouts(spark, tmp_path):
+    """r11 review: knn_graph_refine was hard-coded to the original
+    payload-carrying full-precision layout — pin that it now serves
+    the slim and SQ8 layouts through the shared any-layout corpus
+    frame, matching the corresponding batch construction."""
+    from blinkit_etl_pipeline_spark.operators import vector
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).filter(F.col("vec_id") < 200)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    # slim full-precision
+    vs, gs, ps = (str(tmp_path / n) for n in ("v", "g", "p"))
+    incremental.ingest_knn_graph(
+        spark, vs, gs, emb, k=5, payload_store=ps
+    )
+    got = rows(incremental.knn_graph_refine(spark, gs, vs, k=5, iters=1))
+    want = rows(vector.knn_graph(emb, k=5, iters=1))
+    assert got == want and len(got) > 0
+
+    # payload-carrying SQ8 (refines on the reconstructed lattice)
+    stats = vector.sq8_stats(emb)
+    v2, g2 = str(tmp_path / "v2"), str(tmp_path / "g2")
+    incremental.ingest_knn_graph_sq8(
+        spark, v2, g2, emb, k=5, stats=stats
+    )
+    got2 = rows(incremental.knn_graph_refine(spark, g2, v2, k=5, iters=1))
+    want2 = rows(vector.knn_graph_sq8(emb, k=5, iters=1, stats=stats))
+    assert got2 == want2
+
+
+def test_sq8_store_refuses_empty_training_batch(spark, tmp_path):
+    """r11 review: an empty first batch must not write-once-pin a
+    dim-0 quantizer (which would brick every later encode) — both
+    SQ8 store formats refuse loudly, and the store stays trainable."""
+    import pytest as _pytest
+
+    from blinkit_etl_pipeline_spark.operators import vector
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).filter(F.col("vec_id") < 50)
+    empty = emb.filter(F.lit(False))
+    store = str(tmp_path / "codes")
+    with _pytest.raises(snapshot.SnapshotError, match="empty batch"):
+        incremental.ingest_sq8_codes(spark, store, empty)
+    vs, gs = str(tmp_path / "v"), str(tmp_path / "g")
+    with _pytest.raises(snapshot.SnapshotError, match="empty batch"):
+        incremental.ingest_knn_graph_sq8(spark, vs, gs, empty)
+    # nothing was pinned: a real first batch still trains fine
+    incremental.ingest_sq8_codes(spark, store, emb)
+    assert snapshot.table_properties(store)["sq8_stats"]

@@ -111,3 +111,30 @@ def test_release_publish_versions_and_cdc(spark, tmp_path):
     got_in = _rows(cdc.filter(F.col("change") == "in").drop("change"))
     assert got_out == want_out and got_in == want_in
     assert any(int(r[0]) in gone for r in got_out)
+
+
+def test_release_gauge_memo_keyed_by_sf_dir(spark):
+    """r11 review: the release-build memo's scratch root must carry
+    the sf_dir dimension — two sf dirs in one session get DISTINCT
+    roots and both memoized releases stay readable."""
+    from blinkit_etl_pipeline_spark.plans.northstar import (
+        _release_build,
+        _release_root,
+    )
+
+    a = "/root/testdata/sf0.001"
+    b = "/root/testdata/sf0.01"
+    assert _release_root(spark, a) != _release_root(spark, b)
+    root_a, va1, va2 = _release_build(spark, a)
+    root_b, vb1, vb2 = _release_build(spark, b)
+    assert root_a != root_b
+    # the first build's published versions still read after the second
+    listing = snapshot.read_snapshot(
+        spark, release.stores(root_a)["release"], va2
+    )
+    assert listing.count() >= 0 and set(listing.columns) == {
+        "doc_id", "lang", "predicted_lang", "n_tokens",
+        "quality_score", "split",
+    }
+    # and the memo returns the same tuple without rebuilding
+    assert _release_build(spark, a) == (root_a, va1, va2)
