@@ -2422,6 +2422,141 @@ def graph_search_from_store(
     )
 
 
+def open_graph_serving(
+    spark: SparkSession,
+    graph_store: str,
+    vec_store: str,
+    *,
+    k: int = 5,
+    beam: int = 8,
+    rounds: int = 2,
+    nbits: int = 4,
+    ntables: int = 8,
+    dim: int = 64,
+):
+    """A PINNED ANN serving session (r11 — pre-empting the r12
+    candidate the serve2m decomposition exposed): the per-call wall of
+    :func:`graph_search_from_store` is dominated by state that never
+    changes between queries — the corpus scoring frame (~11 s of a
+    15 s call at 2M vectors), the graph's dedup + top-k fold, and the
+    undirected expansion. A serving process pays those ONCE here
+    (eager checkpoints, MVCC-pinned to the stores' current versions)
+    and each subsequent batch costs only its seeds + |Q|·beam·k scored
+    pairs. Returns ``serve(query_ids=None, queries_emb=None)`` —
+    bit-equal to calling :func:`graph_search_from_store` at open time
+    (pytest); takedowns or drops landing AFTER the open are
+    deliberately not visible (a serving session serves a snapshot —
+    reopen to advance, the pinned-reader contract every store here
+    already honors)."""
+    import numpy as np
+
+    from . import vector
+    from .vector import table_buckets_py, with_q
+
+    e = _knn_corpus_frame(spark, vec_store).localCheckpoint(eager=True)
+    keys = _exclude_tombstoned(
+        spark,
+        vec_store,
+        snapshot.read_snapshot(spark, vec_store).select(
+            "vec_id", "t", "bucket"
+        ),
+        "vec_id",
+    ).localCheckpoint(eager=True)
+    edges = snapshot.read_snapshot(spark, graph_store).dropDuplicates(
+        ["u", "v"]
+    )
+    tb = tombstones(spark, vec_store, "vec_id")
+    if tb is not None:
+        edges = edges.join(
+            F.broadcast(tb.withColumnRenamed("vec_id", "u")),
+            "u",
+            "left_anti",
+        ).join(
+            F.broadcast(tb.withColumnRenamed("vec_id", "v")),
+            "v",
+            "left_anti",
+        )
+    folded = vector._directed_topk(edges, k).select("u", "v")
+    und = vector.undirect_graph(
+        folded.select(
+            F.col("u").alias("node_id"), F.col("v").alias("neighbor_id")
+        )
+    ).select(
+        F.col("node_id").alias("u"), F.col("neighbor_id").alias("v")
+    ).localCheckpoint(eager=True)
+
+    def serve(
+        query_ids=None, queries_emb: DataFrame | None = None
+    ) -> DataFrame:
+        queries_e = None
+        if queries_emb is not None:
+            qcollect = sorted(
+                with_q(queries_emb).select("vec_id", "qvec", "qq").collect(),
+                key=lambda r: r["vec_id"],
+            )
+            if not qcollect:
+                raise ValueError("queries_emb is empty")
+            QM = np.array([list(r["qvec"]) for r in qcollect])
+            B = table_buckets_py(QM, nbits, ntables, dim)
+            qrows = spark.createDataFrame(
+                [
+                    (int(r["vec_id"]), t, int(B[i, t]))
+                    for i, r in enumerate(qcollect)
+                    for t in range(ntables)
+                ],
+                "vec_id long, t int, bucket int",
+            )
+            queries_e = (
+                with_q(queries_emb)
+                .select("vec_id", "qvec", "qq")
+                .localCheckpoint(eager=True)
+            )
+        else:
+            if query_ids is None:
+                raise ValueError(
+                    "serve() needs query_ids (corpus members) or "
+                    "queries_emb (external vectors)"
+                )
+            qids = [int(i) for i in query_ids]
+            qrows = keys.filter(F.col("vec_id").isin(qids))
+        seeds = (
+            F.broadcast(
+                qrows.select(
+                    F.col("vec_id").alias("query_id"), "t", "bucket"
+                )
+            )
+            .join(keys, ["t", "bucket"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+            .distinct()
+        )
+        qe = (queries_e if queries_e is not None else e).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qvec").alias("_gqv"),
+            F.col("qq").alias("_gqq"),
+        )
+        ce = e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("qvec").alias("_gcv"),
+            F.col("qq").alias("_gcq"),
+        )
+        scored = vector._gs_score(seeds, qe, ce)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+        )
+        beam_seeds = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= beam)
+            .select("query_id", "neighbor_id")
+        )
+        return vector.graph_search_rounds(
+            e, und, beam_seeds, k, beam, rounds,
+            queries_e=queries_e, undirected=True,
+        )
+
+    return serve
+
+
 # ---------------------------------------------------------------------------
 # Incremental COUNT DISTINCT via HLL-register stores (r10 addendum)
 # ---------------------------------------------------------------------------

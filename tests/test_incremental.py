@@ -2389,3 +2389,54 @@ def test_sq8_store_refuses_empty_training_batch(spark, tmp_path):
     # nothing was pinned: a real first batch still trains fine
     incremental.ingest_sq8_codes(spark, store, emb)
     assert snapshot.table_properties(store)["sq8_stats"]
+
+
+def test_graph_serving_session_pins_and_matches_per_call_path(
+    spark, tmp_path
+):
+    """r11: open_graph_serving pays the corpus frame + graph folds
+    once and serves batches bit-equal to the per-call store path —
+    corpus-member batches, repeated batches, and external vectors —
+    through a pre-open takedown; a post-open takedown is deliberately
+    NOT visible (the session serves its pinned snapshot) until
+    reopen."""
+    from blinkit_etl_pipeline_spark.operators import vector
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    vs, gs, ps = (str(tmp_path / n) for n in ("v", "g", "p"))
+    for m in (0, 1):
+        incremental.ingest_knn_graph(
+            spark, vs, gs, emb.filter(F.col("vec_id") % 2 == m),
+            k=5, payload_store=ps,
+        )
+    incremental.retract_docs(spark, vs, [7], id_col="vec_id")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    serve = incremental.open_graph_serving(spark, gs, vs, k=5, beam=8,
+                                           rounds=2)
+    for batch in ([0, 1, 2, 3, 4, 5, 8, 9], [2, 4, 6]):
+        assert rows(serve(batch)) == rows(
+            incremental.graph_search_from_store(
+                spark, gs, vs, batch, k=5, beam=8, rounds=2
+            )
+        )
+    qext = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    assert rows(serve(queries_emb=qext)) == rows(
+        incremental.graph_search_from_store(
+            spark, gs, vs, k=5, beam=8, rounds=2, queries_emb=qext
+        )
+    )
+
+    # snapshot semantics: a takedown AFTER open stays invisible to the
+    # pinned session and visible to a fresh open
+    pinned_before = rows(serve([2, 4, 6]))
+    incremental.retract_docs(spark, vs, [3], id_col="vec_id")
+    assert rows(serve([2, 4, 6])) == pinned_before
+    serve2 = incremental.open_graph_serving(spark, gs, vs, k=5, beam=8,
+                                            rounds=2)
+    fresh = serve2([2, 4, 6])
+    assert fresh.filter(F.col("neighbor_id") == 3).count() == 0
