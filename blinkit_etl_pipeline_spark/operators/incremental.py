@@ -2266,6 +2266,7 @@ def graph_search_from_store(
     nbits: int = 4,
     ntables: int = 8,
     dim: int = 64,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """ANN serving FROM PERSISTED STATE (r10 addendum): entry points
     come from the vector store's own bucket rows — the query rows'
@@ -2288,7 +2289,14 @@ def graph_search_from_store(
     embedding) frame whose vectors hash driver-side against the shared
     seeded planes (``nbits``/``ntables``/``dim`` must match the
     ingest), skipping the lookup scan entirely — file pruning then
-    opens only the external queries' colliding buckets."""
+    opens only the external queries' colliding buckets.
+
+    ``allowed`` (r12): filtered ANN over the store — a (vec_id) frame
+    a metadata predicate admits, pushed into BOTH the bucket probe
+    (seed candidates filtered before scoring) and the graph walk
+    (``vector.graph_search_rounds``'s strict semantics). Composes
+    with takedowns: a retracted id is excluded whether or not the
+    predicate admits it (pytest pins the composition)."""
     from . import vector
 
     vecs = snapshot.read_snapshot(spark, vec_store)
@@ -2355,6 +2363,14 @@ def graph_search_from_store(
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
+    if allowed is not None:
+        seeds = seeds.join(
+            F.broadcast(
+                allowed.select(F.col("vec_id").alias("neighbor_id"))
+            ),
+            "neighbor_id",
+            "semi",
+        )
     # beam-fold the seed candidates exactly as the batch path does
     # (lsh_topk ranks its candidate set on raw cosine before the cut).
     # An SQ8-payload store (ingest_knn_graph_sq8 — quantizer pinned in
@@ -2418,7 +2434,7 @@ def graph_search_from_store(
     graph_edges = vector._directed_topk(edges, k).select("u", "v")
     return vector.graph_search_rounds(
         e, graph_edges, beam_seeds, k, beam, rounds,
-        queries_e=queries_e,
+        queries_e=queries_e, allowed=allowed,
     )
 
 
@@ -2433,6 +2449,7 @@ def open_graph_serving(
     nbits: int = 4,
     ntables: int = 8,
     dim: int = 64,
+    published_store: str | None = None,
 ):
     """A PINNED ANN serving session (r11 — pre-empting the r12
     candidate the serve2m decomposition exposed): the per-call wall of
@@ -2447,7 +2464,18 @@ def open_graph_serving(
     (pytest); takedowns or drops landing AFTER the open are
     deliberately not visible (a serving session serves a snapshot —
     reopen to advance, the pinned-reader contract every store here
-    already honors)."""
+    already honors).
+
+    ``published_store`` (r12, VERDICT r11 #1): a
+    :func:`publish_graph` table — the adjacency arrives PRE-FOLDED
+    and PRE-UNDIRECTED, so the open skips the graph-sized dedup +
+    top-k fold + undirected expansion entirely (at 2M vectors those
+    folds were most of the 22 s open) and only checkpoints the
+    corpus frame + key rows. The published fold must have been cut
+    at ≥ this session's ``k`` (property-guarded); publish-time
+    tombstones are already folded in, and a takedown AFTER the
+    publish is invisible until republish + reopen — the same
+    snapshot contract the session itself already pins."""
     import numpy as np
 
     from . import vector
@@ -2462,31 +2490,39 @@ def open_graph_serving(
         ),
         "vec_id",
     ).localCheckpoint(eager=True)
-    edges = snapshot.read_snapshot(spark, graph_store).dropDuplicates(
-        ["u", "v"]
-    )
-    tb = tombstones(spark, vec_store, "vec_id")
-    if tb is not None:
-        edges = edges.join(
-            F.broadcast(tb.withColumnRenamed("vec_id", "u")),
-            "u",
-            "left_anti",
-        ).join(
-            F.broadcast(tb.withColumnRenamed("vec_id", "v")),
-            "v",
-            "left_anti",
+    if published_store is not None:
+        und = _published_adjacency(
+            spark, published_store, k
+        ).localCheckpoint(eager=True)
+    else:
+        edges = snapshot.read_snapshot(spark, graph_store).dropDuplicates(
+            ["u", "v"]
         )
-    folded = vector._directed_topk(edges, k).select("u", "v")
-    und = vector.undirect_graph(
-        folded.select(
-            F.col("u").alias("node_id"), F.col("v").alias("neighbor_id")
-        )
-    ).select(
-        F.col("node_id").alias("u"), F.col("neighbor_id").alias("v")
-    ).localCheckpoint(eager=True)
+        tb = tombstones(spark, vec_store, "vec_id")
+        if tb is not None:
+            edges = edges.join(
+                F.broadcast(tb.withColumnRenamed("vec_id", "u")),
+                "u",
+                "left_anti",
+            ).join(
+                F.broadcast(tb.withColumnRenamed("vec_id", "v")),
+                "v",
+                "left_anti",
+            )
+        folded = vector._directed_topk(edges, k).select("u", "v")
+        und = vector.undirect_graph(
+            folded.select(
+                F.col("u").alias("node_id"),
+                F.col("v").alias("neighbor_id"),
+            )
+        ).select(
+            F.col("node_id").alias("u"), F.col("neighbor_id").alias("v")
+        ).localCheckpoint(eager=True)
 
     def serve(
-        query_ids=None, queries_emb: DataFrame | None = None
+        query_ids=None,
+        queries_emb: DataFrame | None = None,
+        allowed: DataFrame | None = None,
     ) -> DataFrame:
         queries_e = None
         if queries_emb is not None:
@@ -2530,6 +2566,14 @@ def open_graph_serving(
             .select("query_id", F.col("vec_id").alias("neighbor_id"))
             .distinct()
         )
+        if allowed is not None:
+            seeds = seeds.join(
+                F.broadcast(
+                    allowed.select(F.col("vec_id").alias("neighbor_id"))
+                ),
+                "neighbor_id",
+                "semi",
+            )
         qe = (queries_e if queries_e is not None else e).select(
             F.col("vec_id").alias("query_id"),
             F.col("qvec").alias("_gqv"),
@@ -2551,10 +2595,348 @@ def open_graph_serving(
         )
         return vector.graph_search_rounds(
             e, und, beam_seeds, k, beam, rounds,
-            queries_e=queries_e, undirected=True,
+            queries_e=queries_e, undirected=True, allowed=allowed,
         )
 
     return serve
+
+
+# ---------------------------------------------------------------------------
+# Published serving graph + frontier-priced walk (r12, VERDICT r11 #1)
+# ---------------------------------------------------------------------------
+
+
+def publish_graph(
+    spark: SparkSession,
+    graph_store: str,
+    vec_store: str,
+    pub_store: str,
+    *,
+    k: int = 5,
+) -> int:
+    """Publish the maintained k-NN graph in SERVING shape (r12,
+    VERDICT r11 #1): the candidate history's (u, v) dedup, per-node
+    top-``k`` fold, and undirected expansion — the graph-sized work
+    every :func:`graph_search_from_store` call and every
+    :func:`open_graph_serving` open used to re-derive — are paid ONCE
+    here and written as a snapshot table clustered by ``u`` with
+    manifest min/max stats, so a walk hop reads ONLY the frontier
+    nodes' adjacency files (:func:`snapshot.read_snapshot_pruned`,
+    the IVF-list pattern). Current takedowns fold in exactly as the
+    per-call read does (excluded from the raw history BEFORE the
+    fold, so ``store_k`` slack promotes surviving candidates).
+
+    A published graph is a snapshot of its sources: drops or
+    takedowns landing AFTER the publish are not reflected until the
+    next publish (readers still refuse to RETURN post-publish
+    tombstoned ids — see :func:`graph_search_published` — they just
+    can't resurrect the fold's discarded slack). ``k`` is pinned
+    write-once in the table properties; reads may walk at any
+    k ≤ pinned (the fold is per-node top-k, so a shallower cut is a
+    prefix). Republishing commits a new MVCC version of the same
+    table — serving sessions advance by reopening."""
+    from . import vector
+
+    pinned = snapshot.table_properties(pub_store)
+    if pinned.get("k") is not None and int(pinned["k"]) != int(k):
+        raise snapshot.SnapshotError(
+            f"published graph at {pub_store} is pinned to k="
+            f"{pinned['k']} — republish with the same k"
+        )
+    edges = snapshot.read_snapshot(spark, graph_store).dropDuplicates(
+        ["u", "v"]
+    )
+    tb = tombstones(spark, vec_store, "vec_id")
+    if tb is not None:
+        edges = edges.join(
+            F.broadcast(tb.withColumnRenamed("vec_id", "u")),
+            "u",
+            "left_anti",
+        ).join(
+            F.broadcast(tb.withColumnRenamed("vec_id", "v")),
+            "v",
+            "left_anti",
+        )
+    folded = vector._directed_topk(edges, k).select("u", "v")
+    und = (
+        folded.union(
+            folded.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    v = snapshot.write_snapshot(und, pub_store, stats_col="u")
+    snapshot.ensure_table_properties(
+        pub_store,
+        {"k": int(k), "source_vec": vec_store, "source_graph": graph_store},
+    )
+    return v
+
+
+def _published_adjacency(
+    spark: SparkSession, pub_store: str, k: int, frontier_ids=None
+) -> DataFrame:
+    """The published undirected adjacency, k-guarded — pruned to the
+    frontier's files when ``frontier_ids`` is given (each hop opens
+    only the files whose ``u`` range intersects the frontier)."""
+    props = snapshot.table_properties(pub_store)
+    pk = props.get("k")
+    if pk is not None and int(k) > int(pk):
+        raise snapshot.SnapshotError(
+            f"published graph at {pub_store} was folded at k={pk} — "
+            f"cannot serve k={k} (republish deeper)"
+        )
+    if frontier_ids is None:
+        return snapshot.read_snapshot(spark, pub_store).select("u", "v")
+    return snapshot.read_snapshot_pruned(
+        spark, pub_store, sorted(frontier_ids)
+    ).select("u", "v")
+
+
+def _corpus_rows_for_ids(
+    spark: SparkSession, vec_store: str, ids
+) -> DataFrame:
+    """(vec_id, qvec, qq) scoring rows for a BOUNDED id set, priced by
+    the ids rather than the corpus: a slim store prunes its
+    vec_id-clustered payload twin's files from the manifest (only
+    files whose range intersects the ids open — the frontier-read
+    primitive), then an exact broadcast id-join trims file-granular
+    over-inclusion. SQ8 twins decode only the rows read. A
+    payload-carrying store has no id-clustered artifact, so it falls
+    back to the corpus frame filtered (correct, corpus-priced —
+    the slim layout is the deployment shape for a reason)."""
+    ids = sorted({int(i) for i in ids})
+    idf = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+    props = snapshot.table_properties(vec_store)
+    ps = props.get("payload_store")
+    if ps is None:
+        return _knn_corpus_frame(spark, vec_store).join(
+            F.broadcast(idf), "vec_id"
+        )
+    from . import vector
+
+    pay = (
+        snapshot.read_snapshot_pruned(spark, ps, ids)
+        .join(F.broadcast(idf), "vec_id")
+        .dropDuplicates(["vec_id"])
+    )
+    pay = _exclude_tombstoned(spark, vec_store, pay, "vec_id")
+    stats = _sq8_store_stats(vec_store)
+    if stats is not None:
+        return pay.select(
+            "vec_id",
+            vector.sq8_decode_col(F.col("codes"), stats).alias("qvec"),
+        ).withColumn("qq", vector.qdot(F.col("qvec"), F.col("qvec")))
+    return pay.select("vec_id", "qvec", "qq")
+
+
+def graph_search_published(
+    spark: SparkSession,
+    pub_store: str,
+    query_ids=None,
+    *,
+    k: int = 5,
+    beam: int = 8,
+    rounds: int = 2,
+    queries_emb: DataFrame | None = None,
+    nbits: int = 4,
+    ntables: int = 8,
+    dim: int = 64,
+    allowed: DataFrame | None = None,
+    vec_store: str | None = None,
+) -> DataFrame:
+    """FRONTIER-PRICED one-shot ANN serving (r12, VERDICT r11 #1 —
+    the serve2m wall): :func:`graph_search_from_store` pays ~11 s of
+    corpus-frame materialization per call at 2M vectors because seed
+    scoring and every hop broadcast-probe the FULL payload frame.
+    This path never materializes a corpus frame at all — every read
+    is manifest-pruned to the ids it actually touches:
+
+    - query vectors: pruned read of the vec_id-clustered payload twin
+      (|Q| rows), hashed driver-side against the shared seeded planes
+      (identical to the stored bucket keys — ingest hashes the same
+      lattice), so the bucket-key lookup scan is gone too;
+    - seed candidates: pruned bucket-file probe (as before), scored
+      against a pruned twin read of just the colliding ids;
+    - each hop: adjacency from the PUBLISHED graph's ``u``-pruned
+      files (:func:`publish_graph` — pre-folded, pre-undirected), new
+      candidates scored from a pruned twin read of just those ids.
+
+    Per-call driver state is bounded by contract: |Q|·ntables bucket
+    keys, the collision id set, and |Q|·beam·k ids per hop — never
+    corpus-sized. Result is bit-equal to
+    :func:`graph_search_from_store` over the published sources while
+    their tombstones are unchanged since publish (pytest); after a
+    post-publish takedown, retracted ids are still never seeded,
+    walked, or returned (excluded here against CURRENT tombstones) —
+    the fold's discarded slack just can't promote until republish.
+
+    ``allowed``/``queries_emb`` as in :func:`graph_search_from_store`.
+    Requires the slim layout (the deployment shape) — a
+    payload-carrying store falls back to corpus-priced scoring via
+    :func:`_corpus_rows_for_ids`."""
+    import numpy as np
+
+    from . import vector
+    from .vector import table_buckets_py
+
+    props = snapshot.table_properties(pub_store)
+    vec_store = vec_store or props.get("source_vec")
+    if vec_store is None:
+        raise snapshot.SnapshotError(
+            f"published graph at {pub_store} carries no source_vec — "
+            "pass vec_store explicitly"
+        )
+    if queries_emb is not None:
+        queries_e = (
+            vector.with_q(queries_emb)
+            .select("vec_id", "qvec", "qq")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        if query_ids is None:
+            raise ValueError(
+                "graph_search_published needs query_ids (corpus "
+                "members) or queries_emb (external vectors)"
+            )
+        queries_e = _corpus_rows_for_ids(
+            spark, vec_store, [int(i) for i in query_ids]
+        ).localCheckpoint(eager=True)
+    qcollect = sorted(
+        queries_e.collect(), key=lambda r: r["vec_id"]
+    )
+    if not qcollect:
+        raise ValueError("no live query vectors resolved")
+    QM = np.array([list(r["qvec"]) for r in qcollect])
+    B = table_buckets_py(QM, nbits, ntables, dim)
+    qrows = spark.createDataFrame(
+        [
+            (
+                int(r["vec_id"]),
+                t,
+                int(B[i, t]),
+                t * (1 << nbits) + int(B[i, t]),
+            )
+            for i, r in enumerate(qcollect)
+            for t in range(ntables)
+        ],
+        "query_id long, t int, bucket int, tb int",
+    ).localCheckpoint(eager=True)
+    probed = sorted(
+        int(r["tb"]) for r in qrows.select("tb").distinct().collect()
+    )
+    stored = _exclude_tombstoned(
+        spark,
+        vec_store,
+        snapshot.read_snapshot_pruned(spark, vec_store, probed),
+        "vec_id",
+    )
+    seeds = (
+        F.broadcast(qrows.select("query_id", "t", "bucket"))
+        .join(stored.select("vec_id", "t", "bucket"), ["t", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    if allowed is not None:
+        allowed = allowed.select("vec_id").localCheckpoint(eager=True)
+        seeds = seeds.join(
+            F.broadcast(
+                allowed.select(F.col("vec_id").alias("neighbor_id"))
+            ),
+            "neighbor_id",
+            "semi",
+        )
+    seeds = seeds.localCheckpoint(eager=True)
+    qe = queries_e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("_gqv"),
+        F.col("qq").alias("_gqq"),
+    )
+
+    def _score(pairs: DataFrame) -> DataFrame:
+        """Score a bounded pair frame from a pruned twin read of just
+        its neighbor ids — the frontier-read primitive."""
+        nids = [
+            int(r["neighbor_id"])
+            for r in pairs.select("neighbor_id").distinct().collect()
+        ]
+        if not nids:
+            return pairs.select(
+                "query_id", "neighbor_id",
+                F.lit(0.0).alias("cos_raw"),
+            ).limit(0)
+        ce = _corpus_rows_for_ids(spark, vec_store, nids).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("qvec").alias("_gcv"),
+            F.col("qq").alias("_gcq"),
+        )
+        return vector._gs_score(pairs, qe, ce)
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    tb = tombstones(spark, vec_store, "vec_id")
+    # beam-cut the scored seed candidates — the walk pool STARTS from
+    # the per-query top-beam entry points (the from_store/batch-twin
+    # contract), not the full collision set
+    state = (
+        _score(seeds)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= beam)
+        .select("query_id", "neighbor_id", "cos_raw")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        frontier = (
+            state.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= beam)
+            .select("query_id", F.col("neighbor_id").alias("u"))
+            .localCheckpoint(eager=True)
+        )
+        fids = sorted(
+            int(r["u"]) for r in frontier.select("u").distinct().collect()
+        )
+        und = _published_adjacency(spark, pub_store, k, fids)
+        cand = (
+            F.broadcast(frontier)
+            .join(und, "u")
+            .select("query_id", F.col("v").alias("neighbor_id"))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .distinct()
+        )
+        if tb is not None:
+            cand = cand.join(
+                F.broadcast(tb.withColumnRenamed("vec_id", "neighbor_id")),
+                "neighbor_id",
+                "left_anti",
+            )
+        if allowed is not None:
+            cand = cand.join(
+                F.broadcast(
+                    allowed.select(F.col("vec_id").alias("neighbor_id"))
+                ),
+                "neighbor_id",
+                "semi",
+            )
+        new = cand.join(
+            F.broadcast(state.select("query_id", "neighbor_id")),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        state = state.unionByName(_score(new)).localCheckpoint(
+            eager=True
+        )
+    return (
+        state.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -358,11 +358,24 @@ def _pruned_entries(manifest: dict, values) -> list[dict] | None:
     entries = manifest["files"]
     if not entries or not all("min" in e for e in entries):
         return None
-    return [
-        e
-        for e in entries
-        if any(e["min"] <= v <= e["max"] for v in values)
-    ]
+    try:
+        # one sort + bisect per entry instead of files×values scans —
+        # frontier-priced serving reads pass thousands of ids
+        import bisect
+
+        sv = sorted(values)
+        return [
+            e
+            for e in entries
+            if (i := bisect.bisect_left(sv, e["min"])) < len(sv)
+            and sv[i] <= e["max"]
+        ]
+    except TypeError:  # mixed/unorderable value types — linear check
+        return [
+            e
+            for e in entries
+            if any(e["min"] <= v <= e["max"] for v in values)
+        ]
 
 
 def read_snapshot_pruned(

@@ -358,7 +358,8 @@ def _ownership_mask(pdf, ia, ib):
 
 
 def brute_force_topk(
-    emb: DataFrame, query_ids: Sequence[int], k: int = 5
+    emb: DataFrame, query_ids: Sequence[int], k: int = 5,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
@@ -366,7 +367,10 @@ def brute_force_topk(
     excluded; rank orders by the UNROUNDED cosine (engine-exact), ties
     broken by neighbor_id. The (small) query side is broadcast; the
     corpus streams through one scan with one integer fold per pair —
-    JVM-only plan.
+    JVM-only plan. ``candidates`` (r12) restricts the NEIGHBOR side to
+    a sub-frame of ``emb`` (e.g. a metadata predicate's admitted rows)
+    — the exact FILTERED truth the filtered-ANN recall gauge compares
+    against; queries still resolve from the full ``emb``.
     """
     q = with_q(emb)
     queries = q.filter(F.col("vec_id").isin(*[int(i) for i in query_ids])).select(
@@ -374,10 +378,11 @@ def brute_force_topk(
         F.col("qvec").alias("q_qvec"),
         F.col("qq").alias("q_qq"),
     )
+    corpus = q if candidates is None else with_q(candidates)
     sims = (
         F.broadcast(queries)
         .crossJoin(
-            q.select(
+            corpus.select(
                 F.col("vec_id").alias("neighbor_id"),
                 F.col("qvec").alias("n_qvec"),
                 F.col("qq").alias("n_qq"),
@@ -2659,6 +2664,7 @@ def graph_search_rounds(
     rounds: int,
     queries_e: DataFrame | None = None,
     undirected: bool = False,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy beam search over a k-NN graph — the serving-side
     traversal shared by :func:`graph_search_topk` (batch graph) and
@@ -2686,7 +2692,21 @@ def graph_search_rounds(
     declares that ``edges`` is ALREADY the expanded distinct
     undirected adjacency, skipping the graph-sized fold here — the
     knob a serving deployment (or a beam sweep) uses to pay that
-    one-time cost once across many searches."""
+    one-time cost once across many searches.
+
+    ``allowed`` (r12 — filtered ANN, VERDICT r11 #3): a (vec_id)
+    frame of nodes a metadata predicate admits. STRICT semantics —
+    the predicate is pushed INTO the walk: every hop's expansion
+    candidates are filtered before scoring, so disallowed nodes are
+    never scored, never enter the pool, and never route the beam
+    (the caller filters the SEED candidates the same way —
+    :func:`graph_search_filtered` / the store serving paths do).
+    Fewer scored pairs, not a post-hoc result filter; recall is
+    gauged against the exact FILTERED truth (`ns_ann_graph_filtered`).
+    The allow frame is broadcast (bounded by the predicate's
+    selectivity; a deployment passes ids or an attribute-derived
+    frame — at extreme cardinalities evaluate the predicate on the
+    corpus frame's own attribute columns instead)."""
     qsrc = queries_e if queries_e is not None else e
     qids = seeds.select(
         F.col("query_id").alias("vec_id")
@@ -2730,6 +2750,14 @@ def graph_search_rounds(
             .filter(F.col("neighbor_id") != F.col("query_id"))
             .distinct()
         )
+        if allowed is not None:
+            cand = cand.join(
+                F.broadcast(
+                    allowed.select(F.col("vec_id").alias("neighbor_id"))
+                ),
+                "neighbor_id",
+                "semi",
+            )
         new = cand.join(
             # pool side is |Q|·(beam + hops·beam·k) rows — broadcast
             # the anti-join too or it costs an SMJ exchange pair
@@ -2850,13 +2878,16 @@ def _beam_seeds_on_frame(
     dim: int,
     queries_e: DataFrame | None = None,
     qbuckets: DataFrame | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Entry points for a frame-level graph walk: sign-LSH collisions
     between the query rows and the corpus frame ``e`` (a DISTINCT
     equi-join on (t, bucket) — :func:`lsh_topk`'s candidate set),
     scored on ``e``'s own lattice, cut to the per-query top-``beam``.
     ``queries_e``/``qbuckets`` swap in out-of-corpus query vectors and
-    their driver-hashed bucket rows. Shared by the SQ8 batch twin and
+    their driver-hashed bucket rows. ``allowed`` filters the collision
+    candidates BEFORE scoring (strict filtered-ANN seeds — see
+    :func:`graph_search_rounds`). Shared by the SQ8 batch twin and
     (shape-wise) the store serving path, so seeds replay in SQL as
     the ``gs_cand``/``gs_s0`` CTE pair."""
     rows = bucket_frame(e, nbits, ntables, dim).select(
@@ -2878,6 +2909,14 @@ def _beam_seeds_on_frame(
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
+    if allowed is not None:
+        cand = cand.join(
+            F.broadcast(
+                allowed.select(F.col("vec_id").alias("neighbor_id"))
+            ),
+            "neighbor_id",
+            "semi",
+        )
     qsrc = queries_e if queries_e is not None else e
     qe = qsrc.select(
         F.col("vec_id").alias("query_id"),
@@ -2932,4 +2971,48 @@ def graph_search_sq8_topk(
     )
     return graph_search_rounds(
         e, edges, seeds, k, beam, rounds, undirected=undirected
+    )
+
+
+def graph_search_filtered(
+    emb: DataFrame,
+    graph: DataFrame,
+    query_ids: Sequence[int],
+    allowed: DataFrame,
+    k: int = 5,
+    beam: int = 8,
+    rounds: int = 2,
+    nbits: int = 4,
+    dim: int = 64,
+    ntables: int = 8,
+    undirected: bool = False,
+) -> DataFrame:
+    """FILTERED graph-traversal ANN (r12, VERDICT r11 #3): the
+    production vector-serving case where a metadata predicate (lang,
+    date range, source, tenant) restricts which corpus members may be
+    returned. ``allowed`` is the predicate's (vec_id) frame — derive
+    it from any attribute column (`emb.filter(...).select("vec_id")`).
+
+    STRICT pushdown semantics, not a post-hoc filter: disallowed
+    nodes are dropped from the LSH seed candidates before any scoring
+    (:func:`_beam_seeds_on_frame` with ``allowed``) and from every
+    hop's expansion before scoring (:func:`graph_search_rounds`), so
+    the walk only ever scores |Q|·beam·k ADMITTED pairs — the work
+    shrinks with the predicate's selectivity instead of paying the
+    unfiltered walk and discarding. The trade (shared with every
+    strict filtered-graph walker): routing is confined to the
+    admitted subgraph, so recall vs the exact filtered truth dips
+    when the predicate disconnects it — `ns_ann_graph_filtered_recall`
+    gauges exactly that honestly. Deterministic and DuckDB-replayable
+    like the unfiltered walk (`ns_ann_graph_filtered`)."""
+    e = with_q(emb).localCheckpoint(eager=False)
+    seeds = _beam_seeds_on_frame(
+        e, query_ids, beam, nbits, ntables, dim, allowed=allowed
+    )
+    edges = graph.select(
+        F.col("node_id").alias("u"), F.col("neighbor_id").alias("v")
+    )
+    return graph_search_rounds(
+        e, edges, seeds, k, beam, rounds,
+        undirected=undirected, allowed=allowed,
     )

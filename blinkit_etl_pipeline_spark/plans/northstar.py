@@ -6515,6 +6515,7 @@ def _gs_ctes(
     qe_table: str = "e",
     qpred: str | None = None,
     etab: str = "e",
+    cpred: str | None = None,
 ) -> str:
     """Traversal CTE chain appended after ``_knn_ctes`` (whose
     ``final`` is the graph): LSH seed candidates → top-beam entry
@@ -6524,15 +6525,20 @@ def _gs_ctes(
     disambiguates CTE names when several beams replay in one query
     (the operating-curve oracle). ``qmb``/``qe_table``/``qpred`` swap
     the QUERY side to an external-vector CTE (the out-of-corpus
-    gauge)."""
+    gauge). ``cpred`` (r12 — filtered ANN) is a predicate over
+    candidate id ``{{c}}`` ANDed into the seed-collision AND every
+    hop-expansion candidate set: the strict-pushdown replay of
+    ``vector.graph_search_rounds(allowed=...)``."""
     if qpred is None:
         qpred = f"q.vec_id < {nq}"
+    seedp = "" if cpred is None else f" AND {cpred.format(c='c.vec_id')}"
+    hopp = "" if cpred is None else f" AND {cpred.format(c='g.v')}"
     cosq = _COSR.format(a="qe.qv", b="ce.qv", qa="qe.qq", qb="ce.qq")
     parts = [
         f"""gs_cand{sfx} AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
   FROM {qmb} q JOIN mb c ON q.t = c.t AND q.bucket = c.bucket
-  WHERE {qpred} AND c.vec_id != q.vec_id),
+  WHERE {qpred} AND c.vec_id != q.vec_id{seedp}),
 gs_sc0{sfx} AS (
   SELECT query_id, neighbor_id, {cosq} AS cos_raw
   FROM gs_cand{sfx}
@@ -6556,7 +6562,7 @@ gs_und{sfx} AS (SELECT u, v FROM final UNION SELECT v, u FROM final)"""
 gs_c{r}{sfx} AS (
   SELECT DISTINCT f.query_id, g.v AS neighbor_id
   FROM gs_f{p}{sfx} f JOIN gs_und{sfx} g ON f.neighbor_id = g.u
-  WHERE g.v != f.query_id),
+  WHERE g.v != f.query_id{hopp}),
 gs_n{r}{sfx} AS (
   SELECT c.query_id, c.neighbor_id FROM gs_c{r}{sfx} c
   LEFT JOIN gs_s{p}{sfx} s ON s.query_id = c.query_id
@@ -6644,6 +6650,243 @@ h AS (
 SELECT query_id, hits,
   ROUND(hits / {ANN_K}, 4) AS recall
 FROM h"""
+
+
+# ----------------------------------------------------------------------
+# r12: FILTERED graph-traversal ANN (metadata predicate pushed into
+# the bucket probe and the walk — VERDICT r11 #3)
+# ----------------------------------------------------------------------
+
+#: the gauge's metadata predicate: ~30% of the corpus by label class
+#: (labels 0/3/6/9) — selective enough to exercise the pushdown,
+#: broad enough that the admitted subgraph stays walkable
+_FILT_PRED_SQL = "{c} IN (SELECT vec_id FROM embeddings WHERE label % 3 = 0)"
+
+
+def _filt_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb(spark, sf_dir).filter(
+        F.col("label") % 3 == 0
+    ).select("vec_id")
+
+
+def q_ann_graph_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN (operators/vector.py::graph_search_filtered — the
+    production vector-serving case: a metadata predicate restricts
+    which corpus members may be returned). STRICT pushdown, not a
+    post-hoc filter: disallowed ids are dropped from the LSH seed
+    collisions BEFORE scoring and from every hop's expansion BEFORE
+    scoring, so the walk only ever scores admitted pairs — work
+    shrinks with selectivity. The oracle replays the same graph, the
+    same predicate'd candidate sets, and every traversal round
+    value-exactly; the store/published/session paths are pytest
+    bit-equal to this batch walk (takedowns composed)."""
+    emb = _emb(spark, sf_dir)
+    g = _gs_fixture(spark, sf_dir, "raw")
+    return vector.graph_search_filtered(
+        emb,
+        g,
+        ANN_QUERY_IDS,
+        _filt_allowed(spark, sf_dir),
+        k=ANN_K,
+        beam=GS_BEAM,
+        rounds=GS_ROUNDS,
+        nbits=ANN_NBITS,
+        ntables=ANN_NTABLES,
+    )
+
+
+QUERIES["ns_ann_graph_filtered"] = q_ann_graph_filtered
+
+ORACLES["ns_ann_graph_filtered"] = f"""WITH {_EMB},
+{_knn_ctes()},
+{_gs_ctes(cpred=_FILT_PRED_SQL)}
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine_sim,
+  CAST(rn AS INT) AS "rank"
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
+  FROM gs_s{GS_ROUNDS}) WHERE rn <= {ANN_K}"""
+
+
+def q_ann_graph_filtered_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall gauge for FILTERED graph serving: the strict-pushdown
+    walk's top-k vs the exact filtered truth (brute-force top-k over
+    the admitted candidates only). Strict filtering confines routing
+    to the admitted subgraph, so this is the honest price of the
+    pushdown — both engines compute walk ∩ filtered-truth, so the
+    recall numbers are value-exact."""
+    emb = _emb(spark, sf_dir)
+    g = _gs_fixture(spark, sf_dir, "raw")
+    allowed = _filt_allowed(spark, sf_dir)
+    res = vector.graph_search_filtered(
+        emb,
+        g,
+        ANN_QUERY_IDS,
+        allowed,
+        k=ANN_K,
+        beam=GS_BEAM,
+        rounds=GS_ROUNDS,
+        nbits=ANN_NBITS,
+        ntables=ANN_NTABLES,
+    ).select("query_id", "neighbor_id")
+    truth = vector.brute_force_topk(
+        emb,
+        ANN_QUERY_IDS,
+        k=ANN_K,
+        candidates=emb.join(allowed, "vec_id"),
+    ).select("query_id", "neighbor_id")
+    hits = res.join(truth, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count("*").cast("long").alias("hits"))
+    base = truth.select("query_id").distinct()
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+        F.round(
+            F.coalesce(F.col("hits"), F.lit(0)) / ANN_K, 4
+        ).alias("recall"),
+    )
+
+
+QUERIES["ns_ann_graph_filtered_recall"] = q_ann_graph_filtered_recall
+
+ORACLES["ns_ann_graph_filtered_recall"] = f"""WITH {_EMB},
+{_knn_ctes()},
+{_gs_ctes(cpred=_FILT_PRED_SQL)},
+gq AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
+    FROM gs_s{GS_ROUNDS}) WHERE rn <= {ANN_K}),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        {_COSR.format(a='q.qv', b='c.qv', qa='q.qq', qb='c.qq')} DESC,
+        c.vec_id ASC) AS rn
+    FROM e q CROSS JOIN e c
+    WHERE q.vec_id < {len(ANN_QUERY_IDS)} AND c.vec_id != q.vec_id
+      AND {_FILT_PRED_SQL.format(c='c.vec_id')})
+  WHERE rn <= {ANN_K}),
+h AS (
+  SELECT t.query_id, CAST(count(g.neighbor_id) AS BIGINT) AS hits
+  FROM truth t LEFT JOIN gq g
+    ON g.query_id = t.query_id AND g.neighbor_id = t.neighbor_id
+  GROUP BY t.query_id)
+SELECT query_id, hits,
+  ROUND(hits / {ANN_K}, 4) AS recall
+FROM h"""
+
+
+# ----------------------------------------------------------------------
+# r12: frontier-priced serving from a PUBLISHED graph (VERDICT r11 #1)
+# ----------------------------------------------------------------------
+
+#: per-session store farm for the published-serving gauge (the
+#: takedown-farm pattern): slim ingest + publish are a pure function
+#: of (corpus, params), so the build is paid once per session — the
+#: gauge median prices the frontier-priced SERVE, which is the thing
+#: this query exists to attest. Run 1 still pays the build.
+_PUB_STORE_MEMO: dict = {}
+
+
+def _pub_stores(spark: SparkSession, sf_dir: str):
+    import shutil
+    import tempfile
+
+    from ..operators import incremental as inc
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _PUB_STORE_MEMO:
+        return _PUB_STORE_MEMO[key]
+    emb = _emb(spark, sf_dir)
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"pubserve-{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    vstore = os.path.join(scratch, "vecs")
+    gstore = os.path.join(scratch, "graph")
+    pub = os.path.join(scratch, "published")
+    for m in (0, 1):
+        inc.ingest_knn_graph(
+            spark,
+            vstore,
+            gstore,
+            emb.filter(F.col("vec_id") % 2 == m),
+            k=KNN_GRAPH_K,
+            nbits=ANN_NBITS,
+            ntables=ANN_NTABLES,
+            payload_store=os.path.join(scratch, "payload"),
+        )
+    inc.publish_graph(spark, gstore, vstore, pub, k=KNN_GRAPH_K)
+    for k in [k for k in _PUB_STORE_MEMO if k[0] != key[0]]:
+        del _PUB_STORE_MEMO[k]
+    _PUB_STORE_MEMO[key] = pub
+    return pub
+
+
+def q_ann_graph_published(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRONTIER-PRICED ANN serving end-to-end through persisted state
+    (incremental.publish_graph + graph_search_published — VERDICT r11
+    #1): the maintained graph is published pre-folded + pre-undirected
+    into a u-clustered store, and the one-shot serve call reads ONLY
+    manifest-pruned files — query payloads from the vec_id-clustered
+    slim twin, seed candidates from colliding bucket files, each hop's
+    adjacency from the frontier's published files, each hop's scores
+    from the candidates' twin files. No corpus frame is ever
+    materialized (the 2M serve2m wall). Bit-equal to the per-call
+    store path and the batch walk over the union (pytest); the oracle
+    replays the store's iters=0 seed graph and every traversal round
+    value-exactly."""
+    from ..operators import incremental as inc
+
+    pub = _pub_stores(spark, sf_dir)
+    return inc.graph_search_published(
+        spark,
+        pub,
+        ANN_QUERY_IDS,
+        k=ANN_K,
+        beam=GS_BEAM,
+        rounds=GS_ROUNDS,
+        nbits=ANN_NBITS,
+        ntables=ANN_NTABLES,
+    )
+
+
+QUERIES["ns_ann_graph_published"] = q_ann_graph_published
+
+#: store-serving traversal oracle: the published graph folds the
+#: ingested candidate history to the per-node top-k — the iters=0
+#: seed graph (ns_knn_graph_store's oracle) — then the shared
+#: traversal CTEs replay the walk over it
+_SEED_FINAL_CTES = f"""seed_pairs AS (
+  SELECT DISTINCT a.vec_id AS u, b.vec_id AS v
+  FROM mb a JOIN mb b ON a.t = b.t AND a.bucket = b.bucket
+  WHERE a.vec_id != b.vec_id),
+seeds AS (
+  SELECT u, v,
+    {_COSR.format(a='ea.qv', b='eb.qv', qa='ea.qq', qb='eb.qq')}
+      AS cos_raw
+  FROM seed_pairs JOIN e ea ON ea.vec_id = u JOIN e eb ON eb.vec_id = v),
+final AS (
+  SELECT u, v, cos_raw, rn FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY u ORDER BY cos_raw DESC, v ASC) AS rn
+    FROM seeds) WHERE rn <= {KNN_GRAPH_K})"""
+
+ORACLES["ns_ann_graph_published"] = f"""WITH {_EMB},
+{_mb_cte()},
+{_SEED_FINAL_CTES},
+{_gs_ctes()}
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine_sim,
+  CAST(rn AS INT) AS "rank"
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
+  FROM gs_s{GS_ROUNDS}) WHERE rn <= {ANN_K}"""
 
 
 # ----------------------------------------------------------------------

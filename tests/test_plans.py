@@ -64,6 +64,12 @@ ARROW_WHITELIST = {
     # the same bucket_frame Arrow kernel (vector._beam_seeds_on_frame)
     "ns_ann_graph_sq8_topk",
     "ns_ann_graph_sq8_recall",
+    # r12: the filtered walk seeds through the same bucket_frame
+    # Arrow kernel (graph_search_filtered → _beam_seeds_on_frame)
+    "ns_ann_graph_filtered",
+    "ns_ann_graph_filtered_recall",
+    # NOT ns_ann_graph_published: its kernels run at store-build /
+    # publish time; the serve call's plan is JVM-only pruned reads
     # NOT ns_knn_backfill: like ns_knn_graph_store, its kernels run at
     # store-build time — the returned read plan scans the store
 }
