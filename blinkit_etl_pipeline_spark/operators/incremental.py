@@ -624,6 +624,7 @@ def ingest_knn_graph(
     compact_threshold: int | None = 64,
     compact_target: int = 8,
     payload_store: str | None = None,
+    pairing_slices: int | None = None,
 ) -> int:
     """Incremental k-NN graph maintenance (r10) — the graph member of
     the streaming index family (LSH signatures, PQ/SQ8 codes, BM25
@@ -691,6 +692,7 @@ def ingest_knn_graph(
         payload_cols=["vec_id", "qvec", "qq"],
         vec_cols=None,
         compact_threshold=compact_threshold,
+        pairing_slices=pairing_slices,
     )
 
 
@@ -705,6 +707,7 @@ def _ingest_knn_core(
     payload_cols: list[str],
     vec_cols: list[str] | None,
     compact_threshold: int | None,
+    pairing_slices: int | None = None,
 ) -> int:
     """The shared knn-store ingest lifecycle (r11 review: one
     implementation so a protocol fix lands once — the _ingest_rows
@@ -715,7 +718,24 @@ def _ingest_knn_core(
     qq, t, bucket, tb) plus layout extras; ``payload_cols`` selects
     the twin's row (full lattice or byte codes), ``vec_cols``
     overrides the persisted bucket-row columns (None keeps the full
-    frame in non-slim mode)."""
+    frame in non-slim mode).
+
+    ``pairing_slices`` (r12, VERDICT r11 #2 — the honest 2M limit):
+    the one-shot pairing kernel emits EVERY colliding cell before the
+    fold, and at 2M+ vectors that pre-fold candidate set (~8G cells
+    at the 12-bit kernel) overflows a single box's shuffle disk. With
+    N slices, the (t, bucket) groups are processed in N
+    ``tb % N`` passes — each pass scores only its slice's collisions
+    and FOLDS them into the running per-node top-``store_k`` state
+    before the next pass starts, so peak shuffle is bounded by
+    max(slice candidates) + n·store_k instead of the full candidate
+    set. Exact by the top-k merge semilattice (deterministic total
+    order per node: cos DESC, v ASC; duplicate cross-table pairs
+    carry identical lattice cosines, absorbed by the (u, v) dedup at
+    every fold) — the staged build is BIT-equal to the one-shot build
+    (pytest), it just never holds more than a slice in flight. A
+    cluster's shuffle tier makes slicing unnecessary; one NVMe
+    doesn't."""
     from . import vector
 
     exists = snapshot.current_version(vec_store) is not None
@@ -746,14 +766,38 @@ def _ingest_knn_core(
             snapshot.read_snapshot_pruned(spark, vec_store, probed),
         ).withColumn("__new", F.lit(0))
         tagged = tagged.unionByName(stored)
-    cand = tagged.groupBy("t", "bucket").applyInPandas(
-        _knn_cross_fn(), schema="u long, v long, cos_raw double"
-    )
-    edges = (
-        vector._directed_topk(cand.dropDuplicates(["u", "v"]), store_k)
-        .select("u", "v", "cos_raw")
-        .localCheckpoint(eager=True)
-    )
+    if pairing_slices is not None and pairing_slices > 1:
+        edges = None
+        for s in range(pairing_slices):
+            cand_s = (
+                tagged.filter(F.col("tb") % pairing_slices == s)
+                .groupBy("t", "bucket")
+                .applyInPandas(
+                    _knn_cross_fn(),
+                    schema="u long, v long, cos_raw double",
+                )
+            )
+            pool = (
+                cand_s
+                if edges is None
+                else edges.unionByName(cand_s)
+            )
+            edges = (
+                vector._directed_topk(
+                    pool.dropDuplicates(["u", "v"]), store_k
+                )
+                .select("u", "v", "cos_raw")
+                .localCheckpoint(eager=True)
+            )
+    else:
+        cand = tagged.groupBy("t", "bucket").applyInPandas(
+            _knn_cross_fn(), schema="u long, v long, cos_raw double"
+        )
+        edges = (
+            vector._directed_topk(cand.dropDuplicates(["u", "v"]), store_k)
+            .select("u", "v", "cos_raw")
+            .localCheckpoint(eager=True)
+        )
     if payload_store is not None:
         # payload twin appends BEFORE the vec-store commit: a crash
         # in between replays the batch (vec guard still open) and the
@@ -800,6 +844,7 @@ def ingest_knn_graph_sq8(
     compact_threshold: int | None = 64,
     compact_target: int = 8,
     payload_store: str | None = None,
+    pairing_slices: int | None = None,
 ) -> int:
     """SQ8-payload variant of :func:`ingest_knn_graph` — the
     memory-lean serving store (VERDICT r10 #2): the vector store
@@ -854,6 +899,7 @@ def ingest_knn_graph_sq8(
         payload_cols=["vec_id", "codes"],
         vec_cols=["vec_id", "t", "bucket", "tb", "codes"],
         compact_threshold=compact_threshold,
+        pairing_slices=pairing_slices,
     )
 
 

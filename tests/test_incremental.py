@@ -2632,3 +2632,53 @@ def test_filtered_ann_store_paths_compose_with_takedowns(
         k=5, beam=8, rounds=2,
     )
     assert rows(got2) == rows(want2)
+
+
+def test_staged_pairing_ingest_bit_equal(spark, tmp_path):
+    """r12 (VERDICT r11 #2): the staged pairing fold — (t, bucket)
+    groups scored in tb%N slices, each folded into the running
+    per-node top-store_k state before the next — is BIT-equal to the
+    one-shot build (top-k merge semilattice, deterministic tie
+    order), for both the full-precision and SQ8 stores, through
+    serving."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    one = (str(tmp_path / "v1"), str(tmp_path / "g1"))
+    staged = (str(tmp_path / "v2"), str(tmp_path / "g2"))
+    incremental.ingest_knn_graph(
+        spark, *one, emb, k=5, payload_store=str(tmp_path / "p1")
+    )
+    incremental.ingest_knn_graph(
+        spark, *staged, emb, k=5, payload_store=str(tmp_path / "p2"),
+        pairing_slices=7,
+    )
+    assert rows(
+        incremental.knn_graph_from_store(spark, one[1], k=5)
+    ) == rows(
+        incremental.knn_graph_from_store(spark, staged[1], k=5)
+    )
+    qids = list(range(8))
+    assert rows(
+        incremental.graph_search_from_store(
+            spark, one[1], one[0], qids, k=5, beam=8, rounds=2
+        )
+    ) == rows(
+        incremental.graph_search_from_store(
+            spark, staged[1], staged[0], qids, k=5, beam=8, rounds=2
+        )
+    )
+
+    sq_one = (str(tmp_path / "v3"), str(tmp_path / "g3"))
+    sq_staged = (str(tmp_path / "v4"), str(tmp_path / "g4"))
+    incremental.ingest_knn_graph_sq8(spark, *sq_one, emb, k=5)
+    incremental.ingest_knn_graph_sq8(
+        spark, *sq_staged, emb, k=5, pairing_slices=5
+    )
+    assert rows(
+        incremental.knn_graph_from_store(spark, sq_one[1], k=5)
+    ) == rows(
+        incremental.knn_graph_from_store(spark, sq_staged[1], k=5)
+    )
