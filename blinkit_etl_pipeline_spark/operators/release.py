@@ -67,6 +67,7 @@ def stores(root: str) -> dict[str, str]:
         "unigram": os.path.join(root, "unigram_postings"),
         "bigram": os.path.join(root, "bigram_postings"),
         "release": os.path.join(root, "release"),
+        "verdicts": os.path.join(root, "verdicts"),
     }
 
 
@@ -151,6 +152,23 @@ def release_read(
 
     Output schema matches ``ns_pipeline_curation_model``: (doc_id,
     lang, predicted_lang, n_tokens, quality_score, split)."""
+    return _read_from_scores(
+        spark, root, release_scores(spark, root),
+        strata_rates=strata_rates, default_rate=default_rate,
+        min_quality=min_quality, min_tokens=min_tokens,
+    )
+
+
+def release_scores(spark: SparkSession, root: str) -> DataFrame:
+    """The full model-rescore pass — per-doc NB log-odds and bigram-LM
+    NLL for EVERY live doc against the CURRENT maintained counts
+    (``lm.nb_from_parts`` / ``lm.nll_from_parts``, the identical
+    arithmetic the batch gates run). This is the store-pass-sized term
+    of a release read (postings rows × vocabulary-sized model joins);
+    everything downstream of it is doc-level. Returns (doc_id,
+    log_odds_q, n_bigrams, nll_q) — the sufficient statistics both
+    model gates threshold on, which is exactly what the verdict store
+    caches (:func:`maintain_release_verdicts`)."""
     s = stores(root)
     attrs = incremental.read_store_live(spark, s["attrs"], "doc_id")
     post = incremental.read_store_live(
@@ -162,32 +180,68 @@ def release_read(
 
     lab = attrs.select("doc_id", F.col("gopher_pass").alias("pass"))
     occ_nb = post.select("doc_id", "token", "tf").join(lab, "doc_id")
-    nb_keep = (
-        lm.nb_from_parts(lab, occ_nb)
-        .filter(F.col("nb_pass"))
-        .select("doc_id")
-    )
+    nb = lm.nb_from_parts(lab, occ_nb).select("doc_id", "log_odds_q")
     vocab = post.agg(
         F.count_distinct("token").cast("double").alias("v")
     )
-    ppl_keep = (
-        lm.nll_from_parts(
-            attrs.select("doc_id"),
-            big.select("doc_id", "w1", "w2", F.col("c12").alias("tf")),
-            vocab,
+    ppl = lm.nll_from_parts(
+        attrs.select("doc_id"),
+        big.select("doc_id", "w1", "w2", F.col("c12").alias("tf")),
+        vocab,
+    ).select("doc_id", "n_bigrams", "nll_q")
+    return nb.join(ppl, "doc_id")
+
+
+def _read_from_scores(
+    spark: SparkSession,
+    root: str,
+    scores: DataFrame,
+    *,
+    strata_rates: dict[str, float],
+    default_rate: float,
+    min_quality: float,
+    min_tokens: int,
+) -> DataFrame:
+    """The doc-level half of a release read: model-gate thresholds
+    over per-doc scores (NB: log_odds_q > 0; perplexity: mean-relative
+    flag, the corpus mean re-derived from the SAME scores frame — so
+    cached and fresh scores yield bit-identical gates), then rule
+    gates, exact dedup, stratified sample, split. Everything here is
+    one-row-per-doc work."""
+    s = stores(root)
+    attrs = incremental.read_store_live(spark, s["attrs"], "doc_id")
+    scored = scores.withColumn(
+        "avg_q",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.round(
+                F.col("nll_q").cast("double")
+                / F.col("n_bigrams").cast("double"),
+                0,
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    mean = scored.filter(F.col("n_bigrams") > 0).agg(
+        (
+            F.sum("avg_q").cast("double") / F.count("*").cast("double")
+        ).alias("mean_avg_q")
+    )
+    keep = (
+        scored.crossJoin(F.broadcast(mean))
+        .filter(F.col("log_odds_q") > 0)
+        .filter(
+            ~(
+                (F.col("n_bigrams") > 0)
+                & (F.col("avg_q").cast("double") > F.col("mean_avg_q"))
+            )
         )
-        .filter(~F.col("flagged"))
         .select("doc_id")
     )
-    gated = (
-        attrs.filter(
-            (F.col("quality_score") >= min_quality)
-            & (F.col("n_tokens") >= min_tokens)
-            & (F.col("predicted_lang") != "und")
-        )
-        .join(nb_keep, "doc_id")
-        .join(ppl_keep, "doc_id")
-    )
+    gated = attrs.filter(
+        (F.col("quality_score") >= min_quality)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("predicted_lang") != "und")
+    ).join(keep, "doc_id")
     w = Window.partitionBy("text_hash").orderBy("doc_id")
     surv = (
         gated.withColumn("__rn", F.row_number().over(w))
@@ -204,6 +258,99 @@ def release_read(
     ).select(
         "doc_id", "lang", "predicted_lang", "n_tokens",
         "quality_score", "split",
+    )
+
+
+def _release_state_sig(root: str) -> str:
+    """Fingerprint of everything the model scores depend on: the
+    three stores' current snapshot versions plus their tombstone
+    tables' versions. The NB/LM models are corpus-derived integer
+    counts, so ANY committed change (drop, takedown, compaction that
+    rewrites live rows is version-bumping too) can shift them — and
+    conversely, if no version moved, the maintained counts are
+    byte-identical and every cached per-doc score is still exact.
+    Redelivered drops commit nothing (the doc_id guards), so they
+    keep the signature stable by construction."""
+    s = stores(root)
+    parts = []
+    for key in ("attrs", "unigram", "bigram"):
+        t = s[key]
+        parts.append(f"{key}={snapshot.current_version(t)}")
+        tt = incremental._tombstone_table(t)
+        parts.append(f"{key}_tomb={snapshot.current_version(tt)}")
+    return ";".join(parts)
+
+
+def maintain_release_verdicts(spark: SparkSession, root: str) -> int:
+    """Materialize the gate-verdict partials (VERDICT r11 #4): one
+    full model-rescore pass (:func:`release_scores`) written as a
+    doc_id-clustered snapshot keyed by the CURRENT store-state
+    signature. Until the next committed drop/takedown, every
+    :func:`release_read_cached` prices doc-level (verdict + attrs
+    rows) instead of re-paying the postings-pass-sized rescore —
+    the production read pattern, where a training run enumerates the
+    release many times between corpus changes. Full-overwrite commit
+    (the fresh signature invalidates every older row at once)."""
+    sig = _release_state_sig(root)
+    s = stores(root)
+    rows = release_scores(spark, root).withColumn(
+        "sig", F.lit(sig)
+    ).localCheckpoint(eager=True)
+    return snapshot.write_snapshot(rows, s["verdicts"], stats_col="doc_id")
+
+
+def release_read_cached(
+    spark: SparkSession,
+    root: str,
+    *,
+    strata_rates: dict[str, float],
+    default_rate: float = 0.2,
+    min_quality: float = MIN_QUALITY,
+    min_tokens: int = MIN_TOKENS,
+    maintain: bool = True,
+) -> DataFrame:
+    """Drop-priced release read (r12, VERDICT r11 #4): if the verdict
+    store's signature matches the current store state — nothing
+    committed since the last :func:`maintain_release_verdicts` — the
+    model scores come from the store (one doc-level read) and the
+    postings-pass rescore is skipped entirely; the integer-count
+    models cannot have moved, so the result is BIT-equal to
+    :func:`release_read` (pytest pins both regimes). On any committed
+    change the models may shift globally (smoothing denominators are
+    corpus totals), so the read falls back to the full rescore — and
+    with ``maintain=True`` re-materializes the verdicts so the NEXT
+    read is cheap again (maintenance amortizes to once per corpus
+    change, reads in between are doc-priced)."""
+    s = stores(root)
+    sig = _release_state_sig(root)
+    if snapshot.current_version(s["verdicts"]) is not None:
+        cached = snapshot.read_snapshot(spark, s["verdicts"])
+        sigs = [
+            r["sig"]
+            for r in cached.select("sig").distinct().limit(2).collect()
+        ]
+        if sigs == [sig]:
+            return _read_from_scores(
+                spark, root,
+                cached.select(
+                    "doc_id", "log_odds_q", "n_bigrams", "nll_q"
+                ),
+                strata_rates=strata_rates, default_rate=default_rate,
+                min_quality=min_quality, min_tokens=min_tokens,
+            )
+    if maintain:
+        maintain_release_verdicts(spark, root)
+        cached = snapshot.read_snapshot(spark, s["verdicts"])
+        return _read_from_scores(
+            spark, root,
+            cached.select("doc_id", "log_odds_q", "n_bigrams", "nll_q"),
+            strata_rates=strata_rates, default_rate=default_rate,
+            min_quality=min_quality, min_tokens=min_tokens,
+        )
+    return release_read(
+        spark, root,
+        strata_rates=strata_rates, default_rate=default_rate,
+        min_quality=min_quality, min_tokens=min_tokens,
     )
 
 

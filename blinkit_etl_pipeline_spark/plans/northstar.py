@@ -7764,6 +7764,34 @@ ORACLES["ns_incr_release"] = _curation_model_oracle(
 )
 
 
+def q_incr_release_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DROP-PRICED release read (operators/release.py::
+    release_read_cached — VERDICT r11 #4): per-doc NB/LM gate scores
+    are maintained in a signature-keyed verdict store, so a read
+    while the corpus is unchanged (the production common case — a
+    training run enumerates its release many times between drops)
+    serves doc-level rows and SKIPS the postings-pass rescore; any
+    committed drop/takedown flips the signature into the full
+    rescore + re-maintain path. Same oracle as ns_incr_release —
+    cached and fresh reads are bit-equal by construction (the
+    verdict rows ARE the rescore's sufficient statistics; pytest
+    pins both regimes)."""
+    from ..operators import release as rel
+
+    root, _v1, _v2 = _release_build(spark, sf_dir)
+    return rel.release_read_cached(
+        spark, root,
+        strata_rates=STRATA_RATES, default_rate=STRATA_DEFAULT_RATE,
+    )
+
+
+QUERIES["ns_incr_release_cached"] = q_incr_release_cached
+
+ORACLES["ns_incr_release_cached"] = _curation_model_oracle(
+    f"doc_id NOT IN ({_REL_GONE_SQL})"
+)
+
+
 def q_incr_release_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Labeled corpus CDC between two PUBLISHED releases (the
     ns_incr_curated_cdc pattern at corpus grain): v1 = the release
