@@ -2682,3 +2682,63 @@ def test_staged_pairing_ingest_bit_equal(spark, tmp_path):
     ) == rows(
         incremental.knn_graph_from_store(spark, sq_staged[1], k=5)
     )
+
+
+def test_sq8_serving_session_and_published_paths(spark, tmp_path):
+    """r12 (VERDICT r11 #7): serving sessions and the frontier-priced
+    published path over an SQ8-coded SLIM store — the corpus lattice
+    decodes from byte codes exactly once per open (sessions) or only
+    for the ids actually touched (published path), and every path is
+    bit-equal to the per-call SQ8 store serve, for corpus members
+    (symmetric SDC) and external full-precision queries (ADC)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    vs, gs, ps, pub = (
+        str(tmp_path / n) for n in ("v", "g", "p", "pub")
+    )
+    for m in (0, 1):
+        incremental.ingest_knn_graph_sq8(
+            spark, vs, gs, emb.filter(F.col("vec_id") % 2 == m),
+            k=5, payload_store=ps,
+        )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    want = {}
+    for batch in ([0, 1, 2, 3, 4], [2, 4, 6]):
+        want[tuple(batch)] = rows(
+            incremental.graph_search_from_store(
+                spark, gs, vs, batch, k=5, beam=8, rounds=2
+            )
+        )
+    qext = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    want_ext = rows(
+        incremental.graph_search_from_store(
+            spark, gs, vs, k=5, beam=8, rounds=2, queries_emb=qext
+        )
+    )
+
+    serve = incremental.open_graph_serving(spark, gs, vs, k=5, beam=8,
+                                           rounds=2)
+    for batch in ([0, 1, 2, 3, 4], [2, 4, 6]):
+        assert rows(serve(batch)) == want[tuple(batch)]
+    assert rows(serve(queries_emb=qext)) == want_ext
+
+    incremental.publish_graph(spark, gs, vs, pub, k=5)
+    for batch in ([0, 1, 2, 3, 4], [2, 4, 6]):
+        assert rows(
+            incremental.graph_search_published(
+                spark, pub, batch, k=5, beam=8, rounds=2
+            )
+        ) == want[tuple(batch)]
+    assert rows(
+        incremental.graph_search_published(
+            spark, pub, k=5, beam=8, rounds=2, queries_emb=qext
+        )
+    ) == want_ext
+    serve_pub = incremental.open_graph_serving(
+        spark, gs, vs, k=5, beam=8, rounds=2, published_store=pub
+    )
+    assert rows(serve_pub([2, 4, 6])) == want[(2, 4, 6)]
