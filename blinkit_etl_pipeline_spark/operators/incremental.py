@@ -27,6 +27,8 @@ batch side always has its own).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -439,7 +441,7 @@ def maintain_ivfpq_codebook(
     return new_cb, psi, "rebuilt"
 
 
-def _knn_cross_fn():
+def _knn_cross_fn(fold_k: int | None = None):
     """applyInPandas kernel for the incremental k-NN ingest: within one
     (t, bucket) group holding stored rows (``__new = 0``) and this
     batch's rows (``__new = 1``), score every directed pair with at
@@ -447,7 +449,17 @@ def _knn_cross_fn():
     old→new (the new node entering old nodes' lists). Old→old pairs
     were scored when the later of the two arrived; re-scoring them
     would make ingest cost corpus-quadratic. No ownership dedup (the
-    store read dedups (u, v) — see :func:`knn_graph_from_store`)."""
+    store read dedups (u, v) — see :func:`knn_graph_from_store`).
+
+    ``fold_k`` (r12, VERDICT r11 #2): cut each node's candidates to
+    its per-GROUP top-``fold_k`` (cos DESC, v ASC — the exact
+    ``_directed_topk`` order) BEFORE the kernel emits, in numpy. A
+    pair outside u's group-local top-k is dominated by ≥k group-local
+    pairs that survive to the global fold, so the folded result is
+    bit-identical (top-k merge semilattice, per-group partials) —
+    what changes is kernel OUTPUT: bucket²-sized pair emission drops
+    to bucket×k, which is the term that overflowed one box's shuffle
+    at 2M vectors / 12-bit buckets (~8G cells → ~130M)."""
     import pandas as pd
 
     from .vector import _np_stack
@@ -470,20 +482,29 @@ def _knn_cross_fn():
         la, ib = np.nonzero(np.ones_like(cos, dtype=bool))
         keep = new_ids[la] != ids[ib]
         la, ib = la[keep], ib[keep]
-        out = [
-            pd.DataFrame(
-                {"u": new_ids[la], "v": ids[ib], "cos_raw": cos[la, ib]}
-            )
-        ]
+        uu = [new_ids[la]]
+        vv = [ids[ib]]
+        cc = [cos[la, ib]]
         old_cols = ~new_mask[ib]  # reverse direction only toward OLD
         if old_cols.any():
             lo, io = la[old_cols], ib[old_cols]
-            out.append(
-                pd.DataFrame(
-                    {"u": ids[io], "v": new_ids[lo], "cos_raw": cos[lo, io]}
-                )
-            )
-        return pd.concat(out, ignore_index=True)
+            uu.append(ids[io])
+            vv.append(new_ids[lo])
+            cc.append(cos[lo, io])
+        uu = np.concatenate(uu)
+        vv = np.concatenate(vv)
+        cc = np.concatenate(cc)
+        if fold_k is not None and len(uu) > 0:
+            # per-u rank under (cos DESC, v ASC); lexsort keys are
+            # last-primary
+            order = np.lexsort((vv, -cc, uu))
+            uu, vv, cc = uu[order], vv[order], cc[order]
+            _, counts = np.unique(uu, return_counts=True)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            rank = np.arange(len(uu)) - np.repeat(starts, counts)
+            kf = rank < fold_k
+            uu, vv, cc = uu[kf], vv[kf], cc[kf]
+        return pd.DataFrame({"u": uu, "v": vv, "cos_raw": cc})
 
     return fn
 
@@ -767,13 +788,17 @@ def _ingest_knn_core(
         ).withColumn("__new", F.lit(0))
         tagged = tagged.unionByName(stored)
     if pairing_slices is not None and pairing_slices > 1:
+        import time as _time
+
+        slice_debug = os.environ.get("SPARK_GRAFT_SLICE_WALLS") == "1"
         edges = None
         for s in range(pairing_slices):
+            t0 = _time.perf_counter()
             cand_s = (
                 tagged.filter(F.col("tb") % pairing_slices == s)
                 .groupBy("t", "bucket")
                 .applyInPandas(
-                    _knn_cross_fn(),
+                    _knn_cross_fn(store_k),
                     schema="u long, v long, cos_raw double",
                 )
             )
@@ -789,9 +814,15 @@ def _ingest_knn_core(
                 .select("u", "v", "cos_raw")
                 .localCheckpoint(eager=True)
             )
+            if slice_debug:  # scale-evidence instrumentation only
+                print(
+                    f"[pairing slice {s + 1}/{pairing_slices}] "
+                    f"{_time.perf_counter() - t0:.1f}s",
+                    flush=True,
+                )
     else:
         cand = tagged.groupBy("t", "bucket").applyInPandas(
-            _knn_cross_fn(), schema="u long, v long, cos_raw double"
+            _knn_cross_fn(store_k), schema="u long, v long, cos_raw double"
         )
         edges = (
             vector._directed_topk(cand.dropDuplicates(["u", "v"]), store_k)
@@ -3491,7 +3522,7 @@ def backfill_knn_depth(
         mates.withColumn("__new", F.lit(0))
     )
     cand = tagged.groupBy("t", "bucket").applyInPandas(
-        _knn_cross_fn(), schema="u long, v long, cos_raw double"
+        _knn_cross_fn(store_k), schema="u long, v long, cos_raw double"
     )
     repaired = (
         vector._directed_topk(cand.dropDuplicates(["u", "v"]), store_k)
