@@ -420,3 +420,47 @@ def test_kmv_exact_below_k_for_any_sets(spark, a, b):
     assert (r.est_a, r.est_b) == (len(a), len(b))
     assert r.est_union == len(a | b)
     assert r.est_inter == r.exact_inter == len(a & b)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    slices=st.integers(2, 9),
+    drops=st.integers(1, 3),
+)
+def test_staged_pairing_equals_one_shot_any_split(
+    spark, tmp_path_factory, seed, slices, drops
+):
+    """r12 invariant the SQL oracle can't express: for ANY drop split
+    and ANY slice count, the staged pairing ingest's folded graph is
+    bit-equal to the one-shot build — the per-group kernel fold and
+    the per-slice state fold are partials of one top-k merge
+    semilattice under a deterministic total order."""
+    import random
+
+    from blinkit_etl_pipeline_spark.operators import incremental
+
+    rng = random.Random(seed)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    base = tmp_path_factory.mktemp(f"staged-prop-{seed}-{slices}")
+    one = (str(base / "v1"), str(base / "g1"))
+    staged = (str(base / "v2"), str(base / "g2"))
+    for d in range(drops):
+        incremental.ingest_knn_graph(
+            spark, *one, emb.filter(F.col("vec_id") % drops == d),
+            k=3, nbits=3, ntables=4,
+        )
+        incremental.ingest_knn_graph(
+            spark, *staged, emb.filter(F.col("vec_id") % drops == d),
+            k=3, nbits=3, ntables=4, pairing_slices=slices,
+        )
+    got = sorted(map(tuple, incremental.knn_graph_from_store(
+        spark, staged[1], k=3).collect()))
+    want = sorted(map(tuple, incremental.knn_graph_from_store(
+        spark, one[1], k=3).collect()))
+    assert got == want and len(got) > 0
