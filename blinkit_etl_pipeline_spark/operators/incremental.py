@@ -840,7 +840,10 @@ def _ingest_knn_core(
         else:
             snapshot.append_snapshot(pay, payload_store)
     if snapshot.current_version(graph_store) is None:
-        gv = snapshot.write_snapshot(edges, graph_store)
+        # u-clustered candidate history (r12): per-node history reads
+        # (incremental publish maintenance, refinement of a node set)
+        # prune to the nodes' files instead of scanning every append
+        gv = snapshot.write_snapshot(edges, graph_store, stats_col="u")
     else:
         gv = snapshot.append_snapshot(edges, graph_store)
     if payload_store is not None:
@@ -2747,7 +2750,226 @@ def publish_graph(
         pub_store,
         {"k": int(k), "source_vec": vec_store, "source_graph": graph_store},
     )
+    _write_pub_state(pub_store, graph_store, vec_store)
     return v
+
+
+def _write_pub_state(
+    pub_store: str, graph_store: str, vec_store: str
+) -> None:
+    """Record the source versions a publish folded in — the hint
+    :func:`publish_graph_incremental` diffs against. Written AFTER the
+    publish commit: a crash in between leaves a stale sidecar, which
+    only ever widens the next incremental's affected set (or forces a
+    full republish) — never narrows it, so it is correctness-safe."""
+    import json
+    import uuid as _uuid
+
+    state = {
+        "graph_version": snapshot.current_version(graph_store),
+        "tomb_version": snapshot.current_version(
+            _tombstone_table(vec_store)
+        ),
+    }
+    path = os.path.join(pub_store, "pub_state.json")
+    tmp = path + f".tmp-{_uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, path)
+
+
+def _read_pub_state(pub_store: str) -> dict | None:
+    import json
+
+    path = os.path.join(pub_store, "pub_state.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def publish_graph_incremental(
+    spark: SparkSession,
+    graph_store: str,
+    vec_store: str,
+    pub_store: str,
+    *,
+    k: int = 5,
+    max_affected: int = 100_000,
+) -> int:
+    """DROP-PRICED republish (r12): advance a published serving graph
+    after drops/takedowns by rewriting ONLY the adjacency rows that
+    can change, instead of re-folding the whole candidate history.
+
+    Affected nodes = (a) every ``u`` in graph-store files appended
+    since the last publish (an append is the only way a node's
+    candidate history grows — the ingest appends BOTH directions of
+    each folded pair), plus (b) for newly tombstoned ids, the ids
+    themselves and their published neighbors (a below-the-fold
+    candidate disappearing cannot change a top-k; one above it shows
+    in the published rows, pruned-readable by the gone ids). Folds
+    are recomputed for the affected CLOSURE — affected plus every
+    node holding a candidate edge toward one (their folds are
+    unchanged, but membership of (b → a∈affected) in F(b) is not
+    derivable from the direction-less published rows) — from the
+    u-clustered history via pruned reads. The rewrite is a keyed
+    MERGE (delete + upsert) touching only files whose ``u`` range
+    intersects the affected rows: publish cost ∝ the drop's collision
+    footprint, not the corpus.
+
+    Exact: the resulting table is row-equal to a fresh
+    :func:`publish_graph` (pytest across drops, takedowns, and
+    mixes). Falls back to the full publish — always correct — when
+    there is no prior publish/sidecar, the history was compacted
+    (appended-file diff unavailable), the store carries no ``u``
+    stats, or the affected set exceeds ``max_affected`` (a rewrite
+    that big is cheaper done as one fold)."""
+    from . import vector
+
+    pinned = snapshot.table_properties(pub_store).get("k")
+    if pinned is not None and int(pinned) != int(k):
+        raise snapshot.SnapshotError(
+            f"published graph at {pub_store} is pinned to k={pinned} — "
+            f"republish with the same k"
+        )
+    state = _read_pub_state(pub_store)
+    cur_gv = snapshot.current_version(graph_store)
+    cur_tv = snapshot.current_version(_tombstone_table(vec_store))
+    if (
+        snapshot.current_version(pub_store) is None
+        or state is None
+        or state.get("graph_version") is None
+    ):
+        return publish_graph(spark, graph_store, vec_store, pub_store, k=k)
+    if (state["graph_version"], state.get("tomb_version")) == (
+        cur_gv, cur_tv,
+    ):
+        return snapshot.current_version(pub_store)  # nothing moved
+    try:
+        old_m = snapshot.read_manifest(graph_store, state["graph_version"])
+    except Exception:
+        return publish_graph(spark, graph_store, vec_store, pub_store, k=k)
+    cur_m = snapshot.read_manifest(graph_store)
+    old_paths = {e["path"] for e in old_m["files"]}
+    cur_paths = {e["path"] for e in cur_m["files"]}
+    if not old_paths <= cur_paths:  # compaction rewrote history
+        return publish_graph(spark, graph_store, vec_store, pub_store, k=k)
+    added = sorted(cur_paths - old_paths)
+    affected = set()
+    if added:
+        adf = snapshot._read_files(spark, cur_m, added)
+        affected.update(
+            int(r["u"]) for r in adf.select("u").distinct().collect()
+        )
+    new_gone: set[int] = set()
+    if cur_tv != state.get("tomb_version"):
+        tt = _tombstone_table(vec_store)
+        cur_tb = snapshot.read_snapshot(spark, tt).select("vec_id")
+        if state.get("tomb_version") is not None:
+            old_tb = snapshot.read_snapshot(
+                spark, tt, state["tomb_version"]
+            ).select("vec_id")
+            cur_tb = cur_tb.exceptAll(old_tb)
+        new_gone = {int(r["vec_id"]) for r in cur_tb.distinct().collect()}
+        if new_gone:
+            gone_adj = snapshot.read_snapshot_pruned(
+                spark, pub_store, sorted(new_gone)
+            ).filter(F.col("u").isin([int(g) for g in new_gone]))
+            affected.update(
+                int(r["v"]) for r in gone_adj.select("v").distinct().collect()
+            )
+            affected.update(new_gone)
+    if not affected:
+        _write_pub_state(pub_store, graph_store, vec_store)
+        return snapshot.current_version(pub_store)
+    if len(affected) > max_affected:
+        return publish_graph(spark, graph_store, vec_store, pub_store, k=k)
+    aff = sorted(affected)
+    aff_df = spark.createDataFrame(
+        [(a,) for a in aff], "vec_id long"
+    ).localCheckpoint(eager=True)
+    # closure: nodes holding a candidate toward an affected node —
+    # their (unchanged) folds decide mirror rows (b, a) — via the
+    # u-clustered history's v side (one pruned-by-nothing scan only
+    # when u stats are absent; the closure read itself filters by v,
+    # so we scan the full file list once here: candidate rows are
+    # store_k-folded per append, and the filter is a broadcast semi)
+    hist = snapshot.read_snapshot(spark, graph_store).dropDuplicates(
+        ["u", "v"]
+    )
+    closure_df = (
+        hist.join(
+            F.broadcast(aff_df.withColumnRenamed("vec_id", "v")), "v", "semi"
+        )
+        .select("u")
+        .distinct()
+        .unionByName(aff_df.select(F.col("vec_id").alias("u")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    closure = sorted(int(r["u"]) for r in closure_df.collect())
+    # recompute folds for the closure from the pruned history
+    ch = snapshot.read_snapshot_pruned(
+        spark, graph_store, closure
+    ).join(
+        F.broadcast(closure_df), "u", "semi"
+    ).dropDuplicates(["u", "v"])
+    tb = tombstones(spark, vec_store, "vec_id")
+    if tb is not None:
+        ch = ch.join(
+            F.broadcast(tb.withColumnRenamed("vec_id", "u")), "u",
+            "left_anti",
+        ).join(
+            F.broadcast(tb.withColumnRenamed("vec_id", "v")), "v",
+            "left_anti",
+        )
+    fold = vector._directed_topk(ch, k).select("u", "v")
+    # new undirected rows TOUCHING an affected node: either side's
+    # fold may contribute either orientation
+    touch = (
+        fold.join(
+            F.broadcast(aff_df.withColumnRenamed("vec_id", "u")), "u",
+            "semi",
+        )
+        .unionByName(
+            fold.join(
+                F.broadcast(aff_df.withColumnRenamed("vec_id", "v")),
+                "v", "semi",
+            )
+        )
+    )
+    new_rows = (
+        touch.select("u", "v")
+        .union(touch.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # old rows touching affected: pruned read on the u side; mirrors
+    # exist by symmetric storage, derived without a second scan
+    old_side = (
+        snapshot.read_snapshot_pruned(spark, pub_store, aff)
+        .join(F.broadcast(aff_df.withColumnRenamed("vec_id", "u")), "u",
+              "semi")
+        .select("u", "v")
+    )
+    old_rows = (
+        old_side.union(
+            old_side.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deletes = old_rows.join(
+        new_rows, ["u", "v"], "left_anti"
+    ).withColumn("__del", F.lit(True))
+    updates = new_rows.withColumn("__del", F.lit(False)).unionByName(
+        deletes
+    )
+    snapshot.merge_snapshot(
+        spark, pub_store, updates, ["u", "v"], delete_col="__del"
+    )
+    _write_pub_state(pub_store, graph_store, vec_store)
+    return snapshot.current_version(pub_store)
 
 
 def _published_adjacency(

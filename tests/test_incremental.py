@@ -2742,3 +2742,79 @@ def test_sq8_serving_session_and_published_paths(spark, tmp_path):
         spark, gs, vs, k=5, beam=8, rounds=2, published_store=pub
     )
     assert rows(serve_pub([2, 4, 6])) == want[(2, 4, 6)]
+
+
+def test_publish_graph_incremental_equals_full_republish(
+    spark, tmp_path
+):
+    """r12: drop-priced republish — after more drops and a takedown,
+    the merge-maintained published table is ROW-equal to a fresh full
+    publish at every step, and serving from it stays bit-equal to the
+    per-call path."""
+    from blinkit_etl_pipeline_spark.operators import snapshot
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    vs, gs, ps, pub, pub_full = (
+        str(tmp_path / n) for n in ("v", "g", "p", "pub", "pubf")
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    def pub_rows(t):
+        return rows(snapshot.read_snapshot(spark, t).select("u", "v"))
+
+    # drop 1 → bootstrap (falls through to the full path)
+    incremental.ingest_knn_graph(
+        spark, vs, gs, emb.filter(F.col("vec_id") % 3 == 0),
+        k=5, payload_store=ps,
+    )
+    incremental.publish_graph_incremental(spark, gs, vs, pub, k=5)
+    incremental.publish_graph(spark, gs, vs, pub_full, k=5)
+    assert pub_rows(pub) == pub_rows(pub_full)
+
+    # no-op republish: nothing moved → version unchanged
+    v0 = snapshot.current_version(pub)
+    assert incremental.publish_graph_incremental(
+        spark, gs, vs, pub, k=5
+    ) == v0
+
+    # two more drops → incremental merge vs fresh fold
+    for m in (1, 2):
+        incremental.ingest_knn_graph(
+            spark, vs, gs, emb.filter(F.col("vec_id") % 3 == m),
+            k=5, payload_store=ps,
+        )
+    incremental.publish_graph_incremental(spark, gs, vs, pub, k=5)
+    incremental.publish_graph(spark, gs, vs, pub_full, k=5)
+    assert pub_rows(pub) == pub_rows(pub_full)
+
+    # takedown → affected = gone + their published neighbors
+    incremental.retract_docs(spark, vs, [3, 42], id_col="vec_id")
+    incremental.publish_graph_incremental(spark, gs, vs, pub, k=5)
+    incremental.publish_graph(spark, gs, vs, pub_full, k=5)
+    assert pub_rows(pub) == pub_rows(pub_full)
+
+    # drop + takedown in one advance
+    incremental.ingest_knn_graph(
+        spark, vs, gs,
+        emb.select((F.col("vec_id") + 10_000).alias("vec_id"),
+                   "embedding").filter(F.col("vec_id") % 7 == 0),
+        k=5, payload_store=ps,
+    )
+    incremental.retract_docs(spark, vs, [8], id_col="vec_id")
+    incremental.publish_graph_incremental(spark, gs, vs, pub, k=5)
+    incremental.publish_graph(spark, gs, vs, pub_full, k=5)
+    assert pub_rows(pub) == pub_rows(pub_full)
+
+    # serving from the merged table equals the per-call store path
+    qids = [0, 1, 2, 4, 5]
+    assert rows(
+        incremental.graph_search_published(
+            spark, pub, qids, k=5, beam=8, rounds=2
+        )
+    ) == rows(
+        incremental.graph_search_from_store(
+            spark, gs, vs, qids, k=5, beam=8, rounds=2
+        )
+    )
