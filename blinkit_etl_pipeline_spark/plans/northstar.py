@@ -6810,7 +6810,14 @@ def _pub_stores(spark: SparkSession, sf_dir: str):
     vstore = os.path.join(scratch, "vecs")
     gstore = os.path.join(scratch, "graph")
     pub = os.path.join(scratch, "published")
-    for m in (0, 1):
+    # drop 1 bootstraps the FULL publish path; drop 2 advances it via
+    # the drop-priced INCREMENTAL republish (affected-closure merge) —
+    # one oracle thus attests both publish paths, because the merged
+    # table is row-equal to a fresh fold by construction (pytest)
+    for m, publish in (
+        (0, inc.publish_graph),
+        (1, inc.publish_graph_incremental),
+    ):
         inc.ingest_knn_graph(
             spark,
             vstore,
@@ -6821,7 +6828,7 @@ def _pub_stores(spark: SparkSession, sf_dir: str):
             ntables=ANN_NTABLES,
             payload_store=os.path.join(scratch, "payload"),
         )
-    inc.publish_graph(spark, gstore, vstore, pub, k=KNN_GRAPH_K)
+        publish(spark, gstore, vstore, pub, k=KNN_GRAPH_K)
     for k in [k for k in _PUB_STORE_MEMO if k[0] != key[0]]:
         del _PUB_STORE_MEMO[k]
     _PUB_STORE_MEMO[key] = pub
@@ -6840,7 +6847,10 @@ def q_ann_graph_published(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized (the 2M serve2m wall). Bit-equal to the per-call
     store path and the batch walk over the union (pytest); the oracle
     replays the store's iters=0 seed graph and every traversal round
-    value-exactly."""
+    value-exactly. The store farm advances drop 2 via
+    publish_graph_incremental (drop-priced affected-closure merge),
+    so the one oracle attests BOTH publish paths — the merged table
+    is row-equal to a fresh fold by construction (pytest)."""
     from ..operators import incremental as inc
 
     pub = _pub_stores(spark, sf_dir)
