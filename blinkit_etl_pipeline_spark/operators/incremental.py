@@ -2770,6 +2770,11 @@ def _write_pub_state(
         "tomb_version": snapshot.current_version(
             _tombstone_table(vec_store)
         ),
+        # pins WHICH pub version this state describes: a rollback of
+        # the published table would otherwise leave a newer sidecar
+        # that under-diffs the next incremental (content older than
+        # the recorded sources) — the mismatch forces a full republish
+        "pub_version": snapshot.current_version(pub_store),
     }
     path = os.path.join(pub_store, "pub_state.json")
     tmp = path + f".tmp-{_uuid.uuid4().hex[:8]}"
@@ -2839,6 +2844,7 @@ def publish_graph_incremental(
         snapshot.current_version(pub_store) is None
         or state is None
         or state.get("graph_version") is None
+        or state.get("pub_version") != snapshot.current_version(pub_store)
     ):
         return publish_graph(spark, graph_store, vec_store, pub_store, k=k)
     if (state["graph_version"], state.get("tomb_version")) == (
