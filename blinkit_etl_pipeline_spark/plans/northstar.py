@@ -7102,12 +7102,15 @@ def q_ann_graph_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ns_ann_graph_curve"] = q_ann_graph_curve
 
 
-def _gs_curve_sql() -> str:
+def _gs_curve_sql(cpred: str | None = None) -> str:
+    """Beam-sweep oracle builder; ``cpred`` (r12) swaps in the
+    filtered tier — predicate'd candidate sets per beam AND the exact
+    FILTERED truth."""
     nq, k = len(ANN_QUERY_IDS), ANN_K
     blocks, selects = [], []
     for b in GS_CURVE_BEAMS:
         sfx = f"_b{b}"
-        blocks.append(_gs_ctes(beam=b, sfx=sfx))
+        blocks.append(_gs_ctes(beam=b, sfx=sfx, cpred=cpred))
         blocks.append(
             f"""topk{sfx} AS (
   SELECT query_id, neighbor_id FROM (
@@ -7123,6 +7126,10 @@ hits{sfx} AS (
             f"ROUND(c / {float(nq * k)}, 4) AS avg_recall "
             f"FROM hits{sfx}"
         )
+    tpred = (
+        "" if cpred is None
+        else f"\n      AND {cpred.format(c='c.vec_id')}"
+    )
     truth_cte = f"""truth AS (
   SELECT query_id, neighbor_id FROM (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -7130,7 +7137,7 @@ hits{sfx} AS (
         {_COSR.format(a='q.qv', b='c.qv', qa='q.qq', qb='c.qq')} DESC,
         c.vec_id ASC) AS rn
     FROM e q CROSS JOIN e c
-    WHERE q.vec_id < {nq} AND c.vec_id != q.vec_id)
+    WHERE q.vec_id < {nq} AND c.vec_id != q.vec_id{tpred})
   WHERE rn <= {k})"""
     return (
         f"WITH {_EMB},\n{_knn_ctes()},\n{truth_cte},\n"
@@ -7141,6 +7148,53 @@ hits{sfx} AS (
 
 
 ORACLES["ns_ann_graph_curve"] = _gs_curve_sql()
+
+
+def q_ann_graph_filtered_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Operating curve for FILTERED serving — recall@k vs beam width
+    under the metadata predicate: the strict pushdown confines routing
+    to the admitted subgraph, and THIS curve is how a deployment prices
+    that back (widening the beam recovers the recall dip at
+    |Q|·beam·k admitted-pair cost — still selectivity-scaled, never a
+    post-filter). Truth is the exact filtered top-k; the oracle
+    replays every beam's predicate'd traversal and the filtered truth
+    value-exactly."""
+    emb = _emb(spark, sf_dir)
+    g = _gs_fixture(spark, sf_dir, "raw")
+    allowed = _filt_allowed(spark, sf_dir)
+    truth = vector.brute_force_topk(
+        emb, ANN_QUERY_IDS, k=ANN_K,
+        candidates=emb.join(allowed, "vec_id"),
+    ).select("query_id", "neighbor_id").localCheckpoint(eager=False)
+    und = vector.undirect_graph(g).localCheckpoint(eager=False)
+    denom = float(len(ANN_QUERY_IDS) * ANN_K)
+    out = None
+    for b in GS_CURVE_BEAMS:
+        res = vector.graph_search_filtered(
+            emb, und, ANN_QUERY_IDS, allowed,
+            k=ANN_K, beam=b, rounds=GS_ROUNDS,
+            nbits=ANN_NBITS, ntables=ANN_NTABLES, undirected=True,
+        ).select("query_id", "neighbor_id")
+        row = (
+            res.join(truth, ["query_id", "neighbor_id"])
+            .agg(F.count("*").cast("long").alias("hits"))
+            .select(
+                F.lit(b).alias("beam"),
+                "hits",
+                F.round(F.col("hits") / denom, 4).alias("avg_recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+QUERIES["ns_ann_graph_filtered_curve"] = q_ann_graph_filtered_curve
+
+ORACLES["ns_ann_graph_filtered_curve"] = _gs_curve_sql(
+    cpred=_FILT_PRED_SQL
+)
 
 
 # ----------------------------------------------------------------------
