@@ -2879,6 +2879,7 @@ def _beam_seeds_on_frame(
     queries_e: DataFrame | None = None,
     qbuckets: DataFrame | None = None,
     allowed: DataFrame | None = None,
+    scored: bool = False,
 ) -> DataFrame:
     """Entry points for a frame-level graph walk: sign-LSH collisions
     between the query rows and the corpus frame ``e`` (a DISTINCT
@@ -2887,9 +2888,11 @@ def _beam_seeds_on_frame(
     ``queries_e``/``qbuckets`` swap in out-of-corpus query vectors and
     their driver-hashed bucket rows. ``allowed`` filters the collision
     candidates BEFORE scoring (strict filtered-ANN seeds — see
-    :func:`graph_search_rounds`). Shared by the SQ8 batch twin and
-    (shape-wise) the store serving path, so seeds replay in SQL as
-    the ``gs_cand``/``gs_s0`` CTE pair."""
+    :func:`graph_search_rounds`). ``scored=True`` returns the SCORED
+    candidate frame (query_id, neighbor_id, cos_raw) before the beam
+    cut — a beam sweep scores once and cuts per point. Shared by the
+    SQ8 batch twin and (shape-wise) the store serving path, so seeds
+    replay in SQL as the ``gs_cand``/``gs_s0`` CTE pair."""
     rows = bucket_frame(e, nbits, ntables, dim).select(
         "vec_id", "t", "bucket"
     )
@@ -2928,12 +2931,14 @@ def _beam_seeds_on_frame(
         F.col("qvec").alias("_gcv"),
         F.col("qq").alias("_gcq"),
     )
-    scored = _gs_score(cand, qe, ce)
+    sc = _gs_score(cand, qe, ce)
+    if scored:
+        return sc
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        sc.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= beam)
         .select("query_id", "neighbor_id")
     )

@@ -7169,13 +7169,33 @@ def q_ann_graph_filtered_curve(
         candidates=emb.join(allowed, "vec_id"),
     ).select("query_id", "neighbor_id").localCheckpoint(eager=False)
     und = vector.undirect_graph(g).localCheckpoint(eager=False)
+    # the admitted seed collisions and their scores are beam-
+    # independent — score them ONCE, cut per sweep point (each beam's
+    # cut replays graph_search_filtered's seeds bit-exactly)
+    e = vector.with_q(emb).localCheckpoint(eager=False)
+    scored = vector._beam_seeds_on_frame(
+        e, ANN_QUERY_IDS, 1 << 30, ANN_NBITS, ANN_NTABLES, EMB_DIM,
+        allowed=allowed, scored=True,
+    ).localCheckpoint(eager=False)
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
     denom = float(len(ANN_QUERY_IDS) * ANN_K)
     out = None
     for b in GS_CURVE_BEAMS:
-        res = vector.graph_search_filtered(
-            emb, und, ANN_QUERY_IDS, allowed,
-            k=ANN_K, beam=b, rounds=GS_ROUNDS,
-            nbits=ANN_NBITS, ntables=ANN_NTABLES, undirected=True,
+        seeds = (
+            scored.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= b)
+            .select("query_id", "neighbor_id")
+        )
+        res = vector.graph_search_rounds(
+            e, und.select(
+                F.col("node_id").alias("u"),
+                F.col("neighbor_id").alias("v"),
+            ), seeds, ANN_K, b, GS_ROUNDS,
+            undirected=True, allowed=allowed,
         ).select("query_id", "neighbor_id")
         row = (
             res.join(truth, ["query_id", "neighbor_id"])
