@@ -2813,14 +2813,17 @@ def publish_graph_incremental(
     themselves and their published neighbors (a below-the-fold
     candidate disappearing cannot change a top-k; one above it shows
     in the published rows, pruned-readable by the gone ids). Folds
-    are recomputed for the affected CLOSURE — affected plus every
-    node holding a candidate edge toward one (their folds are
-    unchanged, but membership of (b → a∈affected) in F(b) is not
-    derivable from the direction-less published rows) — from the
-    u-clustered history via pruned reads. The rewrite is a keyed
-    MERGE (delete + upsert) touching only files whose ``u`` range
-    intersects the affected rows: publish cost ∝ the drop's collision
-    footprint, not the corpus.
+    are recomputed for the affected CLOSURE — affected plus their
+    PUBLISHED neighbors: an unaffected node's fold is unchanged, so
+    its only row-relevant edges toward affected nodes are already
+    published rows (membership of (b → a∈affected) in F(b) is not
+    derivable from the direction-less rows, so b's fold is re-derived
+    from its pruned history; a below-the-fold candidate contributes
+    no row before or after and needs no visit) — all reads pruned by
+    the closure's ids against the u-clustered stores. The rewrite is
+    a keyed MERGE (delete + upsert) touching only files whose ``u``
+    range intersects the affected rows: publish cost ∝ the drop's
+    collision footprint, not the corpus.
 
     Exact: the resulting table is row-equal to a fresh
     :func:`publish_graph` (pytest across drops, takedowns, and
@@ -2863,10 +2866,15 @@ def publish_graph_incremental(
     added = sorted(cur_paths - old_paths)
     affected = set()
     if added:
-        adf = snapshot._read_files(spark, cur_m, added)
-        affected.update(
-            int(r["u"]) for r in adf.select("u").distinct().collect()
-        )
+        adf = snapshot._read_files(spark, cur_m, added).select("u").distinct()
+        # cheap cardinality guard BEFORE any driver collect: a large
+        # drop's affected set (its old-mate fan-out) can be corpus-
+        # scale, where the one-shot fold is the cheaper plan anyway
+        if adf.count() > max_affected:
+            return publish_graph(
+                spark, graph_store, vec_store, pub_store, k=k
+            )
+        affected.update(int(r["u"]) for r in adf.collect())
     new_gone: set[int] = set()
     if cur_tv != state.get("tomb_version"):
         tt = _tombstone_table(vec_store)
@@ -2894,21 +2902,20 @@ def publish_graph_incremental(
     aff_df = spark.createDataFrame(
         [(a,) for a in aff], "vec_id long"
     ).localCheckpoint(eager=True)
-    # closure: nodes holding a candidate toward an affected node —
-    # their (unchanged) folds decide mirror rows (b, a) — via the
-    # u-clustered history's v side (one pruned-by-nothing scan only
-    # when u stats are absent; the closure read itself filters by v,
-    # so we scan the full file list once here: candidate rows are
-    # store_k-folded per append, and the filter is a broadcast semi)
-    hist = snapshot.read_snapshot(spark, graph_store).dropDuplicates(
-        ["u", "v"]
+    # closure: nodes whose FOLDED list may contain an affected node —
+    # an unaffected node's fold is unchanged, so any of its edges
+    # toward an affected node is already a published row, prunable by
+    # the affected ids (no history scan): closure = affected ∪ their
+    # published neighbors. (A below-the-fold candidate toward an
+    # affected node contributes no row either before or after.)
+    pub_adj_aff = (
+        snapshot.read_snapshot_pruned(spark, pub_store, aff)
+        .join(F.broadcast(aff_df.withColumnRenamed("vec_id", "u")), "u",
+              "semi")
+        .localCheckpoint(eager=True)
     )
     closure_df = (
-        hist.join(
-            F.broadcast(aff_df.withColumnRenamed("vec_id", "v")), "v", "semi"
-        )
-        .select("u")
-        .distinct()
+        pub_adj_aff.select(F.col("v").alias("u"))
         .unionByName(aff_df.select(F.col("vec_id").alias("u")))
         .distinct()
         .localCheckpoint(eager=True)
@@ -2950,14 +2957,9 @@ def publish_graph_incremental(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # old rows touching affected: pruned read on the u side; mirrors
-    # exist by symmetric storage, derived without a second scan
-    old_side = (
-        snapshot.read_snapshot_pruned(spark, pub_store, aff)
-        .join(F.broadcast(aff_df.withColumnRenamed("vec_id", "u")), "u",
-              "semi")
-        .select("u", "v")
-    )
+    # old rows touching affected: the closure read already holds the
+    # u-side; mirrors exist by symmetric storage, derived scan-free
+    old_side = pub_adj_aff.select("u", "v")
     old_rows = (
         old_side.union(
             old_side.select(F.col("v").alias("u"), F.col("u").alias("v"))
