@@ -244,3 +244,15 @@ def test_streaming_release_ingest_matches_batch(spark, tmp_path):
     stream = file_source.stream_files(spark, str(raw), schema, fmt="parquet")
     release_ingest.run_release_ingest(stream, ckpt, root)
     assert _rows(_read(spark, root)) == want
+
+    # the verdict store composes with streamed stores: first cached
+    # read maintains, the second serves signature-stable — both equal
+    # the full rescore (a streamed REDELIVERY commits nothing, so it
+    # keeps the signature stable too)
+    assert _rows(_read_cached(spark, root)) == want
+    vstore = release.stores(root)["verdicts"]
+    v0 = snapshot.current_version(vstore)
+    stream = file_source.stream_files(spark, str(raw), schema, fmt="parquet")
+    release_ingest.run_release_ingest(stream, ckpt, root)
+    assert _rows(_read_cached(spark, root)) == want
+    assert snapshot.current_version(vstore) == v0
