@@ -68,7 +68,9 @@ ARROW_WHITELIST = {
     # Arrow kernel (graph_search_filtered → _beam_seeds_on_frame)
     "ns_ann_graph_filtered",
     "ns_ann_graph_filtered_recall",
-    "ns_ann_graph_filtered_curve",
+    # NOT ns_ann_graph_filtered_curve: its one seed-scoring pass is
+    # checkpointed and shared across the beam sweep, so the Arrow
+    # kernel hides behind the checkpoint leaf (the ns_knn_graph case)
     # NOT ns_ann_graph_published: its kernels run at store-build /
     # publish time; the serve call's plan is JVM-only pruned reads
     # NOT ns_knn_backfill: like ns_knn_graph_store, its kernels run at
