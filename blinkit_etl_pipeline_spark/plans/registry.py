@@ -17,109 +17,20 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 # The driver samples ~50 registry queries per round, preferring earlier
-# entries (insertion order). Round 7 ordering (VERDICT r6 task #6):
-# never-driver-checked / changed-oracle queries first (ns_decontam_chunks,
-# ns_hybrid_rrf_recall are new; ns_hybrid_rrf_topk's dense leg + oracle
-# changed to IVFPQ this round), then every existing query ordered
-# oldest-driver-green-row-first. Generated from the union of
-# CORRECTNESS_r01-r06.json: 46 queries' newest green row is r5, 49 are
-# r6 — the ~50-query r7 sample re-attests all three new/changed rows
-# plus the full r5 cohort (which includes ns_text_bm25, whose scorer
-# plan changed this round).
+# entries (insertion order). GENERATED — do not hand-edit; rerun
+# `python tools/gen_priority.py --apply` after adding queries or when a
+# new CORRECTNESS_r*.json lands (VERDICT r12 task #2). Ordering:
+# never-driver-green queries first (registry insertion order), then
+# every attested query oldest-driver-green-round-first, alphabetical
+# within a round, from the union of all CORRECTNESS_r*.json.
 PRIORITY = [
-    # --- r11 additions, never driver-checked ---
-    "ns_ann_graph_sq8_topk",
-    "ns_ann_graph_sq8_recall",
-    "ns_incr_drift",
-    "ns_incr_hll_cumulative",
-    "ns_takedown_audit",
-    "ns_incr_release",
-    "ns_incr_release_cdc",
-    # --- r10 addendum additions, never driver-checked ---
-    "ns_ann_graph_topk",
-    "ns_incr_hll_users",
-    "ns_incr_cms_probe",
-    "ns_ann_graph_recall",
-    "ns_ann_graph_curve",
-    "ns_knn_backfill",
-    "ns_ann_graph_external",
-    "ns_incr_curated_cdc",
-    "ns_incr_sales_revenue",
-    "ns_incr_area_feedback",
-    # --- r10 additions, never driver-checked ---
-    "ns_knn_graph",
-    "ns_knn_graph_recall",
-    "ns_triplet_mine_knn",
-    "ns_knn_graph_store",
-    "ns_text_collocations_probe",
-    "ns_incr_campaign_summary",
-    "ns_incr_delivery_partner",
-    "ns_incr_category_impact",
-    "ns_incr_product_discrepancies",
-    # --- r9 additions / changed plans+oracles, never driver-checked as-is ---
-    "ns_quality_quantiles",
-    "ns_snapshot_diff",
-    "ns_scd2_changes",
-    "ns_text_keywords",
-    "ns_text_pmi",
-    "ns_sketch_bkq_cumulative",
-    "ns_sketch_bkq_quantiles",
-    "ns_customer_rfm",
-    # --- r8 additions / changed plans+oracles ---
-    "ns_graph_pagerank_incr",
-    "ns_profile_numeric_quantiles",
-    "ns_sketch_quantiles_multi",
-    "ns_basket_lift",
-    "ns_lm_kn_perplexity",
-    "ns_cluster_kmeans",
-    # --- r7 additions / changed oracles ---
-    "ns_scd2_user_state",
-    "ns_sketch_kmv_overlap",
-    "ns_privacy_dp_release",
-    "ns_events_ewma_anomaly",
-    "ns_scd2_pit_enrich",
-    "ns_dedup_edit_distance",
-    "ns_select_dsir",
-    "ns_graph_pagerank",
-    "ns_incr_revenue",
-    "ns_incr_category_revenue",
-    "ns_corpus_drift",
-    "ns_data_quality",
-    "ns_text_hash_embed_ann",
-    "ns_pipeline_curation_model",
-    "ns_quality_nb",
-    "ns_lm_perplexity",
-    "ns_ann_sq8_topk",
-    "ns_ann_sq8_recall",
-    "ns_triplet_mine",
-    "ns_decontam_chunks",
-    "ns_dedup_spans",
-    "ns_dedup_keep_best",
-    "ns_shuffle_shards",
-    "ns_hybrid_rrf_recall",
-    "ns_hybrid_rrf_topk",
-    # --- newest driver-green row r5 ---
-    "area_feedback_metrics",
-    "campaign_performance",
-    "campaign_roi",
-    "category_inventory_impact",
-    "customer_metrics",
-    "customer_order_presence",
-    "customer_satisfaction",
-    "delay_setops",
-    "delivery_partner",
-    "delivery_partner_performance",
-    "inventory_and_revenue",
-    "inventory_discrepancies",
-    "ns_ann_cosine_topk",
-    "ns_ann_ivf_topk",
-    "ns_ann_lsh_topk",
-    "ns_ann_pq_recall",
-    "ns_ann_pq_topk",
-    "ns_dedup_embedding",
-    "ns_dedup_exact",
-    "ns_dedup_groups",
-    "ns_dedup_jaccard_prefix",
+    # --- never driver-green ---
+    "ns_ann_graph_filtered",
+    "ns_ann_graph_filtered_recall",
+    "ns_ann_graph_published",
+    "ns_ann_graph_filtered_curve",
+    "ns_incr_release_cached",
+    # --- newest green r5 ---
     "ns_dedup_minhash_lsh",
     "ns_dedup_ngram_jaccard",
     "ns_dedup_simhash",
@@ -145,7 +56,7 @@ PRIORITY = [
     "revenue_rollup",
     "sentiment_pivot",
     "top_products_per_category",
-    # --- newest driver-green row r6 ---
+    # --- newest green r6 ---
     "enriched_feedback",
     "inventory_reconciliation",
     "marketing_kpis",
@@ -195,6 +106,97 @@ PRIORITY = [
     "ns_text_stats",
     "ns_text_vocab",
     "sales_fact",
+    # --- newest green r7 ---
+    "ns_ann_pq_topk",
+    "ns_dedup_embedding",
+    "ns_dedup_exact",
+    "ns_dedup_groups",
+    "ns_dedup_jaccard_prefix",
+    # --- newest green r8 ---
+    "inventory_discrepancies",
+    "ns_ann_cosine_topk",
+    "ns_ann_ivf_topk",
+    "ns_ann_lsh_topk",
+    "ns_ann_pq_recall",
+    # --- newest green r9 ---
+    "area_feedback_metrics",
+    "campaign_performance",
+    "campaign_roi",
+    "category_inventory_impact",
+    "customer_metrics",
+    "customer_order_presence",
+    "customer_satisfaction",
+    "delay_setops",
+    "delivery_partner",
+    "delivery_partner_performance",
+    "inventory_and_revenue",
+    "ns_ann_sq8_recall",
+    "ns_decontam_chunks",
+    "ns_dedup_keep_best",
+    "ns_dedup_spans",
+    "ns_hybrid_rrf_recall",
+    "ns_hybrid_rrf_topk",
+    "ns_shuffle_shards",
+    "ns_triplet_mine",
+    # --- newest green r10 ---
+    "ns_ann_sq8_topk",
+    "ns_corpus_drift",
+    "ns_data_quality",
+    "ns_lm_perplexity",
+    "ns_pipeline_curation_model",
+    "ns_quality_nb",
+    "ns_text_hash_embed_ann",
+    # --- newest green r12 ---
+    "ns_ann_graph_curve",
+    "ns_ann_graph_external",
+    "ns_ann_graph_recall",
+    "ns_ann_graph_sq8_recall",
+    "ns_ann_graph_sq8_topk",
+    "ns_ann_graph_topk",
+    "ns_basket_lift",
+    "ns_cluster_kmeans",
+    "ns_customer_rfm",
+    "ns_dedup_edit_distance",
+    "ns_events_ewma_anomaly",
+    "ns_graph_pagerank",
+    "ns_graph_pagerank_incr",
+    "ns_incr_area_feedback",
+    "ns_incr_campaign_summary",
+    "ns_incr_category_impact",
+    "ns_incr_category_revenue",
+    "ns_incr_cms_probe",
+    "ns_incr_curated_cdc",
+    "ns_incr_delivery_partner",
+    "ns_incr_drift",
+    "ns_incr_hll_cumulative",
+    "ns_incr_hll_users",
+    "ns_incr_product_discrepancies",
+    "ns_incr_release",
+    "ns_incr_release_cdc",
+    "ns_incr_revenue",
+    "ns_incr_sales_revenue",
+    "ns_knn_backfill",
+    "ns_knn_graph",
+    "ns_knn_graph_recall",
+    "ns_knn_graph_store",
+    "ns_lm_kn_perplexity",
+    "ns_privacy_dp_release",
+    "ns_profile_numeric_quantiles",
+    "ns_quality_quantiles",
+    "ns_scd2_changes",
+    "ns_scd2_pit_enrich",
+    "ns_scd2_user_state",
+    "ns_select_dsir",
+    "ns_sketch_bkq_cumulative",
+    "ns_sketch_bkq_quantiles",
+    "ns_sketch_kmv_overlap",
+    "ns_sketch_quantiles_multi",
+    "ns_snapshot_diff",
+    "ns_takedown_audit",
+    "ns_text_collocations_probe",
+    "ns_text_keywords",
+    "ns_text_pmi",
+    "ns_triplet_mine_knn",
 ]
 
 
