@@ -646,6 +646,7 @@ def ingest_knn_graph(
     compact_target: int = 8,
     payload_store: str | None = None,
     pairing_slices: int | None = None,
+    attrs: list[str] | None = None,
 ) -> int:
     """Incremental k-NN graph maintenance (r10) — the graph member of
     the streaming index family (LSH signatures, PQ/SQ8 codes, BM25
@@ -706,11 +707,21 @@ def ingest_knn_graph(
         )
         .select("vec_id", "qvec", "qq", "t", "bucket", "tb")
     )
+    if attrs:
+        # metadata attribute columns persisted on the payload twin
+        # (r13, VERDICT r12 #4): filtered serving evaluates its
+        # predicate on these INSIDE the pruned twin/seed-projection
+        # reads (graph_search_published ``where=``) instead of
+        # broadcasting a corpus-scale allow-id frame per call
+        rows = rows.join(
+            new_emb.select("vec_id", *attrs).dropDuplicates(["vec_id"]),
+            "vec_id",
+        )
     return _ingest_knn_core(
         spark, vec_store, graph_store, rows,
         store_k=store_k,
         payload_store=payload_store,
-        payload_cols=["vec_id", "qvec", "qq"],
+        payload_cols=["vec_id", "qvec", "qq", *(attrs or [])],
         vec_cols=None,
         compact_threshold=compact_threshold,
         pairing_slices=pairing_slices,
@@ -836,10 +847,16 @@ def _ingest_knn_core(
         # dedup — identical bytes, the edge-append argument
         pay = rows.filter(F.col("t") == 0).select(*payload_cols)
         if snapshot.current_version(payload_store) is None:
+            snapshot.ensure_table_properties(
+                payload_store, {"target_file_rows": _TARGET_FILE_ROWS}
+            )
             snapshot.write_snapshot(pay, payload_store, stats_col="vec_id")
         else:
             snapshot.append_snapshot(pay, payload_store)
     if snapshot.current_version(graph_store) is None:
+        snapshot.ensure_table_properties(
+            graph_store, {"target_file_rows": _TARGET_FILE_ROWS}
+        )
         # u-clustered candidate history (r12): per-node history reads
         # (incremental publish maintenance, refinement of a node set)
         # prune to the nodes' files instead of scanning every append
@@ -855,6 +872,9 @@ def _ingest_knn_core(
     if exists:
         snapshot.append_snapshot(vec_rows, vec_store, stats_col="tb")
     else:
+        snapshot.ensure_table_properties(
+            vec_store, {"target_file_rows": _TARGET_FILE_ROWS}
+        )
         snapshot.write_snapshot(vec_rows, vec_store, stats_col="tb")
     if compact_threshold is not None:
         m = snapshot.read_manifest(graph_store)
@@ -2552,10 +2572,12 @@ def open_graph_serving(
     top-k fold + undirected expansion entirely (at 2M vectors those
     folds were most of the 22 s open) and only checkpoints the
     corpus frame + key rows. The published fold must have been cut
-    at ≥ this session's ``k`` (property-guarded); publish-time
-    tombstones are already folded in, and a takedown AFTER the
-    publish is invisible until republish + reopen — the same
-    snapshot contract the session itself already pins."""
+    at ≥ this session's ``k`` (property-guarded); a session at
+    k < pinned reads the rank-filtered adjacency — exactly the
+    k-deep fold (r13, ADVICE r12). Publish-time tombstones are
+    already folded in, and a takedown AFTER the publish is invisible
+    until republish + reopen — the same snapshot contract the
+    session itself already pins."""
     import numpy as np
 
     from . import vector
@@ -2686,6 +2708,98 @@ def open_graph_serving(
 # ---------------------------------------------------------------------------
 
 
+def _seed_projection_rows(
+    spark: SparkSession, vec_store: str, keys: DataFrame, ids=None
+) -> DataFrame:
+    """(vec_id, t, bucket, tb, <payload>) seed-projection rows for a
+    frame of bucket keys — the payload travels in STORED form (SQ8
+    codes stay codes; full precision stays qvec+qq), so the
+    projection costs ntables× the twin's bytes, not ntables× the
+    decoded lattice. ``ids`` (the drop-priced advance) prunes the
+    twin read to just those vec_ids' files."""
+    cols = set(keys.columns)
+    if "qvec" in cols:
+        return keys.select("vec_id", "t", "bucket", "tb", "qvec", "qq")
+    if "codes" in cols:
+        return keys.select("vec_id", "t", "bucket", "tb", "codes")
+    ps = snapshot.table_properties(vec_store).get("payload_store")
+    if ids is None:
+        pay = snapshot.read_snapshot(spark, ps)
+    else:
+        pay = snapshot.read_snapshot_pruned(spark, ps, sorted(ids))
+    pay = pay.dropDuplicates(["vec_id"])
+    payload_cols = [c for c in pay.columns if c != "vec_id"]
+    return keys.select("vec_id", "t", "bucket", "tb").join(
+        pay, "vec_id"
+    ).select("vec_id", "t", "bucket", "tb", *payload_cols)
+
+
+def _write_seed_projection(
+    spark: SparkSession, vec_store: str, seed_store: str
+) -> int:
+    """Full (re)build of the (t, bucket)-clustered seed projection
+    (r13, VERDICT r12 #1): the published-serving seed phase scores
+    bucket collisions, whose ids are uniform over vec_id — pruning
+    the vec_id-clustered payload twin by them opens nearly every twin
+    file, the last corpus-linear term in one-shot serving. This twin
+    of the twin clusters (bucket key → payload) by ``tb`` instead, so
+    the seed read opens ONLY colliding buckets' files — frontier-
+    sized like the hops. Publish-time tombstones are excluded like
+    the fold's; reads re-exclude CURRENT tombstones, so the live row
+    set matches the bucket-store path exactly (tombstones only
+    grow)."""
+    keys = _exclude_tombstoned(
+        spark, vec_store, snapshot.read_snapshot(spark, vec_store),
+        "vec_id",
+    )
+    rows = _seed_projection_rows(spark, vec_store, keys)
+    snapshot.ensure_table_properties(
+        seed_store, {"target_file_rows": _TARGET_FILE_ROWS}
+    )
+    return snapshot.write_snapshot(rows, seed_store, stats_col="tb")
+
+
+def _advance_seed_projection(
+    spark: SparkSession, vec_store: str, seed_store: str, old_vv
+) -> None:
+    """Drop-priced seed-projection advance: append ONLY the bucket
+    rows in vec-store files added since the publish that wrote
+    ``old_vv`` (manifest diff — the graph-side machinery), with
+    payloads from a twin read pruned by just those drop ids.
+    Takedowns need no seed rewrite (reads exclude current
+    tombstones). Falls back to the full rebuild when the diff is
+    unavailable (no prior state, vacuumed manifest, compaction)."""
+    cur_vv = snapshot.current_version(vec_store)
+    if snapshot.current_version(seed_store) is None or old_vv is None:
+        _write_seed_projection(spark, vec_store, seed_store)
+        return
+    if old_vv == cur_vv:
+        return
+    try:
+        old_m = snapshot.read_manifest(vec_store, old_vv)
+    except Exception:
+        _write_seed_projection(spark, vec_store, seed_store)
+        return
+    cur_m = snapshot.read_manifest(vec_store)
+    old_paths = {e["path"] for e in old_m["files"]}
+    cur_paths = {e["path"] for e in cur_m["files"]}
+    if not old_paths <= cur_paths:  # compaction rewrote the store
+        _write_seed_projection(spark, vec_store, seed_store)
+        return
+    added = sorted(cur_paths - old_paths)
+    if not added:
+        return
+    keys = snapshot._read_files(spark, cur_m, added)
+    # the drop's ids, collected — bounded like the incremental
+    # publish's affected set (the same drop, already collected there)
+    ids = [
+        int(r["vec_id"])
+        for r in keys.select("vec_id").distinct().collect()
+    ]
+    rows = _seed_projection_rows(spark, vec_store, keys, ids=ids)
+    snapshot.append_snapshot(rows, seed_store, stats_col="tb")
+
+
 def publish_graph(
     spark: SparkSession,
     graph_store: str,
@@ -2693,6 +2807,7 @@ def publish_graph(
     pub_store: str,
     *,
     k: int = 5,
+    seed_store: str | None = None,
 ) -> int:
     """Publish the maintained k-NN graph in SERVING shape (r12,
     VERDICT r11 #1): the candidate history's (u, v) dedup, per-node
@@ -2712,9 +2827,12 @@ def publish_graph(
     tombstoned ids — see :func:`graph_search_published` — they just
     can't resurrect the fold's discarded slack). ``k`` is pinned
     write-once in the table properties; reads may walk at any
-    k ≤ pinned (the fold is per-node top-k, so a shallower cut is a
-    prefix). Republishing commits a new MVCC version of the same
-    table — serving sessions advance by reopening."""
+    k ≤ pinned — each row persists ``rank`` = min over both directed
+    folds of the edge's fold position, so the k'-adjacency is exactly
+    the rows with ``rank ≤ k'`` (r13, ADVICE r12: without the column
+    a shallower serve silently walked the pinned-k adjacency).
+    Republishing commits a new MVCC version of the same table —
+    serving sessions advance by reopening."""
     from . import vector
 
     pinned = snapshot.table_properties(pub_store)
@@ -2723,6 +2841,24 @@ def publish_graph(
             f"published graph at {pub_store} is pinned to k="
             f"{pinned['k']} — republish with the same k"
         )
+    if (
+        pinned.get("seed_store") is not None
+        and seed_store is not None
+        and seed_store != pinned["seed_store"]
+    ):
+        raise snapshot.SnapshotError(
+            f"published graph at {pub_store} is pinned to seed "
+            f"projection {pinned['seed_store']!r} — pass the same "
+            "seed_store"
+        )
+    seed_store = seed_store or pinned.get("seed_store")
+    # capture the source versions BEFORE reading/folding (ADVICE r12:
+    # an ingest append landing mid-publish would otherwise be recorded
+    # as folded when it was not, under-diffing the next incremental —
+    # recording the older version merely re-folds those appends, safe)
+    src_gv = snapshot.current_version(graph_store)
+    src_tv = snapshot.current_version(_tombstone_table(vec_store))
+    src_vv = snapshot.current_version(vec_store)
     edges = snapshot.read_snapshot(spark, graph_store).dropDuplicates(
         ["u", "v"]
     )
@@ -2737,39 +2873,64 @@ def publish_graph(
             "v",
             "left_anti",
         )
-    folded = vector._directed_topk(edges, k).select("u", "v")
+    folded = vector._directed_topk(edges, k).select("u", "v", "rank")
     und = (
         folded.union(
-            folded.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            folded.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), "rank"
+            )
         )
-        .distinct()
+        .groupBy("u", "v")
+        .agg(F.min("rank").cast("int").alias("rank"))
         .localCheckpoint(eager=True)
     )
-    v = snapshot.write_snapshot(und, pub_store, stats_col="u")
     snapshot.ensure_table_properties(
-        pub_store,
-        {"k": int(k), "source_vec": vec_store, "source_graph": graph_store},
+        pub_store, {"target_file_rows": _TARGET_FILE_ROWS}
     )
-    _write_pub_state(pub_store, graph_store, vec_store)
+    v = snapshot.write_snapshot(und, pub_store, stats_col="u")
+    props = {
+        "k": int(k), "source_vec": vec_store,
+        "source_graph": graph_store,
+    }
+    if seed_store is not None:
+        # full publish rebuilds the projection (corpus-sized, like the
+        # fold it accompanies); incremental republish advances it
+        # drop-priced via _advance_seed_projection
+        _write_seed_projection(spark, vec_store, seed_store)
+        props["seed_store"] = seed_store
+    snapshot.ensure_table_properties(pub_store, props)
+    _write_pub_state(pub_store, src_gv, src_tv, src_vv)
     return v
 
 
+#: row-targeted file granularity for the corpus-scale vector stores
+#: (r13, VERDICT r12 #1/#3): files-per-commit proportional to rows so
+#: manifest pruning opens O(probe) files at any corpus size — see
+#: snapshot._write_data_files. ~128k rows/file keeps a 2M-vector
+#: store's bucket/payload/graph/published tables at 15-160 files.
+_TARGET_FILE_ROWS = 131_072
+
+
 def _write_pub_state(
-    pub_store: str, graph_store: str, vec_store: str
+    pub_store: str, graph_version, tomb_version, vec_version=None
 ) -> None:
     """Record the source versions a publish folded in — the hint
-    :func:`publish_graph_incremental` diffs against. Written AFTER the
-    publish commit: a crash in between leaves a stale sidecar, which
-    only ever widens the next incremental's affected set (or forces a
-    full republish) — never narrows it, so it is correctness-safe."""
+    :func:`publish_graph_incremental` diffs against. The caller
+    captures both versions BEFORE reading/folding (ADVICE r12:
+    re-reading current_version here would record appends the publish
+    never folded, under-diffing the next incremental). Written AFTER
+    the publish commit: a crash in between leaves a stale sidecar,
+    which only ever widens the next incremental's affected set (or
+    forces a full republish) — never narrows it, correctness-safe."""
     import json
     import uuid as _uuid
 
     state = {
-        "graph_version": snapshot.current_version(graph_store),
-        "tomb_version": snapshot.current_version(
-            _tombstone_table(vec_store)
-        ),
+        "graph_version": graph_version,
+        "tomb_version": tomb_version,
+        # the vec-store version whose bucket rows the seed projection
+        # reflects — the diff base for _advance_seed_projection
+        "vec_version": vec_version,
         # pins WHICH pub version this state describes: a rollback of
         # the published table would otherwise leave a newer sidecar
         # that under-diffs the next incremental (content older than
@@ -2801,6 +2962,7 @@ def publish_graph_incremental(
     *,
     k: int = 5,
     max_affected: int = 100_000,
+    seed_store: str | None = None,
 ) -> int:
     """DROP-PRICED republish (r12): advance a published serving graph
     after drops/takedowns by rewriting ONLY the adjacency rows that
@@ -2841,28 +3003,44 @@ def publish_graph_incremental(
             f"republish with the same k"
         )
     state = _read_pub_state(pub_store)
+    seed_store = seed_store or snapshot.table_properties(pub_store).get(
+        "seed_store"
+    )
     cur_gv = snapshot.current_version(graph_store)
     cur_tv = snapshot.current_version(_tombstone_table(vec_store))
+    cur_vv = snapshot.current_version(vec_store)
     if (
         snapshot.current_version(pub_store) is None
         or state is None
         or state.get("graph_version") is None
         or state.get("pub_version") != snapshot.current_version(pub_store)
+        # legacy store without the persisted rank column (pre-r13):
+        # the merge path maintains rank, so upgrade via a full publish
+        or "rank" not in snapshot.read_snapshot(spark, pub_store).columns
     ):
-        return publish_graph(spark, graph_store, vec_store, pub_store, k=k)
+        return publish_graph(
+            spark, graph_store, vec_store, pub_store, k=k,
+            seed_store=seed_store,
+        )
     if (state["graph_version"], state.get("tomb_version")) == (
         cur_gv, cur_tv,
-    ):
+    ) and (seed_store is None or state.get("vec_version") == cur_vv):
         return snapshot.current_version(pub_store)  # nothing moved
     try:
         old_m = snapshot.read_manifest(graph_store, state["graph_version"])
     except Exception:
-        return publish_graph(spark, graph_store, vec_store, pub_store, k=k)
+        return publish_graph(
+            spark, graph_store, vec_store, pub_store, k=k,
+            seed_store=seed_store,
+        )
     cur_m = snapshot.read_manifest(graph_store)
     old_paths = {e["path"] for e in old_m["files"]}
     cur_paths = {e["path"] for e in cur_m["files"]}
     if not old_paths <= cur_paths:  # compaction rewrote history
-        return publish_graph(spark, graph_store, vec_store, pub_store, k=k)
+        return publish_graph(
+            spark, graph_store, vec_store, pub_store, k=k,
+            seed_store=seed_store,
+        )
     added = sorted(cur_paths - old_paths)
     affected = set()
     if added:
@@ -2872,7 +3050,8 @@ def publish_graph_incremental(
         # scale, where the one-shot fold is the cheaper plan anyway
         if adf.count() > max_affected:
             return publish_graph(
-                spark, graph_store, vec_store, pub_store, k=k
+                spark, graph_store, vec_store, pub_store, k=k,
+                seed_store=seed_store,
             )
         affected.update(int(r["u"]) for r in adf.collect())
     new_gone: set[int] = set()
@@ -2880,9 +3059,19 @@ def publish_graph_incremental(
         tt = _tombstone_table(vec_store)
         cur_tb = snapshot.read_snapshot(spark, tt).select("vec_id")
         if state.get("tomb_version") is not None:
-            old_tb = snapshot.read_snapshot(
-                spark, tt, state["tomb_version"]
-            ).select("vec_id")
+            try:
+                old_tb = snapshot.read_snapshot(
+                    spark, tt, state["tomb_version"]
+                ).select("vec_id")
+            except Exception:
+                # the recorded tombstone version was vacuumed
+                # (expire_snapshots) — fall back to the always-correct
+                # full publish, like the historical graph-manifest
+                # read above (ADVICE r12)
+                return publish_graph(
+                    spark, graph_store, vec_store, pub_store, k=k,
+                    seed_store=seed_store,
+                )
             cur_tb = cur_tb.exceptAll(old_tb)
         new_gone = {int(r["vec_id"]) for r in cur_tb.distinct().collect()}
         if new_gone:
@@ -2894,10 +3083,17 @@ def publish_graph_incremental(
             )
             affected.update(new_gone)
     if not affected:
-        _write_pub_state(pub_store, graph_store, vec_store)
+        if seed_store is not None:
+            _advance_seed_projection(
+                spark, vec_store, seed_store, state.get("vec_version")
+            )
+        _write_pub_state(pub_store, cur_gv, cur_tv, cur_vv)
         return snapshot.current_version(pub_store)
     if len(affected) > max_affected:
-        return publish_graph(spark, graph_store, vec_store, pub_store, k=k)
+        return publish_graph(
+            spark, graph_store, vec_store, pub_store, k=k,
+            seed_store=seed_store,
+        )
     aff = sorted(affected)
     aff_df = spark.createDataFrame(
         [(a,) for a in aff], "vec_id long"
@@ -2936,9 +3132,14 @@ def publish_graph_incremental(
             F.broadcast(tb.withColumnRenamed("vec_id", "v")), "v",
             "left_anti",
         )
-    fold = vector._directed_topk(ch, k).select("u", "v")
+    fold = vector._directed_topk(ch, k).select("u", "v", "rank")
     # new undirected rows TOUCHING an affected node: either side's
-    # fold may contribute either orientation
+    # fold may contribute either orientation. Persisted ``rank`` is
+    # min over both directed folds — for a pair with one endpoint
+    # outside the closure, that endpoint's fold is unchanged AND
+    # cannot contain the pair (else the pair would be a published row
+    # making the endpoint a published neighbor → in the closure), so
+    # the one-sided min is exact.
     touch = (
         fold.join(
             F.broadcast(aff_df.withColumnRenamed("vec_id", "u")), "u",
@@ -2952,17 +3153,25 @@ def publish_graph_incremental(
         )
     )
     new_rows = (
-        touch.select("u", "v")
-        .union(touch.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
+        touch.select("u", "v", "rank")
+        .union(
+            touch.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), "rank"
+            )
+        )
+        .groupBy("u", "v")
+        .agg(F.min("rank").cast("int").alias("rank"))
         .localCheckpoint(eager=True)
     )
     # old rows touching affected: the closure read already holds the
-    # u-side; mirrors exist by symmetric storage, derived scan-free
-    old_side = pub_adj_aff.select("u", "v")
+    # u-side; mirrors exist by symmetric storage (same rank both
+    # orientations), derived scan-free
+    old_side = pub_adj_aff.select("u", "v", "rank")
     old_rows = (
         old_side.union(
-            old_side.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            old_side.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), "rank"
+            )
         )
         .distinct()
         .localCheckpoint(eager=True)
@@ -2976,7 +3185,11 @@ def publish_graph_incremental(
     snapshot.merge_snapshot(
         spark, pub_store, updates, ["u", "v"], delete_col="__del"
     )
-    _write_pub_state(pub_store, graph_store, vec_store)
+    if seed_store is not None:
+        _advance_seed_projection(
+            spark, vec_store, seed_store, state.get("vec_version")
+        )
+    _write_pub_state(pub_store, cur_gv, cur_tv, cur_vv)
     return snapshot.current_version(pub_store)
 
 
@@ -2985,7 +3198,15 @@ def _published_adjacency(
 ) -> DataFrame:
     """The published undirected adjacency, k-guarded — pruned to the
     frontier's files when ``frontier_ids`` is given (each hop opens
-    only the files whose ``u`` range intersects the frontier)."""
+    only the files whose ``u`` range intersects the frontier).
+
+    Serving at k < pinned filters on the persisted per-row ``rank``
+    (min fold position over both directions — see
+    :func:`publish_graph`), so the shallower walk sees exactly the
+    adjacency a k-deep fold would have published (ADVICE r12: the
+    rows alone cannot express the shallower cut; before the rank
+    column, k < pinned silently walked the pinned-k adjacency). A
+    legacy store without the column can only serve k == pinned."""
     props = snapshot.table_properties(pub_store)
     pk = props.get("k")
     if pk is not None and int(k) > int(pk):
@@ -2994,14 +3215,24 @@ def _published_adjacency(
             f"cannot serve k={k} (republish deeper)"
         )
     if frontier_ids is None:
-        return snapshot.read_snapshot(spark, pub_store).select("u", "v")
-    return snapshot.read_snapshot_pruned(
-        spark, pub_store, sorted(frontier_ids)
-    ).select("u", "v")
+        adj = snapshot.read_snapshot(spark, pub_store)
+    else:
+        adj = snapshot.read_snapshot_pruned(
+            spark, pub_store, sorted(frontier_ids)
+        )
+    if pk is not None and int(k) < int(pk):
+        if "rank" not in adj.columns:
+            raise snapshot.SnapshotError(
+                f"published graph at {pub_store} predates the rank "
+                f"column — cannot serve k={k} < pinned {pk} exactly; "
+                "republish (publish_graph) to enable shallower serves"
+            )
+        adj = adj.filter(F.col("rank") <= int(k))
+    return adj.select("u", "v")
 
 
 def _corpus_rows_for_ids(
-    spark: SparkSession, vec_store: str, ids
+    spark: SparkSession, vec_store: str, ids, where: str | None = None
 ) -> DataFrame:
     """(vec_id, qvec, qq) scoring rows for a BOUNDED id set, priced by
     the ids rather than the corpus: a slim store prunes its
@@ -3017,6 +3248,12 @@ def _corpus_rows_for_ids(
     props = snapshot.table_properties(vec_store)
     ps = props.get("payload_store")
     if ps is None:
+        if where is not None:
+            raise snapshot.SnapshotError(
+                "predicate pushdown (where=) needs the slim layout's "
+                "payload twin carrying the attribute columns "
+                "(ingest_knn_graph attrs=)"
+            )
         return _knn_corpus_frame(spark, vec_store).join(
             F.broadcast(idf), "vec_id"
         )
@@ -3028,6 +3265,10 @@ def _corpus_rows_for_ids(
         .dropDuplicates(["vec_id"])
     )
     pay = _exclude_tombstoned(spark, vec_store, pay, "vec_id")
+    if where is not None:
+        # attribute predicate evaluated INSIDE the pruned read (r13,
+        # VERDICT r12 #4) — no allow-id frame ever materializes
+        pay = pay.filter(F.expr(where))
     stats = _sq8_store_stats(vec_store)
     if stats is not None:
         return pay.select(
@@ -3050,6 +3291,7 @@ def graph_search_published(
     ntables: int = 8,
     dim: int = 64,
     allowed: DataFrame | None = None,
+    where: str | None = None,
     vec_store: str | None = None,
 ) -> DataFrame:
     """FRONTIER-PRICED one-shot ANN serving (r12, VERDICT r11 #1 —
@@ -3063,8 +3305,13 @@ def graph_search_published(
       (|Q| rows), hashed driver-side against the shared seeded planes
       (identical to the stored bucket keys — ingest hashes the same
       lattice), so the bucket-key lookup scan is gone too;
-    - seed candidates: pruned bucket-file probe (as before), scored
-      against a pruned twin read of just the colliding ids;
+    - seed candidates: with a published seed projection (r13 —
+      :func:`publish_graph` ``seed_store=``, VERDICT r12 #1) ONE
+      (t, bucket)-pruned read yields keys AND payloads, so the seed
+      term is bucket-sized however big the corpus; without one, a
+      pruned bucket-file probe scored against a pruned twin read of
+      the colliding ids (corpus-file-spanning at scale — collision
+      ids are uniform over the vec_id-clustered twin);
     - each hop: adjacency from the PUBLISHED graph's ``u``-pruned
       files (:func:`publish_graph` — pre-folded, pre-undirected), new
       candidates scored from a pruned twin read of just those ids.
@@ -3079,8 +3326,15 @@ def graph_search_published(
     the fold's discarded slack just can't promote until republish.
 
     ``allowed``/``queries_emb`` as in :func:`graph_search_from_store`.
-    Requires the slim layout (the deployment shape) — a
-    payload-carrying store falls back to corpus-priced scoring via
+    ``where`` (r13, VERDICT r12 #4) is the SCALABLE filtered-serving
+    form: a SQL boolean over attribute columns persisted on the
+    payload twin (``ingest_knn_graph attrs=``), evaluated inside the
+    pruned seed-projection/twin reads — same strict pushdown
+    semantics as ``allowed`` (disallowed ids are dropped from seed
+    collisions and every hop BEFORE scoring; bit-equal pytest) with
+    no per-call corpus-scale allow-frame broadcast. Requires the
+    slim layout (the deployment shape) — a payload-carrying store
+    falls back to corpus-priced scoring via
     :func:`_corpus_rows_for_ids`."""
     import numpy as np
 
@@ -3132,12 +3386,37 @@ def graph_search_published(
     probed = sorted(
         int(r["tb"]) for r in qrows.select("tb").distinct().collect()
     )
-    stored = _exclude_tombstoned(
-        spark,
-        vec_store,
-        snapshot.read_snapshot_pruned(spark, vec_store, probed),
-        "vec_id",
-    )
+    # seed source (r13, VERDICT r12 #1): with a (t, bucket)-clustered
+    # seed projection published alongside the graph, ONE pruned read
+    # yields both the colliding bucket keys AND their payloads — the
+    # old path's twin read at the collision ids opened nearly every
+    # vec_id-clustered twin file (collision ids are uniform over
+    # vec_id), the last corpus-linear term in one-shot serving. Seeds
+    # then reflect the projection's publish-time snapshot (current
+    # tombstones still excluded) — the snapshot contract the
+    # adjacency already has.
+    seed_src = props.get("seed_store")
+    srows = None
+    if seed_src is not None and snapshot.current_version(seed_src):
+        srows = _exclude_tombstoned(
+            spark,
+            vec_store,
+            snapshot.read_snapshot_pruned(spark, seed_src, probed),
+            "vec_id",
+        )
+        if where is not None:
+            # predicate on the projection's attribute columns — seed
+            # collisions filtered before scoring, no allow frame
+            srows = srows.filter(F.expr(where))
+        srows = srows.localCheckpoint(eager=True)
+        stored = srows
+    else:
+        stored = _exclude_tombstoned(
+            spark,
+            vec_store,
+            snapshot.read_snapshot_pruned(spark, vec_store, probed),
+            "vec_id",
+        )
     seeds = (
         F.broadcast(qrows.select("query_id", "t", "bucket"))
         .join(stored.select("vec_id", "t", "bucket"), ["t", "bucket"])
@@ -3163,7 +3442,9 @@ def graph_search_published(
 
     def _score(pairs: DataFrame) -> DataFrame:
         """Score a bounded pair frame from a pruned twin read of just
-        its neighbor ids — the frontier-read primitive."""
+        its neighbor ids — the frontier-read primitive. ``where``
+        filters the twin rows inside the read, so disallowed ids are
+        never scored (strict pushdown without an allow frame)."""
         nids = [
             int(r["neighbor_id"])
             for r in pairs.select("neighbor_id").distinct().collect()
@@ -3173,7 +3454,7 @@ def graph_search_published(
                 "query_id", "neighbor_id",
                 F.lit(0.0).alias("cos_raw"),
             ).limit(0)
-        ce = _corpus_rows_for_ids(spark, vec_store, nids).select(
+        ce = _corpus_rows_for_ids(spark, vec_store, nids, where=where).select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("qvec").alias("_gcv"),
             F.col("qq").alias("_gcq"),
@@ -3187,8 +3468,23 @@ def graph_search_published(
     # beam-cut the scored seed candidates — the walk pool STARTS from
     # the per-query top-beam entry points (the from_store/batch-twin
     # contract), not the full collision set
+    if srows is not None:
+        # seed scoring straight from the projection's payloads — no
+        # twin read at uniform collision ids (r13, VERDICT r12 #1)
+        sp = srows.dropDuplicates(["vec_id"])
+        stats = _sq8_store_stats(vec_store)
+        if "codes" in sp.columns and stats is not None:
+            sp = _sq8_recon_select(sp, stats)
+        seed_ce = sp.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("qvec").alias("_gcv"),
+            F.col("qq").alias("_gcq"),
+        )
+        seed_scored = vector._gs_score(seeds, qe, seed_ce)
+    else:
+        seed_scored = _score(seeds)
     state = (
-        _score(seeds)
+        seed_scored
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= beam)
         .select("query_id", "neighbor_id", "cos_raw")

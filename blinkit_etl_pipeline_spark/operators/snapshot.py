@@ -163,6 +163,21 @@ def _write_data_files(
     ``num_files`` overrides the output file count (compaction)."""
     commit_id = uuid.uuid4().hex[:12]
     out_dir = os.path.join(table, DATA_DIR, commit_id)
+    if num_files is None:
+        # row-targeted file granularity (r13, VERDICT r12 #1/#3): a
+        # fixed files-per-commit makes every file's key range ~1/8 of
+        # the corpus, so any spread-out id set (bucket collisions,
+        # takedown closures) intersects EVERY file and pruning reads
+        # the whole store however small the probe. Tables that opt in
+        # via the write-once ``target_file_rows`` property get
+        # count-proportional files instead — pruned reads then open
+        # O(probe) files at any corpus size. Appends, merges, and
+        # compactions all land here, so the granularity survives the
+        # store's whole lifecycle.
+        tfr = table_properties(table).get("target_file_rows")
+        if tfr:
+            n = df.count()
+            num_files = max(1, min(1024, -(-n // int(tfr))))
     if stats_col is not None and stats_col in df.columns:
         # cluster by the stats key so file ranges are tight => pruning
         # actually prunes (a random layout makes every range overlap)

@@ -6349,9 +6349,16 @@ def _colloc_stores(spark: SparkSession, sf_dir: str):
     if key in _COLLOC_STORE_MEMO:
         return _COLLOC_STORE_MEMO[key]
     docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # scratch carries BOTH memo-key dimensions: an applicationId-only
+    # root would let a second sf_dir's rmtree-rebuild clobber the
+    # stores behind the first sf_dir's memoized paths (r12 review —
+    # same aliasing _release_root fixed in r11)
+    import hashlib
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     scratch = os.path.join(
         tempfile.gettempdir(),
-        f"collocprobe-{spark.sparkContext.applicationId}",
+        f"collocprobe-{spark.sparkContext.applicationId}-{sfx}",
     )
     shutil.rmtree(scratch, ignore_errors=True)
     pstore = os.path.join(scratch, "postings")
@@ -6802,9 +6809,14 @@ def _pub_stores(spark: SparkSession, sf_dir: str):
     if key in _PUB_STORE_MEMO:
         return _PUB_STORE_MEMO[key]
     emb = _emb(spark, sf_dir)
+    # scratch carries BOTH memo-key dimensions (r12 review — same
+    # sf_dir aliasing _release_root fixed in r11)
+    import hashlib
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     scratch = os.path.join(
         tempfile.gettempdir(),
-        f"pubserve-{spark.sparkContext.applicationId}",
+        f"pubserve-{spark.sparkContext.applicationId}-{sfx}",
     )
     shutil.rmtree(scratch, ignore_errors=True)
     vstore = os.path.join(scratch, "vecs")
@@ -6827,8 +6839,19 @@ def _pub_stores(spark: SparkSession, sf_dir: str):
             nbits=ANN_NBITS,
             ntables=ANN_NTABLES,
             payload_store=os.path.join(scratch, "payload"),
+            # label rides the payload twin + seed projection so the
+            # attribute-pushdown filtered gauge (r13, VERDICT r12 #4)
+            # evaluates its predicate inside the pruned reads
+            attrs=["label"],
         )
-        publish(spark, gstore, vstore, pub, k=KNN_GRAPH_K)
+        # seed_store (r13, VERDICT r12 #1): the farm publishes the
+        # (t, bucket)-clustered seed projection too, so the oracle
+        # attests the bucket-pruned seed path — drop 2 advances it
+        # through publish_graph_incremental's drop-priced append
+        publish(
+            spark, gstore, vstore, pub, k=KNN_GRAPH_K,
+            seed_store=os.path.join(scratch, "seeds"),
+        )
     for k in [k for k in _PUB_STORE_MEMO if k[0] != key[0]]:
         del _PUB_STORE_MEMO[k]
     _PUB_STORE_MEMO[key] = pub
@@ -6891,6 +6914,50 @@ ORACLES["ns_ann_graph_published"] = f"""WITH {_EMB},
 {_mb_cte()},
 {_SEED_FINAL_CTES},
 {_gs_ctes()}
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine_sim,
+  CAST(rn AS INT) AS "rank"
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
+  FROM gs_s{GS_ROUNDS}) WHERE rn <= {ANN_K}"""
+
+
+def q_ann_graph_filtered_pub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATTRIBUTE-PUSHDOWN filtered published serving (r13, VERDICT
+    r12 #4): the ~30% label-class predicate is a SQL boolean over the
+    ``label`` column the ingest persisted on the payload twin — and
+    therefore on the (t, bucket)-clustered seed projection — so
+    graph_search_published(where=) evaluates it INSIDE the pruned
+    seed/hop reads. No allow-id frame is ever built or broadcast: at
+    a 2M corpus the id-frame form pays ~1-1.5 s/call shipping 683k
+    ids (PLANS.md r12 addendum 3); this form's predicate cost is a
+    row filter on already-read frontier rows. Strict semantics are
+    identical to ns_ann_graph_filtered's batch walk (disallowed ids
+    dropped from seed collisions and every hop BEFORE scoring;
+    bit-equal to the allow-frame path, pytest) — the oracle replays
+    the published fold and the predicate'd traversal value-exactly."""
+    from ..operators import incremental as inc
+
+    pub = _pub_stores(spark, sf_dir)
+    return inc.graph_search_published(
+        spark,
+        pub,
+        ANN_QUERY_IDS,
+        k=ANN_K,
+        beam=GS_BEAM,
+        rounds=GS_ROUNDS,
+        nbits=ANN_NBITS,
+        ntables=ANN_NTABLES,
+        where="label % 3 = 0",
+    )
+
+
+QUERIES["ns_ann_graph_filtered_pub"] = q_ann_graph_filtered_pub
+
+ORACLES["ns_ann_graph_filtered_pub"] = f"""WITH {_EMB},
+{_mb_cte()},
+{_SEED_FINAL_CTES},
+{_gs_ctes(cpred=_FILT_PRED_SQL)}
 SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine_sim,
   CAST(rn AS INT) AS "rank"
 FROM (

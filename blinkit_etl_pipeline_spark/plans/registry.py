@@ -30,6 +30,7 @@ PRIORITY = [
     "ns_ann_graph_published",
     "ns_ann_graph_filtered_curve",
     "ns_incr_release_cached",
+    "ns_ann_graph_filtered_pub",
     # --- newest green r5 ---
     "ns_dedup_minhash_lsh",
     "ns_dedup_ngram_jaccard",

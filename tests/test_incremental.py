@@ -2562,6 +2562,176 @@ def test_open_graph_serving_published_store(spark, tmp_path):
     )
 
 
+def test_published_serving_at_shallower_k(spark, tmp_path):
+    """r13 (ADVICE r12): the published store persists each row's fold
+    position (``rank`` = min over both directions), so serving at
+    k < pinned walks exactly the k-deep fold's adjacency — bit-equal
+    to the per-call store path at the same k, for both the one-shot
+    published serve and a published-store session."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    vs, gs, ps, pub = (
+        str(tmp_path / n) for n in ("v", "g", "p", "pub")
+    )
+    incremental.ingest_knn_graph(spark, vs, gs, emb, k=5,
+                                 payload_store=ps)
+    incremental.publish_graph(spark, gs, vs, pub, k=5)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    qids = [0, 1, 2, 3, 4]
+    for k in (3, 5):
+        want = rows(
+            incremental.graph_search_from_store(
+                spark, gs, vs, qids, k=k, beam=8, rounds=2
+            )
+        )
+        assert rows(
+            incremental.graph_search_published(
+                spark, pub, qids, k=k, beam=8, rounds=2
+            )
+        ) == want
+        serve = incremental.open_graph_serving(
+            spark, gs, vs, k=k, beam=8, rounds=2, published_store=pub
+        )
+        assert rows(serve(qids)) == want
+
+
+def test_published_seed_projection_paths(spark, tmp_path):
+    """r13 (VERDICT r12 #1): a (t, bucket)-clustered seed projection
+    published alongside the graph replaces the seed phase's twin read
+    at uniform collision ids with one bucket-pruned read. Serving is
+    bit-equal to the projection-less published path and the per-call
+    store path; the incremental republish advances the projection by
+    APPEND (old seed files stay referenced), and serving after a drop
+    + takedown stays exact."""
+    from blinkit_etl_pipeline_spark.operators import snapshot
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    vs, gs, ps, pub, pub0, seeds = (
+        str(tmp_path / n) for n in ("v", "g", "p", "pub", "pub0", "s")
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    incremental.ingest_knn_graph(
+        spark, vs, gs, emb.filter(F.col("vec_id") % 2 == 0),
+        k=5, payload_store=ps,
+    )
+    incremental.publish_graph(spark, gs, vs, pub, k=5, seed_store=seeds)
+    incremental.publish_graph(spark, gs, vs, pub0, k=5)  # no projection
+    assert snapshot.table_properties(pub)["seed_store"] == seeds
+    qids = [0, 2, 4, 6, 8]
+    want = rows(
+        incremental.graph_search_from_store(
+            spark, gs, vs, qids, k=5, beam=8, rounds=2
+        )
+    )
+    assert rows(
+        incremental.graph_search_published(spark, pub, qids, k=5,
+                                           beam=8, rounds=2)
+    ) == want
+    assert rows(
+        incremental.graph_search_published(spark, pub0, qids, k=5,
+                                           beam=8, rounds=2)
+    ) == want
+
+    # drop 2 → incremental republish advances the projection by append
+    seed_files_v1 = {
+        e["path"] for e in snapshot.read_manifest(seeds)["files"]
+    }
+    incremental.ingest_knn_graph(
+        spark, vs, gs, emb.filter(F.col("vec_id") % 2 == 1),
+        k=5, payload_store=ps,
+    )
+    incremental.publish_graph_incremental(spark, gs, vs, pub, k=5)
+    seed_files_v2 = {
+        e["path"] for e in snapshot.read_manifest(seeds)["files"]
+    }
+    assert seed_files_v1 < seed_files_v2  # append, not rebuild
+    incremental.publish_graph(spark, gs, vs, pub0, k=5)
+    want = rows(
+        incremental.graph_search_from_store(
+            spark, gs, vs, qids, k=5, beam=8, rounds=2
+        )
+    )
+    assert rows(
+        incremental.graph_search_published(spark, pub, qids, k=5,
+                                           beam=8, rounds=2)
+    ) == want
+    assert rows(
+        incremental.graph_search_published(spark, pub0, qids, k=5,
+                                           beam=8, rounds=2)
+    ) == want
+
+    # post-publish takedown: retracted id never seeded or returned,
+    # with or without the projection
+    incremental.retract_docs(spark, vs, [2], id_col="vec_id")
+    got = rows(
+        incremental.graph_search_published(spark, pub, [0, 4], k=5,
+                                           beam=8, rounds=2)
+    )
+    assert got == rows(
+        incremental.graph_search_published(spark, pub0, [0, 4], k=5,
+                                           beam=8, rounds=2)
+    )
+    assert all(r[1] != 2 for r in got)
+
+
+def test_published_where_predicate_equals_allow_frame(spark, tmp_path):
+    """r13 (VERDICT r12 #4): filtered published serving via a SQL
+    predicate over payload-twin attribute columns (ingest attrs=) is
+    bit-equal to the allow-id-frame path — same strict pushdown, no
+    per-call corpus-scale broadcast — with and without the seed
+    projection, and composed with a post-publish takedown."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    vs, gs, ps, pub, pub0 = (
+        str(tmp_path / n) for n in ("v", "g", "p", "pub", "pub0")
+    )
+    incremental.ingest_knn_graph(
+        spark, vs, gs, emb, k=5, payload_store=ps, attrs=["label"],
+    )
+    incremental.publish_graph(
+        spark, gs, vs, pub, k=5, seed_store=str(tmp_path / "s")
+    )
+    incremental.publish_graph(spark, gs, vs, pub0, k=5)  # no projection
+    allow = emb.filter(F.col("label") % 3 == 0).select("vec_id")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    qids = [0, 1, 2, 3, 4]
+    want = rows(
+        incremental.graph_search_published(
+            spark, pub0, qids, k=5, beam=8, rounds=2, allowed=allow
+        )
+    )
+    for store in (pub, pub0):
+        assert rows(
+            incremental.graph_search_published(
+                spark, store, qids, k=5, beam=8, rounds=2,
+                where="label % 3 = 0",
+            )
+        ) == want
+    # predicate + takedown compose: retracted id excluded even though
+    # the predicate admits it
+    gone = next(r[1] for r in want)
+    incremental.retract_docs(spark, vs, [int(gone)], id_col="vec_id")
+    got = rows(
+        incremental.graph_search_published(
+            spark, pub, qids, k=5, beam=8, rounds=2,
+            where="label % 3 = 0",
+        )
+    )
+    assert all(r[1] != gone for r in got)
+    assert got == rows(
+        incremental.graph_search_published(
+            spark, pub0, qids, k=5, beam=8, rounds=2, allowed=allow
+        )
+    )
+
+
 def test_filtered_ann_store_paths_compose_with_takedowns(
     spark, tmp_path
 ):
@@ -2762,7 +2932,11 @@ def test_publish_graph_incremental_equals_full_republish(
         return sorted(map(tuple, df.collect()))
 
     def pub_rows(t):
-        return rows(snapshot.read_snapshot(spark, t).select("u", "v"))
+        # rank included: the merge must maintain the persisted fold
+        # position exactly, not just the edge set (r13)
+        return rows(
+            snapshot.read_snapshot(spark, t).select("u", "v", "rank")
+        )
 
     # drop 1 → bootstrap (falls through to the full path)
     incremental.ingest_knn_graph(
