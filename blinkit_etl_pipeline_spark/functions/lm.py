@@ -94,7 +94,23 @@ def nb_from_parts(lab: DataFrame, occ: DataFrame) -> DataFrame:
     the maintained attribute + postings stores — token counts are the
     postings rows, labels live in the attributes store — so the NB
     gate rescores without touching text. Identical arithmetic either
-    way (same ints in → same quantized model out)."""
+    way (same ints in → same quantized model out). Composition of
+    :func:`nb_model_from_parts` + :func:`nb_apply` (r13 — split so the
+    release's drift-gated reads can PIN a model and score later drops
+    against it without retraining)."""
+    llr, prior = nb_model_from_parts(lab, occ)
+    return nb_apply(lab, occ, llr, prior)
+
+
+def nb_model_from_parts(
+    lab: DataFrame, occ: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """The NB model's sufficient statistics from pre-built parts:
+    ``(llr, prior)`` — llr = (token, llr_q) per-token quantized
+    log-likelihood ratio, prior = one row (prior_q). Persistable
+    (integer columns), so a release can pin the model at maintain
+    time and later score new drops against it (bounded staleness —
+    operators/release.py::release_read_drift_gated)."""
     tc = occ.groupBy("token").agg(
         F.sum(F.when(F.col("pass"), F.col("tf")).otherwise(0)).alias(
             "c_pos"
@@ -148,6 +164,17 @@ def nb_from_parts(lab: DataFrame, occ: DataFrame) -> DataFrame:
         .cast("long")
         .alias("prior_q")
     )
+    return llr, prior
+
+
+def nb_apply(
+    lab: DataFrame, occ: DataFrame, llr: DataFrame, prior: DataFrame
+) -> DataFrame:
+    """Score docs against a (possibly pinned) NB model. Tokens absent
+    from the model's vocabulary contribute ZERO evidence (the inner
+    join skips them) — for a model trained on this same corpus that
+    never happens; for a pinned model scoring a later drop it is the
+    documented staleness contract."""
     # model lookup is an equi-join on token (vocabulary-sized right
     # side); the sum of int64 terms is exact and order-free
     sc = (
@@ -239,10 +266,17 @@ def nll_from_parts(
     occ from the bigram postings store and vocab from the unigram
     postings store — the perplexity gate rescores against the live
     corpus model with no text pass. Identical quantized arithmetic
-    either way."""
+    either way. Composition of :func:`lm_model_from_parts` +
+    :func:`nll_apply` (r13 — the pinned-model split)."""
+    return nll_apply(doc_base, occ, lm_model_from_parts(occ, vocab))
+
+
+def lm_model_from_parts(occ: DataFrame, vocab: DataFrame) -> DataFrame:
+    """The bigram LM's persistable model table: (w1, w2, logp_q) —
+    add-one-smoothed quantized log-probabilities."""
     cb = occ.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
     ctx = cb.groupBy("w1").agg(F.sum("cb").alias("ctx"))
-    logp = (
+    return (
         cb.join(ctx, "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
@@ -259,6 +293,16 @@ def nll_from_parts(
             .alias("logp_q"),
         )
     )
+
+
+def nll_apply(
+    doc_base: DataFrame, occ: DataFrame, logp: DataFrame
+) -> DataFrame:
+    """Score docs against a (possibly pinned) bigram LM. Bigrams
+    absent from the model drop from BOTH ``nll_q`` and ``n_bigrams``
+    (the inner join) — exact for a model trained on this corpus; the
+    documented staleness contract for a pinned model scoring a later
+    drop."""
     per_doc = (
         occ.join(logp, ["w1", "w2"])
         .groupBy("doc_id")

@@ -2979,6 +2979,26 @@ def graph_search_sq8_topk(
     )
 
 
+def autotune_beam(base_beam: int, n_total: int, n_allowed: int) -> int:
+    """Filtered-walk beam from predicate selectivity (r13, VERDICT
+    r12 #6): strict pushdown confines routing to the admitted
+    subgraph, so at selectivity s a beam of b explores ~s·b admitted
+    candidates per hop where the unfiltered walk explores b — recall
+    drops accordingly (the ns_ann_graph_filtered_curve operating
+    curve prices it: 0.675/0.763/0.813 at beams 4/8/16 vs 0.81
+    unfiltered at the ~30% predicate). Scaling the beam by 1/s keeps
+    the ADMITTED exploration budget equal to the unfiltered walk's —
+    exact ceil integer arithmetic so both engines derive the same
+    knob: ``beam' = ceil(base · n_total / n_allowed)``."""
+    if n_allowed <= 0:
+        raise ValueError("autotune_beam: empty admitted set")
+    return max(
+        int(base_beam),
+        (int(base_beam) * int(n_total) + int(n_allowed) - 1)
+        // int(n_allowed),
+    )
+
+
 def graph_search_filtered(
     emb: DataFrame,
     graph: DataFrame,

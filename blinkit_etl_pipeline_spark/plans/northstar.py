@@ -5045,7 +5045,9 @@ def q_pipeline_curation_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ns_pipeline_curation_model"] = q_pipeline_curation_model
 
 
-def _curation_model_oracle(docs_where: str = "") -> str:
+def _curation_model_oracle(
+    docs_where: str = "", model_where: str = ""
+) -> str:
     """The rule-gate curation oracle with the NB and bigram-LM keep
     sets composed in as prefixed CTE families (nb_*, lm_*) — each a
     verbatim replay of the standalone ns_quality_nb / ns_lm_perplexity
@@ -5054,7 +5056,13 @@ def _curation_model_oracle(docs_where: str = "") -> str:
     corpus-dependent stage — both model trainings, the perplexity
     mean, the dedup — must see only survivors, which filtering the
     root ``toks`` CTE guarantees since the whole chain derives from
-    it)."""
+    it). ``model_where`` (r13 — the drift-gated release) restricts
+    ONLY the model-training CTEs (NB token counts + prior, LM bigram
+    counts + vocabulary) to the PINNED sub-corpus while scoring runs
+    over the full ``toks`` corpus — tokens/bigrams outside the pinned
+    vocabulary contribute zero evidence via the inner model joins,
+    the exact staleness contract of
+    release.release_read_drift_gated."""
     from ..operators.selection import GATE_MOD
 
     gate_strat = _H.format(x="CAST(doc_id AS VARCHAR) || ':strat'")
@@ -5065,6 +5073,7 @@ def _curation_model_oracle(docs_where: str = "") -> str:
         if not docs_where
         else _TOKS[: -len(")")] + f" WHERE {docs_where})"
     )
+    mw = f" WHERE {model_where}" if model_where else ""
     return f"""WITH {toks_cte},
 {_LANGID_SCORED},
 nb_lab AS (SELECT doc_id, tk, {_GOPHER_PASS_SQL} AS pass FROM toks),
@@ -5076,7 +5085,7 @@ nb_tc AS (
   SELECT token,
     CAST(SUM(CASE WHEN pass THEN tf ELSE 0 END) AS BIGINT) AS c_pos,
     CAST(SUM(CASE WHEN pass THEN 0 ELSE tf END) AS BIGINT) AS c_neg
-  FROM nb_occ GROUP BY token),
+  FROM nb_occ{mw} GROUP BY token),
 nb_tot AS (SELECT CAST(SUM(c_pos) AS DOUBLE) AS tp,
   CAST(SUM(c_neg) AS DOUBLE) AS tn, CAST(count(*) AS DOUBLE) AS v
   FROM nb_tc),
@@ -5088,7 +5097,7 @@ nb_pr AS (SELECT CAST(ROUND((ln((np + 1.0) / (n + 2.0))
     - ln((n - np + 1.0) / (n + 2.0))) * 1000000.0, 0) AS BIGINT)
     AS prior_q
   FROM (SELECT CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE)
-    AS np, CAST(count(*) AS DOUBLE) AS n FROM nb_lab)),
+    AS np, CAST(count(*) AS DOUBLE) AS n FROM nb_lab{mw})),
 nb_sc AS (SELECT nb_occ.doc_id, SUM(tf * llr_q) AS s
   FROM nb_occ JOIN nb_llr USING (token) GROUP BY nb_occ.doc_id),
 nb_keep AS (
@@ -5102,11 +5111,11 @@ lm_bg AS (
 lm_occ AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
   FROM lm_bg GROUP BY doc_id, w1, w2),
 lm_cb AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS cb
-  FROM lm_occ GROUP BY w1, w2),
+  FROM lm_occ{mw} GROUP BY w1, w2),
 lm_ctx AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS ctx
   FROM lm_cb GROUP BY w1),
 lm_voc AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
-  FROM (SELECT unnest(tk) AS t FROM toks)),
+  FROM (SELECT unnest(tk) AS t FROM toks{mw})),
 lm_logp AS (SELECT lm_cb.w1, lm_cb.w2,
   CAST(ROUND(ln((lm_cb.cb + 1.0) / (lm_ctx.ctx + lm_voc.v))
     * 1000000.0, 0) AS BIGINT) AS logp_q
@@ -6759,6 +6768,99 @@ def q_ann_graph_filtered_recall(
 
 QUERIES["ns_ann_graph_filtered_recall"] = q_ann_graph_filtered_recall
 
+def q_ann_graph_filtered_autotune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SELECTIVITY-TUNED filtered serving (vector.autotune_beam —
+    VERDICT r12 #6): the operating curve prices the filtered walk's
+    recall against the beam; this gauge closes the loop by CHOOSING
+    the beam from the predicate's measured selectivity
+    (beam' = ceil(beam·n/n_allowed), exact integer arithmetic both
+    engines) so the admitted exploration budget equals the unfiltered
+    walk's — measured filtered recall at the ~30% predicate then
+    meets the unfiltered 0.81 instead of paying the curve's 0.763 at
+    the stock beam. Output carries the chosen beam so the oracle
+    attests the knob itself (the SQL derives the same beam from the
+    same counts and walks with it)."""
+    emb = _emb(spark, sf_dir)
+    g = _gs_fixture(spark, sf_dir, "raw")
+    allowed = _filt_allowed(spark, sf_dir)
+    n = emb.count()
+    na = allowed.count()
+    beam_auto = vector.autotune_beam(GS_BEAM, n, na)
+    res = vector.graph_search_filtered(
+        emb,
+        g,
+        ANN_QUERY_IDS,
+        allowed,
+        k=ANN_K,
+        beam=beam_auto,
+        rounds=GS_ROUNDS,
+        nbits=ANN_NBITS,
+        ntables=ANN_NTABLES,
+    ).select("query_id", "neighbor_id")
+    truth = vector.brute_force_topk(
+        emb,
+        ANN_QUERY_IDS,
+        k=ANN_K,
+        candidates=emb.join(allowed, "vec_id"),
+    ).select("query_id", "neighbor_id")
+    hits = res.join(truth, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count("*").cast("long").alias("hits"))
+    base = truth.select("query_id").distinct()
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+        F.round(
+            F.coalesce(F.col("hits"), F.lit(0)) / ANN_K, 4
+        ).alias("recall"),
+        F.lit(int(beam_auto)).cast("long").alias("beam"),
+    )
+
+
+QUERIES["ns_ann_graph_filtered_autotune"] = q_ann_graph_filtered_autotune
+
+#: the auto-tuned beam as a DuckDB scalar CTE — the same exact ceil
+#: integer arithmetic vector.autotune_beam runs driver-side
+_AUTOB_CTE = f"""autob AS (
+  SELECT GREATEST(
+    {GS_BEAM},
+    ({GS_BEAM} * (SELECT count(*) FROM embeddings)
+      + (SELECT count(*) FROM embeddings WHERE label % 3 = 0) - 1)
+    // (SELECT count(*) FROM embeddings WHERE label % 3 = 0)
+  ) AS ab)"""
+
+ORACLES["ns_ann_graph_filtered_autotune"] = f"""WITH {_EMB},
+{_AUTOB_CTE},
+{_knn_ctes()},
+{_gs_ctes(beam="(SELECT ab FROM autob)", cpred=_FILT_PRED_SQL)},
+gq AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
+    FROM gs_s{GS_ROUNDS}) WHERE rn <= {ANN_K}),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        {_COSR.format(a='q.qv', b='c.qv', qa='q.qq', qb='c.qq')} DESC,
+        c.vec_id ASC) AS rn
+    FROM e q CROSS JOIN e c
+    WHERE q.vec_id < {len(ANN_QUERY_IDS)} AND c.vec_id != q.vec_id
+      AND {_FILT_PRED_SQL.format(c='c.vec_id')})
+  WHERE rn <= {ANN_K}),
+h AS (
+  SELECT t.query_id, CAST(count(g.neighbor_id) AS BIGINT) AS hits
+  FROM truth t LEFT JOIN gq g
+    ON g.query_id = t.query_id AND g.neighbor_id = t.neighbor_id
+  GROUP BY t.query_id)
+SELECT query_id, hits,
+  ROUND(hits / {ANN_K}, 4) AS recall,
+  CAST((SELECT ab FROM autob) AS BIGINT) AS beam
+FROM h"""
+
+
 ORACLES["ns_ann_graph_filtered_recall"] = f"""WITH {_EMB},
 {_knn_ctes()},
 {_gs_ctes(cpred=_FILT_PRED_SQL)},
@@ -7940,6 +8042,70 @@ QUERIES["ns_incr_release_cached"] = q_incr_release_cached
 
 ORACLES["ns_incr_release_cached"] = _curation_model_oracle(
     f"doc_id NOT IN ({_REL_GONE_SQL})"
+)
+
+
+_REL_DRIFT_MEMO: dict = {}
+
+
+def _release_drift_build(spark: SparkSession, sf_dir: str) -> str:
+    """Farm for the drift-gated gauge: drops 0+1 ingested, verdicts
+    maintained (pins the NB/LM models and the drift reference), THEN
+    drop 2 lands — the exact state a bounded-staleness read serves.
+    Separate from _release_build (whose takedown would always route
+    the gated read to the full rescore)."""
+    import shutil
+
+    from ..operators import release as rel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _REL_DRIFT_MEMO:
+        return _REL_DRIFT_MEMO[key]
+    docs = _docs(spark, sf_dir)
+    root = _release_root(spark, sf_dir) + "-drift"
+    shutil.rmtree(root, ignore_errors=True)
+    for m in (0, 1):
+        rel.ingest_release(
+            spark, root, docs.filter(F.col("doc_id") % 3 == m)
+        )
+    rel.maintain_release_verdicts(spark, root)
+    rel.ingest_release(spark, root, docs.filter(F.col("doc_id") % 3 == 2))
+    for k in [k for k in _REL_DRIFT_MEMO if k[0] != key[0]]:
+        del _REL_DRIFT_MEMO[k]
+    _REL_DRIFT_MEMO[key] = root
+    return root
+
+
+def q_incr_release_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-STALENESS release read (operators/release.py::
+    release_read_drift_gated — VERDICT r12 #5): a small,
+    distribution-stable drop is priced DROP-sized — cached per-doc
+    verdicts are reused and only the new drop's docs are scored,
+    against the models PINNED at the last maintain (persisted
+    quantized NB llr/prior + LM logp tables) — instead of the full
+    corpus rescore release_read_cached pays on any commit. The gate
+    is the engine's own PSI monitor over maintained token-mass
+    histogram partials (incremental.drift_from_store — a model-sized
+    subtraction, no corpus pass); takedowns or a tripped gate always
+    fall back to the exact rescore (pytest pins all fallback rungs
+    bit-equal to release_read). Staleness contract: every doc is
+    scored as if the models were still the pinned ones — tokens and
+    bigrams outside the pinned vocabulary contribute zero evidence —
+    which is exactly what the oracle replays (model CTEs restricted
+    to drops 0+1, scoring over all docs, inner model joins)."""
+    from ..operators import release as rel
+
+    root = _release_drift_build(spark, sf_dir)
+    return rel.release_read_drift_gated(
+        spark, root,
+        strata_rates=STRATA_RATES, default_rate=STRATA_DEFAULT_RATE,
+    )
+
+
+QUERIES["ns_incr_release_drift"] = q_incr_release_drift
+
+ORACLES["ns_incr_release_drift"] = _curation_model_oracle(
+    model_where="doc_id % 3 < 2"
 )
 
 

@@ -31,6 +31,8 @@ PRIORITY = [
     "ns_ann_graph_filtered_curve",
     "ns_incr_release_cached",
     "ns_ann_graph_filtered_pub",
+    "ns_ann_graph_filtered_autotune",
+    "ns_incr_release_drift",
     # --- newest green r5 ---
     "ns_dedup_minhash_lsh",
     "ns_dedup_ngram_jaccard",

@@ -68,6 +68,8 @@ ARROW_WHITELIST = {
     # Arrow kernel (graph_search_filtered → _beam_seeds_on_frame)
     "ns_ann_graph_filtered",
     "ns_ann_graph_filtered_recall",
+    # r13: the selectivity-tuned filtered walk — same seed kernel
+    "ns_ann_graph_filtered_autotune",
     # NOT ns_ann_graph_filtered_curve: its one seed-scoring pass is
     # checkpointed and shared across the beam sweep, so the Arrow
     # kernel hides behind the checkpoint leaf (the ns_knn_graph case)

@@ -256,3 +256,91 @@ def test_streaming_release_ingest_matches_batch(spark, tmp_path):
     release_ingest.run_release_ingest(stream, ckpt, root)
     assert _rows(_read_cached(spark, root)) == want
     assert snapshot.current_version(vstore) == v0
+
+
+def _read_gated(spark, root, **kw):
+    return release.release_read_drift_gated(
+        spark, root,
+        strata_rates=STRATA_RATES, default_rate=STRATA_DEFAULT_RATE,
+        **kw,
+    )
+
+
+def test_release_drift_gated_read(spark, tmp_path):
+    """r13 (VERDICT r12 #5): the drift-gated read prices a small,
+    distribution-stable drop drop-sized — cached verdicts reused, new
+    docs scored under the PINNED models — and falls back to the exact
+    full rescore whenever the ladder demands it (sig-stable, skewed
+    drop tripping PSI, takedown)."""
+    docs = spark.read.parquet(SF)
+    root = str(tmp_path / "rel")
+    for m in (0, 1):
+        release.ingest_release(
+            spark, root, docs.filter(F.col("doc_id") % 3 == m)
+        )
+    # first touch maintains (pins models + drift reference)
+    want01 = _rows(_read_cached(spark, root))
+    vstore = release.stores(root)["verdicts"]
+    v0 = snapshot.current_version(vstore)
+    # sig-stable: gated read == cached read, no re-maintain
+    assert _rows(_read_gated(spark, root)) == want01
+    assert snapshot.current_version(vstore) == v0
+
+    # small same-distribution drop: gate passes → hybrid pinned-model
+    # read, verdict store untouched (no re-maintain)
+    release.ingest_release(spark, root, docs.filter(F.col("doc_id") % 3 == 2))
+    got = _rows(_read_gated(spark, root))
+    assert snapshot.current_version(vstore) == v0
+    # non-circular reference: score the WHOLE corpus against the
+    # persisted pinned models (old docs' cached verdicts must equal
+    # pinned-model scores; new docs' hybrid scores likewise)
+    s = release.stores(root)
+    models = snapshot.read_snapshot(spark, s["models"])
+    llr = models.filter(F.col("kind") == "nb_llr").select(
+        "token", F.col("q").alias("llr_q")
+    )
+    prior = models.filter(F.col("kind") == "nb_prior").select(
+        F.col("q").alias("prior_q")
+    )
+    logp = models.filter(F.col("kind") == "lm_logp").select(
+        "w1", "w2", F.col("q").alias("logp_q")
+    )
+    parts = release._score_parts(spark, root)
+    nb = lm.nb_apply(parts["lab"], parts["occ_nb"], llr, prior).select(
+        "doc_id", "log_odds_q"
+    )
+    ppl = lm.nll_apply(
+        parts["attrs"].select("doc_id"), parts["occ_lm"], logp
+    ).select("doc_id", "n_bigrams", "nll_q")
+    want_hybrid = _rows(release._read_from_scores(
+        spark, root, nb.join(ppl, "doc_id"),
+        strata_rates=STRATA_RATES, default_rate=STRATA_DEFAULT_RATE,
+        min_quality=release.MIN_QUALITY, min_tokens=release.MIN_TOKENS,
+    ))
+    assert got == want_hybrid and len(got) > 0
+    # bounded staleness is real: the hybrid differs from the full
+    # rescore (models shifted by the drop) — if equal, the gate
+    # proved nothing
+    full = _rows(_read(spark, root))
+    assert got != full
+
+    # skewed drop (disjoint synthetic vocabulary) trips the PSI gate
+    # → exact full-rescore path, bit-equal to release_read
+    release.release_read_cached(
+        spark, root,
+        strata_rates=STRATA_RATES, default_rate=STRATA_DEFAULT_RATE,
+    )  # re-maintain so the pin is current before the skewed drop
+    skew = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        "lang",
+        F.concat_ws(
+            " ", *[F.concat(F.lit(f"zqx{i}tok"), (F.col("doc_id") % 7))
+                   for i in range(25)]
+        ).alias("text"),
+    )
+    release.ingest_release(spark, root, skew)
+    assert _rows(_read_gated(spark, root)) == _rows(_read(spark, root))
+
+    # takedown always rescores exactly (tomb version changes)
+    release.release_takedown(spark, root, [int(r[0]) for r in full[:2]])
+    assert _rows(_read_gated(spark, root)) == _rows(_read(spark, root))
