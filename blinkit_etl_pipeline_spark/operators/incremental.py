@@ -847,16 +847,12 @@ def _ingest_knn_core(
         # dedup — identical bytes, the edge-append argument
         pay = rows.filter(F.col("t") == 0).select(*payload_cols)
         if snapshot.current_version(payload_store) is None:
-            snapshot.ensure_table_properties(
-                payload_store, {"target_file_rows": _TARGET_FILE_ROWS}
-            )
+            _default_file_target(payload_store)
             snapshot.write_snapshot(pay, payload_store, stats_col="vec_id")
         else:
             snapshot.append_snapshot(pay, payload_store)
     if snapshot.current_version(graph_store) is None:
-        snapshot.ensure_table_properties(
-            graph_store, {"target_file_rows": _TARGET_FILE_ROWS}
-        )
+        _default_file_target(graph_store)
         # u-clustered candidate history (r12): per-node history reads
         # (incremental publish maintenance, refinement of a node set)
         # prune to the nodes' files instead of scanning every append
@@ -872,9 +868,7 @@ def _ingest_knn_core(
     if exists:
         snapshot.append_snapshot(vec_rows, vec_store, stats_col="tb")
     else:
-        snapshot.ensure_table_properties(
-            vec_store, {"target_file_rows": _TARGET_FILE_ROWS}
-        )
+        _default_file_target(vec_store)
         snapshot.write_snapshot(vec_rows, vec_store, stats_col="tb")
     if compact_threshold is not None:
         m = snapshot.read_manifest(graph_store)
@@ -2753,9 +2747,7 @@ def _write_seed_projection(
         "vec_id",
     )
     rows = _seed_projection_rows(spark, vec_store, keys)
-    snapshot.ensure_table_properties(
-        seed_store, {"target_file_rows": _TARGET_FILE_ROWS}
-    )
+    _default_file_target(seed_store)
     return snapshot.write_snapshot(rows, seed_store, stats_col="tb")
 
 
@@ -2884,9 +2876,7 @@ def publish_graph(
         .agg(F.min("rank").cast("int").alias("rank"))
         .localCheckpoint(eager=True)
     )
-    snapshot.ensure_table_properties(
-        pub_store, {"target_file_rows": _TARGET_FILE_ROWS}
-    )
+    _default_file_target(pub_store)
     v = snapshot.write_snapshot(und, pub_store, stats_col="u")
     props = {
         "k": int(k), "source_vec": vec_store,
@@ -2909,6 +2899,52 @@ def publish_graph(
 #: snapshot._write_data_files. ~128k rows/file keeps a 2M-vector
 #: store's bucket/payload/graph/published tables at 15-160 files.
 _TARGET_FILE_ROWS = 131_072
+
+
+def _default_file_target(table: str) -> None:
+    """Pin the store's row-targeted file granularity UNLESS the
+    caller already pinned one (tests pin tiny targets to exercise
+    multi-file pruning at sf0.01 scale; ensure_table_properties would
+    raise on the conflicting default)."""
+    if "target_file_rows" not in snapshot.table_properties(table):
+        snapshot.ensure_table_properties(
+            table, {"target_file_rows": _TARGET_FILE_ROWS}
+        )
+
+
+#: max literal values worth pushing as an IN-list into the scan —
+#: beyond this the predicate bloats the plan more than it prunes
+_ISIN_PUSHDOWN_MAX = 4096
+
+
+def _pruned_read_ids(
+    spark: SparkSession, table: str, ids, col: str
+) -> DataFrame:
+    """Manifest-pruned read PLUS an explicit ``col IN (ids)`` filter
+    (r13): file-level pruning alone reads whole files, and with
+    row-targeted granularity a spread-out probe (bucket collisions,
+    takedown closures) can admit one ~128k-row file PER probed value
+    — the 2M spot measured the seed phase reading 79 heavy files for
+    a 128-bucket probe. The IN-filter reaches the parquet scan, where
+    the files' sortWithinPartitions(stats_col) layout lets row-group
+    statistics skip everything but the probed values' groups — the
+    read becomes probe-sized, not file-sized. Skipped above
+    ``_ISIN_PUSHDOWN_MAX`` values (plan bloat outweighs pruning);
+    callers' joins still restrict exactly, this is purely a scan
+    optimization."""
+    ids = sorted({int(i) for i in ids})
+    df = snapshot.read_snapshot_pruned(spark, table, ids)
+    if 0 < len(ids) <= _ISIN_PUSHDOWN_MAX:
+        # above the default parquet in-filter threshold (10!) Spark
+        # pushes only min..max — useless for spread probes; raise it
+        # so the IN-list reaches the scan as value predicates and the
+        # sorted files' page/row-group indexes actually skip
+        spark.conf.set(
+            "spark.sql.parquet.pushdown.inFilterThreshold",
+            str(_ISIN_PUSHDOWN_MAX),
+        )
+        df = df.filter(F.col(col).isin(ids))
+    return df
 
 
 def _write_pub_state(
@@ -3105,7 +3141,7 @@ def publish_graph_incremental(
     # published neighbors. (A below-the-fold candidate toward an
     # affected node contributes no row either before or after.)
     pub_adj_aff = (
-        snapshot.read_snapshot_pruned(spark, pub_store, aff)
+        _pruned_read_ids(spark, pub_store, aff, "u")
         .join(F.broadcast(aff_df.withColumnRenamed("vec_id", "u")), "u",
               "semi")
         .localCheckpoint(eager=True)
@@ -3118,9 +3154,7 @@ def publish_graph_incremental(
     )
     closure = sorted(int(r["u"]) for r in closure_df.collect())
     # recompute folds for the closure from the pruned history
-    ch = snapshot.read_snapshot_pruned(
-        spark, graph_store, closure
-    ).join(
+    ch = _pruned_read_ids(spark, graph_store, closure, "u").join(
         F.broadcast(closure_df), "u", "semi"
     ).dropDuplicates(["u", "v"])
     tb = tombstones(spark, vec_store, "vec_id")
@@ -3217,9 +3251,7 @@ def _published_adjacency(
     if frontier_ids is None:
         adj = snapshot.read_snapshot(spark, pub_store)
     else:
-        adj = snapshot.read_snapshot_pruned(
-            spark, pub_store, sorted(frontier_ids)
-        )
+        adj = _pruned_read_ids(spark, pub_store, frontier_ids, "u")
     if pk is not None and int(k) < int(pk):
         if "rank" not in adj.columns:
             raise snapshot.SnapshotError(
@@ -3260,7 +3292,7 @@ def _corpus_rows_for_ids(
     from . import vector
 
     pay = (
-        snapshot.read_snapshot_pruned(spark, ps, ids)
+        _pruned_read_ids(spark, ps, ids, "vec_id")
         .join(F.broadcast(idf), "vec_id")
         .dropDuplicates(["vec_id"])
     )
@@ -3401,7 +3433,7 @@ def graph_search_published(
         srows = _exclude_tombstoned(
             spark,
             vec_store,
-            snapshot.read_snapshot_pruned(spark, seed_src, probed),
+            _pruned_read_ids(spark, seed_src, probed, "tb"),
             "vec_id",
         )
         if where is not None:
@@ -3414,7 +3446,7 @@ def graph_search_published(
         stored = _exclude_tombstoned(
             spark,
             vec_store,
-            snapshot.read_snapshot_pruned(spark, vec_store, probed),
+            _pruned_read_ids(spark, vec_store, probed, "tb"),
             "vec_id",
         )
     seeds = (

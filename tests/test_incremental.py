@@ -2463,6 +2463,10 @@ def test_publish_graph_and_frontier_priced_search(spark, tmp_path):
             k=5, payload_store=ps,
         )
     incremental.retract_docs(spark, vs, [7], id_col="vec_id")
+    # pre-pin a tiny file target so this sf0.01-sized store still
+    # lands in MANY files and the file-pruning assertion below stays
+    # meaningful (at the default 128k-row target it would be 1 file)
+    snapshot.ensure_table_properties(pub, {"target_file_rows": 300})
     incremental.publish_graph(spark, gs, vs, pub, k=5)
 
     def rows(df):

@@ -182,6 +182,28 @@ def spot_pub2m(spark) -> None:
     )
 
 
+def spot_serve2m(spark) -> None:
+    """Serve-only walls over the EXISTING published store (no
+    republish — publish_graph full-overwrites a new 4 GB projection
+    version each call, the disk lesson): one-shot published per-call,
+    with and without the r13 IN-pushdown fix visible in walls."""
+    from blinkit_etl_pipeline_spark.operators import incremental, snapshot
+
+    pub = f"{ROOT}/published"
+    if snapshot.current_version(pub) is None:
+        print("serve2m: run pub2m first")
+        return
+    walls = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        n = incremental.graph_search_published(
+            spark, pub, QIDS, k=5, beam=8, rounds=2, nbits=12
+        ).count()
+        walls.append(round(time.perf_counter() - t0, 2))
+    print(f"serve2m: published per-call walls={walls} rows={n}",
+          flush=True)
+
+
 def spot_takedown2m(spark) -> None:
     from blinkit_etl_pipeline_spark.operators import incremental, snapshot
 
@@ -197,10 +219,7 @@ def spot_takedown2m(spark) -> None:
     t_inc = time.perf_counter() - t0
     # reference: a full republish on a copy-free second table
     t0 = time.perf_counter()
-    incremental.publish_graph(
-        spark, gs, vs, f"{ROOT}/pub_full", k=5,
-        seed_store=f"{ROOT}/seeds_full",
-    )
+    incremental.publish_graph(spark, gs, vs, f"{ROOT}/pub_full", k=5)
     t_full = time.perf_counter() - t0
     t0 = time.perf_counter()
     n = incremental.graph_search_published(
@@ -248,6 +267,72 @@ def spot_filtered2m(spark) -> None:
     print(
         f"filtered2m: where= walls={walls_where} (rows={nw}) vs "
         f"allowed= ({n_allow} ids) walls={walls_allow} (rows={na})",
+        flush=True,
+    )
+
+
+def spot_release5m_drift(spark) -> None:
+    """VERDICT r12 #5 done criterion: at 5M docs, a small
+    distribution-stable drop's read prices DROP-sized through the
+    drift gate (cached verdicts + pinned-model scoring of the drop)
+    instead of the ~70 s full rescore; the tripped-gate/takedown
+    paths stay bit-equal to release_read (pytest — here we print the
+    walls). Needs SPARK_GRAFT_DRIVER_MEM=64g (the r12 release5m
+    recipe)."""
+    import tempfile
+
+    from blinkit_etl_pipeline_spark.operators import release
+
+    base = spark.read.parquet(f"{SF10}/documents.parquet")
+    n = base.count()
+    parts = [base]
+    for r in range(1, 10):
+        parts.append(
+            base.withColumn(
+                "doc_id", (F.col("doc_id") + F.lit(r * n)).cast("long")
+            )
+        )
+    docs = parts[0]
+    for p_ in parts[1:]:
+        docs = docs.unionByName(p_)
+    root = tempfile.mkdtemp(prefix="release5m-drift-") + "/rel"
+    rates = {"en": 0.3, "zh": 0.5, "de": 1.0, "fr": 1.0}
+    # corpus = docs except a held-out 1% slice (the later small drop)
+    held = docs.filter(F.col("doc_id") % 100 == 37)
+    n_held = held.count()
+    t0 = time.perf_counter()
+    for m in (0, 1):
+        release.ingest_release(
+            spark, root,
+            docs.filter(
+                (F.col("doc_id") % 100 != 37) & (F.col("doc_id") % 2 == m)
+            ),
+        )
+    t_ing = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    release.maintain_release_verdicts(spark, root)
+    t_maint = time.perf_counter() - t0
+    # the small drop lands; the gated read prices it drop-sized
+    t0 = time.perf_counter()
+    release.ingest_release(spark, root, held)
+    t_drop = time.perf_counter() - t0
+    gated_walls = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        ng = release.release_read_drift_gated(
+            spark, root, strata_rates=rates, default_rate=0.2
+        ).count()
+        gated_walls.append(round(time.perf_counter() - t0, 1))
+    t0 = time.perf_counter()
+    nf = release.release_read(
+        spark, root, strata_rates=rates, default_rate=0.2
+    ).count()
+    t_full = time.perf_counter() - t0
+    print(
+        f"release5m_drift: ingest(2 drops)={t_ing:.1f}s "
+        f"maintain={t_maint:.1f}s small-drop({n_held} docs)="
+        f"{t_drop:.1f}s | drift-GATED read walls={gated_walls} "
+        f"({ng} rows) vs full rescore={t_full:.1f}s ({nf} rows)",
         flush=True,
     )
 
