@@ -412,6 +412,248 @@ def brute_force_topk(
     )
 
 
+def _mmr_candidates(
+    emb: DataFrame, query_ids: Sequence[int], cand: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared MMR front half: the exact top-``cand`` relevance
+    shortlist per query and the pairwise candidate-candidate cosines.
+
+    Returns ``(cands, psims)`` where ``cands`` is (query_id, cand_id,
+    rel, rn) — rn the relevance rank — and ``psims`` is (query_id, ca,
+    cb, sim) over all ordered candidate pairs. Both are
+    localCheckpoint leaves: the corpus-sized work (one broadcast-probe
+    scan for the shortlist, one tiny self-join for the |Q|·C² pair
+    sims) happens once; the greedy selection loop downstream only ever
+    touches these |Q|·C-sized frames.
+    """
+    q = with_q(emb)
+    queries = q.filter(
+        F.col("vec_id").isin(*[int(i) for i in query_ids])
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qq").alias("q_qq"),
+    )
+    sims = (
+        F.broadcast(queries)
+        .crossJoin(
+            q.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("qvec").alias("c_qvec"),
+                F.col("qq").alias("c_qq"),
+            )
+        )
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            qcos(
+                qdot(F.col("q_qvec"), F.col("c_qvec")),
+                F.col("q_qq"),
+                F.col("c_qq"),
+            ).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("cand_id").asc()
+    )
+    cands = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cand)
+        .localCheckpoint(eager=False)
+    )
+    cv = F.broadcast(cands.select("query_id", "cand_id")).join(
+        q.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("qvec").alias("c_qvec"),
+            F.col("qq").alias("c_qq"),
+        ),
+        "cand_id",
+    )
+    a, b = cv.alias("a"), cv.alias("b")
+    psims = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.cand_id") != F.col("b.cand_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.cand_id").alias("ca"),
+            F.col("b.cand_id").alias("cb"),
+            qcos(
+                qdot(F.col("a.c_qvec"), F.col("b.c_qvec")),
+                F.col("a.c_qq"),
+                F.col("b.c_qq"),
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    return cands, psims
+
+
+def mmr_topk(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    cand: int = 25,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversity rerank (Carbonell &
+    Goldstein 1998): greedily pick k of the top-``cand`` exact-cosine
+    candidates, scoring each unpicked candidate
+    ``lam·rel − (1−lam)·max_{s∈S} sim(c, s)`` against the picked set S
+    — the standard diversity rerank a RAG retriever or a
+    dataset-diversification pass runs after ANN shortlisting.
+
+    Returns (query_id, neighbor_id, relevance, mmr_score, mmr_rank).
+    The first pick is the relevance argmax (empty-S max term = 0, so
+    score = lam·rel); ties break by neighbor id everywhere.
+
+    Scale/determinism: the corpus-sized work is the shortlist scan in
+    :func:`_mmr_candidates` — the k-round greedy loop runs entirely on
+    |Q|·C-row checkpoint leaves (selected side broadcast each round),
+    so rerank cost is independent of corpus size; cosines are exact
+    integer-lattice dots divided once, lam is dyadic by default, and
+    every score is the same two-term IEEE expression in Spark and the
+    DuckDB oracle, so the greedy argmax replays value-exactly.
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"mmr_topk: lam must be in [0, 1], got {lam}")
+    if k > cand:
+        raise ValueError(f"mmr_topk: k={k} exceeds candidate pool cand={cand}")
+    cands, psims = _mmr_candidates(emb, query_ids, cand)
+    return _mmr_select(cands, psims, k, lam)
+
+
+def _mmr_select(
+    cands: DataFrame, psims: DataFrame, k: int, lam: float
+) -> DataFrame:
+    selected = cands.filter(F.col("rn") == 1).select(
+        "query_id",
+        "cand_id",
+        "rel",
+        (F.lit(float(lam)) * F.col("rel")).alias("score"),
+        F.lit(1).alias("mmr_rank"),
+    )
+    for i in range(2, k + 1):
+        sel_keys = selected.select(
+            "query_id", F.col("cand_id").alias("cb")
+        )
+        ms = (
+            psims.join(F.broadcast(sel_keys), ["query_id", "cb"])
+            .groupBy("query_id", F.col("ca").alias("cand_id"))
+            .agg(F.max("sim").alias("msim"))
+        )
+        step = (
+            cands.join(
+                F.broadcast(selected.select("query_id", "cand_id")),
+                ["query_id", "cand_id"],
+                "left_anti",
+            )
+            .join(ms, ["query_id", "cand_id"])
+            .withColumn(
+                "score",
+                F.lit(float(lam)) * F.col("rel")
+                - F.lit(float(1.0 - lam)) * F.col("msim"),
+            )
+        )
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("cand_id").asc()
+        )
+        pick = (
+            step.withColumn("rn2", F.row_number().over(w2))
+            .filter(F.col("rn2") == 1)
+            .select(
+                "query_id",
+                "cand_id",
+                "rel",
+                "score",
+                F.lit(i).alias("mmr_rank"),
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+    return selected.select(
+        "query_id",
+        F.col("cand_id").alias("neighbor_id"),
+        F.round("rel", 6).alias("relevance"),
+        F.round("score", 6).alias("mmr_score"),
+        "mmr_rank",
+    )
+
+
+def mmr_diversity(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    cand: int = 25,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Per-query diversity/relevance price of the MMR rerank vs the
+    plain relevance top-k over the SAME candidate pool: mean pairwise
+    cosine within each picked set (lower = more diverse) and mean
+    relevance to the query (the cost paid for that diversity).
+
+    Returns (query_id, mmr_avg_sim, topk_avg_sim, mmr_avg_rel,
+    topk_avg_rel). Means are folded as exact integer sums of the
+    6-decimal-quantized values (sum order is engine-dependent for
+    doubles; BIGINT sums are not), divided once — value-exact replay.
+    """
+    cands, psims = _mmr_candidates(emb, query_ids, cand)
+    q6 = lambda c: F.round(c * F.lit(1000000.0), 0).cast("long")  # noqa: E731
+    mmr_ids = _mmr_select(cands, psims, k, lam).select(
+        "query_id", F.col("neighbor_id").alias("cand_id")
+    )
+    topk_ids = cands.filter(F.col("rn") <= k).select("query_id", "cand_id")
+
+    def set_stats(ids: DataFrame, prefix: str) -> DataFrame:
+        pair = (
+            psims.join(
+                F.broadcast(ids.select("query_id", F.col("cand_id").alias("ca"))),
+                ["query_id", "ca"],
+            )
+            .join(
+                F.broadcast(ids.select("query_id", F.col("cand_id").alias("cb"))),
+                ["query_id", "cb"],
+            )
+            .groupBy("query_id")
+            .agg(
+                F.sum(q6(F.col("sim"))).alias("s6"),
+                F.count(F.lit(1)).alias("np"),
+            )
+            .select(
+                "query_id",
+                (F.col("s6").cast("double") / (F.col("np") * F.lit(1000000.0))).alias(
+                    f"{prefix}_avg_sim"
+                ),
+            )
+        )
+        rel = (
+            cands.join(F.broadcast(ids), ["query_id", "cand_id"])
+            .groupBy("query_id")
+            .agg(
+                F.sum(q6(F.col("rel"))).alias("r6"),
+                F.count(F.lit(1)).alias("nr"),
+            )
+            .select(
+                "query_id",
+                (F.col("r6").cast("double") / (F.col("nr") * F.lit(1000000.0))).alias(
+                    f"{prefix}_avg_rel"
+                ),
+            )
+        )
+        return pair.join(rel, "query_id")
+
+    m, t = set_stats(mmr_ids, "mmr"), set_stats(topk_ids, "topk")
+    return m.join(t, "query_id").select(
+        "query_id",
+        F.round("mmr_avg_sim", 6).alias("mmr_avg_sim"),
+        F.round("topk_avg_sim", 6).alias("topk_avg_sim"),
+        F.round("mmr_avg_rel", 6).alias("mmr_avg_rel"),
+        F.round("topk_avg_rel", 6).alias("topk_avg_rel"),
+    )
+
+
 def exact_cosine_pairs(
     emb: DataFrame,
     threshold: float,

@@ -75,9 +75,27 @@ class CompareResult:
 
 def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
     import os
+    import re
 
+    if os.environ.get("SPARK_GRAFT_ORACLE_MATERIALIZE") == "1":
+        # Beyond-contract-SF spot checks (sf1.0+): DuckDB 1.0 INLINES
+        # every CTE reference, so the unrolled iterative oracles
+        # (NN-descent rounds, beam walks) re-evaluate corpus-sized
+        # subtrees multiplicatively — 60 GB spills at sf1.0 where the
+        # hinted form runs in memory. `AS MATERIALIZED` is an
+        # optimization fence, not a semantic change; the driver's own
+        # gate still runs the unhinted text. WINDOW specs (`WINDOW w
+        # AS (`) are excluded — only CTE bodies take the hint.
+        sql = re.sub(r"(?<!WINDOW )\b(\w+ AS) \(", r"\1 MATERIALIZED (", sql)
     con = duckdb.connect()
     try:
+        # Spill guard: beyond-contract-SF oracle replays (sf1.0 spot
+        # checks) can spill heavily when DuckDB inlines a multiply-
+        # referenced CTE; fail loudly instead of filling the disk.
+        con.execute(
+            "SET max_temp_directory_size = "
+            f"'{os.environ.get('SPARK_GRAFT_ORACLE_TEMP_CAP', '24GB')}'"
+        )
         for t in BASE_TABLES:
             path = f"{sf_dir}/{t}.parquet"
             # driver testdata ships single files; Spark-written scale

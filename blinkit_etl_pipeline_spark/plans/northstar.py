@@ -500,6 +500,35 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vector.brute_force_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K)
 
 
+#: MMR rerank shortlist size (5× the final k) and relevance/diversity
+#: trade-off — 0.5 is dyadic, so lam·rel − (1−lam)·maxsim is the same
+#: IEEE expression in Spark and DuckDB (vector.mmr_topk docstring).
+MMR_CAND = 25
+MMR_LAM = 0.5
+
+
+def q_ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversity rerank over the exact
+    top-25 cosine shortlist (vector.mmr_topk): the post-ANN rerank a
+    RAG retriever or dataset-diversification pass runs. Greedy k-round
+    selection on |Q|·C checkpoint leaves — corpus-size-independent
+    after the one shortlist scan; the oracle replays the greedy loop
+    as k unrolled CTE steps."""
+    return vector.mmr_topk(
+        _emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K, cand=MMR_CAND, lam=MMR_LAM
+    )
+
+
+def q_ann_mmr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity/relevance price gauge: mean pairwise cosine and mean
+    relevance of the MMR set vs the plain top-k over the same
+    candidates (vector.mmr_diversity; integer-quantized sums so the
+    means replay value-exactly)."""
+    return vector.mmr_diversity(
+        _emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K, cand=MMR_CAND, lam=MMR_LAM
+    )
+
+
 #: ADC shortlist size for the reranked PQ query (10× the final k)
 PQ_RERANK = 50
 
@@ -3295,6 +3324,8 @@ QUERIES = {
     "ns_dedup_simhash": q_dedup_simhash,
     "ns_dedup_embedding": q_dedup_embedding,
     "ns_ann_cosine_topk": q_ann_cosine_topk,
+    "ns_ann_mmr_topk": q_ann_mmr_topk,
+    "ns_ann_mmr_diversity": q_ann_mmr_diversity,
     "ns_ann_lsh_topk": q_ann_lsh_topk,
     "ns_ann_pq_topk": q_ann_pq_topk,
     "ns_ann_pq_recall": q_ann_pq_recall,
@@ -4676,6 +4707,126 @@ LEFT JOIN hits h ON h.query_id = q.query_id"""
 
 
 ORACLES["ns_hybrid_rrf_recall"] = _hybrid_rrf_recall_oracle()
+
+
+def _mmr_ctes(k: int, cand: int, lam: float) -> tuple[str, str]:
+    """Shared CTE chain for the MMR oracles (vector.mmr_topk replay):
+    exact top-``cand`` shortlist, pairwise candidate sims, then the
+    greedy selection UNROLLED as k CTE steps — each step scores every
+    unpicked candidate ``lam·rel − (1−lam)·max sim-to-picked`` (the
+    same two-term IEEE expression Spark evaluates) and picks the
+    (score DESC, cand_id ASC) argmax. Returns (ctes, union_sql)."""
+    nq = len(ANN_QUERY_IDS)
+    lw, mw = repr(float(lam)), repr(float(1.0 - lam))
+    parts = [
+        _EMB,
+        f"q AS (SELECT vec_id, qv, qq FROM e WHERE vec_id < {nq})",
+        f"""rels AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+    {_COSR.format(a='q.qv', b='c.qv', qa='q.qq', qb='c.qq')} AS rel
+  FROM q CROSS JOIN e c WHERE c.vec_id != q.vec_id)""",
+        f"""cand AS (
+  SELECT query_id, cand_id, rel, rn FROM (
+    SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY rel DESC, cand_id ASC) AS INT) AS rn
+    FROM rels
+  ) WHERE rn <= {cand})""",
+        """cv AS (
+  SELECT c.query_id, c.cand_id, e.qv, e.qq
+  FROM cand c JOIN e ON e.vec_id = c.cand_id)""",
+        f"""ps AS (
+  SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+    {_COSR.format(a='a.qv', b='b.qv', qa='a.qq', qb='b.qq')} AS sim
+  FROM cv a JOIN cv b
+    ON a.query_id = b.query_id AND a.cand_id != b.cand_id)""",
+        f"""sel1 AS (
+  SELECT query_id, cand_id, rel, {lw} * rel AS score,
+    CAST(1 AS INT) AS mmr_rank
+  FROM cand WHERE rn = 1)""",
+        "all1 AS (SELECT query_id, cand_id FROM sel1)",
+    ]
+    for i in range(2, k + 1):
+        p = i - 1
+        parts.append(f"""step{i} AS (
+  SELECT c.query_id, c.cand_id, c.rel,
+    {lw} * c.rel - {mw} * max(p.sim) AS score
+  FROM cand c
+  JOIN ps p ON p.query_id = c.query_id AND p.ca = c.cand_id
+  JOIN all{p} s ON s.query_id = p.query_id AND s.cand_id = p.cb
+  WHERE NOT EXISTS (SELECT 1 FROM all{p} x
+    WHERE x.query_id = c.query_id AND x.cand_id = c.cand_id)
+  GROUP BY c.query_id, c.cand_id, c.rel)""")
+        parts.append(f"""sel{i} AS (
+  SELECT query_id, cand_id, rel, score, CAST({i} AS INT) AS mmr_rank FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, cand_id ASC) AS rn2
+    FROM step{i}
+  ) WHERE rn2 = 1)""")
+        parts.append(f"""all{i} AS (
+  SELECT query_id, cand_id FROM all{p}
+  UNION ALL SELECT query_id, cand_id FROM sel{i})""")
+    union = " UNION ALL ".join(
+        f"SELECT query_id, cand_id, rel, score, mmr_rank FROM sel{i}"
+        for i in range(1, k + 1)
+    )
+    return ",\n".join(parts), union
+
+
+def _mmr_topk_sql() -> str:
+    ctes, union = _mmr_ctes(ANN_K, MMR_CAND, MMR_LAM)
+    return f"""WITH {ctes},
+mmr AS ({union})
+SELECT query_id, cand_id AS neighbor_id, ROUND(rel, 6) AS relevance,
+  ROUND(score, 6) AS mmr_score, mmr_rank
+FROM mmr"""
+
+
+def _mmr_diversity_sql() -> str:
+    """Set-level diversity/relevance means as exact BIGINT sums of the
+    6-decimal-quantized terms (sum order is engine-dependent for
+    doubles; integer sums are not), divided once at display."""
+    ctes, union = _mmr_ctes(ANN_K, MMR_CAND, MMR_LAM)
+
+    def pair_cte(ids: str) -> str:
+        return f"""(
+  SELECT p.query_id,
+    SUM(CAST(round(p.sim * 1000000.0) AS BIGINT)) AS s6,
+    count(*) AS np
+  FROM ps p
+  JOIN {ids} a ON a.query_id = p.query_id AND a.cand_id = p.ca
+  JOIN {ids} b ON b.query_id = p.query_id AND b.cand_id = p.cb
+  GROUP BY p.query_id)"""
+
+    def rel_cte(ids: str) -> str:
+        return f"""(
+  SELECT c.query_id,
+    SUM(CAST(round(c.rel * 1000000.0) AS BIGINT)) AS r6,
+    count(*) AS nr
+  FROM cand c
+  JOIN {ids} a ON a.query_id = c.query_id AND a.cand_id = c.cand_id
+  GROUP BY c.query_id)"""
+
+    return f"""WITH {ctes},
+mmr AS ({union}),
+mmr_ids AS (SELECT query_id, cand_id FROM mmr),
+topk_ids AS (SELECT query_id, cand_id FROM cand WHERE rn <= {ANN_K}),
+mp AS {pair_cte('mmr_ids')},
+tp AS {pair_cte('topk_ids')},
+mr AS {rel_cte('mmr_ids')},
+tr AS {rel_cte('topk_ids')}
+SELECT mp.query_id,
+  ROUND(CAST(mp.s6 AS DOUBLE) / (mp.np * 1000000.0), 6) AS mmr_avg_sim,
+  ROUND(CAST(tp.s6 AS DOUBLE) / (tp.np * 1000000.0), 6) AS topk_avg_sim,
+  ROUND(CAST(mr.r6 AS DOUBLE) / (mr.nr * 1000000.0), 6) AS mmr_avg_rel,
+  ROUND(CAST(tr.r6 AS DOUBLE) / (tr.nr * 1000000.0), 6) AS topk_avg_rel
+FROM mp
+JOIN tp ON tp.query_id = mp.query_id
+JOIN mr ON mr.query_id = mp.query_id
+JOIN tr ON tr.query_id = mp.query_id"""
+
+
+ORACLES["ns_ann_mmr_topk"] = _mmr_topk_sql()
+ORACLES["ns_ann_mmr_diversity"] = _mmr_diversity_sql()
 
 # Corpus card: per-(lang, quality-decile) inventory. Quality is the
 # ns_text_stats ROUND-6 score, re-quantized to int64 so the bucket and

@@ -33,6 +33,8 @@ PRIORITY = [
     "ns_ann_graph_filtered_pub",
     "ns_ann_graph_filtered_autotune",
     "ns_incr_release_drift",
+    "ns_ann_mmr_topk",
+    "ns_ann_mmr_diversity",
     # --- newest green r5 ---
     "ns_dedup_minhash_lsh",
     "ns_dedup_ngram_jaccard",

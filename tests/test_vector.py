@@ -547,3 +547,49 @@ def test_graph_search_recall_and_determinism(spark):
         ).count()
 
     assert recall(res) >= recall(vector.lsh_topk(emb, qids, k=5))
+
+
+def test_mmr_lam1_degenerates_to_relevance_order(spark):
+    """With lam=1.0 the diversity term vanishes: the greedy loop must
+    reproduce exact-cosine relevance order (scores = rel)."""
+    emb = _emb(spark)
+    qids = range(4)
+    mmr = vector.mmr_topk(emb, qids, k=4, cand=12, lam=1.0).collect()
+    brute = vector.brute_force_topk(emb, qids, k=4).collect()
+    got = {(r["query_id"], r["mmr_rank"]): r["neighbor_id"] for r in mmr}
+    want = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in brute}
+    assert got == want
+
+
+def test_mmr_structure_and_diversity_gain(spark):
+    emb = _emb(spark)
+    qids = range(4)
+    k, cand = 4, 12
+    mmr = vector.mmr_topk(emb, qids, k=k, cand=cand, lam=0.5)
+    rows = mmr.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == set(qids)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in vector.brute_force_topk(emb, qids, k=cand).collect()
+    }
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in vector.brute_force_topk(emb, qids, k=1).collect()
+    }
+    for q, rs in per_q.items():
+        assert len(rs) == k
+        ids = [r["neighbor_id"] for r in rs]
+        assert len(set(ids)) == k  # no repeats
+        assert all((q, i) in brute for i in ids)  # within the shortlist
+        first = min(rs, key=lambda r: r["mmr_rank"])
+        assert first["neighbor_id"] == top1[q]  # pick 1 = relevance argmax
+    div = vector.mmr_diversity(emb, qids, k=k, cand=cand, lam=0.5).collect()
+    assert len(div) == len(list(qids))
+    for r in div:
+        # the whole point of the rerank: picked set no less diverse,
+        # at a relevance price bounded by the relevance top-k's mean
+        assert r["mmr_avg_sim"] <= r["topk_avg_sim"] + 1e-9
+        assert r["mmr_avg_rel"] <= r["topk_avg_rel"] + 1e-9
