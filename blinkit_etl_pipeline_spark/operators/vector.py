@@ -1008,6 +1008,106 @@ def knn_graph_on_frame(
     )
 
 
+def facility_select(
+    emb: DataFrame,
+    k_sel: int = 8,
+    knn_k: int = 5,
+    iters: int = 1,
+    nbits: int = 8,
+    ntables: int = 4,
+    graph: DataFrame | None = None,
+) -> DataFrame:
+    """Greedy facility-location subset selection over the k-NN graph —
+    pick ``k_sel`` corpus vectors maximizing Σ_v max_{s∈S} w(s, v),
+    the submodular "diverse representative subset" objective used to
+    choose labeling/eval/coreset candidates (complements DSIR's
+    distributional selection and dedup's redundancy removal; greedy is
+    the classic (1−1/e) approximation, Nemhauser et al. 1978).
+
+    Coverage weights are the graph's 6-decimal cosines quantized to
+    BIGINT (w = round(cos·10⁶)), symmetrized by max, plus a 10⁶
+    self-edge per node — so every gain and the running coverage are
+    exact integer sums: no FP anywhere after quantization, and the
+    unrolled-greedy DuckDB oracle replays each pick bit-for-bit.
+
+    Returns (sel_rank, vec_id, gain_q6, coverage_q6) — gain the
+    marginal coverage of each pick, coverage the running objective
+    (= Σ gains, exact by submodular bookkeeping).
+
+    Scale: each greedy step is one aggregation over the EDGE list
+    (n·k rows — never the vectors) with the selected set broadcast;
+    k_sel shuffles total, all driver-loop-free (picks stay 1-row
+    DataFrames). At much larger corpora, run per cluster/bucket and
+    union the per-cluster selections (the SemDeDup partitioning), or
+    swap in lazy-greedy — the edge-list shape is unchanged.
+    """
+    if graph is None:
+        graph = knn_graph(
+            emb, k=knn_k, iters=iters, nbits=nbits, ntables=ntables
+        )
+    wq = F.round(F.col("cosine_sim") * F.lit(1000000.0), 0).cast("long")
+    e1 = graph.select(
+        F.col("node_id").alias("u"),
+        F.col("neighbor_id").alias("v"),
+        wq.alias("w"),
+    )
+    e2 = e1.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    selfe = emb.select(
+        F.col("vec_id").alias("u"),
+        F.col("vec_id").alias("v"),
+        F.lit(1000000).cast("long").alias("w"),
+    )
+    edges = (
+        e1.unionByName(e2)
+        .unionByName(selfe)
+        .groupBy("u", "v")
+        .agg(F.max("w").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    picks = None
+    sel_ids = None
+    for i in range(1, k_sel + 1):
+        if sel_ids is None:
+            gains = edges.groupBy("u").agg(F.sum("w").alias("gain"))
+        else:
+            cov = (
+                edges.join(F.broadcast(sel_ids), "u")
+                .groupBy("v")
+                .agg(F.max("w").alias("cw"))
+            )
+            gains = (
+                edges.join(F.broadcast(sel_ids), "u", "left_anti")
+                .join(F.broadcast(cov), "v", "left")
+                .groupBy("u")
+                .agg(
+                    F.sum(
+                        F.greatest(
+                            F.col("w") - F.coalesce(F.col("cw"), F.lit(0)),
+                            F.lit(0).cast("long"),
+                        )
+                    ).alias("gain")
+                )
+            )
+        pick = (
+            gains.orderBy(F.col("gain").desc(), F.col("u").asc())
+            .limit(1)
+            .select(F.lit(i).alias("sel_rank"), "u", "gain")
+            .localCheckpoint(eager=False)
+        )
+        picks = pick if picks is None else picks.unionByName(pick)
+        sel_ids = picks.select("u").localCheckpoint(eager=False)
+    wcum = (
+        Window.orderBy("sel_rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return picks.select(
+        "sel_rank",
+        F.col("u").alias("vec_id"),
+        F.col("gain").alias("gain_q6"),
+        F.sum("gain").over(wcum).alias("coverage_q6"),
+    )
+
+
 def nn_descent_rounds(
     e: DataFrame, ranked: DataFrame, k: int, iters: int
 ) -> DataFrame:

@@ -519,6 +519,27 @@ def q_ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Facility-location selection size (diverse representative subset)
+FACILITY_K = 8
+
+
+def q_select_facility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy facility-location coreset selection over the k-NN graph
+    (vector.facility_select): pick 8 vectors maximizing total
+    max-coverage of the corpus — the labeling/eval candidate picker
+    that complements DSIR (distributional) and dedup (redundancy).
+    Integer-quantized weights end-to-end, so every greedy pick and
+    the running coverage replay bit-for-bit in the unrolled oracle."""
+    return vector.facility_select(
+        _emb(spark, sf_dir),
+        k_sel=FACILITY_K,
+        knn_k=KNN_GRAPH_K,
+        iters=KNN_GRAPH_ITERS,
+        nbits=ANN_NBITS,
+        ntables=ANN_NTABLES,
+    )
+
+
 def q_ann_mmr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity/relevance price gauge: mean pairwise cosine and mean
     relevance of the MMR set vs the plain top-k over the same
@@ -6317,6 +6338,77 @@ ORACLES["ns_knn_graph"] = f"""WITH {_EMB},
 SELECT u AS node_id, v AS neighbor_id,
   ROUND(cos_raw, 6) AS cosine_sim, CAST(rn AS INT) AS "rank"
 FROM final"""
+
+QUERIES["ns_select_facility"] = q_select_facility
+
+
+def _facility_sql(k_sel: int) -> str:
+    """Unrolled-greedy replay of vector.facility_select over the same
+    k-NN graph CTEs: symmetrized max-weight edges + 10⁶ self-edges,
+    all-BIGINT gains (CAST around every SUM — DuckDB widens BIGINT
+    sums to HUGEINT), each step's pick the (gain DESC, u ASC) argmax
+    among unselected nodes against max-coverage from the picked set.
+
+    Every generated CTE carries ``AS MATERIALIZED``: DuckDB 1.0
+    INLINES each CTE reference, and the selected-set chain references
+    its predecessor three times per step — unhinted, the k-NN
+    subtree re-evaluates ~3^(k−1) times and the repeated parquet
+    re-opens exhaust the fd limit before any memory pressure. The
+    hint is semantics-free; oracles are DuckDB dialect already
+    (list_dot_product etc.)."""
+    parts = [
+        _EMB,
+        _knn_ctes(),
+        """gedges AS MATERIALIZED (
+  SELECT u, v, CAST(round(ROUND(cos_raw, 6) * 1000000.0) AS BIGINT) AS w
+  FROM final)""",
+        """edges AS MATERIALIZED (
+  SELECT u, v, max(w) AS w FROM (
+    SELECT u, v, w FROM gedges
+    UNION ALL SELECT v AS u, u AS v, w FROM gedges
+    UNION ALL SELECT vec_id AS u, vec_id AS v,
+      CAST(1000000 AS BIGINT) AS w FROM e
+  ) GROUP BY u, v)""",
+        """fg1 AS MATERIALIZED (
+  SELECT u, CAST(SUM(w) AS BIGINT) AS gain FROM edges GROUP BY u)""",
+        """fs1 AS MATERIALIZED (
+  SELECT CAST(1 AS INT) AS sel_rank, u, gain FROM (
+    SELECT *, row_number() OVER (ORDER BY gain DESC, u ASC) AS rn
+    FROM fg1) WHERE rn = 1)""",
+        "fa1 AS MATERIALIZED (SELECT u FROM fs1)",
+    ]
+    for i in range(2, k_sel + 1):
+        p = i - 1
+        parts.append(f"""fcov{p} AS MATERIALIZED (
+  SELECT e.v, max(e.w) AS cw FROM edges e
+  JOIN fa{p} s ON e.u = s.u GROUP BY e.v)""")
+        parts.append(f"""fg{i} AS MATERIALIZED (
+  SELECT e.u, CAST(SUM(greatest(e.w - COALESCE(c.cw, 0), 0)) AS BIGINT)
+    AS gain
+  FROM edges e
+  LEFT JOIN fcov{p} c ON c.v = e.v
+  WHERE NOT EXISTS (SELECT 1 FROM fa{p} x WHERE x.u = e.u)
+  GROUP BY e.u)""")
+        parts.append(f"""fs{i} AS MATERIALIZED (
+  SELECT CAST({i} AS INT) AS sel_rank, u, gain FROM (
+    SELECT *, row_number() OVER (ORDER BY gain DESC, u ASC) AS rn
+    FROM fg{i}) WHERE rn = 1)""")
+        parts.append(
+            f"fa{i} AS MATERIALIZED (SELECT u FROM fa{p} UNION ALL SELECT u FROM fs{i})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT sel_rank, u, gain FROM fs{i}" for i in range(1, k_sel + 1)
+    )
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes},
+fsel AS ({union})
+SELECT sel_rank, u AS vec_id, gain AS gain_q6,
+  CAST(SUM(gain) OVER (ORDER BY sel_rank ROWS UNBOUNDED PRECEDING)
+    AS BIGINT) AS coverage_q6
+FROM fsel"""
+
+
+ORACLES["ns_select_facility"] = _facility_sql(FACILITY_K)
 
 
 def q_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -35,6 +35,7 @@ PRIORITY = [
     "ns_incr_release_drift",
     "ns_ann_mmr_topk",
     "ns_ann_mmr_diversity",
+    "ns_select_facility",
     # --- newest green r5 ---
     "ns_dedup_minhash_lsh",
     "ns_dedup_ngram_jaccard",

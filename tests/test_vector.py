@@ -593,3 +593,23 @@ def test_mmr_structure_and_diversity_gain(spark):
         # at a relevance price bounded by the relevance top-k's mean
         assert r["mmr_avg_sim"] <= r["topk_avg_sim"] + 1e-9
         assert r["mmr_avg_rel"] <= r["topk_avg_rel"] + 1e-9
+
+
+def test_facility_select_greedy_properties(spark):
+    emb = _emb(spark)
+    rows = vector.facility_select(
+        emb, k_sel=5, knn_k=4, iters=1, nbits=6, ntables=4
+    ).collect()
+    rows.sort(key=lambda r: r["sel_rank"])
+    assert [r["sel_rank"] for r in rows] == [1, 2, 3, 4, 5]
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == 5  # no repeats
+    gains = [r["gain_q6"] for r in rows]
+    # submodularity: greedy marginal gains are non-increasing
+    assert all(a >= b for a, b in zip(gains, gains[1:])), gains
+    # coverage is the exact running sum of gains (integer bookkeeping)
+    cum = 0
+    for r in rows:
+        cum += r["gain_q6"]
+        assert r["coverage_q6"] == cum
+    assert gains[-1] >= 0
