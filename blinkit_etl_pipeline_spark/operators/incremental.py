@@ -2914,7 +2914,15 @@ def _default_file_target(table: str) -> None:
 
 #: max literal values worth pushing as an IN-list into the scan —
 #: beyond this the predicate bloats the plan more than it prunes
-_ISIN_PUSHDOWN_MAX = 4096
+# Spark/parquet-mr build a pushed IN as a LEFT-DEEP OR tree and
+# evaluate it recursively: at the JVM default ~1m thread stack the
+# task overflows somewhere in (1024, 2048] values (measured, r13 —
+# the sf0.1 bench hit it via a takedown closure). 768 keeps 25%
+# margin below the measured-safe 1024 on a VANILLA session (the
+# driver's correctness gate does not use session.py's -Xss8m);
+# beyond ~hundreds of values the page-pruning win over the manifest
+# file pruning is marginal anyway, and callers' joins stay exact.
+_ISIN_PUSHDOWN_MAX = 768
 
 
 def _pruned_read_ids(

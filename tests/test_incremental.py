@@ -2996,3 +2996,33 @@ def test_publish_graph_incremental_equals_full_republish(
             spark, gs, vs, qids, k=5, beam=8, rounds=2
         )
     )
+
+
+def test_pruned_read_ids_id_list_sizes(spark, tmp_path):
+    """_pruned_read_ids must stay correct on BOTH sides of the
+    pushdown cap, and the cap itself must stay under the measured
+    vanilla-JVM stack-safety bound: Spark/parquet-mr evaluate a
+    pushed IN as a left-deep OR tree, recursively, and a task thread
+    at the default ~1m stack overflows in (1024, 2048] values (r13 —
+    the sf0.1 bench crashed in a takedown closure before the cap was
+    lowered). The driver's correctness gate runs on a vanilla session
+    without session.py's -Xss8m, so the cap is the only guard there."""
+    assert 0 < incremental._ISIN_PUSHDOWN_MAX <= 1024
+
+    store = str(tmp_path / "pruned_ids")
+    rows = spark.range(3000).select(
+        F.col("id").alias("u"), (F.col("id") * 7).alias("v")
+    )
+    snapshot.write_snapshot(rows, store, stats_col="u")
+
+    few = [5, 17, 2999]
+    got = incremental._pruned_read_ids(spark, store, few, "u")
+    assert sorted(r["u"] for r in got.collect()) == sorted(few)
+
+    # above the cap: the isin filter is skipped (callers' joins
+    # restrict exactly) — the read must return at least the probed
+    # rows and must not fail
+    many = list(range(0, 2000))
+    got_many = incremental._pruned_read_ids(spark, store, many, "u")
+    have = {r["u"] for r in got_many.collect()}
+    assert set(many) <= have
