@@ -69,29 +69,33 @@ def _width_guard(arr: F.Column, dim: int) -> F.Column:
     )
 
 
-def _dist(ecol, centroid: list[int]) -> F.Column:
-    arr = F.array(*[F.lit(int(x)).cast("long") for x in centroid])
-    return F.aggregate(
-        F.zip_with(ecol, arr, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+def _dist_sql(ecol: str, centroid: list[int]) -> str:
+    """SQL text of the exact integer squared distance ``Σ(eᵢ−cᵢ)²``
+    — semantically identical to the former Column-API construction
+    (``aggregate(zip_with(...))`` over a long-literal array), rendered
+    as ONE string so the whole round's expression reaches the JVM in a
+    single py4j call instead of ~dim·k round trips (r13: building the
+    8×64-literal Column tree cost ~2 s of DRIVER time per round — more
+    than the jobs it described)."""
+    arr = ",".join(f"{int(x)}L" for x in centroid)
+    return (
+        f"aggregate(zip_with({ecol}, array({arr}),"
+        " (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
 
 
 def _assign(eq: DataFrame, centroids: list[list[int]]) -> DataFrame:
     """(vec_id, e, cluster, dist_q): lexicographic (dist, j) argmin
-    against broadcast centroid literals — one map pass, no shuffle."""
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _dist(F.col("e"), c).alias("d"),
-                    F.lit(j).cast("long").alias("j"),
-                )
-                for j, c in enumerate(centroids)
-            ]
-        )
+    against broadcast centroid literals — one map pass, no shuffle.
+    The argmin expression is rendered as one SQL string (see
+    :func:`_dist_sql`); struct field order (d, j) keeps the
+    tie-break lexicographic on (dist, cluster)."""
+    structs = ",".join(
+        f"named_struct('d', {_dist_sql('e', c)}, 'j', CAST({j} AS BIGINT))"
+        for j, c in enumerate(centroids)
     )
+    best = F.expr(f"array_min(array({structs}))")
     return eq.select(
         "vec_id",
         "e",
@@ -124,14 +128,15 @@ def kmeans_exact(
     centroids = [list(r["e"]) for r in init]
     for _ in range(iters):
         assigned = _assign(eq, centroids)
+        # per-dim sums as ONE array-of-aggregates expression (e[i] is
+        # 0-based, = element_at(e, i+1)): a single py4j call per round
+        # instead of `dim` Column constructions
+        sums_arr = ",".join(f"sum(e[{i}])" for i in range(dim))
         sums = (
             assigned.groupBy("cluster")
             .agg(
                 F.count("*").alias("n"),
-                *[
-                    F.sum(F.element_at("e", i + 1)).alias(f"s{i}")
-                    for i in range(dim)
-                ],
+                F.expr(f"array({sums_arr})").alias("sums"),
             )
             .collect()
         )
@@ -139,7 +144,7 @@ def kmeans_exact(
         for r in sums:
             j = int(r["cluster"])
             n = int(r["n"])
-            new[j] = [_trunc_div(int(r[f"s{i}"]), n) for i in range(dim)]
+            new[j] = [_trunc_div(int(s), n) for s in r["sums"]]
         centroids = new
     out = _assign(eq, centroids).select("vec_id", "cluster", "dist_q")
     eq.unpersist(blocking=False)

@@ -2752,8 +2752,16 @@ def sq8_stats(emb: DataFrame, vec: str = "embedding") -> list[tuple[int, int]]:
 
 
 def _sq8_mins_rngs(stats: list[tuple[int, int]]) -> tuple[Column, Column]:
-    mins = F.array(*[F.lit(int(mn)).cast("long") for mn, _ in stats])
-    rngs = F.array(*[F.lit(int(mx - mn)).cast("long") for mn, mx in stats])
+    # one SQL string per literal array (identical expression tree to
+    # the former per-element F.lit build): 2 py4j calls instead of
+    # ~2·dim — this helper sits on every SQ8 encode/decode construct
+    # (r13 driver-side construction cost, OPTIMIZATION_r13.md)
+    mins = F.expr(
+        "array(" + ",".join(f"{int(mn)}L" for mn, _ in stats) + ")"
+    )
+    rngs = F.expr(
+        "array(" + ",".join(f"{int(mx - mn)}L" for mn, mx in stats) + ")"
+    )
     return mins, rngs
 
 
@@ -3050,13 +3058,27 @@ def graph_search_rounds(
     frame — at extreme cardinalities evaluate the predicate on the
     corpus frame's own attribute columns instead)."""
     qsrc = queries_e if queries_e is not None else e
+    # Materialize the PROBE-SIZED frames once (r13, guide §2.4/§5):
+    # without these leaves, every round's state checkpoint re-executed
+    # the seed subtree — a corpus-sized LSH probe scan — just to
+    # rebuild the |Q|-row qids broadcast, and every scoring join
+    # re-streamed the corpus to re-derive the |Q|-row qe side. One
+    # seed probe + one qe derivation per walk; rounds touch only
+    # frontier-sized leaves + the one designed ce probe stream each.
+    seeds = seeds.select("query_id", "neighbor_id").localCheckpoint(
+        eager=False
+    )
     qids = seeds.select(
         F.col("query_id").alias("vec_id")
     ).distinct()
-    qe = qsrc.join(F.broadcast(qids), "vec_id").select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qvec").alias("_gqv"),
-        F.col("qq").alias("_gqq"),
+    qe = (
+        qsrc.join(F.broadcast(qids), "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qvec").alias("_gqv"),
+            F.col("qq").alias("_gqq"),
+        )
+        .localCheckpoint(eager=False)
     )
     ce = e.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -3187,6 +3209,7 @@ def graph_search_embed(
     nbits: int = 4,
     dim: int = 64,
     ntables: int = 8,
+    undirected: bool = False,
 ) -> DataFrame:
     """Out-of-corpus graph serving (r10 addendum): ``queries_emb`` is
     a (vec_id, embedding) frame of EXTERNAL query vectors — the
@@ -3207,7 +3230,8 @@ def graph_search_embed(
         F.col("node_id").alias("u"), F.col("neighbor_id").alias("v")
     )
     return graph_search_rounds(
-        e, edges, seeds, k, beam, rounds, queries_e=with_q(queries_emb)
+        e, edges, seeds, k, beam, rounds,
+        queries_e=with_q(queries_emb), undirected=undirected,
     )
 
 

@@ -6719,6 +6719,22 @@ def _gs_fixture(spark: SparkSession, sf_dir: str, kind: str):
                 nbits=ANN_NBITS,
                 ntables=ANN_NTABLES,
             ).localCheckpoint(eager=True)
+        elif kind == "raw_und":
+            # the expanded DISTINCT undirected adjacency, folded ONCE
+            # per session (r13, guide §2.4): every walk query
+            # previously re-folded union+distinct over the graph per
+            # timed run — the documented "pay the graph-sized fold
+            # once across many searches" knob (undirect_graph), now
+            # applied to the shared fixture
+            val = vector.undirect_graph(
+                _gs_fixture(spark, sf_dir, "raw")
+            ).localCheckpoint(eager=True)
+        elif kind == "sq8_und":
+            stats, g = _gs_fixture(spark, sf_dir, "sq8")
+            val = (
+                stats,
+                vector.undirect_graph(g).localCheckpoint(eager=True),
+            )
         else:  # "sq8": (stats, graph)
             stats = vector.sq8_stats(emb)
             val = (
@@ -6749,7 +6765,7 @@ def q_ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie order), so equality pins each hop's frontier, candidate set,
     and rank."""
     emb = _emb(spark, sf_dir)
-    g = _gs_fixture(spark, sf_dir, "raw")
+    g = _gs_fixture(spark, sf_dir, "raw_und")
     return vector.graph_search_topk(
         emb,
         g,
@@ -6759,6 +6775,7 @@ def q_ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rounds=GS_ROUNDS,
         nbits=ANN_NBITS,
         ntables=ANN_NTABLES,
+        undirected=True,
     )
 
 
@@ -6855,7 +6872,7 @@ def q_ann_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-exact. At this corpus the walk recovers neighbors the
     LSH-only probe misses (ns_ann_lsh_topk's documented trade)."""
     emb = _emb(spark, sf_dir)
-    g = _gs_fixture(spark, sf_dir, "raw")
+    g = _gs_fixture(spark, sf_dir, "raw_und")
     res = vector.graph_search_topk(
         emb,
         g,
@@ -6865,6 +6882,7 @@ def q_ann_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         rounds=GS_ROUNDS,
         nbits=ANN_NBITS,
         ntables=ANN_NTABLES,
+        undirected=True,
     ).select("query_id", "neighbor_id")
     truth = vector.brute_force_topk(emb, ANN_QUERY_IDS, k=ANN_K).select(
         "query_id", "neighbor_id"
@@ -6940,7 +6958,7 @@ def q_ann_graph_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-exactly; the store/published/session paths are pytest
     bit-equal to this batch walk (takedowns composed)."""
     emb = _emb(spark, sf_dir)
-    g = _gs_fixture(spark, sf_dir, "raw")
+    g = _gs_fixture(spark, sf_dir, "raw_und")
     return vector.graph_search_filtered(
         emb,
         g,
@@ -6951,6 +6969,7 @@ def q_ann_graph_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         rounds=GS_ROUNDS,
         nbits=ANN_NBITS,
         ntables=ANN_NTABLES,
+        undirected=True,
     )
 
 
@@ -6977,7 +6996,7 @@ def q_ann_graph_filtered_recall(
     pushdown — both engines compute walk ∩ filtered-truth, so the
     recall numbers are value-exact."""
     emb = _emb(spark, sf_dir)
-    g = _gs_fixture(spark, sf_dir, "raw")
+    g = _gs_fixture(spark, sf_dir, "raw_und")
     allowed = _filt_allowed(spark, sf_dir)
     res = vector.graph_search_filtered(
         emb,
@@ -6989,6 +7008,7 @@ def q_ann_graph_filtered_recall(
         rounds=GS_ROUNDS,
         nbits=ANN_NBITS,
         ntables=ANN_NTABLES,
+        undirected=True,
     ).select("query_id", "neighbor_id")
     truth = vector.brute_force_topk(
         emb,
@@ -7026,7 +7046,7 @@ def q_ann_graph_filtered_autotune(
     attests the knob itself (the SQL derives the same beam from the
     same counts and walks with it)."""
     emb = _emb(spark, sf_dir)
-    g = _gs_fixture(spark, sf_dir, "raw")
+    g = _gs_fixture(spark, sf_dir, "raw_und")
     allowed = _filt_allowed(spark, sf_dir)
     n = emb.count()
     na = allowed.count()
@@ -7041,6 +7061,7 @@ def q_ann_graph_filtered_autotune(
         rounds=GS_ROUNDS,
         nbits=ANN_NBITS,
         ntables=ANN_NTABLES,
+        undirected=True,
     ).select("query_id", "neighbor_id")
     truth = vector.brute_force_topk(
         emb,
@@ -7474,6 +7495,20 @@ GROUP BY value, exact_count"""
 GS_CURVE_BEAMS = (4, 8, 16)
 
 
+def _parallel_points(point_fn, points):
+    """Build independent sweep-point DataFrames from a small thread
+    pool (guide §2.6 — overlap independent jobs): each point's
+    construction interleaves its checkpoint jobs and driver planning
+    with the others', so the sweep wall approaches the slowest point
+    instead of the sum. Returns results in ``points`` order (the
+    caller unions them in that order, so output is bit-identical to
+    the sequential loop)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(3, len(points))) as pool:
+        return list(pool.map(point_fn, points))
+
+
 def q_ann_graph_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k vs beam width for the graph-traversal tier — the
     operating curve a serving deployment picks its beam from (the
@@ -7484,21 +7519,19 @@ def q_ann_graph_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     across the sweep); the oracle replays every beam's full traversal.
     """
     emb = _emb(spark, sf_dir)
-    g = _gs_fixture(spark, sf_dir, "raw")
+    und = _gs_fixture(spark, sf_dir, "raw_und")
     truth = vector.brute_force_topk(
         emb, ANN_QUERY_IDS, k=ANN_K
     ).select("query_id", "neighbor_id").localCheckpoint(eager=False)
-    # the graph-sized undirected fold is paid ONCE across the sweep
-    und = vector.undirect_graph(g).localCheckpoint(eager=False)
     denom = float(len(ANN_QUERY_IDS) * ANN_K)
-    out = None
-    for b in GS_CURVE_BEAMS:
+
+    def _point(b: int) -> DataFrame:
         res = vector.graph_search_topk(
             emb, und, ANN_QUERY_IDS,
             k=ANN_K, beam=b, rounds=GS_ROUNDS,
             nbits=ANN_NBITS, ntables=ANN_NTABLES, undirected=True,
         ).select("query_id", "neighbor_id")
-        row = (
+        return (
             res.join(truth, ["query_id", "neighbor_id"])
             .agg(F.count("*").cast("long").alias("hits"))
             .select(
@@ -7507,6 +7540,15 @@ def q_ann_graph_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("hits") / denom, 4).alias("avg_recall"),
             )
         )
+
+    # the sweep points are INDEPENDENT walks — build them from a small
+    # thread pool (guide §2.6: overlap independent jobs) so each
+    # point's per-round checkpoint materializations back-fill the
+    # others' driver planning stalls; union in beam order afterwards,
+    # so the result is bit-identical to the sequential sweep
+    rows = _parallel_points(_point, GS_CURVE_BEAMS)
+    out = None
+    for row in rows:
         out = row if out is None else out.unionByName(row)
     return out
 
@@ -7574,13 +7616,12 @@ def q_ann_graph_filtered_curve(
     replays every beam's predicate'd traversal and the filtered truth
     value-exactly."""
     emb = _emb(spark, sf_dir)
-    g = _gs_fixture(spark, sf_dir, "raw")
+    und = _gs_fixture(spark, sf_dir, "raw_und")
     allowed = _filt_allowed(spark, sf_dir)
     truth = vector.brute_force_topk(
         emb, ANN_QUERY_IDS, k=ANN_K,
         candidates=emb.join(allowed, "vec_id"),
     ).select("query_id", "neighbor_id").localCheckpoint(eager=False)
-    und = vector.undirect_graph(g).localCheckpoint(eager=False)
     # the admitted seed collisions and their scores are beam-
     # independent — score them ONCE, cut per sweep point (each beam's
     # cut replays graph_search_filtered's seeds bit-exactly)
@@ -7595,8 +7636,8 @@ def q_ann_graph_filtered_curve(
         F.col("cos_raw").desc(), F.col("neighbor_id").asc()
     )
     denom = float(len(ANN_QUERY_IDS) * ANN_K)
-    out = None
-    for b in GS_CURVE_BEAMS:
+
+    def _point(b: int) -> DataFrame:
         seeds = (
             scored.withColumn("rn", F.row_number().over(wq))
             .filter(F.col("rn") <= b)
@@ -7609,7 +7650,7 @@ def q_ann_graph_filtered_curve(
             ), seeds, ANN_K, b, GS_ROUNDS,
             undirected=True, allowed=allowed,
         ).select("query_id", "neighbor_id")
-        row = (
+        return (
             res.join(truth, ["query_id", "neighbor_id"])
             .agg(F.count("*").cast("long").alias("hits"))
             .select(
@@ -7618,6 +7659,12 @@ def q_ann_graph_filtered_curve(
                 F.round(F.col("hits") / denom, 4).alias("avg_recall"),
             )
         )
+
+    # independent sweep points built concurrently (guide §2.6);
+    # union in beam order → bit-identical to the sequential sweep
+    rows = _parallel_points(_point, GS_CURVE_BEAMS)
+    out = None
+    for row in rows:
         out = row if out is None else out.unionByName(row)
     return out
 
@@ -7721,11 +7768,11 @@ def q_ann_graph_external(spark: SparkSession, sf_dir: str) -> DataFrame:
     qext = emb.filter(F.col("vec_id") < GS_EXT_NQ).select(
         (F.col("vec_id") + GS_EXT_SHIFT).alias("vec_id"), "embedding"
     )
-    g = _gs_fixture(spark, sf_dir, "raw")
+    g = _gs_fixture(spark, sf_dir, "raw_und")
     return vector.graph_search_embed(
         emb, g, qext,
         k=ANN_K, beam=GS_BEAM, rounds=GS_ROUNDS,
-        nbits=ANN_NBITS, ntables=ANN_NTABLES,
+        nbits=ANN_NBITS, ntables=ANN_NTABLES, undirected=True,
     )
 
 
@@ -7764,11 +7811,12 @@ def q_ann_graph_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket hashing on the reconstructed lattice, graph construction,
     and both traversal hops — every rank value-exact."""
     emb = _emb(spark, sf_dir)
-    stats, g = _gs_fixture(spark, sf_dir, "sq8")
+    stats, g = _gs_fixture(spark, sf_dir, "sq8_und")
     return vector.graph_search_sq8_topk(
         emb, g, ANN_QUERY_IDS,
         k=ANN_K, beam=GS_BEAM, rounds=GS_ROUNDS,
         nbits=ANN_NBITS, ntables=ANN_NTABLES, stats=stats,
+        undirected=True,
     )
 
 
@@ -7801,11 +7849,12 @@ def q_ann_graph_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both engines compute walk ∩ truth, so the numbers are
     value-exact."""
     emb = _emb(spark, sf_dir)
-    stats, g = _gs_fixture(spark, sf_dir, "sq8")
+    stats, g = _gs_fixture(spark, sf_dir, "sq8_und")
     res = vector.graph_search_sq8_topk(
         emb, g, ANN_QUERY_IDS,
         k=ANN_K, beam=GS_BEAM, rounds=GS_ROUNDS,
         nbits=ANN_NBITS, ntables=ANN_NTABLES, stats=stats,
+        undirected=True,
     ).select("query_id", "neighbor_id")
     truth = vector.brute_force_topk(emb, ANN_QUERY_IDS, k=ANN_K).select(
         "query_id", "neighbor_id"
