@@ -3410,22 +3410,24 @@ def graph_search_published(
         raise ValueError("no live query vectors resolved")
     QM = np.array([list(r["qvec"]) for r in qcollect])
     B = table_buckets_py(QM, nbits, ntables, dim)
+    qbuckets = [
+        (
+            int(r["vec_id"]),
+            t,
+            int(B[i, t]),
+            t * (1 << nbits) + int(B[i, t]),
+        )
+        for i, r in enumerate(qcollect)
+        for t in range(ntables)
+    ]
+    # both the probe-key set and the bucket rows are DRIVER data (B is
+    # a driver matrix): derive probed in Python and parallelize the
+    # |Q|·ntables rows on use — the former eager checkpoint + distinct
+    # collect paid two jobs to learn values already in hand (r13)
     qrows = spark.createDataFrame(
-        [
-            (
-                int(r["vec_id"]),
-                t,
-                int(B[i, t]),
-                t * (1 << nbits) + int(B[i, t]),
-            )
-            for i, r in enumerate(qcollect)
-            for t in range(ntables)
-        ],
-        "query_id long, t int, bucket int, tb int",
-    ).localCheckpoint(eager=True)
-    probed = sorted(
-        int(r["tb"]) for r in qrows.select("tb").distinct().collect()
+        qbuckets, "query_id long, t int, bucket int, tb int"
     )
+    probed = sorted({tb for _, _, _, tb in qbuckets})
     # seed source (r13, VERDICT r12 #1): with a (t, bucket)-clustered
     # seed projection published alongside the graph, ONE pruned read
     # yields both the colliding bucket keys AND their payloads — the
@@ -3531,15 +3533,22 @@ def graph_search_published(
         .localCheckpoint(eager=True)
     )
     for _ in range(rounds):
-        frontier = (
+        # one collect of the |Q|·beam frontier rows serves BOTH the
+        # pruned adjacency read's id set and (re-parallelized) the
+        # expansion join — the former checkpoint + distinct-collect
+        # pair paid an extra job per round to learn rows this small
+        # (bounded by contract, like the fids collect it replaces)
+        frows = (
             state.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= beam)
             .select("query_id", F.col("neighbor_id").alias("u"))
-            .localCheckpoint(eager=True)
+            .collect()
         )
-        fids = sorted(
-            int(r["u"]) for r in frontier.select("u").distinct().collect()
+        frontier = spark.createDataFrame(
+            [(int(r["query_id"]), int(r["u"])) for r in frows],
+            "query_id long, u long",
         )
+        fids = sorted({int(r["u"]) for r in frows})
         und = _published_adjacency(spark, pub_store, k, fids)
         cand = (
             F.broadcast(frontier)
