@@ -517,16 +517,18 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("u", "node")
         )
-        relabeled = (
-            labels.join(nbr, "node", "left")
-            .select(
-                "node",
-                F.col("label").alias("old_label"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
+        # NOT checkpointed (r13): relabeled is referenced twice below
+        # (ptr + the halving join), so skipping its materialization
+        # re-computes one leaf-join subtree instead of paying a full
+        # plan-compile + checkpoint job per round — the round's single
+        # checkpoint (halved) still truncates lineage before the next
+        # iteration, so plans stay flat
+        relabeled = labels.join(nbr, "node", "left").select(
+            "node",
+            F.col("label").alias("old_label"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
         )
         ptr = relabeled.select(
             F.col("node").alias("pnode"), F.col("label").alias("plabel")

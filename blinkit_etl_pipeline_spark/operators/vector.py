@@ -1092,10 +1092,15 @@ def facility_select(
             gains.orderBy(F.col("gain").desc(), F.col("u").asc())
             .limit(1)
             .select(F.lit(i).alias("sel_rank"), "u", "gain")
-            .localCheckpoint(eager=False)
         )
-        picks = pick if picks is None else picks.unionByName(pick)
-        sel_ids = picks.select("u").localCheckpoint(eager=False)
+        # ONE checkpoint per greedy step (r13): the running picks
+        # union is the only frame the next step needs — sel_ids
+        # derives lazily from its leaf, so each step pays one plan
+        # compile + materialization instead of two
+        picks = (
+            pick if picks is None else picks.unionByName(pick)
+        ).localCheckpoint(eager=False)
+        sel_ids = picks.select("u")
     wcum = (
         Window.orderBy("sel_rank")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2572,18 +2577,25 @@ def fps_codebook(emb: DataFrame, k: int = 8) -> list[tuple[int, list[float]]]:
     row0 = q.filter(F.col("vec_id") == first).collect()[0]
     chosen_q.append(([int(x) for x in row0["qvec"]], int(row0["qq"])))
     while len(chosen) < k:
-        cols = [
-            qcos(
-                qdot(
-                    F.col("qvec"),
-                    F.array(*[F.lit(x) for x in cq]).cast("array<long>"),
-                ),
-                F.col("qq"),
-                F.lit(cqq).cast("long"),
+        # one SQL string per pass (identical expression tree to the
+        # former per-element F.lit build — the kmeans r13 lesson):
+        # Σ i·dim literal Columns cost more driver time than the scan
+        def _cos_sql(cq: list[int], cqq: int) -> str:
+            arr = ",".join(f"{int(x)}L" for x in cq)
+            dot = (
+                f"aggregate(zip_with(qvec, array({arr}),"
+                " (x, y) -> x * y), CAST(0 AS BIGINT),"
+                " (acc, x) -> acc + x)"
             )
-            for cq, cqq in chosen_q
-        ]
-        maxcos = cols[0] if len(cols) == 1 else F.greatest(*cols)
+            return (
+                f"CAST({dot} AS DOUBLE) / (SQRT(CAST(qq AS DOUBLE))"
+                f" * SQRT(CAST(CAST({int(cqq)} AS BIGINT) AS DOUBLE)))"
+            )
+
+        exprs = [_cos_sql(cq, cqq) for cq, cqq in chosen_q]
+        maxcos = F.expr(
+            exprs[0] if len(exprs) == 1 else f"greatest({','.join(exprs)})"
+        )
         nxt = (
             q.filter(~F.col("vec_id").isin(chosen))
             .select("vec_id", "qvec", "qq", maxcos.alias("__mc"))
