@@ -51,25 +51,13 @@ ARROW_WHITELIST = {
     "ns_hybrid_rrf_topk",
     "ns_hybrid_rrf_recall",
     "ns_pack_sequences",
-    # r10 addendum: graph-traversal serving seeds entry points via
-    # lsh_topk's broadcast-probe scan — the same deliberate Arrow BLAS
-    # kernel ns_ann_lsh_topk carries (the traversal rounds themselves
-    # are JVM-only; the graph-construction kernels hide behind
-    # checkpoint leaves, which is why ns_knn_graph needs no entry)
-    "ns_ann_graph_topk",
-    "ns_ann_graph_recall",
-    "ns_ann_graph_curve",
-    "ns_ann_graph_external",
-    # r11: the SQ8 walk's seeds bucket the RECONSTRUCTED lattice via
-    # the same bucket_frame Arrow kernel (vector._beam_seeds_on_frame)
-    "ns_ann_graph_sq8_topk",
-    "ns_ann_graph_sq8_recall",
-    # r12: the filtered walk seeds through the same bucket_frame
-    # Arrow kernel (graph_search_filtered → _beam_seeds_on_frame)
-    "ns_ann_graph_filtered",
-    "ns_ann_graph_filtered_recall",
-    # r13: the selectivity-tuned filtered walk — same seed kernel
-    "ns_ann_graph_filtered_autotune",
+    # NOT the graph-walk family (ns_ann_graph_*): r13 —
+    # graph_search_rounds now materializes its seed frame as a
+    # localCheckpoint leaf (one corpus probe per walk instead of one
+    # per round), so the lsh_topk/_beam_seeds_on_frame Arrow kernel
+    # runs at CONSTRUCTION time and hides behind the checkpoint leaf
+    # in the returned plan — the ns_knn_graph case, now uniform
+    # across the family (plans/r13/*_after.txt: 0 python nodes)
     # NOT ns_ann_graph_filtered_curve: its one seed-scoring pass is
     # checkpointed and shared across the beam sweep, so the Arrow
     # kernel hides behind the checkpoint leaf (the ns_knn_graph case)
