@@ -1,0 +1,50 @@
+"""Plan-compile bracket for CONTRACT-BOUNDED iterative subplans.
+
+The round loops of the iterative operators (pagerank_delta's frontier
+propagation, the graph-walk expansion rounds) build frames whose sizes
+are bounded by operator contract — frontier caps, |Q|·beam·k pools —
+independent of corpus size. Under AQE, even a LAZY
+``localCheckpoint(eager=False)`` is not lazy: ``Dataset.rdd`` on an
+adaptive plan runs ``getFinalPhysicalPlan()``, which EXECUTES every
+upstream query stage (shuffles, broadcast builds) before returning the
+RDD — so each round's plan-compile blocks on a chain of stage-barrier
+jobs whose replanning has nothing to adapt (the sizes are known bounded
+a priori). Measured on the round-shaped probe (tools/probe_tordd_r14.py,
+local[32]): construct 0.75 s/checkpoint with AQE vs 0.27 s without,
+with the deferred stages then pipelining inside the ONE final
+materialization job.
+
+``bounded_plan()`` therefore disables AQE for the *construction* of
+such subplans only, restoring the session conf on exit. This is not a
+local[N] tuning: the bracketed frames are bounded at ANY scale, which
+is exactly when adaptive replanning is pure overhead; the corpus-sized
+plans around them (scans, stores, output assembly) keep AQE. The
+non-adaptive exchanges inside the bracket fall back to the session's
+static ``spark.sql.shuffle.partitions`` — the pre-AQE default behavior
+— which for bounded frames costs idle task slots, not correctness or
+data movement. Results are unaffected (partitioning never changes the
+exact-integer folds; oracle + pytest pin every caller).
+
+Thread note: Spark session conf is session-global, so a concurrent
+thread planning DURING the bracket (e.g. an overlapped guard job)
+compiles non-adaptively too — identical results, marginally different
+stage shapes; the brackets are short (driver-side plan building).
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def bounded_plan(spark):
+    """Disable AQE while constructing contract-bounded iterative
+    subplans; restore the previous setting on exit (exceptions
+    included)."""
+    conf = spark.conf
+    prev = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.adaptive.enabled", prev)

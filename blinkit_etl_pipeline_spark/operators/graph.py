@@ -41,7 +41,7 @@ iteration to a single rank-vector shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: integer rank lattice: 1.0 of PageRank mass = 10^12 units
@@ -415,15 +415,31 @@ def pagerank_delta(
     stays a sliver and the delta path beats the rerun outright
     (tools/scale_pagerank_incr_r9.py; PLANS.md r9). On a cluster the
     cached edge-list scans become file-pruned reads of the
-    src-clustered edge store. (A one-broadcast-per-round "src
-    profile" variant was measured SLOWER — the profile's chained
-    full-outer joins serialize inside one broadcast build, losing to
-    five small independent broadcasts; measure, don't pattern-match.)
+    src-clustered edge store.
+
+    Round shape (r14, VERDICT r13 #1 — the delta path's wall was
+    DRIVER time, not data): one broadcast per round — the frontier,
+    carrying its state probe (``_sp``) and previous delta (``_dsp``)
+    — probes the cached edge list; degrees fold as WINDOW aggregates
+    over the frontier-sized probe/fold results (guide §2.4: operations
+    keyed the same way share one exchange) instead of the former
+    per-round d_old/d_new/sp/dsp broadcast-join quartet; the ONLY
+    per-round lazy checkpoint is Δs (the lineage cut the next round
+    builds on — probe/fold/frontier re-derive from it for pennies,
+    while each dropped checkpoint saves a full Catalyst-to-RDD
+    compile); and the guard job overlaps round construction on an
+    InheritableThread (guide §2.6), its verdict checked before
+    anything materializes. Integer sums are order-independent, so the
+    windowed folds are bit-equal to the joined ones (oracle + pytest
+    re-pinned).
     """
     e_old = old_edges.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
     ).persist()
+    # pure projections/distincts over the (small) batch frame: kept
+    # LAZY — each former localCheckpoint(eager=False) here paid a
+    # 0.5-0.9 s plan-compile for a subtree that costs ~ms to re-derive
     dl = delta_edges.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
@@ -435,39 +451,34 @@ def pagerank_delta(
         .distinct()
         .persist()
     )
-    changed = (
-        dl.select(F.col("src").alias("node"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    changed = dl.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=False)
     # the caller's state is probed once per round (semi-reduced by the
     # frontier) plus once for s_last; in the store-backed twin it is a
     # full merge-on-read fold, so cache it for the duration and
     # release with the other inputs (r8 review)
     state = state.persist()
 
+    wsrc = Window.partitionBy("src")
+
     def _probe(aff_b):
         """Old edges at the affected srcs — broadcast-hash scan of the
-        cached edge list, frontier-sized output, shared by both legs
-        and the fold via a lazy-checkpoint leaf."""
-        return e_old.join(
-            aff_b.withColumnRenamed("node", "src"), "src"
-        ).localCheckpoint(eager=False)
-
-    def _fold(p_old):
-        """Frontier-fold: new edge multiset at the affected srcs.
-        Valid because every delete/insert src is in `changed` ⊆ every
-        round's frontier."""
-        return (
-            p_old.withColumn("__sign", F.lit(1).cast("long"))
-            .unionByName(dl)
-            .groupBy("src", "dst")
-            .agg(F.sum("__sign").cast("long").alias("m"))
-        )
+        cached edge list, frontier-sized output. Not checkpointed: its
+        two consumers (old leg + fold) re-run the one cached scan."""
+        return e_old.join(aff_b.withColumnRenamed("node", "src"), "src")
 
     changed_b = F.broadcast(changed)
     p1 = _probe(changed_b)
-    fold1 = _fold(p1).localCheckpoint(eager=False)
+    # frontier-fold: new edge multiset at the affected srcs — valid
+    # because every delete/insert src is in `changed` ⊆ every round's
+    # frontier. repartition("src") up front so the (src, dst) group
+    # AND the per-src window both reuse the one exchange (§2.4).
+    fold1 = (
+        p1.withColumn("__sign", F.lit(1).cast("long"))
+        .unionByName(dl)
+        .repartition("src")
+        .groupBy("src", "dst")
+        .agg(F.sum("__sign").cast("long").alias("m"))
+    )
 
     # All contract guards fold into ONE driver job (a union of one-row
     # counts), every leg frontier-sized or a scan of a cached input —
@@ -487,7 +498,6 @@ def pagerank_delta(
             dl.filter(F.col("__sign") > 0).select(F.col("dst").alias("node"))
         )
         .distinct()
-        .localCheckpoint(eager=False)
     )
     old_deg1 = p1.groupBy("src").agg(F.count("*").cast("long").alias("d0"))
     flags_df = (
@@ -530,160 +540,93 @@ def pagerank_delta(
             )
         )
     )
-    flags = {r["flag"]: int(r["c"]) for r in flags_df.collect()}
-    if flags.get("bad_state_it") or flags.get("state_its") != iterations:
-        raise ValueError(
-            "pagerank_delta: state does not cover iterations "
-            f"1..{iterations} exactly — bootstrap with "
-            f"pagerank_state(..., {iterations})"
-        )
-    if flags.get("dl_nodes_known") != flags.get("dl_nodes"):
-        raise ValueError(
-            "pagerank_delta: batch introduces new nodes — N changes, "
-            "so every node's teleport term moves (dense delta); run "
-            "pagerank()/pagerank_state() on the full edge set instead"
-        )
-    if flags.get("over_delete"):
-        raise ValueError(
-            "pagerank_delta: batch deletes an edge more times than it "
-            "exists — contract violation (redelivery bug upstream?); "
-            "refusing to clamp silently"
-        )
-    if flags.get("emptied"):
-        raise ValueError(
-            "pagerank_delta: batch empties a node's out-edge list "
-            "(node becomes dangling) — contract violation; run the "
-            "full pagerank() instead"
-        )
+    # The guard job runs CONCURRENTLY with round construction (§2.6:
+    # actions are only sequential because the driver calls them
+    # sequentially): construction below is driver-side plan building
+    # over read-only inputs, so the executors are free to verify the
+    # contract meanwhile. The verdict is enforced by _check_flags()
+    # before anything materializes or returns. InheritableThread keeps
+    # the caller's job group/description on the guard job's UI rows.
+    from pyspark import InheritableThread
+
+    _guard: dict = {}
+
+    def _run_guards() -> None:
+        try:
+            _guard["flags"] = {
+                r["flag"]: int(r["c"]) for r in flags_df.collect()
+            }
+        except BaseException as exc:  # re-raised on the caller thread
+            _guard["err"] = exc
+
+    _guard_t = InheritableThread(target=_run_guards)
+    _guard_t.start()
+
+    def _check_flags() -> None:
+        _guard_t.join()
+        if "err" in _guard:
+            raise _guard["err"]
+        flags = _guard["flags"]
+        if flags.get("bad_state_it") or flags.get("state_its") != iterations:
+            raise ValueError(
+                "pagerank_delta: state does not cover iterations "
+                f"1..{iterations} exactly — bootstrap with "
+                f"pagerank_state(..., {iterations})"
+            )
+        if flags.get("dl_nodes_known") != flags.get("dl_nodes"):
+            raise ValueError(
+                "pagerank_delta: batch introduces new nodes — N "
+                "changes, so every node's teleport term moves (dense "
+                "delta); run pagerank()/pagerank_state() on the full "
+                "edge set instead"
+            )
+        if flags.get("over_delete"):
+            raise ValueError(
+                "pagerank_delta: batch deletes an edge more times than "
+                "it exists — contract violation (redelivery bug "
+                "upstream?); refusing to clamp silently"
+            )
+        if flags.get("emptied"):
+            raise ValueError(
+                "pagerank_delta: batch empties a node's out-edge list "
+                "(node becomes dangling) — contract violation; run the "
+                "full pagerank() instead"
+            )
+
     base = ((DAMP_DEN - DAMP_NUM) * RANK_SCALE) // (DAMP_DEN * n)
     r0 = RANK_SCALE // n
     aff = changed
     ds = None  # Δs_{i-1}
     delta_state = None
-    for i in range(1, iterations + 1):
-        aff_b = F.broadcast(aff)
-        p_old = p1 if i == 1 else _probe(aff_b)
-        folded = fold1 if i == 1 else _fold(p_old)
-        # frontier-sized degree tables and expanded new-edge probe
-        d_old = F.broadcast(
-            p_old.groupBy("src").agg(F.count("*").cast("long").alias("d"))
-        )
-        d_new = F.broadcast(
-            folded.groupBy("src").agg(F.sum("m").cast("long").alias("d"))
-        )
-        p_new = (
-            folded.filter(F.col("m") > 0)
-            .select(
-                "src",
-                "dst",
-                F.explode(F.sequence(F.lit(1), F.col("m"))).alias("_i"),
-            )
-            .drop("_i")
-        )
-        if i == 1:
-            # s_0 is the uniform r0 - base for every node: a literal
-            new_c = p_new.join(d_new, "src").select(
-                F.col("dst").alias("node"),
-                F.expr(
-                    f"({DAMP_NUM} * CAST({r0} AS BIGINT))"
-                    f" div ({DAMP_DEN} * d)"
-                ).alias("c"),
-            )
-            old_c = p_old.join(d_old, "src").select(
-                F.col("dst").alias("node"),
-                (
-                    -F.expr(
-                        f"({DAMP_NUM} * CAST({r0} AS BIGINT))"
-                        f" div ({DAMP_DEN} * d)"
-                    )
-                ).alias("c"),
-            )
-        else:
-            # semi-reduce the node-sized state probe BY the frontier
-            # first (one cached scan), then broadcast the frontier-
-            # sized result into both legs (identical subtree —
-            # BroadcastExchange reuse sends it once)
-            sp_aff = F.broadcast(
-                state.filter(F.col("it") == i - 1)
-                .select(F.col("node").alias("src"), F.col("s").alias("_sp"))
-                .join(aff_b.withColumnRenamed("node", "src"), "src")
-            )
-            dsp = F.broadcast(
-                ds.select(
-                    F.col("node").alias("src"), F.col("ds").alias("_dsp")
-                )
-            )
-            new_c = (
-                p_new.join(d_new, "src")
-                .join(sp_aff, "src", "left")
-                .join(dsp, "src", "left")
-                .select(
-                    F.col("dst").alias("node"),
-                    F.expr(
-                        f"({DAMP_NUM} * (CAST({base} AS BIGINT)"
-                        " + coalesce(_sp, 0) + coalesce(_dsp, 0)))"
-                        f" div ({DAMP_DEN} * d)"
-                    ).alias("c"),
-                )
-            )
-            old_c = (
-                p_old.join(d_old, "src")
-                .join(sp_aff, "src", "left")
-                .select(
-                    F.col("dst").alias("node"),
-                    (
-                        -F.expr(
-                            f"({DAMP_NUM} * (CAST({base} AS BIGINT)"
-                            " + coalesce(_sp, 0)))"
-                            f" div ({DAMP_DEN} * d)"
-                        )
-                    ).alias("c"),
-                )
-            )
-        # LAZY checkpoints (r9): each round compiles to a LogicalRDD
-        # leaf now, executes later — shared by RDD identity, so the
-        # one eager checkpoint of the delta_state union below
-        # materializes all rounds in ONE job instead of one job
-        # barrier per round (driver round-trips dominate at gauge
-        # scale, r8 lesson)
-        ds = (
-            new_c.unionByName(old_c)
-            .groupBy("node")
-            .agg(F.sum("c").cast("long").alias("ds"))
-            .filter(F.col("ds") != 0)
-            .localCheckpoint(eager=False)
-        )
-        drow = ds.select("node", F.lit(i).cast("int").alias("it"), F.col("ds").alias("s"))
-        delta_state = (
-            drow if delta_state is None else delta_state.unionByName(drow)
-        )
-        if i < iterations:
-            aff = (
-                changed.unionByName(ds.select("node"))
-                .distinct()
-                .localCheckpoint(eager=False)
-            )
-        if frontier_cap is not None:
-            # frontier guard (r9 review + sf10 measurement): the
-            # frontier broadcasts and whole-probe checkpoints are only
-            # safe while the affected set stays a sliver, and the
-            # explosion round is graph-dependent (a hub fans out at
-            # expansion two; the dense order graph saturates at three),
-            # so when a cap is set EVERY round pays one count barrier —
-            # the insurance is cheap exactly when the localized-churn
-            # claim holds (tiny frames), and when it doesn't we want
-            # out before the block store does (measured: sf10-dense
-            # exhausts it). Callers wanting raw uncapped machinery
-            # (the worst-case gauge) pass frontier_cap=None.
-            f1 = (aff if i < iterations else ds).count()
-            if f1 > frontier_cap:
-                for fr in (e_old, old_nodes, state):
+    try:
+        # the rounds build contract-bounded frames only — construct
+        # them non-adaptively so the per-round lazy checkpoints stop
+        # executing stage chains at plan-compile time (bounded.py;
+        # every deferred stage pipelines inside the one eager
+        # delta_state materialization below)
+        from .bounded import bounded_plan
+
+        with bounded_plan(e_old.sparkSession):
+            delta_state, ds = _pr_delta_rounds(
+                iterations, p1, fold1, dl, e_old, state, changed, aff,
+                ds, delta_state, base, r0, wsrc, frontier_cap,
+                _check_flags,
+                e_old_unpersist=lambda: [
                     fr.unpersist(blocking=False)
-                raise FrontierExplosionError(
-                    f"pagerank_delta: affected set after one round is "
-                    f"{f1} nodes (> frontier_cap={frontier_cap}) — "
-                    "churn is not localized; use the full recompute"
-                )
+                    for fr in (e_old, old_nodes, state)
+                ],
+            )
+    except FrontierExplosionError:
+        raise
+    except Exception:
+        # a contract-violating batch can now surface as an execution
+        # error DURING overlapped round construction (e.g. ANSI
+        # divide-by-zero when a node was emptied) — the guard verdict
+        # must win, exactly as it did when guards ran first
+        _check_flags()
+        raise
+    # guard verdict lands BEFORE anything materializes for the caller
+    _check_flags()
     delta_state = delta_state.localCheckpoint(eager=True)
     s_last = state.filter(F.col("it") == iterations).select("node", "s")
     ranks = (
@@ -710,6 +653,155 @@ def pagerank_delta(
     for fr in (e_old, old_nodes, state):
         fr.unpersist(blocking=False)
     return ranks, delta_state
+
+
+def _pr_delta_rounds(
+    iterations, p1, fold1, dl, e_old, state, changed, aff, ds,
+    delta_state, base, r0, wsrc, frontier_cap, _check_flags,
+    e_old_unpersist,
+):
+    """The per-round delta propagation of :func:`pagerank_delta` —
+    split out so the caller can bracket ALL round construction with
+    the guard-first error handling."""
+    # The whole round is ONE union + ONE per-src window pass + ONE
+    # node aggregate (r14): the per-edge contribution
+    # (85·(base+s)) div (100·d) is a PER-SRC CONSTANT, so the former
+    # fold→explode→degree-join pipeline reduces to row weights — an
+    # old edge row contributes −c_old (old leg) and +1·c_new (it
+    # counts once in the new multiset), a signed batch row ±1·c_new;
+    # pairs that fold to m=0 cancel arithmetically. The per-src
+    # scalars (_sp from the frontier-reduced state probe, _dsp from
+    # the previous Δs leaf) ride the SAME window partition as extra
+    # weight-0 rows and spread via max() — zero joins touch them.
+    # Per round that leaves exactly one broadcast (the frontier into
+    # the cached-edge probe; the state semi-reduction reuses the same
+    # broadcast exchange) and two frontier-sized exchanges.
+    def _aug(p_old, extras):
+        parts = [
+            p_old.select(
+                "src",
+                "dst",
+                F.lit(1).cast("long").alias("w"),
+                F.lit(1).cast("long").alias("old"),
+            ),
+            dl.select(
+                "src",
+                "dst",
+                F.col("__sign").alias("w"),
+                F.lit(0).cast("long").alias("old"),
+            ),
+        ] + extras
+        rows = parts[0]
+        for p in parts[1:]:
+            rows = rows.unionByName(p, allowMissingColumns=True)
+        return rows.repartition("src").select(
+            "dst",
+            "w",
+            "old",
+            F.sum("old").over(wsrc).cast("long").alias("d_old"),
+            F.sum("w").over(wsrc).cast("long").alias("d_new"),
+            F.max("_sp").over(wsrc).alias("_spw")
+            if extras
+            else F.lit(None).cast("long").alias("_spw"),
+            F.max("_dsp").over(wsrc).alias("_dspw")
+            if extras
+            else F.lit(None).cast("long").alias("_dspw"),
+        )
+
+    for i in range(1, iterations + 1):
+        if i == 1:
+            # s_0 is the uniform r0 - base for every node: a literal,
+            # so round 1 carries no state rows
+            rows = _aug(p1, [])
+            num_old = num_new = f"({DAMP_NUM} * CAST({r0} AS BIGINT))"
+        else:
+            aff_b = F.broadcast(aff)
+            p_old = e_old.join(
+                aff_b.withColumnRenamed("node", "src"), "src"
+            )
+            # state semi-reduced by the SAME broadcast frontier (one
+            # BHJ probe of the cached state); Δs_{i-1} support ⊆ aff
+            # by construction, so its rows union in unfiltered
+            extras = [
+                state.filter(F.col("it") == i - 1)
+                .join(aff_b, "node")
+                .select(
+                    F.col("node").alias("src"),
+                    F.lit(None).cast("long").alias("dst"),
+                    F.lit(0).cast("long").alias("w"),
+                    F.lit(0).cast("long").alias("old"),
+                    F.col("s").alias("_sp"),
+                ),
+                ds.select(
+                    F.col("node").alias("src"),
+                    F.lit(None).cast("long").alias("dst"),
+                    F.lit(0).cast("long").alias("w"),
+                    F.lit(0).cast("long").alias("old"),
+                    F.lit(None).cast("long").alias("_sp"),
+                    F.col("ds").alias("_dsp"),
+                ),
+            ]
+            rows = _aug(p_old, extras)
+            num_old = (
+                f"({DAMP_NUM} * (CAST({base} AS BIGINT)"
+                " + coalesce(_spw, 0)))"
+            )
+            num_new = (
+                f"({DAMP_NUM} * (CAST({base} AS BIGINT)"
+                " + coalesce(_spw, 0) + coalesce(_dspw, 0)))"
+            )
+        contrib = rows.select(
+            F.col("dst").alias("node"),
+            F.expr(
+                f"CASE WHEN old = 1 THEN -({num_old}"
+                f" div ({DAMP_DEN} * d_old)) ELSE CAST(0 AS BIGINT) END"
+                f" + w * ({num_new} div ({DAMP_DEN} * d_new))"
+            ).alias("c"),
+        ).filter(F.col("node").isNotNull())
+        # LAZY checkpoint (r9): each round compiles to a LogicalRDD
+        # leaf now, executes later — shared by RDD identity, so the
+        # one eager checkpoint of the delta_state union below
+        # materializes all rounds in ONE job instead of one job
+        # barrier per round (driver round-trips dominate at gauge
+        # scale, r8 lesson). Δs is the round's ONLY checkpoint: the
+        # next round's frontier/probe/state rows re-derive from it.
+        ds = (
+            contrib.groupBy("node")
+            .agg(F.sum("c").cast("long").alias("ds"))
+            .filter(F.col("ds") != 0)
+            .localCheckpoint(eager=False)
+        )
+        drow = ds.select("node", F.lit(i).cast("int").alias("it"), F.col("ds").alias("s"))
+        delta_state = (
+            drow if delta_state is None else delta_state.unionByName(drow)
+        )
+        if i < iterations:
+            aff = changed.unionByName(ds.select("node")).distinct()
+        if frontier_cap is not None:
+            # frontier guard (r9 review + sf10 measurement): the
+            # frontier broadcasts and whole-probe checkpoints are only
+            # safe while the affected set stays a sliver, and the
+            # explosion round is graph-dependent (a hub fans out at
+            # expansion two; the dense order graph saturates at three),
+            # so when a cap is set EVERY round pays one count barrier —
+            # the insurance is cheap exactly when the localized-churn
+            # claim holds (tiny frames), and when it doesn't we want
+            # out before the block store does (measured: sf10-dense
+            # exhausts it). Callers wanting raw uncapped machinery
+            # (the worst-case gauge) pass frontier_cap=None.
+            f1 = (aff if i < iterations else ds).count()
+            if f1 > frontier_cap:
+                # contract violations outrank the explosion verdict
+                # (the pre-overlap ordering): a bad batch must raise
+                # ValueError, not reroute to the recompute
+                _check_flags()
+                e_old_unpersist()
+                raise FrontierExplosionError(
+                    f"pagerank_delta: affected set after one round is "
+                    f"{f1} nodes (> frontier_cap={frontier_cap}) — "
+                    "churn is not localized; use the full recompute"
+                )
+    return delta_state, ds
 
 
 def pagerank_maintain(

@@ -5661,7 +5661,11 @@ def _pr_incr_fixture(spark: SparkSession, sf_dir: str):
         state = state.localCheckpoint(eager=True)
         for k in [k for k in _PR_INCR_FIXTURE if k[0] != key[0]]:
             del _PR_INCR_FIXTURE[k]
-        _PR_INCR_FIXTURE[key] = (pairs, state, n)
+        # edges0 and x1 are returned ALONGSIDE the state (ADVICE r13):
+        # the maintained answer is only correct if the delta fold runs
+        # against the exact graph the state was bootstrapped on, so
+        # the query must not rebuild them independently
+        _PR_INCR_FIXTURE[key] = (pairs, edges0, x1, state, n)
     return _PR_INCR_FIXTURE[key]
 
 
@@ -5687,16 +5691,16 @@ def q_graph_pagerank_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
 
     supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    pairs, state, n = _pr_incr_fixture(spark, sf_dir)
+    # edges0/x1 come FROM the fixture (ADVICE r13): the delta folds
+    # against the exact graph the memoized state was bootstrapped on
+    pairs, edges0, x1, state, n = _pr_incr_fixture(spark, sf_dir)
 
     def bidir(p: DataFrame) -> DataFrame:
         return p.union(
             p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
 
-    x1 = pairs.filter(F.expr("(src div 2) % 5 = 1"))
     x2 = pairs.filter(F.expr("(src div 2) % 4 = 0"))
-    edges0 = bidir(pairs).union(bidir(x1))
     delta = bidir(x1).withColumn(
         "__sign", F.lit(-1).cast("long")
     ).unionByName(bidir(x2).withColumn("__sign", F.lit(1).cast("long")))
