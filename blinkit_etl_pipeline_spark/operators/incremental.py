@@ -3450,7 +3450,6 @@ def graph_search_published(
             # predicate on the projection's attribute columns — seed
             # collisions filtered before scoring, no allow frame
             srows = srows.filter(F.expr(where))
-        srows = srows.localCheckpoint(eager=True)
         stored = srows
     else:
         stored = _exclude_tombstoned(
@@ -3475,38 +3474,57 @@ def graph_search_published(
             "neighbor_id",
             "semi",
         )
-    seeds = seeds.localCheckpoint(eager=True)
     qe = queries_e.select(
         F.col("vec_id").alias("query_id"),
         F.col("qvec").alias("_gqv"),
         F.col("qq").alias("_gqq"),
     )
 
-    def _score(pairs: DataFrame) -> DataFrame:
-        """Score a bounded pair frame from a pruned twin read of just
-        its neighbor ids — the frontier-read primitive. ``where``
-        filters the twin rows inside the read, so disallowed ids are
-        never scored (strict pushdown without an allow frame)."""
-        nids = [
-            int(r["neighbor_id"])
-            for r in pairs.select("neighbor_id").distinct().collect()
-        ]
+    def _score_pairs(pairs_py: list) -> list:
+        """Score a bounded driver-held pair list from a pruned twin
+        read of just its neighbor ids — the frontier-read primitive.
+        ``where`` filters the twin rows inside the read and ``allowed``
+        semi-joins it, so disallowed/tombstoned ids never reach the
+        cosine (their pairs drop at the inner scoring join). Returns
+        the scored rows to the driver (bounded by |pairs|)."""
+        nids = sorted({p[1] for p in pairs_py})
         if not nids:
-            return pairs.select(
-                "query_id", "neighbor_id",
-                F.lit(0.0).alias("cos_raw"),
-            ).limit(0)
+            return []
         ce = _corpus_rows_for_ids(spark, vec_store, nids, where=where).select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("qvec").alias("_gcv"),
             F.col("qq").alias("_gcq"),
         )
-        return vector._gs_score(pairs, qe, ce)
+        if allowed is not None:
+            ce = ce.join(
+                F.broadcast(
+                    allowed.select(F.col("vec_id").alias("neighbor_id"))
+                ),
+                "neighbor_id",
+                "semi",
+            )
+        pairs_df = spark.createDataFrame(
+            pairs_py, "query_id long, neighbor_id long"
+        )
+        return [
+            (int(r["query_id"]), int(r["neighbor_id"]), r["cos_raw"])
+            for r in vector._gs_score(pairs_df, qe, ce).collect()
+        ]
 
+    # Hop state lives on the DRIVER (r14, VERDICT r13 #3): the pool,
+    # the seen-pair set, and each round's frontier are all bounded by
+    # contract (|Q|·beam + |Q|·beam·k·rounds rows — the same bound the
+    # former per-round eager checkpoints materialized), so holding
+    # them in Python replaces the per-hop frontier-collect + expansion
+    # broadcast-join + two eager checkpoints + dedup anti-join with
+    # exactly TWO jobs per hop: one pruned adjacency read-collect, one
+    # pruned score-collect. Collected doubles round-trip bit-exactly
+    # (binary pickle both ways), and the final ranking runs in Spark
+    # under the same window, so results stay bit-equal to
+    # graph_search_from_store (pytest + oracle).
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id").asc()
     )
-    tb = tombstones(spark, vec_store, "vec_id")
     # beam-cut the scored seed candidates — the walk pool STARTS from
     # the per-query top-beam entry points (the from_store/batch-twin
     # contract), not the full collision set
@@ -3522,65 +3540,60 @@ def graph_search_published(
             F.col("qvec").alias("_gcv"),
             F.col("qq").alias("_gcq"),
         )
-        seed_scored = vector._gs_score(seeds, qe, seed_ce)
+        seed_scored = [
+            (int(r["query_id"]), int(r["neighbor_id"]), r["cos_raw"])
+            for r in vector._gs_score(seeds, qe, seed_ce).collect()
+        ]
     else:
-        seed_scored = _score(seeds)
-    state = (
-        seed_scored
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= beam)
-        .select("query_id", "neighbor_id", "cos_raw")
-        .localCheckpoint(eager=True)
-    )
+        seed_pairs = [
+            (int(r["query_id"]), int(r["neighbor_id"]))
+            for r in seeds.collect()
+        ]
+        seed_scored = _score_pairs(seed_pairs)
+
+    def _top(rows_py: list, limit: int) -> dict:
+        """Per-query top-`limit` by (cos DESC, neighbor ASC) — the
+        window `w` in Python (exact double compare, same tie order)."""
+        byq: dict = {}
+        for qid, nid, cos in rows_py:
+            byq.setdefault(qid, []).append((nid, cos))
+        return {
+            qid: sorted(rs, key=lambda r: (-r[1], r[0]))[:limit]
+            for qid, rs in byq.items()
+        }
+
+    pool = [
+        (qid, nid, cos)
+        for qid, rs in _top(seed_scored, beam).items()
+        for nid, cos in rs
+    ]
+    seen = {(qid, nid) for qid, nid, _ in pool}
     for _ in range(rounds):
-        # one collect of the |Q|·beam frontier rows serves BOTH the
-        # pruned adjacency read's id set and (re-parallelized) the
-        # expansion join — the former checkpoint + distinct-collect
-        # pair paid an extra job per round to learn rows this small
-        # (bounded by contract, like the fids collect it replaces)
-        frows = (
-            state.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= beam)
-            .select("query_id", F.col("neighbor_id").alias("u"))
-            .collect()
-        )
-        frontier = spark.createDataFrame(
-            [(int(r["query_id"]), int(r["u"])) for r in frows],
-            "query_id long, u long",
-        )
-        fids = sorted({int(r["u"]) for r in frows})
-        und = _published_adjacency(spark, pub_store, k, fids)
-        cand = (
-            F.broadcast(frontier)
-            .join(und, "u")
-            .select("query_id", F.col("v").alias("neighbor_id"))
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .distinct()
-        )
-        if tb is not None:
-            cand = cand.join(
-                F.broadcast(tb.withColumnRenamed("vec_id", "neighbor_id")),
-                "neighbor_id",
-                "left_anti",
-            )
-        if allowed is not None:
-            cand = cand.join(
-                F.broadcast(
-                    allowed.select(F.col("vec_id").alias("neighbor_id"))
-                ),
-                "neighbor_id",
-                "semi",
-            )
-        new = cand.join(
-            F.broadcast(state.select("query_id", "neighbor_id")),
-            ["query_id", "neighbor_id"],
-            "left_anti",
-        ).localCheckpoint(eager=True)
-        state = state.unionByName(_score(new)).localCheckpoint(
-            eager=True
-        )
+        front = _top(pool, beam)
+        fid_set = {nid for rs in front.values() for nid, _ in rs}
+        fids = sorted(fid_set)
+        if not fids:
+            break
+        adj: dict = {}
+        for r in _published_adjacency(spark, pub_store, k, fids).collect():
+            u = int(r["u"])
+            if u in fid_set:  # pruned reads over-include at file grain
+                adj.setdefault(u, []).append(int(r["v"]))
+        new_pairs = []
+        for qid, rs in front.items():
+            for u, _cos in rs:
+                for v in adj.get(u, ()):
+                    if v != qid and (qid, v) not in seen:
+                        seen.add((qid, v))
+                        new_pairs.append((qid, v))
+        if not new_pairs:
+            break  # pool unchanged -> every later round is a no-op
+        pool.extend(_score_pairs(new_pairs))
+    out = spark.createDataFrame(
+        pool, "query_id long, neighbor_id long, cos_raw double"
+    )
     return (
-        state.withColumn("rank", F.row_number().over(w))
+        out.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",
