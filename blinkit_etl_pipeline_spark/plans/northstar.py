@@ -18,6 +18,7 @@ sums into HUGEINT, which pandas renders as float).
 from __future__ import annotations
 
 import os
+import time as _time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,6 +51,29 @@ ANN_QUERY_IDS = tuple(range(16))
 IVF_CENTROIDS = 8
 IVF_NPROBE = 2
 IVF_NPROBES = (1, 2, 4, 8)  # the recall-vs-cost sweep
+
+# ----------------------------------------------------------------------
+# Fixture-cost ledger (r14, VERDICT r13 #5)
+# ----------------------------------------------------------------------
+
+#: One-time SERVING-FIXTURE build seconds, keyed by fixture name —
+#: the work the session-memoized fixtures (graph builds, bootstrap
+#: state, store farms) pay ONCE in bench.py's untimed warm pass so
+#: the timed medians measure serving, not re-construction. bench.py
+#: emits this dict as "fixture_sec" in the artifact, so work MOVED
+#: out of the timed region (a boundary change, not an optimization)
+#: stays visible next to the per-query walls instead of silently
+#: vanishing from the round-over-round series.
+FIXTURE_LEDGER: dict = {}
+
+
+def _ledger_add(name: str, t0: float) -> None:
+    """Accumulate a fixture build's wall (seconds since ``t0``) into
+    FIXTURE_LEDGER[name]."""
+    FIXTURE_LEDGER[name] = round(
+        FIXTURE_LEDGER.get(name, 0.0) + _time.perf_counter() - t0, 3
+    )
+
 
 # ----------------------------------------------------------------------
 # Spark-side table access
@@ -5627,6 +5651,7 @@ def _pr_incr_fixture(spark: SparkSession, sf_dir: str):
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PR_INCR_FIXTURE:
+        _b0 = _time.perf_counter()
         orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
             F.expr("o_orderkey % 16 = 0")
         )
@@ -5666,6 +5691,7 @@ def _pr_incr_fixture(spark: SparkSession, sf_dir: str):
         # against the exact graph the state was bootstrapped on, so
         # the query must not rebuild them independently
         _PR_INCR_FIXTURE[key] = (pairs, edges0, x1, state, n)
+        _ledger_add("pr_incr_state", _b0)
     return _PR_INCR_FIXTURE[key]
 
 
@@ -6640,6 +6666,7 @@ def _colloc_stores(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _COLLOC_STORE_MEMO:
         return _COLLOC_STORE_MEMO[key]
+    _b0 = _time.perf_counter()
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     # scratch carries BOTH memo-key dimensions: an applicationId-only
     # root would let a second sf_dir's rmtree-rebuild clobber the
@@ -6674,6 +6701,7 @@ def _colloc_stores(spark: SparkSession, sf_dir: str):
     for k in [k for k in _COLLOC_STORE_MEMO if k[0] != key[0]]:
         del _COLLOC_STORE_MEMO[k]
     _COLLOC_STORE_MEMO[key] = (pstore, bstore, terms)
+    _ledger_add("colloc_stores", _b0)
     return pstore, bstore, terms
 
 
@@ -6750,6 +6778,7 @@ _GS_FIXTURES: dict = {}
 def _gs_fixture(spark: SparkSession, sf_dir: str, kind: str):
     key = (spark.sparkContext.applicationId, sf_dir, kind)
     if key not in _GS_FIXTURES:
+        _b0 = _time.perf_counter()
         emb = _emb(spark, sf_dir)
         if kind == "raw":
             val = vector.knn_graph(
@@ -6791,6 +6820,7 @@ def _gs_fixture(spark: SparkSession, sf_dir: str, kind: str):
         for k in [k for k in _GS_FIXTURES if k[:2] != key[:2]]:
             del _GS_FIXTURES[k]  # don't pin checkpoints of dead scopes
         _GS_FIXTURES[key] = val
+        _ledger_add(f"gs_graph_{kind}", _b0)
     return _GS_FIXTURES[key]
 
 
@@ -7214,6 +7244,7 @@ def _pub_stores(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _PUB_STORE_MEMO:
         return _PUB_STORE_MEMO[key]
+    _b0 = _time.perf_counter()
     emb = _emb(spark, sf_dir)
     # scratch carries BOTH memo-key dimensions (r12 review — same
     # sf_dir aliasing _release_root fixed in r11)
@@ -7261,6 +7292,7 @@ def _pub_stores(spark: SparkSession, sf_dir: str):
     for k in [k for k in _PUB_STORE_MEMO if k[0] != key[0]]:
         del _PUB_STORE_MEMO[k]
     _PUB_STORE_MEMO[key] = pub
+    _ledger_add("pub_store_farm", _b0)
     return pub
 
 
@@ -8158,6 +8190,7 @@ def q_takedown_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key in _TD_BUILD_MEMO:
         s = _TD_BUILD_MEMO[key]
     else:
+        _b0 = _time.perf_counter()
         docs = _docs(spark, sf_dir).filter(F.col("doc_id") < TD_DOC_N)
         emb = _emb(spark, sf_dir).filter(F.col("vec_id") < TD_VEC_N)
         scratch = os.path.join(
@@ -8198,6 +8231,7 @@ def q_takedown_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k_ in [k_ for k_ in _TD_BUILD_MEMO if k_[0] != key[0]]:
             del _TD_BUILD_MEMO[k_]
         _TD_BUILD_MEMO[key] = s
+        _ledger_add("takedown_store_farm", _b0)
     return inc.takedown_audit(spark, TD_GONE, [
         ("sig", s["sig"], "doc_id"),
         ("span", s["span"], "doc_id"),
@@ -8296,6 +8330,7 @@ def _release_build(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _REL_BUILD_MEMO:
         return _REL_BUILD_MEMO[key]
+    _b0 = _time.perf_counter()
     docs = _docs(spark, sf_dir)
     root = _release_root(spark, sf_dir)
     shutil.rmtree(root, ignore_errors=True)
@@ -8317,6 +8352,7 @@ def _release_build(spark: SparkSession, sf_dir: str):
     for k in [k for k in _REL_BUILD_MEMO if k[0] != key[0]]:
         del _REL_BUILD_MEMO[k]
     _REL_BUILD_MEMO[key] = (root, v1, v2)
+    _ledger_add("release_farm", _b0)
     return root, v1, v2
 
 
@@ -8393,6 +8429,7 @@ def _release_drift_build(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _REL_DRIFT_MEMO:
         return _REL_DRIFT_MEMO[key]
+    _b0 = _time.perf_counter()
     docs = _docs(spark, sf_dir)
     root = _release_root(spark, sf_dir) + "-drift"
     shutil.rmtree(root, ignore_errors=True)
@@ -8405,6 +8442,7 @@ def _release_drift_build(spark: SparkSession, sf_dir: str) -> str:
     for k in [k for k in _REL_DRIFT_MEMO if k[0] != key[0]]:
         del _REL_DRIFT_MEMO[k]
     _REL_DRIFT_MEMO[key] = root
+    _ledger_add("release_drift_farm", _b0)
     return root
 
 
