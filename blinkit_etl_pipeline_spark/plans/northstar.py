@@ -7574,11 +7574,21 @@ def _parallel_points(point_fn, points):
     with the others', so the sweep wall approaches the slowest point
     instead of the sum. Returns results in ``points`` order (the
     caller unions them in that order, so output is bit-identical to
-    the sequential loop)."""
+    the sequential loop).
+
+    Workers run under ``pyspark.inheritable_thread_target``: in
+    pinned-thread mode, job group / job description local properties
+    do NOT propagate to plain Python threads, so the sweep's
+    construction-time jobs would escape the bench's job labeling (and
+    any job-group cancellation). The wrapper captures the caller's
+    properties at submit time and applies them in the worker."""
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark import inheritable_thread_target
+
+    fn = inheritable_thread_target(point_fn)
     with ThreadPoolExecutor(max_workers=min(3, len(points))) as pool:
-        return list(pool.map(point_fn, points))
+        return list(pool.map(fn, points))
 
 
 def q_ann_graph_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
