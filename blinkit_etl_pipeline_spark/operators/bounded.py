@@ -29,22 +29,44 @@ Thread note: Spark session conf is session-global, so a concurrent
 thread planning DURING the bracket (e.g. an overlapped guard job)
 compiles non-adaptively too — identical results, marginally different
 stage shapes; the brackets are short (driver-side plan building).
+Brackets themselves may OVERLAP across threads (the beam-sweep runs
+three walk constructions concurrently) — a per-session depth counter
+makes the bracket reentrant: the pre-bracket value is read once at
+depth 0 and restored only when the last bracket exits, so an inner
+bracket can never capture a sibling's "false" and pin AQE off for the
+rest of the session.
 """
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
+
+_LOCK = threading.Lock()
+#: sessionId -> [depth, saved_value]
+_STATE: dict = {}
 
 
 @contextmanager
 def bounded_plan(spark):
     """Disable AQE while constructing contract-bounded iterative
-    subplans; restore the previous setting on exit (exceptions
-    included)."""
+    subplans; restore the previous setting when the outermost bracket
+    exits (exceptions included). Reentrant and overlap-safe across
+    driver threads of one session."""
     conf = spark.conf
-    prev = conf.get("spark.sql.adaptive.enabled")
-    conf.set("spark.sql.adaptive.enabled", "false")
+    key = id(spark)
+    with _LOCK:
+        st = _STATE.get(key)
+        if st is None:
+            st = [0, conf.get("spark.sql.adaptive.enabled")]
+            _STATE[key] = st
+            conf.set("spark.sql.adaptive.enabled", "false")
+        st[0] += 1
     try:
         yield
     finally:
-        conf.set("spark.sql.adaptive.enabled", prev)
+        with _LOCK:
+            st[0] -= 1
+            if st[0] == 0:
+                conf.set("spark.sql.adaptive.enabled", st[1])
+                del _STATE[key]
