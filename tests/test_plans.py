@@ -52,12 +52,16 @@ ARROW_WHITELIST = {
     "ns_hybrid_rrf_recall",
     "ns_pack_sequences",
     # NOT the graph-walk family (ns_ann_graph_*): r13 —
-    # graph_search_rounds now materializes its seed frame as a
+    # graph_search_rounds materializes its seed frame as a LAZY
     # localCheckpoint leaf (one corpus probe per walk instead of one
     # per round), so the lsh_topk/_beam_seeds_on_frame Arrow kernel
-    # runs at CONSTRUCTION time and hides behind the checkpoint leaf
-    # in the returned plan — the ns_knn_graph case, now uniform
-    # across the family (plans/r13/*_after.txt: 0 python nodes)
+    # hides behind the LogicalRDD leaf in the RETURNED plan (it still
+    # executes lazily inside the timed call, at first materialization)
+    # — the ns_knn_graph case, now uniform across the family
+    # (plans/r13/*_after.txt: 0 python nodes). The kernel's PRESENCE
+    # is still pinned: the checkpoint-aware sweep below explains every
+    # pre-checkpoint frame, where the walk family's seed kernel is
+    # visible again (ARROW_CONSTRUCTION below).
     # NOT ns_ann_graph_filtered_curve: its one seed-scoring pass is
     # checkpointed and shared across the beam sweep, so the Arrow
     # kernel hides behind the checkpoint leaf (the ns_knn_graph case)
@@ -67,12 +71,100 @@ ARROW_WHITELIST = {
     # store-build time — the returned read plan scans the store
 }
 
+#: queries that may legitimately capture Arrow stages in PRE-CHECKPOINT
+#: plans during construction (r14, VERDICT r13 #8: the final-plan audit
+#: cannot see behind localCheckpoint leaves, so every checkpointed
+#: frame is explained too). Membership is "allowed", not "required":
+#: session-memoized fixtures (graph builds, store farms) are built by
+#: whichever query touches them FIRST, so presence is order-dependent.
+#: Derived from a full instrumented sweep at SF_SMOKE (sorted order,
+#: 263 checkpoints explained — see OPTIMIZATION_r14.md): exactly the
+#: walk family (the _beam_seeds_on_frame Arrow kernel feeds the
+#: checkpointed seed frame; the knn_graph fixture builders add
+#: FlatMapGroupsInPandas bucket kernels) plus the knn-graph builders
+#: and the two store-farm builders whose publish path checkpoints
+#: kernel-fed frames. ARROW_WHITELIST members are implicitly allowed
+#: (the check is against the union).
+ARROW_CONSTRUCTION_WHITELIST = {
+    "ns_ann_graph_topk",
+    "ns_ann_graph_recall",
+    "ns_ann_graph_curve",
+    "ns_ann_graph_external",
+    "ns_ann_graph_sq8_topk",
+    "ns_ann_graph_sq8_recall",
+    "ns_ann_graph_filtered",
+    "ns_ann_graph_filtered_recall",
+    "ns_ann_graph_filtered_curve",
+    "ns_ann_graph_filtered_autotune",
+    "ns_ann_graph_filtered_pub",
+    # not captured in the sorted sweep (filtered_pub builds the shared
+    # pub-store farm first) but captures when run alone
+    "ns_ann_graph_published",
+    "ns_knn_graph",
+    "ns_knn_graph_recall",
+    "ns_knn_graph_store",
+    "ns_knn_backfill",
+    "ns_triplet_mine_knn",
+    "ns_select_facility",
+    "ns_takedown_audit",
+}
+
 _PY_MARKERS = ("InPandas", "ArrowEval", "BatchEvalPython", "PythonUDF")
+#: row-at-a-time Python stages are banned EVERYWHERE, whitelists
+#: included — every deliberate Python surface in this engine is
+#: Arrow-batched (guide §4.1/§4.2)
+_ROW_MARKERS = ("BatchEvalPython",)
+
+
+class _CheckpointSpy:
+    """Monkeypatch ``DataFrame.localCheckpoint`` to record the executed
+    plan of every frame the moment it is checkpointed (r14, VERDICT r13
+    #8). The final-plan audit cannot see behind a LogicalRDD leaf, so a
+    row-wise UDF introduced inside an iterative operator would
+    otherwise pass the guard; explaining each pre-checkpoint frame
+    closes that hole. Works for frames checkpointed from worker threads
+    too (the patch is class-level)."""
+
+    def __init__(self):
+        self.plans: list[str] = []
+
+    @staticmethod
+    def _df_class():
+        # Spark 4: pyspark.sql.DataFrame is the dispatch parent;
+        # instances are classic.dataframe.DataFrame, which OVERRIDES
+        # localCheckpoint — patch the concrete class or the spy is
+        # silently inert
+        try:
+            from pyspark.sql.classic.dataframe import DataFrame
+        except ImportError:  # pragma: no cover — Spark 3.x layout
+            from pyspark.sql import DataFrame
+        return DataFrame
+
+    def __enter__(self):
+        cls = self._df_class()
+        self._orig = cls.localCheckpoint
+        spy = self
+
+        def patched(df_self, eager=True, storageLevel=None):
+            spy.plans.append(
+                df_self._jdf.queryExecution().executedPlan().toString()
+            )
+            if storageLevel is None:
+                return spy._orig(df_self, eager=eager)
+            return spy._orig(df_self, eager=eager, storageLevel=storageLevel)
+
+        cls.localCheckpoint = patched
+        return self
+
+    def __exit__(self, *exc):
+        self._df_class().localCheckpoint = self._orig
+        return False
 
 
 @pytest.mark.parametrize("name", sorted(all_queries()))
 def test_only_whitelisted_queries_plan_python_stages(spark, name):
-    df = all_queries()[name](spark, SF_SMOKE)
+    with _CheckpointSpy() as spy:
+        df = all_queries()[name](spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     has_python = any(m in plan for m in _PY_MARKERS)
     if name in ARROW_WHITELIST:
@@ -85,6 +177,20 @@ def test_only_whitelisted_queries_plan_python_stages(spark, name):
             f"{name} plans a Python stage outside the Arrow whitelist:\n"
             + plan[:3000]
         )
+    # checkpoint-aware sweep (VERDICT r13 #8): row-wise stages are
+    # banned everywhere; Arrow stages behind checkpoint leaves only
+    # where construction legitimately runs a kernel
+    for pre in [plan] + spy.plans:
+        assert not any(m in pre for m in _ROW_MARKERS), (
+            f"{name} hides a row-at-a-time Python stage behind a "
+            "checkpoint:\n" + pre[:3000]
+        )
+    if name not in ARROW_WHITELIST | ARROW_CONSTRUCTION_WHITELIST:
+        for pre in spy.plans:
+            assert not any(m in pre for m in _PY_MARKERS), (
+                f"{name} hides an Arrow stage behind a checkpoint "
+                "outside both whitelists:\n" + pre[:3000]
+            )
 
 
 def test_registry_priority_names_resolve():
