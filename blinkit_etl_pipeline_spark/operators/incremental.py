@@ -130,6 +130,27 @@ def ingest_and_find_dups(
     return result["pairs"], version
 
 
+def overlap_store_ops(thunks):
+    """Run INDEPENDENT store operations concurrently and return their
+    results in ``thunks`` order (guide §2.6: actions are only
+    sequential because driver code calls them sequentially — a
+    multi-store ingest/takedown fans out to DISTINCT store tables, so
+    each op's tail back-fills task slots the others free). Workers run
+    under ``pyspark.inheritable_thread_target`` so job group/
+    description local properties propagate. Only safe when the ops
+    touch disjoint tables: the snapshot layer's CAS is per-table, and
+    nothing in the ingest lifecycle shares mutable driver state."""
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=min(4, len(thunks))) as pool:
+        futs = [pool.submit(inheritable_thread_target(t)) for t in thunks]
+        return [f.result() for f in futs]
+
+
 def _maybe_compact(
     spark: SparkSession,
     store_table: str,
@@ -1773,11 +1794,17 @@ def takedown(spark: SparkSession, ids, stores) -> dict[str, int]:
     so a crash mid-fan-out is repaired by re-running the same call —
     already-retracted stores append nothing. Graph stores ride their
     vector store's tombstones (the knn contract) — list the VECTOR
-    store, not the edge table. Returns store → tombstone version."""
-    return {
-        store_table: retract_docs(spark, store_table, ids, id_col=id_col)
-        for store_table, id_col in stores
-    }
+    store, not the edge table. Returns store → tombstone version.
+
+    The per-store retractions are independent (disjoint tombstone
+    tables), so they run OVERLAPPED (r14, guide §2.6) — the fan-out
+    wall is the slowest store, not the sum."""
+    stores = list(stores)
+    versions = overlap_store_ops([
+        (lambda t=t, c=c: retract_docs(spark, t, ids, id_col=c))
+        for t, c in stores
+    ])
+    return {t: v for (t, _c), v in zip(stores, versions)}
 
 
 def takedown_audit(spark: SparkSession, ids, stores) -> DataFrame:

@@ -144,18 +144,24 @@ def ingest_release(
         ).select("doc_id")
         fresh = docs.join(seen, "doc_id", "left_anti")
     fresh = fresh.localCheckpoint(eager=True)
-    av = incremental._ingest_rows(
-        spark, s["attrs"], attrs_frame(docs), "doc_id",
-        compact_threshold=64, compact_target=8, compact_keep_versions=2,
-    )
-    uv = incremental.ingest_bm25_postings(spark, s["unigram"], docs)
-    bv = incremental.ingest_bigram_postings(spark, s["bigram"], docs)
-    bid = fresh.agg(
-        F.coalesce(F.min("doc_id"), F.lit(-1)).alias("lo"),
-        F.coalesce(F.max("doc_id"), F.lit(-1)).alias("hi"),
-        F.count("*").alias("n"),
-        F.coalesce(F.sum("doc_id"), F.lit(0)).alias("s"),
-    ).collect()[0]
+    # the four appends touch DISJOINT stores and all derive from the
+    # two checkpointed frames above — overlapped (r14, guide §2.6) the
+    # drop's ingest wall is the slowest store's append, not the sum
+    av, uv, bv, bid = incremental.overlap_store_ops([
+        lambda: incremental._ingest_rows(
+            spark, s["attrs"], attrs_frame(docs), "doc_id",
+            compact_threshold=64, compact_target=8,
+            compact_keep_versions=2,
+        ),
+        lambda: incremental.ingest_bm25_postings(spark, s["unigram"], docs),
+        lambda: incremental.ingest_bigram_postings(spark, s["bigram"], docs),
+        lambda: fresh.agg(
+            F.coalesce(F.min("doc_id"), F.lit(-1)).alias("lo"),
+            F.coalesce(F.max("doc_id"), F.lit(-1)).alias("hi"),
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("doc_id"), F.lit(0)).alias("s"),
+        ).collect()[0],
+    ])
     dv = None
     if int(bid["n"]) > 0:
         dv = incremental.ingest_drift_buckets(
