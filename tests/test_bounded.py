@@ -16,9 +16,13 @@ KEY = "spark.sql.adaptive.enabled"
 
 def test_restores_on_exit_and_exception(spark):
     spark.conf.set(KEY, "true")
+    parts = spark.conf.get("spark.sql.shuffle.partitions")
     with bounded_plan(spark):
         assert spark.conf.get(KEY) == "false"
+        # bounded frames get a bounded static partition count
+        assert spark.conf.get("spark.sql.shuffle.partitions") != parts
     assert spark.conf.get(KEY) == "true"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == parts
     try:
         with bounded_plan(spark):
             raise RuntimeError("boom")
